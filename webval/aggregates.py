@@ -1,0 +1,337 @@
+"""The fused Schema.build stats pass (SURVEY.md §2-E, §3.2 P1).
+
+rdv builds all component stats in one pass over an in-memory frame
+[rdv:Schema.build → Stats.build, UNVERIFIED].  Here the same semantics run as:
+
+    read_parquet → map_batches(partial per block, batch_format="pyarrow")
+                 → tree-reduce merge of KB-sized pickled accumulators
+                 → driver finalize → SchemaSpec
+
+One accumulator row (~tens of KB: moments + t-digest + HLL + freq map per
+column) is emitted per batch; merges are associative/commutative (property
+tests in tests/test_sketches.py), so the tree shape is free.  At 10^12 docs
+the partials dataset is ~1e6 tiny rows — the tree reduce collapses it with
+fan-in 64 per level without ever concentrating data on the driver.
+
+Also provides AggregateFnV2 wrappers so the same sketches slot into
+``ds.groupby(key).aggregate(...)`` for per-lang / per-domain stats slices
+(ray/data/aggregate.py:107 AggregateFnV2).
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from webval.schema import QUANTILE_POINTS, ColumnProfile, SchemaSpec
+from webval.sketches import (
+    CategoricalFreq,
+    HyperLogLog,
+    Moments,
+    NumericHistogram,
+    TDigest,
+    hash64,
+)
+
+DEFAULT_HISTOGRAM_BINS = 32
+
+_NUMERIC_KINDS = ("numeric", "timestamp")
+
+
+def infer_kinds(schema: pa.Schema, overrides: dict[str, str] | None = None) -> dict[str, str]:
+    """Map arrow dtype → profile kind.  Strings default to categorical (the
+    CategoricalFreq top-K guard bounds memory even for high-cardinality
+    columns); pass ``overrides={"text": "text"}`` for free-text columns so
+    they get the length-distribution numeric path instead.
+    """
+    kinds: dict[str, str] = {}
+    for f in schema:
+        t = f.type
+        if pa.types.is_integer(t) or pa.types.is_floating(t):
+            kinds[f.name] = "numeric"
+        elif pa.types.is_timestamp(t) or pa.types.is_date(t):
+            kinds[f.name] = "timestamp"
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            kinds[f.name] = "categorical"
+        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            kinds[f.name] = "binary"
+        else:
+            kinds[f.name] = "skip"  # nested types profiled only via extensions
+    if overrides:
+        kinds.update(overrides)
+    return kinds
+
+
+class ColumnAccumulator:
+    """All sketches for one column; picklable; merge-safe."""
+
+    __slots__ = ("name", "kind", "moments", "tdigest", "hll", "freq", "hist")
+
+    def __init__(self, name: str, kind: str, delta: int = 300, hll_p: int = 14,
+                 max_keys: int = 1024, edges=None):
+        self.name = name
+        self.kind = kind
+        self.moments = Moments()
+        self.tdigest = TDigest(delta=delta)
+        self.hll = HyperLogLog(p=hll_p)
+        self.freq = CategoricalFreq(max_keys=max_keys) if kind == "categorical" else None
+        self.hist = NumericHistogram(edges) if edges is not None else None
+
+    # -- update ------------------------------------------------------------
+    def update(self, col: pa.ChunkedArray | pa.Array):
+        n = len(col)
+        if self.kind in ("numeric", "timestamp"):
+            if self.kind == "timestamp":
+                col = pc.cast(col, pa.int64())
+            v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            self.moments.add(v, n_total=n)
+            self.tdigest.add(v)
+            if self.hist is not None:
+                self.hist.add(v)
+            valid = v[~np.isnan(v)]
+            if len(valid):
+                self.hll.add_hashes(hash64(valid))
+        elif self.kind == "categorical":
+            arr = col.to_pandas()
+            self.freq.add(arr)
+            vals = arr.dropna()
+            if len(vals):
+                self.hll.add_hashes(hash64(vals.to_numpy()))
+            # length stats ride along on the numeric path
+            ln = pc.utf8_length(col)
+            lv = ln.to_numpy(zero_copy_only=False).astype(np.float64)
+            self.moments.add(lv, n_total=n)
+            self.tdigest.add(lv)
+        elif self.kind == "text":
+            ln = pc.utf8_length(col)
+            lv = ln.to_numpy(zero_copy_only=False).astype(np.float64)
+            self.moments.add(lv, n_total=n)
+            self.tdigest.add(lv)
+            if self.hist is not None:
+                self.hist.add(lv)
+            vals = col.drop_null().to_pandas()
+            if len(vals):
+                self.hll.add_hashes(hash64(vals.to_numpy()))
+        elif self.kind == "binary":
+            ln = pc.binary_length(col)
+            lv = ln.to_numpy(zero_copy_only=False).astype(np.float64)
+            self.moments.add(lv, n_total=n)
+            self.tdigest.add(lv)
+            vals = col.drop_null()
+            if len(vals):
+                h = hash64(np.asarray(vals.to_pylist(), dtype=object))
+                self.hll.add_hashes(h)
+
+    def merge(self, other: "ColumnAccumulator"):
+        self.moments.merge(other.moments)
+        self.tdigest.merge(other.tdigest)
+        self.hll.merge(other.hll)
+        if self.freq is not None and other.freq is not None:
+            self.freq.merge(other.freq)
+        if self.hist is not None and other.hist is not None:
+            self.hist.merge(other.hist)
+        return self
+
+    def finalize(self) -> ColumnProfile:
+        m = self.moments
+        return ColumnProfile(
+            name=self.name,
+            kind=self.kind,
+            count=m.total,
+            null_count=m.null_count,
+            distinct_est=float(self.hll.estimate()),
+            moments=m.to_dict(),
+            tdigest=self.tdigest.to_dict(),
+            histogram=self.hist.to_dict() if self.hist is not None else None,
+            frequencies=self.freq.to_dict() if self.freq is not None else None,
+            hll=self.hll.to_dict(),
+        )
+
+
+def _partial_fn(kinds: dict[str, str], delta: int, hll_p: int, max_keys: int,
+                edges: dict[str, list[float]] | None):
+    def fn(batch: pa.Table) -> pa.Table:
+        accs = {}
+        for name, kind in kinds.items():
+            if kind == "skip" or name not in batch.column_names:
+                continue
+            acc = ColumnAccumulator(
+                name, kind, delta=delta, hll_p=hll_p, max_keys=max_keys,
+                edges=(edges or {}).get(name))
+            acc.update(batch.column(name))
+            acc.tdigest._compress()
+            accs[name] = acc
+        return pa.table({"acc": pa.array([pickle.dumps(accs)], type=pa.large_binary())})
+    return fn
+
+
+def _merge_rows(batch: pa.Table) -> pa.Table:
+    merged: dict[str, ColumnAccumulator] | None = None
+    for b in batch.column("acc").to_pylist():
+        accs = pickle.loads(b)
+        if merged is None:
+            merged = accs
+        else:
+            for k, a in accs.items():
+                if k in merged:
+                    merged[k].merge(a)
+                else:
+                    merged[k] = a
+    return pa.table({"acc": pa.array([pickle.dumps(merged or {})], type=pa.large_binary())})
+
+
+def tree_reduce_accumulators(partials, fan: int = 64) -> dict[str, ColumnAccumulator]:
+    """Collapse a Dataset of pickled-accumulator rows with fan-in ``fan`` per
+    level; the driver only ever unpickles ≤ fan rows.  Partials are tiny, so
+    materialize() between levels is cheap and keeps the loop from re-executing
+    the upstream pipeline (Datasets are lazy).
+    """
+    mat = partials.materialize()
+    n = mat.count()
+    while n > fan:
+        mat = (mat.repartition(max(1, math.ceil(n / fan)))
+                  .map_batches(_merge_rows, batch_format="pyarrow", batch_size=None)
+                  .materialize())
+        n = mat.count()
+    merged: dict[str, ColumnAccumulator] = {}
+    for row in mat.take_all():
+        accs = pickle.loads(row["acc"])
+        for k, a in accs.items():
+            if k in merged:
+                merged[k].merge(a)
+            else:
+                merged[k] = a
+    return merged
+
+
+def profile_dataset(ds, kinds: dict[str, str] | None = None, *,
+                    name: str = "schema", delta: int = 300, hll_p: int = 14,
+                    max_keys: int = 1024,
+                    edges: dict[str, list[float]] | None = None,
+                    batch_size: int | None = 8192) -> SchemaSpec:
+    """P1 Schema.build: one fused stats pass + tree reduce → SchemaSpec.
+
+    ``edges`` (col → histogram bin edges) enables the drift-histogram sketch
+    in the same pass when baseline edges are already known; otherwise
+    pipelines.build_schema runs a second cheap pass with edges derived from
+    this pass's min/max.
+    """
+    if kinds is None:
+        kinds = infer_kinds(ds.schema().base_schema)
+    used = [c for c, k in kinds.items() if k != "skip"]
+    ds = ds.select_columns(used)
+    partials = ds.map_batches(
+        _partial_fn(kinds, delta, hll_p, max_keys, edges),
+        batch_format="pyarrow", batch_size=batch_size)
+    merged = tree_reduce_accumulators(partials)
+    for c in used:
+        # empty input → zero-count profiles rather than silently dropped columns
+        if c not in merged:
+            merged[c] = ColumnAccumulator(c, kinds[c], delta=delta, hll_p=hll_p,
+                                          max_keys=max_keys, edges=(edges or {}).get(c))
+    spec = SchemaSpec(name=name, built=True)
+    spec.columns = [merged[c].finalize() for c in used]
+    spec.infer_default_checks()
+    return spec
+
+
+def histogram_edges_from_profile(p: ColumnProfile, bins: int = DEFAULT_HISTOGRAM_BINS) -> list[float] | None:
+    if p.moments is None:
+        return None
+    m = Moments.from_dict(p.moments)
+    if not m.count or m.min == m.max:
+        return None
+    return list(np.linspace(m.min, m.max, bins + 1))
+
+
+# ---------------------------------------------------------------------------
+# AggregateFnV2 wrappers: sketches inside ds.groupby(key).aggregate(...)
+# ---------------------------------------------------------------------------
+
+try:
+    from ray.data.aggregate import AggregateFnV2
+    from ray.data.block import BlockAccessor
+
+    class _SketchAgg(AggregateFnV2):
+        """Base: accumulator = pickled sketch bytes (arrow-storable)."""
+
+        def __init__(self, on: str, name: str):
+            super().__init__(name, zero_factory=lambda: None, on=on, ignore_nulls=True)
+
+        def _new(self):
+            raise NotImplementedError
+
+        def _update(self, sketch, values: np.ndarray):
+            raise NotImplementedError
+
+        def _final(self, sketch):
+            raise NotImplementedError
+
+        def aggregate_block(self, block) -> bytes:
+            acc = BlockAccessor.for_block(block)
+            col = acc.to_arrow().column(self._target_col_name)
+            v = col.to_numpy(zero_copy_only=False)
+            s = self._new()
+            self._update(s, v)
+            return pickle.dumps(s)
+
+        def combine(self, cur, new):
+            if cur is None:
+                return new
+            if new is None:
+                return cur
+            a, b = pickle.loads(cur), pickle.loads(new)
+            a.merge(b)
+            return pickle.dumps(a)
+
+        def finalize(self, acc):
+            if acc is None:
+                return None
+            return self._final(pickle.loads(acc))
+
+    class TDigestQuantile(_SketchAgg):
+        """groupby(...).aggregate(TDigestQuantile("col", q=0.5)) — mergeable
+        quantile; contrast with Ray's built-in Quantile which accumulates raw
+        value lists (O(n) memory, ray/data/aggregate.py zero_factory=list).
+        """
+
+        def __init__(self, on: str, q: float = 0.5, delta: int = 300,
+                     alias_name: str | None = None):
+            self._q = q
+            self._delta = delta
+            super().__init__(on, alias_name or f"p{int(q*100)}({on})")
+
+        def _new(self):
+            return TDigest(delta=self._delta)
+
+        def _update(self, s, v):
+            s.add(np.asarray(v, dtype=np.float64))
+
+        def _final(self, s):
+            return s.quantile(self._q)
+
+    class ApproxDistinct(_SketchAgg):
+        """groupby(...).aggregate(ApproxDistinct("col")) — HLL distinct."""
+
+        def __init__(self, on: str, p: int = 14, alias_name: str | None = None):
+            self._p = p
+            super().__init__(on, alias_name or f"approx_distinct({on})")
+
+        def _new(self):
+            return HyperLogLog(p=self._p)
+
+        def _update(self, s, v):
+            import pandas as pd
+            vals = pd.Series(v).dropna().to_numpy()
+            if len(vals):
+                s.add_hashes(hash64(vals))
+
+        def _final(self, s):
+            return float(s.estimate())
+
+except ImportError:  # pragma: no cover - ray always present in sandbox
+    TDigestQuantile = ApproxDistinct = None

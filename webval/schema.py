@@ -1,0 +1,182 @@
+"""SchemaSpec / ColumnProfile / CheckSpec — the engine's data model
+(SURVEY.md §1.1 table; rdv analogs: Schema / Component / Stats + tags,
+[rdv:rdv/schema.py, rdv/component.py, UNVERIFIED — reference checkout empty]).
+
+Lifecycle mirrors rdv: ``build`` infers per-column profiles from data and
+freezes them into a versioned, JSON-serializable SchemaSpec (rdv's
+``to_jcr``/``from_jcr``); ``check`` validates strictly against the frozen
+spec; ``contrast`` compares two built specs.  The JSON file IS the baseline
+schema for drift checks.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from webval.sketches import (
+    CategoricalFreq,
+    HyperLogLog,
+    Moments,
+    NumericHistogram,
+    TDigest,
+)
+
+QUANTILE_POINTS = [i / 100.0 for i in range(101)]  # rdv percentiles[0..100]
+
+
+@dataclass
+class ColumnProfile:
+    """Per-column stats block — rdv's Component(stats) equivalent.
+
+    kind: "numeric" | "categorical" | "text" | "binary" | "timestamp".
+    Numeric columns carry moments + t-digest + fixed-bin histogram;
+    categorical carry a frequency map; text/binary profile the value length
+    (numeric path over utf8_length / binary_length); every kind carries
+    null stats and an HLL distinct sketch.
+    """
+
+    name: str
+    kind: str
+    count: int = 0
+    null_count: int = 0
+    distinct_est: float = 0.0
+    moments: dict | None = None          # Moments.to_dict()
+    tdigest: dict | None = None          # TDigest.to_dict()
+    histogram: dict | None = None        # NumericHistogram.to_dict()
+    frequencies: dict | None = None      # CategoricalFreq.to_dict()
+    hll: dict | None = None              # HyperLogLog.to_dict()
+
+    @property
+    def null_rate(self) -> float:
+        return self.null_count / self.count if self.count else 0.0
+
+    def quantile(self, q: float) -> float | None:
+        if self.tdigest is None:
+            return None
+        return TDigest.from_dict(self.tdigest).quantile(q)
+
+    def domain(self) -> list[str] | None:
+        if self.frequencies is None:
+            return None
+        return CategoricalFreq.from_dict(self.frequencies).domain()
+
+    def to_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "kind": self.kind,
+            "count": self.count,
+            "null_count": self.null_count,
+            "distinct_est": self.distinct_est,
+            "moments": self.moments,
+            "tdigest": self.tdigest,
+            "histogram": self.histogram,
+            "frequencies": self.frequencies,
+            "hll": self.hll,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ColumnProfile":
+        return cls(**d)
+
+
+@dataclass
+class CheckSpec:
+    """One constraint — rdv's per-component check semantics plus the
+    web-scale kinds BASELINE.json adds.  ``kind`` ∈:
+
+    - ``range``       params: {min, max}              (B2)
+    - ``null_rate``   params: {max_rate}              (B3)
+    - ``domain``      params: {values: [...]}         (B4)
+    - ``regex``       params: {pattern} (RE2)         (B5)
+    - ``unique``      params: {}                      (G2, pipeline-level)
+    - ``referential`` params: {parent_table, parent_key} (D1, pipeline-level)
+    - ``drift``       params: {max_js, max_chi2_p}    (P3, pipeline-level)
+
+    Row-level kinds (range/domain/regex + per-row null) evaluate inside one
+    map_batches; ``null_rate`` is a dataset/partition-level threshold;
+    unique/referential/drift run as sibling pipelines.
+    """
+
+    name: str
+    column: str
+    kind: str
+    params: dict[str, Any] = field(default_factory=dict)
+
+    def to_dict(self) -> dict:
+        return {"name": self.name, "column": self.column, "kind": self.kind, "params": self.params}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CheckSpec":
+        return cls(**d)
+
+
+@dataclass
+class SchemaSpec:
+    """Versioned, JSON-serializable collection of ColumnProfiles + CheckSpecs
+    — rdv's Schema ⇄ jcr.  ``built`` flips after a successful build pass.
+    """
+
+    name: str = "schema"
+    version: str = "0.0.1"
+    built: bool = False
+    columns: list[ColumnProfile] = field(default_factory=list)
+    checks: list[CheckSpec] = field(default_factory=list)
+
+    def column(self, name: str) -> ColumnProfile:
+        for c in self.columns:
+            if c.name == name:
+                return c
+        raise KeyError(name)
+
+    def infer_default_checks(self) -> "SchemaSpec":
+        """rdv semantics: after build, each component checks new values
+        against its built stats — numeric range from [min, max], categorical
+        domain from observed frequencies, nan-rate from observed pinv
+        (with slack so the training data itself passes).
+        """
+        checks: list[CheckSpec] = []
+        for p in self.columns:
+            if p.kind == "numeric" and p.moments:
+                m = Moments.from_dict(p.moments)
+                if m.count:
+                    checks.append(CheckSpec(f"{p.name}-range", p.name, "range",
+                                            {"min": m.min, "max": m.max}))
+            if p.kind == "categorical" and p.frequencies:
+                checks.append(CheckSpec(f"{p.name}-domain", p.name, "domain",
+                                        {"values": p.domain()}))
+            rate = min(1.0, p.null_rate * 1.5 + 1e-6) if p.null_count else 0.0
+            checks.append(CheckSpec(f"{p.name}-nullrate", p.name, "null_rate",
+                                    {"max_rate": rate}))
+        self.checks = checks
+        return self
+
+    def to_json(self, path: str | None = None) -> str:
+        d = {
+            "name": self.name,
+            "version": self.version,
+            "built": self.built,
+            "columns": [c.to_dict() for c in self.columns],
+            "checks": [c.to_dict() for c in self.checks],
+        }
+        s = json.dumps(d, indent=1, sort_keys=True)
+        if path:
+            with open(path, "w") as f:
+                f.write(s)
+        return s
+
+    @classmethod
+    def from_json(cls, s_or_path: str) -> "SchemaSpec":
+        if s_or_path.lstrip().startswith("{"):
+            d = json.loads(s_or_path)
+        else:
+            with open(s_or_path) as f:
+                d = json.load(f)
+        return cls(
+            name=d["name"],
+            version=d["version"],
+            built=d["built"],
+            columns=[ColumnProfile.from_dict(c) for c in d["columns"]],
+            checks=[CheckSpec.from_dict(c) for c in d["checks"]],
+        )

@@ -1,0 +1,475 @@
+"""Mergeable sketches — the accumulator core of the engine (SURVEY.md §2-E).
+
+All sketches obey the merge laws (associative, commutative, identity) so a
+per-block partial + tree-reduce merge computes the same result as a single
+pass — the property tests in tests/test_sketches.py verify this under random
+splits.  Pure numpy; no scipy / datasketches in the sandbox (SURVEY.md §0).
+
+Reference semantics: rdv NumericStats (min/max/mean/std/pinv/percentiles) and
+CategoricStats (frequencies/pinv) [rdv:rdv/stats.py, UNVERIFIED — reference
+checkout empty, SURVEY.md §0]; BASELINE.json pins t-digest quantiles and
+HyperLogLog distinct counts for the 10^12-doc scale path.
+"""
+
+from __future__ import annotations
+
+import base64
+import math
+
+import numpy as np
+
+__all__ = [
+    "Moments",
+    "TDigest",
+    "HyperLogLog",
+    "CategoricalFreq",
+    "NumericHistogram",
+    "hash64",
+]
+
+
+def hash64(values) -> np.ndarray:
+    """Stable vectorized 64-bit hash of a 1-D array (ints, floats, strings).
+
+    Uses pandas' cython siphash-based ``hash_array`` — deterministic across
+    processes (fixed key), which the merge/parallelism-invariance tests rely on.
+    """
+    import pandas as pd
+
+    arr = np.asarray(values)
+    if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+        arr = np.asarray(arr, dtype=object)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+# ---------------------------------------------------------------------------
+# Moments: count / sum / sumsq / min / max / null_count
+# ---------------------------------------------------------------------------
+
+
+class Moments:
+    """Exact mergeable (count, sum, sum-of-squares, min, max, nulls) triple.
+
+    mean/std finalized Chan-et-al style from the merged sums; matches rdv's
+    NumericStats.mean/std/pinv exactly at any split of the data.
+    """
+
+    __slots__ = ("count", "total", "sum", "sumsq", "min", "max")
+
+    def __init__(self):
+        self.count = 0  # non-null values
+        self.total = 0  # all rows (incl. null)
+        self.sum = 0.0
+        self.sumsq = 0.0
+        self.min = math.inf
+        self.max = -math.inf
+
+    def add(self, values: np.ndarray, n_total: int | None = None) -> "Moments":
+        v = np.asarray(values, dtype=np.float64)
+        n_all = len(v) if n_total is None else n_total
+        v = v[~np.isnan(v)]
+        self.total += n_all
+        self.count += len(v)
+        if len(v):
+            self.sum += float(v.sum())
+            self.sumsq += float(np.square(v).sum())
+            self.min = min(self.min, float(v.min()))
+            self.max = max(self.max, float(v.max()))
+        return self
+
+    def merge(self, other: "Moments") -> "Moments":
+        self.count += other.count
+        self.total += other.total
+        self.sum += other.sum
+        self.sumsq += other.sumsq
+        self.min = min(self.min, other.min)
+        self.max = max(self.max, other.max)
+        return self
+
+    @property
+    def null_count(self) -> int:
+        return self.total - self.count
+
+    @property
+    def null_rate(self) -> float:
+        return self.null_count / self.total if self.total else 0.0
+
+    @property
+    def mean(self) -> float | None:
+        return self.sum / self.count if self.count else None
+
+    @property
+    def std(self) -> float | None:
+        """Population std (ddof=0), matching numpy's default."""
+        if not self.count:
+            return None
+        var = self.sumsq / self.count - (self.sum / self.count) ** 2
+        return math.sqrt(max(var, 0.0))
+
+    def to_dict(self) -> dict:
+        return {
+            "count": self.count,
+            "total": self.total,
+            "sum": self.sum,
+            "sumsq": self.sumsq,
+            "min": None if self.min == math.inf else self.min,
+            "max": None if self.max == -math.inf else self.max,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Moments":
+        m = cls()
+        m.count = d["count"]
+        m.total = d["total"]
+        m.sum = d["sum"]
+        m.sumsq = d["sumsq"]
+        m.min = math.inf if d["min"] is None else d["min"]
+        m.max = -math.inf if d["max"] is None else d["max"]
+        return m
+
+
+# ---------------------------------------------------------------------------
+# t-digest (merging variant, vectorized bucket compression)
+# ---------------------------------------------------------------------------
+
+
+def _k1(q: np.ndarray, delta: float) -> np.ndarray:
+    """k_1 scale function: delta/(2*pi) * asin(2q-1)."""
+    return (delta / (2.0 * math.pi)) * np.arcsin(np.clip(2.0 * q - 1.0, -1.0, 1.0))
+
+
+class TDigest:
+    """Merging t-digest (Dunning & Ertl, 'Computing Extremely Accurate
+    Quantiles Using t-Digests', arXiv:1902.04023) with the k_1 scale function.
+
+    Compression is vectorized: sorted centroids are bucketed by
+    ``floor(k1(q_mid))`` and merged with ``np.add.reduceat`` — sequential-free,
+    keeps ≤ ~2*delta centroids, accuracy ~ O(q(1-q)/delta) in rank.
+
+    rdv's exact percentiles[0..100] are the small-scale oracle; the parity
+    tests assert rank error ≤ 1% at delta=300.
+    """
+
+    __slots__ = ("delta", "means", "weights", "min", "max", "_buf")
+    _BUF_LIMIT = 16384
+
+    def __init__(self, delta: int = 300):
+        self.delta = delta
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self.min = math.inf
+        self.max = -math.inf
+        self._buf: list[np.ndarray] = []
+
+    def add(self, values: np.ndarray) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return self
+        self.min = min(self.min, float(v.min()))
+        self.max = max(self.max, float(v.max()))
+        self._buf.append(v)
+        if sum(len(b) for b in self._buf) >= self._BUF_LIMIT:
+            self._compress()
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        other._compress()
+        self._compress()
+        self.means = np.concatenate([self.means, other.means])
+        self.weights = np.concatenate([self.weights, other.weights])
+        self.min = min(self.min, other.min)
+        self.max = max(self.max, other.max)
+        self._compress(force=True)
+        return self
+
+    def _compress(self, force: bool = False):
+        if self._buf:
+            bv = np.concatenate(self._buf)
+            self._buf = []
+            self.means = np.concatenate([self.means, bv])
+            self.weights = np.concatenate([self.weights, np.ones(len(bv))])
+        elif not force:
+            return
+        n = len(self.means)
+        if n == 0:
+            return
+        order = np.argsort(self.means, kind="stable")
+        m = self.means[order]
+        w = self.weights[order]
+        total = w.sum()
+        # mid-quantile of each centroid
+        cw = np.cumsum(w)
+        qmid = (cw - w / 2.0) / total
+        buckets = np.floor(_k1(qmid, self.delta)).astype(np.int64)
+        # merge consecutive centroids sharing a bucket
+        starts = np.flatnonzero(np.diff(buckets, prepend=buckets[0] - 1))
+        wm = np.add.reduceat(w, starts)
+        mm = np.add.reduceat(w * m, starts) / wm
+        self.means = mm
+        self.weights = wm
+
+    @property
+    def total_weight(self) -> float:
+        self._compress()
+        return float(self.weights.sum())
+
+    def quantile(self, q: float) -> float | None:
+        return self.quantiles([q])[0]
+
+    def quantiles(self, qs) -> list[float | None]:
+        self._compress()
+        n = len(self.means)
+        if n == 0:
+            return [None for _ in qs]
+        w = self.weights
+        total = w.sum()
+        cw = np.cumsum(w)
+        mid = cw - w / 2.0  # cumulative weight at centroid center
+        out: list[float | None] = []
+        for q in qs:
+            q = min(max(float(q), 0.0), 1.0)
+            t = q * total
+            if t <= mid[0]:
+                # interpolate between global min and first centroid
+                if w[0] > 1 and mid[0] > 0:
+                    frac = t / mid[0]
+                    out.append(self.min + frac * (self.means[0] - self.min))
+                else:
+                    out.append(self.min)
+                continue
+            if t >= mid[-1]:
+                if w[-1] > 1 and (total - mid[-1]) > 0:
+                    frac = (t - mid[-1]) / (total - mid[-1])
+                    out.append(self.means[-1] + frac * (self.max - self.means[-1]))
+                else:
+                    out.append(self.max)
+                continue
+            i = int(np.searchsorted(mid, t, side="right"))
+            # t between mid[i-1] and mid[i]
+            span = mid[i] - mid[i - 1]
+            frac = (t - mid[i - 1]) / span if span > 0 else 0.0
+            out.append(float(self.means[i - 1] + frac * (self.means[i] - self.means[i - 1])))
+        return out
+
+    def to_dict(self) -> dict:
+        self._compress()
+        return {
+            "delta": self.delta,
+            "means": [float(x) for x in self.means],
+            "weights": [float(x) for x in self.weights],
+            "min": None if self.min == math.inf else self.min,
+            "max": None if self.max == -math.inf else self.max,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TDigest":
+        t = cls(delta=d["delta"])
+        t.means = np.asarray(d["means"], dtype=np.float64)
+        t.weights = np.asarray(d["weights"], dtype=np.float64)
+        t.min = math.inf if d["min"] is None else d["min"]
+        t.max = -math.inf if d["max"] is None else d["max"]
+        return t
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+class HyperLogLog:
+    """HyperLogLog (Flajolet et al. 2007) with linear-counting small-range
+    correction.  p=14 → 16384 one-byte registers, ~0.8% standard error.
+    Merge = elementwise register max (associative, commutative, idempotent).
+    """
+
+    __slots__ = ("p", "m", "regs")
+
+    def __init__(self, p: int = 14):
+        self.p = p
+        self.m = 1 << p
+        self.regs = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        h = np.asarray(h, dtype=np.uint64)
+        if not len(h):
+            return self
+        idx = (h & np.uint64(self.m - 1)).astype(np.int64)
+        w = (h >> np.uint64(self.p)).astype(np.uint64)
+        # rho = (64-p) - bit_length(w) + 1 ; frexp gives exact bit_length
+        bl = np.zeros(len(w), dtype=np.int64)
+        nz = w > 0
+        if nz.any():
+            _, e = np.frexp(w[nz].astype(np.float64))
+            bl[nz] = e
+        rho = (64 - self.p) - bl + 1
+        np.maximum.at(self.regs, idx, rho.astype(np.uint8))
+        return self
+
+    def add(self, values) -> "HyperLogLog":
+        return self.add_hashes(hash64(values))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.regs, other.regs, out=self.regs)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / float(np.sum(np.exp2(-self.regs.astype(np.float64))))
+        if est <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.regs == 0))
+            if zeros:
+                est = m * math.log(m / zeros)
+        return est
+
+    def to_dict(self) -> dict:
+        return {"p": self.p, "regs": base64.b64encode(self.regs.tobytes()).decode()}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "HyperLogLog":
+        h = cls(p=d["p"])
+        h.regs = np.frombuffer(base64.b64decode(d["regs"]), dtype=np.uint8).copy()
+        return h
+
+
+# ---------------------------------------------------------------------------
+# Categorical frequency histogram with top-K overflow guard
+# ---------------------------------------------------------------------------
+
+
+class CategoricalFreq:
+    """value→count map (rdv CategoricStats.frequencies) with a top-K guard:
+    when the map exceeds ``max_keys`` the rarest keys spill into
+    ``other_count`` so hot-key explosions (url domains) stay bounded.
+    Merge = dict add then re-guard; ``total`` and ``null_count`` exact.
+    """
+
+    __slots__ = ("max_keys", "counts", "other_count", "total", "null_count")
+
+    def __init__(self, max_keys: int = 1024):
+        self.max_keys = max_keys
+        self.counts: dict[str, int] = {}
+        self.other_count = 0
+        self.total = 0
+        self.null_count = 0
+
+    def add_counts(self, values, counts, n_null: int = 0) -> "CategoricalFreq":
+        for v, c in zip(values, counts):
+            c = int(c)
+            self.counts[v] = self.counts.get(v, 0) + c
+            self.total += c
+        self.null_count += int(n_null)
+        self.total += int(n_null)
+        self._guard()
+        return self
+
+    def add(self, values: np.ndarray) -> "CategoricalFreq":
+        import pandas as pd
+
+        s = pd.Series(values)
+        n_null = int(s.isna().sum())
+        vc = s.dropna().value_counts()
+        return self.add_counts([str(k) for k in vc.index], vc.to_numpy(), n_null)
+
+    def merge(self, other: "CategoricalFreq") -> "CategoricalFreq":
+        for v, c in other.counts.items():
+            self.counts[v] = self.counts.get(v, 0) + c
+        self.other_count += other.other_count
+        self.total += other.total
+        self.null_count += other.null_count
+        self._guard()
+        return self
+
+    def _guard(self):
+        if len(self.counts) <= self.max_keys:
+            return
+        items = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        keep = items[: self.max_keys]
+        spill = items[self.max_keys:]
+        self.counts = dict(keep)
+        self.other_count += sum(c for _, c in spill)
+
+    def domain(self) -> list[str]:
+        return sorted(self.counts)
+
+    def to_dict(self) -> dict:
+        return {
+            "max_keys": self.max_keys,
+            "counts": self.counts,
+            "other_count": self.other_count,
+            "total": self.total,
+            "null_count": self.null_count,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CategoricalFreq":
+        f = cls(max_keys=d["max_keys"])
+        f.counts = dict(d["counts"])
+        f.other_count = d["other_count"]
+        f.total = d["total"]
+        f.null_count = d["null_count"]
+        return f
+
+
+# ---------------------------------------------------------------------------
+# Fixed-edge numeric histogram (drift / contrast input)
+# ---------------------------------------------------------------------------
+
+
+class NumericHistogram:
+    """Fixed-bin-edge histogram; counts vector add-merges.  Values outside the
+    edges land in under/overflow counters so the merge stays exact regardless
+    of which block saw the outliers.  Used by Schema.contrast's JS/chi-square
+    (SURVEY.md §2-E E7).
+    """
+
+    __slots__ = ("edges", "counts", "underflow", "overflow")
+
+    def __init__(self, edges):
+        self.edges = np.asarray(edges, dtype=np.float64)
+        self.counts = np.zeros(len(self.edges) - 1, dtype=np.int64)
+        self.underflow = 0
+        self.overflow = 0
+
+    def add(self, values: np.ndarray) -> "NumericHistogram":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return self
+        self.underflow += int((v < self.edges[0]).sum())
+        self.overflow += int((v > self.edges[-1]).sum())
+        inside = v[(v >= self.edges[0]) & (v <= self.edges[-1])]
+        c, _ = np.histogram(inside, bins=self.edges)
+        self.counts += c
+        return self
+
+    def merge(self, other: "NumericHistogram") -> "NumericHistogram":
+        assert len(self.edges) == len(other.edges)
+        self.counts += other.counts
+        self.underflow += other.underflow
+        self.overflow += other.overflow
+        return self
+
+    def probs(self) -> np.ndarray:
+        """Normalized distribution incl. under/overflow buckets at the ends."""
+        full = np.concatenate([[self.underflow], self.counts, [self.overflow]]).astype(np.float64)
+        t = full.sum()
+        return full / t if t else full
+
+    def to_dict(self) -> dict:
+        return {
+            "edges": [float(x) for x in self.edges],
+            "counts": [int(x) for x in self.counts],
+            "underflow": self.underflow,
+            "overflow": self.overflow,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "NumericHistogram":
+        h = cls(d["edges"])
+        h.counts = np.asarray(d["counts"], dtype=np.int64)
+        h.underflow = d["underflow"]
+        h.overflow = d["overflow"]
+        return h
