@@ -1,0 +1,114 @@
+"""P2 check pipeline: planted-violation parity (FIXTURES.md counts are
+closed-form in i, so the assertions are exact integers — SURVEY.md §5.1)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from webval.checks import check_dataset, check_mask, violations_of
+from webval.pipelines import referential_orphans, uniqueness_violations
+from webval.schema import CheckSpec, SchemaSpec
+from webval.synth import (
+    expected_counts,
+    expected_orphans,
+    gen_links_table,
+    gen_webpages_table,
+)
+
+N = 5000
+
+URL_RE = r"^https?://[^ ]+$"
+REAL_LANGS = ["en", "de", "fr", "es", "nl", "ru", "zh"]
+
+
+def webpage_schema() -> SchemaSpec:
+    s = SchemaSpec(name="webpages", built=True)
+    s.checks = [
+        CheckSpec("url-regex", "url", "regex", {"pattern": URL_RE}),
+        CheckSpec("lang-domain", "lang", "domain", {"values": REAL_LANGS}),
+        CheckSpec("len-range", "n_chars", "range", {"min": 0, "max": 10_000}),
+    ]
+    return s
+
+
+def test_check_mask_null_semantics():
+    t = pa.table({"x": [1.0, None, 99.0], "s": ["ok", None, "bad!"]})
+    m = check_mask(t, CheckSpec("r", "x", "range", {"min": 0, "max": 10}))
+    assert m.tolist() == [True, True, False]  # null passes range
+    m = check_mask(t, CheckSpec("d", "s", "domain", {"values": ["ok"]}))
+    assert m.tolist() == [True, True, False]
+    m = check_mask(t, CheckSpec("n", "x", "not_null", {}))
+    assert m.tolist() == [True, False, True]
+    m = check_mask(t, CheckSpec("g", "s", "regex", {"pattern": r"^\w+$"}))
+    assert m.tolist() == [True, True, False]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_planted_violations_exact():
+    import ray.data as rd
+
+    t = gen_webpages_table(np.arange(N))
+    t = t.append_column(
+        "n_chars",
+        pa.array([len(x) if x is not None else None
+                  for x in t.column("text").to_pylist()], type=pa.int64()))
+    ds = rd.from_arrow(t).repartition(8)
+    schema = webpage_schema()
+    verdicts = check_dataset(ds, schema, keep_cols=["url", "lang"])
+    viol = violations_of(verdicts).take_all()
+    ec = expected_counts(N)
+
+    by_check: dict[str, int] = {}
+    for v in viol:
+        for name in v["failed_checks"]:
+            by_check[name] = by_check.get(name, 0) + 1
+    assert by_check["url-regex"] == ec["bad_url"]
+    # __unk__ rows fail the domain check; null lang passes (null-rate owns it)
+    n_unk = sum(1 for x in t.column("lang").to_pylist() if x == "__unk__")
+    assert by_check["lang-domain"] == n_unk
+    assert "len-range" not in by_check
+    total_pass = sum(1 for r in verdicts.take_all() if r["pass"])
+    assert total_pass == N - len(viol)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_uniqueness_violations_exact():
+    import ray.data as rd
+
+    t = gen_webpages_table(np.arange(N))
+    ds = rd.from_arrow(t).repartition(16)
+    dups = uniqueness_violations(ds, "url").take_all()
+    ec = expected_counts(N)
+    # each dup row reuses one earlier url → dup urls have cnt == 2
+    assert len(dups) == ec["dup_extra_rows"]
+    assert all(d["cnt"] == 2 for d in dups)
+    extra = sum(d["cnt"] - 1 for d in dups)
+    assert extra == ec["dup_extra_rows"]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_referential_orphans_both_modes(mode):
+    import ray.data as rd
+
+    n_links = 2000
+    pages = rd.from_arrow(gen_webpages_table(np.arange(N))).repartition(4)
+    links = rd.from_arrow(gen_links_table(np.arange(n_links), N)).repartition(4)
+    orphans = referential_orphans(links, pages, "dst_url", "url",
+                                  mode=mode, num_partitions=4)
+    rows = orphans.take_all()
+    assert len(rows) == expected_orphans(n_links)
+    assert all("orphan-" in r["dst_url"] for r in rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_verdict_columns_schema():
+    import ray.data as rd
+
+    t = gen_webpages_table(np.arange(200))
+    ds = rd.from_arrow(t)
+    s = SchemaSpec(name="w", built=True)
+    s.checks = [CheckSpec("url-regex", "url", "regex", {"pattern": URL_RE})]
+    v = check_dataset(ds, s, keep_cols=["url"])
+    sch = v.schema()
+    assert sch.names == ["url", "pass", "failed_checks"]

@@ -1,0 +1,73 @@
+"""P3 contrast + per-partition drift report (SURVEY.md §3.2, FIXTURES.md:
+one partition generated with a shifted text-length distribution must be
+flagged; undrifted partitions must pass)."""
+
+import numpy as np
+import pytest
+
+from webval.drift import chi2_test, js_divergence
+from webval.pipelines import build_schema, contrast, partition_report
+from webval.synth import gen_webpages_table
+
+N = 6000
+RPP = 2000  # rows per part → parts 0, 1, 2
+
+
+def test_js_and_chi2_basics():
+    p = [10, 20, 30, 40]
+    assert js_divergence(p, p) == 0.0
+    assert js_divergence([1, 0], [0, 1]) == pytest.approx(1.0)
+    stat, pv = chi2_test([100, 100], [0.5, 0.5])
+    assert stat == 0.0 and pv == 1.0
+    stat, pv = chi2_test([200, 0], [0.5, 0.5])
+    assert stat > 100 and pv < 1e-6
+    # p-value sanity vs known chi2: stat=3.84, dof=1 → p ≈ 0.05
+    from webval.drift import _gammq
+    assert _gammq(0.5, 3.84 / 2) == pytest.approx(0.05, abs=0.002)
+
+
+@pytest.fixture(scope="module")
+def specs(ray_session):
+    import ray.data as rd
+    kinds = {"url": "text", "text": "text", "lang": "categorical",
+             "warc_ts": "timestamp", "html": "skip", "part_id": "skip"}
+    base = rd.from_arrow(gen_webpages_table(np.arange(N), rows_per_part=RPP))
+    spec_base = build_schema(base, kinds, name="baseline")
+    drifted = rd.from_arrow(
+        gen_webpages_table(np.arange(N), drift_part=2, rows_per_part=RPP))
+    spec_drift = build_schema(drifted, kinds, name="drifted")
+    return spec_base, spec_drift
+
+
+def test_contrast_self_is_clean(specs):
+    spec_base, _ = specs
+    rep = contrast(spec_base, spec_base)
+    assert rep["drifted"] is False
+    assert all(not c["drifted"] for c in rep["columns"].values())
+
+
+def test_contrast_detects_global_drift(specs):
+    spec_base, spec_drift = specs
+    rep = contrast(spec_base, spec_drift)
+    # a third of rows got ~4× longer text → text length distribution shifts
+    assert rep["columns"]["text"]["drifted"] is True
+    assert rep["columns"]["lang"]["drifted"] is False
+    assert rep["drifted"] is True
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partition_report_flags_only_drifted_part(specs):
+    import ray.data as rd
+    spec_base, _ = specs
+    ds = rd.from_arrow(
+        gen_webpages_table(np.arange(N), drift_part=2, rows_per_part=RPP)
+    ).repartition(6)
+    # warc_ts / url-length correlate with part_id by construction → exclude
+    rep = partition_report(ds, spec_base, part_col="part_id", max_js=0.1,
+                           drift_cols=["text", "lang"])
+    rep = rep.set_index("part_id")
+    assert list(rep.index) == [0, 1, 2]
+    assert bool(rep.loc[2, "drifted"]) is True
+    assert bool(rep.loc[0, "drifted"]) is False
+    assert bool(rep.loc[1, "drifted"]) is False
+    assert int(rep.loc[2, "rows"]) == RPP

@@ -1,0 +1,123 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine — planted duplicates with known structure."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from webval.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    exact_dup_groups,
+    minhash_dedup,
+    ngram_jaccard,
+    simhash_dup_pairs,
+)
+
+WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+         "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+
+
+def _doc(i: int, seed: int) -> str:
+    rng = np.random.default_rng(seed + i)
+    return " ".join(rng.choice(WORDS, size=40))
+
+
+@pytest.fixture(scope="module")
+def docs_table():
+    """60 base docs; ids 100..104 are exact dups of 0..4; ids 200..204 are
+    near-dups of 0..4 (one word changed); id 300 is a null."""
+    ids, texts = [], []
+    for i in range(60):
+        ids.append(i)
+        texts.append(_doc(i, seed=1000))
+    for j in range(5):
+        ids.append(100 + j)
+        texts.append(texts[j])
+    for j in range(5):
+        ids.append(200 + j)
+        words = texts[j].split()
+        words[20] = "zulu"
+        texts.append(" ".join(words))
+    ids.append(300)
+    texts.append(None)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.large_string())})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup(docs_table):
+    import ray.data as rd
+
+    ds = rd.from_arrow(docs_table).repartition(4)
+    kept = exact_dedup(ds, "doc_id").take_all()
+    kept_ids = sorted(r["doc_id"] for r in kept)
+    # 71 rows - 5 exact dups = 66 kept (near-dups + null survive exact dedup)
+    assert len(kept_ids) == 66
+    assert all(100 + j not in kept_ids for j in range(5))
+    assert all(j in kept_ids for j in range(5))
+    assert 300 in kept_ids
+
+    groups = exact_dup_groups(ds, "doc_id").take_all()
+    assert len(groups) == 5
+    assert sorted(g["keeper_id"] for g in groups) == [0, 1, 2, 3, 4]
+    assert all(g["n_copies"] == 2 for g in groups)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_dedup_finds_near_dups(docs_table):
+    import ray.data as rd
+
+    ds = rd.from_arrow(docs_table).repartition(4)
+    clusters = minhash_dedup(ds, "doc_id", jaccard_threshold=0.6,
+                             concurrency=2).take_all()
+    by_id = {r["doc_id"]: r["cluster_id"] for r in clusters}
+    for j in range(5):
+        # exact dup and near dup land in the base doc's cluster
+        assert by_id.get(100 + j) == j, (j, by_id)
+        assert by_id.get(200 + j) == j, (j, by_id)
+    # distinct random docs must not cluster together
+    base_ids = [i for i in by_id if i < 60]
+    assert all(by_id[i] == i or by_id[i] in (i,) for i in base_ids)
+
+
+def test_ngram_jaccard():
+    a = _doc(1, 1000)
+    words = a.split()
+    words[5] = "changed"
+    b = " ".join(words)
+    assert ngram_jaccard(a, a) == 1.0
+    assert 0.6 < ngram_jaccard(a, b) < 1.0
+    assert ngram_jaccard(a, _doc(2, 1000)) < 0.2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_pairs(docs_table):
+    import ray.data as rd
+
+    ds = rd.from_arrow(docs_table).repartition(4)
+    pairs = simhash_dup_pairs(ds, "doc_id", max_hamming=6, concurrency=2).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    for j in range(5):
+        assert (j, 100 + j) in got  # exact dups: hamming 0
+    # no pairing between two distinct base docs
+    assert not any(a < 60 and b < 60 for a, b in got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_dup_pairs():
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 32)).astype(np.float32)
+    vecs = np.vstack([base, base[:5] + rng.standard_normal((5, 32)).astype(np.float32) * 0.01])
+    t = pa.table({"vec_id": pa.array(range(45), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(3)
+    pairs = embedding_dup_pairs(ds, "vec_id", cosine_threshold=0.98,
+                                n_planes=6, n_tables=6).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    found = sum((j, 40 + j) in got for j in range(5))
+    assert found >= 4, got  # LSH recall: at least 4/5 planted pairs
+    assert all(b >= 40 for a, b in got)  # no false positives among base vecs

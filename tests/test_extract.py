@@ -1,0 +1,86 @@
+"""C1/C2 extractor stages + the byte-identical-per-url determinism invariant
+(BASELINE.json input_hint; SURVEY.md §5.3)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from webval.extract import HtmlTextExtractor, LangTagger, extract_text
+from webval.synth import gen_webpages_table
+
+
+def test_extract_text_rules():
+    html = (b"<html><head><title>T</title><style>p{}</style></head>"
+            b"<body><p>Hello   <b>world</b></p><script>x=1</script>"
+            b"<noscript>no</noscript></body></html>")
+    assert extract_text(html) == "T Hello world"
+    assert extract_text(None) is None
+    assert extract_text(b"") == ""
+    # malformed html must not raise — violation rows, not task errors
+    assert extract_text(b"<p>unclosed <b>tag") == "unclosed tag"
+    assert extract_text(b"\xff\xfe garbage <p>ok</p>") .endswith("ok")
+
+
+def test_synth_text_is_extraction_ground_truth():
+    """The synth `text` column and extract.py's parser are independent
+    derivations of the same bytes — they must agree byte-for-byte."""
+    t = gen_webpages_table(np.arange(3000))
+    for h, txt in zip(t.column("html").to_pylist(), t.column("text").to_pylist()):
+        assert extract_text(h) == txt
+
+
+def _text_hash_sorted_by_url(ds) -> str:
+    rows = sorted(
+        (r["url"], r["text"]) for r in ds.select_columns(["url", "text"]).take_all())
+    h = hashlib.sha256()
+    for url, text in rows:
+        h.update(url.encode())
+        h.update(b"\x00" if text is None else text.encode())
+    return h.hexdigest()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_extraction_deterministic_across_parallelism():
+    """Run the C1 actor-pool extraction at two parallelism levels; the hash
+    of url-sorted extracted text must be identical (SURVEY.md §4 row
+    'Determinism')."""
+    import ray.data as rd
+
+    t = gen_webpages_table(np.arange(4000)).drop_columns(["text"])
+    hashes = []
+    for nblocks, conc in ((2, 1), (8, 3)):
+        # num_cpus=0.5 so the pool never starves upstream tasks on the
+        # 4-CPU test cluster (actor pools reserve CPUs greedily)
+        ds = (rd.from_arrow(t).repartition(nblocks)
+                .map_batches(HtmlTextExtractor, batch_format="pyarrow",
+                             batch_size=500, concurrency=conc, num_cpus=0.5))
+        hashes.append(_text_hash_sorted_by_url(ds))
+    assert hashes[0] == hashes[1]
+    # and it matches the ground-truth text column
+    truth = gen_webpages_table(np.arange(4000))
+    h = hashlib.sha256()
+    for url, text in sorted(zip(truth.column("url").to_pylist(),
+                                truth.column("text").to_pylist())):
+        h.update(url.encode())
+        h.update(b"\x00" if text is None else text.encode())
+    assert hashes[0] == h.hexdigest()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lang_tagger_recovers_planted_lang():
+    import ray.data as rd
+
+    t = gen_webpages_table(np.arange(2000))
+    ds = rd.from_arrow(t).map_batches(LangTagger, batch_format="pyarrow",
+                                      batch_size=512, concurrency=2, num_cpus=0.5)
+    ok = tot = 0
+    for r in ds.select_columns(["lang", "lang_pred", "text"]).take_all():
+        if r["text"] is None or r["lang"] is None:
+            assert (r["lang_pred"] is None) == (r["text"] is None)
+            continue
+        expect = "unk" if r["lang"] == "__unk__" else r["lang"]
+        tot += 1
+        ok += (r["lang_pred"] == expect)
+    assert ok / tot > 0.98, (ok, tot)

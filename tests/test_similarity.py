@@ -1,0 +1,60 @@
+"""ANN similarity search: brute-force exact baseline + LSH recall."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from webval.similarity import brute_force_topk, lsh_topk
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb():
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    return ids, m
+
+
+def _exact_topk(ids, m, q, k):
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = mn @ qn.T
+    out = []
+    for j in range(q.shape[0]):
+        idx = np.lexsort((ids, -sims[:, j]))[:k]
+        out.append(ids[idx].tolist())
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_brute_force_matches_numpy(emb):
+    import ray.data as rd
+
+    ids, m = emb
+    queries = m[[3, 77, 200]]
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet").repartition(5)
+    got = brute_force_topk(ds, queries, k=10).take_all()
+    expect = _exact_topk(ids, m, queries, 10)
+    for j in range(3):
+        rows = sorted((r for r in got if r["query_id"] == j), key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in rows] == expect[j]
+        assert rows[0]["vec_id"] == ids[[3, 77, 200][j]]  # self is nearest
+        assert rows[0]["score"] == pytest.approx(1.0, abs=1e-5)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_topk_recall(emb):
+    import ray.data as rd
+
+    ids, m = emb
+    queries = m[[5, 150, 420]]
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet").repartition(5)
+    exact = _exact_topk(ids, m, queries, 10)
+    got = lsh_topk(ds, queries, k=10, n_planes=6, multiprobe=2).take_all()
+    recalls = []
+    for j in range(3):
+        rows = [r["vec_id"] for r in got if r["query_id"] == j]
+        recalls.append(len(set(rows) & set(exact[j])) / 10)
+    assert np.mean(recalls) >= 0.5, recalls

@@ -1,0 +1,63 @@
+"""Text-analysis operators: token counts, fingerprints, quality, rolling
+hashes."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from webval.textstats import QualityScorer, add_fingerprints, add_token_counts, rolling_hashes
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_counts_match_python():
+    import ray.data as rd
+
+    texts = ["hello world", "  padded   spaces  ", "one", "", None,
+             "punct, stuff! x2 (parens)", "a b c d e"]
+    ds = add_token_counts(rd.from_arrow(pa.table({"text": texts})))
+    rows = {i: r for i, r in enumerate(ds.take_all())}
+    for i, t in enumerate(texts):
+        if t is None:
+            assert rows[i]["ws_tokens"] is None
+        else:
+            assert rows[i]["ws_tokens"] == len(t.split()), (i, t)
+    # bpe-ish: "punct, stuff! x2 (parens)" → punct , stuff ! x 2 ( parens )
+    assert rows[5]["bpeish_tokens"] == 9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fingerprints_normalize():
+    import ray.data as rd
+
+    texts = ["Hello  World", "hello world", "HELLO\tWORLD ", "different", None]
+    ds = add_fingerprints(rd.from_arrow(pa.table({"text": texts})))
+    fps = [r["fingerprint"] for r in ds.take_all()]
+    assert fps[0] == fps[1] == fps[2]
+    assert fps[3] != fps[0]
+    assert fps[4] is None
+    # non-normalized: case matters
+    ds2 = add_fingerprints(rd.from_arrow(pa.table({"text": texts})), normalize=False)
+    fps2 = [r["fingerprint"] for r in ds2.take_all()]
+    assert fps2[0] != fps2[1]
+
+
+def test_quality_scorer():
+    s = QualityScorer()
+    good = s.score_one("The quick brown fox jumps over the lazy dog and runs away.")
+    junk = s.score_one("@@@@ #### $$$$ 1234 %%%% ^^^^ &&&& ****")
+    assert good["quality"] > junk["quality"]
+    assert 0.0 <= junk["quality"] <= 1.0 and 0.0 <= good["quality"] <= 1.0
+    assert s.score_one(None) is None
+    assert s.score_one("")["quality"] == 0.0
+    assert good["stopword_ratio"] > 0.2
+
+
+def test_rolling_hashes():
+    h1 = rolling_hashes("abcdefghij", window=4)
+    assert len(h1) == 7  # n - window + 1
+    # shared windows between overlapping strings hash identically
+    h2 = rolling_hashes("Xbcdefghij", window=4)
+    assert np.array_equal(h1[1:], h2[1:])
+    assert h1[0] != h2[0]
+    assert len(rolling_hashes("abc", window=8)) == 0
+    assert len(rolling_hashes(None, window=4)) == 0

@@ -1,0 +1,99 @@
+"""Row-level constraint predicates + verdict assembly (SURVEY.md §2-B).
+
+rdv's Schema.check(row) walks components and emits tags — feature tags plus
+``*-err`` tags for range / domain / nan violations
+[rdv:rdv/schema.py Schema.check → tags, UNVERIFIED].  Here the same semantics
+run vectorized: one ``map_batches(batch_format="pyarrow")`` evaluates every
+row-level CheckSpec as a boolean mask (pyarrow.compute kernels), folds them
+into a ``pass`` column, and materializes per-row failure detail only for the
+failing rows (violations are rare — the Python list build is off the hot path).
+
+Null semantics (mirrors rdv): a null value does NOT fail range/domain/regex —
+nulls are governed by the nan-rate check (dataset/partition level, B3) and,
+when configured, a row-level ``not_null`` check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from webval.schema import CheckSpec, SchemaSpec
+
+ROW_LEVEL_KINDS = frozenset({"range", "domain", "regex", "not_null"})
+
+
+def check_mask(batch: pa.Table, check: CheckSpec) -> np.ndarray:
+    """Evaluate one row-level check → bool ndarray, True = pass."""
+    col = batch.column(check.column)
+    if check.kind == "range":
+        lo, hi = check.params["min"], check.params["max"]
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(col, pa.int64())
+        m = pc.and_(pc.greater_equal(col, lo), pc.less_equal(col, hi))
+        m = pc.fill_null(m, True)  # nulls pass; the null-rate check owns them
+    elif check.kind == "domain":
+        m = pc.is_in(col, value_set=pa.array(check.params["values"], type=col.type))
+        m = pc.if_else(pc.is_null(col), True, m)
+    elif check.kind == "regex":
+        m = pc.match_substring_regex(col, check.params["pattern"])
+        m = pc.fill_null(m, True)
+    elif check.kind == "not_null":
+        m = pc.invert(pc.is_null(col, nan_is_null=True))
+    else:
+        raise ValueError(f"not a row-level check kind: {check.kind}")
+    return np.asarray(m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m,
+                      dtype=bool)
+
+
+def row_checks_of(schema: SchemaSpec) -> list[CheckSpec]:
+    return [c for c in schema.checks if c.kind in ROW_LEVEL_KINDS]
+
+
+def make_verdict_fn(schema: SchemaSpec, keep_cols: list[str] | None = None):
+    """Build the B6 verdict map_batches function.
+
+    Output columns: ``keep_cols`` (default: all input columns) + ``pass``
+    (bool) + ``failed_checks`` (list<string> of check names, empty when pass).
+    """
+    checks = [c for c in schema.checks if c.kind in ROW_LEVEL_KINDS]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        masks = [(c.name, check_mask(batch, c)) for c in checks]
+        if masks:
+            pass_arr = np.logical_and.reduce([m for _, m in masks])
+        else:
+            pass_arr = np.ones(n, dtype=bool)
+        # failure detail only where needed
+        failed: list[list[str]] = []
+        fail_idx = np.flatnonzero(~pass_arr)
+        fail_set = set(fail_idx.tolist())
+        per_row: dict[int, list[str]] = {i: [] for i in fail_set}
+        for name, m in masks:
+            for i in np.flatnonzero(~m):
+                if i in per_row:
+                    per_row[i].append(name)
+        failed = [per_row.get(i, []) for i in range(n)]
+        out = batch.select(keep_cols) if keep_cols else batch
+        out = out.append_column("pass", pa.array(pass_arr))
+        out = out.append_column(
+            "failed_checks", pa.array(failed, type=pa.list_(pa.string())))
+        return out
+
+    return fn
+
+
+def check_dataset(ds, schema: SchemaSpec, keep_cols: list[str] | None = None,
+                  batch_size: int | None = 8192):
+    """P2 core: verdict Dataset (streaming; stateless map tasks)."""
+    return ds.map_batches(make_verdict_fn(schema, keep_cols),
+                          batch_format="pyarrow", batch_size=batch_size)
+
+
+def violations_of(verdicts):
+    """B7: the failing rows, as their own (still lazy) Dataset."""
+    return verdicts.map_batches(
+        lambda t: t.filter(pc.invert(t.column("pass").combine_chunks())),
+        batch_format="pyarrow")

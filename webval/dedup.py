@@ -1,0 +1,442 @@
+"""Deduplication operators for training-data pipelines.
+
+Ray-Data-native shapes:
+
+- exact:     fingerprint in map_batches → groupby(hash) → keep min-id row
+             (hash-partition + per-group first; deterministic keeper)
+- MinHash:   shingle → minhash signature per doc (vectorized per batch) →
+             explode to (band, band_hash, doc) rows → groupby(band bucket) →
+             candidate pairs → Jaccard verify → union-find on the (small)
+             verified pair set → keep cluster minimum
+- SimHash:   64-bit simhash per doc → Hamming-ball candidates via 4×16-bit
+             band buckets → verify Hamming distance
+- embedding: random-hyperplane LSH buckets → within-bucket cosine → clusters
+
+Scale notes are on each function; the all-to-all steps shuffle only compact
+(hash, id) rows — never text — and candidate verification is bounded by
+bucket size caps (hot-bucket guard).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from webval.sketches import hash64
+from webval.textstats import rolling_hashes
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(ds, id_col: str, text_col: str = "text", *, normalize: bool = True,
+                keep_cols: list[str] | None = None):
+    """Keep exactly one row (the minimum ``id_col``) per distinct text.
+
+    fingerprint (map_batches, vectorized hash) → groupby(fingerprint) →
+    map_groups keep-min-id.  Shuffle key is the 64-bit hash → uniform
+    partitioning regardless of content skew.  Null texts are all kept.
+    """
+    from webval.textstats import add_fingerprints
+
+    fp = add_fingerprints(ds, text_col, normalize=normalize)
+    cols = keep_cols or [c for c in ds.schema().names]
+
+    def keep_min(g: pa.Table) -> pa.Table:
+        if g.column("fingerprint").null_count == g.num_rows:
+            return g.select(cols)
+        i = pc.index(pc.equal(g.column(id_col), pc.min(g.column(id_col))), True).as_py()
+        return g.select(cols).slice(i, 1)
+
+    return fp.groupby("fingerprint").map_groups(keep_min, batch_format="pyarrow")
+
+
+def exact_dup_groups(ds, id_col: str, text_col: str = "text", *, normalize: bool = True):
+    """The duplicate groups (fingerprint, n_copies, keeper_id) with n > 1 —
+    combiner-style: per-batch partial counts/min, then one small groupby."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from webval.textstats import add_fingerprints
+
+    fp = add_fingerprints(ds, text_col, normalize=normalize)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["fingerprint", id_col]).drop_null()
+        if t.num_rows == 0:
+            return pa.table({"fingerprint": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "keeper": pa.array([], pa.int64())})
+        g = t.group_by("fingerprint").aggregate(
+            [(id_col, "count"), (id_col, "min")])
+        return pa.table({"fingerprint": g.column("fingerprint"),
+                         "n": pc.cast(g.column(f"{id_col}_count"), pa.int64()),
+                         "keeper": pc.cast(g.column(f"{id_col}_min"), pa.int64())})
+
+    return (fp.map_batches(partial, batch_format="pyarrow")
+              .groupby("fingerprint")
+              .aggregate(Sum("n", alias_name="n_copies"),
+                         Min("keeper", alias_name="keeper_id"))
+              .filter(expr="n_copies > 1"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _minhash_params(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=k, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=k, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """k-permutation MinHash of a shingle-hash set: sig_j = min_i (a_j*h_i+b_j
+    mod M61).  Vectorized (n_shingles × k) per doc."""
+    if len(shingles) == 0:
+        return np.zeros(len(a), dtype=np.uint64)
+    h = shingles.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        prod = h[:, None] * a[None, :] + b[None, :]
+        prod = (prod & _MERSENNE) + (prod >> np.uint64(61))
+        prod = np.where(prod >= _MERSENNE, prod - _MERSENNE, prod)
+    return prod.min(axis=0)
+
+
+class MinHasher:
+    """Actor-pool stage: text → (band_id, band_hash) rows for LSH bucketing.
+
+    k = bands*rows_per_band hashes; docs agreeing on all rows of any band
+    become candidates (standard LSH S-curve: P(candidate) = 1-(1-s^r)^b).
+    Emits one output row per (doc, band): compact (ints only) — the ONLY
+    data that shuffles.
+    """
+
+    def __init__(self, id_col: str, text_col: str = "text", *, bands: int = 16,
+                 rows_per_band: int = 8, shingle_window: int = 8):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.bands = bands
+        self.r = rows_per_band
+        self.window = shingle_window
+        self.a, self.b = _minhash_params(bands * rows_per_band)
+
+    def signature(self, text: str) -> np.ndarray:
+        return minhash_signature(
+            np.unique(rolling_hashes(text, self.window)), self.a, self.b)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, band_ids, band_hashes = [], [], []
+        ids = batch.column(self.id_col).to_pylist()
+        for doc_id, text in zip(ids, batch.column(self.text_col).to_pylist()):
+            if text is None or len(text) < self.window:
+                continue
+            sig = self.signature(text)
+            bh = hash64(sig.reshape(self.bands, self.r).sum(axis=1)
+                        + np.arange(self.bands, dtype=np.uint64))
+            for b_i in range(self.bands):
+                ids_out.append(doc_id)
+                band_ids.append(b_i)
+                band_hashes.append(np.int64(bh[b_i].astype(np.int64)))
+        return pa.table({
+            self.id_col: pa.array(ids_out, type=batch.column(self.id_col).type),
+            "band_id": pa.array(band_ids, type=pa.int32()),
+            "band_hash": pa.array(band_hashes, type=pa.int64()),
+        })
+
+
+def _pairs_from_buckets(bucket_ds, id_col: str, max_bucket: int = 256):
+    """groupby (band_id, band_hash) → unordered candidate pairs.  Buckets
+    larger than ``max_bucket`` are truncated (hot-bucket guard: a degenerate
+    shingle — boilerplate — would otherwise produce O(n²) pairs); truncation
+    only weakens recall inside one band, other bands still cover the docs."""
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = sorted(set(g.column(id_col).to_pylist()))[:max_bucket]
+        lo, hi = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                lo.append(ids[i])
+                hi.append(ids[j])
+        return pa.table({"id_a": pa.array(lo, type=pa.int64()),
+                         "id_b": pa.array(hi, type=pa.int64())})
+
+    return bucket_ds.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pyarrow")
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        while p != self.parent[p]:
+            self.parent[p] = self.parent[self.parent[p]]
+            p = self.parent[p]
+        self.parent[x] = p
+        return p
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            self.parent[rb] = ra
+
+
+def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
+                  rows_per_band: int = 8, shingle_window: int = 8,
+                  jaccard_threshold: float = 0.8, concurrency=(1, 8),
+                  verify: bool = True, max_bucket: int = 256):
+    """Near-duplicate clusters via MinHash-LSH.
+
+    Returns a Dataset[{id, cluster_id}] for every doc in a near-dup cluster
+    (cluster_id = min id in cluster).  Pipeline: MinHasher actor pool →
+    bucket groupby → candidate pairs → (optional) exact-Jaccard verify on the
+    pair set via a broadcast signature join → driver union-find over the
+    verified pairs.
+
+    Scale note: union-find runs on the driver over VERIFIED pairs only — in
+    web corpora the near-dup pair set is O(dups), orders smaller than the
+    corpus; for adversarial pair explosions, raise jaccard_threshold or run
+    min-label propagation (iterated groupby) instead — documented tradeoff.
+    """
+    hasher_cls = MinHasher
+    buckets = ds.map_batches(
+        hasher_cls, batch_format="pyarrow", batch_size=1024,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
+                               "bands": bands, "rows_per_band": rows_per_band,
+                               "shingle_window": shingle_window})
+    pair_rows = _pairs_from_buckets(buckets, id_col, max_bucket=max_bucket).take_all()
+    pairs = {(r["id_a"], r["id_b"]) for r in pair_rows}
+    if verify and pairs:
+        pairs = _verify_jaccard(ds, id_col, text_col, pairs, shingle_window,
+                                jaccard_threshold)
+    uf = _UnionFind()
+    for a, b in pairs:
+        uf.union(a, b)
+    rows = sorted((x, uf.find(x)) for x in uf.parent)
+    import ray.data as rd
+    if not rows:
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "cluster_id": pa.array([], pa.int64())}))
+    return rd.from_arrow(pa.table({
+        id_col: pa.array([r[0] for r in rows], type=pa.int64()),
+        "cluster_id": pa.array([r[1] for r in rows], type=pa.int64())}))
+
+
+def _verify_jaccard(ds, id_col, text_col, pairs: set, window: int,
+                    threshold: float) -> set:
+    """Exact shingle-set Jaccard for candidate pairs.  The candidate id set
+    is broadcast (ray.put) and each map task emits shingle sets only for its
+    own candidate rows; sets are gathered driver-side (bounded by the
+    candidate count, not the corpus)."""
+    import ray
+
+    cand_ids = set()
+    for a, b in pairs:
+        cand_ids.add(a)
+        cand_ids.add(b)
+    ref = ray.put(cand_ids)
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ref)
+        ids, blobs = [], []
+        for doc_id, text in zip(batch.column(id_col).to_pylist(),
+                                batch.column(text_col).to_pylist()):
+            if doc_id in wanted and text is not None:
+                ids.append(doc_id)
+                blobs.append(np.unique(rolling_hashes(text, window)).tobytes())
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "sh": pa.array(blobs, pa.large_binary())})
+
+    sh = {r["id"]: np.frombuffer(r["sh"], dtype=np.uint64)
+          for r in ds.map_batches(shingle_rows, batch_format="pyarrow").take_all()}
+    out = set()
+    for a, b in pairs:
+        sa, sb = sh.get(a), sh.get(b)
+        if sa is None or sb is None or len(sa) == 0 or len(sb) == 0:
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        jac = inter / (len(sa) + len(sb) - inter)
+        if jac >= threshold:
+            out.add((a, b))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup
+# ---------------------------------------------------------------------------
+
+
+def simhash64(token_hashes: np.ndarray) -> np.uint64:
+    """Charikar simhash: sign of per-bit vote sums over token hashes."""
+    if len(token_hashes) == 0:
+        return np.uint64(0)
+    bits = ((token_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+class SimHasher:
+    """Actor-pool stage: text → simhash + 4×16-bit band keys (docs within
+    Hamming distance 3 share at least one identical band — pigeonhole)."""
+
+    def __init__(self, id_col: str, text_col: str = "text", window: int = 8):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, bands, keys, hashes = [], [], [], []
+        for doc_id, text in zip(batch.column(self.id_col).to_pylist(),
+                                batch.column(self.text_col).to_pylist()):
+            if text is None or len(text) < self.window:
+                continue
+            sh = simhash64(np.unique(rolling_hashes(text, self.window)))
+            for b_i in range(4):
+                ids_out.append(doc_id)
+                bands.append(b_i)
+                keys.append(int((sh >> np.uint64(16 * b_i)) & np.uint64(0xFFFF)))
+                hashes.append(int(sh.astype(np.int64)))
+        return pa.table({self.id_col: pa.array(ids_out, pa.int64()),
+                         "band_id": pa.array(bands, pa.int32()),
+                         "band_key": pa.array(keys, pa.int32()),
+                         "simhash": pa.array(hashes, pa.int64())})
+
+
+def simhash_dup_pairs(ds, id_col: str, text_col: str = "text", *,
+                      max_hamming: int = 3, window: int = 8,
+                      concurrency=(1, 8), max_bucket: int = 512):
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming.  Bucket by
+    16-bit bands (groupby), verify distance inside each bucket, dedupe pairs
+    across bands with a final groupby."""
+
+    sh = ds.map_batches(SimHasher, batch_format="pyarrow", batch_size=1024,
+                        concurrency=concurrency,
+                        fn_constructor_kwargs={"id_col": id_col,
+                                               "text_col": text_col,
+                                               "window": window})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_pylist()[:max_bucket]
+        hs = g.column("simhash").to_pylist()[:max_bucket]
+        seen = {}
+        for i, h in zip(ids, hs):
+            seen[i] = h
+        items = sorted(seen.items())
+        lo, hi, dist = [], [], []
+        for x in range(len(items)):
+            for y in range(x + 1, len(items)):
+                d = bin(items[x][1] ^ items[y][1]).count("1")
+                if d <= max_hamming:
+                    lo.append(items[x][0])
+                    hi.append(items[y][0])
+                    dist.append(d)
+        return pa.table({"id_a": pa.array(lo, pa.int64()),
+                         "id_b": pa.array(hi, pa.int64()),
+                         "hamming": pa.array(dist, pa.int32())})
+
+    raw = sh.groupby(["band_id", "band_key"]).map_groups(pairs, batch_format="pyarrow")
+    # same pair can surface from several bands → keep one
+    from ray.data.aggregate import Min
+    return (raw.groupby(["id_a", "id_b"])
+               .aggregate(Min("hamming", alias_name="hamming")))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (direct pairwise verify / small-set dedup)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(text_a: str, text_b: str, window: int = 8) -> float:
+    sa = np.unique(rolling_hashes(text_a, window))
+    sb = np.unique(rolling_hashes(text_b, window))
+    if len(sa) == 0 or len(sb) == 0:
+        return 0.0
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    return inter / (len(sa) + len(sb) - inter)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dedup (cosine LSH)
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(ds, id_col: str, emb_col: str = "embedding", *,
+                        cosine_threshold: float = 0.95, n_planes: int = 12,
+                        n_tables: int = 4, seed: int = 11, max_bucket: int = 1024):
+    """Near-dup pairs by embedding cosine ≥ threshold.
+
+    Random-hyperplane LSH: ``n_tables`` independent sign-bucket keys per
+    vector (sgn(R·v) packed to int); groupby(table, key) co-locates likely
+    neighbors; exact cosine verifies within the bucket.  Only (id, key,
+    vector) rows shuffle.  Probability two vectors at angle θ share a key:
+    (1-θ/π)^n_planes per table.
+    """
+    first = ds.take(1)
+    dim = len(first[0][emb_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        vecs = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float32)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        out_ids, out_tab, out_key, out_vec = [], [], [], []
+        for t in range(n_tables):
+            signs = (unit @ planes[t].T) > 0
+            keys = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+            out_ids.extend(ids)
+            out_tab.extend([t] * len(ids))
+            out_key.extend(keys.tolist())
+            out_vec.extend([v.tobytes() for v in unit])
+        return pa.table({"id": pa.array(out_ids, pa.int64()),
+                         "tab": pa.array(out_tab, pa.int32()),
+                         "key": pa.array(out_key, pa.int64()),
+                         "vec": pa.array(out_vec, pa.large_binary())})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = g.column("id").to_pylist()[:max_bucket]
+        vecs = np.stack([np.frombuffer(b, dtype=np.float32)
+                         for b in g.column("vec").to_pylist()[:max_bucket]])
+        uniq: dict[int, np.ndarray] = {}
+        for i, v in zip(ids, vecs):
+            uniq[i] = v
+        items = sorted(uniq.items())
+        if len(items) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        m = np.stack([v for _, v in items])
+        sims = m @ m.T
+        lo, hi, cs = [], [], []
+        for x in range(len(items)):
+            for y in range(x + 1, len(items)):
+                if sims[x, y] >= cosine_threshold:
+                    lo.append(items[x][0])
+                    hi.append(items[y][0])
+                    cs.append(float(sims[x, y]))
+        return pa.table({"id_a": pa.array(lo, pa.int64()),
+                         "id_b": pa.array(hi, pa.int64()),
+                         "cosine": pa.array(cs, pa.float64())})
+
+    raw = (ds.map_batches(keyed, batch_format="pyarrow", batch_size=4096)
+             .groupby(["tab", "key"]).map_groups(pairs, batch_format="pyarrow"))
+    from ray.data.aggregate import Max
+    return (raw.groupby(["id_a", "id_b"])
+               .aggregate(Max("cosine", alias_name="cosine")))

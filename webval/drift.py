@@ -1,0 +1,110 @@
+"""Distribution-drift measures for Schema.contrast (SURVEY.md §3.2 P3).
+
+rdv's contrast computes per-component distances between two BUILT schemas
+and thresholds them into a drift report [rdv: contrast report jcr,
+UNVERIFIED].  BASELINE.json pins Jensen-Shannon divergence and chi-square.
+No scipy in the sandbox → the regularized upper incomplete gamma (for the
+chi-square p-value) is implemented in-repo (series + continued fraction,
+the classical Numerical-Recipes-style formulation of public math).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def js_divergence(p, q, base: float = 2.0) -> float:
+    """Jensen-Shannon divergence between two distributions (0 ≤ JS ≤ 1 in
+    base 2).  Inputs are counts or probabilities; normalized internally.
+    """
+    p = np.asarray(p, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    if p.sum() == 0 or q.sum() == 0:
+        return 0.0 if p.sum() == q.sum() else 1.0
+    p = p / p.sum()
+    q = q / q.sum()
+    m = 0.5 * (p + q)
+
+    def kl(a, b):
+        mask = a > 0
+        return float(np.sum(a[mask] * np.log(a[mask] / b[mask])))
+
+    js = 0.5 * kl(p, m) + 0.5 * kl(q, m)
+    return js / math.log(base)
+
+
+def _gammq(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x) — series for x < a+1,
+    continued fraction otherwise (Lentz's method)."""
+    if x < 0 or a <= 0:
+        raise ValueError("bad args to gammq")
+    if x == 0:
+        return 1.0
+    gln = math.lgamma(a)
+    if x < a + 1.0:
+        # series for P(a,x); Q = 1 - P
+        ap = a
+        s = 1.0 / a
+        delta = s
+        for _ in range(500):
+            ap += 1.0
+            delta *= x / ap
+            s += delta
+            if abs(delta) < abs(s) * 1e-15:
+                break
+        p = s * math.exp(-x + a * math.log(x) - gln)
+        return max(0.0, min(1.0, 1.0 - p))
+    # continued fraction for Q(a,x)
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        dl = d * c
+        h *= dl
+        if abs(dl - 1.0) < 1e-15:
+            break
+    q = math.exp(-x + a * math.log(x) - gln) * h
+    return max(0.0, min(1.0, q))
+
+
+def chi2_test(observed, expected) -> tuple[float, float]:
+    """Pearson chi-square of observed counts vs expected distribution
+    (counts or probs; expected rescaled to observed total).  Returns
+    (statistic, p_value); bins with expected == 0 are pooled out.
+    """
+    o = np.asarray(observed, dtype=np.float64)
+    e = np.asarray(expected, dtype=np.float64)
+    if e.sum() == 0 or o.sum() == 0:
+        return 0.0, 1.0
+    e = e / e.sum() * o.sum()
+    mask = e > 0
+    # observed mass in zero-expected bins is unexplainable by the baseline:
+    # count it fully (classical practice: merge into a pseudo-bin with e→0.5)
+    extra = float(o[~mask].sum())
+    o, e = o[mask], e[mask]
+    stat = float(np.sum((o - e) ** 2 / e))
+    if extra > 0:
+        stat += (extra - 0.5) ** 2 / 0.5
+    dof = max(1, int(mask.sum()) - 1 + (1 if extra > 0 else 0))
+    return stat, _gammq(dof / 2.0, stat / 2.0)
+
+
+def freq_vectors(freq_a: dict[str, int], freq_b: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
+    """Align two categorical frequency maps on the union of keys."""
+    keys = sorted(set(freq_a) | set(freq_b))
+    a = np.array([freq_a.get(k, 0) for k in keys], dtype=np.float64)
+    b = np.array([freq_b.get(k, 0) for k in keys], dtype=np.float64)
+    return a, b

@@ -1,0 +1,364 @@
+"""End-to-end lifecycles (SURVEY.md §3.2): P1 build_schema, P2 check,
+P3 contrast, plus the web-scale sibling pipelines — uniqueness (G2, combiner
++ shuffle), referential (D1, broadcast or hash-join), per-partition reports.
+
+Everything is a lazy ray.data.Dataset pipeline; nothing materializes the
+main input.  Only KB-sized accumulators, per-partition report rows, and
+violation subsets ever concentrate.
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from webval.aggregates import (
+    ColumnAccumulator,
+    histogram_edges_from_profile,
+    infer_kinds,
+    profile_dataset,
+    tree_reduce_accumulators,
+)
+from webval.checks import check_dataset, violations_of
+from webval.drift import chi2_test, freq_vectors, js_divergence
+from webval.schema import SchemaSpec
+from webval.sketches import NumericHistogram
+
+# ---------------------------------------------------------------------------
+# P1: Schema.build
+# ---------------------------------------------------------------------------
+
+
+def build_schema(ds, kinds: dict[str, str] | None = None, *, name: str = "schema",
+                 histogram: bool = True, bins: int = 32,
+                 batch_size: int | None = 8192) -> SchemaSpec:
+    """P1: fused stats pass → SchemaSpec; optional second cheap pass adds
+    fixed-edge histograms (edges from the first pass's min/max) for numeric
+    and text-length columns — drift (P3) needs binned distributions.
+    """
+    if kinds is None:
+        kinds = infer_kinds(ds.schema().base_schema)
+    spec = profile_dataset(ds, kinds, name=name, batch_size=batch_size)
+    if histogram:
+        edges: dict[str, list[float]] = {}
+        for p in spec.columns:
+            if p.kind in ("numeric", "timestamp", "text") and p.histogram is None:
+                e = histogram_edges_from_profile(p, bins)
+                if e is not None:
+                    edges[p.name] = e
+        if edges:
+            hists = _histogram_pass(ds, kinds, edges, batch_size=batch_size)
+            for p in spec.columns:
+                if p.name in hists:
+                    p.histogram = hists[p.name].to_dict()
+    return spec
+
+
+def _hist_values(batch: pa.Table, col: str, kind: str) -> np.ndarray:
+    c = batch.column(col)
+    if kind == "text" or pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+        c = pc.utf8_length(c)
+    elif pa.types.is_timestamp(c.type):
+        c = pc.cast(c, pa.int64())
+    return c.to_numpy(zero_copy_only=False).astype(np.float64)
+
+
+def _histogram_pass(ds, kinds, edges: dict[str, list[float]],
+                    batch_size: int | None = 8192) -> dict[str, NumericHistogram]:
+    def partial(batch: pa.Table) -> pa.Table:
+        hs = {c: NumericHistogram(e).add(_hist_values(batch, c, kinds.get(c, "numeric")))
+              for c, e in edges.items() if c in batch.column_names}
+        return pa.table({"acc": pa.array([pickle.dumps(hs)], type=pa.large_binary())})
+
+    def merge_rows(batch: pa.Table) -> pa.Table:
+        merged = None
+        for b in batch.column("acc").to_pylist():
+            hs = pickle.loads(b)
+            if merged is None:
+                merged = hs
+            else:
+                for k, h in hs.items():
+                    merged[k].merge(h)
+        return pa.table({"acc": pa.array([pickle.dumps(merged or {})], type=pa.large_binary())})
+
+    partials = (ds.select_columns(list(edges))
+                  .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+                  .materialize())
+    n = partials.count()
+    while n > 64:
+        partials = (partials.repartition(max(1, math.ceil(n / 64)))
+                    .map_batches(merge_rows, batch_format="pyarrow", batch_size=None)
+                    .materialize())
+        n = partials.count()
+    out: dict[str, NumericHistogram] = {}
+    for row in partials.take_all():
+        for k, h in pickle.loads(row["acc"]).items():
+            out[k] = out[k].merge(h) if k in out else h
+    return out
+
+
+# ---------------------------------------------------------------------------
+# P2: check
+# ---------------------------------------------------------------------------
+
+
+def check_pipeline(ds, schema: SchemaSpec, keep_cols: list[str] | None = None):
+    """P2 core: returns {"verdicts": Dataset, "violations": Dataset} — both
+    lazy; consume with write_parquet / aggregates.  Uniqueness and
+    referential run as sibling pipelines (below) over the same input.
+    """
+    verdicts = check_dataset(ds, schema, keep_cols=keep_cols)
+    return {"verdicts": verdicts, "violations": violations_of(verdicts)}
+
+
+# ---------------------------------------------------------------------------
+# G2: uniqueness with combiner pre-aggregation (skew-proof)
+# ---------------------------------------------------------------------------
+
+
+def uniqueness_violations(ds, col: str = "url", batch_size: int | None = 65536):
+    """Duplicate values of ``col`` → Dataset[{col, cnt}] with cnt > 1.
+
+    Two-phase (SURVEY.md §2-G G2): phase 1 is a per-batch ``value_counts``
+    combiner inside map_batches — a key occurring k times in a batch becomes
+    ONE partial row, so the shuffle moves at most (#distinct-per-batch) rows
+    and a hot key's reducer load is bounded by #batches, not #rows (this is
+    the skew treatment; explicit salting would only re-shard the already
+    combined partials).  Phase 2 is the small groupby-sum.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        vc = batch.column(col).combine_chunks().value_counts()
+        return pa.table({col: vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = ds.select_columns([col]).map_batches(
+        partial_counts, batch_format="pyarrow", batch_size=batch_size)
+    totals = partials.groupby(col).aggregate(Sum("cnt", alias_name="cnt"))
+    return totals.filter(expr="cnt > 1")
+
+
+# ---------------------------------------------------------------------------
+# D1: referential integrity (orphan detection)
+# ---------------------------------------------------------------------------
+
+
+def referential_orphans(child, parent, child_key: str, parent_key: str,
+                        mode: str = "auto", broadcast_limit: int = 2_000_000,
+                        num_partitions: int = 32):
+    """Child rows whose key has no match in the parent key set (anti-join).
+
+    - broadcast (small parent): distinct parent keys → ray.put once → every
+      map task filters with pc.is_in against the shared object (no shuffle).
+    - shuffle (large parent): hash left-outer Dataset.join on the key, keep
+      probe-null rows (ray/data/dataset.py Dataset.join).
+    - auto: broadcast iff parent row count ≤ broadcast_limit.
+    """
+    import ray
+
+    if mode == "auto":
+        mode = "broadcast" if parent.count() <= broadcast_limit else "shuffle"
+    if mode == "broadcast":
+        keys = parent.select_columns([parent_key]).unique(parent_key)
+        key_ref = ray.put(pa.array([k for k in keys if k is not None]))
+
+        def drop_matches(batch: pa.Table) -> pa.Table:
+            key_arr = ray.get(key_ref)
+            m = pc.is_in(batch.column(child_key), value_set=key_arr)
+            return batch.filter(pc.invert(pc.fill_null(m, False)))
+
+        return child.map_batches(drop_matches, batch_format="pyarrow")
+
+    marker = "__parent_marker__"
+    parent_keys = (parent.select_columns([parent_key])
+                   .map_batches(lambda t: pa.table({
+                       parent_key: t.column(parent_key).combine_chunks().unique(),
+                   }), batch_format="pyarrow")
+                   .map_batches(lambda t: t.append_column(
+                       marker, pa.array(np.ones(t.num_rows, dtype=np.int8))),
+                       batch_format="pyarrow"))
+    joined = child.join(parent_keys, join_type="left_outer",
+                        num_partitions=num_partitions,
+                        on=(child_key,), right_on=(parent_key,))
+    return (joined.map_batches(
+                lambda t: t.filter(pc.is_null(t.column(marker))),
+                batch_format="pyarrow")
+                  .drop_columns([marker]))
+
+
+# ---------------------------------------------------------------------------
+# Per-partition profiles → partition report (pass/fail + drift)
+# ---------------------------------------------------------------------------
+
+
+def partition_profiles(ds, part_col: str, kinds: dict[str, str] | None = None,
+                       edges: dict[str, list[float]] | None = None,
+                       batch_size: int | None = 8192):
+    """One {col: ColumnAccumulator} per value of ``part_col``.
+
+    map_batches splits each batch by partition locally and emits one pickled
+    accumulator row per (batch, part) — then a groupby(part).map_groups
+    merges.  Shuffle volume = #batches × #parts-touched-per-batch tiny rows.
+    """
+    if kinds is None:
+        kinds = {c: k for c, k in infer_kinds(ds.schema().base_schema).items()
+                 if c != part_col}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts, accs = [], []
+        pcol = batch.column(part_col).to_numpy(zero_copy_only=False)
+        for pv in np.unique(pcol):
+            sub = batch.filter(pc.equal(batch.column(part_col), pa.scalar(pv)))
+            d = {}
+            for c, kind in kinds.items():
+                if kind == "skip" or c not in sub.column_names:
+                    continue
+                a = ColumnAccumulator(c, kind, edges=(edges or {}).get(c))
+                a.update(sub.column(c))
+                a.tdigest._compress()
+                d[c] = a
+            parts.append(pv)
+            accs.append(pickle.dumps(d))
+        return pa.table({part_col: pa.array(parts),
+                         "acc": pa.array(accs, type=pa.large_binary())})
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        merged: dict[str, ColumnAccumulator] = {}
+        for b in g.column("acc").to_pylist():
+            for k, a in pickle.loads(b).items():
+                if k in merged:
+                    merged[k].merge(a)
+                else:
+                    merged[k] = a
+        return pa.table({part_col: g.column(part_col).slice(0, 1),
+                         "acc": pa.array([pickle.dumps(merged)], type=pa.large_binary())})
+
+    cols = [part_col] + [c for c, k in kinds.items() if k != "skip"]
+    partials = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size)
+    return partials.groupby(part_col).map_groups(merge_group, batch_format="pyarrow")
+
+
+def partition_report(ds, schema: SchemaSpec, part_col: str = "part_id",
+                     *, max_js: float = 0.1, min_chi2_p: float = 0.001,
+                     drift_cols: list[str] | None = None):
+    """Per-partition pass/fail rows (BASELINE.json north_rule: "matching the
+    reference's per-partition pass/fail"): null-rate checks evaluated per
+    partition, drift (JS + chi-square) of each histogrammed column vs the
+    baseline schema.  Returns a small pandas DataFrame (one row per part).
+
+    ``drift_cols`` selects which columns are drift-checked (default: every
+    histogrammed/categorical column).  Columns that legitimately correlate
+    with the partition key (ingestion timestamps, sequential ids) should be
+    excluded — they always "drift" per partition by construction.
+    """
+    import pandas as pd
+
+    kinds = {p.name: p.kind for p in schema.columns}
+    edges = {p.name: p.histogram["edges"] for p in schema.columns
+             if p.histogram is not None
+             and (drift_cols is None or p.name in drift_cols)}
+    prof = partition_profiles(ds, part_col, kinds, edges)
+    rows = []
+    null_checks = {c.column: c.params["max_rate"]
+                   for c in schema.checks if c.kind == "null_rate"}
+    for r in prof.take_all():  # one tiny row per partition
+        accs: dict[str, ColumnAccumulator] = pickle.loads(r["acc"])
+        rec: dict = {part_col: r[part_col]}
+        any_col = next(iter(accs.values()))
+        rec["rows"] = any_col.moments.total
+        ok = True
+        worst_js = 0.0
+        for name, acc in accs.items():
+            nr = acc.moments.null_rate
+            if name in null_checks:
+                rec[f"null_rate_{name}"] = nr
+                if nr > null_checks[name]:
+                    ok = False
+            base = schema.column(name)
+            if acc.hist is not None and base.histogram is not None:
+                bh = NumericHistogram.from_dict(base.histogram)
+                js = js_divergence(acc.hist.probs(), bh.probs())
+                _, p = chi2_test(
+                    np.concatenate([[acc.hist.underflow], acc.hist.counts,
+                                    [acc.hist.overflow]]),
+                    bh.probs())
+                rec[f"js_{name}"] = js
+                rec[f"chi2_p_{name}"] = p
+                worst_js = max(worst_js, js)
+                if js > max_js or p < min_chi2_p:
+                    ok = False
+            if (acc.freq is not None and base.frequencies is not None
+                    and (drift_cols is None or name in drift_cols)):
+                a, b = freq_vectors(acc.freq.counts, base.frequencies["counts"])
+                rec[f"js_{name}"] = js_divergence(a, b)
+                worst_js = max(worst_js, rec[f"js_{name}"])
+                if rec[f"js_{name}"] > max_js:
+                    ok = False
+        rec["drifted"] = worst_js > max_js
+        rec["pass"] = ok
+        rows.append(rec)
+    return pd.DataFrame(sorted(rows, key=lambda d: d[part_col]))
+
+
+# ---------------------------------------------------------------------------
+# P3: contrast of two built schemas (pure driver-side, mirrors rdv)
+# ---------------------------------------------------------------------------
+
+
+def contrast(a: SchemaSpec, b: SchemaSpec, *, max_js: float = 0.1,
+             min_chi2_p: float = 0.001) -> dict:
+    """rdv Schema.contrast: pairwise per-column distance between two built
+    schemas + thresholds → report dict (JSON-serializable).  No raw data
+    touched — only stats objects."""
+    report: dict = {"schema_a": a.name, "schema_b": b.name, "columns": {}, "drifted": False}
+    names_b = {p.name for p in b.columns}
+    for p in a.columns:
+        if p.name not in names_b:
+            continue
+        q = b.column(p.name)
+        col: dict = {}
+        if p.histogram and q.histogram and p.histogram["edges"] == q.histogram["edges"]:
+            ha, hb = NumericHistogram.from_dict(p.histogram), NumericHistogram.from_dict(q.histogram)
+            col["js"] = js_divergence(ha.probs(), hb.probs())
+            stat, pv = chi2_test(
+                np.concatenate([[hb.underflow], hb.counts, [hb.overflow]]), ha.probs())
+            col["chi2_stat"], col["chi2_p"] = stat, pv
+        elif p.tdigest and q.tdigest and p.kind in ("numeric", "timestamp", "text"):
+            # independently built schemas rarely share bin edges — rebin both
+            # digests onto the baseline's edges via the t-digest CDF
+            from webval.sketches import TDigest
+            ta, tb = TDigest.from_dict(p.tdigest), TDigest.from_dict(q.tdigest)
+            if len(ta.means) and len(tb.means):
+                edges = (np.asarray(p.histogram["edges"]) if p.histogram
+                         else np.linspace(min(ta.min, tb.min), max(ta.max, tb.max), 33))
+                edges = np.concatenate([[-np.inf], edges, [np.inf]])
+                pa_, pb_ = np.diff(ta.cdf(edges[1:-1])), np.diff(tb.cdf(edges[1:-1]))
+                pa_ = np.concatenate([[ta.cdf(edges[1:2])[0]], pa_,
+                                      [1.0 - ta.cdf(edges[-2:-1])[0]]])
+                pb_ = np.concatenate([[tb.cdf(edges[1:2])[0]], pb_,
+                                      [1.0 - tb.cdf(edges[-2:-1])[0]]])
+                col["js"] = js_divergence(pa_, pb_)
+                n_b = q.count - q.null_count
+                stat, pv = chi2_test(pb_ * n_b, pa_)
+                col["chi2_stat"], col["chi2_p"] = stat, pv
+        if p.frequencies and q.frequencies:
+            va, vb = freq_vectors(p.frequencies["counts"], q.frequencies["counts"])
+            col["js"] = js_divergence(va, vb)
+            stat, pv = chi2_test(vb, va)
+            col["chi2_stat"], col["chi2_p"] = stat, pv
+        col["null_rate_a"] = p.null_rate
+        col["null_rate_b"] = q.null_rate
+        col["mean_shift"] = (
+            None if not (p.moments and q.moments and p.moments["count"] and q.moments["count"])
+            else (q.moments["sum"] / q.moments["count"]) - (p.moments["sum"] / p.moments["count"]))
+        col["drifted"] = bool(col.get("js", 0.0) > max_js
+                              or col.get("chi2_p", 1.0) < min_chi2_p)
+        report["columns"][p.name] = col
+        report["drifted"] = report["drifted"] or col["drifted"]
+    return report

@@ -252,6 +252,21 @@ class TDigest:
             out.append(float(self.means[i - 1] + frac * (self.means[i] - self.means[i - 1])))
         return out
 
+    def cdf(self, xs) -> np.ndarray:
+        """Estimated P(X ≤ x) per x — inverse of quantile(), used by
+        contrast() to bin two digests onto common edges."""
+        self._compress()
+        xs = np.asarray(xs, dtype=np.float64)
+        if len(self.means) == 0:
+            return np.full(len(xs), np.nan)
+        total = self.weights.sum()
+        mid = np.cumsum(self.weights) - self.weights / 2.0
+        xp = np.concatenate([[self.min], self.means, [self.max]])
+        fp = np.concatenate([[0.0], mid, [total]])
+        # collapse duplicate x support (single-point digests)
+        keep = np.concatenate([[True], np.diff(xp) > 0])
+        return np.interp(xs, xp[keep], fp[keep] / total, left=0.0, right=1.0)
+
     def to_dict(self) -> dict:
         self._compress()
         return {

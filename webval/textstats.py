@@ -1,0 +1,132 @@
+"""Text-analysis operators for training-data pipelines: quality scoring,
+token counting, document fingerprinting, language-ID (the C2 tagger lives in
+extract.LangTagger and is re-exported here).
+
+All are stateless-per-row pure functions packaged as vectorized map_batches
+stages; heavy per-row work (regex token scan) uses compiled patterns held in
+a callable class → actor pool.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from webval._langdata import STOPWORDS
+from webval.extract import LangTagger  # noqa: F401  (re-export, C2)
+
+# BPE-ish pre-tokenizer: word pieces, numbers, and single non-space symbols —
+# the GPT-2 pre-tokenization shape (public knowledge), minus unicode classes
+# pyarrow's RE2 also supports.
+_BPEISH = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def add_token_counts(ds, text_col: str = "text", *, batch_size: int | None = 4096):
+    """Append ``ws_tokens`` (whitespace split count) and ``bpeish_tokens``
+    (BPE-ish regex piece count) — both via pyarrow.compute kernels, no Python
+    loop."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        ws = pc.count_substring_regex(col, r"\S+")
+        bp = pc.count_substring_regex(col, _BPEISH)
+        batch = batch.append_column("ws_tokens", pc.cast(ws, pa.int32()))
+        batch = batch.append_column("bpeish_tokens", pc.cast(bp, pa.int32()))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+class QualityScorer:
+    """Actor-pool stage: heuristic document quality features + score.
+
+    Features (public C4/Gopher-style heuristics): length, mean word length,
+    alpha ratio, punctuation ratio, stopword ratio, digit ratio.  Score is a
+    fixed deterministic combination in [0, 1].
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.stop: set[str] = set()
+        for words in STOPWORDS.values():
+            self.stop.update(words)
+
+    def score_one(self, text: str | None) -> dict | None:
+        if text is None:
+            return None
+        n = len(text)
+        if n == 0:
+            return {"n_chars": 0, "mean_word_len": 0.0, "alpha_ratio": 0.0,
+                    "punct_ratio": 0.0, "stopword_ratio": 0.0, "quality": 0.0}
+        words = self.word_re.findall(text.lower())
+        n_words = len(words)
+        mean_wl = float(np.mean([len(w) for w in words])) if words else 0.0
+        alpha = sum(c.isalpha() for c in text) / n
+        punct = sum(not c.isalnum() and not c.isspace() for c in text) / n
+        stopr = (sum(w in self.stop for w in words) / n_words) if n_words else 0.0
+        # fixed heuristic: reward alpha + stopwords + sane word length
+        q = (0.4 * alpha
+             + 0.3 * min(stopr / 0.4, 1.0)
+             + 0.2 * (1.0 - min(abs(mean_wl - 5.0) / 5.0, 1.0))
+             + 0.1 * (1.0 - min(punct / 0.3, 1.0)))
+        return {"n_chars": n, "mean_word_len": mean_wl, "alpha_ratio": alpha,
+                "punct_ratio": punct, "stopword_ratio": stopr,
+                "quality": round(q, 6)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self.score_one(t) for t in batch.column(self.text_col).to_pylist()]
+        typ = pa.struct([("n_chars", pa.int64()), ("mean_word_len", pa.float64()),
+                         ("alpha_ratio", pa.float64()), ("punct_ratio", pa.float64()),
+                         ("stopword_ratio", pa.float64()), ("quality", pa.float64())])
+        batch = batch.append_column("quality_features", pa.array(feats, type=typ))
+        qual = pa.array([None if f is None else f["quality"] for f in feats],
+                        type=pa.float64())
+        return batch.append_column("quality", qual)
+
+
+def add_fingerprints(ds, text_col: str = "text", *, normalize: bool = True,
+                     batch_size: int | None = 8192):
+    """Append ``fingerprint``: stable 64-bit content hash of the (optionally
+    whitespace/case-normalized) text — the exact-dedup key.  Vectorized via
+    pandas' cython hasher (same hash as sketches.hash64)."""
+    from webval.sketches import hash64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if normalize:
+            norm = pc.utf8_lower(pc.replace_substring_regex(
+                pc.utf8_trim_whitespace(pc.fill_null(col, "")), r"\s+", " "))
+        else:
+            norm = pc.fill_null(col, "")
+        h = hash64(norm.to_numpy(zero_copy_only=False))
+        fp = pa.array(h.astype(np.int64))  # int64 for parquet/duckdb friendliness
+        fp = pc.if_else(pc.is_null(col), pa.scalar(None, pa.int64()), fp)
+        return batch.append_column("fingerprint", fp)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def rolling_hashes(text: str, window: int = 8) -> np.ndarray:
+    """Deterministic Rabin-Karp-style rolling hash over character windows —
+    the shingle source for MinHash (dedup.py).  Pure numpy polynomial hash.
+    """
+    if text is None or len(text) < window:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(text.encode("utf-8", errors="replace"), dtype=np.uint8)
+    if len(b) < window:
+        return np.empty(0, dtype=np.uint64)
+    base = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        powers = np.empty(window, dtype=np.uint64)
+        powers[0] = 1
+        for k in range(1, window):
+            powers[k] = powers[k - 1] * base
+        # windows matrix-free: sum b[i+k] * base^(window-1-k)
+        acc = np.zeros(len(b) - window + 1, dtype=np.uint64)
+        for k in range(window):
+            acc += b[k: len(b) - window + 1 + k].astype(np.uint64) * powers[window - 1 - k]
+    return acc
