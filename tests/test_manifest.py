@@ -1,0 +1,76 @@
+"""Resume semantics (SURVEY.md §5.4): re-run skips completed units; after
+deleting manifest lines only the missing units recompute; outputs identical."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from webval.manifest import list_fragments, read_manifest, run_check_with_manifest
+from webval.schema import CheckSpec, SchemaSpec
+from webval.synth import expected_counts, gen_webpages_table
+
+
+@pytest.fixture()
+def setup(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    in_dir = str(tmp_path / "pages")
+    os.makedirs(in_dir)
+    # 8 fragments of 500 rows
+    for f in range(8):
+        t = gen_webpages_table(np.arange(f * 500, (f + 1) * 500))
+        pq.write_table(t, os.path.join(in_dir, f"frag-{f:03d}.parquet"))
+    schema = SchemaSpec(name="w", built=True, checks=[
+        CheckSpec("url-regex", "url", "regex", {"pattern": r"^https?://[^ ]+$"}),
+    ])
+    return in_dir, str(tmp_path / "out"), schema
+
+
+def _total(results):
+    return sum(r.rows for r in results), sum(r.violations for r in results)
+
+
+def test_run_resume_and_recompute(setup):
+    import ray.data as rd
+
+    in_dir, out_dir, schema = setup
+    res1 = run_check_with_manifest(in_dir, schema, out_dir, unit_size=2,
+                                   keep_cols=["url"])
+    assert len(res1) == 4 and not any(r.skipped for r in res1)
+    rows, viols = _total(res1)
+    assert rows == 4000
+    assert viols == expected_counts(4000)["bad_url"]
+    v1 = sorted(r["url"] for r in rd.read_parquet(f"{out_dir}/violations").take_all())
+
+    # full re-run: everything skipped, outputs unchanged
+    res2 = run_check_with_manifest(in_dir, schema, out_dir, unit_size=2,
+                                   keep_cols=["url"])
+    assert all(r.skipped for r in res2)
+    assert _total(res2) == (rows, viols)
+
+    # drop two units from the manifest (simulate kill mid-run): only those
+    # recompute, and final outputs are identical
+    mpath = os.path.join(out_dir, "manifest.jsonl")
+    lines = [json.loads(line) for line in open(mpath)]
+    keep = [r for r in lines if r["unit"] not in (1, 3)]
+    with open(mpath, "w") as f:
+        for r in keep:
+            f.write(json.dumps(r) + "\n")
+    shutil.rmtree(os.path.join(out_dir, "verdicts", "unit=1"))
+    res3 = run_check_with_manifest(in_dir, schema, out_dir, unit_size=2,
+                                   keep_cols=["url"])
+    assert sorted(r.unit for r in res3 if not r.skipped) == [1, 3]
+    assert _total(res3) == (rows, viols)
+    v3 = sorted(r["url"] for r in rd.read_parquet(f"{out_dir}/violations").take_all())
+    assert v3 == v1
+    assert len(read_manifest(out_dir)) == 4
+
+
+def test_list_fragments(setup):
+    in_dir, _, _ = setup
+    frags = list_fragments(in_dir)
+    assert len(frags) == 8
+    assert frags == sorted(frags)

@@ -51,11 +51,14 @@ def row_checks_of(schema: SchemaSpec) -> list[CheckSpec]:
     return [c for c in schema.checks if c.kind in ROW_LEVEL_KINDS]
 
 
-def make_verdict_fn(schema: SchemaSpec, keep_cols: list[str] | None = None):
+def make_verdict_fn(schema: SchemaSpec, keep_cols: list[str] | None = None,
+                    per_check_cols: bool = False):
     """Build the B6 verdict map_batches function.
 
     Output columns: ``keep_cols`` (default: all input columns) + ``pass``
-    (bool) + ``failed_checks`` (list<string> of check names, empty when pass).
+    (bool) + ``failed_checks`` (list<string> of check names, empty when pass)
+    + optionally one ``fail_<name>`` bool column per check (vectorized
+    downstream filtering by which-check without list membership kernels).
     """
     checks = [c for c in schema.checks if c.kind in ROW_LEVEL_KINDS]
 
@@ -80,15 +83,18 @@ def make_verdict_fn(schema: SchemaSpec, keep_cols: list[str] | None = None):
         out = out.append_column("pass", pa.array(pass_arr))
         out = out.append_column(
             "failed_checks", pa.array(failed, type=pa.list_(pa.string())))
+        if per_check_cols:
+            for name, m in masks:
+                out = out.append_column(f"fail_{name}", pa.array(~m))
         return out
 
     return fn
 
 
 def check_dataset(ds, schema: SchemaSpec, keep_cols: list[str] | None = None,
-                  batch_size: int | None = 8192):
+                  batch_size: int | None = 8192, per_check_cols: bool = False):
     """P2 core: verdict Dataset (streaming; stateless map tasks)."""
-    return ds.map_batches(make_verdict_fn(schema, keep_cols),
+    return ds.map_batches(make_verdict_fn(schema, keep_cols, per_check_cols),
                           batch_format="pyarrow", batch_size=batch_size)
 
 

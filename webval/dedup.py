@@ -32,53 +32,57 @@ from webval.textstats import rolling_hashes
 
 
 def exact_dedup(ds, id_col: str, text_col: str = "text", *, normalize: bool = True,
-                keep_cols: list[str] | None = None):
+                keep_cols: list[str] | None = None, num_buckets: int = 64):
     """Keep exactly one row (the minimum ``id_col``) per distinct text.
 
-    fingerprint (map_batches, vectorized hash) → groupby(fingerprint) →
-    map_groups keep-min-id.  Shuffle key is the 64-bit hash → uniform
-    partitioning regardless of content skew.  Null texts are all kept.
+    fingerprint (map_batches, vectorized hash) → hash-bucket exchange →
+    per-bucket Arrow group_by(min id) + join-back filter.  Shuffle key is the
+    64-bit hash → uniform partitioning regardless of content skew; any key
+    cardinality (exchange.bucketed_group_apply).  Null texts are all kept.
     """
+    from webval.exchange import bucketed_group_apply
     from webval.textstats import add_fingerprints
 
     fp = add_fingerprints(ds, text_col, normalize=normalize)
-    cols = keep_cols or [c for c in ds.schema().names]
+    cols = keep_cols or list(ds.schema().names)
 
     def keep_min(g: pa.Table) -> pa.Table:
-        if g.column("fingerprint").null_count == g.num_rows:
-            return g.select(cols)
-        i = pc.index(pc.equal(g.column(id_col), pc.min(g.column(id_col))), True).as_py()
-        return g.select(cols).slice(i, 1)
+        nulls = g.filter(pc.is_null(g.column("fingerprint")))
+        vals = g.filter(pc.is_valid(g.column("fingerprint")))
+        if vals.num_rows:
+            mins = (vals.select(["fingerprint", id_col])
+                        .group_by("fingerprint").aggregate([(id_col, "min")]))
+            vals = vals.join(mins, keys=["fingerprint"])
+            vals = vals.filter(pc.equal(vals.column(id_col),
+                                        vals.column(f"{id_col}_min")))
+        return pa.concat_tables([vals.select(cols), nulls.select(cols)])
 
-    return fp.groupby("fingerprint").map_groups(keep_min, batch_format="pyarrow")
+    return bucketed_group_apply(fp, ["fingerprint"], keep_min,
+                                num_buckets=num_buckets)
 
 
-def exact_dup_groups(ds, id_col: str, text_col: str = "text", *, normalize: bool = True):
-    """The duplicate groups (fingerprint, n_copies, keeper_id) with n > 1 —
-    combiner-style: per-batch partial counts/min, then one small groupby."""
-    from ray.data.aggregate import Count, Min, Sum
-
+def exact_dup_groups(ds, id_col: str, text_col: str = "text", *,
+                     normalize: bool = True, num_buckets: int = 64):
+    """The duplicate groups (keeper_id, n_copies) with n > 1 — per-batch
+    Arrow group_by combiner, then a hash-bucket exchange (any cardinality)."""
+    from webval.exchange import grouped_agg
     from webval.textstats import add_fingerprints
 
     fp = add_fingerprints(ds, text_col, normalize=normalize)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        t = batch.select(["fingerprint", id_col]).drop_null()
-        if t.num_rows == 0:
-            return pa.table({"fingerprint": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64()),
-                             "keeper": pa.array([], pa.int64())})
-        g = t.group_by("fingerprint").aggregate(
-            [(id_col, "count"), (id_col, "min")])
-        return pa.table({"fingerprint": g.column("fingerprint"),
-                         "n": pc.cast(g.column(f"{id_col}_count"), pa.int64()),
-                         "keeper": pc.cast(g.column(f"{id_col}_min"), pa.int64())})
-
-    return (fp.map_batches(partial, batch_format="pyarrow")
-              .groupby("fingerprint")
-              .aggregate(Sum("n", alias_name="n_copies"),
-                         Min("keeper", alias_name="keeper_id"))
-              .filter(expr="n_copies > 1"))
+    fp = fp.map_batches(
+        lambda t: t.select(["fingerprint", id_col]).drop_null(),
+        batch_format="pyarrow")
+    out = grouped_agg(fp, ["fingerprint"],
+                      [(id_col, "count"), (id_col, "min")],
+                      num_buckets=num_buckets,
+                      rename={f"{id_col}_count": "n_copies",
+                              f"{id_col}_min": "keeper_id"})
+    return out.map_batches(
+        lambda t: pa.table({
+            "keeper_id": pc.cast(t.column("keeper_id"), pa.int64()),
+            "n_copies": pc.cast(t.column("n_copies"), pa.int64()),
+        }).filter(pc.greater(pc.cast(t.column("n_copies"), pa.int64()), 1)),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -151,23 +155,28 @@ class MinHasher:
 
 
 def _pairs_from_buckets(bucket_ds, id_col: str, max_bucket: int = 256):
-    """groupby (band_id, band_hash) → unordered candidate pairs.  Buckets
-    larger than ``max_bucket`` are truncated (hot-bucket guard: a degenerate
-    shingle — boilerplate — would otherwise produce O(n²) pairs); truncation
-    only weakens recall inside one band, other bands still cover the docs."""
+    """(band_id, band_hash) LSH buckets → unordered candidate pairs, via the
+    hash-bucket exchange (band hashes are high-cardinality).  Buckets larger
+    than ``max_bucket`` are truncated (hot-bucket guard: a degenerate shingle
+    — boilerplate — would otherwise produce O(n²) pairs); truncation only
+    weakens recall inside one band, other bands still cover the docs."""
+    from webval.exchange import bucketed_group_apply
 
     def pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(set(g.column(id_col).to_pylist()))[:max_bucket]
+        import pandas as pd
+
+        df = g.to_pandas()
         lo, hi = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                lo.append(ids[i])
-                hi.append(ids[j])
+        for _, grp in df.groupby(["band_id", "band_hash"], sort=False):
+            ids = sorted(set(grp[id_col]))[:max_bucket]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    lo.append(ids[i])
+                    hi.append(ids[j])
         return pa.table({"id_a": pa.array(lo, type=pa.int64()),
                          "id_b": pa.array(hi, type=pa.int64())})
 
-    return bucket_ds.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pyarrow")
+    return bucketed_group_apply(bucket_ds, ["band_id", "band_hash"], pairs)
 
 
 class _UnionFind:
@@ -331,29 +340,28 @@ def simhash_dup_pairs(ds, id_col: str, text_col: str = "text", *,
                                                "window": window})
 
     def pairs(g: pa.Table) -> pa.Table:
-        ids = g.column(id_col).to_pylist()[:max_bucket]
-        hs = g.column("simhash").to_pylist()[:max_bucket]
-        seen = {}
-        for i, h in zip(ids, hs):
-            seen[i] = h
-        items = sorted(seen.items())
+        df = g.to_pandas()
         lo, hi, dist = [], [], []
-        for x in range(len(items)):
-            for y in range(x + 1, len(items)):
-                d = bin(items[x][1] ^ items[y][1]).count("1")
-                if d <= max_hamming:
-                    lo.append(items[x][0])
-                    hi.append(items[y][0])
-                    dist.append(d)
+        for _, grp in df.groupby(["band_id", "band_key"], sort=False):
+            items = sorted(dict(zip(grp[id_col], grp["simhash"])).items())[:max_bucket]
+            for x in range(len(items)):
+                for y in range(x + 1, len(items)):
+                    d = bin(items[x][1] ^ items[y][1]).count("1")
+                    if d <= max_hamming:
+                        lo.append(items[x][0])
+                        hi.append(items[y][0])
+                        dist.append(d)
         return pa.table({"id_a": pa.array(lo, pa.int64()),
                          "id_b": pa.array(hi, pa.int64()),
                          "hamming": pa.array(dist, pa.int32())})
 
-    raw = sh.groupby(["band_id", "band_key"]).map_groups(pairs, batch_format="pyarrow")
-    # same pair can surface from several bands → keep one
-    from ray.data.aggregate import Min
-    return (raw.groupby(["id_a", "id_b"])
-               .aggregate(Min("hamming", alias_name="hamming")))
+    from webval.exchange import bucketed_group_apply, grouped_agg
+
+    raw = bucketed_group_apply(sh, ["band_id", "band_key"], pairs)
+    # same pair can surface from several bands → keep one (min distance)
+    out = grouped_agg(raw, ["id_a", "id_b"], [("hamming", "min")],
+                      rename={"hamming_min": "hamming"})
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -411,32 +419,28 @@ def embedding_dup_pairs(ds, id_col: str, emb_col: str = "embedding", *,
                          "vec": pa.array(out_vec, pa.large_binary())})
 
     def pairs(g: pa.Table) -> pa.Table:
-        ids = g.column("id").to_pylist()[:max_bucket]
-        vecs = np.stack([np.frombuffer(b, dtype=np.float32)
-                         for b in g.column("vec").to_pylist()[:max_bucket]])
-        uniq: dict[int, np.ndarray] = {}
-        for i, v in zip(ids, vecs):
-            uniq[i] = v
-        items = sorted(uniq.items())
-        if len(items) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
-        m = np.stack([v for _, v in items])
-        sims = m @ m.T
+        df = g.to_pandas()
         lo, hi, cs = [], [], []
-        for x in range(len(items)):
-            for y in range(x + 1, len(items)):
-                if sims[x, y] >= cosine_threshold:
-                    lo.append(items[x][0])
-                    hi.append(items[y][0])
-                    cs.append(float(sims[x, y]))
+        for _, grp in df.groupby(["tab", "key"], sort=False):
+            items = sorted(zip(grp["id"], grp["vec"]))[:max_bucket]
+            if len(items) < 2:
+                continue
+            m = np.stack([np.frombuffer(b, dtype=np.float32) for _, b in items])
+            sims = m @ m.T
+            for x in range(len(items)):
+                for y in range(x + 1, len(items)):
+                    if sims[x, y] >= cosine_threshold:
+                        lo.append(items[x][0])
+                        hi.append(items[y][0])
+                        cs.append(float(sims[x, y]))
         return pa.table({"id_a": pa.array(lo, pa.int64()),
                          "id_b": pa.array(hi, pa.int64()),
                          "cosine": pa.array(cs, pa.float64())})
 
-    raw = (ds.map_batches(keyed, batch_format="pyarrow", batch_size=4096)
-             .groupby(["tab", "key"]).map_groups(pairs, batch_format="pyarrow"))
-    from ray.data.aggregate import Max
-    return (raw.groupby(["id_a", "id_b"])
-               .aggregate(Max("cosine", alias_name="cosine")))
+    from webval.exchange import bucketed_group_apply, grouped_agg
+
+    raw = bucketed_group_apply(
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=4096),
+        ["tab", "key"], pairs)
+    return grouped_agg(raw, ["id_a", "id_b"], [("cosine", "max")],
+                       rename={"cosine_max": "cosine"})

@@ -1,0 +1,127 @@
+"""Checkpoint manifest + resumable check runs (SURVEY.md §2-A A5, §4
+'Checkpoint/resume'; BASELINE.json north_rule: "resumable from checkpoint
+with per-partition lineage + metrics").
+
+Unit of work = a group of input parquet fragments.  Each unit runs the P2
+check pipeline (itself fully Ray-parallel — at 100 TB a unit is hundreds of
+files, so intra-unit parallelism saturates the cluster), writes its outputs
+under ``out_dir/{verdicts,violations}/unit=<id>/`` via write-to-temp +
+atomic rename, THEN appends one manifest line::
+
+    {"unit": id, "fragments": [...], "rows": n, "violations": m,
+     "wall_ms": t, "status": "done", "stats_digest": sha}
+
+On restart, units already ``done`` in the manifest are skipped; output files
+are named by unit id so a re-run of an interrupted unit idempotently
+overwrites its partial output.  The manifest line is written only after the
+rename — output durable before lineage, so a crash between the two merely
+recomputes one unit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+
+@dataclass
+class UnitResult:
+    unit: int
+    rows: int
+    violations: int
+    wall_ms: float
+    skipped: bool
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest.jsonl")
+
+
+def read_manifest(out_dir: str) -> dict[int, dict]:
+    done: dict[int, dict] = {}
+    p = _manifest_path(out_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if rec.get("status") == "done":
+                    done[rec["unit"]] = rec
+    return done
+
+
+def append_manifest(out_dir: str, rec: dict):
+    with open(_manifest_path(out_dir), "a") as f:
+        f.write(json.dumps(rec, sort_keys=True) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def list_fragments(input_dir: str) -> list[str]:
+    frags = []
+    for root, _, files in os.walk(input_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                frags.append(os.path.join(root, fn))
+    return sorted(frags)
+
+
+def _atomic_write_parquet(ds, final_dir: str):
+    tmp = final_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(tmp, final_dir)
+
+
+def run_check_with_manifest(input_dir: str, schema, out_dir: str, *,
+                            unit_size: int = 4,
+                            keep_cols: list[str] | None = None,
+                            pre_stages=None) -> list[UnitResult]:
+    """Resumable P2: fragments grouped into units; completed units (per the
+    manifest) are skipped.  ``pre_stages(ds) -> ds`` optionally applies the
+    C1/C2 extraction stages before checking."""
+    import ray.data as rd
+
+    from webval.checks import check_dataset, violations_of
+
+    os.makedirs(out_dir, exist_ok=True)
+    frags = list_fragments(input_dir)
+    units = [frags[i: i + unit_size] for i in range(0, len(frags), unit_size)]
+    done = read_manifest(out_dir)
+    results: list[UnitResult] = []
+    for uid, unit_frags in enumerate(units):
+        if uid in done:
+            rec = done[uid]
+            results.append(UnitResult(uid, rec["rows"], rec["violations"],
+                                      rec["wall_ms"], skipped=True))
+            continue
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(unit_frags)
+        if pre_stages is not None:
+            ds = pre_stages(ds)
+        verdicts = check_dataset(ds, schema, keep_cols=keep_cols)
+        vdir = os.path.join(out_dir, "verdicts", f"unit={uid}")
+        _atomic_write_parquet(verdicts, vdir)
+        # violations re-read the just-written verdicts (cheap, avoids
+        # recomputing the check pass twice)
+        viol = violations_of(rd.read_parquet(vdir))
+        odir = os.path.join(out_dir, "violations", f"unit={uid}")
+        _atomic_write_parquet(viol, odir)
+        n_rows = rd.read_parquet(vdir).count()
+        n_viol = rd.read_parquet(odir).count()
+        wall_ms = (time.perf_counter() - t0) * 1000
+        digest = hashlib.sha256(
+            json.dumps([n_rows, n_viol, unit_frags]).encode()).hexdigest()[:16]
+        append_manifest(out_dir, {
+            "unit": uid, "fragments": unit_frags, "rows": n_rows,
+            "violations": n_viol, "wall_ms": round(wall_ms, 1),
+            "status": "done", "stats_digest": digest})
+        results.append(UnitResult(uid, n_rows, n_viol, wall_ms, skipped=False))
+    return results

@@ -120,27 +120,22 @@ def check_pipeline(ds, schema: SchemaSpec, keep_cols: list[str] | None = None):
 # ---------------------------------------------------------------------------
 
 
-def uniqueness_violations(ds, col: str = "url", batch_size: int | None = 65536):
+def uniqueness_violations(ds, col: str = "url", batch_size: int | None = 65536,
+                          num_buckets: int = 64):
     """Duplicate values of ``col`` → Dataset[{col, cnt}] with cnt > 1.
 
     Two-phase (SURVEY.md §2-G G2): phase 1 is a per-batch ``value_counts``
-    combiner inside map_batches — a key occurring k times in a batch becomes
-    ONE partial row, so the shuffle moves at most (#distinct-per-batch) rows
-    and a hot key's reducer load is bounded by #batches, not #rows (this is
-    the skew treatment; explicit salting would only re-shard the already
-    combined partials).  Phase 2 is the small groupby-sum.
+    combiner — a key occurring k times in a batch becomes ONE partial row, so
+    the shuffle moves at most (#distinct-per-batch) rows and a hot key's
+    reducer load is bounded by #batches, not #rows.  Phase 2 is a
+    hash-bucket exchange (exchange.grouped_count) whose Arrow-native
+    per-bucket group_by handles any key cardinality — Ray's own groupby
+    walks group boundaries in Python and collapses at ~10k groups/s.
     """
-    from ray.data.aggregate import Sum
+    from webval.exchange import grouped_count
 
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        vc = batch.column(col).combine_chunks().value_counts()
-        return pa.table({col: vc.field("values"),
-                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
-
-    partials = ds.select_columns([col]).map_batches(
-        partial_counts, batch_format="pyarrow", batch_size=batch_size)
-    totals = partials.groupby(col).aggregate(Sum("cnt", alias_name="cnt"))
-    return totals.filter(expr="cnt > 1")
+    return grouped_count(ds, col, min_count=2, num_buckets=num_buckets,
+                         batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------
@@ -164,8 +159,14 @@ def referential_orphans(child, parent, child_key: str, parent_key: str,
     if mode == "auto":
         mode = "broadcast" if parent.count() <= broadcast_limit else "shuffle"
     if mode == "broadcast":
-        keys = parent.select_columns([parent_key]).unique(parent_key)
-        key_ref = ray.put(pa.array([k for k in keys if k is not None]))
+        # distinct keys WITHOUT a shuffle: per-batch pc.unique combiner,
+        # final unique on the (small) concatenation, ray.put ONCE
+        chunks = [pc.unique(b.column(parent_key).combine_chunks())
+                  for b in parent.select_columns([parent_key])
+                  .iter_batches(batch_format="pyarrow", batch_size=65536)]
+        keys = (pc.unique(pa.concat_arrays(chunks)) if chunks
+                else pa.array([], pa.string()))
+        key_ref = ray.put(keys.drop_null())
 
         def drop_matches(batch: pa.Table) -> pa.Table:
             key_arr = ray.get(key_ref)

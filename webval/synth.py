@@ -96,28 +96,32 @@ def gen_webpages_table(indices: np.ndarray, drift_part: int | None = None,
     n = len(i)
     base = _base_url_idx(i)
     dom_idx = np.searchsorted(_ZIPF_CDF, _uniform(base, 0), side="right")
-    lang_idx = np.searchsorted(_LANG_CDF, _uniform(i, 1), side="right")
-    lang_idx = np.minimum(lang_idx, len(_LANG_NAMES) - 1)
     part_id = i // rows_per_part
 
-    r0s = _rand(i, 2)
+    # dup rows are re-crawls: content (html/text/lang) comes from the BASE
+    # row, so planted url-dups are also exact content duplicates (dedup G2 +
+    # exact-dedup oracles share the same closed-form counts)
+    r0s = _rand(base, 2)
+    lang_idx = np.searchsorted(_LANG_CDF, _uniform(base, 1), side="right")
+    lang_idx = np.minimum(lang_idx, len(_LANG_NAMES) - 1)
     urls, htmls, texts, langs = [], [], [], []
     for k in range(n):
         ii = int(i[k])
+        bi = int(base[k])
         if ii % 1000 in (333, 334, 335):
             url = f"htp:/bad url {ii}"
         else:
-            url = f"https://d{int(dom_idx[k])}.example.com/p/{int(base[k])}"
+            url = f"https://d{int(dom_idx[k])}.example.com/p/{bi}"
         urls.append(url)
-        lang = None if ii % 500 == 123 else _LANG_NAMES[int(lang_idx[k])]
+        lang = None if bi % 500 == 123 else _LANG_NAMES[int(lang_idx[k])]
         langs.append(lang)
-        if ii % 100 == 50:
+        if bi % 100 == 50:
             htmls.append(None)
             texts.append(None)
             continue
         drifted = drift_part is not None and int(part_id[k]) == drift_part
-        sent = _sentence(ii, int(r0s[k]), lang, drifted)
-        title = f"t{ii}"
+        sent = _sentence(bi, int(r0s[k]), lang, drifted)
+        title = f"t{bi}"
         htmls.append(
             f"<html><head><title>{title}</title>"
             f"<style>p {{margin:0}}</style></head>"
@@ -126,6 +130,7 @@ def gen_webpages_table(indices: np.ndarray, drift_part: int | None = None,
         texts.append(f"{title} {sent}")
 
     return pa.table({
+        "page_id": pa.array(i, type=pa.int64()),
         "url": pa.array(urls, type=pa.string()),
         "warc_ts": pa.array((EPOCH_US + i * 37_000_000),
                             type=pa.timestamp("us")),
