@@ -1,0 +1,65 @@
+"""Hash-bucket exchange: exactness vs pandas at high cardinality, bucket
+invariance, skew behavior."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from webval.exchange import distinct_rows, grouped_agg, grouped_count
+
+
+@pytest.fixture(scope="module")
+def skewed(ray_session):
+    rng = np.random.default_rng(17)
+    # zipf-ish skew: one hot key + long tail
+    keys = np.concatenate([
+        np.full(5000, "hot"),
+        np.array([f"k{i}" for i in rng.integers(0, 20000, 15000)]),
+    ])
+    vals = rng.integers(0, 1000, len(keys))
+    df = pd.DataFrame({"k": keys, "v": vals})
+    import ray.data as rd
+    return df, rd.from_arrow(pa.Table.from_pandas(df)).repartition(8)
+
+
+def test_grouped_count_matches_pandas(skewed):
+    df, ds = skewed
+    for buckets in (4, 64):
+        got = grouped_count(ds, "k", num_buckets=buckets).to_pandas()
+        want = df.groupby("k").size()
+        assert dict(zip(got["k"], got["cnt"])) == want.to_dict()
+    got2 = grouped_count(ds, "k", min_count=2).to_pandas()
+    want2 = want[want >= 2]
+    assert dict(zip(got2["k"], got2["cnt"])) == want2.to_dict()
+    assert int(got2.set_index("k").loc["hot", "cnt"]) == 5000
+
+
+def test_grouped_agg_matches_pandas(skewed):
+    df, ds = skewed
+    got = grouped_agg(ds, ["k"], [("v", "sum"), ("v", "min"), ("v", "max"),
+                                  ("v", "count")]).to_pandas().set_index("k")
+    want = df.groupby("k")["v"].agg(["sum", "min", "max", "count"])
+    assert len(got) == len(want)
+    for k in ("hot", want.index[5]):
+        assert got.loc[k, "v_sum"] == want.loc[k, "sum"]
+        assert got.loc[k, "v_min"] == want.loc[k, "min"]
+        assert got.loc[k, "v_max"] == want.loc[k, "max"]
+        assert got.loc[k, "v_count"] == want.loc[k, "count"]
+    assert (got["v_sum"].sort_index() == want["sum"].sort_index()).all()
+
+
+def test_distinct_rows(skewed):
+    df, ds = skewed
+    got = distinct_rows(ds, ["k"]).to_pandas()
+    assert sorted(got["k"]) == sorted(df["k"].unique())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_null_keys_survive():
+    import ray.data as rd
+
+    t = pa.table({"k": ["a", None, "a", None, "b"]})
+    got = grouped_count(rd.from_arrow(t), "k").to_pandas()
+    # nulls dropped by the count combiner (rdv pinv semantics own nulls)
+    assert dict(zip(got["k"], got["cnt"])) == {"a": 2, "b": 1}

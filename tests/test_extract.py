@@ -23,6 +23,39 @@ def test_extract_text_rules():
     assert extract_text(b"\xff\xfe garbage <p>ok</p>") .endswith("ok")
 
 
+def test_fast_path_equivalent_to_parser():
+    """The vectorized RE2 fast path must agree with html.parser on every
+    gate-passing row; gated-out rows go through the parser anyway, so the
+    stage output must ALWAYS equal the parser output."""
+    import pyarrow as pa
+
+    from webval.synth import gen_webpages_table
+
+    adversarial = [
+        b"<html><head><title>T</title></head><body><p>x &amp; y</p></body></html>",
+        b"<title>Outside</title><p>body</p>",               # title not in head
+        b"<head><style>p{}</style><title>A</title></head><p>b</p>",
+        b"<p>unclosed <b>tag",
+        b"<head><title>A</title><p>leaky head",              # unbalanced head
+        b"<!-- comment --><p>c</p>",
+        b"<SCRIPT>var x=1</SCRIPT><p>up</p>",
+        b"<a href=\"x>y\">link</a> text",                    # > in attribute
+        b"<title>A</title><title>B</title><p>two titles</p>",
+        b"\xff\xfe bad utf8 <p>ok</p>",
+        b"",
+        None,
+        b"<body><p>plain</p><noscript>no</noscript></body>",
+    ]
+    synth = gen_webpages_table(np.arange(500)).column("html").to_pylist()
+    payloads = adversarial + synth
+    ext = HtmlTextExtractor()
+    t = pa.table({"html": pa.array(payloads, type=pa.large_binary())})
+    got = ext(t).column("text").to_pylist()
+    want = [extract_text(b) for b in payloads]
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g == w, (i, payloads[i], g, w)
+
+
 def test_synth_text_is_extraction_ground_truth():
     """The synth `text` column and extract.py's parser are independent
     derivations of the same bytes — they must agree byte-for-byte."""

@@ -21,28 +21,53 @@ import pyarrow.compute as pc
 
 from webval.schema import CheckSpec, SchemaSpec
 
-ROW_LEVEL_KINDS = frozenset({"range", "domain", "regex", "not_null"})
+def _mask_range(col, params):
+    if pa.types.is_timestamp(col.type):
+        col = pc.cast(col, pa.int64())
+    m = pc.and_(pc.greater_equal(col, params["min"]),
+                pc.less_equal(col, params["max"]))
+    return pc.fill_null(m, True)  # nulls pass; the null-rate check owns them
+
+
+def _mask_domain(col, params):
+    m = pc.is_in(col, value_set=pa.array(params["values"], type=col.type))
+    return pc.if_else(pc.is_null(col), True, m)
+
+
+def _mask_regex(col, params):
+    return pc.fill_null(pc.match_substring_regex(col, params["pattern"]), True)
+
+
+def _mask_not_null(col, params):
+    return pc.invert(pc.is_null(col, nan_is_null=True))
+
+
+# §2-J extension surface: new predicate kinds register a batch-kernel
+# function (column, params) -> BooleanArray(True=pass) here — the analog of
+# subclassing rdv's Extractor/Stats [rdv:rdv/extractors, UNVERIFIED].
+CHECK_KINDS: dict = {
+    "range": _mask_range,
+    "domain": _mask_domain,
+    "regex": _mask_regex,
+    "not_null": _mask_not_null,
+}
+
+ROW_LEVEL_KINDS = CHECK_KINDS.keys()
+
+
+def register_check_kind(kind: str, mask_fn) -> None:
+    """Plugin hook: mask_fn(column: pa.ChunkedArray, params: dict) -> bool
+    mask (True = pass).  Nulls should pass unless the kind is about nulls."""
+    CHECK_KINDS[kind] = mask_fn
 
 
 def check_mask(batch: pa.Table, check: CheckSpec) -> np.ndarray:
     """Evaluate one row-level check → bool ndarray, True = pass."""
-    col = batch.column(check.column)
-    if check.kind == "range":
-        lo, hi = check.params["min"], check.params["max"]
-        if pa.types.is_timestamp(col.type):
-            col = pc.cast(col, pa.int64())
-        m = pc.and_(pc.greater_equal(col, lo), pc.less_equal(col, hi))
-        m = pc.fill_null(m, True)  # nulls pass; the null-rate check owns them
-    elif check.kind == "domain":
-        m = pc.is_in(col, value_set=pa.array(check.params["values"], type=col.type))
-        m = pc.if_else(pc.is_null(col), True, m)
-    elif check.kind == "regex":
-        m = pc.match_substring_regex(col, check.params["pattern"])
-        m = pc.fill_null(m, True)
-    elif check.kind == "not_null":
-        m = pc.invert(pc.is_null(col, nan_is_null=True))
-    else:
-        raise ValueError(f"not a row-level check kind: {check.kind}")
+    try:
+        fn = CHECK_KINDS[check.kind]
+    except KeyError:
+        raise ValueError(f"not a row-level check kind: {check.kind}") from None
+    m = fn(batch.column(check.column), check.params)
     return np.asarray(m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m,
                       dtype=bool)
 

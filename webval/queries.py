@@ -583,7 +583,7 @@ def q_langid(sf_dir: str):
     pages_p, _ = ensure_synth(sf_dir)
     ds = rd.read_parquet(pages_p, columns=["text", "lang"])
     tagged = ds.map_batches(LangTagger, batch_format="pyarrow", batch_size=1024,
-                            concurrency=(1, 4))
+                            concurrency=(1, 4), max_concurrency=2)
     out = (tagged.map_batches(
         lambda t: t.filter(pc.and_(pc.is_valid(t.column("lang")),
                                    pc.is_valid(t.column("text"))))
@@ -604,7 +604,7 @@ def q_quality(sf_dir: str):
     pages_p, _ = ensure_synth(sf_dir)
     ds = rd.read_parquet(pages_p, columns=["text", "lang"])
     scored = ds.map_batches(QualityScorer, batch_format="pyarrow",
-                            batch_size=2048, concurrency=(1, 4))
+                            batch_size=2048, concurrency=(1, 4), max_concurrency=2)
     out = (scored.map_batches(
         lambda t: t.select(["lang", "quality"]).drop_null(), batch_format="pyarrow")
         .groupby("lang").aggregate(Mean("quality", alias_name="avg_quality"),
@@ -626,7 +626,7 @@ def q_extraction(sf_dir: str):
     ds = rd.read_parquet(pages_p, columns=["html", "text", "lang"])
     re_ex = ds.map_batches(
         HtmlTextExtractor, batch_format="pyarrow", batch_size=512,
-        concurrency=(1, 4),
+        concurrency=(1, 4), max_concurrency=2,
         fn_constructor_kwargs={"html_col": "html", "out_col": "text2"})
     out = (re_ex.map_batches(
         lambda t: pa.table({
@@ -678,7 +678,7 @@ def q_media_features(sf_dir: str):
     pages_p, _ = ensure_synth(sf_dir)
     ds = rd.read_parquet(pages_p, columns=["page_id", "html"])
     feats = ds.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
-                           batch_size=256, concurrency=(1, 4),
+                           batch_size=256, concurrency=(1, 4), max_concurrency=2,
                            fn_constructor_kwargs={"media_col": "html"})
     out = (feats.map_batches(
         lambda t: pa.table({"has_features":
