@@ -35,13 +35,22 @@ from webval.sketches import NumericHistogram
 
 def build_schema(ds, kinds: dict[str, str] | None = None, *, name: str = "schema",
                  histogram: bool = True, bins: int = 32,
-                 batch_size: int | None = 8192) -> SchemaSpec:
+                 batch_size: int | None = 8192,
+                 sample_fraction: float | None = None,
+                 seed: int = 42) -> SchemaSpec:
     """P1: fused stats pass → SchemaSpec; optional second cheap pass adds
     fixed-edge histograms (edges from the first pass's min/max) for numeric
     and text-length columns — drift (P3) needs binned distributions.
+
+    ``sample_fraction`` builds the schema on a seeded random sample (F3) —
+    the standard move when exact counts aren't needed and the input is huge;
+    counts/null-counts then describe the sample, sketches approximate the
+    population.
     """
     if kinds is None:
         kinds = infer_kinds(ds.schema().base_schema)
+    if sample_fraction is not None and sample_fraction < 1.0:
+        ds = ds.random_sample(sample_fraction, seed=seed)
     spec = profile_dataset(ds, kinds, name=name, batch_size=batch_size)
     if histogram:
         edges: dict[str, list[float]] = {}
@@ -239,10 +248,26 @@ def partition_profiles(ds, part_col: str, kinds: dict[str, str] | None = None,
         return pa.table({part_col: g.column(part_col).slice(0, 1),
                          "acc": pa.array([pickle.dumps(merged)], type=pa.large_binary())})
 
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # one hash bucket may hold several partitions' partials — merge each
+        # partition's accumulators separately (scale-robust at 1e5+ parts,
+        # where Ray's own groupby boundary walk would dominate)
+        out_parts, out_accs = [], []
+        pcol = g.column(part_col).to_numpy(zero_copy_only=False)
+        for pv in np.unique(pcol):
+            sub = g.filter(pc.equal(g.column(part_col), pa.scalar(pv)))
+            merged = merge_group(sub)
+            out_parts.append(merged.column(part_col)[0].as_py())
+            out_accs.append(merged.column("acc")[0].as_py())
+        return pa.table({part_col: pa.array(out_parts),
+                         "acc": pa.array(out_accs, type=pa.large_binary())})
+
+    from webval.exchange import bucketed_group_apply
+
     cols = [part_col] + [c for c, k in kinds.items() if k != "skip"]
     partials = ds.select_columns(cols).map_batches(
         partial, batch_format="pyarrow", batch_size=batch_size)
-    return partials.groupby(part_col).map_groups(merge_group, batch_format="pyarrow")
+    return bucketed_group_apply(partials, [part_col], merge_bucket)
 
 
 def partition_report(ds, schema: SchemaSpec, part_col: str = "part_id",

@@ -690,6 +690,36 @@ def q_media_features(sf_dir: str):
                         pc.cast(t.column("cnt"), pa.int64()))
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """E8 + E4/E5: mergeable sketches inside ds.groupby().aggregate() via
+    the AggregateFnV2 wrappers (per-lang p50 length + distinct docs)."""
+    import ray.data as rd
+
+    from webval.aggregates import ApproxDistinct, TDigestQuantile
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars", "doc_id"])
+    out = ds.groupby("lang").aggregate(
+        TDigestQuantile("n_chars", q=0.5, alias_name="p50_chars"),
+        ApproxDistinct("doc_id", alias_name="distinct_docs"))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _round_cols(t, {"p50_chars": 2, "distinct_docs": 0})
+
+
+def q_sampled_profile(sf_dir: str):
+    """F3: schema build on a seeded random sample (rows-only; sample stats)."""
+    import ray.data as rd
+
+    from webval.pipelines import build_schema
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+    spec = build_schema(ds, {"l_quantity": "numeric"}, histogram=False,
+                        sample_fraction=0.1, seed=7)
+    p = spec.column("l_quantity")
+    return pa.table({"sampled_rows": pa.array([p.count], pa.int64()),
+                     "min": [p.moments["min"]], "max": [p.moments["max"]]})
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -721,4 +751,6 @@ QUERIES = {
     "simhash_pairs": (q_simhash_pairs, None),
     "embedding_dups": (q_embedding_dups, None),
     "media_features": (q_media_features, None),
+    "grouped_quantiles": (q_grouped_quantiles, None),
+    "sampled_profile": (q_sampled_profile, None),
 }
