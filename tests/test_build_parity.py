@@ -19,7 +19,7 @@ def lineitem_spec(ray_session):
     import ray.data as rd
     ds = rd.read_parquet(f"{SF}/lineitem.parquet",
                          columns=["l_quantity", "l_extendedprice", "l_returnflag"])
-    return build_schema(ds, name="lineitem")
+    return build_schema(ds, name="lineitem", histogram="exact")
 
 
 def test_build_matches_oracle_exact_fields(lineitem_spec):

@@ -34,25 +34,37 @@ from webval.sketches import NumericHistogram
 
 
 def build_schema(ds, kinds: dict[str, str] | None = None, *, name: str = "schema",
-                 histogram: bool = True, bins: int = 32,
+                 histogram: bool | str = "tdigest", bins: int = 32,
                  batch_size: int | None = 8192,
                  sample_fraction: float | None = None,
                  seed: int = 42) -> SchemaSpec:
-    """P1: fused stats pass → SchemaSpec; optional second cheap pass adds
-    fixed-edge histograms (edges from the first pass's min/max) for numeric
-    and text-length columns — drift (P3) needs binned distributions.
+    """P1: fused stats pass → SchemaSpec with binned distributions for
+    drift (P3).
+
+    ``histogram`` modes:
+    - ``"tdigest"`` (default): derive histogram counts from the t-digest CDF
+      at finalize — SINGLE pass over the data.  At 10^12 docs a second read
+      is the single biggest avoidable cost; digest-derived bins are accurate
+      to the digest's rank error, ample for JS/chi-square drift.
+    - ``"exact"`` / True: second cheap pass with edges from the first pass's
+      min/max — exact counts (the small-scale parity oracle).
+    - False: no histograms.
 
     ``sample_fraction`` builds the schema on a seeded random sample (F3) —
     the standard move when exact counts aren't needed and the input is huge;
     counts/null-counts then describe the sample, sketches approximate the
     population.
     """
+    from webval.sketches import TDigest
+
     if kinds is None:
         kinds = infer_kinds(ds.schema().base_schema)
     if sample_fraction is not None and sample_fraction < 1.0:
         ds = ds.random_sample(sample_fraction, seed=seed)
     spec = profile_dataset(ds, kinds, name=name, batch_size=batch_size)
-    if histogram:
+    if histogram is True:
+        histogram = "exact"
+    if histogram == "exact":
         edges: dict[str, list[float]] = {}
         for p in spec.columns:
             if p.kind in ("numeric", "timestamp", "text") and p.histogram is None:
@@ -64,6 +76,22 @@ def build_schema(ds, kinds: dict[str, str] | None = None, *, name: str = "schema
             for p in spec.columns:
                 if p.name in hists:
                     p.histogram = hists[p.name].to_dict()
+    elif histogram == "tdigest":
+        for p in spec.columns:
+            if p.kind not in ("numeric", "timestamp", "text") or p.histogram:
+                continue
+            e = histogram_edges_from_profile(p, bins)
+            if e is None or p.tdigest is None:
+                continue
+            td = TDigest.from_dict(p.tdigest)
+            if not len(td.means):
+                continue
+            n = p.count - p.null_count
+            cdf = td.cdf(np.asarray(e))
+            h = NumericHistogram(e)
+            h.counts = np.maximum(
+                np.round(np.diff(cdf) * n).astype(np.int64), 0)
+            p.histogram = h.to_dict()
     return spec
 
 

@@ -690,6 +690,58 @@ def q_media_features(sf_dir: str):
                         pc.cast(t.column("cnt"), pa.int64()))
 
 
+def q_json_extract(sf_dir: str):
+    """H: JSON string column parse (Python json in a map stage — Arrow 16
+    has no JSON scalar kernel) + grouped sum."""
+    import json as _json
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = [(_json.loads(p).get("k") if p is not None else None)
+              for p in batch.column("props").to_pylist()]
+        return pa.table({"event_type": batch.column("event_type"),
+                         "k": pa.array(ks, pa.int64())})
+
+    out = (ds.map_batches(parse, batch_format="pyarrow")
+             .groupby("event_type").aggregate(Sum("k", alias_name="sum_k")))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.set_column(t.column_names.index("sum_k"), "sum_k",
+                        pc.cast(t.column("sum_k"), pa.int64()))
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_union_shards(sf_dir: str):
+    """G1: ds.union of two filtered shards reassembles the table exactly."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    lo = ds.map_batches(lambda t: t.filter(pc.less(t.column("value"), 100.0)),
+                        batch_format="pyarrow")
+    hi = ds.map_batches(lambda t: t.filter(pc.greater_equal(t.column("value"), 100.0)),
+                        batch_format="pyarrow")
+    out = lo.union(hi).groupby("event_type").aggregate(Count(alias_name="cnt"))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.set_column(t.column_names.index("cnt"), "cnt",
+                        pc.cast(t.column("cnt"), pa.int64()))
+
+
+SQL_UNION_SHARDS = """
+SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+"""
+
+
 def q_grouped_quantiles(sf_dir: str):
     """E8 + E4/E5: mergeable sketches inside ds.groupby().aggregate() via
     the AggregateFnV2 wrappers (per-lang p50 length + distinct docs)."""
@@ -753,4 +805,6 @@ QUERIES = {
     "media_features": (q_media_features, None),
     "grouped_quantiles": (q_grouped_quantiles, None),
     "sampled_profile": (q_sampled_profile, None),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "union_shards": (q_union_shards, SQL_UNION_SHARDS),
 }
