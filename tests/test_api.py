@@ -1,0 +1,60 @@
+"""rdv-style API facade + distributed connected components."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from webval.api import Schema
+from webval.synth import expected_counts, gen_webpages_table
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_schema_lifecycle_facade(tmp_path):
+    import ray.data as rd
+
+    t = gen_webpages_table(np.arange(3000))
+    ds = rd.from_arrow(t)
+    kinds = {"page_id": "skip", "url": "text", "warc_ts": "timestamp",
+             "html": "skip", "text": "text", "lang": "categorical",
+             "part_id": "skip"}
+    schema = Schema(name="pages").build(ds, kinds)
+    assert schema.built
+
+    # save / load roundtrip, then check with an added explicit check
+    p = str(tmp_path / "schema.json")
+    schema.save(p)
+    loaded = Schema.load(p)
+    loaded.add_check("url-regex", "url", "regex",
+                     {"pattern": r"^https?://[^ ]+$"})
+    res = loaded.check(ds, keep_cols=["url"])
+    viol = res["violations"].take_all()
+    n_regex = sum(1 for v in viol if "url-regex" in v["failed_checks"])
+    assert n_regex == expected_counts(3000)["bad_url"]
+
+    dups = loaded.check_uniqueness(ds, "url").take_all()
+    assert len(dups) == expected_counts(3000)["dup_extra_rows"]
+
+    rep = loaded.contrast(schema)
+    assert rep["drifted"] is False
+
+    loaded.remove_check("url-regex")
+    assert all(c.name != "url-regex" for c in loaded.spec.checks)
+
+    with pytest.raises(RuntimeError):
+        Schema(name="unbuilt").check(ds)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_distributed():
+    import ray.data as rd
+
+    from webval.dedup import connected_components_distributed
+
+    # two chains and one clique: {1-2-3-4}, {10-11}, {20,21,22 all-pairs}
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22), (21, 22)]
+    t = pa.table({"id_a": pa.array([a for a, _ in edges], pa.int64()),
+                  "id_b": pa.array([b for _, b in edges], pa.int64())})
+    out = connected_components_distributed(rd.from_arrow(t).repartition(3))
+    got = {r["id"]: r["cluster_id"] for r in out.take_all()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}

@@ -81,6 +81,21 @@ def test_minhash_dedup_finds_near_dups(docs_table):
     assert all(by_id[i] == i or by_id[i] in (i,) for i in base_ids)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_dedup_distributed_components(docs_table):
+    import ray.data as rd
+
+    ds = rd.from_arrow(docs_table).repartition(4)
+    clusters = minhash_dedup(ds, "doc_id", jaccard_threshold=0.6,
+                             concurrency=2, components="distributed",
+                             ).take_all()
+    by_id = {r["doc_id"]: r["cluster_id"] for r in clusters}
+    for j in range(5):
+        assert by_id.get(100 + j) == j
+        assert by_id.get(200 + j) == j
+        assert by_id.get(j) == j  # cluster root labels itself
+
+
 def test_ngram_jaccard():
     a = _doc(1, 1000)
     words = a.split()

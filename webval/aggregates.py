@@ -42,25 +42,48 @@ DEFAULT_HISTOGRAM_BINS = 32
 _NUMERIC_KINDS = ("numeric", "timestamp")
 
 
-def infer_kinds(schema: pa.Schema, overrides: dict[str, str] | None = None) -> dict[str, str]:
-    """Map arrow dtype → profile kind.  Strings default to categorical (the
-    CategoricalFreq top-K guard bounds memory even for high-cardinality
-    columns); pass ``overrides={"text": "text"}`` for free-text columns so
-    they get the length-distribution numeric path instead.
+def _kind_of_arrow(t: pa.DataType) -> str:
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        return "numeric"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "timestamp"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "categorical"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return "skip"  # nested types profiled only via extensions
+
+
+def infer_kinds(schema, overrides: dict[str, str] | None = None) -> dict[str, str]:
+    """Map dtype → profile kind.  Accepts a pyarrow.Schema or Ray's Schema
+    wrapper (whose per-column types are Arrow DataTypes for arrow-backed
+    datasets and numpy dtypes for pandas-backed ones).  Strings default to
+    categorical (the CategoricalFreq top-K guard bounds memory even at high
+    cardinality); pass ``overrides={"text": "text"}`` for free-text columns
+    so they get the length-distribution path instead.
     """
+    import numpy as np
+
     kinds: dict[str, str] = {}
-    for f in schema:
-        t = f.type
-        if pa.types.is_integer(t) or pa.types.is_floating(t):
-            kinds[f.name] = "numeric"
-        elif pa.types.is_timestamp(t) or pa.types.is_date(t):
-            kinds[f.name] = "timestamp"
-        elif pa.types.is_string(t) or pa.types.is_large_string(t):
-            kinds[f.name] = "categorical"
-        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
-            kinds[f.name] = "binary"
+    if isinstance(schema, pa.Schema):
+        items = [(f.name, f.type) for f in schema]
+    else:  # ray.data Schema wrapper
+        items = list(zip(schema.names, schema.types))
+    for name, t in items:
+        if isinstance(t, pa.DataType):
+            kinds[name] = _kind_of_arrow(t)
+        elif isinstance(t, np.dtype) or isinstance(t, type):
+            dt = np.dtype(t) if not isinstance(t, np.dtype) else t
+            if dt.kind in ("i", "u", "f"):
+                kinds[name] = "numeric"
+            elif dt.kind == "M":
+                kinds[name] = "timestamp"
+            elif dt.kind in ("U", "S", "O"):
+                kinds[name] = "categorical"
+            else:
+                kinds[name] = "skip"
         else:
-            kinds[f.name] = "skip"  # nested types profiled only via extensions
+            kinds[name] = "skip"
     if overrides:
         kinds.update(overrides)
     return kinds
@@ -221,7 +244,7 @@ def profile_dataset(ds, kinds: dict[str, str] | None = None, *,
     this pass's min/max.
     """
     if kinds is None:
-        kinds = infer_kinds(ds.schema().base_schema)
+        kinds = infer_kinds(ds.schema())
     used = [c for c, k in kinds.items() if k != "skip"]
     ds = ds.select_columns(used)
     partials = ds.map_batches(

@@ -179,6 +179,88 @@ def _pairs_from_buckets(bucket_ds, id_col: str, max_bucket: int = 256):
     return bucketed_group_apply(bucket_ds, ["band_id", "band_hash"], pairs)
 
 
+def connected_components_distributed(pairs, *, id_a: str = "id_a",
+                                     id_b: str = "id_b", max_iter: int = 20,
+                                     num_buckets: int = 64):
+    """Min-label propagation over an edge Dataset — the scale path when the
+    verified near-dup pair set is too large for driver union-find.
+
+    Each round: every node takes the min label among itself and its
+    neighbors (one bucketed exchange over (node, label) messages); stops
+    when a round changes no labels (checked via a cheap count).  Rounds ≈
+    graph diameter; near-dup clusters are tiny cliques → 2-3 rounds.
+    Returns Dataset[{id, cluster_id}] restricted to nodes in some pair.
+    """
+    from webval.exchange import bucketed_group_apply
+
+    null64 = pa.scalar(None, pa.int64())
+
+    def seed(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch.column(id_a), pa.int64()).combine_chunks()
+        b = pc.cast(batch.column(id_b), pa.int64()).combine_chunks()
+        m = pc.min_element_wise(a, b).combine_chunks() \
+            if isinstance(pc.min_element_wise(a, b), pa.ChunkedArray) \
+            else pc.min_element_wise(a, b)
+        return pa.table({"id": pa.concat_arrays([a, b]),
+                         "label": pa.concat_arrays([m, m])})
+
+    def min_label(t: pa.Table) -> pa.Table:
+        g = t.group_by("id").aggregate([("label", "min")])
+        return g.select(["id", "label_min"]).rename_columns(["id", "label"])
+
+    labels = bucketed_group_apply(
+        pairs.map_batches(seed, batch_format="pyarrow"), ["id"],
+        min_label, num_buckets=num_buckets).materialize()
+
+    # doubled edge stream keyed by each endpoint: (key, other, label=null)
+    def doubled(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch.column(id_a), pa.int64()).combine_chunks()
+        b = pc.cast(batch.column(id_b), pa.int64()).combine_chunks()
+        n = len(a) + len(b)
+        return pa.table({"key": pa.concat_arrays([a, b]),
+                         "other": pa.concat_arrays([b, a]),
+                         "label": pa.nulls(n, pa.int64())})
+
+    edge_stream = pairs.map_batches(doubled, batch_format="pyarrow").materialize()
+
+    for _ in range(max_iter):
+        lbl_stream = labels.map_batches(
+            lambda t: pa.table({"key": t.column("id"),
+                                "other": pa.nulls(t.num_rows, pa.int64()),
+                                "label": t.column("label")}),
+            batch_format="pyarrow")
+
+        def local_join(t: pa.Table) -> pa.Table:
+            # co-bucketed by key: label rows carry the key's label; edge rows
+            # forward it to their other endpoint — a join without Dataset.join
+            is_lbl = pc.is_valid(t.column("label"))
+            lbl = t.filter(is_lbl)
+            edg = t.filter(pc.invert(is_lbl))
+            d = dict(zip(lbl.column("key").to_pylist(),
+                         lbl.column("label").to_pylist()))
+            out_id = lbl.column("key").to_pylist()
+            out_lb = lbl.column("label").to_pylist()
+            for k, o in zip(edg.column("key").to_pylist(),
+                            edg.column("other").to_pylist()):
+                if k in d:
+                    out_id.append(o)
+                    out_lb.append(d[k])
+            return pa.table({"id": pa.array(out_id, pa.int64()),
+                             "label": pa.array(out_lb, pa.int64())})
+
+        msgs = bucketed_group_apply(edge_stream.union(lbl_stream), ["key"],
+                                    local_join, num_buckets=num_buckets)
+        new_labels = bucketed_group_apply(msgs, ["id"], min_label,
+                                          num_buckets=num_buckets).materialize()
+        old_sum, new_sum = labels.sum("label"), new_labels.sum("label")
+        labels = new_labels
+        if old_sum == new_sum:  # labels only ever decrease → fixpoint
+            break
+    return labels.map_batches(
+        lambda t: t.rename_columns(["id", "cluster_id"]),
+        batch_format="pyarrow")
+
+
 class _UnionFind:
     def __init__(self):
         self.parent: dict = {}
@@ -202,19 +284,20 @@ class _UnionFind:
 def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
                   rows_per_band: int = 8, shingle_window: int = 8,
                   jaccard_threshold: float = 0.8, concurrency=(1, 8),
-                  verify: bool = True, max_bucket: int = 256):
+                  verify: bool = True, max_bucket: int = 256,
+                  components: str = "driver"):
     """Near-duplicate clusters via MinHash-LSH.
 
     Returns a Dataset[{id, cluster_id}] for every doc in a near-dup cluster
     (cluster_id = min id in cluster).  Pipeline: MinHasher actor pool →
     bucket groupby → candidate pairs → (optional) exact-Jaccard verify on the
-    pair set via a broadcast signature join → driver union-find over the
-    verified pairs.
+    pair set via a broadcast signature join → connected components.
 
-    Scale note: union-find runs on the driver over VERIFIED pairs only — in
-    web corpora the near-dup pair set is O(dups), orders smaller than the
-    corpus; for adversarial pair explosions, raise jaccard_threshold or run
-    min-label propagation (iterated groupby) instead — documented tradeoff.
+    ``components="driver"`` runs union-find on the driver over VERIFIED
+    pairs — in web corpora the near-dup pair set is O(dups), orders smaller
+    than the corpus.  ``components="distributed"`` runs
+    connected_components_distributed (min-label propagation, all exchanges)
+    for pair sets too large to collect.
     """
     hasher_cls = MinHasher
     buckets = ds.map_batches(
@@ -223,7 +306,27 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
                                "bands": bands, "rows_per_band": rows_per_band,
                                "shingle_window": shingle_window})
-    pair_rows = _pairs_from_buckets(buckets, id_col, max_bucket=max_bucket).take_all()
+    pairs_ds = _pairs_from_buckets(buckets, id_col, max_bucket=max_bucket)
+    if components == "distributed":
+        # verification happens per-pair inside the distributed path too, but
+        # the pair stream itself never concentrates on the driver
+        import ray.data as rd
+        if verify:
+            pair_rows = {(r["id_a"], r["id_b"]) for r in pairs_ds.take_all()}
+            pair_rows = _verify_jaccard(ds, id_col, text_col, pair_rows,
+                                        shingle_window, jaccard_threshold)
+            if not pair_rows:
+                return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                               "cluster_id": pa.array([], pa.int64())}))
+            items = sorted(pair_rows)
+            pairs_ds = rd.from_arrow(pa.table({
+                "id_a": pa.array([a for a, _ in items], pa.int64()),
+                "id_b": pa.array([b for _, b in items], pa.int64())}))
+        out = connected_components_distributed(pairs_ds)
+        return out.map_batches(
+            lambda t: t.rename_columns([id_col, "cluster_id"]),
+            batch_format="pyarrow")
+    pair_rows = pairs_ds.take_all()
     pairs = {(r["id_a"], r["id_b"]) for r in pair_rows}
     if verify and pairs:
         pairs = _verify_jaccard(ds, id_col, text_col, pairs, shingle_window,

@@ -58,7 +58,7 @@ def build_schema(ds, kinds: dict[str, str] | None = None, *, name: str = "schema
     from webval.sketches import TDigest
 
     if kinds is None:
-        kinds = infer_kinds(ds.schema().base_schema)
+        kinds = infer_kinds(ds.schema())
     if sample_fraction is not None and sample_fraction < 1.0:
         ds = ds.random_sample(sample_fraction, seed=seed)
     spec = profile_dataset(ds, kinds, name=name, batch_size=batch_size)
@@ -244,7 +244,7 @@ def partition_profiles(ds, part_col: str, kinds: dict[str, str] | None = None,
     merges.  Shuffle volume = #batches × #parts-touched-per-batch tiny rows.
     """
     if kinds is None:
-        kinds = {c: k for c, k in infer_kinds(ds.schema().base_schema).items()
+        kinds = {c: k for c, k in infer_kinds(ds.schema()).items()
                  if c != part_col}
 
     def partial(batch: pa.Table) -> pa.Table:
