@@ -149,13 +149,38 @@ class HtmlTextExtractor:
 
     def _extract_column(self, col) -> pa.Array:
         import numpy as np
+        import pyarrow.compute as _pc
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not self.fast_path:
+            return pa.array([extract_text(b) for b in col.to_pylist()],
+                            type=pa.large_string())
+        # common case: whole batch is valid UTF-8 → one vectorized cast and
+        # NO per-row Python at all unless the gate rejects rows
+        try:
+            s = _pc.cast(col, pa.large_string())
+        except pa.ArrowInvalid:
+            return self._extract_mixed(col)
+        fast, gate = _fast_extract_gated(s)
+        gate_np = _pc.fill_null(gate, True).to_numpy(zero_copy_only=False)
+        slow_idx = np.flatnonzero(~gate_np)
+        if not len(slow_idx):
+            return fast if not isinstance(fast, pa.ChunkedArray) \
+                else fast.combine_chunks()
+        texts = fast.to_pylist()
+        raw = col.to_pylist()
+        for i in slow_idx:
+            texts[i] = extract_text(raw[i])
+        return pa.array(texts, type=pa.large_string())
+
+    def _extract_mixed(self, col) -> pa.Array:
+        """Fallback when the batch contains undecodable bytes."""
+        import numpy as np
 
         raw = col.to_pylist()
         n = len(raw)
         texts: list[str | None] = [None] * n
-        if not self.fast_path:
-            texts = [extract_text(b) for b in raw]
-            return pa.array(texts, type=pa.large_string())
         decoded: list[str] = []
         dec_idx: list[int] = []
         slow_idx: list[int] = []

@@ -210,7 +210,10 @@ def referential_orphans(child, parent, child_key: str, parent_key: str,
             m = pc.is_in(batch.column(child_key), value_set=key_arr)
             return batch.filter(pc.invert(pc.fill_null(m, False)))
 
-        return child.map_batches(drop_matches, batch_format="pyarrow")
+        # batch_size=None → whole blocks: pc.is_in builds a hash index over
+        # the parent keys on every call, so fewer+bigger batches matter
+        return child.map_batches(drop_matches, batch_format="pyarrow",
+                                 batch_size=None)
 
     marker = "__parent_marker__"
     parent_keys = (parent.select_columns([parent_key])
