@@ -159,6 +159,27 @@ def run_ops(sf_dir: str, ncpu: int, pages_dir: str) -> dict[str, float]:
             {"l_quantity": "numeric", "l_extendedprice": "numeric",
              "l_discount": "numeric"})
 
+    with timed("full_check_e2e"):
+        # the complete resumable P2: extract -> verdicts+violations written
+        # per unit with manifest lines, then uniqueness + referential writes
+        import shutil
+
+        from webval.checks import make_verdict_fn  # noqa: F401 (doc pointer)
+        from webval.manifest import full_check_run
+
+        out_dir = os.path.join(BENCH_PAGES_ROOT, "full_check_out")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        ext = HtmlTextExtractor()
+
+        def extract_stage(ds):
+            return ds.map_batches(lambda b: ext(b), batch_format="pyarrow",
+                                  batch_size=None)
+
+        full_check_run(pages_dir, _check_schema(), out_dir, unit_size=10,
+                       keep_cols=["page_id", "url"], pre_stages=extract_stage,
+                       unique_col="url", links_dir=links_dir,
+                       link_child_key="dst_url", link_parent_key="url")
+
     with timed("fingerprint_tokens"):
         ds = rd.read_parquet(pages_dir, columns=["page_id", "text"])
         add_token_counts(add_fingerprints(ds)).map_batches(

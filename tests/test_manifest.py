@@ -69,6 +69,34 @@ def test_run_resume_and_recompute(setup):
     assert len(read_manifest(out_dir)) == 4
 
 
+def test_full_check_run(setup, tmp_path):
+    import pyarrow.parquet as pq
+
+    from webval.manifest import full_check_run
+    from webval.synth import expected_orphans, gen_links_table
+
+    in_dir, _, schema = setup
+    links_dir = str(tmp_path / "links")
+    os.makedirs(links_dir)
+    pq.write_table(gen_links_table(np.arange(1000), 4000),
+                   os.path.join(links_dir, "links.parquet"))
+    out = str(tmp_path / "full_out")
+    s = full_check_run(in_dir, schema, out, unit_size=4, keep_cols=["url"],
+                       unique_col="url", links_dir=links_dir)
+    ec = expected_counts(4000)
+    assert s["rows"] == 4000
+    assert s["violation_rows"] == ec["bad_url"]
+    assert s["dup_keys"] == ec["dup_extra_rows"]
+    assert s["orphans"] == expected_orphans(1000)
+    assert os.path.exists(os.path.join(out, "summary.json"))
+    # resumable: second call skips all units, same summary
+    s2 = full_check_run(in_dir, schema, out, unit_size=4, keep_cols=["url"],
+                        unique_col="url", links_dir=links_dir)
+    assert s2["units_skipped"] == s2["units"]
+    assert {k: v for k, v in s2.items() if k != "units_skipped"} == \
+           {k: v for k, v in s.items() if k != "units_skipped"}
+
+
 def test_list_fragments(setup):
     in_dir, _, _ = setup
     frags = list_fragments(in_dir)

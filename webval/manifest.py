@@ -80,6 +80,47 @@ def _atomic_write_parquet(ds, final_dir: str):
     os.rename(tmp, final_dir)
 
 
+def full_check_run(input_dir: str, schema, out_dir: str, *,
+                   unit_size: int = 4, keep_cols: list[str] | None = None,
+                   pre_stages=None, unique_col: str | None = "url",
+                   links_dir: str | None = None,
+                   link_child_key: str = "dst_url",
+                   link_parent_key: str = "url") -> dict:
+    """The complete P2 lifecycle in one call (BASELINE.md 'full check() run'):
+    resumable per-unit extract+verdict+violation writes, then the sibling
+    pipelines — uniqueness on ``unique_col`` and (when ``links_dir`` given)
+    referential orphans — each written under ``out_dir`` and summarized.
+    """
+    import ray.data as rd
+
+    from webval.pipelines import referential_orphans, uniqueness_violations
+
+    units = run_check_with_manifest(input_dir, schema, out_dir,
+                                    unit_size=unit_size, keep_cols=keep_cols,
+                                    pre_stages=pre_stages)
+    summary = {
+        "rows": sum(u.rows for u in units),
+        "violation_rows": sum(u.violations for u in units),
+        "units": len(units),
+        "units_skipped": sum(u.skipped for u in units),
+    }
+    if unique_col is not None:
+        dups = uniqueness_violations(rd.read_parquet(input_dir), unique_col)
+        _atomic_write_parquet(dups, os.path.join(out_dir, "dup_keys"))
+        summary["dup_keys"] = rd.read_parquet(
+            os.path.join(out_dir, "dup_keys")).count()
+    if links_dir is not None:
+        orphans = referential_orphans(
+            rd.read_parquet(links_dir), rd.read_parquet(input_dir),
+            link_child_key, link_parent_key, mode="auto")
+        _atomic_write_parquet(orphans, os.path.join(out_dir, "orphans"))
+        summary["orphans"] = rd.read_parquet(
+            os.path.join(out_dir, "orphans")).count()
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, sort_keys=True, indent=1)
+    return summary
+
+
 def run_check_with_manifest(input_dir: str, schema, out_dir: str, *,
                             unit_size: int = 4,
                             keep_cols: list[str] | None = None,
