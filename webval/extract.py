@@ -224,8 +224,12 @@ class LangTagger:
 
     Deterministic heuristic (no external models in sandbox): CJK chars → zh,
     Cyrillic → ru, else function-word voting over the per-language tables in
-    _langdata.py; below-threshold → "unk".  Tables/regexes built once per
-    actor in __init__.
+    _langdata.py; zero votes → "unk".  Fully vectorized: one RE2
+    count-matches kernel per latin language (7 kernels/batch) + two script
+    regex matches — no per-row Python.  Patterns built once per actor in
+    __init__.  ``tag_one`` is the row-wise reference implementation
+    (token-based; can differ on apostrophe-adjacent words — the vectorized
+    word-boundary count is the canonical semantic).
     """
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred",
@@ -234,12 +238,14 @@ class LangTagger:
         self.out_col = out_col
         self.min_votes = min_votes
         self.word_re = _WORD_RE
-        # word → list of langs claiming it
+        self.latin_langs = sorted(l for l in STOPWORDS if l not in ("ru", "zh"))
+        self.patterns = {
+            lang: r"\b(?:" + "|".join(re.escape(w) for w in STOPWORDS[lang]) + r")\b"
+            for lang in self.latin_langs}
+        # word → list of langs claiming it (tag_one reference path)
         self.claims: dict[str, list[str]] = {}
-        for lang, words in STOPWORDS.items():
-            if lang in ("ru", "zh"):
-                continue  # script-detected
-            for w in words:
+        for lang in self.latin_langs:
+            for w in STOPWORDS[lang]:
                 self.claims.setdefault(w, []).append(lang)
 
     def tag_one(self, text: str | None) -> str | None:
@@ -259,9 +265,35 @@ class LangTagger:
         best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         return best[0] if best[1] >= self.min_votes else "unk"
 
+    def tag_column(self, col) -> pa.Array:
+        import numpy as np
+        import pyarrow.compute as _pc
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        lower = _pc.utf8_lower(col)
+        votes = np.zeros((n, len(self.latin_langs)), dtype=np.int64)
+        for j, lang in enumerate(self.latin_langs):
+            c = _pc.count_substring_regex(lower, self.patterns[lang])
+            votes[:, j] = _pc.fill_null(c, 0).to_numpy(zero_copy_only=False)
+        # langs sorted → numpy argmax returns the first (alphabetically
+        # smallest) maximal index, matching tag_one's tie-break
+        best_j = votes.argmax(axis=1)
+        best_votes = votes.max(axis=1)
+        names = np.array(self.latin_langs)
+        out = np.where(best_votes >= self.min_votes, names[best_j], "unk")
+        cjk = _pc.fill_null(_pc.match_substring_regex(col, "[一-鿿]"), False)
+        cyr = _pc.fill_null(_pc.match_substring_regex(col, "[Ѐ-ӿ]"), False)
+        out = np.where(cjk.to_numpy(zero_copy_only=False), "zh", out)
+        out = np.where(cyr.to_numpy(zero_copy_only=False) &
+                       ~cjk.to_numpy(zero_copy_only=False), "ru", out)
+        arr = pa.array(out, type=pa.string())
+        null_mask = _pc.is_null(col)
+        return _pc.if_else(null_mask, pa.scalar(None, pa.string()), arr)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs = [self.tag_one(t) for t in batch.column(self.text_col).to_pylist()]
-        arr = pa.array(langs, type=pa.string())
+        arr = self.tag_column(batch.column(self.text_col))
         if self.out_col in batch.column_names:
             return batch.set_column(
                 batch.column_names.index(self.out_col), self.out_col, arr)
