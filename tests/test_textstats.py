@@ -52,6 +52,32 @@ def test_quality_scorer():
     assert good["stopword_ratio"] > 0.2
 
 
+def test_quality_scorer_vectorized_matches_reference():
+    import pyarrow as pa
+
+    s = QualityScorer()
+    texts = ["The quick brown fox jumps over the lazy dog and runs away.",
+             "@@@@ #### $$$$ 1234 %%%% ^^^^ &&&& ****", "", None,
+             "les données du marché sont dans la page et pour le sport"]
+    out = s(pa.table({"text": texts}))
+    feats = out.column("quality_features").to_pylist()
+    quals = out.column("quality").to_pylist()
+    assert feats[3] is None and quals[3] is None
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        ref = s.score_one(t)
+        got = feats[i]
+        assert got["n_chars"] == ref["n_chars"]
+        assert got["alpha_ratio"] == pytest.approx(ref["alpha_ratio"], abs=1e-9)
+        assert got["punct_ratio"] == pytest.approx(ref["punct_ratio"], abs=1e-9)
+        assert got["mean_word_len"] == pytest.approx(ref["mean_word_len"], abs=1e-9)
+        # stopword ratio: occurrence-count vs token-set can differ around
+        # apostrophes; none here, so exact
+        assert got["stopword_ratio"] == pytest.approx(ref["stopword_ratio"], abs=1e-9)
+        assert quals[i] == pytest.approx(ref["quality"], abs=1e-5)
+
+
 def test_rolling_hashes():
     h1 = rolling_hashes("abcdefghij", window=4)
     assert len(h1) == 7  # n - window + 1

@@ -9,6 +9,7 @@ referential checks, drift, checkpoint manifests) and training-data-pipeline
 extensions (dedup, similarity search, text analysis).
 """
 
+from webval.api import Schema  # noqa: F401
 from webval.schema import SchemaSpec, ColumnProfile, CheckSpec  # noqa: F401
 from webval.sketches import (  # noqa: F401
     Moments,
@@ -19,3 +20,10 @@ from webval.sketches import (  # noqa: F401
 )
 
 __version__ = "0.1.0"
+
+# lifecycle + operator entry points (lazily importable heavy deps live in
+# the submodules; these names are the supported public surface)
+__all__ = [
+    "Schema", "SchemaSpec", "ColumnProfile", "CheckSpec",
+    "Moments", "TDigest", "HyperLogLog", "CategoricalFreq", "NumericHistogram",
+]

@@ -238,10 +238,11 @@ class LangTagger:
         self.out_col = out_col
         self.min_votes = min_votes
         self.word_re = _WORD_RE
+        from webval.textstats import word_pattern
+
         self.latin_langs = sorted(l for l in STOPWORDS if l not in ("ru", "zh"))
-        self.patterns = {
-            lang: r"\b(?:" + "|".join(re.escape(w) for w in STOPWORDS[lang]) + r")\b"
-            for lang in self.latin_langs}
+        self.patterns = {lang: word_pattern(STOPWORDS[lang])
+                         for lang in self.latin_langs}
         # word → list of langs claiming it (tag_one reference path)
         self.claims: dict[str, list[str]] = {}
         for lang in self.latin_langs:
@@ -269,13 +270,15 @@ class LangTagger:
         import numpy as np
         import pyarrow.compute as _pc
 
+        from webval.textstats import token_padded
+
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         n = len(col)
-        lower = _pc.utf8_lower(col)
+        padded = token_padded(col)  # unicode-safe token boundaries for RE2
         votes = np.zeros((n, len(self.latin_langs)), dtype=np.int64)
         for j, lang in enumerate(self.latin_langs):
-            c = _pc.count_substring_regex(lower, self.patterns[lang])
+            c = _pc.count_substring_regex(padded, self.patterns[lang])
             votes[:, j] = _pc.fill_null(c, 0).to_numpy(zero_copy_only=False)
         # langs sorted → numpy argmax returns the first (alphabetically
         # smallest) maximal index, matching tag_one's tie-break

@@ -24,6 +24,30 @@ from webval.extract import LangTagger  # noqa: F401  (re-export, C2)
 _BPEISH = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
 
+def token_padded(col, *, lower: bool = True):
+    """Unicode-safe word-boundary normalization for RE2 counting.
+
+    RE2's \\b is ASCII-only, so e.g. "es" would match inside "données"
+    (é is a non-word byte).  Replace every non-letter run with TWO spaces and
+    pad the ends; then pattern ``" (?:w1|w2) "`` counts exact word tokens —
+    the consumed trailing space never steals the next token's leading one.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pc.utf8_lower(col) if lower else col
+    s = pc.replace_substring_regex(s, r"\P{L}+", "  ")
+    t = pa.large_string() if pa.types.is_large_string(s.type) else pa.string()
+    pad = pa.scalar(" ", type=t)
+    return pc.binary_join_element_wise(pad, s, pad, pa.scalar("", type=t))
+
+
+def word_pattern(words) -> str:
+    """Companion to token_padded: match any of ``words`` as a whole token."""
+    import re as _re
+
+    return " (?:" + "|".join(_re.escape(w) for w in words) + ") "
+
+
 def add_token_counts(ds, text_col: str = "text", *, batch_size: int | None = 4096):
     """Append ``ws_tokens`` (whitespace split count) and ``bpeish_tokens``
     (BPE-ish regex piece count) — both via pyarrow.compute kernels, no Python
@@ -44,8 +68,13 @@ class QualityScorer:
     """Actor-pool stage: heuristic document quality features + score.
 
     Features (public C4/Gopher-style heuristics): length, mean word length,
-    alpha ratio, punctuation ratio, stopword ratio, digit ratio.  Score is a
-    fixed deterministic combination in [0, 1].
+    alpha ratio, punctuation ratio, stopword ratio.  Score is a fixed
+    deterministic combination in [0, 1].
+
+    ``__call__`` is fully vectorized (RE2 count kernels — no per-row
+    Python); ``score_one`` is the row-wise reference implementation (its
+    token-set stopword ratio can differ marginally from the vectorized
+    occurrence count around apostrophes; the vectorized path is canonical).
     """
 
     def __init__(self, text_col: str = "text"):
@@ -54,6 +83,7 @@ class QualityScorer:
         self.stop: set[str] = set()
         for words in STOPWORDS.values():
             self.stop.update(words)
+        self.stop_pattern = word_pattern(sorted(self.stop))
 
     def score_one(self, text: str | None) -> dict | None:
         if text is None:
@@ -77,14 +107,49 @@ class QualityScorer:
                 "punct_ratio": punct, "stopword_ratio": stopr,
                 "quality": round(q, 6)}
 
+    def _score_column(self, col):
+        """Vectorized feature computation — one RE2 count kernel each."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.float64)
+
+        def cnt(pat, src=None):
+            c = pc.count_substring_regex(src if src is not None else col, pat)
+            return pc.fill_null(c, 0).to_numpy(zero_copy_only=False).astype(np.float64)
+
+        # RE2 unicode classes (\p{L}, \p{N}) — ASCII \w would miss accented
+        # letters that Python's isalpha/re.UNICODE reference path counts
+        alpha_chars = cnt(r"\p{L}")
+        punct_chars = cnt(r"[^\p{L}\p{N}\s]")
+        word_cnt = cnt(r"\p{L}+")
+        stop_cnt = cnt(self.stop_pattern, token_padded(col))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_wl = np.where(word_cnt > 0, alpha_chars / word_cnt, 0.0)
+            alpha = np.where(n > 0, alpha_chars / n, 0.0)
+            punct = np.where(n > 0, punct_chars / n, 0.0)
+            stopr = np.where(word_cnt > 0, stop_cnt / word_cnt, 0.0)
+        q = (0.4 * alpha
+             + 0.3 * np.minimum(stopr / 0.4, 1.0)
+             + 0.2 * (1.0 - np.minimum(np.abs(mean_wl - 5.0) / 5.0, 1.0))
+             + 0.1 * (1.0 - np.minimum(punct / 0.3, 1.0)))
+        q = np.where(n > 0, np.round(q, 6), 0.0)
+        return n, mean_wl, alpha, punct, stopr, q
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self.score_one(t) for t in batch.column(self.text_col).to_pylist()]
+        col = batch.column(self.text_col)
+        n, mean_wl, alpha, punct, stopr, q = self._score_column(col)
+        null = pc.is_null(col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                          else col)
         typ = pa.struct([("n_chars", pa.int64()), ("mean_word_len", pa.float64()),
                          ("alpha_ratio", pa.float64()), ("punct_ratio", pa.float64()),
                          ("stopword_ratio", pa.float64()), ("quality", pa.float64())])
-        batch = batch.append_column("quality_features", pa.array(feats, type=typ))
-        qual = pa.array([None if f is None else f["quality"] for f in feats],
-                        type=pa.float64())
+        null_np = np.asarray(null, dtype=bool)
+        feats = pa.StructArray.from_arrays(
+            [pa.array(n.astype(np.int64)), pa.array(mean_wl), pa.array(alpha),
+             pa.array(punct), pa.array(stopr), pa.array(q)],
+            fields=list(typ), mask=pa.array(null_np))
+        qual = pc.if_else(null, pa.scalar(None, pa.float64()), pa.array(q))
+        batch = batch.append_column("quality_features", feats)
         return batch.append_column("quality", qual)
 
 
