@@ -164,7 +164,6 @@ def run_ops(sf_dir: str, ncpu: int, pages_dir: str) -> dict[str, float]:
         # per unit with manifest lines, then uniqueness + referential writes
         import shutil
 
-        from webval.checks import make_verdict_fn  # noqa: F401 (doc pointer)
         from webval.manifest import full_check_run
 
         out_dir = os.path.join(BENCH_PAGES_ROOT, "full_check_out")

@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from webval.schema import QUANTILE_POINTS, ColumnProfile, SchemaSpec
+from webval.schema import ColumnProfile, SchemaSpec
 from webval.sketches import (
     CategoricalFreq,
     HyperLogLog,

@@ -163,8 +163,6 @@ def _pairs_from_buckets(bucket_ds, id_col: str, max_bucket: int = 256):
     from webval.exchange import bucketed_group_apply
 
     def pairs(g: pa.Table) -> pa.Table:
-        import pandas as pd
-
         df = g.to_pandas()
         lo, hi = [], []
         for _, grp in df.groupby(["band_id", "band_hash"], sort=False):

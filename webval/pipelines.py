@@ -21,7 +21,6 @@ from webval.aggregates import (
     histogram_edges_from_profile,
     infer_kinds,
     profile_dataset,
-    tree_reduce_accumulators,
 )
 from webval.checks import check_dataset, violations_of
 from webval.drift import chi2_test, freq_vectors, js_divergence

@@ -15,13 +15,7 @@ import json
 from dataclasses import dataclass, field
 from typing import Any
 
-from webval.sketches import (
-    CategoricalFreq,
-    HyperLogLog,
-    Moments,
-    NumericHistogram,
-    TDigest,
-)
+from webval.sketches import CategoricalFreq, Moments, TDigest
 
 QUANTILE_POINTS = [i / 100.0 for i in range(101)]  # rdv percentiles[0..100]
 
