@@ -134,23 +134,66 @@ class MinHasher:
         return minhash_signature(
             np.unique(rolling_hashes(text, self.window)), self.a, self.b)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids_out, band_ids, band_hashes = [], [], []
-        ids = batch.column(self.id_col).to_pylist()
-        for doc_id, text in zip(ids, batch.column(self.text_col).to_pylist()):
-            if text is None or len(text) < self.window:
+    # shingle×perm elements per product chunk: ~1MB keeps the permutation
+    # product in L2 (measured: 8M-element chunks are 4x slower — memory-bound)
+    _CHUNK_ELEMS = 131_072
+
+    def _signatures_batch(self, texts: list) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized signatures for a whole batch: concatenate every doc's
+        shingle set, one (shingles × k) permutation product per memory-bounded
+        chunk, then segmented min (np.minimum.reduceat) by doc offsets."""
+        sh_per_doc = []
+        keep = []
+        for i, t in enumerate(texts):
+            if t is None or len(t) < self.window:
                 continue
-            sig = self.signature(text)
-            bh = hash64(sig.reshape(self.bands, self.r).sum(axis=1)
-                        + np.arange(self.bands, dtype=np.uint64))
-            for b_i in range(self.bands):
-                ids_out.append(doc_id)
-                band_ids.append(b_i)
-                band_hashes.append(np.int64(bh[b_i].astype(np.int64)))
+            sh = np.unique(rolling_hashes(t, self.window))
+            if len(sh) == 0:
+                continue
+            keep.append(i)
+            sh_per_doc.append(sh)
+        if not keep:
+            return np.empty(0, dtype=np.int64), np.empty((0, 0), dtype=np.uint64)
+        k = len(self.a)
+        sigs = np.empty((len(keep), k), dtype=np.uint64)
+        counts = np.array([len(s) for s in sh_per_doc])
+        # chunk docs so n_shingles*k stays bounded
+        start = 0
+        while start < len(keep):
+            end = start
+            tot = 0
+            while end < len(keep) and (tot == 0 or
+                                       (tot + counts[end]) * k <= self._CHUNK_ELEMS):
+                tot += counts[end]
+                end += 1
+            h = np.concatenate(sh_per_doc[start:end]).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                prod = h[:, None] * self.a[None, :] + self.b[None, :]
+                prod = (prod & _MERSENNE) + (prod >> np.uint64(61))
+                prod = np.where(prod >= _MERSENNE, prod - _MERSENNE, prod)
+            offsets = np.concatenate([[0], np.cumsum(counts[start:end])[:-1]])
+            sigs[start:end] = np.minimum.reduceat(prod, offsets, axis=0)
+            start = end
+        return np.asarray(keep, dtype=np.int64), sigs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        keep, sigs = self._signatures_batch(batch.column(self.text_col).to_pylist())
+        n = len(keep)
+        if n == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "band_id": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.int64())})
+        with np.errstate(over="ignore"):
+            band_sums = (sigs.reshape(n, self.bands, self.r).sum(axis=2)
+                         + np.arange(self.bands, dtype=np.uint64)[None, :])
+        bh = hash64(band_sums.ravel()).astype(np.int64)
+        out_ids = np.repeat(ids[keep].astype(np.int64), self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
         return pa.table({
-            self.id_col: pa.array(ids_out, type=batch.column(self.id_col).type),
-            "band_id": pa.array(band_ids, type=pa.int32()),
-            "band_hash": pa.array(band_hashes, type=pa.int64()),
+            self.id_col: pa.array(out_ids, type=pa.int64()),
+            "band_id": pa.array(out_band, type=pa.int32()),
+            "band_hash": pa.array(bh, type=pa.int64()),
         })
 
 
