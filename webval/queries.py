@@ -43,11 +43,11 @@ def ensure_synth(sf_dir: str) -> tuple[str, str]:
     links = os.path.join(out, "links.parquet")
     os.makedirs(out, exist_ok=True)
     if not os.path.exists(pages):
-        tmp = pages + ".tmp"
+        tmp = f"{pages}.tmp.{os.getpid()}"  # unique per writer; replace atomic
         pq.write_table(gen_webpages_table(np.arange(n)), tmp)
         os.replace(tmp, pages)
     if not os.path.exists(links):
-        tmp = links + ".tmp"
+        tmp = f"{links}.tmp.{os.getpid()}"
         pq.write_table(gen_links_table(np.arange(n // 4), n), tmp)
         os.replace(tmp, links)
     return pages, links
