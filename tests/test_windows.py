@@ -1,0 +1,48 @@
+"""Windowed aggregates: tumbling vs pandas truth; sliding window membership."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from webval.windows import sliding_window_agg, tumbling_window_agg
+
+US = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def events(ray_session):
+    rng = np.random.default_rng(21)
+    n = 5000
+    ts = (np.datetime64("2025-01-01", "us")
+          + (rng.integers(0, 3600 * 6, n) * US).astype("timedelta64[us]"))
+    df = pd.DataFrame({"ts": ts,
+                       "k": rng.choice(["a", "b"], n),
+                       "v": rng.integers(0, 100, n).astype(float)})
+    import ray.data as rd
+    return df, rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+
+
+def test_tumbling_matches_pandas(events):
+    df, ds = events
+    out = tumbling_window_agg(ds, "ts", [("v", "count"), ("v", "sum")],
+                              size="hour", key_cols=["k"]).to_pandas()
+    truth = (df.assign(window_start=df.ts.dt.floor("h"))
+               .groupby(["k", "window_start"])["v"].agg(["count", "sum"]))
+    assert len(out) == len(truth)
+    got = out.set_index(["k", "window_start"]).sort_index()
+    for (k, w), row in truth.iterrows():
+        assert got.loc[(k, w), "v_count"] == row["count"]
+        assert got.loc[(k, w), "v_sum"] == pytest.approx(row["sum"])
+
+
+def test_sliding_windows_cover_rows(events):
+    df, ds = events
+    size, step = 3600 * US, 1800 * US
+    out = sliding_window_agg(ds, "ts", [("v", "count")], size_us=size,
+                             step_us=step).to_pandas()
+    # every row is in exactly size/step = 2 windows
+    assert out["v_count"].sum() == 2 * len(df)
+    # window starts align to the step grid
+    starts = pd.to_datetime(out["window_start"])
+    assert ((starts.astype("int64") // 1000) % (step // 1000) == 0).all()

@@ -54,9 +54,14 @@ def ensure_synth(sf_dir: str) -> tuple[str, str]:
 
 
 def _round_cols(t: pa.Table, cols: dict[str, int]) -> pa.Table:
+    """Decimal-correct rounding: pc.round computes x*10^n/10^n in binary and
+    can land on the OTHER double neighbor than DuckDB's decimal round (e.g.
+    60.879999999999995 vs 60.88) — format-then-parse matches SQL exactly."""
     for c, nd in cols.items():
         i = t.column_names.index(c)
-        t = t.set_column(i, c, pc.round(t.column(c), ndigits=nd))
+        vals = [None if v is None else float(f"{v:.{nd}f}")
+                for v in t.column(c).to_pylist()]
+        t = t.set_column(i, c, pa.array(vals, type=pa.float64()))
     return t
 
 
@@ -742,6 +747,34 @@ SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
 """
 
 
+def q_windowed_agg(sf_dir: str):
+    """Tumbling-window aggregate per (event_type, hour) via the exchange
+    (batch window semantics — assignment is pure row arithmetic)."""
+    import ray.data as rd
+
+    from webval.windows import tumbling_window_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    out = tumbling_window_agg(ds, "ts", [("value", "count"), ("value", "sum")],
+                              size="hour", key_cols=["event_type"])
+    out = out.map_batches(
+        lambda t: pa.table({
+            "event_type": t.column("event_type"),
+            "window_start": t.column("window_start"),
+            "n": pc.cast(t.column("value_count"), pa.int64()),
+            "sum_value": t.column("value_sum"),
+        }), batch_format="pyarrow")
+    return _round_cols(ds_to_table(out), {"sum_value": 4})
+
+
+SQL_WINDOWED_AGG = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(value) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_grouped_quantiles(sf_dir: str):
     """E8 + E4/E5: mergeable sketches inside ds.groupby().aggregate() via
     the AggregateFnV2 wrappers (per-lang p50 length + distinct docs)."""
@@ -807,4 +840,5 @@ QUERIES = {
     "sampled_profile": (q_sampled_profile, None),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "union_shards": (q_union_shards, SQL_UNION_SHARDS),
+    "windowed_agg": (q_windowed_agg, SQL_WINDOWED_AGG),
 }

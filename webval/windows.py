@@ -1,0 +1,80 @@
+"""Windowed aggregates over timestamped tables (SURVEY.md §2-I note).
+
+The reference is strictly batch — no event-time semantics — but
+training-data pipelines routinely bucket logs by time.  These are BATCH
+window aggregates: assign each row to window(s) with ``floor_temporal``
+arithmetic in a map stage, then aggregate with the high-cardinality exchange
+(a (key, window) pair easily reaches millions of groups).  No watermarks, no
+late data: window membership is pure row arithmetic, so the operator is
+deterministic and shuffle volume is one partial row per (batch, key, window).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from webval.exchange import grouped_agg
+
+_UNITS_US = {"second": 1_000_000, "minute": 60_000_000, "hour": 3_600_000_000,
+             "day": 86_400_000_000}
+
+
+def _window_start(ts_col, size_us: int, offset_us: int = 0) -> pa.Array:
+    """Window start timestamps via integer arithmetic (any size, not just
+    the calendar units floor_temporal supports)."""
+    t = pc.cast(ts_col, pa.int64())
+    shifted = pc.subtract(t, offset_us)
+    start = pc.add(pc.multiply(pc.floor(pc.divide(
+        pc.cast(shifted, pa.float64()), float(size_us))), float(size_us)),
+        float(offset_us))
+    return pc.cast(pc.cast(start, pa.int64()), pa.timestamp("us"))
+
+
+def tumbling_window_agg(ds, ts_col: str, aggs, *, size: str = "hour",
+                        size_us: int | None = None,
+                        key_cols: list[str] | None = None,
+                        num_buckets: int = 64):
+    """Tumbling-window aggregate: one window per row.
+
+    ``aggs``: pyarrow group_by aggregations [(col, "sum"|"min"|"max"|"count")].
+    ``size`` is a calendar unit name or pass ``size_us`` for arbitrary sizes.
+    Output columns: key_cols + window_start + "<col>_<agg>".
+    """
+    su = size_us or _UNITS_US[size]
+    keys = list(key_cols or [])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        w = _window_start(batch.column(ts_col), su)
+        return batch.append_column("window_start", w).drop_columns([ts_col])
+
+    windowed = ds.map_batches(assign, batch_format="pyarrow")
+    return grouped_agg(windowed, keys + ["window_start"], list(aggs),
+                       num_buckets=num_buckets)
+
+
+def sliding_window_agg(ds, ts_col: str, aggs, *, size_us: int, step_us: int,
+                       key_cols: list[str] | None = None,
+                       num_buckets: int = 64):
+    """Sliding windows: each row lands in ``size_us / step_us`` windows
+    (flat-map style row replication in the assign stage — shuffle volume
+    scales with the overlap factor; keep size/step small multiples).
+    """
+    assert size_us % step_us == 0, "size must be a multiple of step"
+    reps = size_us // step_us
+    keys = list(key_cols or [])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        out = []
+        for r in range(reps):
+            w = _window_start(batch.column(ts_col), size_us,
+                              offset_us=r * step_us)
+            out.append(batch.append_column("window_start", w)
+                            .drop_columns([ts_col]))
+        return pa.concat_tables(out)
+
+    windowed = ds.map_batches(assign, batch_format="pyarrow")
+    return grouped_agg(windowed, keys + ["window_start"], list(aggs),
+                       num_buckets=num_buckets)
