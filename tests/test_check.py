@@ -112,3 +112,18 @@ def test_verdict_columns_schema():
     v = check_dataset(ds, s, keep_cols=["url"])
     sch = v.schema()
     assert sch.names == ["url", "pass", "failed_checks"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_referential_bloom_mode():
+    """Bloom prefilter: every emitted row is a TRUE orphan; ≥97% of planted
+    orphans found (1% nominal fp on matched keys)."""
+    import ray.data as rd
+
+    n_links = 2000
+    pages = rd.from_arrow(gen_webpages_table(np.arange(N))).repartition(4)
+    links = rd.from_arrow(gen_links_table(np.arange(n_links), N)).repartition(4)
+    rows = referential_orphans(links, pages, "dst_url", "url",
+                               mode="bloom").take_all()
+    assert all("orphan-" in r["dst_url"] for r in rows)  # no false orphans
+    assert len(rows) >= 0.97 * expected_orphans(n_links)

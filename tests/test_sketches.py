@@ -208,3 +208,22 @@ def test_histogram_merge_and_overflow():
     assert whole.counts.sum() + whole.underflow + whole.overflow == len(v)
     p = whole.probs()
     assert p.sum() == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# BloomFilter
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_low_fp():
+    from webval.sketches import BloomFilter
+    rng = np.random.default_rng(19)
+    members = np.array([f"https://m{i}.com/{i}" for i in range(20_000)], dtype=object)
+    others = np.array([f"https://x{i}.net/{i}" for i in range(20_000)], dtype=object)
+    bf = BloomFilter(20_000, fp_rate=0.01).add(members)
+    assert bf.contains(members).all()  # zero false negatives, guaranteed
+    fp = bf.contains(others).mean()
+    assert fp < 0.03, fp
+    # merge = OR
+    bf2 = BloomFilter(20_000, fp_rate=0.01).add(others[:100])
+    bf.merge(bf2)
+    assert bf.contains(others[:100]).all()

@@ -350,6 +350,65 @@ class HyperLogLog:
 
 
 # ---------------------------------------------------------------------------
+# Bloom filter (broadcastable membership prefilter)
+# ---------------------------------------------------------------------------
+
+
+class BloomFilter:
+    """Standard Bloom filter over 64-bit hashes; k index derivations via
+    double hashing (Kirsch-Mitzenmacher: h1 + i*h2).  ~1.2 bytes/key at 1%
+    false-positive rate — broadcastable where a raw key set is not (D1 at
+    10^9+ parent keys).  False positives mean a member-test can wrongly say
+    "present"; for anti-join semantics that MISSES orphans, so callers must
+    treat bloom mode as an approximate prefilter (documented in
+    pipelines.referential_orphans).  Merge = bitwise OR (same params).
+    """
+
+    __slots__ = ("n_bits", "k", "bits")
+
+    def __init__(self, capacity: int, fp_rate: float = 0.01):
+        n_bits = max(64, int(-capacity * math.log(fp_rate) / (math.log(2) ** 2)))
+        self.n_bits = ((n_bits + 63) // 64) * 64
+        self.k = max(1, round(self.n_bits / max(1, capacity) * math.log(2)))
+        self.bits = np.zeros(self.n_bits // 64, dtype=np.uint64)
+
+    def _indices(self, h: np.ndarray) -> np.ndarray:
+        h = np.asarray(h, dtype=np.uint64)
+        h1 = h
+        h2 = (h >> np.uint64(32)) | (h << np.uint64(32))
+        with np.errstate(over="ignore"):
+            idx = (h1[:, None] + np.arange(self.k, dtype=np.uint64)[None, :] * h2[:, None])
+        return (idx % np.uint64(self.n_bits)).astype(np.int64)
+
+    def add_hashes(self, h: np.ndarray) -> "BloomFilter":
+        if not len(h):
+            return self
+        idx = self._indices(h).ravel()
+        np.bitwise_or.at(self.bits, idx >> 6,
+                         np.uint64(1) << (idx & 63).astype(np.uint64))
+        return self
+
+    def add(self, values) -> "BloomFilter":
+        return self.add_hashes(hash64(values))
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        if not len(h):
+            return np.zeros(0, dtype=bool)
+        idx = self._indices(h)
+        word = self.bits[idx >> 6]
+        bit = (word >> (idx & 63).astype(np.uint64)) & np.uint64(1)
+        return bit.all(axis=1)
+
+    def contains(self, values) -> np.ndarray:
+        return self.contains_hashes(hash64(values))
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.n_bits == other.n_bits and self.k == other.k
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+
+# ---------------------------------------------------------------------------
 # Categorical frequency histogram with top-K overflow guard
 # ---------------------------------------------------------------------------
 
