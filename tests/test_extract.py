@@ -45,6 +45,31 @@ def test_fast_path_equivalent_to_parser():
         b"",
         None,
         b"<body><p>plain</p><noscript>no</noscript></body>",
+        # ADVICE r1: stray '<' — regex strip would swallow "< 2" without the
+        # tag-count gate clause
+        b"<p>1 < 2</p>",
+        b"a < b and c > d",
+        b"trailing <",
+        b"<p>unterminated <b attr",
+        b"<a<b>weird</a>",
+        # ADVICE r1: nested same-tag containers — balanced counts but the
+        # non-greedy strip leaves inner trailing content
+        b"<template>a<template>b</template>c</template>",
+        b"<head>x<head>y</head>z</head><p>t</p>",
+        b"<noscript>a<noscript>b</noscript>c</noscript><p>k</p>",
+        b"<script>a</script><template>x<script>y</script></template><p>q</p>",
+        # entity fast path: decodable set, unknown refs, double-encoding
+        b"<p>x &amp; y &lt;tag&gt; &quot;q&quot; it&#39;s</p>",
+        b"<p>&amp;lt; stays literal</p>",
+        b"<p>&amp;amp;</p>",
+        b"<p>&nbsp;unknown</p>",
+        b"<p>&#x27;hex ref</p>",
+        b"<p>bare & ampersand</p>",
+        b"<p>&lt;script&gt;alert(1)&lt;/script&gt;</p>",
+        b"<title>A &amp; B</title><p>t</p>",
+        b"<head><title>A &lt;B&gt;</title></head><p>c &amp; d</p>",
+        b"&&amp;",
+        b"<!DOCTYPE html><p>doc</p>",
     ]
     synth = gen_webpages_table(np.arange(500)).column("html").to_pylist()
     payloads = adversarial + synth
@@ -54,6 +79,32 @@ def test_fast_path_equivalent_to_parser():
     want = [extract_text(b) for b in payloads]
     for i, (g, w) in enumerate(zip(got, want)):
         assert g == w, (i, payloads[i], g, w)
+
+
+def test_fast_path_fuzz_equivalent_to_parser():
+    """Random compositions of markup fragments: stage output (fast path +
+    parser fallback) must equal the parser on every row."""
+    import random
+
+    rng = random.Random(1234)
+    frags = [
+        "<p>", "</p>", "<b>", "</b>", "<head>", "</head>", "<title>",
+        "</title>", "<script>", "</script>", "<style>", "</style>",
+        "<template>", "</template>", "<noscript>", "</noscript>",
+        "<!-- c -->", "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;",
+        "&", "<", ">", "txt", "a b", " ", "1 < 2", "x>y", "<a href=\"u\">",
+        "<br/>", "<!DOCTYPE html>", "é", "日本",
+        "<a href=\"x>y\">", "<p class='c1'>", "<a href=\"a<b\">",
+        "<a href=\"unterminated>", "it's", "say \"hi\"",
+        "<img src='u' alt=\"a&amp;b\">", "<p data-x=\"1\" data-y='2'>",
+    ]
+    payloads = ["".join(rng.choice(frags) for _ in range(rng.randint(1, 12)))
+                .encode() for _ in range(400)]
+    ext = HtmlTextExtractor()
+    t = pa.table({"html": pa.array(payloads, type=pa.large_binary())})
+    got = ext(t).column("text").to_pylist()
+    for i, (g, b) in enumerate(zip(got, payloads)):
+        assert g == extract_text(b), (i, b, g, extract_text(b))
 
 
 def test_synth_text_is_extraction_ground_truth():

@@ -81,21 +81,52 @@ def extract_text(html_bytes: bytes | None) -> str | None:
 
 
 _CONTAINER_TAGS = ("head", "script", "style", "noscript", "template")
-_STRIP_PATTERNS = ([rf"(?is)<{t}\b[^>]*>.*?</{t}\s*>" for t in _CONTAINER_TAGS]
-                   + [r"<[^>]*>"])
+# quote-aware tag interior: a '>' inside a quoted attribute value does not
+# terminate the tag (matches html.parser's attribute scanning); an unmatched
+# quote means no match → the '<'-count gate clause sends the row to the parser
+_TAG_INNER = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
+_TAG_RE = rf"<{_TAG_INNER}>"
+_STRIP_PATTERNS = ([rf"(?is)<{t}\b{_TAG_INNER}>.*?</{t}\s*>"
+                    for t in _CONTAINER_TAGS] + [_TAG_RE])
+
+
+# entities the fast path decodes itself; anything else (&#x27;, &nbsp;, a
+# bare &) falls to the parser.  Decode AFTER tag stripping — html.parser
+# never re-parses decoded '<'/'>' as markup — and &amp; LAST so "&amp;lt;"
+# yields the literal "&lt;" exactly like convert_charrefs' single pass.
+_FAST_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&#39;", "'"), ("&amp;", "&"))
 
 
 def _fast_extract_gated(s: pa.Array):
     """Vectorized extraction (RE2 kernels only) + equivalence gate.
 
     Returns (texts, ok_mask): ok rows are PROVABLY equivalent to
-    extract_text (html.parser).  Conservative gate — entities/comments/
-    CDATA, quoted attributes, unbalanced container tags, multiple titles,
-    or a title outside <head> push the row to the slow path."""
+    extract_text (html.parser).  Quoted attributes (including '>' inside
+    quotes) are handled vectorized; the conservative gate — unknown
+    entities, comments/CDATA, stray/unterminated '<', unmatched attribute
+    quotes, unbalanced or nested container tags, multiple titles, or a
+    title outside <head> — pushes the row to the slow path."""
     import pyarrow.compute as _pc
 
-    bad = _pc.match_substring(s, "&")
-    for lit in ("<!--", "<![", "=\"", "='"):
+    # '&' allowed only when every occurrence is one of the 5 decodable
+    # entities (counts must reconcile; each entity holds exactly one '&')
+    ent_total = None
+    for ent, _rep in _FAST_ENTITIES:
+        c = _pc.count_substring(s, ent)
+        ent_total = c if ent_total is None else _pc.add(ent_total, c)
+    bad = _pc.not_equal(_pc.count_substring(s, "&"), ent_total)
+    # every '<' must open a completed tag: a stray '<' ("1 < 2"), an
+    # unterminated tag at EOF, or a '<' inside a quoted attribute value
+    # makes the raw '<' count differ from the number of tags the strip will
+    # consume (conservative: also flags "<a<b>"-style malformed tags)
+    bad = _pc.or_(bad, _pc.not_equal(
+        _pc.count_substring(s, "<"),
+        _pc.count_substring_regex(s, _TAG_RE)))
+    # html.parser treats '<' as literal text unless followed by a tag-start
+    # char — but the tag strip would swallow "< b ... >" anyway; flag it
+    bad = _pc.or_(bad, _pc.match_substring_regex(s, r"<([^a-zA-Z/!?]|$)"))
+    for lit in ("<!--", "<!["):
         bad = _pc.or_(bad, _pc.match_substring(s, lit))
     for t in _CONTAINER_TAGS + ("title",):
         opens = _pc.count_substring(s, f"<{t}", ignore_case=True)
@@ -104,21 +135,29 @@ def _fast_extract_gated(s: pa.Array):
         if t == "title":
             bad = _pc.or_(bad, _pc.greater(opens, 1))
 
-    title = _pc.extract_regex(s, r"(?is)<title[^>]*>(?P<t>.*?)</title\s*>")
+    title = _pc.extract_regex(
+        s, rf"(?is)<title{_TAG_INNER}>(?P<t>.*?)</title\s*>")
     title_txt = _pc.if_else(_pc.is_valid(title),
                             _pc.struct_field(title, "t"), "")
     body = s
     for pat in _STRIP_PATTERNS[:-1]:  # container removal
         body = _pc.replace_substring_regex(body, pat, " ")
-    # a title surviving container removal sits outside <head> → the parser
-    # would emit it in document order; fall back rather than duplicate it
-    bad = _pc.or_(bad, _pc.greater(
-        _pc.count_substring(body, "<title", ignore_case=True), 0))
+    # any container/title tag surviving the non-greedy strip means nesting
+    # (<template>a<template>b</template>c</template> leaves c</template>)
+    # or a title outside <head> — the parser's depth tracking differs from
+    # the regex there, so fall back
+    for t in _CONTAINER_TAGS + ("title",):
+        leftover = _pc.add(
+            _pc.count_substring(body, f"<{t}", ignore_case=True),
+            _pc.count_substring(body, f"</{t}", ignore_case=True))
+        bad = _pc.or_(bad, _pc.greater(leftover, 0))
     body = _pc.replace_substring_regex(body, _STRIP_PATTERNS[-1], " ")
     combined = _pc.binary_join_element_wise(
         title_txt, body, pa.scalar(" ", type=pa.large_string()))
     norm = _pc.utf8_trim_whitespace(
         _pc.replace_substring_regex(combined, r"\s+", " "))
+    for ent, rep in _FAST_ENTITIES:
+        norm = _pc.replace_substring(norm, ent, rep)
     return norm, _pc.invert(bad)
 
 

@@ -18,7 +18,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-SYNTH_ROOT = "/tmp/webval_synth"
+# versioned: bump when gen_webpages_table content changes so stale /tmp
+# fixtures from an earlier round can never desync from the generator
+SYNTH_ROOT = "/tmp/webval_synth/v2"
 _SF_ROWS = {"sf0.001": 4_000, "sf0.01": 20_000, "sf0.1": 200_000}
 REAL_LANGS = ["en", "de", "fr", "es", "nl", "ru", "zh"]
 URL_RE = r"^https?://[^ ]+$"

@@ -102,6 +102,7 @@ def gen_webpages_table(indices: np.ndarray, drift_part: int | None = None,
     # row, so planted url-dups are also exact content duplicates (dedup G2 +
     # exact-dedup oracles share the same closed-form counts)
     r0s = _rand(base, 2)
+    r1s = _rand(base, 3)
     lang_idx = np.searchsorted(_LANG_CDF, _uniform(base, 1), side="right")
     lang_idx = np.minimum(lang_idx, len(_LANG_NAMES) - 1)
     urls, htmls, texts, langs = [], [], [], []
@@ -122,12 +123,36 @@ def gen_webpages_table(indices: np.ndarray, drift_part: int | None = None,
         drifted = drift_part is not None and int(part_id[k]) == drift_part
         sent = _sentence(bi, int(r0s[k]), lang, drifted)
         title = f"t{bi}"
+        # entity/markup decorations (pure f(base row)) so the fixture is
+        # entity- and attribute-dense like real crawl HTML: the encoded form
+        # goes to `html`, the parser-decoded form to the `text` ground truth.
+        # d∈{4,5} (comments / charrefs outside the fast set) deliberately
+        # land on the parser slow path so the headline bench mixes paths
+        # honestly (VERDICT r1 §wrong-8).
+        r1 = int(r1s[k])
+        d = r1 % 10
+        if d == 0:
+            extra_h, extra_t = " b &amp; w", " b & w"
+        elif d == 1:
+            extra_h, extra_t = " it&#39;s ok", " it's ok"
+        elif d == 2:
+            extra_h, extra_t = " use &lt;b&gt; tags", " use <b> tags"
+        elif d == 3:
+            extra_h, extra_t = " say &quot;hi&quot;", ' say "hi"'
+        elif d == 4:
+            extra_h, extra_t = f"<!-- crawl meta {bi} -->", ""
+        elif d == 5:
+            extra_h, extra_t = " a&#8212;b", " a—b"
+        else:
+            extra_h, extra_t = "", ""
         htmls.append(
-            f"<html><head><title>{title}</title>"
-            f"<style>p {{margin:0}}</style></head>"
-            f"<body><p>{sent}</p><script>var x={ii};</script></body></html>"
+            f'<html><head><title>{title}</title>'
+            f'<style>p {{margin:0}}</style></head>'
+            f'<body><p class="s{r1 % 7}">{sent}</p>{extra_h}'
+            f' <a href="/p/{bi}?s={r1 % 7}&amp;v=2">next</a>'
+            f'<script>var x={ii};</script></body></html>'
             .encode("utf-8"))
-        texts.append(f"{title} {sent}")
+        texts.append(f"{title} {sent}{extra_t} next")
 
     return pa.table({
         "page_id": pa.array(i, type=pa.int64()),
