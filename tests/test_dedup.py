@@ -96,6 +96,23 @@ def test_minhash_dedup_distributed_components(docs_table):
         assert by_id.get(j) == j  # cluster root labels itself
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_verify_filters_low_jaccard(docs_table):
+    """verify_pairs_distributed must REJECT candidates below the threshold:
+    at 0.99 only exact dups survive; near-dups (one word changed) are LSH
+    candidates but fail exact-Jaccard verification."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(docs_table).repartition(4)
+    clusters = minhash_dedup(ds, "doc_id", jaccard_threshold=0.99,
+                             concurrency=2, components="distributed",
+                             ).take_all()
+    by_id = {r["doc_id"]: r["cluster_id"] for r in clusters}
+    for j in range(5):
+        assert by_id.get(100 + j) == j          # exact dup: jaccard 1.0
+        assert by_id.get(200 + j, None) != j    # near dup: below 0.99
+
+
 def test_ngram_jaccard():
     a = _doc(1, 1000)
     words = a.split()
@@ -104,6 +121,55 @@ def test_ngram_jaccard():
     assert ngram_jaccard(a, a) == 1.0
     assert 0.6 < ngram_jaccard(a, b) < 1.0
     assert ngram_jaccard(a, _doc(2, 1000)) < 0.2
+
+
+def test_simhash_batch_matches_reference():
+    """_simhash_batch (vectorized reduceat) must equal simhash64 per doc."""
+    from webval.dedup import _simhash_batch, simhash64
+    from webval.textstats import rolling_hashes
+
+    rng = np.random.default_rng(9)
+    sets = [np.unique(rolling_hashes(_doc(i, 77), 8)) for i in range(30)]
+    sets.append(np.empty(0, dtype=np.uint64))
+    sets.append(np.unique(rolling_hashes("tiny bit of text", 4)))
+    # force multi-chunk path
+    import webval.dedup as dd
+    got = _simhash_batch(sets)
+    want = np.array([simhash64(s) for s in sets], dtype=np.uint64)
+    assert (got == want).all()
+    old = dd._SIMHASH_CHUNK
+    try:
+        dd._SIMHASH_CHUNK = 64  # several chunks
+        got2 = _simhash_batch(sets)
+    finally:
+        dd._SIMHASH_CHUNK = old
+    assert (got2 == want).all()
+
+
+def test_within_group_pairs_matches_bruteforce():
+    from webval.dedup import _within_group_pairs
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        n = int(rng.integers(0, 200))
+        k1 = rng.integers(0, 5, n)
+        k2 = rng.integers(0, 4, n)
+        ids = rng.integers(0, 50, n)
+        mb = int(rng.integers(2, 8))
+        pa_, pb_ = _within_group_pairs((k1, k2), ids, mb)
+        got = {(int(k1[a]), int(k2[a]), int(ids[a]), int(ids[b]))
+               for a, b in zip(pa_, pb_)}
+        # brute force with same truncation semantics (ids sorted, deduped,
+        # first max_bucket kept)
+        want = set()
+        for g1 in np.unique(k1):
+            for g2 in np.unique(k2):
+                sel = sorted({int(i) for i, a, b in zip(ids, k1, k2)
+                              if a == g1 and b == g2})[:mb]
+                for x in range(len(sel)):
+                    for y in range(x + 1, len(sel)):
+                        want.add((int(g1), int(g2), sel[x], sel[y]))
+        assert got == want, trial
 
 
 @pytest.mark.usefixtures("ray_session")

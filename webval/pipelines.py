@@ -184,31 +184,34 @@ def referential_orphans(child, parent, child_key: str, parent_key: str,
                         num_partitions: int = 32):
     """Child rows whose key has no match in the parent key set (anti-join).
 
-    - broadcast (small parent): distinct parent keys → ray.put once → every
-      map task filters with pc.is_in against the shared object (no shuffle).
+    - broadcast (small parent): distinct parent keys built DISTRIBUTED
+      (per-block pc.unique partials + fan-in merge tree,
+      broadcast.distinct_array_from_dataset) → ray.put once → every map
+      task filters with pc.is_in against the shared object (no shuffle).
     - bloom (huge parent): a Bloom filter of the parent keys (~1.2 B/key at
-      1% fp) is broadcast instead of the raw key set — APPROXIMATE: a false
-      positive marks an actual orphan as matched, so up to fp_rate of
-      orphans are missed; rows emitted are guaranteed true orphans.  The
-      scale path when even the distinct key set won't broadcast.
+      1% fp) is broadcast instead of the raw key set — built distributed
+      (per-block partial filters + tree OR-merge; the driver holds only the
+      final sketch).  APPROXIMATE: a false positive marks an actual orphan
+      as matched, so up to fp_rate of orphans are missed; rows emitted are
+      guaranteed true orphans.  The scale path when even the distinct key
+      set won't broadcast.
     - shuffle (large parent, exact): hash left-outer Dataset.join on the
       key, keep probe-null rows (ray/data/dataset.py Dataset.join).
     - auto: broadcast iff parent row count ≤ broadcast_limit, else shuffle.
+
+    Null child keys are orphans in EVERY mode (a null never matches any
+    parent key — same convention as the SQL left-join oracle).
     """
     import ray
 
     if mode == "auto":
         mode = "broadcast" if parent.count() <= broadcast_limit else "shuffle"
     if mode == "bloom":
-        from webval.sketches import BloomFilter, hash64
+        from webval.broadcast import bloom_from_dataset
+        from webval.sketches import hash64
 
         cap = max(1024, parent.count())
-        bloom = BloomFilter(cap, fp_rate=0.01)
-        for b in parent.select_columns([parent_key]).iter_batches(
-                batch_format="pyarrow", batch_size=262144):
-            vals = b.column(parent_key).drop_null()
-            if len(vals):
-                bloom.add_hashes(hash64(vals.to_numpy(zero_copy_only=False)))
+        bloom = bloom_from_dataset(parent, parent_key, cap, fp_rate=0.01)
         bloom_ref = ray.put(bloom)
 
         def drop_probable_matches(batch: pa.Table) -> pa.Table:
@@ -216,20 +219,17 @@ def referential_orphans(child, parent, child_key: str, parent_key: str,
             col = batch.column(child_key).combine_chunks()
             vals = col.to_numpy(zero_copy_only=False)
             hit = bf.contains_hashes(hash64(vals))
-            keep = ~hit & ~np.asarray(pc.is_null(col), dtype=bool)
+            isnull = np.asarray(pc.is_null(col), dtype=bool)
+            keep = ~hit | isnull  # null keys are orphans (all modes agree)
             return batch.filter(pa.array(keep))
 
         return child.map_batches(drop_probable_matches, batch_format="pyarrow",
                                  batch_size=None)
     if mode == "broadcast":
-        # distinct keys WITHOUT a shuffle: per-batch pc.unique combiner,
-        # final unique on the (small) concatenation, ray.put ONCE
-        chunks = [pc.unique(b.column(parent_key).combine_chunks())
-                  for b in parent.select_columns([parent_key])
-                  .iter_batches(batch_format="pyarrow", batch_size=65536)]
-        keys = (pc.unique(pa.concat_arrays(chunks)) if chunks
-                else pa.array([], pa.string()))
-        key_ref = ray.put(keys.drop_null())
+        from webval.broadcast import distinct_array_from_dataset
+
+        keys = distinct_array_from_dataset(parent, parent_key)
+        key_ref = ray.put(keys)
 
         def drop_matches(batch: pa.Table) -> pa.Table:
             key_arr = ray.get(key_ref)

@@ -375,7 +375,10 @@ class BloomFilter:
     def _indices(self, h: np.ndarray) -> np.ndarray:
         h = np.asarray(h, dtype=np.uint64)
         h1 = h
-        h2 = (h >> np.uint64(32)) | (h << np.uint64(32))
+        # force h2 odd (Kirsch-Mitzenmacher hardening): an even h2 sharing a
+        # factor with n_bits (always a multiple of 64) collapses the k probes
+        # onto few distinct bits, inflating fp above the configured rate
+        h2 = ((h >> np.uint64(32)) | (h << np.uint64(32))) | np.uint64(1)
         with np.errstate(over="ignore"):
             idx = (h1[:, None] + np.arange(self.k, dtype=np.uint64)[None, :] * h2[:, None])
         return (idx % np.uint64(self.n_bits)).astype(np.int64)
