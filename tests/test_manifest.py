@@ -69,6 +69,30 @@ def test_run_resume_and_recompute(setup):
     assert len(read_manifest(out_dir)) == 4
 
 
+def test_resume_recomputes_on_fragment_shift(setup):
+    """ADVICE r1: if files appear/disappear between runs, positional unit
+    ids map to different fragments — resume must recompute those units, not
+    silently skip them."""
+    import pyarrow.parquet as pq
+
+    in_dir, out_dir, schema = setup
+    res1 = run_check_with_manifest(in_dir, schema, out_dir, unit_size=2,
+                                   keep_cols=["url"])
+    assert not any(r.skipped for r in res1)
+    # add one fragment at the FRONT of sort order: every unit's fragment
+    # list shifts
+    t = gen_webpages_table(np.arange(8 * 500, 8 * 500 + 500))
+    pq.write_table(t, os.path.join(in_dir, "frag-000a.parquet"))
+    res2 = run_check_with_manifest(in_dir, schema, out_dir, unit_size=2,
+                                   keep_cols=["url"])
+    # frag-000a sorts after frag-000 → unit 0 keeps (frag-000, frag-000a)?
+    # no: sorted order is frag-000.parquet < frag-000a.parquet < frag-001 —
+    # unit 0 becomes (frag-000, frag-000a) ≠ old (frag-000, frag-001), so
+    # every unit recomputes except none match
+    assert not any(r.skipped for r in res2)
+    assert sum(r.rows for r in res2) == 4500
+
+
 def test_full_check_run(setup, tmp_path):
     import pyarrow.parquet as pq
 

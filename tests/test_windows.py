@@ -46,3 +46,25 @@ def test_sliding_windows_cover_rows(events):
     # window starts align to the step grid
     starts = pd.to_datetime(out["window_start"])
     assert ((starts.astype("int64") // 1000) % (step // 1000) == 0).all()
+
+def test_window_start_exact_near_float53_cliff():
+    """VERDICT r1: window assignment must be exact int64 — timestamps near
+    2^53 µs (where float64 spacing exceeds 1 µs) and negatives included."""
+    from webval.windows import _window_start
+
+    size = 3_600_000_000  # 1h in µs
+    base = 2 ** 53
+    vals = np.array([base - 1, base, base + 1, base + 3_599_999_999,
+                     base + 3_600_000_000, -1, -3_600_000_000,
+                     -3_600_000_001, 0, 1], dtype=np.int64)
+    col = pa.array(vals, type=pa.timestamp("us"))
+    got = _window_start(col, size).cast(pa.int64()).to_pylist()
+    want = [int(v) - (int(v) % size) for v in vals]  # python floor-mod truth
+    assert got == want
+    # with offset
+    got_o = _window_start(col, size, offset_us=7).cast(pa.int64()).to_pylist()
+    want_o = [(int(v) - 7) - ((int(v) - 7) % size) + 7 for v in vals]
+    assert got_o == want_o
+    # nulls propagate
+    coln = pa.array([None, 12345], type=pa.timestamp("us"))
+    assert _window_start(coln, size).to_pylist()[0] is None
