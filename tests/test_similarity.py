@@ -58,3 +58,38 @@ def test_lsh_topk_recall(emb):
         rows = [r["vec_id"] for r in got if r["query_id"] == j]
         recalls.append(len(set(rows) & set(exact[j])) / 10)
     assert np.mean(recalls) >= 0.5, recalls
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_index_build_and_query(emb, tmp_path):
+    """Persisted LSH index: build partitioned-by-bucket parquet, query with
+    partition pruning, recall ≥ 0.9 vs brute force (VERDICT r1 next-7)."""
+    import os
+
+    import ray.data as rd
+
+    from webval.similarity import ann_index_topk, build_ann_index
+
+    ids, m = emb
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet").repartition(5)
+    idx_dir = str(tmp_path / "ann_index")
+    meta = build_ann_index(ds, idx_dir, n_planes=6, seed=23)
+    assert os.path.exists(os.path.join(idx_dir, "meta.json"))
+    assert sum(meta["buckets"].values()) == len(ids) * meta["n_tables"]
+    # every bucket dir referenced in meta exists with parquet inside
+    some = next(iter(meta["buckets"]))
+    t, b = some.split("/")
+    assert os.path.isdir(os.path.join(idx_dir, f"tab={t}", f"bucket={b}"))
+
+    queries = m[[5, 150, 420]]
+    exact = _exact_topk(ids, m, queries, 10)
+    got = ann_index_topk(idx_dir, queries, k=10, multiprobe=2).take_all()
+    recalls = []
+    for j in range(3):
+        rows = [r["vec_id"] for r in got if r["query_id"] == j]
+        recalls.append(len(set(rows) & set(exact[j])) / 10)
+    assert np.mean(recalls) >= 0.9, recalls
+    # pruning: a 1-query probe at multiprobe=0 touches exactly one bucket
+    got0 = ann_index_topk(idx_dir, m[[5]], k=5, multiprobe=0).take_all()
+    assert {r["query_id"] for r in got0} == {0}
+    assert got0[0]["vec_id"] == ids[5] or ids[5] in [r["vec_id"] for r in got0]

@@ -73,7 +73,14 @@ def main():
         if name not in sqls:
             print(f"rows-only  {name}: rows={len(got)} cols={sorted(got.columns)}")
             continue
-        want = con.execute(sqls[name]).df()
+        # synth-backed oracle SQL embeds the driver's sf0.01 fixture path;
+        # retarget it when checking another sf (ADVICE r1) — queries() has
+        # already ensured the fixture for sf_dir exists
+        from webval.queries import SYNTH_ROOT
+        sfname = os.path.basename(os.path.normpath(sf_dir))
+        sql = sqls[name].replace(f"{SYNTH_ROOT}/sf0.01",
+                                 f"{SYNTH_ROOT}/{sfname}")
+        want = con.execute(sql).df()
         ok_rows = len(got) == len(want)
         ok_cols = sorted(got.columns) == sorted(want.columns)
         ok_hash = value_hash(got) == value_hash(want) if ok_cols else False

@@ -119,11 +119,20 @@ class ColumnAccumulator:
             if len(valid):
                 self.hll.add_hashes(hash64(valid))
         elif self.kind == "categorical":
-            arr = col.to_pandas()
-            self.freq.add(arr)
-            vals = arr.dropna()
-            if len(vals):
-                self.hll.add_hashes(hash64(vals.to_numpy()))
+            # arrow-native: value_counts gives (distinct value, count) pairs
+            # directly — no pandas hop in the hot profile pass
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vc = col.value_counts()
+            vals_f, cnts_f = vc.field("values"), vc.field("counts")
+            valid = pc.is_valid(vals_f)
+            self.freq.add_counts(
+                [str(v) for v in vals_f.filter(valid).to_pylist()],
+                cnts_f.filter(valid).to_numpy(zero_copy_only=False),
+                col.null_count)
+            nn = col.drop_null()
+            if len(nn):
+                self.hll.add_hashes(hash64(nn.to_numpy(zero_copy_only=False)))
             # length stats ride along on the numeric path
             ln = pc.utf8_length(col)
             lv = ln.to_numpy(zero_copy_only=False).astype(np.float64)
@@ -136,9 +145,9 @@ class ColumnAccumulator:
             self.tdigest.add(lv)
             if self.hist is not None:
                 self.hist.add(lv)
-            vals = col.drop_null().to_pandas()
+            vals = col.drop_null()
             if len(vals):
-                self.hll.add_hashes(hash64(vals.to_numpy()))
+                self.hll.add_hashes(hash64(vals.to_numpy(zero_copy_only=False)))
         elif self.kind == "binary":
             ln = pc.binary_length(col)
             lv = ln.to_numpy(zero_copy_only=False).astype(np.float64)

@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 
 # versioned: bump when gen_webpages_table content changes so stale /tmp
 # fixtures from an earlier round can never desync from the generator
-SYNTH_ROOT = "/tmp/webval_synth/v2"
+SYNTH_ROOT = "/tmp/webval_synth/v3"
 _SF_ROWS = {"sf0.001": 4_000, "sf0.01": 20_000, "sf0.1": 200_000}
 REAL_LANGS = ["en", "de", "fr", "es", "nl", "ru", "zh"]
 URL_RE = r"^https?://[^ ]+$"
@@ -777,6 +777,111 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_normalize_types(sf_dir: str):
+    """B8: type normalization with null-on-error semantics — cast the
+    fetch_ms STRING column to int64; unparseable values ("N/A") become NULL
+    and are counted as cast errors.  SQL twin uses TRY_CAST."""
+    import ray.data as rd
+
+    from webval.normalize import normalize_types
+
+    pages_p, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages_p, columns=["page_id", "fetch_ms"])
+    out = normalize_types(ds, {"fetch_ms": pa.int64()})
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+            "cast_errors": pa.array(
+                [pc.sum(t.column("__cast_errors__")).as_py() or 0], pa.int64()),
+            "fetch_ms_sum": pa.array(
+                [pc.sum(t.column("fetch_ms")).as_py() or 0], pa.int64()),
+        })
+
+    parts = ds_to_table(out.map_batches(partial, batch_format="pyarrow"))
+    return pa.table({
+        "n_rows": pa.array([pc.sum(parts.column("n_rows")).as_py()], pa.int64()),
+        "cast_errors": pa.array([pc.sum(parts.column("cast_errors")).as_py()],
+                                pa.int64()),
+        "fetch_ms_sum": pa.array([pc.sum(parts.column("fetch_ms_sum")).as_py()],
+                                 pa.int64()),
+    })
+
+
+SQL_NORMALIZE_TYPES = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN fetch_ms IS NOT NULL
+                      AND TRY_CAST(fetch_ms AS BIGINT) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS cast_errors,
+       CAST(sum(TRY_CAST(fetch_ms AS BIGINT)) AS BIGINT) AS fetch_ms_sum
+FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+""".replace("{SYNTH_ROOT}", SYNTH_ROOT)
+
+
+def q_partition_nulls(sf_dir: str):
+    """Per-partition null-count report (north_rule 'per-partition
+    pass/fail'): the partition_profiles accumulator exchange, finalized to
+    exact per-part null counts with a SQL GROUP BY twin."""
+    import pickle
+
+    import ray.data as rd
+
+    from webval.pipelines import partition_profiles
+
+    pages_p, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages_p, columns=["part_id", "text", "lang"])
+    prof = partition_profiles(ds, "part_id",
+                              {"text": "text", "lang": "categorical"})
+    parts, nrows, ntext, nlang = [], [], [], []
+    for r in prof.take_all():  # one tiny row per partition
+        accs = pickle.loads(r["acc"])
+        parts.append(r["part_id"])
+        nrows.append(accs["text"].moments.total)
+        ntext.append(accs["text"].moments.null_count)
+        nlang.append(accs["lang"].moments.null_count)
+    order = np.argsort(parts)
+    return pa.table({
+        "part_id": pa.array(np.asarray(parts)[order], pa.int64()),
+        "n_rows": pa.array(np.asarray(nrows)[order], pa.int64()),
+        "null_text": pa.array(np.asarray(ntext)[order], pa.int64()),
+        "null_lang": pa.array(np.asarray(nlang)[order], pa.int64()),
+    })
+
+
+SQL_PARTITION_NULLS = f"""
+SELECT part_id, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(text) AS BIGINT) AS null_text,
+       CAST(count(*) - count(lang) AS BIGINT) AS null_lang
+FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+GROUP BY part_id ORDER BY part_id
+""".replace("{SYNTH_ROOT}", SYNTH_ROOT)
+
+
+def q_ann_index_topk(sf_dir: str):
+    """Persisted multi-table LSH index: build partitioned-by-bucket parquet
+    under /tmp, query with partition pruning (rows-only: approximate;
+    recall vs brute force is asserted in tests/test_similarity.py)."""
+    import os
+
+    import ray.data as rd
+
+    from webval.similarity import ann_index_topk, build_ann_index
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(
+        [r["embedding"] for r in ds.filter(expr="vec_id == 3").take(1)],
+        dtype=np.float32)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/webval_ann/{name}"
+    build_ann_index(ds, idx_dir, n_planes=6, n_tables=4, seed=23)
+    out = ann_index_topk(idx_dir, q, k=10, multiprobe=2)
+    return ds_to_table(
+        out.map_batches(lambda t: t.select(["vec_id", "rank"]),
+                        batch_format="pyarrow"),
+        empty_schema=pa.schema([("vec_id", pa.int64()),
+                                ("rank", pa.int32())]))
+
+
 def q_grouped_quantiles(sf_dir: str):
     """E8 + E4/E5: mergeable sketches inside ds.groupby().aggregate() via
     the AggregateFnV2 wrappers (per-lang p50 length + distinct docs)."""
@@ -843,4 +948,7 @@ QUERIES = {
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "union_shards": (q_union_shards, SQL_UNION_SHARDS),
     "windowed_agg": (q_windowed_agg, SQL_WINDOWED_AGG),
+    "normalize_types": (q_normalize_types, SQL_NORMALIZE_TYPES),
+    "partition_nulls": (q_partition_nulls, SQL_PARTITION_NULLS),
+    "ann_index_topk": (q_ann_index_topk, None),
 }

@@ -140,3 +140,217 @@ def _popcount32(x: np.ndarray) -> np.ndarray:
     x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
     x = (x + (x >> 4)) & 0x0F0F0F0F
     return (x * 0x01010101) >> 24
+
+
+# ---------------------------------------------------------------------------
+# persisted LSH index (VERDICT r1 next-7): build once, query many times
+# touching only matching bucket partitions
+# ---------------------------------------------------------------------------
+
+
+def build_ann_index(ds, index_dir: str, *, id_col: str = "vec_id",
+                    emb_col: str = "embedding", n_planes: int = 8,
+                    n_tables: int = 4, seed: int = 23,
+                    rows_per_file: int = 1_000_000,
+                    num_buckets: int = 64) -> dict:
+    """Write a bucketed ANN index under ``index_dir``: unit vectors stored
+    once per LSH table, partitioned into ``tab=<t>/bucket=<sign-key>/``
+    parquet directories, plus a ``meta.json`` holding the projection
+    planes.  Query-time work then reads ONLY the partitions inside the
+    queries' multiprobe Hamming balls — the repeated-query scale path the
+    in-stream lsh_topk cannot offer.  ``n_tables`` independent tables trade
+    index size (n_tables× vector copies, the standard LSH tradeoff) for
+    recall.
+
+    Bucket files are written INSIDE the bucketed exchange's group tasks
+    (≤ rows_per_file rows per file), so the build is fully distributed;
+    ``index_dir`` must be on storage all workers share (true for any real
+    cluster deployment; local disk in this sandbox).  Returns the meta
+    dict (also persisted)."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from webval.exchange import bucketed_group_apply
+
+    rng = np.random.default_rng(seed)
+    first = ds.take(1)
+    dim = len(first[0][emb_col])
+    planes = rng.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir)
+    planes_ref = ray.put(planes)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return pa.table({"tab": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int32()),
+                             id_col: pa.array([], pa.int64()),
+                             "unit": pa.array([], pa.list_(pa.float32()))})
+        pl = ray.get(planes_ref)
+        ids = pc.cast(batch.column(id_col).combine_chunks(), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+        m = _normalize(_as_matrix(batch.column(emb_col)))
+        n = len(ids)
+        keys = np.empty((n_tables, n), dtype=np.int32)
+        for t in range(n_tables):
+            keys[t] = (((m @ pl[t].T) > 0) @ weights).astype(np.int32)
+        unit = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.tile(m, (n_tables, 1)).ravel(), pa.float32()),
+            m.shape[1])
+        return pa.table({
+            "tab": pa.array(np.repeat(np.arange(n_tables, dtype=np.int32), n),
+                            pa.int32()),
+            "bucket": pa.array(keys.ravel(), pa.int32()),
+            id_col: pa.array(np.tile(ids, n_tables), pa.int64()),
+            "unit": unit})
+
+    def write_group(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out_t, out_b, out_r = [], [], []
+        tabs = g.column("tab").to_numpy(zero_copy_only=False)
+        buckets = g.column("bucket").to_numpy(zero_copy_only=False)
+        combo = tabs.astype(np.int64) * (1 << 32) + buckets
+        for cb in np.unique(combo):
+            t, b = int(cb >> 32), int(cb & 0xFFFFFFFF)
+            sub = g.filter(pa.array(combo == cb))
+            d = os.path.join(index_dir, f"tab={t}", f"bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            for i in range(0, sub.num_rows, rows_per_file):
+                pq.write_table(sub.slice(i, rows_per_file),
+                               os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+            out_t.append(t)
+            out_b.append(b)
+            out_r.append(sub.num_rows)
+        return pa.table({"tab": pa.array(out_t, pa.int32()),
+                         "bucket": pa.array(out_b, pa.int32()),
+                         "rows": pa.array(out_r, pa.int64())})
+
+    manifest = bucketed_group_apply(
+        ds.select_columns([id_col, emb_col]).map_batches(
+            keyed, batch_format="pyarrow", batch_size=4096),
+        ["tab", "bucket"], write_group, num_buckets=num_buckets).take_all()
+    meta = {"n_planes": n_planes, "n_tables": n_tables, "dim": dim,
+            "seed": seed, "id_col": id_col,
+            "planes": [[[float(x) for x in row] for row in tbl]
+                       for tbl in planes],
+            "buckets": {f"{r['tab']}/{r['bucket']}": int(r["rows"])
+                        for r in manifest}}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _probe_keys(key: int, n_planes: int, max_flips: int) -> set[int]:
+    """All sign keys within Hamming distance ``max_flips`` of ``key``."""
+    from itertools import combinations
+
+    out = {int(key)}
+    for r in range(1, max_flips + 1):
+        for bits in combinations(range(n_planes), r):
+            flipped = int(key)
+            for b in bits:
+                flipped ^= 1 << b
+            out.add(flipped)
+    return out
+
+
+def ann_index_topk(index_dir: str, queries: np.ndarray, k: int = 10, *,
+                   multiprobe: int = 1, batch_size: int | None = 4096):
+    """Approximate cosine top-k against a persisted index: only the
+    ``bucket=`` partitions inside the queries' multiprobe Hamming balls are
+    read (partition pruning at the READ — the other buckets never leave
+    storage).  Returns Dataset[{query_id, vec_id, score, rank}]."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    n_planes, n_tables = meta["n_planes"], meta["n_tables"]
+    planes = np.asarray(meta["planes"], dtype=np.float32)  # (T, P, D)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    # probes[j] = set of (tab << 32 | bucket) combo keys for query j
+    probes: list[set[int]] = [set() for _ in range(len(q))]
+    wanted_dirs: set[tuple[int, int]] = set()
+    for t in range(n_tables):
+        qkeys = (((q @ planes[t].T) > 0) @ weights).astype(np.int64)
+        for j, kk in enumerate(qkeys):
+            for b in _probe_keys(int(kk), n_planes, multiprobe):
+                probes[j].add((t << 32) | b)
+                wanted_dirs.add((t, b))
+    # read_parquet wants file paths when given a list — expand each pruned
+    # tab/bucket directory to its parquet files
+    files = []
+    for t, b in sorted(wanted_dirs):
+        d = os.path.join(index_dir, f"tab={t}", f"bucket={b}")
+        if os.path.isdir(d):
+            files.extend(os.path.join(d, fn) for fn in sorted(os.listdir(d))
+                         if fn.endswith(".parquet"))
+    id_col = meta["id_col"]
+    if not files:
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int32()),
+            "vec_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float32()),
+            "rank": pa.array([], pa.int32())}))
+    ref = ray.put((q, [np.fromiter(p, dtype=np.int64) for p in probes]))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm, prb = ray.get(ref)
+        ids = np.asarray(batch.column(id_col).to_numpy(zero_copy_only=False))
+        tabs = batch.column("tab").to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+        combo = (tabs << 32) | buckets.astype(np.int64)
+        m = _as_matrix(batch.column("unit"))  # stored pre-normalized
+        out_q, out_id, out_s = [], [], []
+        for j in range(qm.shape[0]):
+            cand = np.flatnonzero(np.isin(combo, prb[j]))
+            if not len(cand):
+                continue
+            # same vec may appear via several tables — dedupe before topk
+            cids = ids[cand]
+            uniq, first = np.unique(cids, return_index=True)
+            cand = cand[first]
+            s = m[cand] @ qm[j]
+            kk = min(k, len(cand))
+            idx = np.lexsort((uniq, -s))[:kk]
+            out_q.extend([j] * len(idx))
+            out_id.extend(uniq[idx].tolist())
+            out_s.extend(s[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int32()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "score": pa.array(out_s, pa.float32())})
+
+    partials = rd.read_parquet(files).map_batches(
+        local_topk, batch_format="pyarrow", batch_size=batch_size)
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g.column("vec_id").to_pylist())
+        s = np.asarray(g.column("score").to_pylist())
+        # dedupe across partials (several blocks may hold the same vec via
+        # different tables), keep best score per vec
+        order = np.lexsort((ids, -s))
+        ids_o, s_o = ids[order], s[order]
+        _, first = np.unique(ids_o, return_index=True)
+        sel = np.sort(first)
+        ids_o, s_o = ids_o[sel], s_o[sel]
+        idx = np.lexsort((ids_o, -s_o))[:k]
+        return pa.table({"query_id": g.column("query_id").slice(0, 1).take([0] * len(idx)),
+                         "vec_id": pa.array(ids_o[idx], pa.int64()),
+                         "score": pa.array(s_o[idx], pa.float32()),
+                         "rank": pa.array(np.arange(len(idx)), pa.int32())})
+
+    return partials.groupby("query_id").map_groups(final_topk,
+                                                   batch_format="pyarrow")

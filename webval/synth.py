@@ -103,8 +103,13 @@ def gen_webpages_table(indices: np.ndarray, drift_part: int | None = None,
     # exact-dedup oracles share the same closed-form counts)
     r0s = _rand(base, 2)
     r1s = _rand(base, 3)
+    r2s = _rand(i, 4)  # per-crawl (not per-base): fetch timing differs on re-crawl
     lang_idx = np.searchsorted(_LANG_CDF, _uniform(base, 1), side="right")
     lang_idx = np.minimum(lang_idx, len(_LANG_NAMES) - 1)
+    # fetch_ms: numeric STRING with planted unparseable values (i % 250 == 13
+    # → "N/A"), exercising B8 normalize_types' cast-error counting
+    fetch_ms = ["N/A" if int(ii) % 250 == 13 else str(200 + int(r) % 1800)
+                for ii, r in zip(i, r2s)]
     urls, htmls, texts, langs = [], [], [], []
     for k in range(n):
         ii = int(i[k])
@@ -162,6 +167,7 @@ def gen_webpages_table(indices: np.ndarray, drift_part: int | None = None,
         "html": pa.array(htmls, type=pa.large_binary()),
         "text": pa.array(texts, type=pa.large_string()),
         "lang": pa.array(langs, type=pa.string()),
+        "fetch_ms": pa.array(fetch_ms, type=pa.string()),
         "part_id": pa.array(part_id, type=pa.int64()),
     })
 
@@ -201,6 +207,7 @@ def expected_counts(n: int) -> dict[str, int]:
         "null_text": len(range(50, n, 100)),
         "null_lang": len(range(123, n, 500)),
         "bad_url": sum(len(range(s, n, 1000)) for s in (333, 334, 335)),
+        "bad_fetch": len(range(13, n, 250)),
     }
 
 
