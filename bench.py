@@ -29,9 +29,12 @@ import os
 import sys
 import time
 
-BENCH_PAGES_ROOT = "/tmp/webval_bench"
+# v3: versioned with the synth fixture content (entity/attribute-rich html,
+# fetch_ms column) so stale caches from earlier rounds never get measured
+BENCH_PAGES_ROOT = "/tmp/webval_bench/v3"
 DEFAULT_HEADLINE_ROWS = 16_000_000
 DEFAULT_OPS_ROWS = 400_000
+MINHASH_ROWS = 1_000_000
 
 
 def ensure_bench_pages(n_rows: int) -> str:
@@ -182,6 +185,43 @@ def run_ops(sf_dir: str, ncpu: int, pages_dir: str) -> dict[str, float]:
     with timed("fingerprint_tokens"):
         ds = rd.read_parquet(pages_dir, columns=["page_id", "text"])
         add_token_counts(add_fingerprints(ds)).map_batches(
+            lambda t: pa.table({"n": [t.num_rows]}),
+            batch_format="pyarrow").sum("n")
+
+    with timed("model_score_actor_pool"):
+        # the model-backed stateful-stage shape: weights loaded from file
+        # once per actor, scored per batch (VERDICT r1 next-10)
+        from webval.multimodal import (
+            LinearMediaScorer,
+            MediaFeatureExtractor,
+            write_linear_scorer_weights,
+        )
+        wpath = os.path.join(BENCH_PAGES_ROOT, "scorer_weights.npz")
+        if not os.path.exists(wpath):
+            write_linear_scorer_weights(wpath)
+        ds = rd.read_parquet(pages_dir, columns=["page_id", "html"])
+        (ds.map_batches(lambda t: t.filter(pc.is_valid(t.column("html"))),
+                        batch_format="pyarrow")
+           .map_batches(MediaFeatureExtractor, batch_format="pyarrow",
+                        batch_size=4096, concurrency=(4, max(4, ncpu // 2)),
+                        num_cpus=1, max_concurrency=2,
+                        fn_constructor_kwargs={"media_col": "html"})
+           .map_batches(LinearMediaScorer, batch_format="pyarrow",
+                        batch_size=4096, concurrency=(2, max(2, ncpu // 4)),
+                        num_cpus=1, max_concurrency=2,
+                        fn_constructor_kwargs={"weights_path": wpath})
+           .map_batches(lambda t: pa.table({"n": [t.num_rows]}),
+                        batch_format="pyarrow").sum("n"))
+
+    with timed("minhash_dedup_1m"):
+        # fully distributed near-dedup at >=1M docs (VERDICT r1 next-1):
+        # LSH candidates -> distributed Jaccard verify -> label propagation
+        from webval.dedup import minhash_dedup
+
+        mh_pages = ensure_bench_pages(MINHASH_ROWS)
+        ds = rd.read_parquet(mh_pages, columns=["page_id", "text"])
+        minhash_dedup(ds, "page_id", concurrency=(4, max(4, ncpu - 2)),
+                      components="distributed").map_batches(
             lambda t: pa.table({"n": [t.num_rows]}),
             batch_format="pyarrow").sum("n")
 

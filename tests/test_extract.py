@@ -58,6 +58,17 @@ def test_fast_path_equivalent_to_parser():
         b"<head>x<head>y</head>z</head><p>t</p>",
         b"<noscript>a<noscript>b</noscript>c</noscript><p>k</p>",
         b"<script>a</script><template>x<script>y</script></template><p>q</p>",
+        # comments: stripped vectorized when well-formed; markers/spans
+        # crossing container or attribute boundaries gate to the parser
+        b"<p>a<!--x-->b</p>",
+        b"ab<!--x-->cd",
+        b"<title>a<!--x-->b</title><p>t</p>",
+        b"<p>unterminated <!-- comment",
+        b"stray --> arrow",
+        b"<script>a<!--</script>--><p>x</p>",
+        b"<a title=\"<!--\">x</a>y<!--z-->w",
+        b"<!--<script>alert(1)</script>--><p>safe</p>",
+        b"<!--c1--><head><title>T</title></head><!--c2--><p>b</p>",
         # entity fast path: decodable set, unknown refs, double-encoding
         b"<p>x &amp; y &lt;tag&gt; &quot;q&quot; it&#39;s</p>",
         b"<p>&amp;lt; stays literal</p>",
@@ -91,7 +102,7 @@ def test_fast_path_fuzz_equivalent_to_parser():
         "<p>", "</p>", "<b>", "</b>", "<head>", "</head>", "<title>",
         "</title>", "<script>", "</script>", "<style>", "</style>",
         "<template>", "</template>", "<noscript>", "</noscript>",
-        "<!-- c -->", "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;",
+        "<!-- c -->", "<!--", "-->", "<!-- a <p> b -->", "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;",
         "&", "<", ">", "txt", "a b", " ", "1 < 2", "x>y", "<a href=\"u\">",
         "<br/>", "<!DOCTYPE html>", "é", "日本",
         "<a href=\"x>y\">", "<p class='c1'>", "<a href=\"a<b\">",

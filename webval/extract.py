@@ -86,8 +86,13 @@ _CONTAINER_TAGS = ("head", "script", "style", "noscript", "template")
 # quote means no match → the '<'-count gate clause sends the row to the parser
 _TAG_INNER = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
 _TAG_RE = rf"<{_TAG_INNER}>"
-_STRIP_PATTERNS = ([rf"(?is)<{t}\b{_TAG_INNER}>.*?</{t}\s*>"
-                    for t in _CONTAINER_TAGS] + [_TAG_RE])
+# one fused alternation pass removes every container span (RE2 has no
+# backreferences, so each tag's complete span pattern is spelled out);
+# leftmost-match semantics equal the sequential per-tag strips on every
+# gate-passing row — interleaved/overlapping spans leave leftover markers
+# or unbalanced counts behind, which the gate routes to the parser
+_CONTAINER_STRIP_RE = "(?is)" + "|".join(
+    rf"<{t}\b{_TAG_INNER}>.*?</{t}\s*>" for t in _CONTAINER_TAGS)
 
 
 # entities the fast path decodes itself; anything else (&#x27;, &nbsp;, a
@@ -109,13 +114,20 @@ def _fast_extract_gated(s: pa.Array):
     title outside <head> — pushes the row to the slow path."""
     import pyarrow.compute as _pc
 
+    # strip well-formed comments FIRST — html.parser emits nothing for
+    # comment content, so removing <!--...--> (ending at the FIRST -->,
+    # like the parser) before any gating is equivalent; a comment spanning
+    # a container/attribute boundary leaves unbalanced tags or quotes
+    # behind, which the gates below push to the parser.  Leftover '<!--'
+    # (unterminated / inside attributes without a closer) is flagged.
+    s = _pc.replace_substring_regex(s, r"(?s)<!--.*?-->", " ")
+
     # '&' allowed only when every occurrence is one of the 5 decodable
-    # entities (counts must reconcile; each entity holds exactly one '&')
-    ent_total = None
-    for ent, _rep in _FAST_ENTITIES:
-        c = _pc.count_substring(s, ent)
-        ent_total = c if ent_total is None else _pc.add(ent_total, c)
-    bad = _pc.not_equal(_pc.count_substring(s, "&"), ent_total)
+    # entities (counts must reconcile; each entity holds exactly one '&',
+    # and matches are non-overlapping — one fused alternation scan)
+    bad = _pc.not_equal(
+        _pc.count_substring(s, "&"),
+        _pc.count_substring_regex(s, r"&(amp|lt|gt|quot|#39);"))
     # every '<' must open a completed tag: a stray '<' ("1 < 2"), an
     # unterminated tag at EOF, or a '<' inside a quoted attribute value
     # makes the raw '<' count differ from the number of tags the strip will
@@ -126,8 +138,7 @@ def _fast_extract_gated(s: pa.Array):
     # html.parser treats '<' as literal text unless followed by a tag-start
     # char — but the tag strip would swallow "< b ... >" anyway; flag it
     bad = _pc.or_(bad, _pc.match_substring_regex(s, r"<([^a-zA-Z/!?]|$)"))
-    for lit in ("<!--", "<!["):
-        bad = _pc.or_(bad, _pc.match_substring(s, lit))
+    bad = _pc.or_(bad, _pc.match_substring_regex(s, r"<!--|-->|<!\["))
     for t in _CONTAINER_TAGS + ("title",):
         opens = _pc.count_substring(s, f"<{t}", ignore_case=True)
         closes = _pc.count_substring(s, f"</{t}", ignore_case=True)
@@ -139,19 +150,14 @@ def _fast_extract_gated(s: pa.Array):
         s, rf"(?is)<title{_TAG_INNER}>(?P<t>.*?)</title\s*>")
     title_txt = _pc.if_else(_pc.is_valid(title),
                             _pc.struct_field(title, "t"), "")
-    body = s
-    for pat in _STRIP_PATTERNS[:-1]:  # container removal
-        body = _pc.replace_substring_regex(body, pat, " ")
+    body = _pc.replace_substring_regex(s, _CONTAINER_STRIP_RE, " ")
     # any container/title tag surviving the non-greedy strip means nesting
     # (<template>a<template>b</template>c</template> leaves c</template>)
     # or a title outside <head> — the parser's depth tracking differs from
-    # the regex there, so fall back
-    for t in _CONTAINER_TAGS + ("title",):
-        leftover = _pc.add(
-            _pc.count_substring(body, f"<{t}", ignore_case=True),
-            _pc.count_substring(body, f"</{t}", ignore_case=True))
-        bad = _pc.or_(bad, _pc.greater(leftover, 0))
-    body = _pc.replace_substring_regex(body, _STRIP_PATTERNS[-1], " ")
+    # the regex there, so fall back (one fused alternation scan)
+    bad = _pc.or_(bad, _pc.match_substring_regex(
+        body, r"(?i)</?(head|script|style|noscript|template|title)"))
+    body = _pc.replace_substring_regex(body, _TAG_RE, " ")
     combined = _pc.binary_join_element_wise(
         title_txt, body, pa.scalar(" ", type=pa.large_string()))
     norm = _pc.utf8_trim_whitespace(
