@@ -29,9 +29,9 @@ import os
 import sys
 import time
 
-# v3: versioned with the synth fixture content (entity/attribute-rich html,
+# v4: versioned with the synth fixture content (entity/attribute-rich html,
 # fetch_ms column) so stale caches from earlier rounds never get measured
-BENCH_PAGES_ROOT = "/tmp/webval_bench/v3"
+BENCH_PAGES_ROOT = "/tmp/webval_bench/v4"
 DEFAULT_HEADLINE_ROWS = 16_000_000
 DEFAULT_OPS_ROWS = 400_000
 MINHASH_ROWS = 1_000_000
@@ -82,11 +82,17 @@ def run_headline(pages_dir: str, ncpu: int) -> dict:
 
     t0 = time.perf_counter()
     ds = rd.read_parquet(pages_dir, columns=["page_id", "url", "html", "lang"])
-    n_fail = (ds.map_batches(extract_check, batch_format="pyarrow", batch_size=8192)
-                .map_batches(lambda t: pa.table(
-                    {"f": [t.num_rows - pc.sum(t.column("pass")).as_py()]}),
-                    batch_format="pyarrow")
-                .sum("f"))
+    # rollup via materialize + driver sum of the per-block scalars: a
+    # trailing .sum() adds an AllToAllOperator whose resource reservation
+    # caps the map stage at ~73% CPU in Ray 2.49 (measured: 32.5s -> 24.8s
+    # at 32 cpus, utilization 23/32 -> 31/32); the materialized result is
+    # one 8-byte row per block, so the driver-side add is free
+    mat = (ds.map_batches(extract_check, batch_format="pyarrow", batch_size=8192)
+             .map_batches(lambda t: pa.table(
+                 {"f": [t.num_rows - pc.sum(t.column("pass")).as_py()]}),
+                 batch_format="pyarrow")
+             .materialize())
+    n_fail = sum(r["f"] for r in mat.take_all())
     wall = time.perf_counter() - t0
     return {"wall": round(wall, 3), "violations": int(n_fail)}
 
@@ -284,12 +290,15 @@ def run_scaling() -> dict:
 
     results = {}
     one(32)  # untimed warm-up: generates/caches the input, warms page cache
-    for ncpu in (8, 32):
-        time.sleep(5)
-        a = one(ncpu)
-        time.sleep(5)
-        b = one(ncpu)
-        results[ncpu] = a if a["value"] <= b["value"] else b
+    # INTERLEAVE the levels (8,32,8,32) rather than phase them: host noise
+    # on this box drifts over minutes, and phased runs let the drift land
+    # entirely on one level, flipping the gate (observed ±20% session-level
+    # swings with steady per-session medians)
+    for ncpu in (8, 32, 8, 32):
+        time.sleep(8)
+        r = one(ncpu)
+        if ncpu not in results or r["value"] < results[ncpu]["value"]:
+            results[ncpu] = r
     t8, t32 = results[8]["value"], results[32]["value"]
     eff = (t8 / t32) / (32 / 8)
     return {

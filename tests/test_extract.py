@@ -81,6 +81,26 @@ def test_fast_path_equivalent_to_parser():
         b"<head><title>A &lt;B&gt;</title></head><p>c &amp; d</p>",
         b"&&amp;",
         b"<!DOCTYPE html><p>doc</p>",
+        # extended entity table: named + numeric decode vectorized; hex
+        # refs and semicolonless refs gate to the parser
+        b"<p>a&nbsp;b</p>",
+        b"<p>a&nbsp;&nbsp;b</p>",
+        b"x &nbsp;",
+        b"<p>a&mdash;b &ndash; c&hellip;</p>",
+        b"<p>&ldquo;q&rdquo; &lsquo;w&rsquo; &copy;2026 &reg; &trade;</p>",
+        b"<p>a&#8212;b &#8211; &#8230; &#160;x</p>",
+        b"<p>&middot;&bull;</p>",
+        b"<p>hex &#x2014; ref</p>",
+        b"<p>&amp;nbsp; literal</p>",
+        b"<p>semicolonless &amp here</p>",
+        b"<p>&#0160;</p>",
+        # unicode whitespace: str.split() splits on these, RE2 \s does not
+        b"<p>a\xc2\xa0b</p>",          # NBSP
+        b"<p>a\xe2\x80\x83b</p>",      # em space
+        b"<p>a\x1cb</p>",              # file separator
+        b"<p>a\x0bb</p>",              # vertical tab
+        b"<p>a\xc2\x85b</p>",          # NEL
+        b"<p>a\xe2\x80\xa9b</p>",      # paragraph separator
     ]
     synth = gen_webpages_table(np.arange(500)).column("html").to_pylist()
     payloads = adversarial + synth
@@ -102,7 +122,9 @@ def test_fast_path_fuzz_equivalent_to_parser():
         "<p>", "</p>", "<b>", "</b>", "<head>", "</head>", "<title>",
         "</title>", "<script>", "</script>", "<style>", "</style>",
         "<template>", "</template>", "<noscript>", "</noscript>",
-        "<!-- c -->", "<!--", "-->", "<!-- a <p> b -->", "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;",
+        "<!-- c -->", "<!--", "-->", "<!-- a <p> b -->", "&amp;", "&lt;",
+        "&gt;", "&quot;", "&#39;", "&nbsp;", "&mdash;", "&hellip;",
+        "&#8212;", "&#x2014;", "&rsquo;", "&copy;", "&amp", "&#160;",
         "&", "<", ">", "txt", "a b", " ", "1 < 2", "x>y", "<a href=\"u\">",
         "<br/>", "<!DOCTYPE html>", "é", "日本",
         "<a href=\"x>y\">", "<p class='c1'>", "<a href=\"a<b\">",

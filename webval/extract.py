@@ -95,12 +95,32 @@ _CONTAINER_STRIP_RE = "(?is)" + "|".join(
     rf"<{t}\b{_TAG_INNER}>.*?</{t}\s*>" for t in _CONTAINER_TAGS)
 
 
-# entities the fast path decodes itself; anything else (&#x27;, &nbsp;, a
-# bare &) falls to the parser.  Decode AFTER tag stripping — html.parser
-# never re-parses decoded '<'/'>' as markup — and &amp; LAST so "&amp;lt;"
-# yields the literal "&lt;" exactly like convert_charrefs' single pass.
-_FAST_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                  ("&#39;", "'"), ("&amp;", "&"))
+# entities the fast path decodes itself — the common named + numeric refs
+# of real crawl HTML; anything else (hex refs &#x2014;, rare names, a bare
+# or semicolonless &) falls to the parser.  Decode AFTER tag stripping —
+# html.parser never re-parses decoded '<'/'>' as markup — BEFORE whitespace
+# normalization (&nbsp;/&#160; decode to the separator the parser's \xa0
+# becomes under str.split), and &amp; LAST so "&amp;lt;" yields the literal
+# "&lt;" exactly like convert_charrefs' single pass.
+_FAST_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&nbsp;", " "), ("&#160;", " "),
+    ("&mdash;", "\u2014"), ("&#8212;", "\u2014"),
+    ("&ndash;", "\u2013"), ("&#8211;", "\u2013"),
+    ("&hellip;", "\u2026"), ("&#8230;", "\u2026"),
+    ("&rsquo;", "\u2019"), ("&lsquo;", "\u2018"),
+    ("&ldquo;", "\u201c"), ("&rdquo;", "\u201d"),
+    ("&copy;", "\u00a9"), ("&reg;", "\u00ae"), ("&trade;", "\u2122"),
+    ("&middot;", "\u00b7"), ("&bull;", "\u2022"),
+    ("&amp;", "&"),
+)
+_ENTITY_ALT_RE = "&(" + "|".join(
+    e[1:-1].replace("#", "#") for e, _ in _FAST_ENTITIES) + ");"
+
+# every char Python's str.split() treats as whitespace but RE2's \s does
+# not: such a row's normalization differs between the two paths
+_EXOTIC_WS_RE = ("[\x0b\x1c-\x1f\x85\xa0\u1680\u2000-\u200a"
+                 "\u2028\u2029\u202f\u205f\u3000]")
 
 
 def _fast_extract_gated(s: pa.Array):
@@ -127,7 +147,7 @@ def _fast_extract_gated(s: pa.Array):
     # and matches are non-overlapping — one fused alternation scan)
     bad = _pc.not_equal(
         _pc.count_substring(s, "&"),
-        _pc.count_substring_regex(s, r"&(amp|lt|gt|quot|#39);"))
+        _pc.count_substring_regex(s, _ENTITY_ALT_RE))
     # every '<' must open a completed tag: a stray '<' ("1 < 2"), an
     # unterminated tag at EOF, or a '<' inside a quoted attribute value
     # makes the raw '<' count differ from the number of tags the strip will
@@ -139,6 +159,11 @@ def _fast_extract_gated(s: pa.Array):
     # char — but the tag strip would swallow "< b ... >" anyway; flag it
     bad = _pc.or_(bad, _pc.match_substring_regex(s, r"<([^a-zA-Z/!?]|$)"))
     bad = _pc.or_(bad, _pc.match_substring_regex(s, r"<!--|-->|<!\["))
+    # Python's str.split() (the parser's whitespace normalizer) splits on
+    # unicode whitespace; RE2's \s is ASCII [\t\n\f\r ] only — rows with
+    # any other whitespace char (NBSP, em-space, \x0b, \x1c-\x1f, NEL,
+    # line/para separators, ...) must take the parser path
+    bad = _pc.or_(bad, _pc.match_substring_regex(s, _EXOTIC_WS_RE))
     for t in _CONTAINER_TAGS + ("title",):
         opens = _pc.count_substring(s, f"<{t}", ignore_case=True)
         closes = _pc.count_substring(s, f"</{t}", ignore_case=True)
@@ -160,10 +185,10 @@ def _fast_extract_gated(s: pa.Array):
     body = _pc.replace_substring_regex(body, _TAG_RE, " ")
     combined = _pc.binary_join_element_wise(
         title_txt, body, pa.scalar(" ", type=pa.large_string()))
+    for ent, rep in _FAST_ENTITIES:
+        combined = _pc.replace_substring(combined, ent, rep)
     norm = _pc.utf8_trim_whitespace(
         _pc.replace_substring_regex(combined, r"\s+", " "))
-    for ent, rep in _FAST_ENTITIES:
-        norm = _pc.replace_substring(norm, ent, rep)
     return norm, _pc.invert(bad)
 
 

@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 
 # versioned: bump when gen_webpages_table content changes so stale /tmp
 # fixtures from an earlier round can never desync from the generator
-SYNTH_ROOT = "/tmp/webval_synth/v3"
+SYNTH_ROOT = "/tmp/webval_synth/v4"
 _SF_ROWS = {"sf0.001": 4_000, "sf0.01": 20_000, "sf0.1": 200_000}
 REAL_LANGS = ["en", "de", "fr", "es", "nl", "ru", "zh"]
 URL_RE = r"^https?://[^ ]+$"

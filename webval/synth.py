@@ -130,12 +130,14 @@ def gen_webpages_table(indices: np.ndarray, drift_part: int | None = None,
         title = f"t{bi}"
         # entity/markup decorations (pure f(base row)) so the fixture is
         # entity- and attribute-dense like real crawl HTML: the encoded form
-        # goes to `html`, the parser-decoded form to the `text` ground truth.
-        # d∈{4,5} (comments / charrefs outside the fast set) deliberately
-        # land on the parser slow path so the headline bench mixes paths
-        # honestly (VERDICT r1 §wrong-8).
+        # goes to `html`, the parser-decoded form to the `text` ground
+        # truth.  d==8 (a HEX charref — outside the vectorized decode
+        # table) deliberately lands on the parser slow path (~5%) so the
+        # headline bench mixes paths honestly (VERDICT r1 §wrong-8); the
+        # named/decimal entities and comments exercise the vectorized
+        # decode/strip paths.
         r1 = int(r1s[k])
-        d = r1 % 10
+        d = r1 % 20
         if d == 0:
             extra_h, extra_t = " b &amp; w", " b & w"
         elif d == 1:
@@ -148,6 +150,12 @@ def gen_webpages_table(indices: np.ndarray, drift_part: int | None = None,
             extra_h, extra_t = f"<!-- crawl meta {bi} -->", ""
         elif d == 5:
             extra_h, extra_t = " a&#8212;b", " a—b"
+        elif d == 6:
+            extra_h, extra_t = " c&nbsp;d", " c d"
+        elif d == 7:
+            extra_h, extra_t = " e&hellip; &copy;2026", " e… ©2026"
+        elif d == 8:
+            extra_h, extra_t = " f&#x2014;g", " f—g"
         else:
             extra_h, extra_t = "", ""
         htmls.append(
