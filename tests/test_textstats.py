@@ -87,3 +87,72 @@ def test_rolling_hashes():
     assert h1[0] != h2[0]
     assert len(rolling_hashes("abc", window=8)) == 0
     assert len(rolling_hashes(None, window=4)) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_redact_pii():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webval.textstats import redact_pii
+
+    t = pa.table({"text": pa.array([
+        "mail me at jo.doe+x@sub.example.co.uk today",
+        "call +1 555-010-9999 or (44) 20 7946-0958 now",
+        "both a@b.io and +1 555-010-1234 here",
+        "clean text with no pii",
+        None,
+    ], pa.large_string())})
+    out = redact_pii(rd.from_arrow(t)).take_all()
+    assert out[0]["text"] == "mail me at [EMAIL] today"
+    assert out[0]["n_emails"] == 1 and out[0]["n_phones"] == 0
+    assert out[1]["text"].count("[PHONE]") == 2
+    assert out[2]["text"] == "both [EMAIL] and [PHONE] here"
+    assert out[3]["n_emails"] == 0 and out[3]["n_phones"] == 0
+    assert out[4]["text"] is None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_canonicalize_urls():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webval.textstats import canonicalize_urls
+
+    urls = [
+        "https://a.com/p?x=1&utm_source=g&y=2#frag",
+        "https://a.com/p?utm_medium=m&b=2",
+        "https://a.com/p#only-frag",
+        "https://a.com/p?keep=1",
+        "https://a.com/p?utm_only=1",
+    ]
+    want = [
+        "https://a.com/p?x=1&y=2",
+        "https://a.com/p?b=2",
+        "https://a.com/p",
+        "https://a.com/p?keep=1",
+        "https://a.com/p",
+    ]
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls)}))
+    got = [r["canon_url"] for r in canonicalize_urls(ds).take_all()]
+    assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_c4_quality_filter():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webval.textstats import c4_quality_filter
+
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array([
+                      "a solid normal sentence with enough words here",
+                      "short one",                       # < 5 words
+                      "@@@@ #### $$$$ %%%% ^^^^ &&&&",   # symbols
+                      "a b c d e f g h",                 # mean word len 1
+                      None,
+                  ], pa.large_string())})
+    kept = c4_quality_filter(rd.from_arrow(t)).take_all()
+    assert [r["doc_id"] for r in kept] == [0]
+    assert kept[0]["word_count"] == 8

@@ -882,6 +882,158 @@ def q_ann_index_topk(sf_dir: str):
                                 ("rank", pa.int32())]))
 
 
+_PII_DECOR_SQL = ("text || ' u' || page_id || '@ex' || (page_id % 7) || "
+                  "'.org ph +1 555-010-' || (1000 + page_id % 9000)")
+
+
+def q_pii_redaction(sf_dir: str):
+    """PII redaction (emails + phone spans → markers) with exact counts.
+
+    The fixture text carries no PII, so a deterministic contact line is
+    appended IN-QUERY from page_id — the identical expression appears in
+    the SQL twin, so both sides redact the same bytes (null text stays
+    null on both: SQL || and Arrow join are null-propagating)."""
+    import ray.data as rd
+
+    from webval.textstats import EMAIL_RE, PHONE_RE, redact_pii
+
+    pages_p, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages_p, columns=["page_id", "text"])
+
+    def decorate(t: pa.Table) -> pa.Table:
+        pid = t.column("page_id").to_numpy(zero_copy_only=False)
+        suffix = pa.array(
+            [f" u{p}@ex{p % 7}.org ph +1 555-010-{1000 + p % 9000}"
+             for p in pid], pa.large_string())
+        dec = pc.binary_join_element_wise(
+            pc.cast(t.column("text").combine_chunks(), pa.large_string()),
+            suffix, pa.scalar("", pa.large_string()))
+        return pa.table({"page_id": t.column("page_id"), "text": dec})
+
+    red = redact_pii(ds.map_batches(decorate, batch_format="pyarrow"), "text")
+
+    def rollup(t: pa.Table) -> pa.Table:
+        valid = t.filter(pc.is_valid(t.column("text")))
+        return pa.table({
+            "n_rows": pa.array([valid.num_rows], pa.int64()),
+            "n_emails": pa.array(
+                [pc.sum(valid.column("n_emails")).as_py() or 0], pa.int64()),
+            "n_phones": pa.array(
+                [pc.sum(valid.column("n_phones")).as_py() or 0], pa.int64()),
+            "red_chars": pa.array(
+                [pc.sum(pc.utf8_length(valid.column("text"))).as_py() or 0],
+                pa.int64()),
+        })
+
+    parts = ds_to_table(red.map_batches(rollup, batch_format="pyarrow"))
+    return pa.table({c: pa.array([pc.sum(parts.column(c)).as_py() or 0],
+                                 pa.int64())
+                     for c in ("n_rows", "n_emails", "n_phones", "red_chars")})
+
+
+SQL_PII_REDACTION = f"""
+WITH t AS (SELECT {_PII_DECOR_SQL} AS d
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')),
+r AS (SELECT regexp_replace(d, '{{EMAIL}}', '[EMAIL]', 'g') AS e, d FROM t
+      WHERE d IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(len(regexp_extract_all(d, '{{EMAIL}}'))) AS BIGINT) AS n_emails,
+       CAST(sum(len(regexp_extract_all(e, '{{PHONE}}'))) AS BIGINT) AS n_phones,
+       CAST(sum(length(regexp_replace(e, '{{PHONE}}', '[PHONE]', 'g')))
+            AS BIGINT) AS red_chars
+FROM r
+"""
+SQL_PII_REDACTION = (SQL_PII_REDACTION
+                     .replace("{SYNTH_ROOT}", SYNTH_ROOT)
+                     .replace("{EMAIL}", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+                     .replace("{PHONE}", r"\+?[0-9][0-9()./ -]{7,14}[0-9]"))
+
+
+def q_url_canonical(sf_dir: str):
+    """URL canonicalization: fragments + utm_* params stripped, query
+    separator re-anchored.  Tracking decorations appended IN-QUERY from
+    page_id (mirrored in the SQL twin); emits the rows whose canonical
+    form differs."""
+    import ray.data as rd
+
+    from webval.textstats import canonicalize_urls
+
+    pages_p, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages_p, columns=["page_id", "url"])
+
+    def decorate(t: pa.Table) -> pa.Table:
+        pid = t.column("page_id").to_numpy(zero_copy_only=False)
+        sufs = []
+        for p in pid:
+            m = p % 4
+            sufs.append(f"?utm_source=s{p % 5}" if m == 0 else
+                        f"#frag{p}" if m == 1 else
+                        "?a=1&utm_medium=m&b=2" if m == 2 else "")
+        url = pc.binary_join_element_wise(
+            t.column("url").combine_chunks(), pa.array(sufs, pa.string()),
+            pa.scalar("", pa.string()))
+        return pa.table({"page_id": t.column("page_id"), "url": url})
+
+    canon = canonicalize_urls(ds.map_batches(decorate, batch_format="pyarrow"))
+    out = canon.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("canon_url"),
+                                        t.column("url")))
+                   .select(["page_id", "canon_url"]),
+        batch_format="pyarrow")
+    return ds_to_table(out, empty_schema=pa.schema(
+        [("page_id", pa.int64()), ("canon_url", pa.string())]))
+
+
+SQL_URL_CANONICAL = """
+WITH t AS (SELECT page_id, url || CASE page_id % 4
+             WHEN 0 THEN '?utm_source=s' || (page_id % 5)
+             WHEN 1 THEN '#frag' || page_id
+             WHEN 2 THEN '?a=1&utm_medium=m&b=2'
+             ELSE '' END AS url
+           FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')),
+c AS (SELECT page_id, url, regexp_replace(regexp_replace(regexp_replace(
+         url, '#.*', '', 'g'), '[?&]utm_[^&]*', '', 'g'),
+         '^([^?]*?)&', '\\1?') AS canon_url FROM t)
+SELECT page_id, canon_url FROM c WHERE canon_url <> url
+"""
+SQL_URL_CANONICAL = SQL_URL_CANONICAL.replace("{SYNTH_ROOT}", SYNTH_ROOT)
+
+
+def q_c4_quality(sf_dir: str):
+    """C4-style quality filter over the documents table: word count, mean
+    word length, symbol ratio — keep thresholds mirrored in SQL (both
+    sides evaluate the identical RE2 counts and IEEE divisions)."""
+    import ray.data as rd
+
+    from webval.textstats import c4_quality_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    kept = c4_quality_filter(ds)
+    out = kept.map_batches(
+        lambda t: t.select(["doc_id", "word_count", "mean_word_len",
+                            "symbol_ratio"]), batch_format="pyarrow")
+    return _round_cols(ds_to_table(out),
+                       {"mean_word_len": 6, "symbol_ratio": 6})
+
+
+SQL_C4_QUALITY = r"""
+WITH f AS (SELECT doc_id,
+    len(regexp_extract_all(text, '[^ \t\n\r]+')) AS wc,
+    len(regexp_extract_all(text, '\p{L}')) AS letters,
+    length(text) AS n,
+    len(regexp_extract_all(text, '[\p{L}\p{N}\s]')) AS okc
+  FROM documents WHERE text IS NOT NULL),
+g AS (SELECT doc_id, wc,
+    CASE WHEN wc > 0 THEN letters * 1.0 / wc ELSE 0 END AS mwl,
+    CASE WHEN n > 0 THEN 1.0 - okc * 1.0 / n ELSE 0 END AS sym
+  FROM f)
+SELECT doc_id, CAST(wc AS BIGINT) AS word_count,
+       round(mwl, 6) AS mean_word_len, round(sym, 6) AS symbol_ratio
+FROM g WHERE wc >= 5 AND mwl >= 2.0 AND mwl <= 12.0 AND sym <= 0.3
+"""
+
+
 def q_grouped_quantiles(sf_dir: str):
     """E8 + E4/E5: mergeable sketches inside ds.groupby().aggregate() via
     the AggregateFnV2 wrappers (per-lang p50 length + distinct docs)."""
@@ -951,4 +1103,7 @@ QUERIES = {
     "normalize_types": (q_normalize_types, SQL_NORMALIZE_TYPES),
     "partition_nulls": (q_partition_nulls, SQL_PARTITION_NULLS),
     "ann_index_topk": (q_ann_index_topk, None),
+    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
+    "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
+    "c4_quality": (q_c4_quality, SQL_C4_QUALITY),
 }

@@ -195,3 +195,115 @@ def rolling_hashes(text: str, window: int = 8) -> np.ndarray:
         for k in range(window):
             acc += b[k: len(b) - window + 1 + k].astype(np.uint64) * powers[window - 1 - k]
     return acc
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + URL canonicalization (web-pipeline hygiene operators).
+# Both are defined as REGEX PIPELINES over RE2 so the DuckDB oracle twins
+# (also RE2-backed) can reproduce them byte-for-byte.
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()./ -]{7,14}[0-9]"
+
+
+def redact_pii(ds, text_col: str = "text", *, out_col: str | None = None,
+               batch_size: int | None = 4096):
+    """Replace emails/phone-like spans with [EMAIL]/[PHONE] markers and
+    append per-row match counts (``n_emails``, ``n_phones``).  Purely
+    vectorized (3 RE2 kernels per pattern); emails are redacted first so a
+    phone-like digit run inside an address can't double-fire."""
+    out = out_col or text_col
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ne = pc.fill_null(pc.count_substring_regex(col, EMAIL_RE), 0)
+        red = pc.replace_substring_regex(col, EMAIL_RE, "[EMAIL]")
+        np_ = pc.fill_null(pc.count_substring_regex(red, PHONE_RE), 0)
+        red = pc.replace_substring_regex(red, PHONE_RE, "[PHONE]")
+        if out in batch.column_names:
+            batch = batch.set_column(batch.column_names.index(out), out, red)
+        else:
+            batch = batch.append_column(out, red)
+        batch = batch.append_column("n_emails", pc.cast(ne, pa.int32()))
+        return batch.append_column("n_phones", pc.cast(np_, pa.int32()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+# canonicalization steps (applied in order; '(g)' = global):
+#   1. drop the fragment                 #.*          -> ''   (g)
+#   2. drop utm_* query params          [?&]utm_[^&]* -> ''   (g)
+#   3. re-anchor the query separator    ^([^?]*?)&    -> \1?  (first only)
+_URL_CANON_STEPS = ((r"#.*", "", None),
+                    (r"[?&]utm_[^&]*", "", None),
+                    (r"^([^?]*?)&", r"\1?", 1))
+
+
+def canonicalize_urls(ds, url_col: str = "url", *,
+                      out_col: str = "canon_url",
+                      batch_size: int | None = 8192):
+    """Append a canonicalized url column: fragments and utm_* tracking
+    params removed, query separator re-anchored.  The step list is the
+    CONTRACT — the SQL oracle twin applies the identical regexes."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(url_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for pat, rep, max_rep in _URL_CANON_STEPS:
+            kw = {} if max_rep is None else {"max_replacements": max_rep}
+            col = pc.replace_substring_regex(col, pat, rep, **kw)
+        if out_col in batch.column_names:
+            return batch.set_column(batch.column_names.index(out_col),
+                                    out_col, col)
+        return batch.append_column(out_col, col)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+# C4-style quality filter thresholds (public-knowledge heuristics); the
+# formulas below are mirrored exactly in the SQL twin
+C4_MIN_WORDS = 5
+C4_MEAN_WL_RANGE = (2.0, 12.0)
+C4_MAX_SYMBOL_RATIO = 0.3
+
+
+def c4_quality_filter(ds, text_col: str = "text", *,
+                      batch_size: int | None = 4096):
+    """Keep rows passing C4-ish quality rules; append the features.
+
+    word_count  = #maximal runs of non-space chars        ([^ \\t\\n\\r]+)
+    mean_wl     = letter_chars / word_count               (\\p{L} count)
+    symbol_ratio= 1 - (letters+digits+whitespace)/len
+    keep iff word_count >= C4_MIN_WORDS and mean_wl within range and
+    symbol_ratio <= max.  All RE2 kernels; null text never passes."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        wc = pc.fill_null(pc.count_substring_regex(col, r"[^ \t\n\r]+"), 0) \
+               .to_numpy(zero_copy_only=False).astype(np.float64)
+        letters = pc.fill_null(pc.count_substring_regex(col, r"\p{L}"), 0) \
+                    .to_numpy(zero_copy_only=False).astype(np.float64)
+        ok_chars = pc.fill_null(
+            pc.count_substring_regex(col, r"[\p{L}\p{N}\s]"), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_wl = np.where(wc > 0, letters / wc, 0.0)
+            sym = np.where(n > 0, 1.0 - ok_chars / n, 0.0)
+        lo, hi = C4_MEAN_WL_RANGE
+        keep = ((wc >= C4_MIN_WORDS) & (mean_wl >= lo) & (mean_wl <= hi)
+                & (sym <= C4_MAX_SYMBOL_RATIO)
+                & ~np.asarray(pc.is_null(col), dtype=bool))
+        batch = batch.append_column("word_count",
+                                    pa.array(wc.astype(np.int64), pa.int64()))
+        batch = batch.append_column("mean_word_len", pa.array(mean_wl))
+        batch = batch.append_column("symbol_ratio", pa.array(sym))
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
