@@ -156,3 +156,23 @@ def test_c4_quality_filter():
     kept = c4_quality_filter(rd.from_arrow(t)).take_all()
     assert [r["doc_id"] for r in kept] == [0]
     assert kept[0]["word_count"] == 8
+
+
+def test_rolling_hashes_batch_matches_per_doc():
+    import numpy as np
+
+    from webval.textstats import rolling_hashes, rolling_hashes_batch
+
+    texts = ["hello world this is a document", "short", None, "",
+             "another web page body with more text in it",
+             "hello world this is a document",  # duplicate content
+             "tiny", "exactly8"]
+    kept, counts, hashes = rolling_hashes_batch(texts, 8)
+    ends = np.cumsum(counts)
+    got = {int(k): hashes[e - c:e] for k, c, e in zip(kept, counts, ends)}
+    for i, t in enumerate(texts):
+        want = np.unique(rolling_hashes(t, 8)) if t is not None else np.empty(0)
+        if len(want) == 0:
+            assert i not in got, i
+        else:
+            assert (got[i] == want).all(), i

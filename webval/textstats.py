@@ -175,6 +175,66 @@ def add_fingerprints(ds, text_col: str = "text", *, normalize: bool = True,
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
+def rolling_hashes_batch(texts: list, window: int = 8
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized rolling hashes for MANY docs at once (the per-doc
+    `rolling_hashes` spends ~50µs of numpy fixed overhead per short web
+    doc, which dominated the MinHash stage — VERDICT r2 profiling).
+
+    One concatenated byte buffer → `window` shifted multiply-add passes →
+    windows crossing doc boundaries dropped → per-doc UNIQUE hashes via a
+    single lexsort + boundary mask.  Hash values are IDENTICAL to
+    `rolling_hashes` per doc (asserted in tests).
+
+    Returns ``(kept, counts, hashes)``: ``kept`` = indices into ``texts``
+    that produced ≥1 hash; ``counts[i]`` = number of unique hashes for
+    ``texts[kept[i]]``; ``hashes`` = their unique hash values concatenated
+    in ``kept`` order (sorted within each doc)."""
+    enc, lens, idx = [], [], []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        b = t.encode("utf-8", errors="replace")
+        if len(b) < window:
+            continue
+        enc.append(b)
+        lens.append(len(b))
+        idx.append(i)
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+             np.empty(0, np.uint64))
+    if not enc:
+        return empty
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    lens_a = np.asarray(lens, dtype=np.int64)
+    n_win = lens_a - window + 1
+    total = len(buf)
+    base = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        powers = np.empty(window, dtype=np.uint64)
+        powers[0] = 1
+        for k in range(1, window):
+            powers[k] = powers[k - 1] * base
+        acc = np.zeros(total - window + 1, dtype=np.uint64)
+        for k in range(window):
+            acc += (buf[k: total - window + 1 + k].astype(np.uint64)
+                    * powers[window - 1 - k])
+    # window start positions fully inside each doc
+    starts = np.concatenate([[0], np.cumsum(lens_a)[:-1]])
+    tw = int(n_win.sum())
+    offs = np.cumsum(n_win) - n_win
+    pos = (np.arange(tw) - np.repeat(offs, n_win)
+           + np.repeat(starts, n_win))
+    h = acc[pos]
+    d = np.repeat(np.arange(len(lens_a)), n_win)
+    order = np.lexsort((h, d))
+    hs, ds_ = h[order], d[order]
+    first = np.ones(tw, dtype=bool)
+    first[1:] = (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1])
+    hashes = hs[first]
+    counts = np.bincount(ds_[first], minlength=len(lens_a))
+    return np.asarray(idx, dtype=np.int64), counts.astype(np.int64), hashes
+
+
 def rolling_hashes(text: str, window: int = 8) -> np.ndarray:
     """Deterministic Rabin-Karp-style rolling hash over character windows —
     the shingle source for MinHash (dedup.py).  Pure numpy polynomial hash.
