@@ -91,6 +91,18 @@ def test_fast_path_equivalent_to_parser():
         b"<p>a&#8212;b &#8211; &#8230; &#160;x</p>",
         b"<p>&middot;&bull;</p>",
         b"<p>hex &#x2014; ref</p>",
+        # repair tier: structurally clean + exotic charrefs -> vectorized
+        # strip + per-row html.unescape (incl. ws-decoding refs)
+        b"<p>a&#32;b</p>",
+        b"<p>a&Tab;b</p>",
+        b"<p>a&#xa0;b</p>",
+        b"<p>&notarealentity; x</p>",
+        b"<p>&frac12; cup</p>",
+        b"<p>&#x1F600; emoji</p>",
+        b"<p>mix &#x2014; and &amp; both</p>",
+        b"<title>T&#x2014;X</title><p>b</p>",
+        b"x&#32;&#32;y",
+        b"&#32;",
         b"<p>&amp;nbsp; literal</p>",
         b"<p>semicolonless &amp here</p>",
         b"<p>&#0160;</p>",

@@ -126,12 +126,19 @@ _EXOTIC_WS_RE = ("[\x0b\x1c-\x1f\x85\xa0\u1680\u2000-\u200a"
 def _fast_extract_gated(s: pa.Array):
     """Vectorized extraction (RE2 kernels only) + equivalence gate.
 
-    Returns (texts, ok_mask): ok rows are PROVABLY equivalent to
-    extract_text (html.parser).  Quoted attributes (including '>' inside
-    quotes) are handled vectorized; the conservative gate — unknown
-    entities, comments/CDATA, stray/unterminated '<', unmatched attribute
-    quotes, unbalanced or nested container tags, multiple titles, or a
-    title outside <head> — pushes the row to the slow path."""
+    Returns (texts, undecoded, ok_mask, repair_mask):
+    - ok rows (``ok_mask``) are PROVABLY equivalent to extract_text
+      (html.parser) as ``texts``;
+    - repair rows (``repair_mask``) are structurally clean but contain
+      charrefs outside the vectorized decode table — their ``undecoded``
+      text (tags stripped, ASCII-ws normalized, charrefs intact) becomes
+      parser-equivalent after a per-row ``html.unescape`` + unicode
+      re-split (the SAME html.unescape convert_charrefs uses), done by the
+      caller on the short extracted strings;
+    - everything else (stray/unterminated '<', unmatched attribute quotes,
+      comment spans crossing boundaries, unbalanced or nested containers,
+      exotic whitespace, multiple titles, title outside <head>) takes the
+      full parser path."""
     import pyarrow.compute as _pc
 
     # strip well-formed comments FIRST — html.parser emits nothing for
@@ -142,19 +149,21 @@ def _fast_extract_gated(s: pa.Array):
     # (unterminated / inside attributes without a closer) is flagged.
     s = _pc.replace_substring_regex(s, r"(?s)<!--.*?-->", " ")
 
-    # '&' allowed only when every occurrence is one of the 5 decodable
+    # '&' allowed only when every occurrence is one of the decodable
     # entities (counts must reconcile; each entity holds exactly one '&',
-    # and matches are non-overlapping — one fused alternation scan)
-    bad = _pc.not_equal(
+    # and matches are non-overlapping — one fused alternation scan).
+    # Failing ONLY this clause routes to the cheap unescape-repair tier,
+    # not the full parser.
+    bad_entity = _pc.not_equal(
         _pc.count_substring(s, "&"),
         _pc.count_substring_regex(s, _ENTITY_ALT_RE))
     # every '<' must open a completed tag: a stray '<' ("1 < 2"), an
     # unterminated tag at EOF, or a '<' inside a quoted attribute value
     # makes the raw '<' count differ from the number of tags the strip will
     # consume (conservative: also flags "<a<b>"-style malformed tags)
-    bad = _pc.or_(bad, _pc.not_equal(
+    bad = _pc.not_equal(
         _pc.count_substring(s, "<"),
-        _pc.count_substring_regex(s, _TAG_RE)))
+        _pc.count_substring_regex(s, _TAG_RE))
     # html.parser treats '<' as literal text unless followed by a tag-start
     # char — but the tag strip would swallow "< b ... >" anyway; flag it
     bad = _pc.or_(bad, _pc.match_substring_regex(s, r"<([^a-zA-Z/!?]|$)"))
@@ -185,11 +194,29 @@ def _fast_extract_gated(s: pa.Array):
     body = _pc.replace_substring_regex(body, _TAG_RE, " ")
     combined = _pc.binary_join_element_wise(
         title_txt, body, pa.scalar(" ", type=pa.large_string()))
-    for ent, rep in _FAST_ENTITIES:
-        combined = _pc.replace_substring(combined, ent, rep)
-    norm = _pc.utf8_trim_whitespace(
+    undecoded = _pc.utf8_trim_whitespace(
         _pc.replace_substring_regex(combined, r"\s+", " "))
-    return norm, _pc.invert(bad)
+    norm = undecoded
+    for ent, rep in _FAST_ENTITIES:
+        norm = _pc.replace_substring(norm, ent, rep)
+    # &nbsp;/&#160; decode to spaces — collapse any runs they introduced
+    # (cheap: runs over the short extracted text)
+    norm = _pc.utf8_trim_whitespace(
+        _pc.replace_substring_regex(norm, r"  +", " "))
+    ok = _pc.invert(_pc.or_(bad, bad_entity))
+    repair = _pc.and_(_pc.invert(bad), bad_entity)
+    return norm, undecoded, ok, repair
+
+
+def _unescape_repair(text: str) -> str:
+    """Parser-equivalent finish for a structurally-clean extracted string
+    whose charrefs are outside the vectorized table: html.unescape is the
+    exact routine convert_charrefs applies per data node, and the unicode
+    re-split mirrors the parser's per-node str.split() normalization
+    (decoded whitespace chars become separators)."""
+    import html as _html
+
+    return " ".join(_html.unescape(text).split())
 
 
 class HtmlTextExtractor:
@@ -232,16 +259,25 @@ class HtmlTextExtractor:
             s = _pc.cast(col, pa.large_string())
         except pa.ArrowInvalid:
             return self._extract_mixed(col)
-        fast, gate = _fast_extract_gated(s)
-        gate_np = _pc.fill_null(gate, True).to_numpy(zero_copy_only=False)
-        slow_idx = np.flatnonzero(~gate_np)
-        if not len(slow_idx):
+        fast, undec, ok, repair = _fast_extract_gated(s)
+        ok_np = _pc.fill_null(ok, True).to_numpy(zero_copy_only=False)
+        rep_np = _pc.fill_null(repair, False).to_numpy(zero_copy_only=False)
+        slow_idx = np.flatnonzero(~ok_np & ~rep_np)
+        rep_idx = np.flatnonzero(rep_np)
+        if not len(slow_idx) and not len(rep_idx):
             return fast if not isinstance(fast, pa.ChunkedArray) \
                 else fast.combine_chunks()
         texts = fast.to_pylist()
-        raw = col.to_pylist()
-        for i in slow_idx:
-            texts[i] = extract_text(raw[i])
+        if len(rep_idx):
+            # structurally clean, exotic charrefs: unescape the SHORT
+            # extracted text (µs/row) instead of re-parsing the html
+            undec_py = undec.take(pa.array(rep_idx)).to_pylist()
+            for i, u in zip(rep_idx, undec_py):
+                texts[i] = _unescape_repair(u)
+        if len(slow_idx):
+            raw = col.to_pylist()
+            for i in slow_idx:
+                texts[i] = extract_text(raw[i])
         return pa.array(texts, type=pa.large_string())
 
     def _extract_mixed(self, col) -> pa.Array:
@@ -264,12 +300,16 @@ class HtmlTextExtractor:
                 slow_idx.append(i)
         if decoded:
             s = pa.array(decoded, type=pa.large_string())
-            fast, gate = _fast_extract_gated(s)
-            gate_np = np.asarray(gate, dtype=bool)
+            fast, undec, ok, repair = _fast_extract_gated(s)
+            ok_np = np.asarray(ok, dtype=bool)
+            rep_np = np.asarray(repair, dtype=bool)
             fast_py = fast.to_pylist()
+            undec_py = undec.to_pylist()
             for j, i in enumerate(dec_idx):
-                if gate_np[j]:
+                if ok_np[j]:
                     texts[i] = fast_py[j]
+                elif rep_np[j]:
+                    texts[i] = _unescape_repair(undec_py[j])
                 else:
                     slow_idx.append(i)
         for i in slow_idx:
