@@ -1,0 +1,132 @@
+"""As-of join — a custom operator the Ray Data Dataset API lacks
+(SURVEY.md §2 note on custom operators; the brief's canonical example).
+
+Semantics: each LEFT row is matched to the LATEST right row with
+``right.on <= left.on`` within the same ``by`` group (backward, inclusive —
+DuckDB's ``ASOF LEFT JOIN`` with ``l.on >= r.on`` is the oracle twin).
+
+Shape: both streams are tagged and hash-bucket-exchanged on ``by``
+(exchange.bucketed_group_apply), so a group's rows co-locate; inside each
+bucket ONE lexsort of the merged rows (by, on, side — right before left on
+ties, making the match inclusive) plus a segmented forward maximum
+(np.maximum.accumulate over group-offset keys) assigns every left row its
+match.  No per-group Python loop; shuffle volume is the two projected
+streams.  Partitioning assumption: a single ``by`` group's rows fit in one
+bucket task (same bound as every exchange-based groupby here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def asof_join(left, right, *, on: str, by: str,
+              right_cols: list[str] | None = None, suffix: str = "_r",
+              num_buckets: int = 64):
+    """Backward-inclusive as-of join of two Datasets.
+
+    Returns a Dataset with every left row plus, for each name in
+    ``right_cols`` (default: just ``on``), a ``<name><suffix>`` column from
+    the matched right row (null when the group has no right row at or
+    before ``on``).  Left rows with null ``on``/``by`` never match.
+    """
+    from webval.exchange import bucketed_group_apply
+
+    right_cols = list(right_cols or [on])
+    left_schema = left.schema()
+    left_names = list(left_schema.names)
+    out_right_names = [f"{c}{suffix}" for c in right_cols]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        for c, rc in zip(right_cols, out_right_names):
+            t = t.append_column(rc, pa.nulls(t.num_rows,
+                                             right.schema().types[
+                                                 right.schema().names.index(c)]))
+        return t.append_column("__side__",
+                               pa.array(np.zeros(t.num_rows, np.int8)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {by: t.column(by), on: t.column(on)}
+        for c, rc in zip(right_cols, out_right_names):
+            cols[rc] = t.column(c)
+        out = pa.table(cols)
+        for name, typ in zip(left_names, left_schema.types):
+            if name not in (by, on):
+                out = out.append_column(name, pa.nulls(t.num_rows, typ))
+        out = out.append_column("__side__",
+                                pa.array(np.ones(t.num_rows, np.int8)))
+        return out.select(left_names + out_right_names + ["__side__"])
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = (right.select_columns(sorted({by, on, *right_cols}))
+               .map_batches(tag_right, batch_format="pyarrow"))
+
+    def bucket_join(g: pa.Table) -> pa.Table:
+        side = g.column("__side__").to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        ltab = g.filter(pa.array(lmask)).select(left_names)
+        rtab = g.filter(pa.array(~lmask))
+        # drop right rows with null keys; left null-key rows simply never match
+        rvalid = pc.and_(pc.is_valid(rtab.column(by)),
+                         pc.is_valid(rtab.column(on)))
+        rtab = rtab.filter(rvalid)
+        nL, nR = ltab.num_rows, rtab.num_rows
+        if nL == 0:
+            return pa.table(
+                {**{c: ltab.column(c) for c in left_names},
+                 **{rc: pa.nulls(0, rtab.column(rc).type)
+                    for rc in out_right_names}})
+        l_by = pc.fill_null(pc.cast(ltab.column(by), pa.int64()),
+                            np.iinfo(np.int64).min) \
+            .to_numpy(zero_copy_only=False)
+        l_on = pc.fill_null(pc.cast(ltab.column(on), pa.int64()),
+                            np.iinfo(np.int64).min) \
+            .to_numpy(zero_copy_only=False)
+        l_null = (np.asarray(pc.is_null(ltab.column(by)), bool)
+                  | np.asarray(pc.is_null(ltab.column(on)), bool))
+        r_by = pc.cast(rtab.column(by), pa.int64()).to_numpy(zero_copy_only=False)
+        r_on = pc.cast(rtab.column(on), pa.int64()).to_numpy(zero_copy_only=False)
+        all_by = np.concatenate([l_by, r_by])
+        all_on = np.concatenate([l_on, r_on])
+        # right (0) sorts before left (1) on equal (by, on) → inclusive
+        all_side = np.concatenate([np.ones(nL, np.int8),
+                                   np.zeros(nR, np.int8)])
+        order = np.lexsort((all_side, all_on, all_by))
+        gb = all_by[order]
+        new_grp = np.zeros(len(order), dtype=bool)
+        if len(order):
+            new_grp[0] = True
+            new_grp[1:] = gb[1:] != gb[:-1]
+        grp_id = np.cumsum(new_grp) - 1
+        n = len(order)
+        # forward-fill the LAST right row seen in scan order (positions are
+        # monotonic, so max position == most recent right row); the base
+        # offset per group resets the fill at group boundaries
+        base = grp_id.astype(np.int64) * (n + 1)
+        pos = np.arange(n, dtype=np.int64)
+        fill = np.where(order >= nL, base + pos + 1, base)
+        acc = np.maximum.accumulate(fill)
+        matchp = acc - base  # 0 = no match yet in group, else position + 1
+        lsel = order < nL
+        mp = matchp[lsel] - 1
+        ridx_of = np.where(mp >= 0,
+                           order[np.clip(mp, 0, n - 1)] - nL, -1)
+        res = np.full(nL, -1, dtype=np.int64)
+        res[order[lsel]] = ridx_of
+        res[l_null] = -1
+        hit = res >= 0
+        take_idx = pa.array(np.where(hit, res, 0), pa.int64())
+        cols = {c: ltab.column(c) for c in left_names}
+        for rc in out_right_names:
+            vals = rtab.column(rc).take(take_idx) if nR else \
+                pa.nulls(nL, rtab.column(rc).type)
+            cols[rc] = pc.if_else(pa.array(hit),
+                                  vals.combine_chunks()
+                                  if isinstance(vals, pa.ChunkedArray) else vals,
+                                  pa.scalar(None, rtab.column(rc).type))
+        return pa.table(cols)
+
+    return bucketed_group_apply(lt.union(rt), [by], bucket_join,
+                                num_buckets=num_buckets)

@@ -1034,6 +1034,51 @@ FROM g WHERE wc >= 5 AND mwl >= 2.0 AND mwl <= 12.0 AND sym <= 0.3
 """
 
 
+def q_asof_join(sf_dir: str):
+    """Custom operator: backward-inclusive as-of join — each click event
+    matched to the user's latest prior-or-equal purchase (DuckDB ASOF LEFT
+    JOIN twin).  Timestamps emitted as epoch µs with -1 for no-match so
+    both sides stringify identically."""
+    import ray.data as rd
+
+    from webval.joins import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "click"))
+                   .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase"))
+                   .select(["user_id", "ts"])
+                   .group_by(["user_id", "ts"]).aggregate([]),
+        batch_format="pyarrow")
+    from webval.exchange import distinct_rows
+    purchases = distinct_rows(purchases, ["user_id", "ts"])
+    out = asof_join(clicks, purchases, on="ts", by="user_id")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "purchase_us": pc.fill_null(
+                pc.cast(t.column("ts_r"), pa.int64()), -1),
+        })
+
+    return ds_to_table(out.map_batches(finish, batch_format="pyarrow"))
+
+
+SQL_ASOF_JOIN = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT DISTINCT user_id, ts FROM events
+      WHERE event_type = 'purchase')
+SELECT l.event_id,
+       COALESCE(CAST(epoch_us(r.ts) AS BIGINT), -1) AS purchase_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_grouped_quantiles(sf_dir: str):
     """E8 + E4/E5: mergeable sketches inside ds.groupby().aggregate() via
     the AggregateFnV2 wrappers (per-lang p50 length + distinct docs)."""
@@ -1106,4 +1151,5 @@ QUERIES = {
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "c4_quality": (q_c4_quality, SQL_C4_QUALITY),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
 }
