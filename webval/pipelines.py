@@ -327,66 +327,90 @@ def partition_profiles(ds, part_col: str, kinds: dict[str, str] | None = None,
     return bucketed_group_apply(partials, [part_col], merge_bucket)
 
 
-def partition_report(ds, schema: SchemaSpec, part_col: str = "part_id",
-                     *, max_js: float = 0.1, min_chi2_p: float = 0.001,
-                     drift_cols: list[str] | None = None):
-    """Per-partition pass/fail rows (BASELINE.json north_rule: "matching the
-    reference's per-partition pass/fail"): null-rate checks evaluated per
-    partition, drift (JS + chi-square) of each histogrammed column vs the
-    baseline schema.  Returns a small pandas DataFrame (one row per part).
+def partition_report_dataset(ds, schema: SchemaSpec, part_col: str = "part_id",
+                             *, max_js: float = 0.1, min_chi2_p: float = 0.001,
+                             drift_cols: list[str] | None = None):
+    """Per-partition pass/fail rows (BASELINE.json north_rule: "matching
+    the reference's per-partition pass/fail") as a DATASET: null-rate
+    checks evaluated per partition, drift (JS + chi-square) of each
+    histogrammed column vs the baseline schema.
+
+    The per-partition evaluation runs INSIDE map_batches over the profile
+    accumulators (baseline schema broadcast via closure — it is KBs), so
+    the driver never touches the partition rows; at 10^6+ partitions
+    consume with ``.write_parquet`` instead of collecting.
 
     ``drift_cols`` selects which columns are drift-checked (default: every
     histogrammed/categorical column).  Columns that legitimately correlate
     with the partition key (ingestion timestamps, sequential ids) should be
     excluded — they always "drift" per partition by construction.
     """
-    import pandas as pd
-
     kinds = {p.name: p.kind for p in schema.columns}
     edges = {p.name: p.histogram["edges"] for p in schema.columns
              if p.histogram is not None
              and (drift_cols is None or p.name in drift_cols)}
     prof = partition_profiles(ds, part_col, kinds, edges)
-    rows = []
     null_checks = {c.column: c.params["max_rate"]
                    for c in schema.checks if c.kind == "null_rate"}
-    for r in prof.take_all():  # one tiny row per partition
-        accs: dict[str, ColumnAccumulator] = pickle.loads(r["acc"])
-        rec: dict = {part_col: r[part_col]}
-        any_col = next(iter(accs.values()))
-        rec["rows"] = any_col.moments.total
-        ok = True
-        worst_js = 0.0
-        for name, acc in accs.items():
-            nr = acc.moments.null_rate
-            if name in null_checks:
-                rec[f"null_rate_{name}"] = nr
-                if nr > null_checks[name]:
-                    ok = False
-            base = schema.column(name)
-            if acc.hist is not None and base.histogram is not None:
-                bh = NumericHistogram.from_dict(base.histogram)
-                js = js_divergence(acc.hist.probs(), bh.probs())
-                _, p = chi2_test(
-                    np.concatenate([[acc.hist.underflow], acc.hist.counts,
-                                    [acc.hist.overflow]]),
-                    bh.probs())
-                rec[f"js_{name}"] = js
-                rec[f"chi2_p_{name}"] = p
-                worst_js = max(worst_js, js)
-                if js > max_js or p < min_chi2_p:
-                    ok = False
-            if (acc.freq is not None and base.frequencies is not None
-                    and (drift_cols is None or name in drift_cols)):
-                a, b = freq_vectors(acc.freq.counts, base.frequencies["counts"])
-                rec[f"js_{name}"] = js_divergence(a, b)
-                worst_js = max(worst_js, rec[f"js_{name}"])
-                if rec[f"js_{name}"] > max_js:
-                    ok = False
-        rec["drifted"] = worst_js > max_js
-        rec["pass"] = ok
-        rows.append(rec)
-    return pd.DataFrame(sorted(rows, key=lambda d: d[part_col]))
+    base_cols = {p.name: p for p in schema.columns}
+
+    def evaluate(batch: pa.Table) -> pa.Table:
+        rows = []
+        for pv, blob in zip(batch.column(part_col).to_pylist(),
+                            batch.column("acc").to_pylist()):
+            accs: dict[str, ColumnAccumulator] = pickle.loads(blob)
+            rec: dict = {part_col: pv}
+            any_col = next(iter(accs.values()))
+            rec["rows"] = any_col.moments.total
+            ok = True
+            worst_js = 0.0
+            for name, acc in accs.items():
+                nr = acc.moments.null_rate
+                if name in null_checks:
+                    rec[f"null_rate_{name}"] = nr
+                    if nr > null_checks[name]:
+                        ok = False
+                base = base_cols[name]
+                if acc.hist is not None and base.histogram is not None:
+                    bh = NumericHistogram.from_dict(base.histogram)
+                    js = js_divergence(acc.hist.probs(), bh.probs())
+                    _, p = chi2_test(
+                        np.concatenate([[acc.hist.underflow], acc.hist.counts,
+                                        [acc.hist.overflow]]),
+                        bh.probs())
+                    rec[f"js_{name}"] = js
+                    rec[f"chi2_p_{name}"] = p
+                    worst_js = max(worst_js, js)
+                    if js > max_js or p < min_chi2_p:
+                        ok = False
+                if (acc.freq is not None and base.frequencies is not None
+                        and (drift_cols is None or name in drift_cols)):
+                    a, b = freq_vectors(acc.freq.counts,
+                                        base.frequencies["counts"])
+                    rec[f"js_{name}"] = js_divergence(a, b)
+                    worst_js = max(worst_js, rec[f"js_{name}"])
+                    if rec[f"js_{name}"] > max_js:
+                        ok = False
+            rec["drifted"] = worst_js > max_js
+            rec["pass"] = ok
+            rows.append(rec)
+        import pandas as pd
+
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    return prof.map_batches(evaluate, batch_format="pyarrow")
+
+
+def partition_report(ds, schema: SchemaSpec, part_col: str = "part_id",
+                     *, max_js: float = 0.1, min_chi2_p: float = 0.001,
+                     drift_cols: list[str] | None = None):
+    """partition_report_dataset collected to one sorted pandas DataFrame —
+    the small-scale convenience form (one tiny row per partition)."""
+    out = partition_report_dataset(ds, schema, part_col, max_js=max_js,
+                                   min_chi2_p=min_chi2_p,
+                                   drift_cols=drift_cols)
+    df = out.to_pandas()
+    return df.sort_values(part_col).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
