@@ -1034,6 +1034,35 @@ FROM g WHERE wc >= 5 AND mwl >= 2.0 AND mwl <= 12.0 AND sym <= 0.3
 """
 
 
+def q_filtered_read(sf_dir: str):
+    """A1: predicate pushdown at the READ — the filter expression reaches
+    pyarrow's dataset scanner, so row groups whose column statistics
+    exclude ``value > 250`` never leave storage (prune-at-the-read)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"],
+                         filter=(pads.field("value") > 250.0))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "s": pa.array([pc.sum(t.column("value")).as_py() or 0.0],
+                          pa.float64())})
+
+    parts = ds_to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    total = pc.sum(parts.column("s")).as_py() or 0.0
+    return pa.table({
+        "n": pa.array([pc.sum(parts.column("n")).as_py() or 0], pa.int64()),
+        "sum_value": pa.array([float(f"{total:.4f}")], pa.float64())})
+
+
+SQL_FILTERED_READ = """
+SELECT CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+FROM events WHERE value > 250.0
+"""
+
+
 def q_asof_join(sf_dir: str):
     """Custom operator: backward-inclusive as-of join — each click event
     matched to the user's latest prior-or-equal purchase (DuckDB ASOF LEFT
@@ -1152,4 +1181,5 @@ QUERIES = {
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "c4_quality": (q_c4_quality, SQL_C4_QUALITY),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "filtered_read": (q_filtered_read, SQL_FILTERED_READ),
 }
