@@ -68,3 +68,31 @@ def test_window_start_exact_near_float53_cliff():
     # nulls propagate
     coln = pa.array([None, 12345], type=pa.timestamp("us"))
     assert _window_start(coln, size).to_pylist()[0] is None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sessionize_matches_bruteforce():
+    from webval.windows import sessionize
+
+    rng = np.random.default_rng(31)
+    n = 800
+    uid = rng.integers(0, 12, n)
+    ts = rng.integers(0, 100_000, n)
+    t = pa.table({"eid": pa.array(np.arange(n), pa.int64()),
+                  "uid": pa.array(uid, pa.int64()),
+                  "ts": pa.array(ts, pa.int64())})
+    import ray.data as rd
+    gap = 500
+    out = sessionize(rd.from_arrow(t).repartition(4), ts_col="ts", by="uid",
+                     gap_us=gap).take_all()
+    got = {r["eid"]: r["session_seq"] for r in out}
+    # brute force per user
+    for u in np.unique(uid):
+        rows = sorted((int(ts[i]), int(i)) for i in np.flatnonzero(uid == u))
+        seq = 0
+        prev = None
+        for t_, eid in rows:
+            if prev is None or t_ - prev > gap:
+                seq += 1
+            prev = t_
+            assert got[eid] == seq, (u, eid, t_, got[eid], seq)

@@ -1034,6 +1034,37 @@ FROM g WHERE wc >= 5 AND mwl >= 2.0 AND mwl <= 12.0 AND sym <= 0.3
 """
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-minute gap) per user — segmented
+    cumsum inside the exchange; SQL twin via lag()/sum() window
+    functions."""
+    import ray.data as rd
+
+    from webval.windows import sessionize
+
+    gap_us = 30 * 60 * 1_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    out = sessionize(ds, ts_col="ts", by="user_id", gap_us=gap_us)
+    return ds_to_table(out.map_batches(
+        lambda t: t.select(["event_id", "session_seq"]),
+        batch_format="pyarrow"))
+
+
+SQL_SESSIONIZE = """
+WITH m AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id,
+       CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS session_seq
+FROM m
+"""
+
+
 def q_filtered_read(sf_dir: str):
     """A1: predicate pushdown at the READ — the filter expression reaches
     pyarrow's dataset scanner, so row groups whose column statistics
@@ -1182,4 +1213,5 @@ QUERIES = {
     "c4_quality": (q_c4_quality, SQL_C4_QUALITY),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "filtered_read": (q_filtered_read, SQL_FILTERED_READ),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
 }

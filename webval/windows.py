@@ -87,3 +87,52 @@ def sliding_window_agg(ds, ts_col: str, aggs, *, size_us: int, step_us: int,
     windowed = ds.map_batches(assign, batch_format="pyarrow")
     return grouped_agg(windowed, keys + ["window_start"], list(aggs),
                        num_buckets=num_buckets)
+
+
+def sessionize(ds, *, ts_col: str, by: str, gap_us: int,
+               out_col: str = "session_seq", num_buckets: int = 64):
+    """Gap-based sessionization: within each ``by`` group (events ordered
+    by (ts, row order)), a new session starts when the gap from the
+    previous event exceeds ``gap_us``; emits a 1-based per-group session
+    sequence number.
+
+    Hash-bucket exchange on ``by`` co-locates each group; per bucket ONE
+    lexsort + vectorized segmented cumsum (group-boundary rows always open
+    a session) — no per-group Python.  The SQL twin is the classic
+    lag()/sum() window-function pair.
+    """
+    import numpy as np
+
+    from webval.exchange import bucketed_group_apply
+
+    cols = list(ds.schema().names)
+
+    def assign(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(out_col, pa.array([], pa.int64()))
+        by_v = pc.cast(g.column(by), pa.int64()).to_numpy(zero_copy_only=False)
+        ts_v = pc.cast(g.column(ts_col), pa.int64()) \
+                 .to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts_v, by_v))
+        b_s, t_s = by_v[order], ts_v[order]
+        new_s = np.ones(n, dtype=np.int64)
+        if n > 1:
+            same_grp = b_s[1:] == b_s[:-1]
+            new_s[1:] = np.where(same_grp & (t_s[1:] - t_s[:-1] <= gap_us),
+                                 0, 1)
+        # per-group cumulative session number: global cumsum minus the
+        # cumsum value at each group's start (+1 for the start row itself)
+        cs = np.cumsum(new_s)
+        grp_start = np.zeros(n, dtype=bool)
+        grp_start[0] = True
+        if n > 1:
+            grp_start[1:] = b_s[1:] != b_s[:-1]
+        start_cs = np.maximum.accumulate(np.where(grp_start, cs - 1, 0))
+        seq_sorted = cs - start_cs
+        seq = np.empty(n, dtype=np.int64)
+        seq[order] = seq_sorted
+        return g.append_column(out_col, pa.array(seq, pa.int64()))
+
+    return bucketed_group_apply(ds.select_columns(cols), [by], assign,
+                                num_buckets=num_buckets)
