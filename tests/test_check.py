@@ -127,3 +127,26 @@ def test_referential_bloom_mode():
                                mode="bloom").take_all()
     assert all("orphan-" in r["dst_url"] for r in rows)  # no false orphans
     assert len(rows) >= 0.97 * expected_orphans(n_links)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_to_tags_rdv_shape():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webval.checks import check_dataset, to_tags
+    from webval.schema import CheckSpec, SchemaSpec
+
+    schema = SchemaSpec(name="w", built=True, checks=[
+        CheckSpec("url-regex", "url", "regex", {"pattern": r"^https?://"})])
+    t = pa.table({"url": pa.array(["https://a.com", "bad url", None])})
+    v = check_dataset(rd.from_arrow(t), schema)
+    rows = to_tags(v, feature_cols=["url"]).take_all()
+    # pass row: one feature tag only
+    assert rows[0]["tags"] == [{"name": "url", "value": "https://a.com",
+                                "type": "feature", "group": "default"}]
+    # failing row: feature tag + <check>-err tag in schema-errors group
+    assert {"name": "url-regex-err", "value": "1", "type": "error",
+            "group": "schema-errors"} in rows[1]["tags"]
+    # null feature emits no feature tag; nulls pass regex (null-rate owns them)
+    assert rows[2]["tags"] == []

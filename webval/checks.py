@@ -128,3 +128,43 @@ def violations_of(verdicts):
     return verdicts.map_batches(
         lambda t: t.filter(pc.invert(t.column("pass").combine_chunks())),
         batch_format="pyarrow")
+
+
+# rdv tag-format adapter (VERDICT r1 missing-4): rdv's Schema.check emits a
+# per-row TAG LIST — {name, value, type, group} dicts, with feature tags in
+# group "default" and one "<check>-err" tag per failed check in group
+# "schema-errors" [rdv:rdv/tags.py, UNVERIFIED — reference checkout empty].
+# Verdict rows here carry the semantically-equal (pass, failed_checks)
+# columns; this adapter materializes the rdv shape for drop-in consumers.
+
+TAG_TYPE = pa.struct([("name", pa.string()), ("value", pa.string()),
+                      ("type", pa.string()), ("group", pa.string())])
+
+
+def to_tags(verdicts, *, feature_cols: list[str] | None = None,
+            batch_size: int | None = 8192):
+    """Append a ``tags`` column (list<struct{name,value,type,group}>) to a
+    verdict Dataset: one feature tag per ``feature_cols`` entry (group
+    "default") plus one ``<check>-err`` tag per entry of ``failed_checks``
+    (group "schema-errors") — the rdv Schema.check output shape."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = feature_cols or [c for c in batch.column_names
+                                if c not in ("pass", "failed_checks")
+                                and not c.startswith("fail_")]
+        feats = {c: batch.column(c).to_pylist() for c in cols}
+        failed = batch.column("failed_checks").to_pylist()
+        rows = []
+        for i in range(batch.num_rows):
+            tags = [{"name": c, "value": str(feats[c][i]),
+                     "type": "feature", "group": "default"}
+                    for c in cols if feats[c][i] is not None]
+            tags.extend({"name": f"{name}-err", "value": "1",
+                         "type": "error", "group": "schema-errors"}
+                        for name in (failed[i] or []))
+            rows.append(tags)
+        return batch.append_column("tags", pa.array(rows,
+                                                    type=pa.list_(TAG_TYPE)))
+
+    return verdicts.map_batches(fn, batch_format="pyarrow",
+                                batch_size=batch_size)
