@@ -59,3 +59,59 @@ def test_asof_join_null_keys():
            for r in asof_join(rd.from_arrow(lt), rd.from_arrow(rt),
                               on="ts", by="uid").take_all()}
     assert out == {0: 5, 1: None, 2: None}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interval_join_matches_bruteforce():
+    import ray.data as rd
+
+    from webval.joins import interval_join
+
+    rng = np.random.default_rng(23)
+    nP, nR = 500, 200
+    pts = pa.table({
+        "uid": pa.array(rng.integers(0, 10, nP), pa.int64()),
+        "ts": pa.array(rng.integers(0, 5000, nP), pa.int64()),
+        "pid": pa.array(np.arange(nP), pa.int64()),
+    })
+    lo = rng.integers(0, 5000, nR)
+    span = rng.integers(0, 300, nR)
+    iv = pa.table({
+        "uid": pa.array(rng.integers(0, 10, nR), pa.int64()),
+        "lo": pa.array(lo, pa.int64()),
+        "hi": pa.array(lo + span, pa.int64()),
+        "iid": pa.array(np.arange(nR), pa.int64()),
+    })
+    out = interval_join(rd.from_arrow(pts).repartition(4),
+                        rd.from_arrow(iv).repartition(3),
+                        on="ts", lo="lo", hi="hi", by="uid",
+                        right_cols=["iid"], max_span_us=300).take_all()
+    got = {(r["pid"], r["iid_r"]) for r in out}
+    want = set()
+    for pu, pt_, pid in zip(pts.column("uid").to_pylist(),
+                            pts.column("ts").to_pylist(),
+                            pts.column("pid").to_pylist()):
+        for iu, il, ih, iid in zip(iv.column("uid").to_pylist(),
+                                   iv.column("lo").to_pylist(),
+                                   iv.column("hi").to_pylist(),
+                                   iv.column("iid").to_pylist()):
+            if pu == iu and il <= pt_ <= ih:
+                want.add((pid, iid))
+    assert got == want
+    assert len(got) > 100  # non-trivial match density
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interval_join_rejects_overlong_interval():
+    import ray.data as rd
+
+    from webval.joins import interval_join
+
+    pts = pa.table({"uid": pa.array([1], pa.int64()),
+                    "ts": pa.array([10], pa.int64())})
+    iv = pa.table({"uid": pa.array([1], pa.int64()),
+                   "lo": pa.array([0], pa.int64()),
+                   "hi": pa.array([1000], pa.int64())})
+    with pytest.raises(Exception):
+        interval_join(rd.from_arrow(pts), rd.from_arrow(iv), on="ts",
+                      lo="lo", hi="hi", by="uid", max_span_us=100).take_all()

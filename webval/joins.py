@@ -130,3 +130,156 @@ def asof_join(left, right, *, on: str, by: str,
 
     return bucketed_group_apply(lt.union(rt), [by], bucket_join,
                                 num_buckets=num_buckets)
+
+
+def interval_join(points, intervals, *, on: str, lo: str, hi: str, by: str,
+                  right_cols: list[str] | None = None, suffix: str = "_r",
+                  max_span_us: int, num_buckets: int = 64):
+    """Range (interval) join: each point row joined with EVERY interval of
+    the same ``by`` group containing it (``lo <= on <= hi``) — inner join,
+    multi-match.
+
+    ``max_span_us`` bounds interval length (asserted per interval): a point
+    can then only match intervals whose ``lo`` lies in
+    ``(on - max_span_us, on]``, so the per-bucket work is two of the as-of
+    forward-fill merges (one for each window edge) + a vectorized
+    repeat/arange expansion of the candidate ranges — no per-row loop, and
+    candidate counts are bounded by interval density × span rather than
+    group size.
+    """
+    from webval.exchange import bucketed_group_apply
+
+    right_cols = list(right_cols or [lo, hi])
+    p_schema = points.schema()
+    p_names = list(p_schema.names)
+    out_right = [f"{c}{suffix}" for c in right_cols]
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        for c, rc in zip(right_cols, out_right):
+            t = t.append_column(rc, pa.nulls(
+                t.num_rows, intervals.schema().types[
+                    intervals.schema().names.index(c)]))
+        t = t.append_column("__lo__", pa.nulls(t.num_rows, pa.int64()))
+        t = t.append_column("__hi__", pa.nulls(t.num_rows, pa.int64()))
+        return t.append_column("__side__",
+                               pa.array(np.zeros(t.num_rows, np.int8)))
+
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        cols = {by: t.column(by)}
+        for c, rc in zip(right_cols, out_right):
+            cols[rc] = t.column(c)
+        out = pa.table(cols)
+        for name, typ in zip(p_names, p_schema.types):
+            if name != by:
+                out = out.append_column(name, pa.nulls(t.num_rows, typ))
+        out = out.append_column("__lo__",
+                                pc.cast(t.column(lo), pa.int64()))
+        out = out.append_column("__hi__",
+                                pc.cast(t.column(hi), pa.int64()))
+        out = out.append_column("__side__",
+                                pa.array(np.ones(t.num_rows, np.int8)))
+        return out.select(p_names + out_right + ["__lo__", "__hi__",
+                                                 "__side__"])
+
+    pt = points.map_batches(tag_points, batch_format="pyarrow")
+    it = (intervals.select_columns(sorted({by, lo, hi, *right_cols}))
+                   .map_batches(tag_intervals, batch_format="pyarrow"))
+
+    def last_leq(q_by, q_on, r_by, r_lo, inclusive: bool):
+        """For each query (by, on): index (into the (by, lo)-sorted interval
+        order) of the LAST interval with lo <= on (or < on when not
+        inclusive); -1 when none.  The as-of forward-fill merge."""
+        nQ, nR = len(q_by), len(r_by)
+        all_by = np.concatenate([q_by, r_by])
+        all_on = np.concatenate([q_on, r_lo])
+        # inclusive: interval sorts BEFORE the query at equal keys
+        q_rank = np.full(nQ, 1 if inclusive else 0, dtype=np.int8)
+        r_rank = np.full(nR, 0 if inclusive else 1, dtype=np.int8)
+        all_rank = np.concatenate([q_rank, r_rank])
+        order = np.lexsort((all_rank, all_on, all_by))
+        n = len(order)
+        gb = all_by[order]
+        new_grp = np.zeros(n, dtype=bool)
+        if n:
+            new_grp[0] = True
+            new_grp[1:] = gb[1:] != gb[:-1]
+        grp_id = np.cumsum(new_grp) - 1
+        base = grp_id.astype(np.int64) * (n + 1)
+        pos = np.arange(n, dtype=np.int64)
+        is_r = order >= nQ
+        # r_sorted_rank: rank of each interval within the (by, lo) sort —
+        # the scan order IS that sort restricted to intervals
+        r_count = np.cumsum(is_r) - is_r.astype(np.int64)  # intervals before
+        fill = np.where(is_r, base + pos + 1, base)
+        acc = np.maximum.accumulate(fill)
+        matchp = acc - base
+        qsel = ~is_r
+        mp = matchp[qsel] - 1
+        # sorted-interval rank at matched position
+        r_rank_at = np.where(mp >= 0, r_count[np.clip(mp, 0, n - 1)], -1)
+        res = np.full(nQ, -1, dtype=np.int64)
+        res[order[qsel]] = r_rank_at
+        return res
+
+    def bucket_join(g: pa.Table) -> pa.Table:
+        side = g.column("__side__").to_numpy(zero_copy_only=False)
+        pmask = side == 0
+        ptab = g.filter(pa.array(pmask)).select(p_names)
+        rtab = g.filter(pa.array(~pmask))
+        rvalid = pc.and_(pc.is_valid(rtab.column(by)),
+                         pc.and_(pc.is_valid(rtab.column("__lo__")),
+                                 pc.is_valid(rtab.column("__hi__"))))
+        rtab = rtab.filter(rvalid)
+        nP, nR = ptab.num_rows, rtab.num_rows
+        empty = pa.table({**{c: ptab.column(c).slice(0, 0)
+                             for c in p_names},
+                          **{rc: rtab.column(rc).slice(0, 0)
+                             for rc in out_right}})
+        if nP == 0 or nR == 0:
+            return empty
+        p_by = pc.fill_null(pc.cast(ptab.column(by), pa.int64()),
+                            np.iinfo(np.int64).min) \
+            .to_numpy(zero_copy_only=False)
+        p_on = pc.fill_null(pc.cast(ptab.column(on), pa.int64()),
+                            np.iinfo(np.int64).min) \
+            .to_numpy(zero_copy_only=False)
+        p_null = (np.asarray(pc.is_null(ptab.column(by)), bool)
+                  | np.asarray(pc.is_null(ptab.column(on)), bool))
+        r_by = rtab.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
+        r_lo = rtab.column("__lo__").to_numpy(zero_copy_only=False)
+        r_hi = rtab.column("__hi__").to_numpy(zero_copy_only=False)
+        if (r_hi - r_lo > max_span_us).any():
+            raise ValueError(f"interval longer than max_span_us={max_span_us}")
+        r_order = np.lexsort((r_lo, r_by))
+        # candidate window in (by, lo)-sorted interval rank space:
+        # (last lo < on - max_span, last lo <= on]; when the group has no
+        # interval before the window, clamp the start to the group's first
+        # rank (NOT global rank 0 — that would span other groups)
+        end_rank = last_leq(p_by, p_on, r_by, r_lo, inclusive=True)
+        start_rank = last_leq(p_by, p_on - max_span_us, r_by, r_lo,
+                              inclusive=False)
+        r_by_sorted = r_by[r_order]
+        gstart = np.searchsorted(r_by_sorted, p_by, side="left")
+        start_rank = np.maximum(start_rank, gstart - 1)
+        counts = np.maximum(end_rank - start_rank, 0)
+        counts[p_null] = 0
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        p_idx = np.repeat(np.arange(nP), counts)
+        offs = np.cumsum(counts) - counts
+        rank = (np.arange(total) - np.repeat(offs, counts)
+                + np.repeat(start_rank + 1, counts))
+        r_idx = r_order[rank]
+        contained = ((p_by[p_idx] == r_by[r_idx])
+                     & (p_on[p_idx] >= r_lo[r_idx])
+                     & (p_on[p_idx] <= r_hi[r_idx]))
+        p_idx, r_idx = p_idx[contained], r_idx[contained]
+        cols = {c: ptab.column(c).take(pa.array(p_idx, pa.int64()))
+                for c in p_names}
+        for rc in out_right:
+            cols[rc] = rtab.column(rc).take(pa.array(r_idx, pa.int64()))
+        return pa.table(cols)
+
+    return bucketed_group_apply(pt.union(it), [by], bucket_join,
+                                num_buckets=num_buckets)

@@ -1065,6 +1065,57 @@ FROM m
 """
 
 
+def q_interval_join(sf_dir: str):
+    """Range join: every click within one hour AFTER a purchase by the
+    same user, multi-match (bounded-span interval join; plain SQL range
+    join twin)."""
+    import ray.data as rd
+
+    from webval.exchange import distinct_rows
+    from webval.joins import interval_join
+
+    hour_us = 3_600_000_000
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "click"))
+                   .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+    purchases = distinct_rows(
+        ev.map_batches(
+            lambda t: t.filter(pc.equal(t.column("event_type"), "purchase"))
+                       .select(["user_id", "ts"]),
+            batch_format="pyarrow"),
+        ["user_id", "ts"])
+
+    def to_intervals(t: pa.Table) -> pa.Table:
+        lo = pc.cast(t.column("ts"), pa.int64())
+        return pa.table({"user_id": t.column("user_id"),
+                         "lo": lo, "hi": pc.add(lo, hour_us)})
+
+    iv = purchases.map_batches(to_intervals, batch_format="pyarrow")
+    out = interval_join(clicks, iv, on="ts", lo="lo", hi="hi", by="user_id",
+                        right_cols=["lo"], max_span_us=hour_us)
+    return ds_to_table(
+        out.map_batches(
+            lambda t: pa.table({"event_id": t.column("event_id"),
+                                "purchase_us": pc.cast(t.column("lo_r"),
+                                                       pa.int64())}),
+            batch_format="pyarrow"),
+        empty_schema=pa.schema([("event_id", pa.int64()),
+                                ("purchase_us", pa.int64())]))
+
+
+SQL_INTERVAL_JOIN = """
+WITH p AS (SELECT DISTINCT user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us
+FROM c JOIN p ON c.user_id = p.user_id
+               AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+"""
+
+
 def q_filtered_read(sf_dir: str):
     """A1: predicate pushdown at the READ — the filter expression reaches
     pyarrow's dataset scanner, so row groups whose column statistics
@@ -1214,4 +1265,5 @@ QUERIES = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "filtered_read": (q_filtered_read, SQL_FILTERED_READ),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
 }
