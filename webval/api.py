@@ -63,6 +63,15 @@ class Schema:
 
         return check_pipeline(_as_dataset(data), self.spec, keep_cols=keep_cols)
 
+    def check_tags(self, data, keep_cols: list[str] | None = None,
+                   feature_cols: list[str] | None = None):
+        """Verdicts in the reference's TAG-LIST shape — per-row
+        list<struct{name,value,type,group}> (checks.to_tags)."""
+        from webval.checks import to_tags
+
+        res = self.check(data, keep_cols=keep_cols)
+        return to_tags(res["verdicts"], feature_cols=feature_cols)
+
     def check_uniqueness(self, data, column: str):
         from webval.pipelines import uniqueness_violations
 
