@@ -106,6 +106,18 @@ def test_fast_path_equivalent_to_parser():
         b"<p>&amp;nbsp; literal</p>",
         b"<p>semicolonless &amp here</p>",
         b"<p>&#0160;</p>",
+        # ADVICE r2: <head> AFTER visible text — fast path would prepend the
+        # title where the parser emits it in document order
+        b"<body><p>x y</p></body><head><title>t</title></head>",
+        b"<body>x</body><head><title>t</title></head>",
+        b"text first <head><title>t</title></head><p>rest</p>",
+        b"<p>a</p><head><title>t</title></head><p>b</p>",
+        b"<body></body><head><title>t</title></head>",      # no text: ok
+        b"<html><body><head><title>t</title></head>x</body></html>",
+        b"<header>x</header><p>y</p>",                      # <header> != <head>
+        b"<p>a</p><header>h</header><head><title>t</title></head>",
+        b"<HEAD><TITLE>T</TITLE></HEAD><p>b</p>",
+        b"<!DOCTYPE html><html lang=\"en\"><head><title>t</title></head>x",
         # unicode whitespace: str.split() splits on these, RE2 \s does not
         b"<p>a\xc2\xa0b</p>",          # NBSP
         b"<p>a\xe2\x80\x83b</p>",      # em space

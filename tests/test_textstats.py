@@ -166,7 +166,10 @@ def test_rolling_hashes_batch_matches_per_doc():
     texts = ["hello world this is a document", "short", None, "",
              "another web page body with more text in it",
              "hello world this is a document",  # duplicate content
-             "tiny", "exactly8"]
+             "tiny", "exactly8",
+             # ADVICE r2: <window CHARS but >=window utf-8 bytes — both
+             # paths must gate on character length and skip these
+             "日本語テスト", "éèêëàâäî", "日本語テキスト測定法", "ab日本語x"]
     kept, counts, hashes = rolling_hashes_batch(texts, 8)
     ends = np.cumsum(counts)
     got = {int(k): hashes[e - c:e] for k, c, e in zip(kept, counts, ends)}

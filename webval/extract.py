@@ -168,6 +168,16 @@ def _fast_extract_gated(s: pa.Array):
     # char — but the tag strip would swallow "< b ... >" anyway; flag it
     bad = _pc.or_(bad, _pc.match_substring_regex(s, r"<([^a-zA-Z/!?]|$)"))
     bad = _pc.or_(bad, _pc.match_substring_regex(s, r"<!--|-->|<!\["))
+    # the fast path PREPENDS the title text; html.parser emits it at its
+    # document position — equivalent only when nothing visible precedes
+    # <head> (ADVICE r2: '<body>x</body><head><title>t</title></head>'
+    # reorders).  Allow only complete tags + whitespace before '<head';
+    # any <head> preceded by text (incl. one after <body> content) falls
+    # back to the parser.  \b keeps <header> from aliasing.
+    has_head = _pc.match_substring_regex(s, r"(?i)<head\b")
+    head_first = _pc.match_substring_regex(
+        s, rf"(?is)^(?:\s*<{_TAG_INNER}>)*\s*<head\b")
+    bad = _pc.or_(bad, _pc.and_(has_head, _pc.invert(head_first)))
     # Python's str.split() (the parser's whitespace normalizer) splits on
     # unicode whitespace; RE2's \s is ASCII [\t\n\f\r ] only — rows with
     # any other whitespace char (NBSP, em-space, \x0b, \x1c-\x1f, NEL,

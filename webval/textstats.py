@@ -192,11 +192,12 @@ def rolling_hashes_batch(texts: list, window: int = 8
     in ``kept`` order (sorted within each doc)."""
     enc, lens, idx = [], [], []
     for i, t in enumerate(texts):
-        if t is None:
+        # gate on CHARACTER length, matching rolling_hashes (ADVICE r2: the
+        # byte-length gate kept multibyte docs with <window chars that the
+        # per-doc path and dedup's verify make_blob both exclude)
+        if t is None or len(t) < window:
             continue
         b = t.encode("utf-8", errors="replace")
-        if len(b) < window:
-            continue
         enc.append(b)
         lens.append(len(b))
         idx.append(i)
