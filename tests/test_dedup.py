@@ -97,6 +97,25 @@ def test_minhash_dedup_distributed_components(docs_table):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_minhash_auto_selects_distributed_above_pair_cap(docs_table):
+    """components="auto" with a tiny driver_max_pairs must route through the
+    distributed path (no driver take_all) and produce the same clusters as
+    the driver path."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(docs_table).repartition(4)
+    want = sorted((r["doc_id"], r["cluster_id"]) for r in minhash_dedup(
+        ds, "doc_id", jaccard_threshold=0.6, concurrency=2,
+        components="driver").take_all())
+    got = sorted((r["doc_id"], r["cluster_id"]) for r in minhash_dedup(
+        ds, "doc_id", jaccard_threshold=0.6, concurrency=2,
+        components="auto", driver_max_pairs=1).take_all())
+    # distributed output includes cluster roots labeling themselves; driver
+    # union-find does too (uf.parent includes roots) — sets must be equal
+    assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_distributed_verify_filters_low_jaccard(docs_table):
     """verify_pairs_distributed must REJECT candidates below the threshold:
     at 0.99 only exact dups survive; near-dups (one word changed) are LSH
