@@ -150,3 +150,10 @@ def test_to_tags_rdv_shape():
             "group": "schema-errors"} in rows[1]["tags"]
     # null feature emits no feature tag; nulls pass regex (null-rate owns them)
     assert rows[2]["tags"] == []
+    # default path (no feature_cols): vectorized error tags only
+    err_rows = to_tags(v).take_all()
+    assert err_rows[0]["tags"] == []
+    assert err_rows[1]["tags"] == [{"name": "url-regex-err", "value": "1",
+                                    "type": "error",
+                                    "group": "schema-errors"}]
+    assert err_rows[2]["tags"] == []
