@@ -63,3 +63,31 @@ def test_null_keys_survive():
     got = grouped_count(rd.from_arrow(t), "k").to_pandas()
     # nulls dropped by the count combiner (rdv pinv semantics own nulls)
     assert dict(zip(got["k"], got["cnt"])) == {"a": 2, "b": 1}
+
+def test_resolve_num_buckets_derives_from_cluster(ray_session):
+    from webval.exchange import DEFAULT_BUCKETS, resolve_num_buckets
+
+    assert resolve_num_buckets(17) == 17          # explicit wins
+    derived = resolve_num_buckets(None)
+    # test cluster has 4 CPUs -> floor dominates; at scale 2x CPUs dominates
+    assert derived == max(DEFAULT_BUCKETS, 2 * 4)
+    assert derived >= DEFAULT_BUCKETS
+
+
+def test_oversized_group_guard_names_key(ray_session):
+    """A single key group over max_group_rows must fail with a diagnostic
+    naming the key — not an opaque task OOM (VERDICT r2 wrong-4)."""
+    import ray.data as rd
+
+    from webval.exchange import bucketed_group_apply
+
+    t = pa.table({"k": ["big"] * 50 + ["ok"] * 5,
+                  "v": list(range(55))})
+    ds = rd.from_arrow(t).repartition(4)
+    out = bucketed_group_apply(ds, ["k"], lambda g: g, max_group_rows=10)
+    with pytest.raises(Exception, match=r"big.*50\s*rows > max_group_rows=10"):
+        out.take_all()
+    # under the cap: passes untouched
+    ok = bucketed_group_apply(ds, ["k"], lambda g: g,
+                              max_group_rows=100).take_all()
+    assert len(ok) == 55

@@ -96,3 +96,19 @@ def test_sessionize_matches_bruteforce():
                 seq += 1
             prev = t_
             assert got[eid] == seq, (u, eid, t_, got[eid], seq)
+
+
+def test_sessionize_oversized_group_diagnostic():
+    """VERDICT r2 next-10: pathological single-user group fails explicitly."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from webval.windows import sessionize
+
+    t = pa.table({"uid": pa.array([7] * 40, pa.int64()),
+                  "ts": pa.array(list(range(40)), pa.int64())})
+    s = sessionize(rd.from_arrow(t).repartition(2), ts_col="ts", by="uid",
+                   gap_us=5, max_group_rows=8)
+    with pytest.raises(Exception, match="max_group_rows"):
+        s.take_all()

@@ -11,10 +11,17 @@ millions of url/fingerprint/band-hash groups unusable (measured: 5s CPU per
    (num_buckets groups → boundary walking is trivial), co-locating all rows
    of equal keys; ``fn`` finishes each bucket with another C++ group_by.
 
-num_buckets is the reducer parallelism — at cluster scale set it ≥ total
-cores; hash bucketing spreads hot keys' *partials* uniformly, and because
-step 1 pre-combined per batch, a hot key contributes at most one row per
-input batch (bounded skew, SURVEY.md §2-G G2).
+num_buckets is the reducer parallelism — when not given it is DERIVED from
+the cluster (2 × total CPUs, floor 64, VERDICT r2 wrong-4) so a bigger
+cluster automatically gets more, smaller reduce tasks; hash bucketing
+spreads hot keys' *partials* uniformly, and because step 1 pre-combined per
+batch, a hot key contributes at most one row per input batch (bounded skew,
+SURVEY.md §2-G G2).
+
+Combiner-less uses (sessionize, as-of/interval joins, dedup keep-min) hold
+one whole bucket in a task's memory; they pass ``max_group_rows`` so a
+single key group that cannot fit a bucket task fails with a diagnostic
+naming the key instead of an opaque OOM.
 """
 
 from __future__ import annotations
@@ -26,6 +33,25 @@ import pyarrow.compute as pc
 from webval.sketches import hash64
 
 DEFAULT_BUCKETS = 64
+# default single-group cap for combiner-less ops (sessionize, as-of /
+# interval joins): ~4M rows ≈ low hundreds of MB of typical event rows per
+# bucket task — an explicit diagnostic beyond this instead of an OOM
+DEFAULT_MAX_GROUP_ROWS = 4_000_000
+
+
+def resolve_num_buckets(num_buckets: int | None) -> int:
+    """Explicit value wins; None derives 2×cluster-CPUs (floor
+    DEFAULT_BUCKETS) — at cluster scale the reducer count follows the
+    cluster instead of a constant."""
+    if num_buckets is not None:
+        return num_buckets
+    try:
+        import ray
+        cpus = (int(ray.cluster_resources().get("CPU", 0))
+                if ray.is_initialized() else 0)
+    except Exception:
+        cpus = 0
+    return max(DEFAULT_BUCKETS, 2 * cpus)
 
 
 def _bucket_of(batch: pa.Table, key_cols: list[str], num_buckets: int) -> pa.Array:
@@ -39,13 +65,20 @@ def _bucket_of(batch: pa.Table, key_cols: list[str], num_buckets: int) -> pa.Arr
 
 
 def bucketed_group_apply(ds, key_cols: list[str], fn, *,
-                         num_buckets: int = DEFAULT_BUCKETS,
-                         partial_fn=None, batch_size: int | None = 65536):
+                         num_buckets: int | None = None,
+                         partial_fn=None, batch_size: int | None = 65536,
+                         max_group_rows: int | None = None):
     """Apply ``fn(table) -> table`` once per hash bucket, with all rows of any
     ``key_cols`` combination guaranteed to be in the same call.  ``partial_fn``
     (optional combiner, table -> table keeping key_cols) runs per input batch
-    BEFORE the shuffle to shrink what moves."""
+    BEFORE the shuffle to shrink what moves.
+
+    ``max_group_rows``: combiner-less callers (whole groups must fit one
+    bucket task) set this so a single key group larger than the cap raises
+    a ValueError NAMING the key — not an opaque task OOM.  The size scan
+    only runs on buckets already over the cap (cheap on healthy data)."""
     key_cols = list(key_cols)
+    num_buckets = resolve_num_buckets(num_buckets)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         if partial_fn is not None:
@@ -56,7 +89,20 @@ def bucketed_group_apply(ds, key_cols: list[str], fn, *,
                                    _bucket_of(batch, key_cols, num_buckets))
 
     def apply_bucket(g: pa.Table) -> pa.Table:
-        return fn(g.drop_columns(["__bucket__"]))
+        g = g.drop_columns(["__bucket__"])
+        if max_group_rows is not None and g.num_rows > max_group_rows:
+            counts = g.group_by(key_cols).aggregate([([], "count_all")])
+            mx = pc.max(counts.column("count_all")).as_py()
+            if mx > max_group_rows:
+                big = counts.filter(
+                    pc.equal(counts.column("count_all"), mx)).slice(0, 1)
+                keyvals = {c: big.column(c)[0].as_py() for c in key_cols}
+                raise ValueError(
+                    f"bucketed_group_apply: key group {keyvals} has {mx} "
+                    f"rows > max_group_rows={max_group_rows}; one key group "
+                    f"must fit a single bucket task — re-key the operation "
+                    f"(salt / sub-window the key) or raise max_group_rows")
+        return fn(g)
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow",
                            batch_size=batch_size)
@@ -64,7 +110,7 @@ def bucketed_group_apply(ds, key_cols: list[str], fn, *,
               .map_groups(apply_bucket, batch_format="pyarrow"))
 
 
-def grouped_count(ds, key: str, *, num_buckets: int = DEFAULT_BUCKETS,
+def grouped_count(ds, key: str, *, num_buckets: int | None = None,
                   min_count: int | None = None, out_col: str = "cnt",
                   batch_size: int | None = 65536):
     """Exact per-key counts at any cardinality (two-phase: per-batch
@@ -90,7 +136,7 @@ def grouped_count(ds, key: str, *, num_buckets: int = DEFAULT_BUCKETS,
 
 
 def grouped_agg(ds, key_cols: list[str], aggs: list[tuple[str, str]], *,
-                num_buckets: int = DEFAULT_BUCKETS,
+                num_buckets: int | None = None,
                 rename: dict[str, str] | None = None,
                 batch_size: int | None = 65536):
     """Exact high-cardinality grouped aggregation via Arrow kernels.
@@ -122,7 +168,7 @@ def grouped_agg(ds, key_cols: list[str], aggs: list[tuple[str, str]], *,
 
 
 def distinct_rows(ds, key_cols: list[str], *,
-                  num_buckets: int = DEFAULT_BUCKETS,
+                  num_buckets: int | None = None,
                   batch_size: int | None = 65536):
     """Exact distinct over key_cols at any cardinality."""
 

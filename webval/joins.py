@@ -24,15 +24,23 @@ import pyarrow.compute as pc
 
 def asof_join(left, right, *, on: str, by: str,
               right_cols: list[str] | None = None, suffix: str = "_r",
-              num_buckets: int = 64):
+              num_buckets: int | None = None,
+              max_group_rows: int | None = None):
     """Backward-inclusive as-of join of two Datasets.
 
     Returns a Dataset with every left row plus, for each name in
     ``right_cols`` (default: just ``on``), a ``<name><suffix>`` column from
     the matched right row (null when the group has no right row at or
     before ``on``).  Left rows with null ``on``/``by`` never match.
+
+    A single ``by`` group (left+right rows together) must fit one bucket
+    task; a group over ``max_group_rows`` (default
+    exchange.DEFAULT_MAX_GROUP_ROWS) raises a ValueError naming the key.
     """
-    from webval.exchange import bucketed_group_apply
+    from webval.exchange import DEFAULT_MAX_GROUP_ROWS, bucketed_group_apply
+
+    if max_group_rows is None:
+        max_group_rows = DEFAULT_MAX_GROUP_ROWS
 
     right_cols = list(right_cols or [on])
     left_schema = left.schema()
@@ -129,12 +137,14 @@ def asof_join(left, right, *, on: str, by: str,
         return pa.table(cols)
 
     return bucketed_group_apply(lt.union(rt), [by], bucket_join,
-                                num_buckets=num_buckets)
+                                num_buckets=num_buckets,
+                                max_group_rows=max_group_rows)
 
 
 def interval_join(points, intervals, *, on: str, lo: str, hi: str, by: str,
                   right_cols: list[str] | None = None, suffix: str = "_r",
-                  max_span_us: int, num_buckets: int = 64):
+                  max_span_us: int, num_buckets: int | None = None,
+                  max_group_rows: int | None = None):
     """Range (interval) join: each point row joined with EVERY interval of
     the same ``by`` group containing it (``lo <= on <= hi``) — inner join,
     multi-match.
@@ -146,8 +156,15 @@ def interval_join(points, intervals, *, on: str, lo: str, hi: str, by: str,
     repeat/arange expansion of the candidate ranges — no per-row loop, and
     candidate counts are bounded by interval density × span rather than
     group size.
+
+    A single ``by`` group (points+intervals together) must fit one bucket
+    task; beyond ``max_group_rows`` (default
+    exchange.DEFAULT_MAX_GROUP_ROWS) a ValueError names the key.
     """
-    from webval.exchange import bucketed_group_apply
+    from webval.exchange import DEFAULT_MAX_GROUP_ROWS, bucketed_group_apply
+
+    if max_group_rows is None:
+        max_group_rows = DEFAULT_MAX_GROUP_ROWS
 
     right_cols = list(right_cols or [lo, hi])
     p_schema = points.schema()
@@ -282,4 +299,5 @@ def interval_join(points, intervals, *, on: str, lo: str, hi: str, by: str,
         return pa.table(cols)
 
     return bucketed_group_apply(pt.union(it), [by], bucket_join,
-                                num_buckets=num_buckets)
+                                num_buckets=num_buckets,
+                                max_group_rows=max_group_rows)

@@ -157,7 +157,7 @@ def check_pipeline(ds, schema: SchemaSpec, keep_cols: list[str] | None = None):
 
 
 def uniqueness_violations(ds, col: str = "url", batch_size: int | None = 65536,
-                          num_buckets: int = 64):
+                          num_buckets: int | None = None):
     """Duplicate values of ``col`` → Dataset[{col, cnt}] with cnt > 1.
 
     Two-phase (SURVEY.md §2-G G2): phase 1 is a per-batch ``value_counts``

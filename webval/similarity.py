@@ -152,7 +152,7 @@ def build_ann_index(ds, index_dir: str, *, id_col: str = "vec_id",
                     emb_col: str = "embedding", n_planes: int = 8,
                     n_tables: int = 4, seed: int = 23,
                     rows_per_file: int = 1_000_000,
-                    num_buckets: int = 64) -> dict:
+                    num_buckets: int | None = None) -> dict:
     """Write a bucketed ANN index under ``index_dir``: unit vectors stored
     once per LSH table, partitioned into ``tab=<t>/bucket=<sign-key>/``
     parquet directories, plus a ``meta.json`` holding the projection

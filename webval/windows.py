@@ -43,7 +43,7 @@ def _window_start(ts_col, size_us: int, offset_us: int = 0) -> pa.Array:
 def tumbling_window_agg(ds, ts_col: str, aggs, *, size: str = "hour",
                         size_us: int | None = None,
                         key_cols: list[str] | None = None,
-                        num_buckets: int = 64):
+                        num_buckets: int | None = None):
     """Tumbling-window aggregate: one window per row.
 
     ``aggs``: pyarrow group_by aggregations [(col, "sum"|"min"|"max"|"count")].
@@ -64,7 +64,7 @@ def tumbling_window_agg(ds, ts_col: str, aggs, *, size: str = "hour",
 
 def sliding_window_agg(ds, ts_col: str, aggs, *, size_us: int, step_us: int,
                        key_cols: list[str] | None = None,
-                       num_buckets: int = 64):
+                       num_buckets: int | None = None):
     """Sliding windows: each row lands in ``size_us / step_us`` windows
     (flat-map style row replication in the assign stage — shuffle volume
     scales with the overlap factor; keep size/step small multiples).
@@ -90,7 +90,8 @@ def sliding_window_agg(ds, ts_col: str, aggs, *, size_us: int, step_us: int,
 
 
 def sessionize(ds, *, ts_col: str, by: str, gap_us: int,
-               out_col: str = "session_seq", num_buckets: int = 64):
+               out_col: str = "session_seq", num_buckets: int | None = None,
+               max_group_rows: int | None = None):
     """Gap-based sessionization: within each ``by`` group (events ordered
     by (ts, row order)), a new session starts when the gap from the
     previous event exceeds ``gap_us``; emits a 1-based per-group session
@@ -99,12 +100,16 @@ def sessionize(ds, *, ts_col: str, by: str, gap_us: int,
     Hash-bucket exchange on ``by`` co-locates each group; per bucket ONE
     lexsort + vectorized segmented cumsum (group-boundary rows always open
     a session) — no per-group Python.  The SQL twin is the classic
-    lag()/sum() window-function pair.
+    lag()/sum() window-function pair.  A single ``by`` group must fit one
+    bucket task (over ``max_group_rows``, default
+    exchange.DEFAULT_MAX_GROUP_ROWS, raises naming the key).
     """
     import numpy as np
 
-    from webval.exchange import bucketed_group_apply
+    from webval.exchange import DEFAULT_MAX_GROUP_ROWS, bucketed_group_apply
 
+    if max_group_rows is None:
+        max_group_rows = DEFAULT_MAX_GROUP_ROWS
     cols = list(ds.schema().names)
 
     def assign(g: pa.Table) -> pa.Table:
@@ -135,4 +140,5 @@ def sessionize(ds, *, ts_col: str, by: str, gap_us: int,
         return g.append_column(out_col, pa.array(seq, pa.int64()))
 
     return bucketed_group_apply(ds.select_columns(cols), [by], assign,
-                                num_buckets=num_buckets)
+                                num_buckets=num_buckets,
+                                max_group_rows=max_group_rows)
