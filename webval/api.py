@@ -48,20 +48,32 @@ class Schema:
         return self.spec.built
 
     def build(self, data, kinds: dict[str, str] | None = None,
+              pre_stages: list[dict] | None = None,
               **build_kwargs) -> "Schema":
+        """Build profiles from data; ``pre_stages`` (ordered
+        {"kind","params"} dicts, see stages.py) run first AND are recorded
+        in the spec, so save→load→check replays the full pipeline —
+        extraction included (rdv extractor to_jcr round-trip)."""
         from webval.pipelines import build_schema
+        from webval.stages import apply_pre_stages
 
-        self.spec = build_schema(_as_dataset(data), kinds,
-                                 name=self.spec.name, **build_kwargs)
+        ds = apply_pre_stages(_as_dataset(data), pre_stages)
+        self.spec = build_schema(ds, kinds, name=self.spec.name,
+                                 **build_kwargs)
+        self.spec.pre_stages = list(pre_stages or [])
         return self
 
     def check(self, data, keep_cols: list[str] | None = None) -> dict:
-        """Row-level checks → {"verdicts": Dataset, "violations": Dataset}."""
+        """Row-level checks → {"verdicts": Dataset, "violations": Dataset}.
+        Replays the spec's recorded pre-stages (extraction, tagging,
+        normalization) before evaluating checks."""
         if not self.built:
             raise RuntimeError("schema is not built (rdv: call build() first)")
         from webval.pipelines import check_pipeline
+        from webval.stages import apply_pre_stages
 
-        return check_pipeline(_as_dataset(data), self.spec, keep_cols=keep_cols)
+        ds = apply_pre_stages(_as_dataset(data), self.spec.pre_stages)
+        return check_pipeline(ds, self.spec, keep_cols=keep_cols)
 
     def check_tags(self, data, keep_cols: list[str] | None = None,
                    feature_cols: list[str] | None = None):

@@ -117,6 +117,10 @@ class SchemaSpec:
     built: bool = False
     columns: list[ColumnProfile] = field(default_factory=list)
     checks: list[CheckSpec] = field(default_factory=list)
+    # ordered pre-stage specs ({"kind", "params"} dicts, stages.py) recorded
+    # at build time and replayed by check — rdv's extractor to_jcr analog:
+    # a loaded schema reconstructs its full pipeline, extraction included
+    pre_stages: list[dict] = field(default_factory=list)
 
     def column(self, name: str) -> ColumnProfile:
         for c in self.columns:
@@ -153,6 +157,7 @@ class SchemaSpec:
             "built": self.built,
             "columns": [c.to_dict() for c in self.columns],
             "checks": [c.to_dict() for c in self.checks],
+            "pre_stages": self.pre_stages,
         }
         s = json.dumps(d, indent=1, sort_keys=True)
         if path:
@@ -173,4 +178,5 @@ class SchemaSpec:
             built=d["built"],
             columns=[ColumnProfile.from_dict(c) for c in d["columns"]],
             checks=[CheckSpec.from_dict(c) for c in d["checks"]],
+            pre_stages=d.get("pre_stages", []),  # pre-r3 files lack the key
         )
