@@ -581,9 +581,14 @@ def q_contrast(sf_dir: str):
 
 
 def q_langid(sf_dir: str):
-    """C2: language tagging accuracy per planted lang (rows-only)."""
+    """C2: language-tagging accuracy vs the planted ``lang`` column
+    (VERDICT r2 next-6: hash-paired).  Output per planted lang: row count +
+    ``acc_ok`` = 1 iff the tagger recovered ≥90% of that lang's rows
+    (measured ≥95% per lang on the fixture; deterministic tagger).  The SQL
+    twin contributes the exact per-lang row counts and the acc_ok=1
+    expectation — a tagger regression flips acc_ok and breaks the hash."""
     import ray.data as rd
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     from webval.extract import LangTagger
 
@@ -591,14 +596,36 @@ def q_langid(sf_dir: str):
     ds = rd.read_parquet(pages_p, columns=["text", "lang"])
     tagged = ds.map_batches(LangTagger, batch_format="pyarrow", batch_size=1024,
                             concurrency=(1, 4), max_concurrency=2)
-    out = (tagged.map_batches(
-        lambda t: t.filter(pc.and_(pc.is_valid(t.column("lang")),
-                                   pc.is_valid(t.column("text"))))
-        .select(["lang", "lang_pred"]), batch_format="pyarrow")
-        .groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="cnt")))
+
+    def correct(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("lang")),
+                             pc.is_valid(t.column("text"))))
+        # planted "__unk__" rows carry vocabulary-free text → expect "unk"
+        expect = pc.replace_substring_regex(t.column("lang"),
+                                            "^__unk__$", "unk")
+        hit = pc.cast(pc.equal(t.column("lang_pred"), expect), pa.int64())
+        return pa.table({"lang": t.column("lang"),
+                         "one": pa.array(np.ones(t.num_rows, np.int64)),
+                         "hit": hit})
+
+    out = (tagged.map_batches(correct, batch_format="pyarrow")
+           .groupby("lang").aggregate(Sum("one", alias_name="rows"),
+                                      Sum("hit", alias_name="correct")))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    return t.set_column(t.column_names.index("cnt"), "cnt",
-                        pc.cast(t.column("cnt"), pa.int64()))
+    rows = pc.cast(t.column("rows"), pa.int64())
+    corr = pc.cast(t.column("correct"), pa.float64())
+    acc_ok = pc.cast(pc.greater_equal(
+        pc.divide(corr, pc.cast(rows, pa.float64())), 0.9), pa.int64())
+    return pa.table({"lang": t.column("lang"), "rows": rows,
+                     "acc_ok": acc_ok})
+
+
+SQL_LANGID = f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS rows, CAST(1 AS BIGINT) AS acc_ok
+FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+WHERE lang IS NOT NULL AND text IS NOT NULL
+GROUP BY lang
+"""
 
 
 def q_quality(sf_dir: str):
@@ -621,9 +648,12 @@ def q_quality(sf_dir: str):
 
 
 def q_extraction(sf_dir: str):
-    """C1 flagship slice: html → text on an actor pool; returns the per-lang
-    count of rows whose re-extracted text equals the stored ground truth
-    (must equal every non-null row — the byte-identical invariant)."""
+    """C1 flagship slice: html → text on an actor pool, hash-paired
+    (VERDICT r2 next-6).  Groups by (lang, is_match) where is_match
+    compares re-extracted text to the stored ground truth; the SQL twin
+    asserts is_match=1 for EVERY lang bucket (the byte-identical
+    invariant), so any mismatching row creates an is_match=0 group the
+    oracle doesn't have → row-count + hash failure."""
     import ray.data as rd
     from ray.data.aggregate import Count
 
@@ -639,14 +669,22 @@ def q_extraction(sf_dir: str):
         lambda t: pa.table({
             # null lang would break the groupby sort — bucket as a literal
             "lang": pc.fill_null(t.column("lang"), "__null__"),
-            "match": pc.cast(pc.equal(pc.fill_null(t.column("text"), ""),
-                                      pc.fill_null(t.column("text2"), "")),
-                             pa.int64())}),
+            "is_match": pc.cast(pc.equal(pc.fill_null(t.column("text"), ""),
+                                         pc.fill_null(t.column("text2"), "")),
+                                pa.int64())}),
         batch_format="pyarrow")
-        .groupby(["lang", "match"]).aggregate(Count(alias_name="rows")))
+        .groupby(["lang", "is_match"]).aggregate(Count(alias_name="rows")))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.set_column(t.column_names.index("rows"), "rows",
                         pc.cast(t.column("rows"), pa.int64()))
+
+
+SQL_EXTRACTION_PARITY = f"""
+SELECT coalesce(lang, '__null__') AS lang, CAST(1 AS BIGINT) AS is_match,
+       CAST(count(*) AS BIGINT) AS rows
+FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+GROUP BY 1
+"""
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -1192,7 +1230,13 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 
 def q_grouped_quantiles(sf_dir: str):
     """E8 + E4/E5: mergeable sketches inside ds.groupby().aggregate() via
-    the AggregateFnV2 wrappers (per-lang p50 length + distinct docs)."""
+    the AggregateFnV2 wrappers (per-lang p50 length + distinct docs).
+
+    Self-asserting (VERDICT r2 next-6): every t-digest p50 is bounded by
+    the group's EXACT 45th/55th percentiles, computed directly from the
+    (500-row, fixed-size) documents table — a digest regression raises
+    instead of returning plausible numbers."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from webval.aggregates import ApproxDistinct, TDigestQuantile
@@ -1203,6 +1247,19 @@ def q_grouped_quantiles(sf_dir: str):
         TDigestQuantile("n_chars", q=0.5, alias_name="p50_chars"),
         ApproxDistinct("doc_id", alias_name="distinct_docs"))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    # exact-rank bound oracle (documents is 500 rows at every sf — this
+    # read is the assertion, not the compute path)
+    exact = (pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars"])
+             .to_pandas().dropna().groupby("lang")["n_chars"])
+    lo = exact.quantile(0.45)
+    hi = exact.quantile(0.55)
+    for lang, p50 in zip(t.column("lang").to_pylist(),
+                         t.column("p50_chars").to_pylist()):
+        if not (lo[lang] - 1e-9 <= p50 <= hi[lang] + 1e-9):
+            raise AssertionError(
+                f"t-digest p50 for lang={lang!r} ({p50}) outside exact "
+                f"[p45, p55] = [{lo[lang]}, {hi[lang]}]")
     return _round_cols(t, {"p50_chars": 2, "distinct_docs": 0})
 
 
@@ -1245,9 +1302,9 @@ QUERIES = {
     "approx_distinct_hll": (q_approx_distinct, None),
     "schema_build": (q_schema_build, None),
     "contrast_drift": (q_contrast, None),
-    "langid": (q_langid, None),
+    "langid": (q_langid, SQL_LANGID),
     "quality_scores": (q_quality, None),
-    "extraction_parity": (q_extraction, None),
+    "extraction_parity": (q_extraction, SQL_EXTRACTION_PARITY),
     "simhash_pairs": (q_simhash_pairs, None),
     "embedding_dups": (q_embedding_dups, None),
     "media_features": (q_media_features, None),
