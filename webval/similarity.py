@@ -167,12 +167,9 @@ def build_ann_index(ds, index_dir: str, *, id_col: str = "vec_id",
     ``index_dir`` must be on storage all workers share (true for any real
     cluster deployment; local disk in this sandbox).  Returns the meta
     dict (also persisted)."""
-    import json
     import os
     import shutil
-    import uuid
 
-    import pyarrow.parquet as pq
     import ray
 
     from webval.exchange import bucketed_group_apply
@@ -184,6 +181,29 @@ def build_ann_index(ds, index_dir: str, *, id_col: str = "vec_id",
     shutil.rmtree(index_dir, ignore_errors=True)
     os.makedirs(index_dir)
     planes_ref = ray.put(planes)
+
+    manifest = bucketed_group_apply(
+        ds.select_columns([id_col, emb_col]).map_batches(
+            _keyed_fn(planes_ref, id_col, emb_col, n_tables, n_planes),
+            batch_format="pyarrow", batch_size=4096),
+        ["tab", "bucket"], _write_group_fn(index_dir, rows_per_file),
+        num_buckets=num_buckets).take_all()
+    meta = {"n_planes": n_planes, "n_tables": n_tables, "dim": dim,
+            "seed": seed, "id_col": id_col, "emb_col": emb_col,
+            "planes": [[[float(x) for x in row] for row in tbl]
+                       for tbl in planes],
+            "buckets": {f"{r['tab']}/{r['bucket']}": int(r["rows"])
+                        for r in manifest}}
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def _keyed_fn(planes_ref, id_col: str, emb_col: str,
+              n_tables: int, n_planes: int):
+    """Map stage factory: vector rows → one (tab, bucket, id, unit) row per
+    LSH table (shared by build and append so keys always agree)."""
+    import ray
+
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     def keyed(batch: pa.Table) -> pa.Table:
@@ -212,9 +232,18 @@ def build_ann_index(ds, index_dir: str, *, id_col: str = "vec_id",
             id_col: pa.array(np.tile(ids, n_tables), pa.int64()),
             "unit": unit})
 
-    def write_group(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    return keyed
 
+
+def _write_group_fn(index_dir: str, rows_per_file: int):
+    """Bucket-task factory: write each (tab, bucket) slice as new uuid-named
+    part files (append-safe — never touches existing parts)."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    def write_group(g: pa.Table) -> pa.Table:
         out_t, out_b, out_r = [], [], []
         tabs = g.column("tab").to_numpy(zero_copy_only=False)
         buckets = g.column("bucket").to_numpy(zero_copy_only=False)
@@ -234,18 +263,51 @@ def build_ann_index(ds, index_dir: str, *, id_col: str = "vec_id",
                          "bucket": pa.array(out_b, pa.int32()),
                          "rows": pa.array(out_r, pa.int64())})
 
+    return write_group
+
+
+def _write_meta(index_dir: str, meta: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(index_dir, f"meta.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "meta.json"))
+
+
+def append_to_index(ds, index_dir: str, *, rows_per_file: int = 1_000_000,
+                    num_buckets: int | None = None) -> dict:
+    """Incrementally add vectors to an existing index (VERDICT r2 next-9):
+    new rows are keyed with the index's OWN planes (meta.json) and written
+    as fresh uuid part files inside the existing ``tab=/bucket=``
+    directories — existing parts are never rewritten, so an append is
+    naturally resumable and concurrent-reader-safe.  Bucket row counts in
+    meta.json are updated last (write-then-rename)."""
+    import json
+    import os
+
+    import ray
+
+    from webval.exchange import bucketed_group_apply
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    planes = np.asarray(meta["planes"], dtype=np.float32)
+    id_col = meta["id_col"]
+    emb_col = meta.get("emb_col", "embedding")
+    planes_ref = ray.put(planes)
     manifest = bucketed_group_apply(
         ds.select_columns([id_col, emb_col]).map_batches(
-            keyed, batch_format="pyarrow", batch_size=4096),
-        ["tab", "bucket"], write_group, num_buckets=num_buckets).take_all()
-    meta = {"n_planes": n_planes, "n_tables": n_tables, "dim": dim,
-            "seed": seed, "id_col": id_col,
-            "planes": [[[float(x) for x in row] for row in tbl]
-                       for tbl in planes],
-            "buckets": {f"{r['tab']}/{r['bucket']}": int(r["rows"])
-                        for r in manifest}}
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
+            _keyed_fn(planes_ref, id_col, emb_col,
+                      meta["n_tables"], meta["n_planes"]),
+            batch_format="pyarrow", batch_size=4096),
+        ["tab", "bucket"], _write_group_fn(index_dir, rows_per_file),
+        num_buckets=num_buckets).take_all()
+    for r in manifest:
+        key = f"{r['tab']}/{r['bucket']}"
+        meta["buckets"][key] = meta["buckets"].get(key, 0) + int(r["rows"])
+    _write_meta(index_dir, meta)
     return meta
 
 
@@ -263,25 +325,25 @@ def _probe_keys(key: int, n_planes: int, max_flips: int) -> set[int]:
     return out
 
 
-def ann_index_topk(index_dir: str, queries: np.ndarray, k: int = 10, *,
-                   multiprobe: int = 1, batch_size: int | None = 4096):
-    """Approximate cosine top-k against a persisted index: only the
-    ``bucket=`` partitions inside the queries' multiprobe Hamming balls are
-    read (partition pruning at the READ — the other buckets never leave
-    storage).  Returns Dataset[{query_id, vec_id, score, rank}]."""
+def pruned_index_files(index_dir: str, queries: np.ndarray, *,
+                       meta: dict | None = None, multiprobe: int = 1
+                       ) -> tuple[list, list]:
+    """Partition pruning for a query batch: the UNION of every query's
+    multiprobe Hamming balls is computed once, and only those ``tab=/
+    bucket=`` directories' parquet files are listed (one shared scan for
+    the whole batch).  Returns (files, probes) where probes[j] is query
+    j's set of (tab << 32 | bucket) combo keys — the per-query candidate
+    filter applied inside the shared scan."""
     import json
     import os
 
-    import ray
-    import ray.data as rd
-
-    with open(os.path.join(index_dir, "meta.json")) as f:
-        meta = json.load(f)
+    if meta is None:
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
     n_planes, n_tables = meta["n_planes"], meta["n_tables"]
     planes = np.asarray(meta["planes"], dtype=np.float32)  # (T, P, D)
     q = _normalize(np.asarray(queries, dtype=np.float32))
     weights = (1 << np.arange(n_planes, dtype=np.int64))
-    # probes[j] = set of (tab << 32 | bucket) combo keys for query j
     probes: list[set[int]] = [set() for _ in range(len(q))]
     wanted_dirs: set[tuple[int, int]] = set()
     for t in range(n_tables):
@@ -298,6 +360,26 @@ def ann_index_topk(index_dir: str, queries: np.ndarray, k: int = 10, *,
         if os.path.isdir(d):
             files.extend(os.path.join(d, fn) for fn in sorted(os.listdir(d))
                          if fn.endswith(".parquet"))
+    return files, probes
+
+
+def ann_index_topk(index_dir: str, queries: np.ndarray, k: int = 10, *,
+                   multiprobe: int = 1, batch_size: int | None = 4096):
+    """Approximate cosine top-k against a persisted index: only the
+    ``bucket=`` partitions inside the queries' multiprobe Hamming balls are
+    read (partition pruning at the READ — the other buckets never leave
+    storage).  Returns Dataset[{query_id, vec_id, score, rank}]."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    files, probes = pruned_index_files(index_dir, queries, meta=meta,
+                                       multiprobe=multiprobe)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
     id_col = meta["id_col"]
     if not files:
         return rd.from_arrow(pa.table({
