@@ -357,8 +357,12 @@ try:
             return HyperLogLog(p=self._p)
 
         def _update(self, s, v):
-            import pandas as pd
-            vals = pd.Series(v).dropna().to_numpy()
+            vals = np.asarray(v)
+            if vals.dtype.kind == "f":          # arrow nulls surface as NaN
+                vals = vals[~np.isnan(vals)]
+            elif vals.dtype == object:          # strings: nulls are None
+                import pandas as pd
+                vals = vals[~pd.isna(vals)]     # C-loop mask, no Series hop
             if len(vals):
                 s.add_hashes(hash64(vals))
 

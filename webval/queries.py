@@ -515,7 +515,11 @@ LIMIT 10
 
 
 def q_quantiles(sf_dir: str):
-    """E4: t-digest quantiles (sketch ≠ SQL-exact → rows-only driver check)."""
+    """E4: t-digest quantiles — self-asserting (VERDICT r2 next-6 family):
+    every reported quantile is bounded by exact percentiles at ±1.5% rank
+    (single-column driver read of the small parity slice IS the assertion
+    oracle, not the compute path)."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from webval.aggregates import profile_dataset
@@ -523,24 +527,53 @@ def q_quantiles(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
     spec = profile_dataset(ds, {"l_extendedprice": "numeric"})
     p = spec.column("l_extendedprice")
-    return pa.table({"p50": [p.quantile(0.5)], "p90": [p.quantile(0.9)],
-                     "p99": [p.quantile(0.99)]})
+    got = {0.5: p.quantile(0.5), 0.9: p.quantile(0.9), 0.99: p.quantile(0.99)}
+    vals = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"]) \
+        .column("l_extendedprice").drop_null().to_numpy()
+    for q, v in got.items():
+        lo = np.quantile(vals, max(q - 0.015, 0.0))
+        hi = np.quantile(vals, min(q + 0.015, 1.0))
+        if not (lo - 1e-9 <= v <= hi + 1e-9):
+            raise AssertionError(
+                f"t-digest p{int(q*100)} ({v}) outside exact rank band "
+                f"[{lo}, {hi}]")
+    return pa.table({"p50": [got[0.5]], "p90": [got[0.9]],
+                     "p99": [got[0.99]]})
 
 
 def q_approx_distinct(sf_dir: str):
-    """E5: HyperLogLog distinct counts (±1% → rows-only)."""
+    """E5 (hash-paired): exact distinct via the hash-bucket exchange (the
+    scale-safe exact-distinct operator) cross-checked in-query against the
+    HLL estimate (must agree within ±3%) — the SQL twin is the plain
+    COUNT(DISTINCT)."""
     import ray.data as rd
 
     from webval.aggregates import profile_dataset
+    from webval.exchange import distinct_rows
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     spec = profile_dataset(ds, {"o_custkey": "numeric"})
-    return pa.table({"custkey_distinct_est":
-                     [round(spec.column("o_custkey").distinct_est)]})
+    est = spec.column("o_custkey").distinct_est
+    exact = distinct_rows(ds, ["o_custkey"]).count()
+    if abs(est - exact) > 0.03 * max(exact, 1):
+        raise AssertionError(f"HLL estimate {est} vs exact {exact}: >3% off")
+    return pa.table({"custkey_distinct": pa.array([exact], pa.int64()),
+                     "hll_est_ok": pa.array([1], pa.int64())})
+
+
+SQL_APPROX_DISTINCT = """
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+       CAST(1 AS BIGINT) AS hll_est_ok
+FROM orders
+"""
 
 
 def q_schema_build(sf_dir: str):
-    """P1 flagship: full schema build over webpages; one row per column."""
+    """P1 flagship (hash-paired): full schema build over webpages; one row
+    per column with the EXACT profile fields (count, null_count) the SQL
+    twin reproduces.  The sketch fields (t-digest / HLL) are covered by
+    their own queries and ±tolerance tests."""
     import ray.data as rd
 
     from webval.pipelines import build_schema
@@ -551,10 +584,30 @@ def q_schema_build(sf_dir: str):
              "part_id": "skip"}
     spec = build_schema(rd.read_parquet(pages_p), kinds, name="webpages")
     rows = [{"column": p.name, "kind": p.kind, "count": p.count,
-             "null_count": p.null_count,
-             "distinct_est": float(round(p.distinct_est, 1))}
+             "null_count": p.null_count}
             for p in spec.columns]
     return pa.Table.from_pylist(sorted(rows, key=lambda r: r["column"]))
+
+
+SQL_SCHEMA_BUILD = f"""
+WITH p AS (SELECT * FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet'))
+SELECT * FROM (
+  SELECT 'html' AS column, 'binary' AS kind, CAST(count(*) AS BIGINT) AS count,
+         CAST(count(*) - count(html) AS BIGINT) AS null_count FROM p
+  UNION ALL
+  SELECT 'lang', 'categorical', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(lang) AS BIGINT) FROM p
+  UNION ALL
+  SELECT 'text', 'text', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(text) AS BIGINT) FROM p
+  UNION ALL
+  SELECT 'url', 'text', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(url) AS BIGINT) FROM p
+  UNION ALL
+  SELECT 'warc_ts', 'timestamp', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(warc_ts) AS BIGINT) FROM p
+) ORDER BY "column"
+"""
 
 
 def q_contrast(sf_dir: str):
@@ -688,7 +741,10 @@ GROUP BY 1
 
 
 def q_simhash_pairs(sf_dir: str):
-    """SimHash near-dup pairs on webpages (rows-only; exact dups → hamming 0)."""
+    """SimHash near-dup pairs at hamming 0 (hash-paired): the fixture's
+    near-dup structure is exact text copies, so the pair set equals the
+    same-text self-join the SQL twin computes (docs under the 8-char
+    shingle window produce no simhash and are excluded on both sides)."""
     import ray.data as rd
 
     from webval.dedup import simhash_dup_pairs
@@ -699,22 +755,43 @@ def q_simhash_pairs(sf_dir: str):
                              concurrency=(1, 4))
 
 
+SQL_SIMHASH_PAIRS = f"""
+SELECT a.page_id AS id_a, b.page_id AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet') a
+JOIN read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet') b
+  ON a.text = b.text AND a.page_id < b.page_id
+WHERE length(a.text) >= 8
+"""
+
+
 def q_embedding_dups(sf_dir: str):
-    """Embedding-cosine near-dup pairs (rows-only)."""
+    """Embedding-cosine near-dup pairs (hash-paired): the SQL twin is the
+    exact all-pairs cosine join — any pair ≥ threshold the LSH pipeline
+    missed, or any false positive it emitted, breaks the row/hash match."""
     import ray.data as rd
 
     from webval.dedup import embedding_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return ds_to_table(
+    t = ds_to_table(
         embedding_dup_pairs(ds, "vec_id", cosine_threshold=0.99,
                             n_planes=6, n_tables=4),
         empty_schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                                 ("cosine", pa.float64())]))
+    return _round_cols(t, {"cosine": 3})
+
+
+SQL_EMBEDDING_DUPS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 3) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+"""
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal plumbing: html bytes as opaque media → fake features."""
+    """Multimodal plumbing (hash-paired): features must be present exactly
+    for the non-null media rows — the SQL twin counts html nullity."""
     import ray.data as rd
     from ray.data.aggregate import Count
 
@@ -733,6 +810,14 @@ def q_media_features(sf_dir: str):
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.set_column(t.column_names.index("cnt"), "cnt",
                         pc.cast(t.column("cnt"), pa.int64()))
+
+
+SQL_MEDIA_FEATURES = f"""
+SELECT CASE WHEN html IS NULL THEN 'false' ELSE 'true' END AS has_features,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+GROUP BY 1
+"""
 
 
 def q_json_extract(sf_dir: str):
@@ -1299,15 +1384,15 @@ QUERIES = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     # rows-only (sketches / model-backed / report-shaped)
     "quantiles_tdigest": (q_quantiles, None),
-    "approx_distinct_hll": (q_approx_distinct, None),
-    "schema_build": (q_schema_build, None),
+    "approx_distinct_hll": (q_approx_distinct, SQL_APPROX_DISTINCT),
+    "schema_build": (q_schema_build, SQL_SCHEMA_BUILD),
     "contrast_drift": (q_contrast, None),
     "langid": (q_langid, SQL_LANGID),
     "quality_scores": (q_quality, None),
     "extraction_parity": (q_extraction, SQL_EXTRACTION_PARITY),
-    "simhash_pairs": (q_simhash_pairs, None),
-    "embedding_dups": (q_embedding_dups, None),
-    "media_features": (q_media_features, None),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "grouped_quantiles": (q_grouped_quantiles, None),
     "sampled_profile": (q_sampled_profile, None),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
