@@ -227,7 +227,7 @@ def run_ops(sf_dir: str, ncpu: int, pages_dir: str) -> dict[str, float]:
     rd.read_parquet(mh_pages).count()  # warm page cache (untimed, same as headline)
     with timed("minhash_dedup_1m"):
         ds = rd.read_parquet(mh_pages, columns=["page_id", "text"])
-        minhash_dedup(ds, "page_id", concurrency=(4, max(4, ncpu - 2)),
+        minhash_dedup(ds, "page_id",
                       components="distributed").map_batches(
             lambda t: pa.table({"n": [t.num_rows]}),
             batch_format="pyarrow").sum("n")

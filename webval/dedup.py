@@ -591,7 +591,7 @@ DRIVER_MAX_PAIRS = 100_000  # auto mode: above this, no driver materialization
 
 def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
                   rows_per_band: int = 8, shingle_window: int = 8,
-                  jaccard_threshold: float = 0.8, concurrency=(1, 8),
+                  jaccard_threshold: float = 0.8, concurrency=None,
                   verify: bool = True, max_bucket: int = 256,
                   components: str = "auto",
                   driver_max_pairs: int = DRIVER_MAX_PAIRS):
@@ -613,16 +613,26 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
     everything — candidate pairs, Jaccard verification
     (verify_pairs_distributed) and min-label propagation — in Dataset
     exchanges; the driver holds only the endpoint-id bloom sketch.
+
+    ``concurrency=None`` (default) runs the hashing stage as STATELESS
+    TASKS: MinHasher's only state is 128 precomputed permutation params
+    (µs to build), and Ray 2.49's actor-pool dispatch halves throughput on
+    this stage (measured 13.7s pool vs 6.3s tasks at 1M docs, 32 cpus —
+    BENCH/BASELINE.md finding 3).  Pass a concurrency to force the
+    actor-pool shape.
     """
     from webval.exchange import distinct_rows
 
-    hasher_cls = MinHasher
-    buckets = ds.map_batches(
-        hasher_cls, batch_format="pyarrow", batch_size=1024,
-        concurrency=concurrency,
-        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
-                               "bands": bands, "rows_per_band": rows_per_band,
-                               "shingle_window": shingle_window})
+    kw = {"id_col": id_col, "text_col": text_col, "bands": bands,
+          "rows_per_band": rows_per_band, "shingle_window": shingle_window}
+    if concurrency is None:
+        hasher = MinHasher(**kw)  # tiny param arrays ship in the closure
+        buckets = ds.map_batches(lambda t: hasher(t), batch_format="pyarrow",
+                                 batch_size=4096)
+    else:
+        buckets = ds.map_batches(
+            MinHasher, batch_format="pyarrow", batch_size=1024,
+            concurrency=concurrency, fn_constructor_kwargs=kw)
     pairs_ds = _pairs_from_buckets(buckets, id_col, max_bucket=max_bucket)
     pairs_deduped = False
     if components == "auto":

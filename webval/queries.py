@@ -393,8 +393,7 @@ def q_minhash_clusters(sf_dir: str):
 
     pages_p, _ = ensure_synth(sf_dir)
     ds = rd.read_parquet(pages_p, columns=["page_id", "text"])
-    return minhash_dedup(ds, "page_id", "text", jaccard_threshold=0.95,
-                         concurrency=(1, 4))
+    return minhash_dedup(ds, "page_id", "text", jaccard_threshold=0.95)
 
 
 SQL_MINHASH_CLUSTERS = f"""
