@@ -221,3 +221,17 @@ def test_embedding_dup_pairs():
     found = sum((j, 40 + j) in got for j in range(5))
     assert found >= 4, got  # LSH recall: at least 4/5 planted pairs
     assert all(b >= 40 for a, b in got)  # no false positives among base vecs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_task_mode_equals_actor_mode(docs_table):
+    """concurrency=None (stateless tasks) must produce byte-identical
+    clusters to the actor-pool shape — both paths share MinHasher."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(docs_table).repartition(4)
+    task = sorted((r["doc_id"], r["cluster_id"]) for r in minhash_dedup(
+        ds, "doc_id", jaccard_threshold=0.6).take_all())
+    pool = sorted((r["doc_id"], r["cluster_id"]) for r in minhash_dedup(
+        ds, "doc_id", jaccard_threshold=0.6, concurrency=2).take_all())
+    assert task == pool and len(task) > 0

@@ -817,16 +817,24 @@ class SimHasher:
 
 def simhash_dup_pairs(ds, id_col: str, text_col: str = "text", *,
                       max_hamming: int = 3, window: int = 8,
-                      concurrency=(1, 8), max_bucket: int = 512):
+                      concurrency=None, max_bucket: int = 512):
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming.  Bucket by
     16-bit bands (groupby), verify distance inside each bucket, dedupe pairs
-    across bands with a final groupby."""
+    across bands with a final groupby.
 
-    sh = ds.map_batches(SimHasher, batch_format="pyarrow", batch_size=1024,
-                        concurrency=concurrency,
-                        fn_constructor_kwargs={"id_col": id_col,
-                                               "text_col": text_col,
-                                               "window": window})
+    ``concurrency=None`` (default) hashes with stateless tasks — SimHasher
+    holds no real state, and task maps dodge Ray 2.49's actor-pool dispatch
+    overhead (same finding as minhash_dedup; BENCH/BASELINE.md finding 3).
+    """
+    kw = {"id_col": id_col, "text_col": text_col, "window": window}
+    if concurrency is None:
+        hasher = SimHasher(**kw)
+        sh = ds.map_batches(lambda t: hasher(t), batch_format="pyarrow",
+                            batch_size=4096)
+    else:
+        sh = ds.map_batches(SimHasher, batch_format="pyarrow",
+                            batch_size=1024, concurrency=concurrency,
+                            fn_constructor_kwargs=kw)
 
     def pairs(g: pa.Table) -> pa.Table:
         band = g.column("band_id").to_numpy(zero_copy_only=False).astype(np.int64)
