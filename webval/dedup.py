@@ -124,12 +124,15 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
 
 
 class MinHasher:
-    """Actor-pool stage: text → (band_id, band_hash) rows for LSH bucketing.
+    """Hashing stage: text → (id, band_hash) rows for LSH bucketing.
 
     k = bands*rows_per_band hashes; docs agreeing on all rows of any band
     become candidates (standard LSH S-curve: P(candidate) = 1-(1-s^r)^b).
-    Emits one output row per (doc, band): compact (ints only) — the ONLY
-    data that shuffles.
+    Emits one output row per (doc, band): compact (two ints) — the ONLY
+    data that shuffles.  The band index is salted INTO band_hash (the
+    +arange term below), so no separate band_id column ships; a 64-bit
+    cross-band hash collision would only add a spurious candidate pair,
+    which the exact-Jaccard verify removes.
     """
 
     def __init__(self, id_col: str, text_col: str = "text", *, bands: int = 16,
@@ -187,17 +190,14 @@ class MinHasher:
         n = len(keep)
         if n == 0:
             return pa.table({self.id_col: pa.array([], pa.int64()),
-                             "band_id": pa.array([], pa.int32()),
                              "band_hash": pa.array([], pa.int64())})
         with np.errstate(over="ignore"):
             band_sums = (sigs.reshape(n, self.bands, self.r).sum(axis=2)
                          + np.arange(self.bands, dtype=np.uint64)[None, :])
         bh = hash64(band_sums.ravel()).astype(np.int64)
         out_ids = np.repeat(ids[keep].astype(np.int64), self.bands)
-        out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
         return pa.table({
             self.id_col: pa.array(out_ids, type=pa.int64()),
-            "band_id": pa.array(out_band, type=pa.int32()),
             "band_hash": pa.array(bh, type=pa.int64()),
         })
 
@@ -262,7 +262,7 @@ def _within_group_pairs(keys: tuple, ids: np.ndarray,
 
 
 def _pairs_from_buckets(bucket_ds, id_col: str, max_bucket: int = 256):
-    """(band_id, band_hash) LSH buckets → unordered candidate pairs, via the
+    """band_hash LSH buckets → unordered candidate pairs, via the
     hash-bucket exchange (band hashes are high-cardinality).  Buckets larger
     than ``max_bucket`` are truncated (hot-bucket guard: a degenerate shingle
     — boilerplate — would otherwise produce O(n²) pairs); truncation only
@@ -270,14 +270,13 @@ def _pairs_from_buckets(bucket_ds, id_col: str, max_bucket: int = 256):
     from webval.exchange import bucketed_group_apply
 
     def pairs(g: pa.Table) -> pa.Table:
-        band = g.column("band_id").to_numpy(zero_copy_only=False).astype(np.int64)
         bh = g.column("band_hash").to_numpy(zero_copy_only=False).astype(np.int64)
         ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        pa_, pb_ = _within_group_pairs((band, bh), ids, max_bucket)
+        pa_, pb_ = _within_group_pairs((bh,), ids, max_bucket)
         return pa.table({"id_a": pa.array(ids[pa_], type=pa.int64()),
                          "id_b": pa.array(ids[pb_], type=pa.int64())})
 
-    return bucketed_group_apply(bucket_ds, ["band_id", "band_hash"], pairs)
+    return bucketed_group_apply(bucket_ds, ["band_hash"], pairs)
 
 
 def _empty_pairs(score_col: str | None = None):
