@@ -235,3 +235,32 @@ def test_minhash_task_mode_equals_actor_mode(docs_table):
     pool = sorted((r["doc_id"], r["cluster_id"]) for r in minhash_dedup(
         ds, "doc_id", jaccard_threshold=0.6, concurrency=2).take_all())
     assert task == pool and len(task) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_all_pairs_matches_pairwise(docs_table):
+    """Inverted-index all-pairs scores must equal direct per-pair
+    ngram_jaccard, and the O(n²) guard must fire above max_corpus."""
+    import ray.data as rd
+
+    from webval.dedup import ngram_all_pairs
+
+    ds = rd.from_arrow(docs_table).repartition(4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_all_pairs(ds, "doc_id", threshold=0.6).take_all()}
+    texts = {i: t for i, t in zip(docs_table.column("doc_id").to_pylist(),
+                                  docs_table.column("text").to_pylist())}
+    ids = sorted(i for i, t in texts.items() if t is not None and len(t) >= 8)
+    want = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            j = ngram_jaccard(texts[ids[x]], texts[ids[y]])
+            if j >= 0.6:
+                want[(ids[x], ids[y])] = j
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-12, k
+    # exact dups score 1.0; near dups in (0.6, 1.0)
+    assert all(got[(j, 100 + j)] == 1.0 for j in range(5))
+    with pytest.raises(ValueError, match="max_corpus"):
+        ngram_all_pairs(ds, "doc_id", max_corpus=5).take_all()

@@ -875,6 +875,95 @@ def ngram_jaccard(text_a: str, text_b: str, window: int = 8) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def ngram_all_pairs(ds, id_col: str, text_col: str = "text", *,
+                    window: int = 8, threshold: float = 0.5,
+                    score_col: str = "jaccard",
+                    batch_size: int | None = 1024,
+                    max_corpus: int = 200_000):
+    """All-pairs n-gram Jaccard — G3's candidate-free direct flavor, for
+    SMALL corpora (exact near-dup audits, LSH-recall ground truth).  The
+    op is O(n²) by definition; ``max_corpus`` guards against accidental
+    full-crawl use (use minhash_dedup there — LSH exists precisely to
+    avoid this scan).
+
+    Shape: compact per-doc shingle-hash sets are built DISTRIBUTED
+    (rolling_hashes_batch per batch), the concatenated sets are broadcast
+    once as a sorted inverted index (``ray.put``), and each batch then
+    scores its rows against the whole corpus with ONE searchsorted probe
+    per row (intersection counts for all docs at once via bincount) — no
+    per-pair Python.  Each unordered pair is emitted by its smaller id's
+    task: Dataset[{id_a, id_b, <score_col>}] with jaccard ≥ threshold.
+    """
+    import ray
+
+    from webval.textstats import rolling_hashes_batch
+
+    def blob_rows(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column(id_col), pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+        keep, counts, hashes = rolling_hashes_batch(
+            batch.column(text_col).to_pylist(), window)
+        return pa.table({
+            "id": pa.array(ids[keep], pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+            "sh": pa.array([h.tobytes() for h in
+                            np.split(hashes, np.cumsum(counts)[:-1])]
+                           if len(keep) else [], pa.large_binary())})
+
+    rows = ds.map_batches(blob_rows, batch_format="pyarrow",
+                          batch_size=batch_size).take_all()
+    n_docs = len(rows)
+    if n_docs > max_corpus:
+        raise ValueError(
+            f"ngram_all_pairs is O(n²) and got {n_docs} docs > "
+            f"max_corpus={max_corpus}; use minhash_dedup for large corpora")
+    doc_ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    sizes = np.array([r["n"] for r in rows], dtype=np.int64)
+    all_h = np.concatenate([np.frombuffer(r["sh"], np.uint64)
+                            for r in rows]) if n_docs else np.empty(0, np.uint64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), sizes)
+    order = np.argsort(all_h, kind="stable")
+    index_ref = ray.put((all_h[order], doc_of[order], doc_ids, sizes))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        sh, d_of, d_ids, d_sz = ray.get(index_ref)
+        ids = pc.cast(batch.column(id_col), pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+        keep, counts, hashes = rolling_hashes_batch(
+            batch.column(text_col).to_pylist(), window)
+        out_a, out_b, out_j = [], [], []
+        ends = np.cumsum(counts)
+        for k, i in enumerate(keep):
+            mine = hashes[ends[k] - counts[k]:ends[k]]
+            lo = np.searchsorted(sh, mine, side="left")
+            hi = np.searchsorted(sh, mine, side="right")
+            # matched inverted-index entries → intersection count per doc
+            # (repeat/arange range expansion — no per-shingle Python)
+            cnt = hi - lo
+            tot = int(cnt.sum())
+            if tot:
+                offs = np.cumsum(cnt) - cnt
+                pos = (np.arange(tot) - np.repeat(offs, cnt)
+                       + np.repeat(lo, cnt))
+                hits = d_of[pos]
+            else:
+                hits = np.empty(0, np.int64)
+            inter = np.bincount(hits, minlength=len(d_ids))
+            union = d_sz + counts[k] - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                j = np.where(union > 0, inter / union, 0.0)
+            sel = np.flatnonzero((j >= threshold) & (d_ids > ids[i]))
+            out_a.extend([int(ids[i])] * len(sel))
+            out_b.extend(d_ids[sel].tolist())
+            out_j.extend(j[sel].tolist())
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         score_col: pa.array(out_j, pa.float64())})
+
+    return ds.map_batches(score_batch, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dedup (cosine LSH)
 # ---------------------------------------------------------------------------

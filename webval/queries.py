@@ -795,6 +795,50 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
 """
 
 
+def q_ngram_dup_pairs(sf_dir: str):
+    """G3 direct flavor (hash-paired): all-pairs character-n-gram Jaccard
+    over the documents table.  The DuckDB twin rebuilds the same distinct
+    8-char shingle sets with substr() and computes exact set Jaccard — the
+    strongest oracle of the dedup family (no LSH, no hashing assumptions
+    beyond 64-bit collision-freeness)."""
+    import ray.data as rd
+
+    from webval.dedup import ngram_all_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    t = ds_to_table(
+        ngram_all_pairs(ds, "doc_id", "text", window=8, threshold=0.4),
+        empty_schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                                ("jaccard", pa.float64())]))
+    return _round_cols(t, {"jaccard": 4})
+
+
+SQL_NGRAM_DUP_PAIRS = """
+-- DuckDB range() allows neither lateral correlation nor subquery bounds,
+-- so positions use a fixed ceiling (documents.text maxes at ~550 chars;
+-- 8192 is a safe static bound for this fixed-size table)
+WITH pos AS (SELECT CAST(i AS INT) AS i FROM range(1, 8192) t(i)),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS g
+  FROM documents, pos
+  WHERE text IS NOT NULL AND length(text) >= 8 AND i <= length(text) - 7
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+"""
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing (hash-paired): features must be present exactly
     for the non-null media rows — the SQL twin counts html nullity."""
@@ -1423,6 +1467,7 @@ QUERIES = {
     "quality_scores": (q_quality, None),
     "extraction_parity": (q_extraction, SQL_EXTRACTION_PARITY),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "ngram_dup_pairs": (q_ngram_dup_pairs, SQL_NGRAM_DUP_PAIRS),
     "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "grouped_quantiles": (q_grouped_quantiles, None),
