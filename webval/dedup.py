@@ -35,10 +35,12 @@ def exact_dedup(ds, id_col: str, text_col: str = "text", *, normalize: bool = Tr
                 keep_cols: list[str] | None = None, num_buckets: int | None = None):
     """Keep exactly one row (the minimum ``id_col``) per distinct text.
 
-    fingerprint (map_batches, vectorized hash) → hash-bucket exchange →
-    per-bucket Arrow group_by(min id) + join-back filter.  Shuffle key is the
-    64-bit hash → uniform partitioning regardless of content skew; any key
-    cardinality (exchange.bucketed_group_apply).  Null texts are all kept.
+    fingerprint (map_batches, vectorized hash) → per-batch min-id combiner
+    (each batch forwards ONE row per fingerprint — on dup-heavy corpora the
+    known losers never shuffle) → hash-bucket exchange → per-bucket min-id
+    finish.  Shuffle key is the 64-bit hash → uniform partitioning
+    regardless of content skew; any key cardinality
+    (exchange.bucketed_group_apply).  Null texts are all kept.
     """
     from webval.exchange import bucketed_group_apply
     from webval.textstats import add_fingerprints
@@ -46,7 +48,9 @@ def exact_dedup(ds, id_col: str, text_col: str = "text", *, normalize: bool = Tr
     fp = add_fingerprints(ds, text_col, normalize=normalize)
     cols = keep_cols or list(ds.schema().names)
 
-    def keep_min(g: pa.Table) -> pa.Table:
+    def local_min(g: pa.Table, out_cols: list[str]) -> pa.Table:
+        """One min-``id_col`` row per fingerprint (idempotent/associative:
+        the global winner survives any composition of local passes)."""
         nulls = g.filter(pc.is_null(g.column("fingerprint")))
         vals = g.filter(pc.is_valid(g.column("fingerprint")))
         if vals.num_rows:
@@ -55,10 +59,14 @@ def exact_dedup(ds, id_col: str, text_col: str = "text", *, normalize: bool = Tr
             vals = vals.join(mins, keys=["fingerprint"])
             vals = vals.filter(pc.equal(vals.column(id_col),
                                         vals.column(f"{id_col}_min")))
-        return pa.concat_tables([vals.select(cols), nulls.select(cols)])
+        return pa.concat_tables([vals.select(out_cols),
+                                 nulls.select(out_cols)])
 
-    return bucketed_group_apply(fp, ["fingerprint"], keep_min,
-                                num_buckets=num_buckets)
+    fp_cols = cols + ["fingerprint"] if "fingerprint" not in cols else cols
+    return bucketed_group_apply(
+        fp, ["fingerprint"], lambda g: local_min(g, cols),
+        partial_fn=lambda b: local_min(b, fp_cols),
+        num_buckets=num_buckets)
 
 
 def exact_dup_groups(ds, id_col: str, text_col: str = "text", *,
