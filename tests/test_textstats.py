@@ -179,3 +179,36 @@ def test_rolling_hashes_batch_matches_per_doc():
             assert i not in got, i
         else:
             assert (got[i] == want).all(), i
+
+
+def test_rolling_hashes_arrow_matches_batch():
+    """The zero-copy Arrow-buffer path must return the identical
+    (kept, counts, hashes) triple as the list path — for string AND
+    large_string, sliced arrays, nulls, and multibyte docs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from webval.textstats import rolling_hashes_arrow, rolling_hashes_batch
+
+    texts = ["hello world this is a document", "short", None, "",
+             "another web page body with more text in it",
+             "hello world this is a document", "tiny", "exactly8",
+             "日本語テスト", "日本語テキスト測定法", "ab日本語x",
+             "x" * 500, None]
+    want = rolling_hashes_batch(texts, 8)
+    for typ in (pa.string(), pa.large_string()):
+        arr = pa.array(texts, type=typ)
+        got = rolling_hashes_arrow(arr, 8)
+        for w, g in zip(want, got):
+            assert (w == g).all(), typ
+        # sliced array: offsets no longer start at 0
+        sl = arr.slice(2, 9)
+        want_sl = rolling_hashes_batch(texts[2:11], 8)
+        got_sl = rolling_hashes_arrow(sl, 8)
+        for w, g in zip(want_sl, got_sl):
+            assert (w == g).all(), (typ, "sliced")
+    # chunked input
+    ch = pa.chunked_array([pa.array(texts[:6]), pa.array(texts[6:])])
+    got_ch = rolling_hashes_arrow(ch, 8)
+    for w, g in zip(want, got_ch):
+        assert (w == g).all()

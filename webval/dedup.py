@@ -160,14 +160,18 @@ class MinHasher:
     # product in L2 (measured: 8M-element chunks are 4x slower — memory-bound)
     _CHUNK_ELEMS = 131_072
 
-    def _signatures_batch(self, texts: list) -> tuple[np.ndarray, np.ndarray]:
+    def _signatures_batch(self, texts) -> tuple[np.ndarray, np.ndarray]:
         """Vectorized signatures for a whole batch: shingle ALL docs in one
-        pass (textstats.rolling_hashes_batch — no per-doc numpy overhead),
-        then one (shingles × k) permutation product per memory-bounded
-        chunk with segmented min (np.minimum.reduceat) by doc offsets."""
-        from webval.textstats import rolling_hashes_batch
+        pass — straight off the Arrow data buffer when given a column
+        (textstats.rolling_hashes_arrow: no Python strings at all), else
+        the list path — then one (shingles × k) permutation product per
+        memory-bounded chunk with segmented min (np.minimum.reduceat)."""
+        from webval.textstats import rolling_hashes_arrow, rolling_hashes_batch
 
-        keep, counts, all_h = rolling_hashes_batch(texts, self.window)
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            keep, counts, all_h = rolling_hashes_arrow(texts, self.window)
+        else:
+            keep, counts, all_h = rolling_hashes_batch(texts, self.window)
         if not len(keep):
             return np.empty(0, dtype=np.int64), np.empty((0, 0), dtype=np.uint64)
         k = len(self.a)
@@ -194,7 +198,7 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        keep, sigs = self._signatures_batch(batch.column(self.text_col).to_pylist())
+        keep, sigs = self._signatures_batch(batch.column(self.text_col))
         n = len(keep)
         if n == 0:
             return pa.table({self.id_col: pa.array([], pa.int64()),
@@ -794,11 +798,11 @@ class SimHasher:
         self.window = window
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from webval.textstats import rolling_hashes_batch
+        from webval.textstats import rolling_hashes_arrow
 
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        texts = batch.column(self.text_col).to_pylist()
-        keep, counts, all_h = rolling_hashes_batch(texts, self.window)
+        keep, counts, all_h = rolling_hashes_arrow(
+            batch.column(self.text_col), self.window)
         ends = np.cumsum(counts)
         sets = [all_h[e - c:e] for c, e in zip(counts, ends)]
         n = len(keep)

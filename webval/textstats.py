@@ -236,6 +236,64 @@ def rolling_hashes_batch(texts: list, window: int = 8
     return np.asarray(idx, dtype=np.int64), counts.astype(np.int64), hashes
 
 
+def rolling_hashes_arrow(col, window: int = 8
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-copy twin of ``rolling_hashes_batch`` for Arrow string columns:
+    Arrow already stores the utf-8 bytes contiguously, so the polynomial
+    hash runs directly over the column's data buffer — no per-doc Python
+    string materialization, no encode, no join (the remaining Python cost
+    of the MinHash/SimHash hot path).  Same (kept, counts, hashes)
+    contract and IDENTICAL values (asserted in tests); the doc gate is the
+    same CHARACTER length ≥ window (utf8_length kernel)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+             np.empty(0, np.uint64))
+    if n == 0:
+        return empty
+    keep_m = pc.and_(pc.is_valid(col),
+                     pc.greater_equal(pc.utf8_length(col), window))
+    keep = np.flatnonzero(
+        pc.fill_null(keep_m, False).to_numpy(zero_copy_only=False))
+    if not len(keep):
+        return empty
+    off_dtype = (np.int64 if pa.types.is_large_string(col.type)
+                 else np.int32)
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        col.offset: col.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    starts = offs[keep]
+    lens_a = offs[keep + 1] - starts
+    n_win = lens_a - window + 1  # ≥1: chars ≥ window ⇒ utf-8 bytes ≥ window
+    # polynomial hash over the whole data buffer once (dropped docs' bytes
+    # hash too but their windows are never selected — cheaper than copying)
+    total = len(data)
+    base = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        powers = np.empty(window, dtype=np.uint64)
+        powers[0] = 1
+        for k in range(1, window):
+            powers[k] = powers[k - 1] * base
+        acc = np.zeros(max(total - window + 1, 0), dtype=np.uint64)
+        for k in range(window):
+            acc += (data[k: total - window + 1 + k].astype(np.uint64)
+                    * powers[window - 1 - k])
+    tw = int(n_win.sum())
+    offs_out = np.cumsum(n_win) - n_win
+    pos = (np.arange(tw) - np.repeat(offs_out, n_win)
+           + np.repeat(starts, n_win))
+    h = acc[pos]
+    d = np.repeat(np.arange(len(keep)), n_win)
+    order = np.lexsort((h, d))
+    hs, ds_ = h[order], d[order]
+    first = np.ones(tw, dtype=bool)
+    first[1:] = (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1])
+    counts = np.bincount(ds_[first], minlength=len(keep))
+    return keep.astype(np.int64), counts.astype(np.int64), hs[first]
+
+
 def rolling_hashes(text: str, window: int = 8) -> np.ndarray:
     """Deterministic Rabin-Karp-style rolling hash over character windows —
     the shingle source for MinHash (dedup.py).  Pure numpy polynomial hash.
