@@ -89,6 +89,34 @@ def test_pre_stage_roundtrip_reconstructs_pipeline(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_normalize_pre_stage_roundtrip(tmp_path):
+    """The B8 normalize pre-stage (string type names incl. parametric
+    timestamps) must survive the JSON round-trip and null-on-error cast
+    when replayed from a loaded schema."""
+    import ray.data as rd
+
+    t = pa.table({"sid": pa.array(["1", "2", "oops", None]),
+                  "ts": pa.array(["2026-01-01 00:00:00", "bad",
+                                  "2026-01-02 10:30:00", None])})
+    stages = [{"kind": "normalize",
+               "params": {"casts": {"sid": "int64", "ts": "timestamp[us]"},
+                          "ts_format": "%Y-%m-%d %H:%M:%S"}}]
+    kinds = {"sid": "numeric", "ts": "timestamp", "__cast_errors__": "skip"}
+    schema = Schema(name="n").build(rd.from_arrow(t), kinds,
+                                    pre_stages=stages)
+    p = str(tmp_path / "schema.json")
+    schema.save(p)
+    loaded = Schema.load(p)
+    res = loaded.check(rd.from_arrow(t))
+    rows = sorted(res["verdicts"].take_all(),
+                  key=lambda r: (r["sid"] is None, r["sid"]))
+    sids = [r["sid"] for r in rows]
+    assert sids == [1, 2, None, None]  # "oops" cast to null
+    errs = sorted(r["__cast_errors__"] for r in rows)
+    assert errs == [0, 0, 1, 1]  # "oops" row and "bad"-ts row each count 1
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_connected_components_distributed():
     import ray.data as rd
 
