@@ -1,0 +1,88 @@
+"""WARC source/sink: byte-exact round-trip through real files, gzip
+members, malformed-record resynchronization, parallel multi-shard reads."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from webval.sources import parse_warc_bytes, write_warc, write_warc_file
+from webval.synth import gen_webpages_table
+
+
+def _expected_rows(t: pa.Table):
+    """(url, ts_us, html) for the non-null-html rows, url-sorted."""
+    t = t.filter(pc.is_valid(t.column("html")))
+    ts = pc.cast(t.column("warc_ts"), pa.int64()).to_pylist()
+    return sorted(zip(t.column("url").to_pylist(), ts,
+                      t.column("html").to_pylist()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_warc_roundtrip_multishard(tmp_path):
+    from webval.sources import read_warc
+
+    t = gen_webpages_table(np.arange(3000))
+    paths = write_warc(t, str(tmp_path / "warc"), shard_rows=700,
+                       compress=True)
+    assert len(paths) == 5 and all(p.endswith(".warc.gz") for p in paths)
+    # cast back to int64 µs INSIDE the pipeline — exact, no driver
+    # datetime conversions
+    ds = read_warc(paths).map_batches(
+        lambda b: b.set_column(b.column_names.index("warc_ts"), "warc_ts",
+                               pc.cast(b.column("warc_ts"), pa.int64())),
+        batch_format="pyarrow")
+    got = sorted((r["url"], r["warc_ts"], r["html"]) for r in ds.take_all())
+    want = _expected_rows(t)
+    assert got == want  # urls, µs-exact timestamps, byte-exact html
+
+
+def test_warc_plain_and_gzip_parse_identically(tmp_path):
+    t = gen_webpages_table(np.arange(200))
+    rows = _expected_rows(t)
+    p1 = str(tmp_path / "a.warc")
+    p2 = str(tmp_path / "a.warc.gz")
+    write_warc_file(p1, rows)
+    write_warc_file(p2, rows)
+    raw = open(p1, "rb").read()
+    import gzip
+    gz = gzip.decompress(open(p2, "rb").read())
+    assert raw == gz  # compression is transparent
+    parsed = sorted(parse_warc_bytes(raw))
+    assert parsed == rows
+
+
+def test_warc_malformed_resync_and_strict(tmp_path):
+    t = gen_webpages_table(np.arange(60))
+    rows = _expected_rows(t)
+    third = len(rows) // 3
+    good_head = b"".join(
+        open(p, "rb").read() for p in [str(tmp_path / "h.warc")]
+        if write_warc_file(p, rows[:third]) or True)
+    mangled = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"Content-Length: notanumber\r\n\r\ngarbage")
+    tail = str(tmp_path / "t.warc")
+    write_warc_file(tail, rows[third:])
+    blob = good_head + mangled + open(tail, "rb").read()
+    got = sorted(parse_warc_bytes(blob, strict=False))
+    assert got == rows  # resynchronized past the mangled record
+    with pytest.raises(ValueError, match="malformed WARC header"):
+        list(parse_warc_bytes(blob, strict=True))
+    # truncated tail: non-strict yields the complete prefix records
+    cut = blob[: len(blob) - 40]
+    got_cut = sorted(parse_warc_bytes(cut, strict=False))
+    assert rows[0] in got_cut and len(got_cut) == len(rows) - 1
+
+
+def test_warc_skips_non_response_records():
+    req = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+           b"WARC-Record-ID: <urn:uuid:x>\r\n"
+           b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+           b"WARC-Target-URI: http://a.com/\r\n"
+           b"Content-Type: application/http; msgtype=request\r\n"
+           b"Content-Length: 4\r\n\r\nGET \r\n\r\n")
+    rows = [("http://b.com/", 1_700_000_000_123_456, b"<p>x</p>")]
+    buf = req + b"".join(
+        __import__("webval.sources", fromlist=["x"])._format_record(*r)
+        for r in rows)
+    assert sorted(parse_warc_bytes(buf)) == rows

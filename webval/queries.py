@@ -836,6 +836,65 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
 """
 
 
+def q_warc_read(sf_dir: str):
+    """A1 family (hash-paired): the WARC source.  The synth webpages table
+    is sharded into .warc.gz files once (cached beside the parquet), read
+    back through webval.sources.read_warc, and summarized; the SQL twin
+    computes the identical summary from the PARQUET — counts, distinct
+    urls, total payload bytes and µs-exact timestamp range all survive the
+    container round-trip or the hash breaks."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from webval.exchange import distinct_rows
+    from webval.sources import read_warc, write_warc
+
+    pages_p, _ = ensure_synth(sf_dir)
+    warc_dir = os.path.join(os.path.dirname(pages_p), "warc")
+    marker = os.path.join(warc_dir, "_DONE")
+    if not os.path.exists(marker):
+        write_warc(pq.read_table(pages_p,
+                                 columns=["url", "warc_ts", "html"]),
+                   warc_dir, shard_rows=5000)
+        open(marker, "w").write("ok")
+    paths = sorted(glob.glob(os.path.join(warc_dir, "*.warc.gz")))
+    ds = read_warc(paths)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("warc_ts"), pa.int64())
+        return pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "bytes": pa.array([pc.sum(pc.binary_length(
+                b.column("html"))).as_py() or 0], pa.int64()),
+            "ts_min": pa.array([pc.min(ts).as_py()], pa.int64()),
+            "ts_max": pa.array([pc.max(ts).as_py()], pa.int64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n_urls = distinct_rows(read_warc(paths).select_columns(["url"]),
+                           ["url"]).count()
+    mins = [r["ts_min"] for r in rows if r["ts_min"] is not None]
+    maxs = [r["ts_max"] for r in rows if r["ts_max"] is not None]
+    return pa.table({
+        "n_records": pa.array([sum(r["n"] for r in rows)], pa.int64()),
+        "n_urls": pa.array([n_urls], pa.int64()),
+        "html_bytes": pa.array([sum(r["bytes"] for r in rows)], pa.int64()),
+        "ts_min": pa.array([min(mins)], pa.int64()),
+        "ts_max": pa.array([max(maxs)], pa.int64())})
+
+
+SQL_WARC_READ = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_records,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+       CAST(sum(octet_length(html)) AS BIGINT) AS html_bytes,
+       CAST(min(epoch_us(warc_ts)) AS BIGINT) AS ts_min,
+       CAST(max(epoch_us(warc_ts)) AS BIGINT) AS ts_max
+FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+WHERE html IS NOT NULL
+"""
+
+
 def q_ngram_dup_pairs(sf_dir: str):
     """G3 direct flavor (hash-paired): all-pairs character-n-gram Jaccard
     over the documents table.  The DuckDB twin rebuilds the same distinct
@@ -1509,6 +1568,7 @@ QUERIES = {
     "extraction_parity": (q_extraction, SQL_EXTRACTION_PARITY),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "ngram_dup_pairs": (q_ngram_dup_pairs, SQL_NGRAM_DUP_PAIRS),
+    "warc_read": (q_warc_read, SQL_WARC_READ),
     "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "grouped_quantiles": (q_grouped_quantiles, None),

@@ -1,0 +1,220 @@
+"""WARC source/sink — Common Crawl's native container format (public WARC
+1.0 spec: ISO 28500).  Ray Data has parquet/csv/json/text readers but no
+WARC; a web-text engine needs one (SURVEY.md §2-A family).
+
+``read_warc`` is a ``FileBasedDatasource`` subclass, so it inherits Ray's
+parallel file planning (one read task per file/group, remote filesystems,
+``include_paths``) and streams blocks into the normal Dataset pipeline —
+downstream extraction/validation is identical to the parquet path.
+``write_warc`` emits deterministic response records (used for fixtures and
+round-trip tests; a crawler would produce the real thing).
+
+Records carry ``WARC-Target-URI`` / ``WARC-Date`` / an
+``application/http; msgtype=response`` payload; reading yields
+``{url, warc_ts, html}`` rows matching the BASELINE.json input_hint shape
+(the HTTP header block is stripped; ``warc_ts`` keeps microseconds).
+Gzip members are handled transparently (multi-member .warc.gz is the
+Common-Crawl layout; Python's gzip module decodes concatenated members).
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+from datetime import datetime, timezone
+
+import pyarrow as pa
+
+_CRLF = b"\r\n"
+_TS_FMT = "%Y-%m-%dT%H:%M:%S.%fZ"
+
+
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+def _us_to_dt(ts_us: int) -> datetime:
+    # integer µs arithmetic — float epoch seconds lose microseconds at
+    # 2026-era magnitudes (2^53 cliff family)
+    from datetime import timedelta
+
+    return _EPOCH + timedelta(microseconds=int(ts_us))
+
+
+def _dt_to_us(ts: datetime) -> int:
+    d = ts - _EPOCH
+    return (d.days * 86_400_000_000 + d.seconds * 1_000_000
+            + d.microseconds)
+
+
+def _format_record(url: str, ts_us: int, html: bytes) -> bytes:
+    """One deterministic WARC/1.0 response record (record id derived from
+    the url so a rewritten shard is byte-identical)."""
+    ts = _us_to_dt(ts_us)
+    rid = hashlib.sha1(url.encode()).hexdigest()
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + f"Content-Length: {len(html)}\r\n\r\n".encode() + html)
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + f"WARC-Record-ID: <urn:uuid:{rid}>\r\n".encode()
+        + f"WARC-Date: {ts.strftime(_TS_FMT)}\r\n".encode()
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(http)}\r\n".encode()
+        + _CRLF)
+    return head + http + _CRLF + _CRLF
+
+
+def write_warc_file(path: str, records, *, compress: bool | None = None):
+    """Write (url, ts_us, html_bytes) triples as one WARC file; ``.gz``
+    suffix (or compress=True) gzips the whole stream.  Null html rows are
+    NOT representable in a response record — the caller filters them."""
+    compress = path.endswith(".gz") if compress is None else compress
+    buf = io.BytesIO()
+    for url, ts_us, html in records:
+        buf.write(_format_record(url, int(ts_us), html))
+    data = buf.getvalue()
+    if compress:
+        # mtime=0 → deterministic bytes for fixture caching
+        data = gzip.compress(data, mtime=0)
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def write_warc(table: pa.Table, out_dir: str, *, shard_rows: int = 100_000,
+               url_col: str = "url", ts_col: str = "warc_ts",
+               html_col: str = "html", compress: bool = True) -> list[str]:
+    """Shard an Arrow table into WARC files (fixture/export path).  Rows
+    with null html are skipped (a response record always has a payload).
+    Returns the shard paths."""
+    import os
+
+    import pyarrow.compute as pc
+
+    os.makedirs(out_dir, exist_ok=True)
+    t = table.filter(pc.is_valid(table.column(html_col)))
+    ts = pc.cast(t.column(ts_col), pa.int64()).to_pylist()
+    urls = t.column(url_col).to_pylist()
+    htmls = t.column(html_col).to_pylist()
+    paths = []
+    ext = ".warc.gz" if compress else ".warc"
+    for s, start in enumerate(range(0, t.num_rows, shard_rows)):
+        p = os.path.join(out_dir, f"shard-{s:05d}{ext}")
+        write_warc_file(p, zip(urls[start:start + shard_rows],
+                               ts[start:start + shard_rows],
+                               htmls[start:start + shard_rows]))
+        paths.append(p)
+    return paths
+
+
+def parse_warc_bytes(data: bytes, *, strict: bool = False):
+    """Yield (url, ts_us, html_bytes) from raw (already-decompressed) WARC
+    bytes.  Non-response records are skipped; malformed records raise in
+    ``strict`` mode, else scanning resynchronizes at the next record
+    marker (crawl files routinely contain truncated tails)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        head_end = data.find(_CRLF + _CRLF, start)
+        if head_end < 0:
+            if strict:
+                raise ValueError(f"unterminated WARC header at {start}")
+            break
+        try:
+            headers = {}
+            lines = data[start:head_end].split(_CRLF)
+            for line in lines[1:]:
+                k, _, v = line.decode("utf-8", "replace").partition(":")
+                headers[k.strip().lower()] = v.strip()
+            length = int(headers["content-length"])
+        except Exception:
+            if strict:
+                raise ValueError(f"malformed WARC header at {start}") from None
+            pos = start + 5
+            continue
+        body_start = head_end + 4
+        body_end = body_start + length
+        if body_end > n:
+            if strict:
+                raise ValueError(f"truncated WARC record at {start}")
+            break
+        pos = body_end  # the inter-record \r\n\r\n is skipped by find()
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        date = headers.get("warc-date")
+        if url is None or date is None:
+            if strict:
+                raise ValueError(f"response record missing URI/Date at {start}")
+            continue
+        try:
+            fmt = _TS_FMT if "." in date else "%Y-%m-%dT%H:%M:%SZ"
+            ts = datetime.strptime(date, fmt).replace(tzinfo=timezone.utc)
+            ts_us = _dt_to_us(ts)
+        except ValueError:
+            if strict:
+                raise
+            continue
+        payload = data[body_start:body_end]
+        if headers.get("content-type", "").startswith("application/http"):
+            sep = payload.find(_CRLF + _CRLF)
+            payload = payload[sep + 4:] if sep >= 0 else payload
+        yield url, ts_us, payload
+
+
+try:
+    from ray.data.datasource import FileBasedDatasource
+
+    class WarcDatasource(FileBasedDatasource):
+        """Streaming WARC reader: one read task per file (Ray plans the
+        parallelism), rows in input_hint shape.  Whole-file gzip members
+        are decoded (.warc.gz); ``strict=False`` resynchronizes past
+        malformed records instead of failing the task."""
+
+        _FILE_EXTENSIONS = ["warc", "warc.gz"]
+
+        def __init__(self, paths, *, strict: bool = False,
+                     batch_rows: int = 4096, **kwargs):
+            super().__init__(paths, **kwargs)
+            self._strict = strict
+            self._batch_rows = batch_rows
+
+        def _read_stream(self, f, path: str):
+            data = f.readall()
+            if data[:2] == b"\x1f\x8b":
+                data = gzip.decompress(data)  # handles multi-member streams
+            urls: list = []
+            tss: list = []
+            htmls: list = []
+
+            def block():
+                return pa.table({
+                    "url": pa.array(urls, pa.string()),
+                    "warc_ts": pa.array(tss, pa.timestamp("us")),
+                    "html": pa.array(htmls, pa.large_binary())})
+
+            for url, ts_us, html in parse_warc_bytes(data,
+                                                     strict=self._strict):
+                urls.append(url)
+                tss.append(ts_us)
+                htmls.append(html)
+                if len(urls) >= self._batch_rows:
+                    yield block()
+                    urls, tss, htmls = [], [], []
+            if urls or not self._strict:
+                yield block()
+
+    def read_warc(paths, *, strict: bool = False, **kwargs):
+        """Dataset[{url, warc_ts, html}] from WARC files — drop-in
+        replacement for the parquet read in every pipeline here."""
+        import ray.data as rd
+
+        return rd.read_datasource(WarcDatasource(paths, strict=strict,
+                                                 **kwargs))
+
+except ImportError:  # pragma: no cover - ray present in sandbox
+    WarcDatasource = read_warc = None
