@@ -227,3 +227,52 @@ def test_bloom_no_false_negatives_and_low_fp():
     bf2 = BloomFilter(20_000, fp_rate=0.01).add(others[:100])
     bf.merge(bf2)
     assert bf.contains(others[:100]).all()
+
+
+def test_misra_gries_exact_when_k_covers_distinct():
+    import numpy as np
+
+    from webval.sketches import MisraGries
+
+    rng = np.random.default_rng(5)
+    vals = rng.choice([f"v{i}" for i in range(10)], size=5000,
+                      p=np.array([20, 10, 8, 8, 8, 8, 8, 8, 8, 14]) / 100)
+    mg = MisraGries(k=16).add(vals)
+    import collections
+    exact = collections.Counter(vals.tolist())
+    got = {v: (lo, hi) for v, lo, hi in mg.heavy_hitters()}
+    assert mg.err == 0
+    assert {v: lo for v, (lo, hi) in got.items()} == dict(exact)
+
+
+def test_misra_gries_bounds_and_merge_law():
+    """Certified bounds must hold for ANY random merge tree, and err must
+    respect the published n/(k+1) bound."""
+    import collections
+
+    import numpy as np
+
+    from webval.sketches import MisraGries
+
+    rng = np.random.default_rng(11)
+    # zipf-ish stream with far more distinct values than k
+    vals = [f"v{int(i)}" for i in rng.zipf(1.3, size=20000) if i < 5000]
+    exact = collections.Counter(vals)
+    n = len(vals)
+    for trial in range(5):
+        r2 = np.random.default_rng(trial)
+        parts = np.array_split(np.array(vals), r2.integers(2, 12))
+        sketches = [MisraGries(k=24).add(p) for p in parts]
+        r2.shuffle(sketches)
+        mg = sketches[0]
+        for s in sketches[1:]:
+            mg.merge(s)
+        assert mg.total == n
+        assert mg.err <= n / (24 + 1) * 2  # merge-tree bound (sum of locals)
+        for v, lo, hi in mg.heavy_hitters():
+            assert lo <= exact[v] <= hi, (trial, v, lo, exact[v], hi)
+        # no false negatives above the certified error
+        stored = {v for v, _, _ in mg.heavy_hitters()}
+        for v, c in exact.items():
+            if c > mg.err:
+                assert v in stored, (trial, v, c, mg.err)

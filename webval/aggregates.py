@@ -369,5 +369,30 @@ try:
         def _final(self, s):
             return float(s.estimate())
 
+    class HeavyHitters(_SketchAgg):
+        """groupby(...).aggregate(HeavyHitters("col", k=...)) — mergeable
+        Misra-Gries worst-offenders summary.  Finalizes to a list of
+        {value, lo, hi} dicts (lo = certified lower bound, hi = lo + err
+        upper bound), heaviest first; exact (lo == hi == true count) when
+        k ≥ the column's distinct count."""
+
+        def __init__(self, on: str, k: int = 64, min_count: int = 1,
+                     alias_name: str | None = None):
+            self._k = k
+            self._min_count = min_count
+            super().__init__(on, alias_name or f"heavy_hitters({on})")
+
+        def _new(self):
+            from webval.sketches import MisraGries
+
+            return MisraGries(k=self._k)
+
+        def _update(self, s, v):
+            s.add(np.asarray(v))
+
+        def _final(self, s):
+            return [{"value": v, "lo": int(lo), "hi": int(hi)}
+                    for v, lo, hi in s.heavy_hitters(self._min_count)]
+
 except ImportError:  # pragma: no cover - ray always present in sandbox
-    TDigestQuantile = ApproxDistinct = None
+    TDigestQuantile = ApproxDistinct = HeavyHitters = None

@@ -836,6 +836,35 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
 """
 
 
+def q_heavy_hitters(sf_dir: str):
+    """E-family extension (hash-paired): Misra-Gries worst-offenders via
+    the AggregateFnV2 path.  k=64 exceeds the lang column's cardinality,
+    so the certified bounds collapse to exact counts and the SQL twin is
+    the plain GROUP BY; with k below cardinality the bounds widen but stay
+    certified (property-tested in tests/test_sketches.py)."""
+    import ray.data as rd
+
+    from webval.aggregates import HeavyHitters
+
+    pages_p, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages_p, columns=["lang"])
+    res = ds.aggregate(HeavyHitters("lang", k=64, alias_name="hh"))
+    rows = res["hh"]
+    return pa.table({
+        "value": pa.array([r["value"] for r in rows], pa.string()),
+        "lo": pa.array([r["lo"] for r in rows], pa.int64()),
+        "hi": pa.array([r["hi"] for r in rows], pa.int64())})
+
+
+SQL_HEAVY_HITTERS = f"""
+SELECT lang AS value, CAST(count(*) AS BIGINT) AS lo,
+       CAST(count(*) AS BIGINT) AS hi
+FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+WHERE lang IS NOT NULL
+GROUP BY lang
+"""
+
+
 def q_warc_read(sf_dir: str):
     """A1 family (hash-paired): the WARC source.  The synth webpages table
     is sharded into .warc.gz files once (cached beside the parquet), read
@@ -1569,6 +1598,7 @@ QUERIES = {
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "ngram_dup_pairs": (q_ngram_dup_pairs, SQL_NGRAM_DUP_PAIRS),
     "warc_read": (q_warc_read, SQL_WARC_READ),
+    "heavy_hitter_langs": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "grouped_quantiles": (q_grouped_quantiles, None),

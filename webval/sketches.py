@@ -550,3 +550,84 @@ class NumericHistogram:
         h.underflow = d["underflow"]
         h.overflow = d["overflow"]
         return h
+
+
+class MisraGries:
+    """Mergeable heavy-hitters summary (Misra-Gries; the merge rule —
+    pointwise sum, subtract the (k+1)-th largest counter, keep positives —
+    is the Agarwal et al. "Mergeable Summaries" construction, public
+    literature).  Guarantees after ANY merge tree over a stream of n items:
+
+    - every stored counter UNDERCOUNTS its true frequency by at most
+      ``err`` (tracked exactly; err ≤ n/(k+1));
+    - every item with true count > err is present (no false negatives
+      above the bound);
+    - with k ≥ #distinct values no decrement ever fires → counts exact.
+
+    The engine's CategoricalFreq answers "the full frequency map, roughly";
+    MisraGries answers "the provably-heavy items, with certified bounds" at
+    a fixed k counters per accumulator — the worst-offenders primitive at
+    100-TB scale.
+    """
+
+    __slots__ = ("k", "counts", "err", "total")
+
+    def __init__(self, k: int = 64):
+        self.k = k
+        self.counts: dict = {}
+        self.err = 0      # max possible undercount of any stored counter
+        self.total = 0
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        vals = sorted(self.counts.values(), reverse=True)
+        m = vals[self.k]  # (k+1)-th largest
+        self.counts = {v: c - m for v, c in self.counts.items() if c > m}
+        self.err += m
+
+    def add_counts(self, values, counts) -> "MisraGries":
+        """Bulk update from a (values, counts) pair — the per-batch
+        combiner output (Arrow value_counts), so dict work is bounded by
+        the batch's DISTINCT count, not its rows."""
+        for v, c in zip(values, counts):
+            c = int(c)
+            self.counts[v] = self.counts.get(v, 0) + c
+            self.total += c
+        self._shrink()
+        return self
+
+    def add(self, values: np.ndarray) -> "MisraGries":
+        import pandas as pd
+
+        s = pd.Series(values).dropna()
+        vc = s.value_counts()
+        return self.add_counts(vc.index.tolist(), vc.to_numpy())
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        for v, c in other.counts.items():
+            self.counts[v] = self.counts.get(v, 0) + int(c)
+        self.total += other.total
+        self.err += other.err
+        self._shrink()
+        return self
+
+    def heavy_hitters(self, min_count: int = 1) -> list:
+        """(value, lower_bound, upper_bound) for stored items whose UPPER
+        bound ≥ min_count, heaviest first (lower = counter, upper =
+        counter + err)."""
+        out = [(v, c, c + self.err) for v, c in self.counts.items()
+               if c + self.err >= min_count]
+        return sorted(out, key=lambda t: (-t[1], t[0]))
+
+    def to_dict(self) -> dict:
+        return {"k": self.k, "counts": dict(self.counts), "err": self.err,
+                "total": self.total}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "MisraGries":
+        mg = cls(k=d["k"])
+        mg.counts = dict(d["counts"])
+        mg.err = d["err"]
+        mg.total = d["total"]
+        return mg
