@@ -836,6 +836,34 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
 """
 
 
+def q_ivf_topk(sf_dir: str):
+    """IVF-partitioned ANN (hash-paired): with n_probe = every centroid
+    the pruned scan must reproduce exact brute-force cosine top-k — the
+    SQL twin is the same ORDER BY list_cosine_similarity as ann_topk, so
+    any vector lost by the partition/scan machinery breaks the hash.
+    (Partial-probe recall behavior is covered in tests/test_similarity.py;
+    on this near-random synthetic embedding table partial probes have no
+    cluster structure to exploit.)"""
+    import os
+
+    import ray.data as rd
+
+    from webval.similarity import build_ivf_index, ivf_index_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(
+        [r["embedding"] for r in ds.filter(expr="vec_id == 3").take(1)],
+        dtype=np.float32)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/webval_ivf/{name}"
+    meta = build_ivf_index(ds, idx_dir, n_centroids=16, sample_size=500)
+    out = ivf_index_topk(idx_dir, q, k=10, n_probe=meta["n_centroids"])
+    return ds_to_table(
+        out.map_batches(lambda t: t.select(["vec_id"]),
+                        batch_format="pyarrow"),
+        empty_schema=pa.schema([("vec_id", pa.int64())]))
+
+
 def q_heavy_hitters(sf_dir: str):
     """E-family extension (hash-paired): Misra-Gries worst-offenders via
     the AggregateFnV2 path.  k=64 exceeds the lang column's cardinality,
@@ -1599,6 +1627,7 @@ QUERIES = {
     "ngram_dup_pairs": (q_ngram_dup_pairs, SQL_NGRAM_DUP_PAIRS),
     "warc_read": (q_warc_read, SQL_WARC_READ),
     "heavy_hitter_langs": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "ivf_topk": (q_ivf_topk, SQL_ANN_TOPK),
     "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "grouped_quantiles": (q_grouped_quantiles, None),

@@ -380,7 +380,18 @@ def ann_index_topk(index_dir: str, queries: np.ndarray, k: int = 10, *,
     files, probes = pruned_index_files(index_dir, queries, meta=meta,
                                        multiprobe=multiprobe)
     q = _normalize(np.asarray(queries, dtype=np.float32))
-    id_col = meta["id_col"]
+    return _scan_topk(files, probes, q, meta["id_col"], k, batch_size)
+
+
+def _scan_topk(files: list, probes: list, q: np.ndarray, id_col: str,
+               k: int, batch_size: int | None):
+    """Shared pruned-scan top-k over bucket part files (LSH and IVF
+    indexes store the identical (tab, bucket, id, unit) layout): one
+    parallel read over the pruned file union, per-batch candidate filter
+    by each query's combo-key set, local top-k, per-query reduce."""
+    import ray
+    import ray.data as rd
+
     if not files:
         return rd.from_arrow(pa.table({
             "query_id": pa.array([], pa.int32()),
@@ -436,3 +447,117 @@ def ann_index_topk(index_dir: str, queries: np.ndarray, k: int = 10, *,
 
     return partials.groupby("query_id").map_groups(final_topk,
                                                    batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF index: k-means coarse quantizer instead of hyperplane signs — the
+# other standard ANN partitioning (the brief's "IVF or LSH-bucketed"
+# alternative).  Same on-disk layout as the LSH index (tab=0/bucket=<cid>),
+# so build, append-style writes and the pruned scan machinery are shared.
+# ---------------------------------------------------------------------------
+
+
+def _kmeans(sample: np.ndarray, n_centroids: int, *, n_iter: int = 12,
+            seed: int = 29) -> np.ndarray:
+    """Plain deterministic Lloyd iterations on UNIT vectors (cosine ≡
+    euclidean after normalization).  Runs on a driver-side sample — the
+    coarse quantizer needs thousands of points, not the corpus."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    cent = sample[rng.choice(n, size=min(n_centroids, n), replace=False)]
+    for _ in range(n_iter):
+        assign = (sample @ cent.T).argmax(axis=1)
+        new = np.zeros_like(cent)
+        np.add.at(new, assign, sample)
+        sizes = np.bincount(assign, minlength=len(cent))
+        empty = sizes == 0
+        if empty.any():  # re-seed dead centroids deterministically
+            new[empty] = sample[rng.choice(n, size=int(empty.sum()))]
+            sizes[empty] = 1
+        cent = _normalize(new / sizes[:, None])
+    return cent.astype(np.float32)
+
+
+def build_ivf_index(ds, index_dir: str, *, id_col: str = "vec_id",
+                    emb_col: str = "embedding", n_centroids: int = 64,
+                    sample_size: int = 20_000, seed: int = 29,
+                    rows_per_file: int = 1_000_000,
+                    num_buckets: int | None = None) -> dict:
+    """IVF index build: sample → driver k-means → centroids broadcast →
+    every unit vector written into its nearest centroid's bucket dir.
+    Query-time reads touch only the ``n_probe`` nearest buckets."""
+    import json
+    import os
+    import shutil
+
+    import ray
+
+    from webval.exchange import bucketed_group_apply
+
+    sample_rows = ds.select_columns([emb_col]).take(sample_size)
+    sample = _normalize(np.asarray([r[emb_col] for r in sample_rows],
+                                   dtype=np.float32))
+    centroids = _kmeans(sample, n_centroids, seed=seed)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir)
+    cent_ref = ray.put(centroids)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return pa.table({"tab": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int32()),
+                             id_col: pa.array([], pa.int64()),
+                             "unit": pa.array([], pa.list_(pa.float32()))})
+        cent = ray.get(cent_ref)
+        ids = pc.cast(batch.column(id_col).combine_chunks(), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+        m = _normalize(_as_matrix(batch.column(emb_col)))
+        assign = (m @ cent.T).argmax(axis=1).astype(np.int32)
+        unit = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), pa.float32()), m.shape[1])
+        return pa.table({
+            "tab": pa.array(np.zeros(len(ids), np.int32), pa.int32()),
+            "bucket": pa.array(assign, pa.int32()),
+            id_col: pa.array(ids, pa.int64()),
+            "unit": unit})
+
+    manifest = bucketed_group_apply(
+        ds.select_columns([id_col, emb_col]).map_batches(
+            keyed, batch_format="pyarrow", batch_size=4096),
+        ["tab", "bucket"], _write_group_fn(index_dir, rows_per_file),
+        num_buckets=num_buckets).take_all()
+    meta = {"kind": "ivf", "n_centroids": int(len(centroids)),
+            "dim": int(centroids.shape[1]), "seed": seed,
+            "id_col": id_col, "emb_col": emb_col,
+            "centroids": [[float(x) for x in c] for c in centroids],
+            "buckets": {f"{r['tab']}/{r['bucket']}": int(r["rows"])
+                        for r in manifest}}
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def ivf_index_topk(index_dir: str, queries: np.ndarray, k: int = 10, *,
+                   n_probe: int = 4, batch_size: int | None = 4096):
+    """Approximate cosine top-k against an IVF index: each query probes
+    its ``n_probe`` nearest centroids; the file scan covers the UNION of
+    all queries' probe buckets once (shared _scan_topk machinery)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    cent = np.asarray(meta["centroids"], dtype=np.float32)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    sims = q @ cent.T                       # (nq, C)
+    order = np.argsort(-sims, axis=1)[:, :n_probe]
+    probes = [set(int(c) for c in row) for row in order]  # tab 0 → combo=cid
+    wanted = sorted({c for p in probes for c in p})
+    files = []
+    for c in wanted:
+        d = os.path.join(index_dir, "tab=0", f"bucket={c}")
+        if os.path.isdir(d):
+            files.extend(os.path.join(d, fn) for fn in sorted(os.listdir(d))
+                         if fn.endswith(".parquet"))
+    return _scan_topk(files, probes, q, meta["id_col"], k, batch_size)
