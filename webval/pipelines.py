@@ -469,3 +469,27 @@ def contrast(a: SchemaSpec, b: SchemaSpec, *, max_js: float = 0.1,
         report["columns"][p.name] = col
         report["drifted"] = report["drifted"] or col["drifted"]
     return report
+
+
+# ---------------------------------------------------------------------------
+# Flagship LLM-data-curation composite (r3): the operators composed the way
+# a training-data pipeline actually runs them.  Everything stays one lazy
+# Dataset — filter and dedup prune before the token pass does its work.
+# ---------------------------------------------------------------------------
+
+
+def curation_pipeline(ds, id_col: str, text_col: str = "text"):
+    """C4-style quality filter → exact dedup (min-id keeper per normalized
+    text) → token counting, as one streaming pipeline.  Returns the lazy
+    curated Dataset with ``word_count``/``mean_word_len``/``symbol_ratio``
+    (from the filter) and ``ws_tokens``/``bpeish_tokens`` appended.
+
+    Every stage is individually oracle-checked (c4_quality,
+    exact_dup_groups, token_totals); the curation_e2e query checks the
+    COMPOSITION against a single SQL twin."""
+    from webval.dedup import exact_dedup
+    from webval.textstats import add_token_counts, c4_quality_filter
+
+    kept = c4_quality_filter(ds, text_col)
+    deduped = exact_dedup(kept, id_col, text_col)
+    return add_token_counts(deduped, text_col)

@@ -836,6 +836,65 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
 """
 
 
+def q_curation_e2e(sf_dir: str):
+    """Flagship LLM-data-curation COMPOSITE (hash-paired): C4 quality
+    filter → exact dedup (min-id keeper per normalized text) → token
+    counts → per-lang rollup, all one streaming pipeline
+    (pipelines.curation_pipeline).  The SQL twin replays the identical
+    regex formulas, dedup window, and token count — any stage OR the
+    composition drifting breaks the hash."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from webval.pipelines import curation_pipeline
+
+    pages_p, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages_p, columns=["page_id", "text", "lang"])
+    curated = curation_pipeline(ds, "page_id")
+    out = (curated.map_batches(
+        lambda t: pa.table({
+            "lang": pc.fill_null(t.column("lang"), "__null__"),
+            "ws_tokens": pc.cast(t.column("ws_tokens"), pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("lang").aggregate(Count(alias_name="docs"),
+                                   Sum("ws_tokens", alias_name="ws_tokens")))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    for c in ("docs", "ws_tokens"):
+        t = t.set_column(t.column_names.index(c), c,
+                         pc.cast(t.column(c), pa.int64()))
+    return t
+
+
+# the c4 formulas mirror SQL_C4_QUALITY / textstats thresholds; the dedup
+# window mirrors textstats.add_fingerprints' normalization (trim → collapse
+# ASCII ws → lower; extracted text is already ws-normalized, the regexes
+# make the twin robust anyway)
+SQL_CURATION_E2E = (r"""
+WITH f AS (SELECT page_id, lang, text,
+    len(regexp_extract_all(text, '[^ \t\n\r]+')) AS wc,
+    len(regexp_extract_all(text, '\p{L}')) AS letters,
+    length(text) AS n,
+    len(regexp_extract_all(text, '[\p{L}\p{N}\s]')) AS okc
+  FROM read_parquet('__PAGES__') WHERE text IS NOT NULL),
+kept AS (SELECT page_id, lang, text FROM f
+  WHERE wc >= 5
+    AND (CASE WHEN wc > 0 THEN letters * 1.0 / wc ELSE 0 END) >= 2.0
+    AND (CASE WHEN wc > 0 THEN letters * 1.0 / wc ELSE 0 END) <= 12.0
+    AND (CASE WHEN n > 0 THEN 1.0 - okc * 1.0 / n ELSE 0 END) <= 0.3),
+d AS (SELECT *, row_number() OVER (
+        PARTITION BY lower(regexp_replace(regexp_replace(text,
+            '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g'), '[ \t\n\f\r]+', ' ',
+            'g'))
+        ORDER BY page_id) AS rn
+      FROM kept)
+SELECT coalesce(lang, '__null__') AS lang,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+           AS ws_tokens
+FROM d WHERE rn = 1 GROUP BY 1
+""").replace("__PAGES__", f"{SYNTH_ROOT}/sf0.01/webpages.parquet")
+
+
 def q_ivf_topk(sf_dir: str):
     """IVF-partitioned ANN (hash-paired): with n_probe = every centroid
     the pruned scan must reproduce exact brute-force cosine top-k — the
@@ -1628,6 +1687,7 @@ QUERIES = {
     "warc_read": (q_warc_read, SQL_WARC_READ),
     "heavy_hitter_langs": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "ivf_topk": (q_ivf_topk, SQL_ANN_TOPK),
+    "curation_e2e": (q_curation_e2e, SQL_CURATION_E2E),
     "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "grouped_quantiles": (q_grouped_quantiles, None),
