@@ -157,3 +157,43 @@ def test_to_tags_rdv_shape():
                                     "type": "error",
                                     "group": "schema-errors"}]
     assert err_rows[2]["tags"] == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_pipeline_composition():
+    """Filter → dedup → tokens must compose: row count equals the number
+    of distinct normalized texts among filter-passing rows, and token
+    counts match a direct recount on the survivors."""
+    import numpy as np
+    import ray.data as rd
+
+    from webval.pipelines import curation_pipeline
+    from webval.synth import gen_webpages_table
+    from webval.textstats import C4_MEAN_WL_RANGE, C4_MIN_WORDS, C4_MAX_SYMBOL_RATIO
+
+    t = gen_webpages_table(np.arange(3000))
+    ds = rd.from_arrow(t.select(["page_id", "text", "lang"])).repartition(4)
+    rows = curation_pipeline(ds, "page_id").take_all()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["word_count"] >= C4_MIN_WORDS
+        assert C4_MEAN_WL_RANGE[0] <= r["mean_word_len"] <= C4_MEAN_WL_RANGE[1]
+        assert r["symbol_ratio"] <= C4_MAX_SYMBOL_RATIO
+        # token recount on the surviving row
+        assert r["ws_tokens"] == len(r["text"].split())
+    # dedup: every surviving normalized text is unique, and each keeper is
+    # the minimum page_id among the fixture rows sharing its text
+    norm = {}
+    for r in rows:
+        key = " ".join(r["text"].split()).lower()
+        assert key not in norm, "duplicate text survived dedup"
+        norm[key] = r["page_id"]
+    full = {}
+    for pid, text in zip(t.column("page_id").to_pylist(),
+                         t.column("text").to_pylist()):
+        if text is None:
+            continue
+        key = " ".join(text.strip().split()).lower()
+        full.setdefault(key, []).append(pid)
+    for key, keeper in norm.items():
+        assert keeper == min(full[key]), key[:40]
