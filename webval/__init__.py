@@ -17,6 +17,7 @@ from webval.sketches import (  # noqa: F401
     HyperLogLog,
     CategoricalFreq,
     NumericHistogram,
+    MisraGries,
 )
 
 __version__ = "0.1.0"
@@ -26,4 +27,5 @@ __version__ = "0.1.0"
 __all__ = [
     "Schema", "SchemaSpec", "ColumnProfile", "CheckSpec",
     "Moments", "TDigest", "HyperLogLog", "CategoricalFreq", "NumericHistogram",
+    "MisraGries",
 ]
