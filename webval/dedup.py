@@ -891,12 +891,13 @@ def ngram_all_pairs(ds, id_col: str, text_col: str = "text", *,
                     window: int = 8, threshold: float = 0.5,
                     score_col: str = "jaccard",
                     batch_size: int | None = 1024,
-                    max_corpus: int = 200_000):
+                    max_corpus: int = 25_000):
     """All-pairs n-gram Jaccard — G3's candidate-free direct flavor, for
     SMALL corpora (exact near-dup audits, LSH-recall ground truth).  The
-    op is O(n²) by definition; ``max_corpus`` guards against accidental
-    full-crawl use (use minhash_dedup there — LSH exists precisely to
-    avoid this scan).
+    op is O(n²) by definition and the inverted index is broadcast whole
+    (≈16 bytes × total unique shingles ≈ 6 KB per 400-char doc, so the
+    default ``max_corpus`` of 25k docs caps it near 150 MB); beyond that
+    use minhash_dedup — LSH exists precisely to avoid this scan.
 
     Shape: compact per-doc shingle-hash sets are built DISTRIBUTED
     (rolling_hashes_batch per batch), the concatenated sets are broadcast

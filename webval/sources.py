@@ -108,21 +108,30 @@ def write_warc(table: pa.Table, out_dir: str, *, shard_rows: int = 100_000,
     return paths
 
 
-def parse_warc_bytes(data: bytes, *, strict: bool = False):
-    """Yield (url, ts_us, html_bytes) from raw (already-decompressed) WARC
-    bytes.  Non-response records are skipped; malformed records raise in
+def _parse_complete(data: bytes, *, strict: bool = False,
+                    at_eof: bool = True):
+    """Parse every COMPLETE record in ``data``; returns (rows, consumed)
+    where ``consumed`` is the offset the caller may discard up to.  With
+    ``at_eof=False`` a trailing partial record is left unconsumed for the
+    next buffered chunk (the streaming reader's contract); with True a
+    truncated tail is an error (strict) or dropped.
+
+    Non-response records are skipped; malformed records raise in
     ``strict`` mode, else scanning resynchronizes at the next record
     marker (crawl files routinely contain truncated tails)."""
+    rows = []
     pos = 0
     n = len(data)
     while pos < n:
         start = data.find(b"WARC/", pos)
         if start < 0:
+            pos = n if at_eof else max(n - 4, pos)  # keep a marker prefix
             break
         head_end = data.find(_CRLF + _CRLF, start)
         if head_end < 0:
-            if strict:
+            if at_eof and strict:
                 raise ValueError(f"unterminated WARC header at {start}")
+            pos = start if not at_eof else n
             break
         try:
             headers = {}
@@ -139,8 +148,12 @@ def parse_warc_bytes(data: bytes, *, strict: bool = False):
         body_start = head_end + 4
         body_end = body_start + length
         if body_end > n:
-            if strict:
-                raise ValueError(f"truncated WARC record at {start}")
+            if at_eof:
+                if strict:
+                    raise ValueError(f"truncated WARC record at {start}")
+                pos = n
+            else:
+                pos = start  # complete record arrives with the next chunk
             break
         pos = body_end  # the inter-record \r\n\r\n is skipped by find()
         if headers.get("warc-type") != "response":
@@ -163,7 +176,15 @@ def parse_warc_bytes(data: bytes, *, strict: bool = False):
         if headers.get("content-type", "").startswith("application/http"):
             sep = payload.find(_CRLF + _CRLF)
             payload = payload[sep + 4:] if sep >= 0 else payload
-        yield url, ts_us, payload
+        rows.append((url, ts_us, payload))
+    return rows, pos
+
+
+def parse_warc_bytes(data: bytes, *, strict: bool = False):
+    """Yield (url, ts_us, html_bytes) from fully-buffered WARC bytes (the
+    whole-buffer convenience form; the Datasource streams instead)."""
+    rows, _ = _parse_complete(data, strict=strict, at_eof=True)
+    yield from rows
 
 
 try:
@@ -171,11 +192,16 @@ try:
 
     class WarcDatasource(FileBasedDatasource):
         """Streaming WARC reader: one read task per file (Ray plans the
-        parallelism), rows in input_hint shape.  Whole-file gzip members
-        are decoded (.warc.gz); ``strict=False`` resynchronizes past
-        malformed records instead of failing the task."""
+        parallelism), rows in input_hint shape.  The file is consumed in
+        bounded chunks — gzip members decode incrementally (zlib
+        decompressobj loop over ``unused_data`` handles the multi-member
+        .warc.gz layout) and only the current partial record is buffered,
+        so a task's memory is O(chunk + largest record), not O(file).
+        ``strict=False`` resynchronizes past malformed records instead of
+        failing the task."""
 
         _FILE_EXTENSIONS = ["warc", "warc.gz"]
+        _CHUNK = 8 << 20  # 8 MiB read granularity
 
         def __init__(self, paths, *, strict: bool = False,
                      batch_rows: int = 4096, **kwargs):
@@ -183,10 +209,50 @@ try:
             self._strict = strict
             self._batch_rows = batch_rows
 
+        @staticmethod
+        def _raw_chunks(f, chunk: int):
+            while True:
+                data = f.read(chunk)
+                if not data:
+                    return
+                yield bytes(data)
+
+        @classmethod
+        def _decoded_chunks(cls, f):
+            """Plain bytes pass through; gzip decodes member-by-member."""
+            import zlib
+
+            it = cls._raw_chunks(f, cls._CHUNK)
+            first = next(it, None)
+            if first is None:
+                return
+            if first[:2] != b"\x1f\x8b":
+                yield first
+                yield from it
+                return
+            d = zlib.decompressobj(wbits=47)  # gzip wrapper
+            pending = first
+            while True:
+                out = d.decompress(pending)
+                if out:
+                    yield out
+                if d.eof:  # member boundary — restart on leftover bytes
+                    pending = d.unused_data
+                    if not pending:
+                        pending = next(it, None)
+                        if pending is None:
+                            return
+                    d = zlib.decompressobj(wbits=47)
+                    continue
+                pending = next(it, None)
+                if pending is None:
+                    tail = d.flush()
+                    if tail:
+                        yield tail
+                    return
+
         def _read_stream(self, f, path: str):
-            data = f.readall()
-            if data[:2] == b"\x1f\x8b":
-                data = gzip.decompress(data)  # handles multi-member streams
+            buf = b""
             urls: list = []
             tss: list = []
             htmls: list = []
@@ -197,16 +263,29 @@ try:
                     "warc_ts": pa.array(tss, pa.timestamp("us")),
                     "html": pa.array(htmls, pa.large_binary())})
 
-            for url, ts_us, html in parse_warc_bytes(data,
-                                                     strict=self._strict):
-                urls.append(url)
-                tss.append(ts_us)
-                htmls.append(html)
+            def drain(rows):
+                nonlocal urls, tss, htmls
+                for url, ts_us, html in rows:
+                    urls.append(url)
+                    tss.append(ts_us)
+                    htmls.append(html)
                 if len(urls) >= self._batch_rows:
-                    yield block()
+                    b = block()
                     urls, tss, htmls = [], [], []
-            if urls or not self._strict:
-                yield block()
+                    return b
+                return None
+
+            for chunk in self._decoded_chunks(f):
+                buf += chunk
+                rows, consumed = _parse_complete(buf, strict=self._strict,
+                                                 at_eof=False)
+                buf = buf[consumed:]
+                b = drain(rows)
+                if b is not None:
+                    yield b
+            rows, _ = _parse_complete(buf, strict=self._strict, at_eof=True)
+            drain(rows)
+            yield block()  # final (possibly empty — keeps schema on empty files)
 
     def read_warc(paths, *, strict: bool = False, **kwargs):
         """Dataset[{url, warc_ts, html}] from WARC files — drop-in
