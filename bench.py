@@ -345,8 +345,11 @@ def run_scaling() -> dict:
     eff = (t8 / t32) / (32 / 8)
     naive_eff = (t8n / t32) / (32 / 8)
     # the honest reading lies between the naive (ambient-biased fast small
-    # level) and the protocol number; >1.0 means burners over-corrected
+    # level, a LOWER bound) and the protocol number; >1.0 means the burners
+    # over-corrected and the protocol measurement is invalid — then only a
+    # naive reading already above the gate may pass (never the clamp)
     protocol_ok = eff <= 1.0
+    gate_pass = (0.8 <= eff <= 1.0) or naive_eff >= 0.8
     return {
         "metric": "scaling_efficiency_8_to_32_cpus",
         "value": round(min(eff, 1.0), 3),
@@ -362,7 +365,7 @@ def run_scaling() -> dict:
                     "reported alongside; see BENCH/BASELINE.md)",
         "protocol_ok": protocol_ok,
         "gate": 0.8,
-        "pass": min(eff, 1.0) >= 0.8,
+        "pass": gate_pass,
     }
 
 

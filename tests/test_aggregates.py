@@ -31,3 +31,21 @@ def test_grouped_sketch_aggregates_accuracy():
         true_nd = grp["id"].nunique()
         assert abs(out.loc[k, "p50"] - true_med) / abs(true_med) < 0.02, k
         assert abs(out.loc[k, "nd"] - true_nd) / true_nd < 0.03, k
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_distinct_timestamp_nulls():
+    """Review r3: NaT (timestamp nulls) must not count as a distinct
+    value — COUNT(DISTINCT) semantics across dtypes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webval.aggregates import ApproxDistinct
+
+    t = pa.table({"g": ["a"] * 6,
+                  "ts": pa.array([1_000_000, 2_000_000, None, None,
+                                  1_000_000, 2_000_000],
+                                 pa.timestamp("us"))})
+    out = rd.from_arrow(t).groupby("g").aggregate(
+        ApproxDistinct("ts", alias_name="d")).take_all()
+    assert round(out[0]["d"]) == 2

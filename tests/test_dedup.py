@@ -264,3 +264,17 @@ def test_ngram_all_pairs_matches_pairwise(docs_table):
     assert all(got[(j, 100 + j)] == 1.0 for j in range(5))
     with pytest.raises(ValueError, match="max_corpus"):
         ngram_all_pairs(ds, "doc_id", max_corpus=5).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_keep_cols_excluding_id(docs_table):
+    """Review r3: keep_cols omitting the id column must still dedup (the
+    combiner has to carry the id internally for keeper selection)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(docs_table).repartition(4)
+    kept = exact_dedup(ds, "doc_id", keep_cols=["text"]).take_all()
+    texts = [r["text"] for r in kept]
+    assert len(kept) == 66  # 71 - 5 exact dups (null kept)
+    non_null = [t for t in texts if t is not None]
+    assert len(set(non_null)) == len(non_null)

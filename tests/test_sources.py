@@ -137,3 +137,28 @@ def test_warc_streaming_chunked_and_multimember(tmp_path):
     got_ray = sorted((r["url"], r["warc_ts"], r["html"])
                      for r in ds.take_all())
     assert got_ray == sorted(rows)
+
+
+def test_warc_resync_after_corrupt_length(tmp_path):
+    """Review r3: a record with an overshooting Content-Length must not
+    swallow the rest of the file — later intact records are recovered."""
+    from webval.sources import _format_record
+
+    t = gen_webpages_table(np.arange(40))
+    rows = _expected_rows(t)
+    half = len(rows) // 2
+    corrupt = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Record-ID: <urn:uuid:c>\r\n"
+               b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+               b"WARC-Target-URI: http://c.com/\r\n"
+               b"Content-Type: application/http; msgtype=response\r\n"
+               b"Content-Length: 99999999\r\n\r\nshort body")
+    blob = (b"".join(_format_record(*r) for r in rows[:half])
+            + corrupt
+            + b"".join(_format_record(*r) for r in rows[half:]))
+    got = sorted(parse_warc_bytes(blob, strict=False))
+    assert got == rows  # every intact record recovered, corrupt one dropped
+    # absurd Content-Length (over the 1 GiB cap) is malformed immediately
+    giant = corrupt.replace(b"99999999", b"99999999999")
+    blob2 = giant + b"".join(_format_record(*r) for r in rows[:3])
+    assert sorted(parse_warc_bytes(blob2, strict=False)) == rows[:3]

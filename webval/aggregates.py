@@ -360,6 +360,8 @@ try:
             vals = np.asarray(v)
             if vals.dtype.kind == "f":          # arrow nulls surface as NaN
                 vals = vals[~np.isnan(vals)]
+            elif vals.dtype.kind in "mM":       # datetime/timedelta: NaT
+                vals = vals[~np.isnat(vals)]
             elif vals.dtype == object:          # strings: nulls are None
                 import pandas as pd
                 vals = vals[~pd.isna(vals)]     # C-loop mask, no Series hop

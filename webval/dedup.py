@@ -62,7 +62,9 @@ def exact_dedup(ds, id_col: str, text_col: str = "text", *, normalize: bool = Tr
         return pa.concat_tables([vals.select(out_cols),
                                  nulls.select(out_cols)])
 
-    fp_cols = cols + ["fingerprint"] if "fingerprint" not in cols else cols
+    # intermediate rows must carry fingerprint (the shuffle key) AND id_col
+    # (the final keeper selection) even when keep_cols excludes them
+    fp_cols = cols + [c for c in ("fingerprint", id_col) if c not in cols]
     return bucketed_group_apply(
         fp, ["fingerprint"], lambda g: local_min(g, cols),
         partial_fn=lambda b: local_min(b, fp_cols),

@@ -976,7 +976,10 @@ def q_warc_read(sf_dir: str):
                    warc_dir, shard_rows=5000)
         open(marker, "w").write("ok")
     paths = sorted(glob.glob(os.path.join(warc_dir, "*.warc.gz")))
-    ds = read_warc(paths)
+    # materialize ONCE: the summary pass and the distinct-url pass then
+    # both read object-store blocks instead of gunzipping+parsing every
+    # shard twice (review r3 finding)
+    ds = read_warc(paths).materialize()
 
     def partial(b: pa.Table) -> pa.Table:
         ts = pc.cast(b.column("warc_ts"), pa.int64())
@@ -988,8 +991,7 @@ def q_warc_read(sf_dir: str):
             "ts_max": pa.array([pc.max(ts).as_py()], pa.int64())})
 
     rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    n_urls = distinct_rows(read_warc(paths).select_columns(["url"]),
-                           ["url"]).count()
+    n_urls = distinct_rows(ds.select_columns(["url"]), ["url"]).count()
     mins = [r["ts_min"] for r in rows if r["ts_min"] is not None]
     maxs = [r["ts_max"] for r in rows if r["ts_max"] is not None]
     return pa.table({
@@ -1007,22 +1009,38 @@ SELECT CAST(count(*) AS BIGINT) AS n_records,
        CAST(min(epoch_us(warc_ts)) AS BIGINT) AS ts_min,
        CAST(max(epoch_us(warc_ts)) AS BIGINT) AS ts_max
 FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
-WHERE html IS NOT NULL
+WHERE html IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
 """
 
 
 def q_ngram_dup_pairs(sf_dir: str):
     """G3 direct flavor (hash-paired): all-pairs character-n-gram Jaccard
     over the documents table.  The DuckDB twin rebuilds the same distinct
-    8-char shingle sets with substr() and computes exact set Jaccard — the
-    strongest oracle of the dedup family (no LSH, no hashing assumptions
-    beyond 64-bit collision-freeness)."""
+    8-char shingle sets with substr() and computes exact set Jaccard.
+
+    Oracle precondition (CHECKED, not assumed — review r3 finding): the
+    engine shingles utf-8 BYTE windows while SQL substr() takes CHARACTER
+    windows, so the twin is exact only for ASCII text; the query asserts
+    char length == byte length on every doc so a fixture change that
+    introduces multibyte text raises instead of silently hash-mismatching."""
     import ray.data as rd
 
     from webval.dedup import ngram_all_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
+
+    def assert_ascii(b: pa.Table) -> pa.Table:
+        col = b.column("text")
+        mism = pc.sum(pc.cast(pc.not_equal(
+            pc.utf8_length(col), pc.binary_length(col)), pa.int64())).as_py()
+        if mism:
+            raise AssertionError(
+                f"{mism} non-ASCII docs: byte-window shingles no longer "
+                "match the SQL twin's character windows")
+        return b
+
+    ds = ds.map_batches(assert_ascii, batch_format="pyarrow")
     t = ds_to_table(
         ngram_all_pairs(ds, "doc_id", "text", window=8, threshold=0.4),
         empty_schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),

@@ -86,14 +86,17 @@ def write_warc(table: pa.Table, out_dir: str, *, shard_rows: int = 100_000,
                url_col: str = "url", ts_col: str = "warc_ts",
                html_col: str = "html", compress: bool = True) -> list[str]:
     """Shard an Arrow table into WARC files (fixture/export path).  Rows
-    with null html are skipped (a response record always has a payload).
-    Returns the shard paths."""
+    with a null url, timestamp, or html are skipped — a response record
+    needs all three (URI, Date, payload).  Returns the shard paths."""
     import os
 
     import pyarrow.compute as pc
 
     os.makedirs(out_dir, exist_ok=True)
-    t = table.filter(pc.is_valid(table.column(html_col)))
+    t = table.filter(pc.and_(
+        pc.and_(pc.is_valid(table.column(html_col)),
+                pc.is_valid(table.column(url_col))),
+        pc.is_valid(table.column(ts_col))))
     ts = pc.cast(t.column(ts_col), pa.int64()).to_pylist()
     urls = t.column(url_col).to_pylist()
     htmls = t.column(html_col).to_pylist()
@@ -108,17 +111,24 @@ def write_warc(table: pa.Table, out_dir: str, *, shard_rows: int = 100_000,
     return paths
 
 
+MAX_WARC_RECORD = 1 << 30  # 1 GiB — a larger Content-Length is corruption
+
+
 def _parse_complete(data: bytes, *, strict: bool = False,
-                    at_eof: bool = True):
+                    at_eof: bool = True,
+                    max_record: int = MAX_WARC_RECORD):
     """Parse every COMPLETE record in ``data``; returns (rows, consumed)
     where ``consumed`` is the offset the caller may discard up to.  With
     ``at_eof=False`` a trailing partial record is left unconsumed for the
     next buffered chunk (the streaming reader's contract); with True a
-    truncated tail is an error (strict) or dropped.
+    truncated tail is an error (strict) or resynchronized past.
 
-    Non-response records are skipped; malformed records raise in
-    ``strict`` mode, else scanning resynchronizes at the next record
-    marker (crawl files routinely contain truncated tails)."""
+    Non-response records are skipped; malformed records — bad headers,
+    Content-Length over ``max_record`` (a corrupt length would otherwise
+    make the streaming reader buffer the whole remaining file), or a
+    truncated body at EOF — raise in ``strict`` mode, else scanning
+    resynchronizes at the next record marker (crawl files routinely
+    contain such tails)."""
     rows = []
     pos = 0
     n = len(data)
@@ -140,6 +150,8 @@ def _parse_complete(data: bytes, *, strict: bool = False,
                 k, _, v = line.decode("utf-8", "replace").partition(":")
                 headers[k.strip().lower()] = v.strip()
             length = int(headers["content-length"])
+            if not 0 <= length <= max_record:
+                raise ValueError(f"Content-Length {length} out of range")
         except Exception:
             if strict:
                 raise ValueError(f"malformed WARC header at {start}") from None
@@ -151,9 +163,9 @@ def _parse_complete(data: bytes, *, strict: bool = False,
             if at_eof:
                 if strict:
                     raise ValueError(f"truncated WARC record at {start}")
-                pos = n
-            else:
-                pos = start  # complete record arrives with the next chunk
+                pos = start + 5  # resync: later records may be intact
+                continue
+            pos = start  # complete record arrives with the next chunk
             break
         pos = body_end  # the inter-record \r\n\r\n is skipped by find()
         if headers.get("warc-type") != "response":
