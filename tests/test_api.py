@@ -130,3 +130,39 @@ def test_connected_components_distributed():
     got = {r["id"]: r["cluster_id"] for r in out.take_all()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_register_pre_stage_plugin_roundtrip(tmp_path):
+    """§2-J plugin surface: a user-registered pre-stage kind participates
+    in the build → save → load → check round-trip like the built-ins."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from webval.stages import PRE_STAGE_KINDS, register_pre_stage
+
+    def _add_len(ds, params):
+        col = params["col"]
+
+        def fn(t):
+            return t.append_column(f"{col}_len",
+                                   pc.utf8_length(t.column(col)))
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    register_pre_stage("add_len", _add_len)
+    try:
+        t = pa.table({"s": pa.array(["a", "bbb", None, "cc"])})
+        stages = [{"kind": "add_len", "params": {"col": "s"}}]
+        schema = Schema(name="p").build(rd.from_arrow(t),
+                                        {"s": "text", "s_len": "numeric"},
+                                        pre_stages=stages)
+        p = str(tmp_path / "schema.json")
+        schema.save(p)
+        loaded = Schema.load(p)
+        assert loaded.spec.pre_stages == stages
+        res = loaded.check(rd.from_arrow(t))
+        got = {r["s"]: r["s_len"] for r in res["verdicts"].take_all()}
+        assert got == {"a": 1, "bbb": 3, None: None, "cc": 2}
+    finally:
+        PRE_STAGE_KINDS.pop("add_len", None)
