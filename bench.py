@@ -236,11 +236,14 @@ def run_ops(sf_dir: str, ncpu: int, pages_dir: str) -> dict[str, float]:
     import glob
 
     with timed("warc_read"):
-        n = read_warc(sorted(glob.glob(os.path.join(warc_dir, "*.warc.gz")))
-                      ).map_batches(
+        # materialize + driver sum per the AllToAll-reservation rule
+        # (CLAUDE.md / finding 2): a trailing .sum() caps the map stage CPU
+        mat = read_warc(sorted(glob.glob(os.path.join(warc_dir,
+                                                      "*.warc.gz")))
+                        ).map_batches(
             lambda t: pa.table({"n": [t.num_rows]}),
-            batch_format="pyarrow").sum("n")
-        assert n > 0
+            batch_format="pyarrow").materialize()
+        assert sum(r["n"] for r in mat.take_all()) > 0
 
     # fully distributed near-dedup at >=1M docs (VERDICT r1 next-1):
     # LSH candidates -> distributed Jaccard verify -> label propagation

@@ -197,3 +197,21 @@ def test_curation_pipeline_composition():
         full.setdefault(key, []).append(pid)
     for key, keeper in norm.items():
         assert keeper == min(full[key]), key[:40]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_to_tags_null_failed_checks_entry():
+    """Review r3: a null failed_checks entry (user-supplied verdicts) must
+    behave like an empty list, not poison the offsets."""
+    import ray.data as rd
+
+    from webval.checks import to_tags
+
+    t = pa.table({"x": [1, 2, 3],
+                  "pass": [True, False, True],
+                  "failed_checks": pa.array([[], ["c1"], None],
+                                            pa.list_(pa.string()))})
+    rows = to_tags(rd.from_arrow(t)).take_all()
+    assert rows[0]["tags"] == []
+    assert [g["name"] for g in rows[1]["tags"]] == ["c1-err"]
+    assert rows[2]["tags"] == []

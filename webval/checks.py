@@ -163,9 +163,13 @@ def to_tags(verdicts, *, feature_cols: list[str] | None = None,
         fc = batch.column("failed_checks")
         if isinstance(fc, pa.ChunkedArray):
             fc = fc.combine_chunks()
-        flat = pc.list_flatten(fc)
+        flat = pc.list_flatten(fc)  # null lists contribute no elements
         k = len(flat)
-        counts = pc.list_value_length(fc).to_numpy(zero_copy_only=False)
+        # a null failed_checks entry (verdicts round-tripped through user
+        # storage) counts as empty, like the old per-row path's `or []` —
+        # without fill_null the NaN poisons the int32 offsets (review r3)
+        counts = pc.fill_null(pc.list_value_length(fc), 0) \
+            .to_numpy(zero_copy_only=False)
         offsets = np.zeros(batch.num_rows + 1, dtype=np.int32)
         np.cumsum(counts, out=offsets[1:], dtype=np.int32)
         names = pc.binary_join_element_wise(

@@ -938,18 +938,32 @@ def ngram_all_pairs(ds, id_col: str, text_col: str = "text", *,
                             for r in rows]) if n_docs else np.empty(0, np.uint64)
     doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), sizes)
     order = np.argsort(all_h, kind="stable")
-    index_ref = ray.put((all_h[order], doc_of[order], doc_ids, sizes))
+    doc_ends = np.cumsum(sizes)
+    id_order = np.argsort(doc_ids)
+    # the broadcast carries BOTH views: the hash-sorted inverted index for
+    # probing and the per-doc contiguous sets for "mine" — the probe stage
+    # then reads only the id column, never re-shingling the corpus
+    # (review r3: the old probe re-ran rolling_hashes over every text)
+    index_ref = ray.put((all_h[order], doc_of[order], doc_ids, sizes,
+                         all_h, doc_ends, id_order))
 
     def score_batch(batch: pa.Table) -> pa.Table:
-        sh, d_of, d_ids, d_sz = ray.get(index_ref)
+        (sh, d_of, d_ids, d_sz, flat_h, d_ends, id_ord) = ray.get(index_ref)
         ids = pc.cast(batch.column(id_col), pa.int64()).combine_chunks() \
                 .to_numpy(zero_copy_only=False)
-        keep, counts, hashes = rolling_hashes_batch(
-            batch.column(text_col).to_pylist(), window)
+        # locate this batch's rows in the index (absent = null/short doc)
+        pos = np.searchsorted(d_ids[id_ord], ids)
+        if len(id_ord):
+            pos_c = np.minimum(pos, len(id_ord) - 1)
+            found = d_ids[id_ord[pos_c]] == ids
+        else:
+            pos_c = pos
+            found = np.zeros(len(ids), dtype=bool)
+        keep = np.flatnonzero(found)
         out_a, out_b, out_j = [], [], []
-        ends = np.cumsum(counts)
-        for k, i in enumerate(keep):
-            mine = hashes[ends[k] - counts[k]:ends[k]]
+        for i in keep:
+            k = int(id_ord[pos_c[i]])  # index-side doc position
+            mine = flat_h[d_ends[k] - d_sz[k]:d_ends[k]]
             lo = np.searchsorted(sh, mine, side="left")
             hi = np.searchsorted(sh, mine, side="right")
             # matched inverted-index entries → intersection count per doc
@@ -958,13 +972,13 @@ def ngram_all_pairs(ds, id_col: str, text_col: str = "text", *,
             tot = int(cnt.sum())
             if tot:
                 offs = np.cumsum(cnt) - cnt
-                pos = (np.arange(tot) - np.repeat(offs, cnt)
-                       + np.repeat(lo, cnt))
-                hits = d_of[pos]
+                ppos = (np.arange(tot) - np.repeat(offs, cnt)
+                        + np.repeat(lo, cnt))
+                hits = d_of[ppos]
             else:
                 hits = np.empty(0, np.int64)
             inter = np.bincount(hits, minlength=len(d_ids))
-            union = d_sz + counts[k] - inter
+            union = d_sz + d_sz[k] - inter
             with np.errstate(divide="ignore", invalid="ignore"):
                 j = np.where(union > 0, inter / union, 0.0)
             sel = np.flatnonzero((j >= threshold) & (d_ids > ids[i]))
@@ -975,8 +989,8 @@ def ngram_all_pairs(ds, id_col: str, text_col: str = "text", *,
                          "id_b": pa.array(out_b, pa.int64()),
                          score_col: pa.array(out_j, pa.float64())})
 
-    return ds.map_batches(score_batch, batch_format="pyarrow",
-                          batch_size=batch_size)
+    return ds.select_columns([id_col]).map_batches(
+        score_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------

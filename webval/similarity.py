@@ -352,15 +352,22 @@ def pruned_index_files(index_dir: str, queries: np.ndarray, *,
             for b in _probe_keys(int(kk), n_planes, multiprobe):
                 probes[j].add((t << 32) | b)
                 wanted_dirs.add((t, b))
-    # read_parquet wants file paths when given a list — expand each pruned
-    # tab/bucket directory to its parquet files
+    return _bucket_files(index_dir, sorted(wanted_dirs)), probes
+
+
+def _bucket_files(index_dir: str, dirs) -> list:
+    """(tab, bucket) pairs → their parquet part files — the ONE place that
+    knows the on-disk index layout (read_parquet wants file paths when
+    given a list)."""
+    import os
+
     files = []
-    for t, b in sorted(wanted_dirs):
+    for t, b in dirs:
         d = os.path.join(index_dir, f"tab={t}", f"bucket={b}")
         if os.path.isdir(d):
             files.extend(os.path.join(d, fn) for fn in sorted(os.listdir(d))
                          if fn.endswith(".parquet"))
-    return files, probes
+    return files
 
 
 def ann_index_topk(index_dir: str, queries: np.ndarray, k: int = 10, *,
@@ -495,6 +502,11 @@ def build_ivf_index(ds, index_dir: str, *, id_col: str = "vec_id",
     from webval.exchange import bucketed_group_apply
 
     sample_rows = ds.select_columns([emb_col]).take(sample_size)
+    sample_rows = [r for r in sample_rows if r[emb_col] is not None]
+    if not sample_rows:
+        raise ValueError(
+            "build_ivf_index: no non-null embedding rows to sample — "
+            "cannot fit a coarse quantizer on an empty dataset")
     sample = _normalize(np.asarray([r[emb_col] for r in sample_rows],
                                    dtype=np.float32))
     centroids = _kmeans(sample, n_centroids, seed=seed)
@@ -554,10 +566,5 @@ def ivf_index_topk(index_dir: str, queries: np.ndarray, k: int = 10, *,
     order = np.argsort(-sims, axis=1)[:, :n_probe]
     probes = [set(int(c) for c in row) for row in order]  # tab 0 → combo=cid
     wanted = sorted({c for p in probes for c in p})
-    files = []
-    for c in wanted:
-        d = os.path.join(index_dir, "tab=0", f"bucket={c}")
-        if os.path.isdir(d):
-            files.extend(os.path.join(d, fn) for fn in sorted(os.listdir(d))
-                         if fn.endswith(".parquet"))
+    files = _bucket_files(index_dir, [(0, c) for c in wanted])
     return _scan_topk(files, probes, q, meta["id_col"], k, batch_size)
