@@ -1,0 +1,81 @@
+"""Distributed k-means: recovers planted blobs, assignment matches the
+brute-force argmin, and the fit is a pure function of (data, seed) —
+identical centroids across parallelism levels."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from webval.clustering import _assign, kmeans_assign, kmeans_fit
+
+
+def _blob_table(n_per: int = 300, k: int = 5, d: int = 8, seed: int = 3):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 10.0, (k, d))
+    rows, labels = [], []
+    for i, c in enumerate(centers):
+        rows.append(c + rng.normal(0, 0.5, (n_per, d)))
+        labels.extend([i] * n_per)
+    x = np.concatenate(rows).astype(np.float32)
+    order = rng.permutation(len(x))
+    x, labels = x[order], np.asarray(labels)[order]
+    return pa.table({
+        "vec_id": pa.array(np.arange(len(x)), pa.int64()),
+        "embedding": pa.array(list(x), pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32())}), centers
+
+
+@pytest.fixture(scope="module")
+def blobs(ray_session):
+    import ray.data as rd
+    t, centers = _blob_table()
+    return t, centers, rd.from_arrow(t).repartition(6)
+
+
+def test_kmeans_recovers_planted_blobs(blobs):
+    t, centers, ds = blobs
+    cents = kmeans_fit(ds, "embedding", 5, seed=11)
+    # every fitted centroid sits within noise range of one planted center,
+    # and the mapping is a bijection
+    d2 = ((cents[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    nearest = d2.argmin(axis=1)
+    assert sorted(nearest) == list(range(5))
+    assert float(np.sqrt(d2.min(axis=1)).max()) < 0.5
+
+    # cluster purity vs the planted labels = 1.0 on well-separated blobs
+    out = kmeans_assign(ds, "embedding", cents).to_pandas()
+    purity = (out.groupby("cluster")["label"]
+                 .agg(lambda s: s.value_counts().iloc[0] / len(s)))
+    assert (purity == 1.0).all()
+
+
+def test_kmeans_deterministic_across_parallelism(blobs):
+    import ray.data as rd
+    t, _, _ = blobs
+    a = kmeans_fit(rd.from_arrow(t).repartition(2), "embedding", 5,
+                   seed=11, batch_size=512)
+    b = kmeans_fit(rd.from_arrow(t).repartition(9), "embedding", 5,
+                   seed=11, batch_size=128)
+    # partial sums are fp-order-sensitive across batching, so allow float
+    # tolerance; the centroid SETS must match bijectively
+    d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2)
+    assert sorted(d2.argmin(axis=1)) == list(range(5))
+    assert float(d2.min(axis=1).max()) < 1e-10
+
+
+def test_kmeans_assign_matches_bruteforce(blobs):
+    t, _, ds = blobs
+    cents = kmeans_fit(ds, "embedding", 5, seed=11)
+    got = (kmeans_assign(ds, "embedding", cents).to_pandas()
+           .sort_values("vec_id")["cluster"].to_numpy())
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    want = _assign(x, cents)
+    assert np.array_equal(got, want)
+
+
+def test_kmeans_needs_k_rows(ray_session):
+    import ray.data as rd
+    t = pa.table({"embedding": pa.array([[1.0, 2.0]],
+                                        pa.list_(pa.float32()))})
+    with pytest.raises(ValueError, match="need >= k"):
+        kmeans_fit(rd.from_arrow(t), "embedding", 3)

@@ -1,0 +1,122 @@
+"""Order statistics (exact grouped quantiles, top-k per group), map-side
+broadcast join, and the deterministic hash sample — each against a
+brute-force pandas/numpy oracle, at multiple bucket counts."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from webval.broadcast import broadcast_join
+from webval.pipelines import deterministic_sample
+from webval.rank import grouped_exact_quantiles, top_k_per_group
+
+
+@pytest.fixture(scope="module")
+def grouped_data(ray_session):
+    rng = np.random.default_rng(7)
+    n = 20000
+    keys = np.array([f"g{i}" for i in rng.integers(0, 40, n)])
+    vals = rng.integers(0, 10_000, n).astype("float64")
+    vals[rng.random(n) < 0.05] = np.nan  # null values must be ignored
+    ids = np.arange(n)
+    df = pd.DataFrame({"k": keys, "v": vals, "id": ids})
+    import ray.data as rd
+    return df, rd.from_arrow(pa.Table.from_pandas(df)).repartition(8)
+
+
+def _disc_quantile(sorted_vals, q):
+    """DuckDB quantile_disc: index ceil(q*n) - 1 on non-null sorted values."""
+    n = len(sorted_vals)
+    return sorted_vals[max(math.ceil(q * n), 1) - 1]
+
+
+def test_grouped_exact_quantiles_matches_oracle(grouped_data):
+    df, ds = grouped_data
+    for buckets in (4, 64):
+        got = grouped_exact_quantiles(
+            ds, "k", "v", {"p25": 0.25, "p50": 0.5, "p99": 0.99},
+            num_buckets=buckets).to_pandas().set_index("k").sort_index()
+        for k, grp in df.dropna(subset=["v"]).groupby("k"):
+            sv = np.sort(grp["v"].to_numpy())
+            for name, q in [("p25", 0.25), ("p50", 0.5), ("p99", 0.99)]:
+                assert got.loc[k, name] == _disc_quantile(sv, q), (k, name)
+        assert set(got.index) == set(df.dropna(subset=["v"])["k"].unique())
+
+
+def test_grouped_exact_quantiles_oversized_group_diagnostic(ray_session):
+    import ray.data as rd
+    t = pa.table({"k": ["a"] * 100, "v": list(range(100))})
+    ds = rd.from_arrow(t)
+    with pytest.raises(Exception, match="max_group_rows"):
+        grouped_exact_quantiles(ds, "k", "v", {"p50": 0.5},
+                                max_group_rows=10).to_pandas()
+
+
+def test_top_k_per_group_matches_row_number(grouped_data):
+    df, ds = grouped_data
+    want = (df.dropna(subset=["v"])
+              .sort_values(["k", "v", "id"], ascending=[True, False, True])
+              .groupby("k").head(3))
+    for buckets in (4, 64):
+        got = top_k_per_group(ds, "k", "v", 3, tie_cols=["id"],
+                              num_buckets=buckets).to_pandas()
+        got = got.sort_values(["k", "v", "id"],
+                              ascending=[True, False, True])
+        assert list(got["id"]) == list(want["id"])
+        assert list(got.columns) == ["k", "v", "id"]  # whole rows survive
+
+
+def test_top_k_per_group_ascending_and_ties(ray_session):
+    import ray.data as rd
+    t = pa.table({"k": ["a"] * 4 + ["b"] * 2,
+                  "v": [5, 5, 5, 1, 2, 2],
+                  "id": [3, 1, 2, 9, 8, 7]})
+    ds = rd.from_arrow(t).repartition(3)
+    got = (top_k_per_group(ds, "k", "v", 2, descending=False,
+                           tie_cols=["id"]).to_pandas()
+           .sort_values(["k", "v", "id"]))
+    # a: v=1(id9), then v=5 tie broken by id -> id1 ; b: both rows
+    assert list(zip(got["k"], got["id"])) == [("a", 9), ("a", 1),
+                                              ("b", 7), ("b", 8)]
+
+
+def test_broadcast_join_inner_and_left(ray_session):
+    import ray.data as rd
+    big = pa.table({"fk": [1, 2, 3, 2, None, 7],
+                    "x": [10, 20, 30, 40, 50, 60]})
+    dim = pa.table({"fk": [1, 2, 3, 4],
+                    "name": ["one", "two", "three", "four"]})
+    ds = rd.from_arrow(big).repartition(3)
+    inner = broadcast_join(ds, dim, "fk").to_pandas().sort_values("x")
+    assert list(inner["name"]) == ["one", "two", "three", "two"]
+    left = broadcast_join(ds, dim, "fk", how="left").to_pandas().sort_values("x")
+    assert len(left) == 6
+    assert list(left["name"]) == ["one", "two", "three", "two", None, None]
+
+
+def test_broadcast_join_rejects_duplicate_dim_keys(ray_session):
+    import ray.data as rd
+    dim = pa.table({"fk": [1, 1], "name": ["a", "b"]})
+    with pytest.raises(ValueError, match="not unique"):
+        broadcast_join(rd.range(3), dim, "fk")
+
+
+def test_deterministic_sample_is_exact_hash_membership(ray_session):
+    import ray.data as rd
+    n = 50000
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "v": np.ones(n)})
+    frac = 0.1
+    for parallelism in (2, 8):
+        ds = rd.from_arrow(t).repartition(parallelism)
+        got = np.sort(deterministic_sample(ds, "id", frac)
+                      .to_pandas()["id"].to_numpy())
+        h = (np.arange(n, dtype=np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(2**32)
+        want = np.flatnonzero(h < np.uint64(int(frac * 2**32)))
+        assert np.array_equal(got, want)  # same membership at any parallelism
+    # the multiplicative hash is uniform enough for +-2% at n=50k
+    assert abs(len(want) / n - frac) < 0.02

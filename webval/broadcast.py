@@ -100,3 +100,46 @@ def distinct_array_from_dataset(ds, col: str, *, fan: int = 64,
     if final is None:
         return pa.array([], pa.string())
     return final.column(col).combine_chunks()
+
+
+def broadcast_join(ds, dim: pa.Table, on: str, *, how: str = "inner",
+                   batch_size: int | None = 65536):
+    """Map-side hash join of a big Dataset against a SMALL dimension table
+    (SURVEY.md §2-D: broadcast the small side instead of shuffling the big
+    one).  ``dim`` is ``ray.put`` ONCE; every map task reads it from the
+    local object store (zero re-ship per batch) and joins its batch with
+    ``pc.index_in`` + ``take`` — fully vectorized, no all-to-all exchange.
+
+    ``how``: "inner" drops probe rows without a match; "left" keeps them
+    with null dim columns.  ``on`` must be unique in ``dim`` (dimension
+    semantics); duplicate dim keys would silently match only the first
+    occurrence, so they raise.
+    """
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join: how={how!r} not in (inner, left)")
+    dim = dim.combine_chunks()
+    keys = dim.column(on)
+    if len(keys) != len(pc.unique(keys)):
+        raise ValueError(
+            f"broadcast_join: dim key {on!r} is not unique — aggregate the "
+            f"dimension table first")
+    dim_ref = ray.put(dim)
+    payload_cols = [c for c in dim.column_names if c != on]
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        d = ray.get(dim_ref)
+        pos = pc.index_in(batch.column(on).combine_chunks(),
+                          value_set=d.column(on).combine_chunks())
+        if how == "inner":
+            keep = pc.is_valid(pos)
+            batch = batch.filter(keep)
+            pos = pos.filter(keep)
+        for c in payload_cols:
+            # take with a null index yields a null value (the "left" fill)
+            batch = batch.append_column(c, d.column(c).take(pos))
+        return batch
+
+    return ds.map_batches(join_batch, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -1,0 +1,129 @@
+"""Distributed k-means over an embedding column (Lloyd's iterations as
+streaming Dataset passes — the scale path for IVF index training and
+embedding-space curation).
+
+Shape per iteration (no shuffle anywhere):
+- centroids are broadcast ONCE via ``ray.put`` (read from the local object
+  store by every task, never re-shipped per batch);
+- one ``map_batches`` pass emits per-batch PARTIALS: per-cluster vector sums
+  (k x d float64) + counts (k int64) — a few KB per batch regardless of
+  batch size;
+- the driver folds the tiny partial rows and recomputes centroids.
+
+Assignment uses the algebraic identity argmin ||x - c||^2 =
+argmin (||c||^2 - 2 x.c), i.e. one (B x d) @ (d x k) matmul per batch.
+
+Empty clusters keep their previous centroid (deterministic; documented).
+Everything is a pure function of (data, seed) — byte-stable across
+parallelism levels, which the tests assert.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _matrix_of(col: pa.ChunkedArray) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> column, zero-copy from the
+    flattened values buffer where possible."""
+    arr = col.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):  # zero chunks edge
+        arr = arr.chunk(0) if arr.num_chunks else pa.array([], arr.type)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    if len(widths) and (widths != widths[0]).any():
+        raise ValueError("kmeans: ragged embedding column (unequal lengths)")
+    # flatten() (not .values) so sliced arrays stay offset-correct
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    d = int(widths[0]) if len(widths) else 0
+    return flat.astype(np.float64, copy=False).reshape(-1, d)
+
+
+def _plusplus_init(x: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """k-means++ seeding on a driver-side sample (deterministic)."""
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    cents = np.empty((k, x.shape[1]), dtype=np.float64)
+    cents[0] = x[rng.integers(n)]
+    d2 = ((x - cents[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        cents[i] = x[rng.choice(n, p=p)]
+        d2 = np.minimum(d2, ((x - cents[i]) ** 2).sum(axis=1))
+    return cents
+
+
+def _assign(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    scores = x @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+    return np.argmax(scores, axis=1)
+
+
+def kmeans_fit(ds, col: str, k: int, *, n_iter: int = 20, seed: int = 0,
+               init_sample: int = 4096, tol: float = 1e-6,
+               batch_size: int | None = 4096) -> np.ndarray:
+    """Fit k centroids to the list<float> column ``col``; returns a (k, d)
+    float64 array.  ``init_sample`` rows are pulled to the driver only for
+    k-means++ seeding (KB–MB); every full pass stays distributed."""
+    import ray
+
+    sample = _matrix_of(
+        pa.concat_tables(
+            ds.select_columns([col]).limit(init_sample)
+              .iter_batches(batch_format="pyarrow", batch_size=None),
+            promote_options="permissive").column(col))
+    if len(sample) < k:
+        raise ValueError(f"kmeans: need >= k={k} rows to initialize, "
+                         f"got {len(sample)}")
+    cents = _plusplus_init(sample, k, seed)
+    proj = ds.select_columns([col])
+
+    for _ in range(n_iter):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            x = _matrix_of(batch.column(col))
+            a = _assign(x, c)
+            sums = np.zeros((k, x.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, x)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "sums": pa.array([sums.ravel()], pa.list_(pa.float64())),
+                "counts": pa.array([counts], pa.list_(pa.int64()))})
+
+        parts = pa.concat_tables(
+            proj.map_batches(partial, batch_format="pyarrow",
+                             batch_size=batch_size)
+                .iter_batches(batch_format="pyarrow", batch_size=None),
+            promote_options="permissive")
+        sums = np.asarray(parts.column("sums").to_pylist(),
+                          dtype=np.float64).sum(axis=0).reshape(k, -1)
+        counts = np.asarray(parts.column("counts").to_pylist(),
+                            dtype=np.int64).sum(axis=0)
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        shift = float(np.abs(new - cents).max())
+        cents = new
+        if shift < tol:
+            break
+    return cents
+
+
+def kmeans_assign(ds, col: str, centroids: np.ndarray, *,
+                  out_col: str = "cluster",
+                  batch_size: int | None = 4096):
+    """Append an int32 ``out_col`` with each row's nearest-centroid id.
+    Centroids broadcast once via ``ray.put``."""
+    import ray
+
+    ref = ray.put(np.ascontiguousarray(centroids, dtype=np.float64))
+
+    def add_cluster(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        a = _assign(_matrix_of(batch.column(col)), c)
+        return batch.append_column(out_col, pa.array(a.astype(np.int32)))
+
+    return ds.map_batches(add_cluster, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -493,3 +493,30 @@ def curation_pipeline(ds, id_col: str, text_col: str = "text"):
     kept = c4_quality_filter(ds, text_col)
     deduped = exact_dedup(kept, id_col, text_col)
     return add_token_counts(deduped, text_col)
+
+
+def deterministic_sample(ds, id_col: str, fraction: float, *,
+                         modulus: int = 2**32, multiplier: int = 2654435761):
+    """Reproducible hash-based row sample: keep rows where the Knuth
+    multiplicative hash of the integer ``id_col`` lands under
+    ``fraction * modulus``.  Unlike ``ds.random_sample`` this is a pure
+    function of the data — identical membership across runs, parallelism
+    levels, cluster sizes, and even engines (the same predicate is
+    ANSI-SQL-expressible: ``(id * 2654435761) % 4294967296 < threshold``),
+    which is what makes training-data subsamples auditable.  A plain map
+    filter: no shuffle, no driver state, applies per-stratum when composed
+    after a group key (proportional stratified sampling)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"deterministic_sample: fraction={fraction}")
+    threshold = np.uint64(int(fraction * modulus))
+    mult = np.uint64(multiplier)
+    mod = np.uint64(modulus)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ids = ids.astype(np.uint64, copy=False)
+        with np.errstate(over="ignore"):
+            h = (ids * mult) % mod
+        return batch.filter(pa.array(h < threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1696,6 +1696,187 @@ def q_sampled_profile(sf_dir: str):
                      "min": [p.moments["min"]], "max": [p.moments["max"]]})
 
 
+# -- round-3 relational/curation additions ----------------------------------
+
+
+def q_grouped_exact_quantiles(sf_dir: str):
+    """E4/E8 exact path: per-group discrete quantiles through the exchange
+    (shuffle carries (key, value) only; DuckDB quantile_disc semantics —
+    index ceil(q*n)-1 on the non-null ascending values)."""
+    import ray.data as rd
+
+    from webval.rank import grouped_exact_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+    out = grouped_exact_quantiles(ds, "lang", "n_chars",
+                                  {"p50": 0.5, "p90": 0.9, "p99": 0.99})
+    return ds_to_table(out).sort_by("lang")
+
+
+SQL_GROUPED_EXACT_QUANTILES = """
+SELECT lang, quantile_disc(n_chars, 0.5) AS p50,
+       quantile_disc(n_chars, 0.9) AS p90,
+       quantile_disc(n_chars, 0.99) AS p99
+FROM documents WHERE n_chars IS NOT NULL GROUP BY lang
+"""
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """F2 per-group: top-3 longest docs per lang, deterministic doc_id
+    tie-break — exact row_number() OVER (PARTITION BY ...) <= k semantics
+    with a per-batch top-k combiner before the shuffle."""
+    import ray.data as rd
+
+    from webval.rank import top_k_per_group
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "doc_id", "n_chars"])
+    out = top_k_per_group(ds, "lang", "n_chars", 3, tie_cols=["doc_id"])
+    return ds_to_table(out).sort_by([("lang", "ascending"),
+                                     ("doc_id", "ascending")])
+
+
+SQL_TOP_DOCS_PER_LANG = """
+SELECT lang, doc_id, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id) <= 3
+"""
+
+
+def q_revenue_by_region(sf_dir: str):
+    """D-family broadcast INNER join: lineitem (big side, streamed) against
+    a supplier→nation→region dimension built driver-side (130 rows) and
+    ray.put ONCE — no shuffle touches the fact table."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from webval.broadcast import broadcast_join
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    dim = (sup.join(nat, keys="s_nationkey", right_keys="n_nationkey")
+              .join(reg, keys="n_regionkey", right_keys="r_regionkey")
+              .select(["s_suppkey", "r_name"])
+              .rename_columns(["l_suppkey", "r_name"]))
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount"])
+    joined = broadcast_join(ds, dim, "l_suppkey")
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"r_name": t.column("r_name"), "rev": rev})
+
+    out = (joined.map_batches(add_rev, batch_format="pyarrow")
+                 .groupby("r_name")
+                 .aggregate(Count(alias_name="n"),
+                            Sum("rev", alias_name="revenue")))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = _round_cols(t, {"revenue": 2})
+    return t.set_column(t.column_names.index("n"), "n",
+                        pc.cast(t.column("n"), pa.int64()))
+
+
+SQL_REVENUE_BY_REGION = """
+SELECT r_name, count(*) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_hash_sample(sf_dir: str):
+    """F3 reproducible sampling: Knuth-multiplicative-hash membership on
+    event_id — the SAME predicate runs in SQL, so membership (not just the
+    rate) is verified exactly.  10% of events, summarized per type."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from webval.pipelines import deterministic_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    out = (deterministic_sample(ds, "event_id", 0.1)
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value")))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = _round_cols(t, {"sum_value": 4})
+    return t.set_column(t.column_names.index("n"), "n",
+                        pc.cast(t.column("n"), pa.int64()))
+
+
+SQL_HASH_SAMPLE = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events
+WHERE (event_id * 2654435761) % 4294967296 < 429496729
+GROUP BY event_type
+"""
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed k-means over the embeddings table (rows-only: no SQL can
+    run Lloyd's).  Self-asserting on the mathematically guaranteed
+    invariant — inertia strictly improves from the k-means++ init to the
+    fitted centroids, and every row lands on its exact nearest centroid
+    (driver recompute over the fixed-size table IS the assertion oracle,
+    not the compute path).  The blob-recovery / parallelism-determinism
+    properties are pytest-covered (tests/test_clustering.py)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from webval.clustering import (_assign, _matrix_of, _plusplus_init,
+                                   kmeans_assign, kmeans_fit)
+
+    k, seed = 8, 5
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cents = kmeans_fit(ds, "embedding", k, seed=seed, n_iter=15)
+    assigned = ds_to_table(kmeans_assign(ds, "embedding", cents))
+
+    # assertion oracle: exact recompute on the (500-row) table
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    x = _matrix_of(full.column("embedding"))
+    init = _plusplus_init(x, k, seed)  # limit(4096) >= table ⇒ same sample
+
+    def inertia(c):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return float(d2.min(axis=1).sum())
+
+    init_inertia, fit_inertia = inertia(init), inertia(cents)
+    if not fit_inertia < init_inertia:
+        raise AssertionError(
+            f"k-means inertia did not improve: init={init_inertia} "
+            f"fit={fit_inertia}")
+    # both sides in vec_id order before comparing
+    got = (assigned.sort_by("vec_id").column("cluster")
+           .to_numpy(zero_copy_only=False))
+    order = np.argsort(full.column("vec_id").to_numpy(zero_copy_only=False))
+    want = _assign(x, cents)[order]
+    if not np.array_equal(got, want):
+        raise AssertionError("distributed assignment != exact argmin")
+    sizes = np.bincount(got, minlength=k)
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n_rows": pa.array([len(got)], pa.int64()),
+        "init_inertia": [float(f"{init_inertia:.2f}")],
+        "fit_inertia": [float(f"{fit_inertia:.2f}")],
+        "largest_cluster": pa.array([int(sizes.max())], pa.int64()),
+        "nonempty_clusters": pa.array([int((sizes > 0).sum())], pa.int64())})
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -1747,4 +1928,10 @@ QUERIES = {
     "filtered_read": (q_filtered_read, SQL_FILTERED_READ),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "grouped_exact_quantiles": (q_grouped_exact_quantiles,
+                                SQL_GROUPED_EXACT_QUANTILES),
+    "top_docs_per_lang": (q_top_docs_per_lang, SQL_TOP_DOCS_PER_LANG),
+    "revenue_by_region": (q_revenue_by_region, SQL_REVENUE_BY_REGION),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "kmeans_clusters": (q_kmeans_clusters, None),
 }

@@ -1,0 +1,121 @@
+"""Order statistics over the hash-bucket exchange: EXACT grouped quantiles
+and top-k rows per group at any key cardinality.
+
+Both are SURVEY.md §2-E8/F2 family ops that Ray's sort-based ``groupby``
+cannot express efficiently (per-group Python walk) and the t-digest path
+answers only approximately.  Shapes:
+
+- ``grouped_exact_quantiles``: no combiner exists for exact quantiles, so the
+  shuffle carries exactly two columns (key, value) — project before calling.
+  One whole key group must fit a bucket task (same bound as sessionize /
+  as-of joins; enforced via ``max_group_rows``).
+- ``top_k_per_group``: HAS a combiner — each input batch is pre-reduced to at
+  most k rows per key before the shuffle, so a hot key contributes k rows per
+  batch, not its full row set (bounded skew, same argument as the exchange
+  count combiner).
+
+Quantile semantics match DuckDB's ``quantile_disc`` (lower discrete
+quantile): on the n non-null values sorted ascending, q maps to index
+``ceil(q*n) - 1`` (verified against DuckDB 1.x in-sandbox; n=9/q=0.9 -> 9,
+n=3/q=0.75 -> 3 disambiguate it from the floor(q*(n-1)) variant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from webval.exchange import bucketed_group_apply
+
+
+def _group_boundaries(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, counts) of equal-key runs in an already-sorted key array."""
+    n = len(sorted_keys)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    np.not_equal(sorted_keys[1:], sorted_keys[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, n))
+    return starts, counts
+
+
+def grouped_exact_quantiles(ds, key: str, value_col: str,
+                            qs: dict[str, float], *,
+                            num_buckets: int | None = None,
+                            max_group_rows: int | None = 4_000_000):
+    """Exact per-group discrete quantiles (DuckDB ``quantile_disc``
+    semantics) of ``value_col`` grouped by ``key``.
+
+    ``qs`` maps output column name -> quantile in [0, 1].  Null values are
+    ignored; a key whose values are all null is absent from the output
+    (mirrors SQL ``WHERE value IS NOT NULL``).  Output value columns keep
+    the input value type.
+    """
+    qs = dict(qs)
+    proj = ds.map_batches(
+        lambda t: t.select([key, value_col]).filter(
+            pc.is_valid(t.column(value_col))),
+        batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], g.schema.field(key).type),
+                 **{name: pa.array([], g.schema.field(value_col).type)
+                    for name in qs}})
+        g = g.sort_by([(key, "ascending"), (value_col, "ascending")])
+        kk = g.column(key).to_numpy(zero_copy_only=False)
+        starts, counts = _group_boundaries(kk)
+        vals = g.column(value_col)
+        out = {key: g.column(key).take(pa.array(starts, pa.int64()))}
+        for name, q in qs.items():
+            idx = starts + np.maximum(
+                np.ceil(q * counts).astype(np.int64), 1) - 1
+            out[name] = vals.take(pa.array(idx, pa.int64()))
+        return pa.table(out)
+
+    return bucketed_group_apply(proj, [key], final, num_buckets=num_buckets,
+                                max_group_rows=max_group_rows)
+
+
+def _topk_table(t: pa.Table, key: str, order_col: str, k: int,
+                descending: bool, tie_cols: list[str]) -> pa.Table:
+    """Rows of ``t`` ranking in the first k of their key group when ordered
+    by ``order_col`` (then ``tie_cols`` ascending).  Null order values are
+    dropped; output order is (key asc, order, ties)."""
+    t = t.filter(pc.is_valid(t.column(order_col)))
+    if t.num_rows == 0:
+        return t
+    direction = "descending" if descending else "ascending"
+    t = t.sort_by([(key, "ascending"), (order_col, direction)]
+                  + [(c, "ascending") for c in tie_cols])
+    kk = t.column(key).to_numpy(zero_copy_only=False)
+    starts, counts = _group_boundaries(kk)
+    seg_id = np.repeat(np.arange(len(starts)), counts)
+    rank = np.arange(len(kk)) - starts[seg_id]
+    return t.filter(pa.array(rank < k))
+
+
+def top_k_per_group(ds, key: str, order_col: str, k: int, *,
+                    descending: bool = True,
+                    tie_cols: list[str] | None = None,
+                    num_buckets: int | None = None):
+    """Top-k whole rows per key group ordered by ``order_col`` — the exact
+    ``row_number() OVER (PARTITION BY key ORDER BY ...) <= k`` semantics.
+    ``tie_cols`` make the selection deterministic when order values tie
+    (always pass one for reproducible output).
+
+    Scale shape: the same top-k selection runs per input batch as the
+    combiner, so the shuffle moves at most k rows per key per batch.
+    """
+    tie_cols = list(tie_cols or [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _topk_table(batch, key, order_col, k, descending, tie_cols)
+
+    def final(g: pa.Table) -> pa.Table:
+        return _topk_table(g, key, order_col, k, descending, tie_cols)
+
+    return bucketed_group_apply(ds, [key], final, num_buckets=num_buckets,
+                                partial_fn=partial)
