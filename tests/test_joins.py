@@ -115,3 +115,87 @@ def test_interval_join_rejects_overlong_interval():
     with pytest.raises(Exception):
         interval_join(rd.from_arrow(pts), rd.from_arrow(iv), on="ts",
                       lo="lo", hi="hi", by="uid", max_span_us=100).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_equi_join_matches_duckdb():
+    """inner/left/semi/anti over duplicate keys + nulls on both sides,
+    including a colliding non-key column name."""
+    import duckdb
+    import ray
+    import ray.data as rd
+
+    from webval.joins import equi_join
+
+    rng = np.random.default_rng(7)
+    nL, nR = 900, 700
+
+    def keys(n, hi, rate):
+        k = rng.integers(0, hi, n).astype(object)
+        k[rng.random(n) < rate] = None
+        return pa.array(list(k), pa.int64())
+
+    lt = pa.table({"k": keys(nL, 150, 0.04),
+                   "lv": pa.array(rng.integers(0, 10**6, nL), pa.int64()),
+                   "v": pa.array(rng.random(nL))})
+    rt = pa.table({"k": keys(nR, 200, 0.04),
+                   "rv": pa.array(rng.integers(0, 10**6, nR), pa.int64()),
+                   "v": pa.array(rng.random(nR))})
+    lds, rds = rd.from_arrow(lt).repartition(5), rd.from_arrow(rt).repartition(3)
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    cases = {
+        "inner": "SELECT l.k, l.lv, l.v, r.rv, r.v AS v_r FROM l JOIN r ON l.k = r.k",
+        "left": "SELECT l.k, l.lv, l.v, r.rv, r.v AS v_r FROM l LEFT JOIN r ON l.k = r.k",
+        "semi": "SELECT l.k, l.lv, l.v FROM l SEMI JOIN r ON l.k = r.k",
+        "anti": "SELECT l.k, l.lv, l.v FROM l ANTI JOIN r ON l.k = r.k",
+    }
+    for how, sql in cases.items():
+        got = pa.concat_tables(
+            [ray.get(x) for x in
+             equi_join(lds, rds, on="k", how=how,
+                       num_buckets=8).to_arrow_refs()])
+        want = con.sql(sql).arrow()
+        order = [(c, "ascending") for c in got.column_names]
+        g = got.sort_by(order).combine_chunks()
+        w = want.cast(g.schema).sort_by(order).combine_chunks()
+        assert g.equals(w), (how, g.num_rows, w.num_rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_equi_join_right_on_multikey():
+    import duckdb
+    import ray
+    import ray.data as rd
+
+    from webval.joins import equi_join
+
+    lt = pa.table({"a": [1, 1, 2, None], "b": ["x", "y", "x", None],
+                   "p": [1, 2, 3, 4]})
+    rt = pa.table({"aa": [1, 2, 1, None], "bb": ["x", "x", "x", None],
+                   "q": [10, 20, 30, 40]})
+    got = pa.concat_tables(
+        [ray.get(x) for x in
+         equi_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                   on=["a", "b"], right_on=["aa", "bb"],
+                   num_buckets=4).to_arrow_refs()])
+    con = duckdb.connect()
+    con.register("l2", lt)
+    con.register("r2", rt)
+    want = con.sql(
+        "SELECT a, b, p, q FROM l2 JOIN r2 ON a = aa AND b = bb").arrow()
+    order = [("p", "ascending"), ("q", "ascending")]
+    g = got.sort_by(order).combine_chunks()
+    assert g.equals(want.cast(g.schema).sort_by(order).combine_chunks())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_equi_join_rejects_bad_how():
+    import ray.data as rd
+
+    from webval.joins import equi_join
+
+    t = rd.from_arrow(pa.table({"k": [1]}))
+    with pytest.raises(ValueError, match="how="):
+        equi_join(t, t, on="k", how="full")

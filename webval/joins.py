@@ -301,3 +301,95 @@ def interval_join(points, intervals, *, on: str, lo: str, hi: str, by: str,
     return bucketed_group_apply(pt.union(it), [by], bucket_join,
                                 num_buckets=num_buckets,
                                 max_group_rows=max_group_rows)
+
+
+_ARROW_JOIN_TYPE = {"inner": "inner", "left": "left outer",
+                    "semi": "left semi", "anti": "left anti"}
+
+
+def equi_join(left, right, *, on, right_on=None, how: str = "inner",
+              right_suffix: str = "_r", num_buckets: int | None = None,
+              max_group_rows: int | None = None):
+    """General large×large equi-join through the hash-bucket exchange —
+    the D-family shape for when NEITHER side fits a broadcast
+    (broadcast.broadcast_join covers the small-dimension case).
+
+    Both streams are tagged into one union-compatible schema and
+    co-bucketed on the key hash (exchange.bucketed_group_apply), so rows of
+    equal keys land in the same bucket task; inside each bucket the split
+    sides join via Arrow's C++ hash join (``pa.Table.join`` — SQL key
+    semantics: null keys never match, many-to-many duplicates expand).
+    Shuffle volume is the two projected streams, once each; reducer
+    parallelism is ``num_buckets`` (derived from cluster size when None).
+
+    ``on`` / ``right_on``: key column name(s); right keys are renamed to
+    the left names in the exchange.  ``how``: "inner", "left" (left outer),
+    "semi" (left rows WITH a match, left columns only), "anti" (left rows
+    WITHOUT a match — the referential-orphans shape at any right-side
+    cardinality).  Non-key right columns colliding with a left name get
+    ``right_suffix``.
+
+    Partitioning assumption (shared with every exchange op): one key
+    group's rows — both sides together — fit a single bucket task;
+    ``max_group_rows`` turns an oversized hot key into a named ValueError
+    instead of an OOM.  The JOIN OUTPUT of a bucket additionally
+    materializes in that task, so a many-to-many hot key explodes there
+    first — pre-aggregate one side when that is possible.
+    """
+    from webval.exchange import DEFAULT_MAX_GROUP_ROWS, bucketed_group_apply
+
+    if how not in _ARROW_JOIN_TYPE:
+        raise ValueError(f"equi_join: how={how!r} not in "
+                         f"{sorted(_ARROW_JOIN_TYPE)}")
+    if max_group_rows is None:
+        max_group_rows = DEFAULT_MAX_GROUP_ROWS
+    keys = [on] if isinstance(on, str) else list(on)
+    rkeys = keys if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+    if len(rkeys) != len(keys):
+        raise ValueError("equi_join: on / right_on length mismatch")
+
+    l_schema, r_schema = left.schema(), right.schema()
+    l_names = list(l_schema.names)
+    l_payload = [c for c in l_names if c not in keys]
+    r_payload_in = [c for c in r_schema.names if c not in rkeys]
+    r_payload_out = [f"{c}{right_suffix}" if c in l_names else c
+                     for c in r_payload_in]
+    union_names = keys + l_payload + r_payload_out + ["__side__"]
+
+    def r_type(c: str) -> pa.DataType:
+        return r_schema.types[list(r_schema.names).index(c)]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c) for c in keys + l_payload}
+        for cin, cout in zip(r_payload_in, r_payload_out):
+            cols[cout] = pa.nulls(t.num_rows, r_type(cin))
+        cols["__side__"] = pa.array(np.zeros(t.num_rows, np.int8))
+        return pa.table({n: cols[n] for n in union_names})
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {k: t.column(rk) for k, rk in zip(keys, rkeys)}
+        for c in l_payload:
+            cols[c] = pa.nulls(
+                t.num_rows, l_schema.types[l_names.index(c)])
+        for cin, cout in zip(r_payload_in, r_payload_out):
+            cols[cout] = t.column(cin)
+        cols["__side__"] = pa.array(np.ones(t.num_rows, np.int8))
+        return pa.table({n: cols[n] for n in union_names})
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = (right.select_columns(rkeys + r_payload_in)
+               .map_batches(tag_right, batch_format="pyarrow"))
+    join_type = _ARROW_JOIN_TYPE[how]
+
+    def bucket_join(g: pa.Table) -> pa.Table:
+        side = g.column("__side__").to_numpy(zero_copy_only=False)
+        lmask = pa.array(side == 0)
+        ltab = g.filter(lmask).select(keys + l_payload)
+        rtab = g.filter(pc.invert(lmask)).select(keys + r_payload_out)
+        return ltab.join(rtab, keys=keys, join_type=join_type) \
+                   .combine_chunks()
+
+    return bucketed_group_apply(lt.union(rt), keys, bucket_join,
+                                num_buckets=num_buckets,
+                                max_group_rows=max_group_rows)

@@ -1877,6 +1877,40 @@ def q_kmeans_clusters(sf_dir: str):
         "nonempty_clusters": pa.array([int((sizes > 0).sum())], pa.int64())})
 
 
+def q_orders_by_segment(sf_dir: str):
+    """D-family large×large equi-join through the exchange: orders ⋈
+    customer on custkey (neither side broadcast — both streams co-bucketed
+    on the key hash, Arrow C++ hash join per bucket), then a small
+    market-segment rollup.  The same equi_join also provides scalable
+    semi/anti modes (referential orphans when the parent side outgrows a
+    Bloom broadcast)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from webval.joins import equi_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    joined = equi_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                       how="inner")
+    out = (joined.groupby("c_mktsegment")
+                 .aggregate(Count(alias_name="n"),
+                            Sum("o_totalprice", alias_name="total")))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = _round_cols(t, {"total": 2})
+    return t.set_column(t.column_names.index("n"), "n",
+                        pc.cast(t.column("n"), pa.int64()))
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -1934,4 +1968,5 @@ QUERIES = {
     "revenue_by_region": (q_revenue_by_region, SQL_REVENUE_BY_REGION),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "kmeans_clusters": (q_kmeans_clusters, None),
+    "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
 }
