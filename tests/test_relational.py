@@ -1,0 +1,101 @@
+"""Rollup / pivot operators vs DuckDB on random data (nulls included)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+
+def _collect(ds):
+    import ray
+
+    return pa.concat_tables([ray.get(x) for x in ds.to_arrow_refs()])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_matches_duckdb():
+    import duckdb
+    import ray.data as rd
+
+    from webval.relational import rollup_agg
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    a = rng.choice(["p", "q", "r"], n)
+    b = rng.choice(["x", "y"], n)
+    v = rng.integers(0, 100, n).astype(object)
+    v[rng.random(n) < 0.05] = None  # count(col) skips nulls
+    t = pa.table({"a": pa.array(list(a)), "b": pa.array(list(b)),
+                  "v": pa.array(list(v), pa.int64())})
+    out = _collect(rollup_agg(rd.from_arrow(t).repartition(6), ["a", "b"],
+                              [("v", "sum"), ("v", "count"), ("v", "max")],
+                              num_buckets=8))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(
+        "SELECT a, b, sum(v) AS v_sum, count(v) AS v_count, max(v) AS v_max "
+        "FROM t GROUP BY ROLLUP(a, b)").arrow()
+    order = [(c, "ascending") for c in out.column_names]
+    g = out.sort_by(order).combine_chunks()
+    w = want.cast(g.schema).sort_by(order).combine_chunks()
+    assert g.equals(w)
+    # level count: 3*2 + 3 + 1
+    assert g.num_rows == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_rejects_non_mergeable():
+    import ray.data as rd
+
+    from webval.relational import rollup_agg
+
+    t = rd.from_arrow(pa.table({"a": ["x"], "v": [1]}))
+    with pytest.raises(ValueError, match="non-mergeable"):
+        rollup_agg(t, ["a"], [("v", "mean")])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pivot_matches_duckdb():
+    import duckdb
+    import ray.data as rd
+
+    from webval.relational import pivot_wider
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    row = rng.integers(0, 40, n)
+    col = rng.choice(["red", "green", "blue", "other"], n)
+    v = rng.integers(1, 50, n)
+    t = pa.table({"rk": pa.array(row, pa.int64()),
+                  "ck": pa.array(list(col)),
+                  "v": pa.array(v, pa.int64())})
+    values = ["red", "green", "blue"]  # "other" must be dropped
+    out = _collect(pivot_wider(rd.from_arrow(t).repartition(5), "rk", "ck",
+                               "v", values=values, agg="sum", fill=0,
+                               num_buckets=8))
+    con = duckdb.connect()
+    con.register("t", t)
+    sel = ", ".join(
+        f"coalesce(sum(v) FILTER (ck = '{c}'), 0) AS \"{c}\""
+        for c in values)
+    want = con.sql(
+        f"SELECT rk, {sel} FROM t WHERE ck IN ('red','green','blue') "
+        f"GROUP BY rk").arrow()
+    g = out.sort_by([("rk", "ascending")]).combine_chunks()
+    w = want.cast(g.schema).sort_by([("rk", "ascending")]).combine_chunks()
+    assert g.equals(w)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pivot_null_fill_and_missing_cell():
+    import ray.data as rd
+
+    from webval.relational import pivot_wider
+
+    t = pa.table({"rk": ["a", "a", "b"], "ck": ["x", "y", "x"],
+                  "v": [1, 2, 3]})
+    out = _collect(pivot_wider(rd.from_arrow(t), "rk", "ck", "v",
+                               values=["x", "y"], num_buckets=4))
+    d = {r["rk"]: (r["x"], r["y"])
+         for r in out.sort_by([("rk", "ascending")]).to_pylist()}
+    assert d == {"a": (1, 2), "b": (3, None)}

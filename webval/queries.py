@@ -1911,6 +1911,61 @@ GROUP BY c_mktsegment
 """
 
 
+def q_rollup_lineitem(sf_dir: str):
+    """E8 hierarchical aggregate: GROUP BY ROLLUP(returnflag, linestatus)
+    — finest level scans the input once through the exchange; coarser
+    levels re-aggregate the previous level's grouped output (raw data read
+    exactly once regardless of hierarchy depth)."""
+    import ray.data as rd
+
+    from webval.relational import rollup_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity"])
+    out = rollup_agg(ds, ["l_returnflag", "l_linestatus"],
+                     [("l_quantity", "sum"), ("l_quantity", "count")])
+    t = ds_to_table(out).sort_by([("l_returnflag", "ascending"),
+                                  ("l_linestatus", "ascending")])
+    return _round_cols(t, {"l_quantity_sum": 2})
+
+
+SQL_ROLLUP_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS l_quantity_sum,
+       count(l_quantity) AS l_quantity_count
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_chars_by_lang(sf_dir: str):
+    """E8/wide reshape: per-source character totals pivoted to one column
+    per language (declared column set — fixed output schema keeps the
+    operator streaming-safe; SQL twin is FILTER-style conditional
+    aggregation)."""
+    import ray.data as rd
+
+    from webval.relational import pivot_wider
+
+    langs = ["de", "en", "es", "fr", "zh"]
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang", "n_chars"])
+    out = pivot_wider(ds, "source", "lang", "n_chars", values=langs,
+                      agg="sum", fill=0)
+    return ds_to_table(out).sort_by([("source", "ascending")])
+
+
+SQL_PIVOT_CHARS_BY_LANG = """
+SELECT source,
+       CAST(coalesce(sum(n_chars) FILTER (lang = 'de'), 0) AS BIGINT) AS "de",
+       CAST(coalesce(sum(n_chars) FILTER (lang = 'en'), 0) AS BIGINT) AS "en",
+       CAST(coalesce(sum(n_chars) FILTER (lang = 'es'), 0) AS BIGINT) AS "es",
+       CAST(coalesce(sum(n_chars) FILTER (lang = 'fr'), 0) AS BIGINT) AS "fr",
+       CAST(coalesce(sum(n_chars) FILTER (lang = 'zh'), 0) AS BIGINT) AS "zh"
+FROM documents GROUP BY source
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -1969,4 +2024,6 @@ QUERIES = {
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
+    "rollup_lineitem": (q_rollup_lineitem, SQL_ROLLUP_LINEITEM),
+    "pivot_chars_by_lang": (q_pivot_chars_by_lang, SQL_PIVOT_CHARS_BY_LANG),
 }

@@ -1,0 +1,147 @@
+"""Hierarchical (rollup) aggregates and wide-table pivoting over the
+hash-bucket exchange — SURVEY.md §2-E8 extensions with exact SQL twins
+(``GROUP BY ROLLUP`` / ``FILTER``-style conditional aggregation).
+
+Scale shapes:
+
+- ``rollup_agg``: the FINEST level scans the input once through the
+  exchange; every coarser level re-aggregates the previous level's
+  (already grouped, much smaller) output — the standard rollup
+  optimization, so the raw data is read exactly once regardless of how
+  many levels the key hierarchy has.  Only mergeable aggregates
+  (sum/min/max/count) are allowed, which is what makes level-from-level
+  re-aggregation exact.
+- ``pivot_wider``: one exchange pass groups by (row_key, col_key); the
+  tiny grouped result is then reshaped per row_key bucket.  The pivot
+  column set must be DECLARED (``values``) — a fixed output schema is what
+  keeps the operator streaming-safe (an inferred wide schema would need a
+  full pass before the plan is known; pass ``ds.unique(col_key)`` yourself
+  for the exploratory case).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from webval.exchange import bucketed_group_apply, grouped_agg
+
+_RECOMBINE = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
+
+
+def rollup_agg(ds, keys: list[str], aggs: list[tuple[str, str]], *,
+               num_buckets: int | None = None):
+    """``GROUP BY ROLLUP(keys...)`` semantics: one output row set per key
+    prefix — (k1..kn), (k1..kn-1), ..., (k1), () — with the dropped key
+    columns null (the grand-total row has every key null).
+
+    ``aggs`` are mergeable [(col, "sum"|"min"|"max"|"count"), ...]; output
+    aggregate columns are named ``<col>_<agg>`` (count → ``<col>_count``,
+    an int64 row count of non-null values, matching SQL ``count(col)``).
+    Returns one Dataset: the union of all levels.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("rollup_agg: need at least one key")
+    for c, a in aggs:
+        if a not in _RECOMBINE:
+            raise ValueError(f"rollup_agg: non-mergeable aggregate {a!r}")
+    out_names = [f"{c}_{a}" for c, a in aggs]
+    schema = ds.schema()
+    key_types = {k: schema.types[list(schema.names).index(k)] for k in keys}
+
+    finest = grouped_agg(ds, keys, aggs, num_buckets=num_buckets)
+    levels = [finest]
+    cur = finest
+    # each coarser level re-aggregates the previous level's output
+    re_aggs = [(n, _RECOMBINE[a]) for n, (_c, a) in zip(out_names, aggs)]
+    rename = {f"{n}_{_RECOMBINE[a]}": n
+              for n, (_c, a) in zip(out_names, aggs)}
+    for i in range(len(keys) - 1, 0, -1):
+        cur = grouped_agg(cur, keys[:i], re_aggs, rename=rename,
+                          num_buckets=num_buckets)
+        levels.append(cur)
+    # grand total: a literal key routes the (small) level-1 partials
+    # through one reduce task, then drops it
+    marked = cur.map_batches(
+        lambda t: t.append_column("__all__",
+                                  pa.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow")
+    total = grouped_agg(marked, ["__all__"], re_aggs, rename=rename,
+                        num_buckets=num_buckets)
+    levels.append(total.map_batches(
+        lambda t: t.drop_columns(["__all__"]), batch_format="pyarrow"))
+
+    def widen(level_keys: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (t.column(k) if k in level_keys
+                           else pa.nulls(t.num_rows, key_types[k]))
+            for n in out_names:
+                cols[n] = t.column(n)
+            return pa.table(cols)
+        return fn
+
+    out = levels[0].map_batches(widen(keys), batch_format="pyarrow")
+    for i, lvl in enumerate(levels[1:], start=1):
+        out = out.union(lvl.map_batches(widen(keys[:len(keys) - i]),
+                                        batch_format="pyarrow"))
+    return out
+
+
+def pivot_wider(ds, row_key: str, col_key: str, value_col: str, *,
+                values: list, agg: str = "sum", fill=None,
+                num_buckets: int | None = None):
+    """Reshape long → wide: one output row per ``row_key``, one column per
+    entry of ``values`` holding ``agg(value_col)`` of the rows whose
+    ``col_key`` equals it (SQL twin: ``agg(value) FILTER (col_key = v)``).
+
+    Rows whose ``col_key`` is not in ``values`` are dropped; a
+    (row_key, value) cell with no input rows gets ``fill`` (default null —
+    note SQL's FILTER yields null there too, but 0 is the usual choice for
+    sum/count pivots).  Output columns are named ``str(v)`` for each v.
+    """
+    if agg not in _RECOMBINE:
+        raise ValueError(f"pivot_wider: non-mergeable aggregate {agg!r}")
+    values = list(values)
+    if len(values) != len(set(values)) or not values:
+        raise ValueError("pivot_wider: values must be non-empty and unique")
+
+    kept = ds.map_batches(
+        lambda t: t.select([row_key, col_key, value_col]).filter(
+            pc.is_in(t.column(col_key), value_set=pa.array(values))),
+        batch_format="pyarrow")
+    long = grouped_agg(kept, [row_key, col_key], [(value_col, agg)],
+                       num_buckets=num_buckets)
+    agg_name = f"{value_col}_{agg}"
+
+    def reshape(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(row_key, "ascending")])
+        rk = g.column(row_key)
+        uniq = rk.unique()
+        pos = pc.index_in(rk, value_set=uniq).to_numpy(zero_copy_only=False)
+        cols = {row_key: uniq}
+        vals = g.column(agg_name)
+        ck = g.column(col_key)
+        for v in values:
+            mask = pc.equal(ck, pa.scalar(v, ck.type))
+            mask = pc.fill_null(mask, False)
+            idx = np.full(len(uniq), -1, np.int64)
+            sel = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+            idx[pos[sel]] = sel
+            taken = vals.take(pa.array(np.where(idx >= 0, idx, 0),
+                                       pa.int64()))
+            cell = pc.if_else(pa.array(idx >= 0),
+                              taken.combine_chunks()
+                              if isinstance(taken, pa.ChunkedArray)
+                              else taken,
+                              pa.scalar(None, vals.type))
+            if fill is not None:
+                cell = pc.fill_null(cell, pa.scalar(fill, vals.type))
+            cols[str(v)] = cell
+        return pa.table(cols)
+
+    return bucketed_group_apply(long, [row_key], reshape,
+                                num_buckets=num_buckets)
