@@ -1966,6 +1966,41 @@ FROM documents GROUP BY source
 """
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Distributed TF-IDF (corpus statistics without driver state): doc-term
+    counts → exchange DF count → large×large term join → per-doc top-k with
+    a per-batch combiner.  Tokenizer is RE2 [^a-z0-9]+ on lowered text —
+    byte-identical to the SQL twin's regexp_split_to_array."""
+    import ray.data as rd
+
+    from webval.tfidf import tfidf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = tfidf_topk(ds, "doc_id", "text", 3)
+    return (ds_to_table(out)
+            .select(["doc_id", "term", "tf", "df", "tfidf"])
+            .sort_by([("doc_id", "ascending"), ("term", "ascending")]))
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH terms AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents) WHERE t <> ''
+), tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT doc_id, term, tf, df, round(tf * ln(n.n / df), 6) AS tfidf
+FROM tf JOIN df USING (term), n
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, term) <= 3
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -2026,4 +2061,5 @@ QUERIES = {
     "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
     "rollup_lineitem": (q_rollup_lineitem, SQL_ROLLUP_LINEITEM),
     "pivot_chars_by_lang": (q_pivot_chars_by_lang, SQL_PIVOT_CHARS_BY_LANG),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
 }
