@@ -1,0 +1,67 @@
+"""PageRank: exact numpy oracle, dangling nodes, parallel edges, empty."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _collect(ds):
+    import ray
+
+    return pa.concat_tables([ray.get(x) for x in ds.to_arrow_refs()])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_matches_reference():
+    import ray.data as rd
+
+    from webval.graph import pagerank, pagerank_reference
+
+    rng = np.random.default_rng(3)
+    m = 2000
+    src = rng.integers(0, 150, m)
+    dst = rng.integers(0, 200, m)  # nodes 150..199 are dangling
+    t = pa.table({"s": pa.array(src, pa.int64()),
+                  "d": pa.array(dst, pa.int64())})
+    out = _collect(pagerank(rd.from_arrow(t).repartition(5), "s", "d",
+                            n_iter=7, num_buckets=8))
+    got = out.sort_by([("node", "ascending")])
+    nodes, r = pagerank_reference(src, dst, n_iter=7)
+    assert np.array_equal(
+        got.column("node").to_numpy(zero_copy_only=False), nodes)
+    gr = got.column("rank").to_numpy(zero_copy_only=False)
+    assert np.abs(gr - r).max() < 1e-12
+    assert abs(gr.sum() - 1.0) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_parallel_edges_weigh_double():
+    import ray.data as rd
+
+    from webval.graph import pagerank
+
+    # a->b twice, a->c once: b receives 2/3 of a's mass
+    t = pa.table({"s": ["a", "a", "a"], "d": ["b", "b", "c"]})
+    out = _collect(pagerank(rd.from_arrow(t), "s", "d", n_iter=1,
+                            num_buckets=4))
+    ranks = {r["node"]: r["rank"] for r in out.to_pylist()}
+    n, d = 3, 0.85
+    # after one iteration from uniform 1/3: b and c are dangling
+    dangling = 2 / 3
+    assert ranks["b"] == pytest.approx(
+        (1 - d) / n + d * ((1 / 3) * (2 / 3) + dangling / n))
+    assert ranks["c"] == pytest.approx(
+        (1 - d) / n + d * ((1 / 3) * (1 / 3) + dangling / n))
+    assert sum(ranks.values()) == pytest.approx(1.0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_empty_edges():
+    import ray.data as rd
+
+    from webval.graph import pagerank
+
+    t = pa.table({"s": pa.array([], pa.string()),
+                  "d": pa.array([], pa.string())})
+    out = _collect(pagerank(rd.from_arrow(t), "s", "d", num_buckets=4))
+    assert out.num_rows == 0

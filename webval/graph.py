@@ -1,0 +1,134 @@
+"""Distributed PageRank — the iterative-algorithm shape over the exchange
+(SURVEY.md training-data extensions; link-graph quality signals for crawl
+curation).
+
+Per iteration (classic power method with dangling-mass redistribution):
+
+    r' = (1-d)/N + d · (Σ_{edges u→v} r(u)/deg(u)  +  dangling_mass/N)
+
+Scale shape: the edge list is projected + materialized ONCE with each
+source's out-degree attached; every iteration is then
+
+1. ``equi_join`` edges ⋈ current ranks on src (large×large through the
+   exchange — ranks are one row per node, edges many per node),
+2. per-edge contribution ``rank/deg`` (vectorized), exchange ``grouped_agg``
+   sum by dst,
+3. left-join the contribution sums back onto the node table and apply the
+   formula.
+
+Ranks are materialized per iteration (one row per node — small next to the
+edge list) so the lazy plan stays flat; the only driver scalars are N and
+the per-iteration dangling mass (a per-block partial sum).  Nothing
+edge-sized ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _scalar_sum(ds, col: str) -> float:
+    """Driver sum of a column via per-block partials (the materialize +
+    driver-sum pattern from bench.py's AllToAll finding — no .sum() op)."""
+    parts = ds.map_batches(
+        lambda t: pa.table({"s": pa.array(
+            [pc.sum(t.column(col)).as_py() or 0.0], pa.float64())}),
+        batch_format="pyarrow").take_all()
+    return float(sum(r["s"] for r in parts))
+
+
+def pagerank(edges, src_col: str, dst_col: str, *, damping: float = 0.85,
+             n_iter: int = 10, num_buckets: int | None = None):
+    """Ranks of every node appearing in ``edges`` (as source or target).
+    Parallel edges are counted with multiplicity (two u→v edges ship twice
+    the contribution — dedupe upstream if simple-graph semantics are
+    wanted).  Returns a Dataset of (node, rank); ranks sum to 1.
+    """
+    from webval.exchange import distinct_rows, grouped_agg, grouped_count
+    from webval.joins import equi_join
+
+    node_t = edges.schema().types[list(edges.schema().names).index(src_col)]
+
+    def side(col):
+        return edges.map_batches(
+            lambda t, c=col: pa.table({"node": t.column(c)}),
+            batch_format="pyarrow")
+
+    nodes = distinct_rows(side(src_col).union(side(dst_col)),
+                          ["node"], num_buckets=num_buckets).materialize()
+    if nodes.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"node": pa.array([], node_t),
+                                       "rank": pa.array([], pa.float64())}))
+    outdeg = grouped_count(edges, src_col, out_col="deg",
+                           num_buckets=num_buckets).map_batches(
+        lambda t: t.rename_columns(["node", "deg"]), batch_format="pyarrow")
+    node_deg = equi_join(nodes, outdeg, on="node", how="left",
+                         num_buckets=num_buckets).map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("deg"), "deg",
+            pc.fill_null(t.column("deg"), 0)),
+        batch_format="pyarrow").materialize()
+    n = node_deg.count()
+
+    ed = edges.map_batches(
+        lambda t: pa.table({"node": t.column(src_col),
+                            "dst": t.column(dst_col)}),
+        batch_format="pyarrow").materialize()
+
+    ranks = node_deg.map_batches(
+        lambda t: t.append_column(
+            "rank", pa.array(np.full(t.num_rows, 1.0 / n))),
+        batch_format="pyarrow").materialize()
+
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        dangling = _scalar_sum(
+            ranks.map_batches(
+                lambda t: t.filter(pc.equal(t.column("deg"), 0)),
+                batch_format="pyarrow"), "rank")
+        per_edge = equi_join(ed, ranks, on="node",
+                             num_buckets=num_buckets).map_batches(
+            lambda t: pa.table({
+                "node": t.column("dst"),
+                "w": pc.divide(t.column("rank"),
+                               pc.cast(t.column("deg"), pa.float64()))}),
+            batch_format="pyarrow")
+        contrib = grouped_agg(per_edge, ["node"], [("w", "sum")],
+                              rename={"w_sum": "w"},
+                              num_buckets=num_buckets)
+        shift = base + damping * dangling / n
+
+        def apply(t: pa.Table, s=shift) -> pa.Table:
+            w = pc.fill_null(t.column("w"), 0.0)
+            r = pc.add(pc.multiply(w, damping), s)
+            return pa.table({"node": t.column("node"),
+                             "deg": t.column("deg"), "rank": r})
+
+        ranks = equi_join(node_deg, contrib, on="node", how="left",
+                          num_buckets=num_buckets).map_batches(
+            apply, batch_format="pyarrow").materialize()
+
+    return ranks.map_batches(lambda t: t.select(["node", "rank"]),
+                             batch_format="pyarrow")
+
+
+def pagerank_reference(src: np.ndarray, dst: np.ndarray, *,
+                       damping: float = 0.85, n_iter: int = 10):
+    """Exact in-memory oracle with identical semantics (tests + the query's
+    self-assertion).  Returns (nodes_sorted, ranks)."""
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s_idx, d_idx = inv[:len(src)], inv[len(src):]
+    n = len(nodes)
+    deg = np.bincount(s_idx, minlength=n)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dangling = r[deg == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, d_idx, r[s_idx] / deg[s_idx])
+        r = (1.0 - damping) / n + damping * (contrib + 0.0) \
+            + damping * dangling / n
+    return nodes, r

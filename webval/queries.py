@@ -2001,6 +2001,44 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
 """
 
 
+def q_pagerank_links(sf_dir: str):
+    """Iterative PageRank over the synthetic link graph (rows-only: power
+    iteration is not ANSI-SQL-expressible without recursive CTE gymnastics).
+    Self-asserting: the distributed ranks must match the exact in-memory
+    power method (webval.graph.pagerank_reference — driver recompute over
+    the small fixture IS the oracle, not the compute path) to 1e-10, and
+    sum to 1."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from webval.graph import pagerank, pagerank_reference
+
+    _pages, links_p = ensure_synth(sf_dir)
+    edges = rd.read_parquet(links_p)
+    ranks = ds_to_table(pagerank(edges, "src_url", "dst_url", n_iter=8))
+
+    full = pq.read_table(links_p)
+    nodes, want = pagerank_reference(
+        full.column("src_url").to_numpy(zero_copy_only=False),
+        full.column("dst_url").to_numpy(zero_copy_only=False), n_iter=8)
+    got_t = ranks.sort_by([("node", "ascending")])
+    got = got_t.column("rank").to_numpy(zero_copy_only=False)
+    if not np.array_equal(
+            got_t.column("node").to_numpy(zero_copy_only=False), nodes):
+        raise AssertionError("pagerank node set != reference")
+    if np.abs(got - want).max() > 1e-10:
+        raise AssertionError(
+            f"pagerank diverged from reference by {np.abs(got - want).max()}")
+    if abs(float(got.sum()) - 1.0) > 1e-9:
+        raise AssertionError(f"ranks sum to {got.sum()}, not 1")
+    top = ranks.sort_by([("rank", "descending"),
+                         ("node", "ascending")]).slice(0, 10)
+    return pa.table({
+        "node": top.column("node"),
+        "rank_e6": pc.round(pc.multiply(top.column("rank"), 1e6),
+                            ndigits=3)})
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -2062,4 +2100,5 @@ QUERIES = {
     "rollup_lineitem": (q_rollup_lineitem, SQL_ROLLUP_LINEITEM),
     "pivot_chars_by_lang": (q_pivot_chars_by_lang, SQL_PIVOT_CHARS_BY_LANG),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "pagerank_links": (q_pagerank_links, None),
 }
