@@ -65,3 +65,25 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
 ORDER BY doc_id, term
 """).arrow()
     assert got.equals(want.cast(got.schema).combine_chunks())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_modes_identical():
+    import ray.data as rd
+
+    from webval.tfidf import tfidf_topk
+
+    rng = np.random.default_rng(29)
+    vocab = [f"w{i}" for i in range(30)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(50), pa.int64()),
+        "text": [" ".join(rng.choice(vocab, size=rng.integers(2, 40)))
+                 for _ in range(50)]})
+    ds = rd.from_arrow(t).repartition(4)
+    cols = ["doc_id", "term", "tf", "df", "tfidf"]
+    order = [("doc_id", "ascending"), ("term", "ascending")]
+    a = _collect(tfidf_topk(ds, "doc_id", "text", 2, df_mode="broadcast",
+                            num_buckets=4)).select(cols).sort_by(order)
+    b = _collect(tfidf_topk(ds, "doc_id", "text", 2, df_mode="shuffle",
+                            num_buckets=4)).select(cols).sort_by(order)
+    assert a.combine_chunks().equals(b.combine_chunks())

@@ -65,28 +65,66 @@ def document_frequencies(doc_terms, *, num_buckets: int | None = None):
                          num_buckets=num_buckets)
 
 
+# vocabulary sizes up to this broadcast as one (term, df) Arrow table to
+# every scoring task instead of shuffling every (doc, term, tf) row through
+# the join exchange — the same auto-select pattern as minhash_dedup's
+# components mode.  2M distinct terms ≈ tens of MB, comfortably ray.put-able.
+BROADCAST_VOCAB_MAX = 2_000_000
+
+
 def tfidf_topk(ds, id_col: str, text_col: str, k: int, *,
                pattern: str = TOKEN_SPLIT_PATTERN, round_to: int = 6,
-               num_buckets: int | None = None):
+               df_mode: str = "auto", num_buckets: int | None = None):
     """Top-k TF-IDF terms per document: score = tf · ln(N / df), ties
     broken by term ascending (deterministic output).  The score is rounded
     to ``round_to`` decimals BEFORE ranking so results are reproducible
-    across engines (the SQL twin rounds identically)."""
+    across engines (the SQL twin rounds identically).
+
+    ``df_mode``: how the (term, df) table reaches the doc-term stream —
+    "broadcast" (``ray.put`` once, ``pc.index_in`` per batch; no shuffle of
+    the doc-term rows), "shuffle" (large×large ``equi_join`` — the path
+    that holds at unbounded vocabulary), or "auto" (default: broadcast when
+    the materialized DF table is ≤ BROADCAST_VOCAB_MAX terms).  Both modes
+    are byte-identical in output (tested)."""
+    import ray
+
     from webval.joins import equi_join
     from webval.rank import top_k_per_group
 
+    if df_mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"tfidf_topk: df_mode={df_mode!r}")
     n_docs = ds.count()
     dt = doc_term_counts(ds, id_col, text_col, pattern=pattern)
     df = document_frequencies(dt, num_buckets=num_buckets)
-    joined = equi_join(dt, df, on="term", num_buckets=num_buckets)
 
-    def score(t: pa.Table) -> pa.Table:
-        idf = pc.ln(pc.divide(float(n_docs),
-                              pc.cast(t.column("df"), pa.float64())))
+    def score_cols(t: pa.Table, df_arr: pa.Array) -> pa.Table:
+        idf = pc.ln(pc.divide(float(n_docs), pc.cast(df_arr, pa.float64())))
         s = pc.round(pc.multiply(pc.cast(t.column("tf"), pa.float64()), idf),
                      ndigits=round_to)
-        return t.append_column("tfidf", s)
+        return t.append_column("df", df_arr).append_column("tfidf", s)
 
-    scored = joined.map_batches(score, batch_format="pyarrow")
+    if df_mode != "shuffle":
+        df = df.materialize()
+        n_terms = df.count()
+        if df_mode == "broadcast" or n_terms <= BROADCAST_VOCAB_MAX:
+            vocab = pa.concat_tables(
+                [ray.get(r) for r in df.to_arrow_refs()]).combine_chunks()
+            vocab_ref = ray.put(vocab)
+
+            def attach_df(t: pa.Table) -> pa.Table:
+                v = ray.get(vocab_ref)
+                pos = pc.index_in(t.column("term").combine_chunks(),
+                                  value_set=v.column("term"))
+                return score_cols(t, v.column("df").take(pos))
+
+            scored = dt.map_batches(attach_df, batch_format="pyarrow")
+            return top_k_per_group(scored, id_col, "tfidf", k,
+                                   tie_cols=["term"],
+                                   num_buckets=num_buckets)
+
+    joined = equi_join(dt, df, on="term", num_buckets=num_buckets)
+    scored = joined.map_batches(
+        lambda t: score_cols(t.drop_columns(["df"]), t.column("df")),
+        batch_format="pyarrow")
     return top_k_per_group(scored, id_col, "tfidf", k, tie_cols=["term"],
                            num_buckets=num_buckets)
