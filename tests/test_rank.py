@@ -83,6 +83,51 @@ def test_top_k_per_group_ascending_and_ties(ray_session):
                                               ("b", 7), ("b", 8)]
 
 
+def test_window_ops_matches_pandas_oracle(grouped_data):
+    from webval.rank import window_ops
+    df, ds = grouped_data
+    got = (window_ops(ds, "k", ["v", "id"], cumsum_cols=["v"],
+                      lag_cols=["v"], num_buckets=8)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    want = df.sort_values(["k", "v", "id"],
+                          na_position="last").copy()
+    # pandas sorts NaN last; arrow sort_by also puts nulls last
+    want["row_number"] = want.groupby("k", sort=False).cumcount() + 1
+    want["cum_v"] = want.groupby("k", sort=False)["v"].cumsum()
+    # pandas cumsum leaves NaN at NaN rows; SQL keeps the running sum there
+    want["cum_v"] = want.groupby("k", sort=False)["cum_v"].ffill()
+    want["lag_v"] = want.groupby("k", sort=False)["v"].shift(1)
+    want = want.sort_values("id").reset_index(drop=True)
+    assert list(got["row_number"]) == list(want["row_number"])
+    assert np.allclose(got["cum_v"].to_numpy(), want["cum_v"].to_numpy(),
+                       equal_nan=True, atol=1e-9)
+    assert np.allclose(got["lag_v"].to_numpy(), want["lag_v"].to_numpy(),
+                       equal_nan=True)
+
+
+def test_window_ops_small_exact(ray_session):
+    import ray.data as rd
+    t = pa.table({"k": ["a", "a", "a", "b"],
+                  "o": [2, 1, 3, 1],
+                  "v": pa.array([None, 5.0, 2.0, 7.0], pa.float64())})
+    ds = rd.from_arrow(t).repartition(2)
+    got = (window_ops_import()(ds, "k", ["o"], cumsum_cols=["v"],
+                               lag_cols=["v"]).to_pandas()
+           .sort_values(["k", "o"]).reset_index(drop=True))
+    assert list(got["row_number"]) == [1, 2, 3, 1]
+    # k=a ordered by o: v = 5.0, None, 2.0 -> running sums 5, 5, 7
+    assert list(got["cum_v"]) == [5.0, 5.0, 7.0, 7.0]
+    lag = got["lag_v"].tolist()
+    assert lag[0] is None or np.isnan(lag[0])
+    assert lag[1] == 5.0
+    assert lag[2] is None or np.isnan(lag[2])  # lag crosses the null row
+
+
+def window_ops_import():
+    from webval.rank import window_ops
+    return window_ops
+
+
 def test_broadcast_join_inner_and_left(ray_session):
     import ray.data as rd
     big = pa.table({"fk": [1, 2, 3, 2, None, 7],

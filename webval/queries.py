@@ -2039,6 +2039,35 @@ def q_pagerank_links(sf_dir: str):
                             ndigits=3)})
 
 
+def q_window_functions(sf_dir: str):
+    """SQL window functions per user partition ordered by (ts, event_id):
+    row_number, running sum(value), lag(value) — computed in one
+    vectorized pass per hash bucket (rank.window_ops)."""
+    import ray.data as rd
+
+    from webval.rank import window_ops
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    out = window_ops(ds, "user_id", ["ts", "event_id"],
+                     cumsum_cols=["value"], lag_cols=["value"])
+    t = ds_to_table(out.map_batches(
+        lambda t: t.select(["event_id", "row_number", "cum_value",
+                            "lag_value"]),
+        batch_format="pyarrow"))
+    return _round_cols(t, {"cum_value": 6})
+
+
+SQL_WINDOW_FUNCTIONS = """
+SELECT event_id,
+       row_number() OVER w AS row_number,
+       round(sum(value) OVER w, 6) AS cum_value,
+       lag(value) OVER w AS lag_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -2101,4 +2130,5 @@ QUERIES = {
     "pivot_chars_by_lang": (q_pivot_chars_by_lang, SQL_PIVOT_CHARS_BY_LANG),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "pagerank_links": (q_pagerank_links, None),
+    "window_functions": (q_window_functions, SQL_WINDOW_FUNCTIONS),
 }

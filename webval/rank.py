@@ -97,6 +97,78 @@ def _topk_table(t: pa.Table, key: str, order_col: str, k: int,
     return t.filter(pa.array(rank < k))
 
 
+def window_ops(ds, key: str, order_cols: list[str], *,
+               cumsum_cols: list[str] | None = None,
+               lag_cols: list[str] | None = None,
+               row_number: bool = True,
+               num_buckets: int | None = None,
+               max_group_rows: int | None = 4_000_000):
+    """SQL window functions per key partition: ``row_number() OVER w``,
+    ``sum(col) OVER w`` (running sum, null until the first non-null like
+    SQL), and ``lag(col) OVER w`` for ``w AS (PARTITION BY key ORDER BY
+    order_cols)``.  Output = input columns + ``row_number`` /
+    ``cum_<col>`` / ``lag_<col>``.
+
+    Pass a tie-breaking column in ``order_cols`` (e.g. a unique id) —
+    window functions over an ambiguous order are not deterministic in any
+    engine.  Combiner-less (each key partition must be seen whole, in
+    order), so one key partition must fit a bucket task; enforced via
+    ``max_group_rows`` with a named diagnostic.
+    """
+    order_cols = list(order_cols)
+    cumsum_cols = list(cumsum_cols or [])
+    lag_cols = list(lag_cols or [])
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            cols = {n: g.column(n) for n in g.column_names}
+            if row_number:
+                cols["row_number"] = pa.array([], pa.int64())
+            for c in cumsum_cols:
+                cols[f"cum_{c}"] = pa.array([], pa.float64())
+            for c in lag_cols:
+                cols[f"lag_{c}"] = pa.array([], g.schema.field(c).type)
+            return pa.table(cols)
+        g = g.sort_by([(key, "ascending")]
+                      + [(c, "ascending") for c in order_cols])
+        kk = g.column(key).to_numpy(zero_copy_only=False)
+        starts, counts = _group_boundaries(kk)
+        seg_id = np.repeat(np.arange(len(starts)), counts)
+        pos = np.arange(len(kk)) - starts[seg_id]
+        cols = {n: g.column(n) for n in g.column_names}
+        if row_number:
+            cols["row_number"] = pa.array(pos + 1, pa.int64())
+        for c in cumsum_cols:
+            arr = g.column(c)
+            valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            v = np.where(valid,
+                         arr.to_numpy(zero_copy_only=False).astype(np.float64),
+                         0.0)
+            cs = np.cumsum(v)
+            base = cs[starts] - v[starts]
+            nn = np.cumsum(valid.astype(np.int64))
+            nn_base = nn[starts] - valid[starts].astype(np.int64)
+            run = cs - base[seg_id]
+            has_any = (nn - nn_base[seg_id]) > 0
+            cols[f"cum_{c}"] = pa.array(run, pa.float64(),
+                                        mask=~has_any)
+        if lag_cols:
+            idx = np.arange(len(kk)) - 1
+            first = pos == 0
+            take_idx = pa.array(np.where(first, 0, idx), pa.int64())
+            for c in lag_cols:
+                taken = g.column(c).take(take_idx)
+                if isinstance(taken, pa.ChunkedArray):
+                    taken = taken.combine_chunks()
+                cols[f"lag_{c}"] = pc.if_else(
+                    pa.array(~first), taken,
+                    pa.scalar(None, g.schema.field(c).type))
+        return pa.table(cols)
+
+    return bucketed_group_apply(ds, [key], final, num_buckets=num_buckets,
+                                max_group_rows=max_group_rows)
+
+
 def top_k_per_group(ds, key: str, order_col: str, k: int, *,
                     descending: bool = True,
                     tie_cols: list[str] | None = None,
