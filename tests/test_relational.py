@@ -55,6 +55,50 @@ def test_rollup_rejects_non_mergeable():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_cube_matches_duckdb():
+    import duckdb
+    import ray.data as rd
+
+    from webval.relational import cube_agg
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    a = rng.choice(["p", "q", "r"], n)
+    b = rng.choice(["x", "y"], n)
+    v = rng.integers(0, 100, n).astype(object)
+    v[rng.random(n) < 0.05] = None
+    t = pa.table({"a": pa.array(list(a)), "b": pa.array(list(b)),
+                  "v": pa.array(list(v), pa.int64())})
+    out = _collect(cube_agg(rd.from_arrow(t).repartition(6), ["a", "b"],
+                            [("v", "sum"), ("v", "count"), ("v", "min")],
+                            num_buckets=8))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(
+        "SELECT a, b, sum(v) AS v_sum, count(v) AS v_count, min(v) AS v_min "
+        "FROM t GROUP BY CUBE(a, b)").arrow()
+    order = [(c, "ascending") for c in out.column_names]
+    g = out.sort_by(order).combine_chunks()
+    w = want.cast(g.schema).sort_by(order).combine_chunks()
+    assert g.equals(w)
+    # grouping sets: (a,b)=6, (a)=3, (b)=2, ()=1
+    assert g.num_rows == 12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cube_rejects_non_mergeable_and_wide_keys():
+    import ray.data as rd
+
+    from webval.relational import cube_agg
+
+    t = rd.from_arrow(pa.table({"a": ["x"], "v": [1]}))
+    with pytest.raises(ValueError, match="non-mergeable"):
+        cube_agg(t, ["a"], [("v", "mean")])
+    with pytest.raises(ValueError, match="keys <= 6"):
+        cube_agg(t, [f"k{i}" for i in range(7)], [("v", "sum")])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pivot_matches_duckdb():
     import duckdb
     import ray.data as rd

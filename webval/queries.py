@@ -1938,6 +1938,31 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_cube_orders(sf_dir: str):
+    """E8 multidimensional aggregate: GROUP BY CUBE(orderstatus,
+    orderpriority) — 2^k grouping sets, every non-finest set derived from
+    the finest level's grouped output (one raw scan)."""
+    import ray.data as rd
+
+    from webval.relational import cube_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority",
+                                  "o_totalprice"])
+    out = cube_agg(ds, ["o_orderstatus", "o_orderpriority"],
+                   [("o_totalprice", "sum"), ("o_totalprice", "count")])
+    t = ds_to_table(out)
+    return _round_cols(t, {"o_totalprice_sum": 2})
+
+
+SQL_CUBE_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS o_totalprice_sum,
+       count(o_totalprice) AS o_totalprice_count
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
 def q_pivot_chars_by_lang(sf_dir: str):
     """E8/wide reshape: per-source character totals pivoted to one column
     per language (declared column set — fixed output schema keeps the
@@ -2131,4 +2156,5 @@ QUERIES = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "pagerank_links": (q_pagerank_links, None),
     "window_functions": (q_window_functions, SQL_WINDOW_FUNCTIONS),
+    "cube_orders": (q_cube_orders, SQL_CUBE_ORDERS),
 }

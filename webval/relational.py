@@ -91,6 +91,67 @@ def rollup_agg(ds, keys: list[str], aggs: list[tuple[str, str]], *,
     return out
 
 
+def cube_agg(ds, keys: list[str], aggs: list[tuple[str, str]], *,
+             num_buckets: int | None = None):
+    """``GROUP BY CUBE(keys...)`` semantics: one output row set per SUBSET
+    of the keys (2^len(keys) levels), dropped key columns null, the empty
+    subset = the grand-total row.
+
+    Same scale shape as ``rollup_agg``: the raw data is scanned exactly
+    once (the finest level); every other subset re-aggregates the finest
+    level's already-grouped output, which is what mergeable aggregates
+    (sum/min/max/count) make exact.  Keep ``len(keys)`` small — output
+    level count is 2^k by definition of CUBE.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("cube_agg: need at least one key")
+    if len(keys) > 6:
+        raise ValueError("cube_agg: 2^len(keys) levels — keep keys <= 6")
+    for c, a in aggs:
+        if a not in _RECOMBINE:
+            raise ValueError(f"cube_agg: non-mergeable aggregate {a!r}")
+    out_names = [f"{c}_{a}" for c, a in aggs]
+    schema = ds.schema()
+    key_types = {k: schema.types[list(schema.names).index(k)] for k in keys}
+
+    finest = grouped_agg(ds, keys, aggs, num_buckets=num_buckets)
+    re_aggs = [(n, _RECOMBINE[a]) for n, (_c, a) in zip(out_names, aggs)]
+    rename = {f"{n}_{_RECOMBINE[a]}": n
+              for n, (_c, a) in zip(out_names, aggs)}
+
+    def widen(level_keys: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (t.column(k) if k in level_keys
+                           else pa.nulls(t.num_rows, key_types[k]))
+            for n in out_names:
+                cols[n] = t.column(n)
+            return pa.table(cols)
+        return fn
+
+    out = finest.map_batches(widen(keys), batch_format="pyarrow")
+    # every proper non-empty subset re-aggregates the finest level
+    for m in range(1, (1 << len(keys)) - 1):
+        sub = [k for i, k in enumerate(keys) if m & (1 << i)]
+        lvl = grouped_agg(finest, sub, re_aggs, rename=rename,
+                          num_buckets=num_buckets)
+        out = out.union(lvl.map_batches(widen(sub), batch_format="pyarrow"))
+    # grand total: a literal key routes the finest partials through one
+    # reduce task, then drops it (same trick as rollup_agg)
+    marked = finest.map_batches(
+        lambda t: t.append_column("__all__",
+                                  pa.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow")
+    total = grouped_agg(marked, ["__all__"], re_aggs, rename=rename,
+                        num_buckets=num_buckets)
+    out = out.union(total.map_batches(
+        lambda t: widen([])(t.drop_columns(["__all__"])),
+        batch_format="pyarrow"))
+    return out
+
+
 def pivot_wider(ds, row_key: str, col_key: str, value_col: str, *,
                 values: list, agg: str = "sum", fill=None,
                 num_buckets: int | None = None):
