@@ -99,6 +99,62 @@ def test_cube_rejects_non_mergeable_and_wide_keys():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_set_ops_match_duckdb_with_nulls():
+    import duckdb
+    import ray.data as rd
+
+    from webval.relational import except_distinct, intersect_distinct
+
+    rng = np.random.default_rng(23)
+    av = rng.integers(0, 200, 3000).astype(object)
+    bv = rng.integers(100, 300, 3000).astype(object)
+    av[rng.random(3000) < 0.01] = None  # NULL keys compare equal in set ops
+    bv[rng.random(3000) < 0.01] = None
+    ta = pa.table({"k": pa.array(list(av), pa.int64())})
+    tb = pa.table({"k": pa.array(list(bv), pa.int64())})
+    a = rd.from_arrow(ta).repartition(5)
+    b = rd.from_arrow(tb).repartition(3)
+    con = duckdb.connect()
+    con.register("ta", ta)
+    con.register("tb", tb)
+    for buckets in (4, 64):
+        got_i = sorted(_collect(intersect_distinct(a, b, ["k"],
+                                                   num_buckets=buckets))
+                       .column("k").to_pylist(),
+                       key=lambda x: (x is None, x))
+        want_i = sorted(
+            con.sql("SELECT k FROM ta INTERSECT SELECT k FROM tb")
+               .df()["k"].astype(object).where(lambda s: s.notna(), None)
+               .tolist(), key=lambda x: (x is None, x))
+        assert got_i == want_i
+        got_e = sorted(_collect(except_distinct(a, b, ["k"],
+                                                num_buckets=buckets))
+                       .column("k").to_pylist(),
+                       key=lambda x: (x is None, x))
+        want_e = sorted(
+            con.sql("SELECT k FROM ta EXCEPT SELECT k FROM tb")
+               .df()["k"].astype(object).where(lambda s: s.notna(), None)
+               .tolist(), key=lambda x: (x is None, x))
+        assert got_e == want_e
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_set_ops_multi_column():
+    import ray.data as rd
+
+    from webval.relational import except_distinct, intersect_distinct
+
+    ta = pa.table({"x": ["a", "a", "b", "b"], "y": [1, 2, 1, 1]})
+    tb = pa.table({"x": ["a", "b", "c"], "y": [2, 9, 1]})
+    a, b = rd.from_arrow(ta).repartition(2), rd.from_arrow(tb)
+    got = _collect(intersect_distinct(a, b, ["x", "y"])).to_pylist()
+    assert got == [{"x": "a", "y": 2}]
+    got = sorted(_collect(except_distinct(a, b, ["x", "y"])).to_pylist(),
+                 key=lambda r: (r["x"], r["y"]))
+    assert got == [{"x": "a", "y": 1}, {"x": "b", "y": 1}]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pivot_matches_duckdb():
     import duckdb
     import ray.data as rd

@@ -1938,6 +1938,50 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_intersect_custkeys(sf_dir: str):
+    """G-family set op: SQL INTERSECT — customer keys that also appear as
+    order custkeys (distinct, co-bucketed exchange with per-batch dedup
+    combiners)."""
+    import ray.data as rd
+
+    from webval.relational import intersect_distinct
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"]) \
+               .map_batches(lambda t: t.rename_columns(["c_custkey"]),
+                            batch_format="pyarrow")
+    return ds_to_table(intersect_distinct(cust, orders, ["c_custkey"]))
+
+
+SQL_INTERSECT_CUSTKEYS = """
+SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders
+"""
+
+
+def q_except_orderkeys(sf_dir: str):
+    """G-family set op: SQL EXCEPT — order keys with no lineitem rows
+    (non-empty on this fixture; the set-difference dual of the
+    referential anti-join)."""
+    import ray.data as rd
+
+    from webval.relational import except_distinct
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"]) \
+           .map_batches(lambda t: t.rename_columns(["o_orderkey"]),
+                        batch_format="pyarrow")
+    return ds_to_table(except_distinct(orders, li, ["o_orderkey"]))
+
+
+SQL_EXCEPT_ORDERKEYS = """
+SELECT o_orderkey FROM orders EXCEPT SELECT l_orderkey FROM lineitem
+"""
+
+
 def q_cube_orders(sf_dir: str):
     """E8 multidimensional aggregate: GROUP BY CUBE(orderstatus,
     orderpriority) — 2^k grouping sets, every non-finest set derived from
@@ -2157,4 +2201,6 @@ QUERIES = {
     "pagerank_links": (q_pagerank_links, None),
     "window_functions": (q_window_functions, SQL_WINDOW_FUNCTIONS),
     "cube_orders": (q_cube_orders, SQL_CUBE_ORDERS),
+    "intersect_custkeys": (q_intersect_custkeys, SQL_INTERSECT_CUSTKEYS),
+    "except_orderkeys": (q_except_orderkeys, SQL_EXCEPT_ORDERKEYS),
 }

@@ -91,6 +91,55 @@ def rollup_agg(ds, keys: list[str], aggs: list[tuple[str, str]], *,
     return out
 
 
+def _set_op(a, b, cols: list[str], mode: str, *,
+            num_buckets: int | None = None):
+    """Shared INTERSECT / EXCEPT (DISTINCT) machinery: tag each side,
+    dedup per batch (the combiner — at most one row per key per input
+    batch crosses the shuffle), co-bucket both streams on the key hash,
+    then one Arrow group_by per bucket reads off side membership.
+
+    SQL bag-of-NULLs semantics: NULL keys compare equal (Arrow's group_by
+    groups nulls together, matching INTERSECT/EXCEPT)."""
+    cols = list(cols)
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            d = t.select(cols).group_by(cols).aggregate([])
+            return d.append_column(
+                "__side__", pa.array(np.full(d.num_rows, side, np.int8)))
+        return fn
+
+    both = (a.map_batches(tag(0), batch_format="pyarrow")
+             .union(b.map_batches(tag(1), batch_format="pyarrow")))
+
+    def final(g: pa.Table) -> pa.Table:
+        agg = g.group_by(cols).aggregate([("__side__", "min"),
+                                          ("__side__", "max")])
+        lo, hi = agg.column("__side___min"), agg.column("__side___max")
+        if mode == "intersect":
+            mask = pc.and_(pc.equal(lo, 0), pc.equal(hi, 1))
+        else:  # except: present on the left only
+            mask = pc.equal(hi, 0)
+        return agg.filter(mask).select(cols)
+
+    return bucketed_group_apply(both, cols, final, num_buckets=num_buckets)
+
+
+def intersect_distinct(a, b, cols: list[str], *,
+                       num_buckets: int | None = None):
+    """SQL ``INTERSECT`` (distinct rows of ``cols`` present in BOTH
+    datasets).  One co-bucketed exchange; per-batch dedup bounds what
+    moves to one row per distinct key per batch."""
+    return _set_op(a, b, cols, "intersect", num_buckets=num_buckets)
+
+
+def except_distinct(a, b, cols: list[str], *,
+                    num_buckets: int | None = None):
+    """SQL ``EXCEPT`` (distinct rows of ``cols`` in ``a`` but not in
+    ``b``)."""
+    return _set_op(a, b, cols, "except", num_buckets=num_buckets)
+
+
 def cube_agg(ds, keys: list[str], aggs: list[tuple[str, str]], *,
              num_buckets: int | None = None):
     """``GROUP BY CUBE(keys...)`` semantics: one output row set per SUBSET
