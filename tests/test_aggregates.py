@@ -49,3 +49,44 @@ def test_approx_distinct_timestamp_nulls():
     out = rd.from_arrow(t).groupby("g").aggregate(
         ApproxDistinct("ts", alias_name="d")).take_all()
     assert round(out[0]["d"]) == 2
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from webval.aggregates import corr_of, grouped_corr
+
+    rng = np.random.default_rng(31)
+    n = 20000
+    k = rng.integers(0, 30, n)
+    x = rng.normal(50, 10, n)
+    y = 3.0 * x + rng.normal(0, 25, n)  # correlated with noise
+    x[rng.random(n) < 0.03] = np.nan
+    y[rng.random(n) < 0.03] = np.nan
+    t = pa.table({"k": pa.array(k, pa.int64()), "x": x, "y": y})
+    ds = rd.from_arrow(t).repartition(7)
+    got = grouped_corr(ds, "k", "x", "y", num_buckets=8).to_pandas() \
+        .set_index("k").sort_index()
+    import pandas as pd
+    df = pd.DataFrame({"k": k, "x": x, "y": y}).dropna()
+    for kk, grp in df.groupby("k"):
+        want = np.corrcoef(grp["x"], grp["y"])[0, 1]
+        assert abs(got.loc[kk, "corr"] - want) < 1e-9
+        assert got.loc[kk, "n"] == len(grp)
+    g = corr_of(ds, "x", "y")
+    assert abs(g - np.corrcoef(df["x"], df["y"])[0, 1]) < 1e-9
+
+
+def test_grouped_corr_degenerate_groups(ray_session):
+    import ray.data as rd
+
+    from webval.aggregates import grouped_corr
+
+    t = pa.table({"k": ["one", "const", "const", "pair", "pair"],
+                  "x": [1.0, 2.0, 2.0, 1.0, 2.0],
+                  "y": [5.0, 1.0, 9.0, 2.0, 4.0]})
+    got = grouped_corr(rd.from_arrow(t), "k", "x", "y",
+                       num_buckets=4).to_pandas().set_index("k")
+    assert np.isnan(got.loc["one", "corr"])    # n < 2 -> null
+    assert np.isnan(got.loc["const", "corr"])  # zero x variance -> null
+    assert abs(got.loc["pair", "corr"] - 1.0) < 1e-12

@@ -398,3 +398,109 @@ try:
 
 except ImportError:  # pragma: no cover - ray always present in sandbox
     TDigestQuantile = ApproxDistinct = HeavyHitters = None
+
+
+# ---------------------------------------------------------------------------
+# Co-moments: mergeable covariance / Pearson correlation (SURVEY.md §2-E
+# extension — rdv has per-column stats only; cross-column linear dependence
+# is the standard drift/quality companion)
+# ---------------------------------------------------------------------------
+
+
+def _co_moment_partial(x: str, y: str):
+    """Per-batch (n, Σx, Σy, Σxx, Σyy, Σxy) over rows where BOTH are
+    non-null — plain sums merge by addition (the corr formula is scale
+    invariant, so sample-vs-population cancels at finalize)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        xa = t.column(x).to_numpy(zero_copy_only=False).astype(np.float64)
+        ya = t.column(y).to_numpy(zero_copy_only=False).astype(np.float64)
+        m = ~(np.isnan(xa) | np.isnan(ya))
+        xa, ya = xa[m], ya[m]
+        return pa.table({
+            "n": pa.array([len(xa)], pa.int64()),
+            "sx": [float(xa.sum())], "sy": [float(ya.sum())],
+            "sxx": [float((xa * xa).sum())],
+            "syy": [float((ya * ya).sum())],
+            "sxy": [float((xa * ya).sum())],
+        })
+
+    return fn
+
+
+def _corr_from_sums(n, sx, sy, sxx, syy, sxy) -> float | None:
+    if n < 2:
+        return None
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        return None  # zero variance -> corr undefined (SQL returns NULL)
+    return (n * sxy - sx * sy) / math.sqrt(vx * vy)
+
+
+def corr_of(ds, x: str, y: str) -> float | None:
+    """Global Pearson correlation of two numeric columns: one streaming
+    map pass emitting a 6-number partial per batch, merged on the driver
+    (KB-sized — the big-map-tiny-rollup shape, never an AllToAll)."""
+    parts = ds.map_batches(_co_moment_partial(x, y),
+                           batch_format="pyarrow").materialize()
+    tot = {k: 0.0 for k in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for k in tot:
+            tot[k] += pc.sum(b.column(k)).as_py() or 0
+    return _corr_from_sums(tot["n"], tot["sx"], tot["sy"],
+                           tot["sxx"], tot["syy"], tot["sxy"])
+
+
+def grouped_corr(ds, key: str, x: str, y: str, *,
+                 num_buckets: int | None = None, out_col: str = "corr"):
+    """Exact per-group Pearson correlation at any key cardinality: the
+    co-moment sums ride the hash-bucket exchange (per-batch group_by
+    combiner → bucketed sum), finalized vectorized per bucket.  Output:
+    (key, n, corr) with corr null when n < 2 or a variance is zero."""
+    from webval.exchange import bucketed_group_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        xa = t.column(x).to_numpy(zero_copy_only=False).astype(np.float64)
+        ya = t.column(y).to_numpy(zero_copy_only=False).astype(np.float64)
+        m = ~(np.isnan(xa) | np.isnan(ya))
+        base = pa.table({
+            key: t.column(key),
+            "n": pa.array(m.astype(np.int64)),
+            "sx": pa.array(np.where(m, xa, 0.0)),
+            "sy": pa.array(np.where(m, ya, 0.0)),
+            "sxx": pa.array(np.where(m, xa * xa, 0.0)),
+            "syy": pa.array(np.where(m, ya * ya, 0.0)),
+            "sxy": pa.array(np.where(m, xa * ya, 0.0)),
+        })
+        sums = ("n", "sx", "sy", "sxx", "syy", "sxy")
+        out = base.group_by([key]).aggregate([(c, "sum") for c in sums])
+        return out.select([key] + [f"{c}_sum" for c in sums]) \
+                  .rename_columns([key, *sums])
+
+    def final(g: pa.Table) -> pa.Table:
+        sums = ("n", "sx", "sy", "sxx", "syy", "sxy")
+        agg = g.group_by([key]).aggregate([(c, "sum") for c in sums])
+        agg = agg.select([key] + [f"{c}_sum" for c in sums]) \
+                 .rename_columns([key, *sums])
+        n = agg.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = agg.column("sx").to_numpy(zero_copy_only=False)
+        sy = agg.column("sy").to_numpy(zero_copy_only=False)
+        sxx = agg.column("sxx").to_numpy(zero_copy_only=False)
+        syy = agg.column("syy").to_numpy(zero_copy_only=False)
+        sxy = agg.column("sxy").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            r = (n * sxy - sx * sy) / np.sqrt(vx * vy)
+        bad = (n < 2) | (vx <= 0) | (vy <= 0)
+        return pa.table({
+            key: agg.column(key),
+            "n": pa.array(n.astype(np.int64)),
+            out_col: pa.array(np.where(bad, np.nan, r), pa.float64(),
+                              mask=bad),
+        })
+
+    return bucketed_group_apply(ds.select_columns([key, x, y]), [key],
+                                final, num_buckets=num_buckets,
+                                partial_fn=partial)

@@ -1938,6 +1938,37 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_corr_by_returnflag(sf_dir: str):
+    """E-family cross-column stat: exact per-group Pearson correlation of
+    quantity vs extendedprice — co-moment sums ride the exchange with
+    per-batch combiners (mergeable by addition), plus the global corr from
+    the same 6-number partials."""
+    import ray.data as rd
+
+    from webval.aggregates import corr_of, grouped_corr
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+    out = grouped_corr(ds, "l_returnflag", "l_quantity", "l_extendedprice")
+    t = ds_to_table(out)
+    g = corr_of(ds, "l_quantity", "l_extendedprice")
+    t = t.append_column("corr_global",
+                        pa.array([g] * t.num_rows, pa.float64()))
+    return _round_cols(t, {"corr": 6, "corr_global": 6})
+
+
+SQL_CORR_BY_RETURNFLAG = """
+SELECT l_returnflag,
+       count(*) FILTER (l_quantity IS NOT NULL
+                        AND l_extendedprice IS NOT NULL) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr,
+       round((SELECT corr(l_quantity, l_extendedprice) FROM lineitem), 6)
+           AS corr_global
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_intersect_custkeys(sf_dir: str):
     """G-family set op: SQL INTERSECT — customer keys that also appear as
     order custkeys (distinct, co-bucketed exchange with per-batch dedup
@@ -2202,5 +2233,6 @@ QUERIES = {
     "window_functions": (q_window_functions, SQL_WINDOW_FUNCTIONS),
     "cube_orders": (q_cube_orders, SQL_CUBE_ORDERS),
     "intersect_custkeys": (q_intersect_custkeys, SQL_INTERSECT_CUSTKEYS),
+    "corr_by_returnflag": (q_corr_by_returnflag, SQL_CORR_BY_RETURNFLAG),
     "except_orderkeys": (q_except_orderkeys, SQL_EXCEPT_ORDERKEYS),
 }
