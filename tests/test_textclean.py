@@ -1,0 +1,113 @@
+"""Corpus line dedup + repetition metrics vs brute-force Python oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from webval.textclean import (
+    frequent_lines,
+    remove_boilerplate_lines,
+    repetition_stats,
+)
+
+
+def _docs():
+    rng = np.random.default_rng(41)
+    boiler = ["cookie banner", "nav home about", "(c) footer 2024"]
+    texts, ids = [], []
+    for i in range(400):
+        lines = [f"unique line {i} {j}" for j in range(rng.integers(1, 5))]
+        # every doc gets 1-3 boilerplate lines, possibly repeated in-doc
+        for b in rng.choice(boiler, rng.integers(1, 4), replace=True):
+            lines.insert(rng.integers(0, len(lines) + 1), b)
+        # a line shared by only TWO docs must survive min_docs=5
+        if i in (10, 11):
+            lines.append("rare shared line")
+        texts.append("\n".join(lines))
+        ids.append(i)
+    texts.append("")  # fully-empty doc
+    ids.append(400)
+    return ids, texts
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frequent_lines_and_removal_match_oracle():
+    import ray.data as rd
+
+    ids, texts = _docs()
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    ds = rd.from_arrow(t).repartition(6)
+    min_docs = 5
+
+    # oracle: distinct-doc counts per line
+    from collections import Counter
+    c = Counter()
+    for txt in texts:
+        c.update(set(txt.split("\n")))
+    boiler = {ln for ln, n in c.items() if n >= min_docs}
+
+    freq = frequent_lines(ds, "text", min_docs=min_docs).to_pandas()
+    assert len(freq) == len(boiler)
+    assert (freq["n_docs"] >= min_docs).all()
+
+    got = remove_boilerplate_lines(ds, "doc_id", "text",
+                                   min_docs=min_docs).to_pandas() \
+        .set_index("doc_id").sort_index()
+    for i, txt in zip(ids, texts):
+        lines = txt.split("\n")
+        kept = [ln for ln in lines if ln not in boiler]
+        assert got.loc[i, "clean_text"] == "\n".join(kept), i
+        assert got.loc[i, "n_removed"] == len(lines) - len(kept)
+    # the 2-doc shared line survives
+    assert "rare shared line" in got.loc[10, "clean_text"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frequent_lines_rejects_min_docs_one():
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"text": ["a"]}))
+    with pytest.raises(ValueError, match="min_docs"):
+        frequent_lines(ds, "text", min_docs=1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_repetition_stats_match_oracle():
+    import ray.data as rd
+
+    texts = ["a b a c",          # one dup 'a' (1 char of 4)
+             "x y",              # no dups
+             "a a a",            # 2 dups; top bigram 'a a' x2 overlap
+             "",                 # single empty line, zero chars
+             "solo",             # one line, no bigrams
+             "ab ab cd ab cd"]   # dups: ab x2 extra, cd x1 extra
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    got = repetition_stats(rd.from_arrow(t).repartition(3), "doc_id",
+                           "text", delimiter=" ").to_pandas() \
+        .set_index("doc_id").sort_index()
+
+    def oracle(txt):
+        lines = txt.split(" ")
+        from collections import Counter
+        c = Counter(lines)
+        n_dup = sum(v - 1 for v in c.values())
+        tot = sum(len(x) for x in lines)
+        dupc = sum((v - 1) * len(k) for k, v in c.items())
+        frac = None if tot == 0 else dupc / tot
+        bigs = Counter(" ".join(p) for p in zip(lines, lines[1:]))
+        top = max((v * len(k) for k, v in bigs.items()), default=None)
+        return len(lines), n_dup, frac, top
+
+    for i, txt in enumerate(texts):
+        n_lines, n_dup, frac, top = oracle(txt)
+        assert got.loc[i, "n_lines"] == n_lines, i
+        assert got.loc[i, "n_dup_lines"] == n_dup, i
+        if frac is None:
+            assert np.isnan(got.loc[i, "dup_char_frac"]), i
+        else:
+            assert abs(got.loc[i, "dup_char_frac"] - frac) < 1e-12, i
+        if top is None:
+            assert np.isnan(got.loc[i, "top_bigram_chars"]), i
+        else:
+            assert got.loc[i, "top_bigram_chars"] == top, i

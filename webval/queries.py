@@ -1938,6 +1938,82 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_boilerplate_removal(sf_dir: str):
+    """CCNet-style corpus line dedup over the documents table (delimiter
+    = ' ' so every word acts as a 'line'): tokens appearing in >= 300 of
+    the 500 docs are boilerplate and dropped from every doc.  Hash-only
+    shuffle + broadcast frequent set; SQL twin via unnest + list_filter."""
+    import ray.data as rd
+
+    from webval.textclean import remove_boilerplate_lines
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = remove_boilerplate_lines(ds, "doc_id", "text", min_docs=300,
+                                   delimiter=" ")
+    return ds_to_table(out)
+
+
+SQL_BOILERPLATE_REMOVAL = """
+WITH l AS (SELECT doc_id, unnest(string_split(text, ' ')) AS line
+           FROM documents),
+freq AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS c
+                           FROM l GROUP BY line) WHERE c >= 300),
+fl AS (SELECT coalesce(list(line), []) AS ls FROM freq)
+SELECT d.doc_id,
+       coalesce(list_aggr(list_filter(string_split(d.text, ' '),
+                                      x -> NOT list_contains(fl.ls, x)),
+                          'string_agg', ' '), '') AS clean_text,
+       CAST(len(string_split(d.text, ' '))
+            - len(list_filter(string_split(d.text, ' '),
+                              x -> NOT list_contains(fl.ls, x)))
+            AS BIGINT) AS n_removed
+FROM documents d CROSS JOIN fl
+"""
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition metrics (duplicate-'line'
+    count/char fraction + top overlapping 2-gram coverage), one shuffle-
+    free vectorized pass; exact SQL twin via unnest / list_transform."""
+    import ray.data as rd
+
+    from webval.textclean import repetition_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    t = ds_to_table(repetition_stats(ds, "doc_id", "text", delimiter=" "))
+    # exact integers (dup_chars/total_chars) instead of the rounded ratio:
+    # the ratio can land on an exact decimal tie where SQL's
+    # half-away-from-zero and binary half-even disagree
+    return t.drop_columns(["dup_char_frac"])
+
+
+SQL_DOC_REPETITION = """
+WITH l AS (SELECT doc_id, unnest(string_split(text, ' ')) AS line
+           FROM documents),
+per AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+        FROM l GROUP BY doc_id, line),
+lm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+              CAST(sum(c - 1) AS BIGINT) AS n_dup_lines,
+              CAST(sum((c - 1) * len) AS BIGINT) AS dup_chars,
+              CAST(sum(c * len) AS BIGINT) AS total_chars
+       FROM per GROUP BY doc_id),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i + 1])) AS b
+       FROM w),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+bm AS (SELECT doc_id, CAST(max(c * length(b)) AS BIGINT)
+                  AS top_bigram_chars
+       FROM bc GROUP BY doc_id)
+SELECT lm.doc_id, lm.n_lines, lm.n_dup_lines, lm.dup_chars,
+       lm.total_chars, bm.top_bigram_chars
+FROM lm LEFT JOIN bm ON lm.doc_id = bm.doc_id
+"""
+
+
 def q_corr_by_returnflag(sf_dir: str):
     """E-family cross-column stat: exact per-group Pearson correlation of
     quantity vs extendedprice — co-moment sums ride the exchange with
@@ -2234,5 +2310,7 @@ QUERIES = {
     "cube_orders": (q_cube_orders, SQL_CUBE_ORDERS),
     "intersect_custkeys": (q_intersect_custkeys, SQL_INTERSECT_CUSTKEYS),
     "corr_by_returnflag": (q_corr_by_returnflag, SQL_CORR_BY_RETURNFLAG),
+    "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
+    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "except_orderkeys": (q_except_orderkeys, SQL_EXCEPT_ORDERKEYS),
 }

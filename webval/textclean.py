@@ -1,0 +1,225 @@
+"""Corpus-level line deduplication (CCNet-style boilerplate removal) and
+within-document repetition metrics (Gopher-style quality signals).
+
+Both are standard LLM-training-data curation passes over web text:
+
+- ``remove_boilerplate_lines``: a line that appears in >= ``min_docs``
+  DISTINCT documents is boilerplate (nav bars, cookie banners, footers);
+  drop it from every document.  Two streaming passes: (1) per-batch
+  line-split + per-document dedup + hash, counted through the hash-bucket
+  exchange carrying ONLY (int64 line-hash, count) rows; (2) the frequent
+  set (small by construction — boilerplate is the repeated tail) is
+  broadcast once via ``ray.put`` and every batch rewrites its documents
+  with a vectorized searchsorted membership test.  Like CCNet's paragraph
+  dedup, identity is by 64-bit hash: across ~1e10 lines the expected
+  collision count is <<1, and a collision only ever drops one extra line.
+- ``repetition_stats``: per-document duplicate-line counts/char-fraction
+  and the top (overlapping) 2-gram coverage — pure per-batch numpy over
+  Arrow list offsets, no shuffle, no per-row Python.
+
+Line semantics are byte-exact ``split(delimiter)`` (Arrow
+``split_pattern``): no trimming, empty segments kept — mirrored 1:1 by the
+DuckDB ``string_split`` twins in webval/queries.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from webval.exchange import grouped_count
+from webval.sketches import hash64
+
+
+def _split_lines(text_col: pa.ChunkedArray | pa.Array, delimiter: str):
+    """(flat large_string values, int64 offsets) of the per-row line
+    lists.  Normalizes to large offsets so 128MB binary-heavy blocks
+    cannot overflow 32-bit list offsets."""
+    arr = text_col.combine_chunks() if isinstance(text_col, pa.ChunkedArray) \
+        else text_col
+    arr = pc.cast(arr, pa.large_string())
+    ls = pc.split_pattern(arr, delimiter)
+    if isinstance(ls, pa.ChunkedArray):
+        ls = ls.combine_chunks()
+    return ls.values, ls.offsets.to_numpy().astype(np.int64)
+
+
+def _per_doc_dedup_hashes(flat: pa.Array, offsets: np.ndarray):
+    """Hashes of the flat lines plus a boolean mask selecting the FIRST
+    occurrence of each distinct line within its document (vectorized:
+    lexsort by (row, hash), drop adjacent equals)."""
+    h = hash64(flat.to_numpy(zero_copy_only=False))
+    counts = np.diff(offsets)
+    rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    if len(h) == 0:
+        return h, rows, np.zeros(0, dtype=bool)
+    order = np.lexsort((h, rows))
+    hs, rs = h[order], rows[order]
+    first_sorted = np.empty(len(h), dtype=bool)
+    first_sorted[0] = True
+    first_sorted[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+    first = np.empty(len(h), dtype=bool)
+    first[order] = first_sorted
+    return h, rows, first
+
+
+def frequent_lines(ds, text_col: str = "text", *, min_docs: int,
+                   delimiter: str = "\n", num_buckets: int | None = None):
+    """Dataset of ``(line_hash: int64, n_docs: int64)`` for every line
+    appearing in >= ``min_docs`` distinct documents.  The shuffle carries
+    int64 hashes only; per-batch per-document dedup makes the exchange
+    count a distinct-document count (each document lives in exactly one
+    input row)."""
+    if min_docs < 2:
+        raise ValueError("frequent_lines: min_docs must be >= 2 "
+                         "(1 would mark every line boilerplate)")
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, off = _split_lines(t.column(text_col), delimiter)
+        h, _rows, first = _per_doc_dedup_hashes(flat, off)
+        return pa.table({"line_hash": pa.array(h[first].astype(np.int64))})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return grouped_count(exploded, "line_hash", min_count=min_docs,
+                         out_col="n_docs", num_buckets=num_buckets)
+
+
+def remove_boilerplate_lines(ds, id_col: str, text_col: str = "text", *,
+                             min_docs: int, delimiter: str = "\n",
+                             out_col: str = "clean_text",
+                             num_buckets: int | None = None):
+    """CCNet-style corpus line dedup: drop every line that occurs in >=
+    ``min_docs`` distinct documents.  Returns ``(id_col, out_col,
+    n_removed)``; documents whose every line is boilerplate come back as
+    the empty string (matching the SQL twin's coalesce('')).
+
+    The frequent-line set is materialized once (small — it is the
+    *repeated* tail) and broadcast read-only via ``ray.put``; the rewrite
+    pass is a stateless map with a searchsorted membership probe."""
+    import ray
+
+    freq = frequent_lines(ds, text_col, min_docs=min_docs,
+                          delimiter=delimiter, num_buckets=num_buckets)
+    hashes = np.sort(np.concatenate(
+        [b.column("line_hash").to_numpy(zero_copy_only=False)
+         for b in freq.iter_batches(batch_format="pyarrow")] or
+        [np.array([], np.int64)]).astype(np.uint64))
+    ref = ray.put(hashes)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        bad = ray.get(ref)
+        flat, off = _split_lines(t.column(text_col), delimiter)
+        h = hash64(flat.to_numpy(zero_copy_only=False))
+        if len(bad):
+            pos = np.searchsorted(bad, h)
+            pos[pos == len(bad)] = 0
+            drop = bad[pos] == h
+        else:
+            drop = np.zeros(len(h), dtype=bool)
+        keep = ~drop
+        counts = np.diff(off)
+        rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        kept_per_row = np.bincount(rows[keep], minlength=len(counts)) \
+            if len(rows) else np.zeros(len(counts), np.int64)
+        new_off = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(kept_per_row, out=new_off[1:])
+        kept_flat = flat.filter(pa.array(keep))
+        la = pa.LargeListArray.from_arrays(pa.array(new_off, pa.int64()),
+                                           kept_flat)
+        clean = pc.binary_join(la, pa.scalar(delimiter, pa.large_string()))
+        return pa.table({
+            id_col: t.column(id_col),
+            out_col: clean,
+            "n_removed": pa.array((counts - kept_per_row).astype(np.int64)),
+        })
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def repetition_stats(ds, id_col: str, text_col: str = "text", *,
+                     delimiter: str = "\n"):
+    """Gopher-style within-document repetition signals, one row per doc:
+
+    - ``n_lines``: segment count after splitting on ``delimiter``.
+    - ``n_dup_lines``: occurrences beyond the first of each distinct line
+      (a line repeated c times contributes c-1).
+    - ``dup_char_frac``: characters (sum of line lengths, no separators)
+      inside those beyond-first occurrences / total line characters
+      (null when the doc has zero line characters).
+    - ``top_bigram_chars``: max over (overlapping) line 2-grams of
+      occurrences × len("a<delim>b") — the numerator of Gopher's
+      top-2-gram coverage; null for docs with < 2 lines.
+
+    One vectorized pass per batch (lexsort + run-length reductions over
+    Arrow list offsets); no shuffle.
+    """
+
+    def stats(t: pa.Table) -> pa.Table:
+        flat, off = _split_lines(t.column(text_col), delimiter)
+        counts = np.diff(off)
+        n_rows = len(counts)
+        h = hash64(flat.to_numpy(zero_copy_only=False))
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(h):
+            order = np.lexsort((h, rows))
+            hs, rs, lns = h[order], rows[order], lens[order]
+            first = np.empty(len(h), dtype=bool)
+            first[0] = True
+            first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+            dup = ~first
+            n_dup = np.bincount(rs[dup], minlength=n_rows)
+            dup_chars = np.bincount(rs[dup], weights=lns[dup],
+                                    minlength=n_rows)
+            tot_chars = np.bincount(rows, weights=lens, minlength=n_rows)
+        else:
+            n_dup = np.zeros(n_rows, np.int64)
+            dup_chars = np.zeros(n_rows, np.float64)
+            tot_chars = np.zeros(n_rows, np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dup_frac = dup_chars / tot_chars
+        no_chars = tot_chars == 0
+
+        # overlapping 2-grams: pair i with i+1 within the same row
+        pair_mask = np.zeros(len(h), dtype=bool)
+        if len(h):
+            pair_mask[:-1] = rows[:-1] == rows[1:]
+        pi = np.flatnonzero(pair_mask)
+        top = np.zeros(n_rows, dtype=np.int64)
+        has_bigram = counts >= 2
+        if len(pi):
+            with np.errstate(over="ignore"):
+                bh = h[pi] * np.uint64(0x9E3779B97F4A7C15) ^ h[pi + 1]
+            brows = rows[pi]
+            blen = lens[pi] + lens[pi + 1] + len(delimiter)
+            order = np.lexsort((bh, brows))
+            bhs, brs, bls = bh[order], brows[order], blen[order]
+            new = np.empty(len(pi), dtype=bool)
+            new[0] = True
+            new[1:] = (bhs[1:] != bhs[:-1]) | (brs[1:] != brs[:-1])
+            starts = np.flatnonzero(new)
+            run_counts = np.diff(np.append(starts, len(pi)))
+            covered = run_counts * bls[starts]
+            np.maximum.at(top, brs[starts], covered)
+
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_lines": pa.array(counts.astype(np.int64)),
+            "n_dup_lines": pa.array(n_dup.astype(np.int64)),
+            # exact integer numerator/denominator alongside the ratio —
+            # rounding a ratio that lands exactly on a decimal tie (e.g.
+            # 33/128) differs between round-half-even and SQL's
+            # half-away, so cross-engine comparisons should use these
+            "dup_chars": pa.array(dup_chars.astype(np.int64)),
+            "total_chars": pa.array(tot_chars.astype(np.int64)),
+            "dup_char_frac": pa.array(
+                np.where(no_chars, np.nan, dup_frac), pa.float64(),
+                mask=no_chars),
+            "top_bigram_chars": pa.array(
+                np.where(has_bigram, top, 0).astype(np.int64),
+                mask=~has_bigram),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
