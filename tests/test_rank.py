@@ -149,6 +149,35 @@ def test_broadcast_join_rejects_duplicate_dim_keys(ray_session):
         broadcast_join(rd.range(3), dim, "fk")
 
 
+def test_stratified_sample_membership_and_nulls(ray_session):
+    import ray.data as rd
+
+    from webval.pipelines import stratified_sample
+
+    n = 30000
+    ids = np.arange(n)
+    langs = np.array(["en", "de", "nl"])[ids % 3].astype(object)
+    langs[ids % 17 == 0] = None  # null strata fall to the default
+    t = pa.table({"id": pa.array(ids, pa.int64()),
+                  "lang": pa.array(list(langs))})
+    fr = {"en": 0.2, "nl": 1.0}
+    for parallelism in (2, 6):
+        ds = rd.from_arrow(t).repartition(parallelism)
+        got = stratified_sample(ds, "id", "lang", fr, default=0.05) \
+            .to_pandas().sort_values("id")
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+        thr = np.full(n, int(0.05 * 2**32), np.uint64)
+        for g, f in fr.items():
+            thr[langs == g] = np.uint64(int(f * 2**32))
+        want = ids[h < thr]
+        assert np.array_equal(got["id"].to_numpy(), want)
+    # every nl row survives, en is ~20%
+    nl_total = int((langs == "nl").sum())
+    assert (got["lang"] == "nl").sum() == nl_total
+    en_frac = (got["lang"] == "en").sum() / (langs == "en").sum()
+    assert abs(en_frac - 0.2) < 0.02
+
+
 def test_deterministic_sample_is_exact_hash_membership(ray_session):
     import ray.data as rd
     n = 50000

@@ -520,3 +520,42 @@ def deterministic_sample(ds, id_col: str, fraction: float, *,
         return batch.filter(pa.array(h < threshold))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(ds, id_col: str, group_col: str,
+                      fractions: dict, *, default: float = 0.0,
+                      modulus: int = 2**32, multiplier: int = 2654435761):
+    """Per-stratum deterministic hash sample: each ``group_col`` value
+    gets its own keep-fraction (e.g. downsample boilerplate-heavy 'en'
+    to 10% while keeping all 'nl').  Same Knuth multiplicative hash and
+    auditability properties as ``deterministic_sample`` — membership is a
+    pure function of (id, group fraction), identical at any parallelism
+    and expressible in ANSI SQL as a CASE over the same predicate.  A
+    stateless map filter: the per-group thresholds ride the closure
+    (tiny), no shuffle."""
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"stratified_sample: fraction {f} for {g!r}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"stratified_sample: default={default}")
+    mult = np.uint64(multiplier)
+    mod = np.uint64(modulus)
+    groups = list(fractions)
+    thresholds = np.array([int(fractions[g] * modulus) for g in groups],
+                          dtype=np.uint64)
+    default_thr = np.uint64(int(default * modulus))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ids = ids.astype(np.uint64, copy=False)
+        with np.errstate(over="ignore"):
+            h = (ids * mult) % mod
+        idx = pc.fill_null(pc.index_in(batch.column(group_col),
+                                       value_set=pa.array(groups)), -1)
+        idx = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        known = idx >= 0
+        thr = np.full(batch.num_rows, default_thr, dtype=np.uint64)
+        thr[known] = thresholds[idx[known]]
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

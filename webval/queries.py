@@ -1938,6 +1938,33 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_stratified_sample(sf_dir: str):
+    """F3 extension: per-stratum deterministic hash sampling — downsample
+    dominant languages, keep rare ones whole; membership is a pure
+    function of (doc_id, lang fraction), so the SQL twin reproduces it
+    EXACTLY (same multiplicative-hash predicate per stratum)."""
+    import ray.data as rd
+
+    from webval.pipelines import stratified_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source"])
+    out = stratified_sample(ds, "doc_id", "lang",
+                            {"en": 0.25, "de": 0.5, "nl": 1.0},
+                            default=0.1)
+    return ds_to_table(out)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 <
+      CASE lang WHEN 'en' THEN CAST(0.25 * 4294967296 AS BIGINT)
+                WHEN 'de' THEN CAST(0.5 * 4294967296 AS BIGINT)
+                WHEN 'nl' THEN CAST(1.0 * 4294967296 AS BIGINT)
+                ELSE CAST(0.1 * 4294967296 AS BIGINT) END
+"""
+
+
 def q_boilerplate_removal(sf_dir: str):
     """CCNet-style corpus line dedup over the documents table (delimiter
     = ' ' so every word acts as a 'line'): tokens appearing in >= 300 of
@@ -2311,6 +2338,7 @@ QUERIES = {
     "intersect_custkeys": (q_intersect_custkeys, SQL_INTERSECT_CUSTKEYS),
     "corr_by_returnflag": (q_corr_by_returnflag, SQL_CORR_BY_RETURNFLAG),
     "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "except_orderkeys": (q_except_orderkeys, SQL_EXCEPT_ORDERKEYS),
 }
