@@ -26,6 +26,21 @@ def test_js_and_chi2_basics():
     assert _gammq(0.5, 3.84 / 2) == pytest.approx(0.05, abs=0.002)
 
 
+def test_psi_basics():
+    from webval.drift import psi
+    assert psi([10, 20, 30], [10, 20, 30]) == 0.0
+    assert psi([100, 100], [1000, 1000]) == 0.0  # scale invariant
+    # textbook reading: same shape slightly perturbed stays < 0.1
+    assert psi([250, 250, 250, 250], [260, 240, 255, 245]) < 0.1
+    # a hard shift blows past 0.25
+    assert psi([900, 50, 50], [50, 900, 50]) > 0.25
+    # empty bins are floored, not inf/nan
+    v = psi([100, 0, 100], [100, 100, 0])
+    assert np.isfinite(v) and v > 0.25
+    with pytest.raises(ValueError, match="shape"):
+        psi([1, 2], [1, 2, 3])
+
+
 @pytest.fixture(scope="module")
 def specs(ray_session):
     import ray.data as rd
@@ -53,6 +68,9 @@ def test_contrast_detects_global_drift(specs):
     assert rep["columns"]["text"]["drifted"] is True
     assert rep["columns"]["lang"]["drifted"] is False
     assert rep["drifted"] is True
+    # the PSI score agrees with JS on both columns
+    assert rep["columns"]["text"]["psi"] > 0.25
+    assert rep["columns"]["lang"]["psi"] < 0.1
 
 
 @pytest.mark.usefixtures("ray_session")

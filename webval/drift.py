@@ -108,3 +108,26 @@ def freq_vectors(freq_a: dict[str, int], freq_b: dict[str, int]) -> tuple[np.nda
     a = np.array([freq_a.get(k, 0) for k in keys], dtype=np.float64)
     b = np.array([freq_b.get(k, 0) for k in keys], dtype=np.float64)
     return a, b
+
+
+def psi(expected, actual, *, min_frac: float = 1e-4) -> float:
+    """Population Stability Index between a baseline ("expected") and a
+    current ("actual") binned distribution — the standard model-monitoring
+    drift score: Σ (a_i - e_i) * ln(a_i / e_i) over bins.
+
+    Inputs are counts or probabilities; normalized internally.  Empty bins
+    are floored at ``min_frac`` (the conventional guard — PSI is undefined
+    at zero mass) then re-normalized.  Common reading: < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 major shift.
+    """
+    e = np.asarray(expected, dtype=np.float64)
+    a = np.asarray(actual, dtype=np.float64)
+    if e.shape != a.shape:
+        raise ValueError(f"psi: shape mismatch {e.shape} vs {a.shape}")
+    if e.sum() == 0 or a.sum() == 0:
+        return 0.0 if e.sum() == a.sum() else float("inf")
+    e = np.maximum(e / e.sum(), min_frac)
+    a = np.maximum(a / a.sum(), min_frac)
+    e = e / e.sum()
+    a = a / a.sum()
+    return float(np.sum((a - e) * np.log(a / e)))

@@ -23,7 +23,7 @@ from webval.aggregates import (
     profile_dataset,
 )
 from webval.checks import check_dataset, violations_of
-from webval.drift import chi2_test, freq_vectors, js_divergence
+from webval.drift import chi2_test, freq_vectors, js_divergence, psi
 from webval.schema import SchemaSpec
 from webval.sketches import NumericHistogram
 
@@ -419,7 +419,7 @@ def partition_report(ds, schema: SchemaSpec, part_col: str = "part_id",
 
 
 def contrast(a: SchemaSpec, b: SchemaSpec, *, max_js: float = 0.1,
-             min_chi2_p: float = 0.001) -> dict:
+             min_chi2_p: float = 0.001, max_psi: float = 0.25) -> dict:
     """rdv Schema.contrast: pairwise per-column distance between two built
     schemas + thresholds → report dict (JSON-serializable).  No raw data
     touched — only stats objects."""
@@ -433,6 +433,7 @@ def contrast(a: SchemaSpec, b: SchemaSpec, *, max_js: float = 0.1,
         if p.histogram and q.histogram and p.histogram["edges"] == q.histogram["edges"]:
             ha, hb = NumericHistogram.from_dict(p.histogram), NumericHistogram.from_dict(q.histogram)
             col["js"] = js_divergence(ha.probs(), hb.probs())
+            col["psi"] = psi(ha.probs(), hb.probs())
             stat, pv = chi2_test(
                 np.concatenate([[hb.underflow], hb.counts, [hb.overflow]]), ha.probs())
             col["chi2_stat"], col["chi2_p"] = stat, pv
@@ -451,12 +452,14 @@ def contrast(a: SchemaSpec, b: SchemaSpec, *, max_js: float = 0.1,
                 pb_ = np.concatenate([[tb.cdf(edges[1:2])[0]], pb_,
                                       [1.0 - tb.cdf(edges[-2:-1])[0]]])
                 col["js"] = js_divergence(pa_, pb_)
+                col["psi"] = psi(pa_, pb_)
                 n_b = q.count - q.null_count
                 stat, pv = chi2_test(pb_ * n_b, pa_)
                 col["chi2_stat"], col["chi2_p"] = stat, pv
         if p.frequencies and q.frequencies:
             va, vb = freq_vectors(p.frequencies["counts"], q.frequencies["counts"])
             col["js"] = js_divergence(va, vb)
+            col["psi"] = psi(va, vb)
             stat, pv = chi2_test(vb, va)
             col["chi2_stat"], col["chi2_p"] = stat, pv
         col["null_rate_a"] = p.null_rate
@@ -465,7 +468,8 @@ def contrast(a: SchemaSpec, b: SchemaSpec, *, max_js: float = 0.1,
             None if not (p.moments and q.moments and p.moments["count"] and q.moments["count"])
             else (q.moments["sum"] / q.moments["count"]) - (p.moments["sum"] / p.moments["count"]))
         col["drifted"] = bool(col.get("js", 0.0) > max_js
-                              or col.get("chi2_p", 1.0) < min_chi2_p)
+                              or col.get("chi2_p", 1.0) < min_chi2_p
+                              or col.get("psi", 0.0) > max_psi)
         report["columns"][p.name] = col
         report["drifted"] = report["drifted"] or col["drifted"]
     return report
