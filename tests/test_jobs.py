@@ -1,0 +1,52 @@
+"""The ray-job entry point (jobs/run_full_check.py): fresh run, schema
+persistence, and manifest-based resume — in-process against the test
+session (the script's guarded ray.init is a no-op when attached)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "jobs"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_run_full_check_job_and_resume(tmp_path, capsys):
+    from run_full_check import main
+
+    from webval.synth import gen_links_table, gen_webpages_table
+
+    inp = tmp_path / "pages"
+    inp.mkdir()
+    # two fragments -> two units at unit_size=1
+    pq.write_table(gen_webpages_table(np.arange(0, 300)),
+                   inp / "part-0.parquet")
+    pq.write_table(gen_webpages_table(np.arange(300, 600)),
+                   inp / "part-1.parquet")
+    links = tmp_path / "links.parquet"
+    pq.write_table(gen_links_table(np.arange(100), 600), links)
+    out = tmp_path / "out"
+
+    rc = main(["--input", str(inp), "--out", str(out),
+               "--links", str(links), "--extract", "--unit-size", "1"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 600
+    assert summary["units"] == 2 and summary["units_skipped"] == 0
+    assert os.path.exists(out / "schema.json")
+    assert "orphans" in summary and "dup_keys" in summary
+
+    # resume: same out dir -> both units skipped, same totals, and the
+    # schema is LOADED (not rebuilt) - mtime unchanged
+    mtime = os.path.getmtime(out / "schema.json")
+    rc = main(["--input", str(inp), "--out", str(out),
+               "--links", str(links), "--extract", "--unit-size", "1"])
+    assert rc == 0
+    summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary2["units_skipped"] == 2
+    assert summary2["rows"] == summary["rows"]
+    assert os.path.getmtime(out / "schema.json") == mtime

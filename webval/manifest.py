@@ -95,6 +95,8 @@ def append_manifest(out_dir: str, rec: dict):
 
 
 def list_fragments(input_dir: str) -> list[str]:
+    if os.path.isfile(input_dir):  # single-file input = one fragment
+        return [input_dir]
     frags = []
     for root, _, files in os.walk(input_dir):
         for fn in files:
