@@ -90,3 +90,61 @@ def test_grouped_corr_degenerate_groups(ray_session):
     assert np.isnan(got.loc["one", "corr"])    # n < 2 -> null
     assert np.isnan(got.loc["const", "corr"])  # zero x variance -> null
     assert abs(got.loc["pair", "corr"] - 1.0) < 1e-12
+
+
+def test_merge_specs_equals_build_on_union(ray_session):
+    import ray.data as rd
+
+    from webval.aggregates import merge_specs
+    from webval.pipelines import build_schema
+
+    rng = np.random.default_rng(43)
+    n = 12000
+    import pandas as pd
+    df = pd.DataFrame({
+        "v": rng.normal(100, 15, n),
+        "lang": np.array(["en", "de", "fr"])[rng.integers(0, 3, n)],
+    })
+    df.loc[rng.random(n) < 0.04, "v"] = np.nan
+    kinds = {"v": "numeric", "lang": "categorical"}
+    t = pa.Table.from_pandas(df)
+    full = build_schema(rd.from_arrow(t), kinds, name="full")
+    sa = build_schema(rd.from_arrow(t.slice(0, n // 3)), kinds, name="a")
+    sb = build_schema(rd.from_arrow(t.slice(n // 3)), kinds, name="b")
+    merged = merge_specs(sa, sb)
+
+    fv, mv = full.column("v"), merged.column("v")
+    assert mv.count == fv.count and mv.null_count == fv.null_count
+    for f in ("sum", "sumsq", "min", "max", "count"):
+        assert mv.moments[f] == pytest.approx(fv.moments[f], rel=1e-12)
+    # sketches merge within tolerance
+    assert mv.distinct_est == pytest.approx(fv.distinct_est, rel=0.05)
+    from webval.sketches import TDigest
+    q_m = TDigest.from_dict(mv.tdigest).quantile(0.5)
+    q_f = TDigest.from_dict(fv.tdigest).quantile(0.5)
+    assert q_m == pytest.approx(q_f, rel=0.02)
+    # categorical frequencies merge exactly
+    fl, ml = full.column("lang"), merged.column("lang")
+    assert ml.frequencies["counts"] == fl.frequencies["counts"]
+    # checks re-inferred on the merged stats
+    assert {c.name for c in merged.checks} == {c.name for c in full.checks}
+    rng_check = next(c for c in merged.checks if c.name == "v-range")
+    assert rng_check.params["min"] == mv.moments["min"]
+
+
+def test_merge_specs_column_union_and_kind_conflict(ray_session):
+    import ray.data as rd
+
+    from webval.aggregates import merge_specs
+    from webval.pipelines import build_schema
+
+    a = build_schema(rd.from_arrow(pa.table({"x": [1.0, 2.0]})),
+                     {"x": "numeric"}, name="a")
+    b = build_schema(rd.from_arrow(pa.table({"y": ["u", "v"]})),
+                     {"y": "categorical"}, name="b")
+    m = merge_specs(a, b)
+    assert {p.name for p in m.columns} == {"x", "y"}
+    c = build_schema(rd.from_arrow(pa.table({"x": ["s"]})),
+                     {"x": "categorical"}, name="c")
+    with pytest.raises(ValueError, match="kind differs"):
+        merge_specs(a, c)

@@ -504,3 +504,68 @@ def grouped_corr(ds, key: str, x: str, y: str, *,
     return bucketed_group_apply(ds.select_columns([key, x, y]), [key],
                                 final, num_buckets=num_buckets,
                                 partial_fn=partial)
+
+
+# ---------------------------------------------------------------------------
+# Merging built schemas: build per shard (or per day), merge into the
+# global spec — every profile sketch is associative, so shard-level P1
+# outputs compose without touching raw data again.
+# ---------------------------------------------------------------------------
+
+
+def _profile_to_acc(p: ColumnProfile) -> ColumnAccumulator:
+    from webval.sketches import CategoricalFreq, HyperLogLog
+
+    acc = ColumnAccumulator(p.name, p.kind)
+    if p.moments:
+        acc.moments = Moments.from_dict(p.moments)
+    if p.tdigest:
+        acc.tdigest = TDigest.from_dict(p.tdigest)
+    if p.hll:
+        acc.hll = HyperLogLog.from_dict(p.hll)
+    acc.freq = (CategoricalFreq.from_dict(p.frequencies)
+                if p.frequencies else None)
+    acc.hist = (NumericHistogram.from_dict(p.histogram)
+                if p.histogram else None)
+    return acc
+
+
+def merge_specs(a: SchemaSpec, b: SchemaSpec, *,
+                name: str | None = None) -> SchemaSpec:
+    """Merge two BUILT schemas into the schema of the concatenated data —
+    exact for moments/null-counts/frequencies/same-edge histograms, sketch-
+    accurate for t-digest/HLL (the same merges the tree reduce applies, so
+    merge_specs(build(A), build(B)) ≡ build(A ∪ B) up to sketch tolerance).
+
+    Columns present in only one spec are carried through unchanged (their
+    stats describe only the rows that had the column).  Histograms with
+    differing bin edges cannot be merged exactly and are dropped from the
+    merged profile (contrast falls back to its t-digest rebinning path).
+    Default checks are re-inferred from the merged stats.
+    """
+    bmap = {p.name: p for p in b.columns}
+    out: list[ColumnProfile] = []
+    for p in a.columns:
+        q = bmap.pop(p.name, None)
+        if q is None:
+            out.append(p)
+            continue
+        if q.kind != p.kind:
+            raise ValueError(f"merge_specs: column {p.name!r} kind differs "
+                             f"({p.kind} vs {q.kind})")
+        acc = _profile_to_acc(p)
+        qacc = _profile_to_acc(q)
+        if (acc.hist is None) != (qacc.hist is None) or (
+                acc.hist is not None
+                and list(acc.hist.edges) != list(qacc.hist.edges)):
+            acc.hist = qacc.hist = None
+        if (acc.freq is None) != (qacc.freq is None):
+            acc.freq = qacc.freq = None
+        acc.merge(qacc)
+        out.append(acc.finalize())
+    out.extend(p for p in b.columns if p.name in bmap)
+    spec = SchemaSpec(name=name or f"{a.name}+{b.name}", built=True)
+    spec.columns = out
+    spec.pre_stages = list(getattr(a, "pre_stages", []) or [])
+    spec.infer_default_checks()
+    return spec
