@@ -111,3 +111,55 @@ def test_repetition_stats_match_oracle():
             assert np.isnan(got.loc[i, "top_bigram_chars"]), i
         else:
             assert got.loc[i, "top_bigram_chars"] == top, i
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_text_matches_oracle():
+    import ray.data as rd
+
+    from webval.textclean import chunk_text
+
+    rng = np.random.default_rng(47)
+    texts = [" ".join(f"w{i}_{j}" for j in range(rng.integers(1, 90)))
+             for i in range(200)]
+    texts += ["", "single"]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    W, O = 16, 4
+    got = chunk_text(rd.from_arrow(t).repartition(5), "doc_id", "text",
+                     window=W, overlap=O).to_pandas()
+
+    def oracle(txt):
+        ws = txt.split(" ")
+        step = W - O
+        out = []
+        for k, s in enumerate(range(0, max(len(ws) - O, 1), step)):
+            ck = ws[s:s + W]
+            out.append((k, " ".join(ck), len(ck)))
+        return out
+
+    got = got.sort_values(["doc_id", "chunk_id"])
+    rows = list(zip(got["doc_id"], got["chunk_id"], got["chunk_text"],
+                    got["n_tokens"]))
+    want = [(i, k, c, n) for i, txt in zip(ids, texts)
+            for k, c, n in oracle(txt)]
+    assert rows == want
+    # every token is covered: reassembling de-overlapped chunks == source
+    for i, txt in zip(ids, texts):
+        parts = got[got["doc_id"] == i]["chunk_text"].tolist()
+        ws = []
+        for k, p in enumerate(parts):
+            toks = p.split(" ")
+            ws.extend(toks if k == 0 else toks[O:])
+        assert " ".join(ws) == txt, i
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_text_rejects_bad_window():
+    import ray.data as rd
+
+    from webval.textclean import chunk_text
+
+    ds = rd.from_arrow(pa.table({"id": [1], "text": ["a"]}))
+    with pytest.raises(ValueError, match="overlap < window"):
+        chunk_text(ds, "id", "text", window=4, overlap=4)

@@ -2041,6 +2041,33 @@ FROM lm LEFT JOIN bm ON lm.doc_id = bm.doc_id
 """
 
 
+def q_chunk_text(sf_dir: str):
+    """Training-data passage chunking: sliding 32-token windows with
+    8-token overlap over every document (flat_map shape, pure Arrow/numpy
+    gather over list offsets); the SQL twin re-derives every chunk via
+    range + list_slice."""
+    import ray.data as rd
+
+    from webval.textclean import chunk_text
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds_to_table(chunk_text(ds, "doc_id", "text",
+                                  window=32, overlap=8))
+
+
+SQL_CHUNK_TEXT = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id, ws,
+             unnest(range(0, greatest(len(ws) - 8, 1), 24)) AS st
+      FROM w)
+SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(ws, st + 1, st + 32), ' ') AS chunk_text,
+       CAST(len(list_slice(ws, st + 1, st + 32)) AS BIGINT) AS n_tokens
+FROM s
+"""
+
+
 def q_corr_by_returnflag(sf_dir: str):
     """E-family cross-column stat: exact per-group Pearson correlation of
     quantity vs extendedprice — co-moment sums ride the exchange with
@@ -2340,5 +2367,6 @@ QUERIES = {
     "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
+    "chunk_text": (q_chunk_text, SQL_CHUNK_TEXT),
     "except_orderkeys": (q_except_orderkeys, SQL_EXCEPT_ORDERKEYS),
 }

@@ -223,3 +223,63 @@ def repetition_stats(ds, id_col: str, text_col: str = "text", *,
         })
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def chunk_text(ds, id_col: str, text_col: str = "text", *,
+               window: int, overlap: int = 0, delimiter: str = " "):
+    """Split documents into sliding ``window``-token chunks overlapping by
+    ``overlap`` tokens — the standard pre-training/RAG passage-chunking
+    pass.  Tokens are ``delimiter``-split segments; chunk starts are
+    ``0, window-overlap, 2*(window-overlap), ...`` while they stay below
+    ``max(n_tokens - overlap, 1)``, so every token is covered and a
+    document shorter than one window yields exactly one chunk.
+
+    Output: one row per chunk ``(id_col, chunk_id, chunk_text, n_tokens)``
+    in document order.  Pure per-batch numpy/Arrow gather over list
+    offsets (token strings are never materialized row-by-row); a flat_map
+    shape, so downstream stages see chunk-sized rows and the streaming
+    executor rebalances block sizes automatically.
+    """
+    if window <= 0 or overlap < 0 or overlap >= window:
+        raise ValueError(f"chunk_text: need 0 <= overlap < window "
+                         f"(got window={window}, overlap={overlap})")
+    step = window - overlap
+
+    def chunks(t: pa.Table) -> pa.Table:
+        flat, off = _split_lines(t.column(text_col), delimiter)
+        counts = np.diff(off)
+        n_rows = len(counts)
+        span = np.maximum(counts - overlap, 1)
+        n_chunks = (span + step - 1) // step
+        doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), n_chunks)
+        row_first = np.cumsum(n_chunks) - n_chunks  # ordinal of row's chunk 0
+        chunk_id = np.arange(len(doc_idx), dtype=np.int64) \
+            - np.repeat(row_first, n_chunks)
+        s = chunk_id * step
+        a_start = off[doc_idx] + s
+        a_end = np.minimum(a_start + window, off[doc_idx + 1])
+        lens = a_end - a_start
+        total = int(lens.sum())
+        if total:
+            starts_rep = np.repeat(a_start, lens)
+            base = np.repeat(np.cumsum(lens) - lens, lens)
+            idx = starts_rep + (np.arange(total) - base)
+            vals = flat.take(pa.array(idx, pa.int64()))
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+        else:
+            vals = pa.array([], pa.large_string())
+        new_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=new_off[1:])
+        la = pa.LargeListArray.from_arrays(pa.array(new_off, pa.int64()),
+                                           vals)
+        txt = pc.binary_join(la, pa.scalar(delimiter, pa.large_string()))
+        ids = t.column(id_col).take(pa.array(doc_idx, pa.int64()))
+        return pa.table({
+            id_col: ids,
+            "chunk_id": pa.array(chunk_id, pa.int64()),
+            "chunk_text": txt,
+            "n_tokens": pa.array(lens.astype(np.int64)),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
