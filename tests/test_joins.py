@@ -199,3 +199,56 @@ def test_equi_join_rejects_bad_how():
     t = rd.from_arrow(pa.table({"k": [1]}))
     with pytest.raises(ValueError, match="how="):
         equi_join(t, t, on="k", how="full")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_equi_join_salted_hot_key_same_result():
+    import ray.data as rd
+
+    from webval.joins import equi_join
+
+    rng = np.random.default_rng(53)
+    n = 30000
+    # 60% of left rows share one hot key
+    lk = np.where(rng.random(n) < 0.6, 7, rng.integers(0, 500, n))
+    lt = pa.table({"k": pa.array(lk, pa.int64()),
+                   "lx": pa.array(np.arange(n), pa.int64())})
+    rk = np.concatenate([np.arange(0, 400), [7, 7, 7]])  # key 7: 4 rows
+    rt = pa.table({"k": pa.array(rk, pa.int64()),
+                   "ry": pa.array(np.arange(len(rk)), pa.int64())})
+    left = rd.from_arrow(lt).repartition(6)
+    right = rd.from_arrow(rt).repartition(2)
+
+    for how in ("inner", "left", "semi", "anti"):
+        plain = equi_join(left, right, on="k", how=how,
+                          num_buckets=8).to_pandas()
+        salted = equi_join(left, right, on="k", how=how, num_buckets=8,
+                           hot_keys=[7], salt=8).to_pandas()
+        cols = sorted(plain.columns)
+        assert sorted(salted.columns) == cols
+        a = plain[cols].sort_values(cols).reset_index(drop=True)
+        b = salted[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b), how
+
+    # the guard: the hot key exceeds an 8k-row bucket cap unsalted, but
+    # salting spreads it under the cap
+    with pytest.raises(Exception, match="max_group_rows"):
+        equi_join(left, right, on="k", num_buckets=8,
+                  max_group_rows=8000).to_pandas()
+    ok = equi_join(left, right, on="k", num_buckets=8, max_group_rows=8000,
+                   hot_keys=[7], salt=8).to_pandas()
+    assert len(ok) == len(equi_join(left, right, on="k",
+                                    num_buckets=8).to_pandas())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_equi_join_salted_rejects_multikey_and_bad_salt():
+    import ray.data as rd
+
+    from webval.joins import equi_join
+
+    t = rd.from_arrow(pa.table({"a": [1], "b": [2], "x": [3]}))
+    with pytest.raises(ValueError, match="single-key"):
+        equi_join(t, t, on=["a", "b"], hot_keys=[1])
+    with pytest.raises(ValueError, match="salt"):
+        equi_join(t, t, on="a", hot_keys=[1], salt=1)

@@ -309,7 +309,8 @@ _ARROW_JOIN_TYPE = {"inner": "inner", "left": "left outer",
 
 def equi_join(left, right, *, on, right_on=None, how: str = "inner",
               right_suffix: str = "_r", num_buckets: int | None = None,
-              max_group_rows: int | None = None):
+              max_group_rows: int | None = None,
+              hot_keys=None, salt: int = 16):
     """General large×large equi-join through the hash-bucket exchange —
     the D-family shape for when NEITHER side fits a broadcast
     (broadcast.broadcast_join covers the small-dimension case).
@@ -335,6 +336,15 @@ def equi_join(left, right, *, on, right_on=None, how: str = "inner",
     instead of an OOM.  The JOIN OUTPUT of a bucket additionally
     materializes in that task, so a many-to-many hot key explodes there
     first — pre-aggregate one side when that is possible.
+
+    ``hot_keys`` (single-key joins): the skew remedy the diagnostic points
+    at — left rows of those keys are spread across ``salt`` shards and the
+    MATCHING RIGHT ROWS ARE REPLICATED to every shard, so a hot key's
+    per-task load drops ~salt× while the join result (including
+    left/semi/anti semantics — each left row still lives in exactly one
+    shard, with its key's full right side present there) is unchanged.
+    Right-side hot rows should be few (dimension-like); the replication
+    cost is salt × their count.
     """
     from webval.exchange import DEFAULT_MAX_GROUP_ROWS, bucketed_group_apply
 
@@ -349,13 +359,30 @@ def equi_join(left, right, *, on, right_on=None, how: str = "inner",
     if len(rkeys) != len(keys):
         raise ValueError("equi_join: on / right_on length mismatch")
 
+    if hot_keys is not None and len(keys) != 1:
+        raise ValueError("equi_join: hot_keys supports single-key joins")
+    if hot_keys is not None and salt < 2:
+        raise ValueError(f"equi_join: salt={salt} must be >= 2")
+    hot_set = pa.array(list(hot_keys)) if hot_keys else None
+
     l_schema, r_schema = left.schema(), right.schema()
     l_names = list(l_schema.names)
     l_payload = [c for c in l_names if c not in keys]
     r_payload_in = [c for c in r_schema.names if c not in rkeys]
     r_payload_out = [f"{c}{right_suffix}" if c in l_names else c
                      for c in r_payload_in]
-    union_names = keys + l_payload + r_payload_out + ["__side__"]
+    union_names = keys + l_payload + r_payload_out + ["__side__", "__salt__"]
+
+    def _salts_left(key_col: pa.ChunkedArray, n: int) -> pa.Array:
+        # shard assignment only routes a hot left row to one of the salt
+        # shards — ANY assignment yields the same join result because the
+        # right side is replicated to every shard; round-robin balances
+        if hot_set is None:
+            return pa.array(np.zeros(n, np.int32))
+        hot = pc.fill_null(pc.is_in(key_col, value_set=hot_set), False) \
+                .to_numpy(zero_copy_only=False)
+        return pa.array(np.where(hot, np.arange(n) % salt, 0)
+                        .astype(np.int32))
 
     def r_type(c: str) -> pa.DataType:
         return r_schema.types[list(r_schema.names).index(c)]
@@ -365,6 +392,7 @@ def equi_join(left, right, *, on, right_on=None, how: str = "inner",
         for cin, cout in zip(r_payload_in, r_payload_out):
             cols[cout] = pa.nulls(t.num_rows, r_type(cin))
         cols["__side__"] = pa.array(np.zeros(t.num_rows, np.int8))
+        cols["__salt__"] = _salts_left(t.column(keys[0]), t.num_rows)
         return pa.table({n: cols[n] for n in union_names})
 
     def tag_right(t: pa.Table) -> pa.Table:
@@ -375,7 +403,20 @@ def equi_join(left, right, *, on, right_on=None, how: str = "inner",
         for cin, cout in zip(r_payload_in, r_payload_out):
             cols[cout] = t.column(cin)
         cols["__side__"] = pa.array(np.ones(t.num_rows, np.int8))
-        return pa.table({n: cols[n] for n in union_names})
+        cols["__salt__"] = pa.array(np.zeros(t.num_rows, np.int32))
+        out = pa.table({n: cols[n] for n in union_names})
+        if hot_set is None:
+            return out
+        hot_mask = pc.fill_null(pc.is_in(out.column(keys[0]),
+                                         value_set=hot_set), False)
+        hot_rows = out.filter(hot_mask)
+        parts = [out.filter(pc.invert(hot_mask))]
+        salt_idx = out.column_names.index("__salt__")
+        for s in range(salt):  # replicate hot right rows to every shard
+            parts.append(hot_rows.set_column(
+                salt_idx, "__salt__",
+                pa.array(np.full(hot_rows.num_rows, s, np.int32))))
+        return pa.concat_tables(parts)
 
     lt = left.map_batches(tag_left, batch_format="pyarrow")
     rt = (right.select_columns(rkeys + r_payload_in)
@@ -385,11 +426,16 @@ def equi_join(left, right, *, on, right_on=None, how: str = "inner",
     def bucket_join(g: pa.Table) -> pa.Table:
         side = g.column("__side__").to_numpy(zero_copy_only=False)
         lmask = pa.array(side == 0)
-        ltab = g.filter(lmask).select(keys + l_payload)
-        rtab = g.filter(pc.invert(lmask)).select(keys + r_payload_out)
-        return ltab.join(rtab, keys=keys, join_type=join_type) \
-                   .combine_chunks()
+        # join on (keys, salt): one bucket can hold several salt shards of
+        # the same key (bucket-hash collision), and a key-only join would
+        # match a left row against every replica of its right rows
+        ltab = g.filter(lmask).select(keys + ["__salt__"] + l_payload)
+        rtab = g.filter(pc.invert(lmask)).select(keys + ["__salt__"]
+                                                 + r_payload_out)
+        return ltab.join(rtab, keys=keys + ["__salt__"],
+                         join_type=join_type) \
+                   .drop_columns(["__salt__"]).combine_chunks()
 
-    return bucketed_group_apply(lt.union(rt), keys, bucket_join,
-                                num_buckets=num_buckets,
+    return bucketed_group_apply(lt.union(rt), keys + ["__salt__"],
+                                bucket_join, num_buckets=num_buckets,
                                 max_group_rows=max_group_rows)
