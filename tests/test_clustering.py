@@ -79,3 +79,64 @@ def test_kmeans_needs_k_rows(ray_session):
                                         pa.list_(pa.float32()))})
     with pytest.raises(ValueError, match="need >= k"):
         kmeans_fit(rd.from_arrow(t), "embedding", 3)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pca_matches_numpy_oracle():
+    import ray.data as rd
+
+    from webval.clustering import pca_fit, pca_transform
+
+    rng = np.random.default_rng(59)
+    n, d, k = 4000, 12, 4
+    # anisotropic data: known dominant directions
+    scales = np.array([30, 20, 10, 5, 1, 1, 1, 1, 1, 1, 1, 1], float)
+    x = rng.normal(0, 1, (n, d)) * scales + rng.normal(5, 0.1, d)
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array([r.tolist() for r in
+                                         x.astype(np.float32)],
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(7)
+    model = pca_fit(ds, "embedding", k, batch_size=256)
+
+    xf = x.astype(np.float32).astype(np.float64)  # engine sees float32 data
+    cov = np.cov(xf, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    want_ev = evals[order]
+    assert np.allclose(model["explained_variance"], want_ev, rtol=1e-6)
+    # components match up to sign; engine fixes signs deterministically
+    for i, ci in enumerate(order):
+        v = evecs[:, ci]
+        got = model["components"][i]
+        assert min(np.abs(got - v).max(), np.abs(got + v).max()) < 1e-6, i
+    # orthonormal rows
+    g = model["components"] @ model["components"].T
+    assert np.allclose(g, np.eye(k), atol=1e-10)
+    assert model["n"] == n
+    assert 0.99 > model["explained_variance_ratio"][0] > 0.4
+
+    out = pca_transform(ds, "embedding", model).to_pandas() \
+        .sort_values("vec_id")
+    y = np.stack(out["pc"].to_numpy())
+    want_y = (xf - xf.mean(axis=0)) @ (model["components"].T)
+    assert np.allclose(y, want_y, atol=1e-3)
+    # projection variance per component ≈ explained variance
+    assert np.allclose(y.var(axis=0, ddof=1),
+                       model["explained_variance"], rtol=1e-3)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pca_rejects_bad_args():
+    import ray.data as rd
+
+    from webval.clustering import pca_fit
+
+    t = pa.table({"embedding": pa.array([[1.0, 2.0]],
+                                        pa.list_(pa.float32()))})
+    with pytest.raises(ValueError, match=">= 2 rows"):
+        pca_fit(rd.from_arrow(t), "embedding", 1)
+    t2 = pa.table({"embedding": pa.array([[1.0, 2.0], [3.0, 4.0]],
+                                         pa.list_(pa.float32()))})
+    with pytest.raises(ValueError, match="n_components"):
+        pca_fit(rd.from_arrow(t2), "embedding", 5)

@@ -127,3 +127,93 @@ def kmeans_assign(ds, col: str, centroids: np.ndarray, *,
 
     return ds.map_batches(add_cluster, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: exact covariance via mergeable (n, Σx, XᵀX) partials
+# ---------------------------------------------------------------------------
+
+
+def pca_fit(ds, col: str, n_components: int, *, batch_size: int | None = 4096):
+    """Exact PCA over an embedding column in ONE streaming pass: each batch
+    emits (n, Σx, XᵀX) — a d-vector and a d×d float64 matrix, mergeable by
+    plain addition — and the driver eigendecomposes the d×d covariance
+    (d is the embedding dim, tiny next to n; the data itself is never
+    centered, gathered, or shuffled).
+
+    Returns {"mean", "components" (k×d, rows = descending-variance
+    directions), "explained_variance", "explained_variance_ratio", "n"}.
+    Component signs are fixed (largest-|coefficient| entry positive) so
+    results are deterministic across runs and parallelism.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _matrix_of(t.column(col)).astype(np.float64)
+        d = x.shape[1] if x.size else 0
+        xtx = x.T @ x if d else np.zeros((0, 0))
+        return pa.table({
+            "n": pa.array([x.shape[0]], pa.int64()),
+            "d": pa.array([d], pa.int64()),
+            "s": pa.array([x.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "xtx": pa.array([xtx.ravel().tolist()],
+                            pa.list_(pa.float64())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size).materialize()
+    n, d, s, xtx = 0, 0, None, None
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for row in b.to_pylist():
+            if row["d"] == 0:
+                continue
+            if s is None:
+                d = row["d"]
+                s = np.zeros(d)
+                xtx = np.zeros((d, d))
+            elif row["d"] != d:
+                raise ValueError(f"pca_fit: mixed dims {d} vs {row['d']}")
+            n += row["n"]
+            s += np.asarray(row["s"])
+            xtx += np.asarray(row["xtx"]).reshape(d, d)
+    if n < 2:
+        raise ValueError(f"pca_fit: need >= 2 rows, got {n}")
+    if not 1 <= n_components <= d:
+        raise ValueError(f"pca_fit: n_components={n_components} not in "
+                         f"[1, {d}]")
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)      # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T
+    flip = np.sign(comps[np.arange(len(order)),
+                         np.argmax(np.abs(comps), axis=1)])
+    comps = comps * flip[:, None]
+    ev = np.maximum(evals[order], 0.0)
+    total = float(np.maximum(evals, 0.0).sum()) or 1.0
+    return {"mean": mean, "components": comps,
+            "explained_variance": ev,
+            "explained_variance_ratio": ev / total, "n": int(n)}
+
+
+def pca_transform(ds, col: str, model: dict, *, out_col: str = "pc",
+                  keep_cols: list[str] | None = None):
+    """Project the embedding column onto fitted components (stateless map;
+    the k×d model rides the closure — broadcast-once at task submission).
+    Output keeps ``keep_cols`` (default: all non-embedding columns) and
+    appends ``out_col`` as fixed_size_list<float>[k]."""
+    comps = np.asarray(model["components"], dtype=np.float64)
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    k = comps.shape[0]
+
+    def project(t: pa.Table) -> pa.Table:
+        x = _matrix_of(t.column(col)).astype(np.float64)
+        y = (x - mean) @ comps.T if x.size else np.zeros((0, k))
+        keep = keep_cols if keep_cols is not None else [
+            c for c in t.column_names if c != col]
+        cols = {c: t.column(c) for c in keep}
+        cols[out_col] = pa.FixedSizeListArray.from_arrays(
+            pa.array(y.ravel().astype(np.float32)), k)
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -2041,6 +2041,47 @@ FROM lm LEFT JOIN bm ON lm.doc_id = bm.doc_id
 """
 
 
+def q_pca_embeddings(sf_dir: str):
+    """Distributed exact PCA over the embeddings table (one streaming
+    (n, Σx, XᵀX) pass, driver eigh of the d×d covariance).  Rows-only
+    driver check, but SELF-ASSERTING in-query: components must match an
+    exact in-memory numpy PCA up to 1e-6, rows be orthonormal, and the
+    projection variance equal the eigenvalues."""
+    import ray.data as rd
+
+    from webval.clustering import pca_fit, pca_transform
+
+    k = 8
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    model = pca_fit(ds, "embedding", k)
+
+    # exact oracle (embeddings table is driver-small at every sf)
+    x = np.stack(ds.to_pandas().sort_values("vec_id")["embedding"]
+                 .to_numpy()).astype(np.float64)
+    cov = np.cov(x, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    for i, ci in enumerate(order):
+        v, got = evecs[:, ci], model["components"][i]
+        assert min(np.abs(got - v).max(), np.abs(got + v).max()) < 1e-6, \
+            f"pca component {i} deviates from the exact oracle"
+    g = model["components"] @ model["components"].T
+    assert np.abs(g - np.eye(k)).max() < 1e-10, "components not orthonormal"
+    y = np.stack(pca_transform(ds, "embedding", model).to_pandas()["pc"]
+                 .to_numpy())
+    assert np.allclose(np.var(y, axis=0, ddof=1),
+                       model["explained_variance"], rtol=1e-3), \
+        "projection variance != eigenvalues"
+    return pa.table({
+        "component": pa.array(range(k), pa.int64()),
+        "explained_variance": [round(v, 6)
+                               for v in model["explained_variance"]],
+        "explained_variance_ratio":
+            [round(v, 6) for v in model["explained_variance_ratio"]],
+    })
+
+
 def q_chunk_text(sf_dir: str):
     """Training-data passage chunking: sliding 32-token windows with
     8-token overlap over every document (flat_map shape, pure Arrow/numpy
@@ -2355,6 +2396,7 @@ QUERIES = {
     "revenue_by_region": (q_revenue_by_region, SQL_REVENUE_BY_REGION),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "kmeans_clusters": (q_kmeans_clusters, None),
+    "pca_embeddings": (q_pca_embeddings, None),
     "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
     "rollup_lineitem": (q_rollup_lineitem, SQL_ROLLUP_LINEITEM),
     "pivot_chars_by_lang": (q_pivot_chars_by_lang, SQL_PIVOT_CHARS_BY_LANG),
