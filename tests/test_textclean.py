@@ -163,3 +163,40 @@ def test_chunk_text_rejects_bad_window():
     ds = rd.from_arrow(pa.table({"id": [1], "text": ["a"]}))
     with pytest.raises(ValueError, match="overlap < window"):
         chunk_text(ds, "id", "text", window=4, overlap=4)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_contamination_check_matches_oracle():
+    import ray.data as rd
+
+    from webval.textclean import contamination_check
+
+    eval_texts = ["the quick brown fox jumps", "lorem ipsum dolor sit amet"]
+    texts = [
+        "a document containing the quick brown fox jumps right here",  # hit
+        "clean text with nothing shared at all ok",                    # clean
+        "partial overlap: lorem ipsum dolor only",                     # hit
+        "short",                                                       # <8 chars
+        None,                                                          # null
+        "quick brown"                                                  # 8-gram overlap? see oracle
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = contamination_check(rd.from_arrow(t).repartition(3), "doc_id",
+                              "text", eval_texts=eval_texts, window=8) \
+        .to_pandas().set_index("doc_id").sort_index()
+
+    def shingles(s):
+        if s is None or len(s) < 8:
+            return set()
+        return {s[i:i + 8] for i in range(len(s) - 7)}
+
+    ev = set().union(*(shingles(e) for e in eval_texts))
+    for i, txt in enumerate(texts):
+        sh = shingles(txt)
+        assert got.loc[i, "n_shingles"] == len(sh), i
+        assert got.loc[i, "n_contaminated"] == len(sh & ev), i
+        assert bool(got.loc[i, "contaminated"]) == bool(sh & ev), i
+    assert bool(got.loc[0, "contaminated"]) is True
+    assert bool(got.loc[1, "contaminated"]) is False
+    assert got.loc[3, "n_shingles"] == 0

@@ -2041,6 +2041,61 @@ FROM lm LEFT JOIN bm ON lm.doc_id = bm.doc_id
 """
 
 
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination: flag training docs sharing any 8-char
+    shingle with a (deliberately leaked) eval set — the first 64 chars of
+    docs 3 and 7 plus one unleaked probe.  Eval shingles broadcast once;
+    docs probed via searchsorted over Arrow-buffer rolling hashes.  Exact
+    DuckDB twin via substr shingles (ASCII precondition asserted, same as
+    ngram_dup_pairs)."""
+    import ray.data as rd
+
+    from webval.textclean import contamination_check
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def assert_ascii(b: pa.Table) -> pa.Table:
+        col = b.column("text")
+        mism = pc.sum(pc.cast(pc.not_equal(
+            pc.utf8_length(col), pc.binary_length(col)), pa.int64())).as_py()
+        if mism:
+            raise AssertionError(
+                f"{mism} non-ASCII docs: byte-window shingles no longer "
+                "match the SQL twin's character windows")
+        return b
+
+    ds = ds.map_batches(assert_ascii, batch_format="pyarrow")
+    leaked = {r["doc_id"]: r["text"][:64] for r in ds.take_all()
+              if r["doc_id"] in (3, 7)}
+    eval_texts = [leaked[3], leaked[7], "zz unleaked probe text zz"]
+    return ds_to_table(contamination_check(ds, "doc_id", "text",
+                                           eval_texts=eval_texts, window=8))
+
+
+SQL_CONTAMINATION = """
+WITH pos AS (SELECT CAST(i AS INT) AS i FROM range(1, 8192) t(i)),
+ev AS (SELECT substr(text, 1, 64) AS t FROM documents WHERE doc_id IN (3, 7)
+       UNION ALL SELECT 'zz unleaked probe text zz'),
+evsh AS (SELECT DISTINCT substr(t, i, 8) AS g FROM ev, pos
+         WHERE length(t) >= 8 AND i <= length(t) - 7),
+dsh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS g
+        FROM documents, pos
+        WHERE text IS NOT NULL AND length(text) >= 8
+          AND i <= length(text) - 7),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+hits AS (SELECT doc_id, count(*) AS c FROM dsh JOIN evsh USING (g)
+         GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(s.n, 0) AS n_shingles,
+       coalesce(h.c, 0) AS n_contaminated,
+       coalesce(h.c, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN sizes s ON d.doc_id = s.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 def q_pca_embeddings(sf_dir: str):
     """Distributed exact PCA over the embeddings table (one streaming
     (n, Σx, XᵀX) pass, driver eigh of the d×d covariance).  Rows-only
@@ -2410,5 +2465,6 @@ QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "chunk_text": (q_chunk_text, SQL_CHUNK_TEXT),
+    "contamination": (q_contamination, SQL_CONTAMINATION),
     "except_orderkeys": (q_except_orderkeys, SQL_EXCEPT_ORDERKEYS),
 }

@@ -283,3 +283,51 @@ def chunk_text(ds, id_col: str, text_col: str = "text", *,
         })
 
     return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def contamination_check(ds, id_col: str, text_col: str = "text", *,
+                        eval_texts: list, window: int = 8):
+    """Benchmark-decontamination pass: flag every training document that
+    shares at least one character ``window``-gram with any text in the
+    evaluation set (the standard n-gram-overlap contamination test).
+
+    The eval set is shingled ONCE on the driver (it is benchmark-sized by
+    definition), its unique shingle hashes broadcast via ``ray.put``; each
+    batch computes per-doc unique rolling hashes directly off the Arrow
+    string buffer (textstats.rolling_hashes_arrow — zero per-row Python)
+    and probes them with one searchsorted.  Output, one row per doc:
+    ``(id_col, n_shingles, n_contaminated, contaminated)`` where
+    ``n_contaminated`` counts distinct overlapping shingles; documents
+    shorter than ``window`` chars have zero shingles and are clean.
+    """
+    import ray
+
+    from webval.textstats import rolling_hashes_arrow, rolling_hashes_batch
+
+    _kept, _counts, ev_hashes = rolling_hashes_batch(list(eval_texts),
+                                                     window)
+    ev = np.unique(ev_hashes)
+    ref = ray.put(ev)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bad = ray.get(ref)
+        kept, counts, hashes = rolling_hashes_arrow(t.column(text_col),
+                                                    window)
+        n = t.num_rows
+        n_sh = np.zeros(n, dtype=np.int64)
+        n_sh[kept] = counts
+        n_cont = np.zeros(n, dtype=np.int64)
+        if len(hashes) and len(bad):
+            pos = np.searchsorted(bad, hashes)
+            pos[pos == len(bad)] = 0
+            hit = bad[pos] == hashes
+            doc_of = np.repeat(kept, counts)
+            n_cont += np.bincount(doc_of[hit], minlength=n).astype(np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_shingles": pa.array(n_sh),
+            "n_contaminated": pa.array(n_cont),
+            "contaminated": pa.array(n_cont > 0),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")
