@@ -194,3 +194,16 @@ def test_deterministic_sample_is_exact_hash_membership(ray_session):
         assert np.array_equal(got, want)  # same membership at any parallelism
     # the multiplicative hash is uniform enough for +-2% at n=50k
     assert abs(len(want) / n - frac) < 0.02
+
+
+def test_grouped_cont_quantiles_match_numpy(grouped_data):
+    df, ds = grouped_data
+    got = grouped_exact_quantiles(
+        ds, "k", "v", {"p25": 0.25, "p50": 0.5, "p99": 0.99},
+        interpolate=True, num_buckets=8).to_pandas() \
+        .set_index("k").sort_index()
+    for k, grp in df.dropna(subset=["v"]).groupby("k"):
+        sv = np.sort(grp["v"].to_numpy())
+        for name, q in [("p25", 0.25), ("p50", 0.5), ("p99", 0.99)]:
+            want = np.quantile(sv, q)  # numpy 'linear' == percentile_cont
+            assert abs(got.loc[k, name] - want) < 1e-9, (k, name)

@@ -1722,6 +1722,31 @@ FROM documents WHERE n_chars IS NOT NULL GROUP BY lang
 """
 
 
+def q_grouped_cont_quantiles(sf_dir: str):
+    """F/E8: exact CONTINUOUS (linear-interpolated) per-group quantiles —
+    percentile_cont semantics, DuckDB quantile_cont twin."""
+    import ray.data as rd
+
+    from webval.rank import grouped_exact_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+    out = grouped_exact_quantiles(
+        ds, "l_returnflag", "l_extendedprice",
+        {"p25": 0.25, "p50": 0.5, "p90": 0.9}, interpolate=True)
+    return _round_cols(ds_to_table(out), {"p25": 6, "p50": 6, "p90": 6})
+
+
+SQL_GROUPED_CONT_QUANTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+FROM lineitem WHERE l_extendedprice IS NOT NULL
+GROUP BY l_returnflag
+"""
+
+
 def q_top_docs_per_lang(sf_dir: str):
     """F2 per-group: top-3 longest docs per lang, deterministic doc_id
     tie-break — exact row_number() OVER (PARTITION BY ...) <= k semantics
@@ -2447,6 +2472,8 @@ QUERIES = {
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "grouped_exact_quantiles": (q_grouped_exact_quantiles,
                                 SQL_GROUPED_EXACT_QUANTILES),
+    "grouped_cont_quantiles": (q_grouped_cont_quantiles,
+                               SQL_GROUPED_CONT_QUANTILES),
     "top_docs_per_lang": (q_top_docs_per_lang, SQL_TOP_DOCS_PER_LANG),
     "revenue_by_region": (q_revenue_by_region, SQL_REVENUE_BY_REGION),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),

@@ -42,15 +42,18 @@ def _group_boundaries(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def grouped_exact_quantiles(ds, key: str, value_col: str,
                             qs: dict[str, float], *,
+                            interpolate: bool = False,
                             num_buckets: int | None = None,
                             max_group_rows: int | None = 4_000_000):
-    """Exact per-group discrete quantiles (DuckDB ``quantile_disc``
-    semantics) of ``value_col`` grouped by ``key``.
+    """Exact per-group quantiles of ``value_col`` grouped by ``key`` —
+    discrete (DuckDB ``quantile_disc``) by default, linear-interpolated
+    continuous (``quantile_cont`` / percentile_cont: rank q*(n-1),
+    interpolate between the flanking values) with ``interpolate=True``.
 
     ``qs`` maps output column name -> quantile in [0, 1].  Null values are
     ignored; a key whose values are all null is absent from the output
     (mirrors SQL ``WHERE value IS NOT NULL``).  Output value columns keep
-    the input value type.
+    the input value type (discrete) or are float64 (continuous).
     """
     qs = dict(qs)
     proj = ds.map_batches(
@@ -60,19 +63,31 @@ def grouped_exact_quantiles(ds, key: str, value_col: str,
 
     def final(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
+            vt = (pa.float64() if interpolate
+                  else g.schema.field(value_col).type)
             return pa.table(
                 {key: pa.array([], g.schema.field(key).type),
-                 **{name: pa.array([], g.schema.field(value_col).type)
-                    for name in qs}})
+                 **{name: pa.array([], vt) for name in qs}})
         g = g.sort_by([(key, "ascending"), (value_col, "ascending")])
         kk = g.column(key).to_numpy(zero_copy_only=False)
         starts, counts = _group_boundaries(kk)
         vals = g.column(value_col)
         out = {key: g.column(key).take(pa.array(starts, pa.int64()))}
+        if interpolate:
+            vnum = vals.to_numpy(zero_copy_only=False).astype(np.float64)
         for name, q in qs.items():
-            idx = starts + np.maximum(
-                np.ceil(q * counts).astype(np.int64), 1) - 1
-            out[name] = vals.take(pa.array(idx, pa.int64()))
+            if interpolate:
+                rank = q * (counts - 1)
+                lo = np.floor(rank).astype(np.int64)
+                frac = rank - lo
+                hi = np.minimum(lo + 1, counts - 1)
+                v = (vnum[starts + lo] * (1.0 - frac)
+                     + vnum[starts + hi] * frac)
+                out[name] = pa.array(v, pa.float64())
+            else:
+                idx = starts + np.maximum(
+                    np.ceil(q * counts).astype(np.int64), 1) - 1
+                out[name] = vals.take(pa.array(idx, pa.int64()))
         return pa.table(out)
 
     return bucketed_group_apply(proj, [key], final, num_buckets=num_buckets,
