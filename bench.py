@@ -245,6 +245,49 @@ def run_ops(sf_dir: str, ncpu: int, pages_dir: str) -> dict[str, float]:
             batch_format="pyarrow").materialize()
         assert sum(r["n"] for r in mat.take_all()) > 0
 
+    # r3s3 curation ops at 400k pages (words as 'lines' — the fixture text
+    # is single-line); all end in a tiny rollup + materialize/driver-sum
+    # per the AllToAll-reservation rule (finding 2)
+    from webval.textclean import (
+        chunk_text,
+        contamination_check,
+        remove_boilerplate_lines,
+    )
+
+    with timed("line_dedup_400k"):
+        ds = rd.read_parquet(pages_dir, columns=["page_id", "text"])
+        mat = remove_boilerplate_lines(
+            ds, "page_id", "text", min_docs=DEFAULT_OPS_ROWS // 2,
+            delimiter=" ").map_batches(
+            lambda t: pa.table({"n": [t.num_rows],
+                                "rm": [pc.sum(t.column("n_removed")).as_py()
+                                       or 0]}),
+            batch_format="pyarrow").materialize()
+        rows = sum(r["n"] for r in mat.take_all())
+        assert rows == DEFAULT_OPS_ROWS
+
+    with timed("chunk_text_400k"):
+        ds = rd.read_parquet(pages_dir, columns=["page_id", "text"])
+        mat = chunk_text(ds, "page_id", "text", window=8,
+                         overlap=2).map_batches(
+            lambda t: pa.table({"n": [t.num_rows]}),
+            batch_format="pyarrow").materialize()
+        assert sum(r["n"] for r in mat.take_all()) >= DEFAULT_OPS_ROWS
+
+    with timed("contamination_400k"):
+        ds = rd.read_parquet(pages_dir, columns=["page_id", "text"])
+        evals = [r["text"] for r in ds.limit(50).take_all()]
+        mat = contamination_check(ds, "page_id", "text",
+                                  eval_texts=evals).map_batches(
+            lambda t: pa.table(
+                {"n": [t.num_rows],
+                 "c": [pc.sum(pc.cast(t.column("contaminated"),
+                                      pa.int64())).as_py() or 0]}),
+            batch_format="pyarrow").materialize()
+        recs = mat.take_all()
+        assert sum(r["n"] for r in recs) == DEFAULT_OPS_ROWS
+        assert sum(r["c"] for r in recs) >= 50  # the leaked docs themselves
+
     # fully distributed near-dedup at >=1M docs (VERDICT r1 next-1):
     # LSH candidates -> distributed Jaccard verify -> label propagation
     from webval.dedup import minhash_dedup
