@@ -91,3 +91,25 @@ def test_oversized_group_guard_names_key(ray_session):
     ok = bucketed_group_apply(ds, ["k"], lambda g: g,
                               max_group_rows=100).take_all()
     assert len(ok) == 55
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_distinct_count_matches_pandas():
+    import pandas as pd
+    import ray.data as rd
+
+    from webval.exchange import grouped_distinct_count
+
+    rng = np.random.default_rng(61)
+    n = 40000
+    k = rng.integers(0, 2000, n)          # high-cardinality keys
+    v = rng.integers(0, 50, n).astype(object)
+    v[rng.random(n) < 0.05] = None        # null vals must not count
+    t = pa.table({"k": pa.array(k, pa.int64()),
+                  "v": pa.array(list(v), pa.int64())})
+    got = grouped_distinct_count(rd.from_arrow(t).repartition(7), "k", "v",
+                                 num_buckets=8).to_pandas() \
+        .set_index("k").sort_index()
+    want = pd.DataFrame({"k": k, "v": v}).dropna().groupby("k")["v"] \
+        .nunique()
+    assert got["n_distinct"].to_dict() == want.to_dict()

@@ -207,3 +207,25 @@ def test_grouped_cont_quantiles_match_numpy(grouped_data):
         for name, q in [("p25", 0.25), ("p50", 0.5), ("p99", 0.99)]:
             want = np.quantile(sv, q)  # numpy 'linear' == percentile_cont
             assert abs(got.loc[k, name] - want) < 1e-9, (k, name)
+
+
+def test_fixed_size_sample_exact_membership(ray_session):
+    import ray.data as rd
+
+    from webval.pipelines import fixed_size_sample
+
+    n, k = 50000, 700
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"id": pa.array(ids), "v": np.arange(n) * 2})
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+    want = ids[np.lexsort((ids, h))[:k]]
+    for parallelism in (3, 16):
+        ds = rd.from_arrow(t).repartition(parallelism)
+        got = fixed_size_sample(ds, "id", k).to_pandas()
+        assert len(got) == k
+        assert set(got.columns) == {"id", "v"}
+        assert np.array_equal(np.sort(got["id"].to_numpy()), np.sort(want))
+    # n smaller than the dataset of one block
+    tiny = fixed_size_sample(rd.from_arrow(t.slice(0, 10)), "id", 50) \
+        .to_pandas()
+    assert len(tiny) == 10

@@ -178,3 +178,23 @@ def distinct_rows(ds, key_cols: list[str], *,
     return bucketed_group_apply(ds.select_columns(list(key_cols)), list(key_cols),
                                 dedup, num_buckets=num_buckets,
                                 partial_fn=dedup, batch_size=batch_size)
+
+
+def grouped_distinct_count(ds, key: str, val: str, *,
+                           num_buckets: int | None = None,
+                           out_col: str = "n_distinct",
+                           batch_size: int | None = 65536):
+    """Exact ``count(DISTINCT val) GROUP BY key`` at any cardinality of
+    either column: phase 1 dedups (key, val) pairs through one exchange
+    (per-batch dedup combiner bounds the shuffle at distinct-per-batch),
+    phase 2 counts the surviving pairs per key through a second, much
+    smaller exchange.  Null vals are not counted (SQL semantics); null-KEY
+    rows are dropped (grouped_count's convention — SQL keeps a null group,
+    so filter/fill upstream if you need it)."""
+    pairs = distinct_rows(
+        ds.map_batches(lambda t: t.select([key, val]).filter(
+            pc.is_valid(t.column(val))), batch_format="pyarrow",
+            batch_size=batch_size),
+        [key, val], num_buckets=num_buckets, batch_size=batch_size)
+    return grouped_count(pairs, key, out_col=out_col,
+                         num_buckets=num_buckets, batch_size=batch_size)

@@ -563,3 +563,42 @@ def stratified_sample(ds, id_col: str, group_col: str,
         return batch.filter(pa.array(h < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def fixed_size_sample(ds, id_col: str, n: int, *, fan: int = 64,
+                      modulus: int = 2**32, multiplier: int = 2654435761):
+    """Exactly-n uniform deterministic sample: the n rows with the
+    smallest Knuth multiplicative hash of ``id_col`` (ties broken by id).
+    Unlike fraction sampling the output size is exact, and membership is
+    still a pure function of the ids — reproducible across runs,
+    parallelism, and engines (SQL twin: ORDER BY hash, id LIMIT n).
+
+    Scale shape: each batch pre-reduces to its local top-n (combiner),
+    then a fan-in-``fan`` tree of top-n reductions collapses the partials
+    — no global sort, driver never holds more than the final n rows'
+    blocks.  Returns a Dataset of whole input rows (plus nothing else).
+    """
+    if n <= 0:
+        raise ValueError(f"fixed_size_sample: n={n}")
+    mult, mod = np.uint64(multiplier), np.uint64(modulus)
+
+    def topn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False)
+        with np.errstate(over="ignore"):
+            h = (ids * mult) % mod
+        # full (h, id) lexsort per batch keeps hash-collision tie-breaks
+        # identical to the SQL twin's ORDER BY hash, id
+        order = np.lexsort((ids, h))[:min(n, len(h))]
+        return batch.take(pa.array(order, pa.int64()))
+
+    parts = ds.map_batches(topn, batch_format="pyarrow").materialize()
+    while parts.num_blocks() > 1:
+        import math as _math
+        parts = (parts.repartition(
+            max(1, _math.ceil(parts.num_blocks() / fan)))
+            .map_batches(topn, batch_format="pyarrow", batch_size=None)
+            .materialize())
+    return parts

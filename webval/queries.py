@@ -1963,6 +1963,57 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_distinct_suppliers_by_flag(sf_dir: str):
+    """E8/G: exact count(DISTINCT) per group at any cardinality — (key,
+    val) pairs deduped through one exchange, counted through a second."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_distinct_count
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_suppkey"])
+    return ds_to_table(grouped_distinct_count(ds, "l_returnflag",
+                                              "l_suppkey"))
+
+
+SQL_DISTINCT_SUPPLIERS = """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_distinct
+FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag
+"""
+
+
+def q_fixed_size_sample(sf_dir: str):
+    """F3: exactly-n deterministic sample — the n smallest multiplicative
+    hashes of the id, tie-broken by id; per-batch top-n combiner +
+    fan-in-64 tree, membership reproduced exactly by the SQL ORDER BY
+    hash LIMIT n twin."""
+    import ray.data as rd
+
+    from webval.pipelines import fixed_size_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_quantity"])
+    # lineitem has no single unique int id; synthesize one deterministically
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "li_id", pc.add(pc.multiply(t.column("l_orderkey"), 8),
+                            t.column("l_linenumber"))),
+        batch_format="pyarrow")
+    out = fixed_size_sample(ds, "li_id", 1000)
+    return ds_to_table(out.map_batches(
+        lambda t: t.select(["li_id", "l_quantity"]),
+        batch_format="pyarrow"))
+
+
+SQL_FIXED_SIZE_SAMPLE = """
+SELECT (l_orderkey * 8 + l_linenumber) AS li_id, l_quantity
+FROM lineitem
+ORDER BY (li_id * 2654435761) % 4294967296, li_id
+LIMIT 1000
+"""
+
+
 def q_stratified_sample(sf_dir: str):
     """F3 extension: per-stratum deterministic hash sampling — downsample
     dominant languages, keep rare ones whole; membership is a pure
@@ -2490,6 +2541,9 @@ QUERIES = {
     "corr_by_returnflag": (q_corr_by_returnflag, SQL_CORR_BY_RETURNFLAG),
     "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "distinct_suppliers_by_flag": (q_distinct_suppliers_by_flag,
+                                   SQL_DISTINCT_SUPPLIERS),
+    "fixed_size_sample": (q_fixed_size_sample, SQL_FIXED_SIZE_SAMPLE),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "chunk_text": (q_chunk_text, SQL_CHUNK_TEXT),
     "contamination": (q_contamination, SQL_CONTAMINATION),
