@@ -65,3 +65,40 @@ def test_pagerank_empty_edges():
                   "d": pa.array([], pa.string())})
     out = _collect(pagerank(rd.from_arrow(t), "s", "d", num_buckets=4))
     assert out.num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_matches_union_find():
+    import ray.data as rd
+
+    from webval.graph import connected_components
+
+    rng = np.random.default_rng(67)
+    # several ring/chain components + singleton-free noise edges
+    edges = []
+    base = 0
+    for size in (2, 3, 7, 40, 1):
+        ids = list(range(base, base + max(size, 2)))
+        edges += list(zip(ids, ids[1:]))
+        base += 100
+    extra = rng.integers(1000, 1200, (300, 2)).tolist()
+    edges += [tuple(e) for e in extra]
+    t = pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                  "b": pa.array([b for _, b in edges], pa.int64())})
+    got = connected_components(rd.from_arrow(t).repartition(5), "a", "b",
+                               num_buckets=4).to_pandas()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert dict(zip(got["id"], got["component"])) == want
+    assert list(got.columns) == ["id", "component"]

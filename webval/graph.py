@@ -132,3 +132,27 @@ def pagerank_reference(src: np.ndarray, dst: np.ndarray, *,
         r = (1.0 - damping) / n + damping * (contrib + 0.0) \
             + damping * dangling / n
     return nodes, r
+
+
+def connected_components(edges, src_col: str, dst_col: str, *,
+                         max_iter: int = 50,
+                         num_buckets: int | None = None):
+    """Connected components of an undirected edge list: Dataset[{id,
+    component}] over every node appearing in an edge, ``component`` = the
+    min node id of its component.
+
+    Delegates to the min-label-propagation engine that backs the dedup
+    clustering (webval.dedup.connected_components_distributed): per round
+    one (node, label) exchange, vectorized searchsorted local joins,
+    sum-fixpoint termination — rounds ≈ component diameter, nothing
+    graph-sized on the driver.  Node ids must be integers (hash or
+    dictionary-encode string ids first)."""
+    from webval.dedup import connected_components_distributed
+
+    out = connected_components_distributed(edges, id_a=src_col,
+                                           id_b=dst_col,
+                                           max_iter=max_iter,
+                                           num_buckets=num_buckets)
+    return out.map_batches(
+        lambda t: t.rename_columns(["id", "component"]),
+        batch_format="pyarrow")

@@ -2403,6 +2403,55 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
 """
 
 
+def q_link_components(sf_dir: str):
+    """Connected components of the link graph (min-label propagation over
+    the exchange).  Rows-only driver check but SELF-ASSERTING: the full
+    labeling must equal a driver union-find exactly; returns the component
+    size distribution."""
+    import ray.data as rd
+
+    from webval.graph import connected_components
+    from webval.sketches import hash64
+
+    pages, links = ensure_synth(sf_dir)
+    ds = rd.read_parquet(links)
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.array(hash64(t.column("src_url").to_numpy(
+                zero_copy_only=False)).astype(np.int64)),
+            "dst": pa.array(hash64(t.column("dst_url").to_numpy(
+                zero_copy_only=False)).astype(np.int64)),
+        })
+
+    edges = ds.map_batches(to_ids, batch_format="pyarrow")
+    got = connected_components(edges, "src", "dst").to_pandas()
+
+    # exact oracle: driver union-find over the same hashed edge list
+    e = edges.to_pandas()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(e["src"], e["dst"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got_map = dict(zip(got["id"], got["component"]))
+    assert got_map == want, "distributed CC != driver union-find"
+
+    sizes = got.groupby("component").size().value_counts().sort_index()
+    return pa.table({
+        "component_size": pa.array(sizes.index.astype(np.int64)),
+        "n_components": pa.array(sizes.to_numpy().astype(np.int64)),
+    })
+
+
 def q_pagerank_links(sf_dir: str):
     """Iterative PageRank over the synthetic link graph (rows-only: power
     iteration is not ANSI-SQL-expressible without recursive CTE gymnastics).
@@ -2535,6 +2584,7 @@ QUERIES = {
     "pivot_chars_by_lang": (q_pivot_chars_by_lang, SQL_PIVOT_CHARS_BY_LANG),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "pagerank_links": (q_pagerank_links, None),
+    "link_components": (q_link_components, None),
     "window_functions": (q_window_functions, SQL_WINDOW_FUNCTIONS),
     "cube_orders": (q_cube_orders, SQL_CUBE_ORDERS),
     "intersect_custkeys": (q_intersect_custkeys, SQL_INTERSECT_CUSTKEYS),
