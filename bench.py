@@ -304,6 +304,20 @@ def run_ops(sf_dir: str, ncpu: int, pages_dir: str) -> dict[str, float]:
     return timings
 
 
+def host_speed_probe() -> float:
+    """Single-thread GFLOPS of one 2000³ matmul — recorded alongside every
+    measurement because this box's hypervisor neighbors can slow a vCPU
+    2-5× with ZERO visible steal time (observed r3s3: probe 6.5 → 1.3
+    GFLOPS while /proc/stat read 99.7% idle).  Compare probes before
+    comparing wall times across runs/rounds."""
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((2000, 2000))
+    t0 = time.perf_counter()
+    a @ a
+    return round(2 * 2000**3 / (time.perf_counter() - t0) / 1e9, 2)
+
+
 def main_once(headline_only: bool) -> dict:
     import ray
 
@@ -339,6 +353,7 @@ def main_once(headline_only: bool) -> dict:
         "headline_rows": n_headline,
         "ops_rows": DEFAULT_OPS_ROWS,
         "docs_per_sec": round(n_headline / head["wall"], 1),
+        "host_gflops_probe": host_speed_probe(),
         **extras,
     }
 
@@ -425,6 +440,7 @@ def run_scaling() -> dict:
         "unit": "efficiency",
         "efficiency_raw": round(eff, 3),
         "naive_efficiency": round(naive_eff, 3),
+        "host_gflops_probe": host_speed_probe(),
         "sec_8": t8, "sec_8_naive": t8n, "sec_32": t32,
         "docs_per_sec_8": results["8"]["docs_per_sec"],
         "docs_per_sec_32": results["32"]["docs_per_sec"],

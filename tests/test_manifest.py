@@ -126,3 +126,47 @@ def test_list_fragments(setup):
     frags = list_fragments(in_dir)
     assert len(frags) == 8
     assert frags == sorted(frags)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_write_prunes_at_read(tmp_path):
+    """Resumable-output shape: hive-partitioned parquet (one directory per
+    key) lets a re-run or a downstream reader touch only the partitions it
+    needs — the read-side filter must reach the scanner, not a map stage."""
+    import ray.data as rd
+
+    import numpy as np
+    import pyarrow as pa
+
+    n = 3000
+    langs = np.array(["en", "de", "fr"])[np.arange(n) % 3]
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "lang": pa.array(list(langs)),
+                  "x": pa.array(np.arange(n) * 2, pa.int64())})
+    out = str(tmp_path / "parts")
+    rd.from_arrow(t).repartition(4).write_parquet(out,
+                                                  partition_cols=["lang"])
+    import os
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert dirs == ["lang=de", "lang=en", "lang=fr"]
+
+    # partition pruning happens at FILE LISTING time via partition_filter
+    # (Ray 2.49's `filter=` cannot bind hive-partition columns during
+    # fragment sampling) — non-matching directories are never opened
+    from ray.data.datasource.partitioning import (
+        Partitioning,
+        PathPartitionFilter,
+        PathPartitionParser,
+    )
+    part = Partitioning("hive", field_types={"lang": str})
+    ds = rd.read_parquet(
+        out,
+        partition_filter=PathPartitionFilter(
+            PathPartitionParser(part), lambda kv: kv.get("lang") == "en"),
+        partitioning=part)
+    got = ds.to_pandas()
+    assert len(got) == n // 3
+    assert set(got["doc_id"] % 3) == {0}
+    assert set(got["lang"]) == {"en"}
+    files = [f for f in ds.input_files()]
+    assert files and all("lang=en" in f for f in files)
