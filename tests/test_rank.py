@@ -229,3 +229,21 @@ def test_fixed_size_sample_exact_membership(ray_session):
     tiny = fixed_size_sample(rd.from_arrow(t.slice(0, 10)), "id", 50) \
         .to_pandas()
     assert len(tiny) == 10
+
+
+def test_window_ops_rolling_mean(grouped_data):
+    from webval.rank import window_ops
+    df, ds = grouped_data
+    W = 4
+    got = (window_ops(ds, "k", ["v", "id"], rolling_mean_cols=["v"],
+                      rolling_window=W, row_number=False, num_buckets=8)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    want = df.sort_values(["k", "v", "id"], na_position="last").copy()
+    # pandas rolling with min_periods=1 skips NaN like SQL avg
+    want["rmean_v"] = (want.groupby("k", sort=False)["v"]
+                       .transform(lambda s: s.rolling(W, min_periods=1)
+                                  .mean()))
+    want = want.sort_values("id").reset_index(drop=True)
+    assert np.allclose(got["rmean_v"].to_numpy(),
+                       want["rmean_v"].to_numpy(),
+                       equal_nan=True, atol=1e-9)

@@ -2501,19 +2501,22 @@ def q_window_functions(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
     out = window_ops(ds, "user_id", ["ts", "event_id"],
-                     cumsum_cols=["value"], lag_cols=["value"])
+                     cumsum_cols=["value"], lag_cols=["value"],
+                     rolling_mean_cols=["value"], rolling_window=5)
     t = ds_to_table(out.map_batches(
         lambda t: t.select(["event_id", "row_number", "cum_value",
-                            "lag_value"]),
+                            "lag_value", "rmean_value"]),
         batch_format="pyarrow"))
-    return _round_cols(t, {"cum_value": 6})
+    return _round_cols(t, {"cum_value": 6, "rmean_value": 6})
 
 
 SQL_WINDOW_FUNCTIONS = """
 SELECT event_id,
        row_number() OVER w AS row_number,
        round(sum(value) OVER w, 6) AS cum_value,
-       lag(value) OVER w AS lag_value
+       lag(value) OVER w AS lag_value,
+       round(avg(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             6) AS rmean_value
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """

@@ -115,14 +115,18 @@ def _topk_table(t: pa.Table, key: str, order_col: str, k: int,
 def window_ops(ds, key: str, order_cols: list[str], *,
                cumsum_cols: list[str] | None = None,
                lag_cols: list[str] | None = None,
+               rolling_mean_cols: list[str] | None = None,
+               rolling_window: int = 10,
                row_number: bool = True,
                num_buckets: int | None = None,
                max_group_rows: int | None = 4_000_000):
     """SQL window functions per key partition: ``row_number() OVER w``,
     ``sum(col) OVER w`` (running sum, null until the first non-null like
-    SQL), and ``lag(col) OVER w`` for ``w AS (PARTITION BY key ORDER BY
-    order_cols)``.  Output = input columns + ``row_number`` /
-    ``cum_<col>`` / ``lag_<col>``.
+    SQL), ``lag(col) OVER w``, and ``avg(col) OVER (w ROWS BETWEEN
+    rolling_window-1 PRECEDING AND CURRENT ROW)`` for ``w AS (PARTITION BY
+    key ORDER BY order_cols)``.  Output = input columns + ``row_number`` /
+    ``cum_<col>`` / ``lag_<col>`` / ``rmean_<col>`` (null when the frame
+    holds no non-null values, like SQL avg).
 
     Pass a tie-breaking column in ``order_cols`` (e.g. a unique id) —
     window functions over an ambiguous order are not deterministic in any
@@ -133,6 +137,9 @@ def window_ops(ds, key: str, order_cols: list[str], *,
     order_cols = list(order_cols)
     cumsum_cols = list(cumsum_cols or [])
     lag_cols = list(lag_cols or [])
+    rolling_mean_cols = list(rolling_mean_cols or [])
+    if rolling_mean_cols and rolling_window < 1:
+        raise ValueError(f"window_ops: rolling_window={rolling_window}")
 
     def final(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -143,6 +150,8 @@ def window_ops(ds, key: str, order_cols: list[str], *,
                 cols[f"cum_{c}"] = pa.array([], pa.float64())
             for c in lag_cols:
                 cols[f"lag_{c}"] = pa.array([], g.schema.field(c).type)
+            for c in rolling_mean_cols:
+                cols[f"rmean_{c}"] = pa.array([], pa.float64())
             return pa.table(cols)
         g = g.sort_by([(key, "ascending")]
                       + [(c, "ascending") for c in order_cols])
@@ -178,6 +187,24 @@ def window_ops(ds, key: str, order_cols: list[str], *,
                 cols[f"lag_{c}"] = pc.if_else(
                     pa.array(~first), taken,
                     pa.scalar(None, g.schema.field(c).type))
+        if rolling_mean_cols:
+            i = np.arange(len(kk))
+            lo = i - np.minimum(pos, rolling_window - 1)  # frame start
+            for c in rolling_mean_cols:
+                arr = g.column(c)
+                valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+                v = np.where(
+                    valid,
+                    arr.to_numpy(zero_copy_only=False).astype(np.float64),
+                    0.0)
+                cs = np.concatenate([[0.0], np.cumsum(v)])
+                cn = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+                nn = cn[i + 1] - cn[lo]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    rm = (cs[i + 1] - cs[lo]) / nn
+                empty = nn == 0
+                cols[f"rmean_{c}"] = pa.array(
+                    np.where(empty, np.nan, rm), pa.float64(), mask=empty)
         return pa.table(cols)
 
     return bucketed_group_apply(ds, [key], final, num_buckets=num_buckets,
