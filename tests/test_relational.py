@@ -199,3 +199,45 @@ def test_pivot_null_fill_and_missing_cell():
     d = {r["rk"]: (r["x"], r["y"])
          for r in out.sort_by([("rk", "ascending")]).to_pylist()}
     assert d == {"a": (1, 2), "b": (3, None)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouping_sets_matches_duckdb():
+    import duckdb
+    import ray.data as rd
+
+    from webval.relational import grouping_sets_agg
+
+    rng = np.random.default_rng(71)
+    n = 3000
+    a = rng.choice(["p", "q", "r"], n)
+    b = rng.choice(["x", "y"], n)
+    v = rng.integers(0, 100, n)
+    t = pa.table({"a": pa.array(list(a)), "b": pa.array(list(b)),
+                  "v": pa.array(v, pa.int64())})
+    out = _collect(grouping_sets_agg(
+        rd.from_arrow(t).repartition(4),
+        [["a", "b"], ["b"], []], [("v", "sum")], num_buckets=8))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(
+        "SELECT a, b, sum(v) AS v_sum FROM t "
+        "GROUP BY GROUPING SETS ((a, b), (b), ())").arrow()
+    order = [(c, "ascending") for c in out.column_names]
+    g = out.sort_by(order).combine_chunks()
+    w = want.cast(g.schema).sort_by(order).combine_chunks()
+    assert g.equals(w)
+    assert g.num_rows == 6 + 2 + 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouping_sets_rejects_bad_args():
+    import ray.data as rd
+
+    from webval.relational import grouping_sets_agg
+
+    t = rd.from_arrow(pa.table({"a": ["x"], "v": [1]}))
+    with pytest.raises(ValueError, match="duplicate"):
+        grouping_sets_agg(t, [["a"], ["a"]], [("v", "sum")])
+    with pytest.raises(ValueError, match="at least one set must"):
+        grouping_sets_agg(t, [[]], [("v", "sum")])

@@ -200,3 +200,35 @@ def test_contamination_check_matches_oracle():
     assert bool(got.loc[0, "contaminated"]) is True
     assert bool(got.loc[1, "contaminated"]) is False
     assert got.loc[3, "n_shingles"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_textclean_multibyte_text():
+    """utf-8 multibyte content: line hashing, chunk reassembly, and char
+    (not byte) length accounting must all hold."""
+    import ray.data as rd
+
+    from webval.textclean import chunk_text, remove_boilerplate_lines
+
+    boiler = "котики и щенки"
+    texts = [f"уникальная строка {i}\n{boiler}\n日本語のテキスト {i}"
+             for i in range(10)]
+    t = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                  "text": texts})
+    ds = rd.from_arrow(t).repartition(3)
+    got = remove_boilerplate_lines(ds, "doc_id", "text", min_docs=5) \
+        .to_pandas().set_index("doc_id").sort_index()
+    for i in range(10):
+        assert got.loc[i, "clean_text"] == \
+            f"уникальная строка {i}\n日本語のテキスト {i}"
+        assert got.loc[i, "n_removed"] == 1
+
+    chunks = chunk_text(ds, "doc_id", "text", window=2, overlap=1,
+                        delimiter="\n").to_pandas()
+    by_doc = chunks.sort_values(["doc_id", "chunk_id"]).groupby("doc_id")
+    for i, grp in by_doc:
+        lines = []
+        for k, p in enumerate(grp["chunk_text"]):
+            seg = p.split("\n")
+            lines.extend(seg if k == 0 else seg[1:])
+        assert "\n".join(lines) == texts[i]

@@ -2340,6 +2340,31 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
+def q_grouping_sets(sf_dir: str):
+    """E8: arbitrary GROUPING SETS — per (status), per (priority), and the
+    grand total, all derived from one raw scan's finest grouping."""
+    import ray.data as rd
+
+    from webval.relational import grouping_sets_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority",
+                                  "o_totalprice"])
+    out = grouping_sets_agg(
+        ds, [["o_orderstatus"], ["o_orderpriority"], []],
+        [("o_totalprice", "sum"), ("o_totalprice", "count")])
+    return _round_cols(ds_to_table(out), {"o_totalprice_sum": 2})
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS o_totalprice_sum,
+       count(o_totalprice) AS o_totalprice_count
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def q_pivot_chars_by_lang(sf_dir: str):
     """E8/wide reshape: per-source character totals pivoted to one column
     per language (declared column set — fixed output schema keeps the
@@ -2590,6 +2615,7 @@ QUERIES = {
     "link_components": (q_link_components, None),
     "window_functions": (q_window_functions, SQL_WINDOW_FUNCTIONS),
     "cube_orders": (q_cube_orders, SQL_CUBE_ORDERS),
+    "grouping_sets_orders": (q_grouping_sets, SQL_GROUPING_SETS),
     "intersect_custkeys": (q_intersect_custkeys, SQL_INTERSECT_CUSTKEYS),
     "corr_by_returnflag": (q_corr_by_returnflag, SQL_CORR_BY_RETURNFLAG),
     "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),

@@ -140,6 +140,78 @@ def except_distinct(a, b, cols: list[str], *,
     return _set_op(a, b, cols, "except", num_buckets=num_buckets)
 
 
+def grouping_sets_agg(ds, sets: list[list[str]],
+                      aggs: list[tuple[str, str]], *,
+                      num_buckets: int | None = None):
+    """``GROUP BY GROUPING SETS (...)`` semantics: one output row set per
+    requested key subset, dropped key columns null, ``[]`` = the
+    grand-total row.  Same one-raw-scan shape as rollup/cube: the finest
+    level groups by the UNION of all requested keys; every requested set
+    re-aggregates that (already small) output — exact because only
+    mergeable aggregates (sum/min/max/count) are allowed."""
+    sets = [list(s) for s in sets]
+    if not sets:
+        raise ValueError("grouping_sets_agg: need at least one set")
+    seen = set()
+    for s in sets:
+        key = tuple(sorted(s))
+        if key in seen:
+            raise ValueError(f"grouping_sets_agg: duplicate set {s}")
+        seen.add(key)
+    for c, a in aggs:
+        if a not in _RECOMBINE:
+            raise ValueError(f"grouping_sets_agg: non-mergeable "
+                             f"aggregate {a!r}")
+    all_keys: list[str] = []
+    for s in sets:
+        for k in s:
+            if k not in all_keys:
+                all_keys.append(k)
+    if not all_keys:
+        raise ValueError("grouping_sets_agg: at least one set must "
+                         "name a key")
+    out_names = [f"{c}_{a}" for c, a in aggs]
+    schema = ds.schema()
+    key_types = {k: schema.types[list(schema.names).index(k)]
+                 for k in all_keys}
+
+    finest = grouped_agg(ds, all_keys, aggs, num_buckets=num_buckets)
+    re_aggs = [(n, _RECOMBINE[a]) for n, (_c, a) in zip(out_names, aggs)]
+    rename = {f"{n}_{_RECOMBINE[a]}": n
+              for n, (_c, a) in zip(out_names, aggs)}
+
+    def widen(level_keys: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in all_keys:
+                cols[k] = (t.column(k) if k in level_keys
+                           else pa.nulls(t.num_rows, key_types[k]))
+            for n in out_names:
+                cols[n] = t.column(n)
+            return pa.table(cols)
+        return fn
+
+    out = None
+    for s in sets:
+        if sorted(s) == sorted(all_keys):
+            lvl = finest
+        elif s:
+            lvl = grouped_agg(finest, s, re_aggs, rename=rename,
+                              num_buckets=num_buckets)
+        else:  # grand total via the literal-key single-reduce trick
+            marked = finest.map_batches(
+                lambda t: t.append_column(
+                    "__all__", pa.array(np.zeros(t.num_rows, np.int8))),
+                batch_format="pyarrow")
+            lvl = grouped_agg(marked, ["__all__"], re_aggs, rename=rename,
+                              num_buckets=num_buckets).map_batches(
+                lambda t: t.drop_columns(["__all__"]),
+                batch_format="pyarrow")
+        wide = lvl.map_batches(widen(s), batch_format="pyarrow")
+        out = wide if out is None else out.union(wide)
+    return out
+
+
 def cube_agg(ds, keys: list[str], aggs: list[tuple[str, str]], *,
              num_buckets: int | None = None):
     """``GROUP BY CUBE(keys...)`` semantics: one output row set per SUBSET
