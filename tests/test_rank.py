@@ -247,3 +247,31 @@ def test_window_ops_rolling_mean(grouped_data):
     assert np.allclose(got["rmean_v"].to_numpy(),
                        want["rmean_v"].to_numpy(),
                        equal_nan=True, atol=1e-9)
+
+
+def test_window_ops_ntile_matches_sql_rule(ray_session):
+    import ray.data as rd
+
+    from webval.rank import window_ops
+
+    # group sizes exercising c < n, c % n == 0, and remainder cases
+    rows = []
+    for k, c in [("a", 2), ("b", 8), ("c", 10), ("d", 1)]:
+        rows += [(k, i) for i in range(c)]
+    t = pa.table({"k": pa.array([r[0] for r in rows]),
+                  "o": pa.array([r[1] for r in rows], pa.int64())})
+    got = (window_ops(rd.from_arrow(t).repartition(3), "k", ["o"],
+                      ntile=4, row_number=False).to_pandas()
+           .sort_values(["k", "o"]))
+
+    def sql_ntile(c, n=4):
+        q, r = divmod(c, n)
+        out, b = [], 1
+        for i in range(n):
+            size = q + (1 if i < r else 0)
+            out += [b] * size
+            b += 1
+        return out[:c] if q else list(range(1, c + 1))
+
+    for k, c in [("a", 2), ("b", 8), ("c", 10), ("d", 1)]:
+        assert list(got[got["k"] == k]["ntile"]) == sql_ntile(c), k

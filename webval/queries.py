@@ -2527,10 +2527,11 @@ def q_window_functions(sf_dir: str):
                          columns=["event_id", "user_id", "ts", "value"])
     out = window_ops(ds, "user_id", ["ts", "event_id"],
                      cumsum_cols=["value"], lag_cols=["value"],
-                     rolling_mean_cols=["value"], rolling_window=5)
+                     rolling_mean_cols=["value"], rolling_window=5,
+                     ntile=4)
     t = ds_to_table(out.map_batches(
         lambda t: t.select(["event_id", "row_number", "cum_value",
-                            "lag_value", "rmean_value"]),
+                            "lag_value", "rmean_value", "ntile"]),
         batch_format="pyarrow"))
     return _round_cols(t, {"cum_value": 6, "rmean_value": 6})
 
@@ -2541,7 +2542,8 @@ SELECT event_id,
        round(sum(value) OVER w, 6) AS cum_value,
        lag(value) OVER w AS lag_value,
        round(avg(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
-             6) AS rmean_value
+             6) AS rmean_value,
+       ntile(4) OVER w AS ntile
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """

@@ -117,6 +117,7 @@ def window_ops(ds, key: str, order_cols: list[str], *,
                lag_cols: list[str] | None = None,
                rolling_mean_cols: list[str] | None = None,
                rolling_window: int = 10,
+               ntile: int | None = None,
                row_number: bool = True,
                num_buckets: int | None = None,
                max_group_rows: int | None = 4_000_000):
@@ -126,7 +127,9 @@ def window_ops(ds, key: str, order_cols: list[str], *,
     rolling_window-1 PRECEDING AND CURRENT ROW)`` for ``w AS (PARTITION BY
     key ORDER BY order_cols)``.  Output = input columns + ``row_number`` /
     ``cum_<col>`` / ``lag_<col>`` / ``rmean_<col>`` (null when the frame
-    holds no non-null values, like SQL avg).
+    holds no non-null values, like SQL avg).  ``ntile=n`` adds SQL's
+    ``ntile(n) OVER w`` equi-depth bucket (1-based; the first
+    ``count % n`` buckets get the extra row, exactly like SQL).
 
     Pass a tie-breaking column in ``order_cols`` (e.g. a unique id) —
     window functions over an ambiguous order are not deterministic in any
@@ -140,6 +143,8 @@ def window_ops(ds, key: str, order_cols: list[str], *,
     rolling_mean_cols = list(rolling_mean_cols or [])
     if rolling_mean_cols and rolling_window < 1:
         raise ValueError(f"window_ops: rolling_window={rolling_window}")
+    if ntile is not None and ntile < 1:
+        raise ValueError(f"window_ops: ntile={ntile}")
 
     def final(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -152,6 +157,8 @@ def window_ops(ds, key: str, order_cols: list[str], *,
                 cols[f"lag_{c}"] = pa.array([], g.schema.field(c).type)
             for c in rolling_mean_cols:
                 cols[f"rmean_{c}"] = pa.array([], pa.float64())
+            if ntile is not None:
+                cols["ntile"] = pa.array([], pa.int64())
             return pa.table(cols)
         g = g.sort_by([(key, "ascending")]
                       + [(c, "ascending") for c in order_cols])
@@ -162,6 +169,14 @@ def window_ops(ds, key: str, order_cols: list[str], *,
         cols = {n: g.column(n) for n in g.column_names}
         if row_number:
             cols["row_number"] = pa.array(pos + 1, pa.int64())
+        if ntile is not None:
+            c = counts[seg_id]  # partition size per row
+            q, r = c // ntile, c % ntile
+            cut = r * (q + 1)  # rows in the (q+1)-sized leading buckets
+            small_q = np.maximum(q, 1)  # q=0: all buckets are size 1
+            nt = np.where(pos < cut, pos // (q + 1),
+                          r + (pos - cut) // small_q) + 1
+            cols["ntile"] = pa.array(nt.astype(np.int64))
         for c in cumsum_cols:
             arr = g.column(c)
             valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
