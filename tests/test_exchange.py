@@ -113,3 +113,30 @@ def test_grouped_distinct_count_matches_pandas():
     want = pd.DataFrame({"k": k, "v": v}).dropna().groupby("k")["v"] \
         .nunique()
     assert got["n_distinct"].to_dict() == want.to_dict()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_detect_hot_keys_no_false_negatives():
+    import ray.data as rd
+
+    from webval.exchange import detect_hot_keys
+
+    rng = np.random.default_rng(73)
+    n = 60000
+    # two planted heavy keys amid a uniform long tail
+    k = rng.integers(0, 20000, n)
+    k[: n // 4] = 777
+    k[n // 4: n // 3] = 888
+    rng.shuffle(k)
+    ds = rd.from_arrow(pa.table({"k": pa.array(k, pa.int64())})) \
+        .repartition(8)
+    hot = detect_hot_keys(ds, "k", min_count=3000)
+    assert 777 in hot and 888 in hot
+    # certified: nothing with true count >= threshold is missing
+    import collections
+    true = collections.Counter(k.tolist())
+    for key, c in true.items():
+        if c >= 3000:
+            assert key in hot, (key, c)
+    # and the sketch stays small: far fewer than distinct keys
+    assert len(hot) <= 64

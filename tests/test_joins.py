@@ -252,3 +252,34 @@ def test_equi_join_salted_rejects_multikey_and_bad_salt():
         equi_join(t, t, on=["a", "b"], hot_keys=[1])
     with pytest.raises(ValueError, match="salt"):
         equi_join(t, t, on="a", hot_keys=[1], salt=1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_equi_join_auto_hot_keys():
+    import ray.data as rd
+
+    from webval.joins import equi_join
+
+    rng = np.random.default_rng(79)
+    n = 30000
+    lk = np.where(rng.random(n) < 0.5, 42, rng.integers(0, 300, n))
+    lt = pa.table({"k": pa.array(lk, pa.int64()),
+                   "lx": pa.array(np.arange(n), pa.int64())})
+    rt = pa.table({"k": pa.array(np.arange(0, 300), pa.int64()),
+                   "ry": pa.array(np.arange(300), pa.int64())})
+    left = rd.from_arrow(lt).repartition(6)
+    right = rd.from_arrow(rt)
+    # unsalted, the 15k-row key 42 trips an 8k cap; auto detection finds
+    # and salts it without the caller naming it
+    with pytest.raises(Exception, match="max_group_rows"):
+        equi_join(left, right, on="k", num_buckets=8,
+                  max_group_rows=8000).to_pandas()
+    got = equi_join(left, right, on="k", num_buckets=8,
+                    max_group_rows=8000, hot_keys="auto",
+                    salt=8).to_pandas()
+    want = equi_join(left, right, on="k", num_buckets=8).to_pandas()
+    cols = sorted(want.columns)
+    assert got[cols].sort_values(cols).reset_index(drop=True).equals(
+        want[cols].sort_values(cols).reset_index(drop=True))
+    with pytest.raises(ValueError, match="hot_keys"):
+        equi_join(left, right, on="k", hot_keys="bogus")

@@ -198,3 +198,50 @@ def grouped_distinct_count(ds, key: str, val: str, *,
         [key, val], num_buckets=num_buckets, batch_size=batch_size)
     return grouped_count(pairs, key, out_col=out_col,
                          num_buckets=num_buckets, batch_size=batch_size)
+
+
+def detect_hot_keys(ds, col: str, *, min_count: int, k: int = 64,
+                    batch_size: int | None = 65536) -> list:
+    """Keys of ``col`` that MAY occur ≥ ``min_count`` times, via a
+    tree-reduced Misra-Gries sketch (k counters per partial — KB-sized
+    accumulators regardless of input size).  No false negatives above the
+    sketch's certified error bound: every key truly ≥ min_count is
+    returned (plus possibly a few under it, harmless for skew remedies
+    like salted joins, which only over-protect).  One streaming pass."""
+    import math
+    import pickle
+
+    from webval.sketches import MisraGries
+
+    def partial(t: pa.Table) -> pa.Table:
+        mg = MisraGries(k=k)
+        c = t.column(col).combine_chunks()
+        vc = c.value_counts()
+        vals, cnts = vc.field("values"), vc.field("counts")
+        ok = pc.is_valid(vals)
+        mg.add_counts(vals.filter(ok).to_pylist(),
+                      cnts.filter(ok).to_numpy(zero_copy_only=False))
+        return pa.table({"mg": pa.array([pickle.dumps(mg)],
+                                        pa.large_binary())})
+
+    def merge_rows(t: pa.Table) -> pa.Table:
+        merged = None
+        for b in t.column("mg").to_pylist():
+            mg = pickle.loads(b)
+            merged = mg if merged is None else merged.merge(mg)
+        return pa.table({"mg": pa.array([pickle.dumps(
+            merged or MisraGries(k=k))], pa.large_binary())})
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size).materialize()
+    n = parts.count()
+    while n > 64:
+        parts = (parts.repartition(max(1, math.ceil(n / 64)))
+                 .map_batches(merge_rows, batch_format="pyarrow",
+                              batch_size=None).materialize())
+        n = parts.count()
+    final = MisraGries(k=k)
+    for row in parts.take_all():
+        final.merge(pickle.loads(row["mg"]))
+    return [v for v, _lo, hi in final.heavy_hitters(min_count)
+            if hi >= min_count]

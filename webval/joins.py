@@ -344,7 +344,10 @@ def equi_join(left, right, *, on, right_on=None, how: str = "inner",
     left/semi/anti semantics — each left row still lives in exactly one
     shard, with its key's full right side present there) is unchanged.
     Right-side hot rows should be few (dimension-like); the replication
-    cost is salt × their count.
+    cost is salt × their count.  ``hot_keys="auto"`` detects them with one
+    Misra-Gries pass over the left keys (exchange.detect_hot_keys;
+    threshold ``max_group_rows // 2`` — no false negatives, a few
+    over-protected keys are harmless).
     """
     from webval.exchange import DEFAULT_MAX_GROUP_ROWS, bucketed_group_apply
 
@@ -363,6 +366,13 @@ def equi_join(left, right, *, on, right_on=None, how: str = "inner",
         raise ValueError("equi_join: hot_keys supports single-key joins")
     if hot_keys is not None and salt < 2:
         raise ValueError(f"equi_join: salt={salt} must be >= 2")
+    if isinstance(hot_keys, str):
+        if hot_keys != "auto":
+            raise ValueError(f"equi_join: hot_keys={hot_keys!r} "
+                             "(pass a list of key values or 'auto')")
+        from webval.exchange import detect_hot_keys
+        hot_keys = detect_hot_keys(left, keys[0],
+                                   min_count=max_group_rows // 2)
     hot_set = pa.array(list(hot_keys)) if hot_keys else None
 
     l_schema, r_schema = left.schema(), right.schema()
