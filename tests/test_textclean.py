@@ -232,3 +232,39 @@ def test_textclean_multibyte_text():
             seg = p.split("\n")
             lines.extend(seg if k == 0 else seg[1:])
         assert "\n".join(lines) == texts[i]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_web_text_equals_stepwise():
+    import ray.data as rd
+
+    from webval.textclean import (chunk_text, curate_web_text,
+                                  remove_boilerplate_lines,
+                                  repetition_stats)
+
+    ids, texts = _docs()
+    # plant a highly-repetitive doc the filter must drop
+    ids.append(500)
+    texts.append("\n".join(["same line"] * 20 + ["other"]))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    ds = rd.from_arrow(t).repartition(5)
+    got = curate_web_text(ds, "doc_id", "text", min_docs=5, window=3,
+                          overlap=1, delimiter="\n").to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+    clean = remove_boilerplate_lines(ds, "doc_id", "text", min_docs=5,
+                                     delimiter="\n")
+    stats = repetition_stats(clean, "doc_id", "clean_text",
+                             delimiter="\n",
+                             keep_cols=["clean_text"]).to_pandas()
+    kept = stats[stats["dup_chars"] * 4 <= stats["total_chars"]]
+    import ray.data as rd2
+    want = chunk_text(
+        rd2.from_arrow(pa.Table.from_pandas(
+            kept[["doc_id", "clean_text"]], preserve_index=False)),
+        "doc_id", "clean_text", window=3, overlap=1,
+        delimiter="\n").to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert got.equals(want)
+    assert 500 not in set(got["doc_id"])   # repetitive doc filtered
+    assert len(got) > len(set(got["doc_id"]))  # real multi-chunk docs

@@ -2240,6 +2240,53 @@ FROM s
 """
 
 
+def q_curation_v2(sf_dir: str):
+    """Flagship web-text curation COMPOSITE: corpus boilerplate-line
+    removal → repetition filter on the cleaned text (≤1/4 of chars in
+    repeated tokens, exact integer cross-multiplication) → 32-token
+    chunking with 8-token overlap — one streaming pipeline, one SQL twin
+    for the whole composition."""
+    import ray.data as rd
+
+    from webval.textclean import curate_web_text
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = curate_web_text(ds, "doc_id", "text", min_docs=300,
+                          window=32, overlap=8, delimiter=" ")
+    return ds_to_table(out)
+
+
+SQL_CURATION_V2 = """
+WITH l AS (SELECT doc_id, unnest(string_split(text, ' ')) AS line
+           FROM documents),
+freq AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS c
+                           FROM l GROUP BY line) WHERE c >= 300),
+fl AS (SELECT coalesce(list(line), []) AS ls FROM freq),
+clean AS (SELECT doc_id,
+          coalesce(list_aggr(list_filter(string_split(text, ' '),
+                                         x -> NOT list_contains(fl.ls, x)),
+                             'string_agg', ' '), '') AS ct
+          FROM documents CROSS JOIN fl),
+per AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+        FROM (SELECT doc_id, unnest(string_split(ct, ' ')) AS line
+              FROM clean) GROUP BY doc_id, line),
+rep AS (SELECT doc_id, CAST(sum((c - 1) * len) AS BIGINT) AS dup,
+               CAST(sum(c * len) AS BIGINT) AS tot
+        FROM per GROUP BY doc_id),
+kept AS (SELECT clean.doc_id, ct FROM clean
+         JOIN rep ON clean.doc_id = rep.doc_id WHERE dup * 4 <= tot),
+w AS (SELECT doc_id, string_split(ct, ' ') AS ws FROM kept),
+s AS (SELECT doc_id, ws,
+             unnest(range(0, greatest(len(ws) - 8, 1), 24)) AS st
+      FROM w)
+SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(ws, st + 1, st + 32), ' ') AS chunk_text,
+       CAST(len(list_slice(ws, st + 1, st + 32)) AS BIGINT) AS n_tokens
+FROM s
+"""
+
+
 def q_corr_by_returnflag(sf_dir: str):
     """E-family cross-column stat: exact per-group Pearson correlation of
     quantity vs extendedprice — co-moment sums ride the exchange with
@@ -2628,5 +2675,6 @@ QUERIES = {
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "chunk_text": (q_chunk_text, SQL_CHUNK_TEXT),
     "contamination": (q_contamination, SQL_CONTAMINATION),
+    "curation_v2": (q_curation_v2, SQL_CURATION_V2),
     "except_orderkeys": (q_except_orderkeys, SQL_EXCEPT_ORDERKEYS),
 }

@@ -138,7 +138,8 @@ def remove_boilerplate_lines(ds, id_col: str, text_col: str = "text", *,
 
 
 def repetition_stats(ds, id_col: str, text_col: str = "text", *,
-                     delimiter: str = "\n"):
+                     delimiter: str = "\n",
+                     keep_cols: list[str] | None = None):
     """Gopher-style within-document repetition signals, one row per doc:
 
     - ``n_lines``: segment count after splitting on ``delimiter``.
@@ -206,6 +207,7 @@ def repetition_stats(ds, id_col: str, text_col: str = "text", *,
 
         return pa.table({
             id_col: t.column(id_col),
+            **{c: t.column(c) for c in (keep_cols or [])},
             "n_lines": pa.array(counts.astype(np.int64)),
             "n_dup_lines": pa.array(n_dup.astype(np.int64)),
             # exact integer numerator/denominator alongside the ratio —
@@ -331,3 +333,42 @@ def contamination_check(ds, id_col: str, text_col: str = "text", *,
         })
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def curate_web_text(ds, id_col: str, text_col: str = "text", *,
+                    min_docs: int, window: int, overlap: int = 0,
+                    max_dup_num: int = 1, max_dup_den: int = 4,
+                    delimiter: str = " ", num_buckets: int | None = None):
+    """End-to-end web-text curation composite, one streaming pipeline:
+
+    1. corpus boilerplate-line removal (``remove_boilerplate_lines``),
+    2. within-document repetition filter on the CLEANED text — keep docs
+       with ``dup_chars * max_dup_den <= total_chars * max_dup_num``
+       (default: at most 1/4 of characters inside repeated lines; empty
+       docs have 0 <= 0 and are kept, then yield one empty chunk),
+    3. sliding-window passage chunking (``chunk_text``).
+
+    Returns the chunk Dataset ``(id_col, chunk_id, chunk_text,
+    n_tokens)``.  Every stage is individually oracle-checked; the
+    ``curation_v2`` query checks this COMPOSITION against one SQL twin.
+    Integer cross-multiplication keeps the filter exact (no float ratio).
+    """
+    clean = remove_boilerplate_lines(ds, id_col, text_col,
+                                     min_docs=min_docs,
+                                     delimiter=delimiter,
+                                     num_buckets=num_buckets)
+    stats = repetition_stats(clean, id_col, "clean_text",
+                             delimiter=delimiter,
+                             keep_cols=["clean_text"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ok = pc.less_equal(
+            pc.multiply(t.column("dup_chars"),
+                        pa.scalar(max_dup_den, pa.int64())),
+            pc.multiply(t.column("total_chars"),
+                        pa.scalar(max_dup_num, pa.int64())))
+        return t.filter(ok).select([id_col, "clean_text"])
+
+    kept = stats.map_batches(keep, batch_format="pyarrow")
+    return chunk_text(kept, id_col, "clean_text", window=window,
+                      overlap=overlap, delimiter=delimiter)
