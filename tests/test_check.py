@@ -215,3 +215,63 @@ def test_to_tags_null_failed_checks_entry():
     assert rows[0]["tags"] == []
     assert [g["name"] for g in rows[1]["tags"]] == ["c1-err"]
     assert rows[2]["tags"] == []
+
+
+def test_conditional_check_semantics():
+    from webval.checks import check_mask
+
+    t = pa.table({
+        "lang": ["en", "en", "de", None, "en"],
+        "n":    [10,   500,  500,  500,  None],
+    })
+    spec = CheckSpec("en-len", "n", "conditional", {
+        "when": {"column": "lang", "kind": "domain",
+                 "params": {"values": ["en"]}},
+        "then": {"column": "n", "kind": "range",
+                 "params": {"min": 0, "max": 100}},
+    })
+    m = check_mask(t, spec)
+    # in-scope pass, in-scope fail, out of scope (wrong value), out of
+    # scope (null when-col — SQL-natural), in-scope null value (range
+    # nulls pass: the null-rate check owns them)
+    assert m.tolist() == [True, False, True, True, True]
+
+
+def test_register_batch_check_kind_plugin():
+    from webval.checks import ROW_LEVEL_KINDS  # noqa: F401  (snapshot below)
+    from webval import checks as C
+
+    def sum_under(batch, params):
+        import pyarrow.compute as pc
+        s = pc.add(batch.column("a"), batch.column("b"))
+        return pc.fill_null(pc.less_equal(s, params["max"]), True)
+
+    C.register_batch_check_kind("sum_under", sum_under)
+    try:
+        assert "sum_under" in C.ROW_LEVEL_KINDS
+        t = pa.table({"a": [1, 5], "b": [1, 50]})
+        m = C.check_mask(t, CheckSpec("s", "a", "sum_under", {"max": 10}))
+        assert m.tolist() == [True, False]
+    finally:
+        C.BATCH_CHECK_KINDS.pop("sum_under", None)
+        C.ROW_LEVEL_KINDS = C.CHECK_KINDS.keys() | C.BATCH_CHECK_KINDS.keys()
+
+
+def test_check_pass_rates(ray_session):
+    import ray.data as rd
+
+    from webval.pipelines import check_pass_rates
+
+    t = pa.table({"value": [1.0, 50.0, 300.0, None],
+                  "event_type": ["click", "bogus", "view", "click"]})
+    spec = SchemaSpec(name="e", built=True, checks=[
+        CheckSpec("value-range", "value", "range", {"min": 5.0, "max": 250.0}),
+        CheckSpec("type-domain", "event_type", "domain",
+                  {"values": ["click", "view", "purchase", "signup"]}),
+    ])
+    out = check_pass_rates(rd.from_arrow(t), spec).to_pylist()
+    by = {r["check_name"]: r for r in out}
+    assert by["value-range"]["n_failed"] == 2  # 1.0 and 300.0; null passes
+    assert by["type-domain"]["n_failed"] == 1
+    assert by["value-range"]["n_rows"] == 4
+    assert by["value-range"]["fail_rate"] == 0.5

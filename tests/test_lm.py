@@ -1,0 +1,107 @@
+"""Unigram-LM quality scoring (webval.lm): exact parity with a pure-Python
+oracle, vocabulary truncation determinism, and model serialization."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from webval.lm import UnigramLM, fit_unigram_lm, score_unigram_lm
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the dog ate the cat",
+    "a b c a b a",
+    "",           # zero tokens
+    None,         # null text
+    "THE Cat!",   # case + punctuation fold into the same tokens
+]
+
+
+def _tok(t):
+    import re
+    if t is None:
+        return []
+    return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+
+def _oracle_lm(texts, vocab_size=None):
+    from collections import Counter
+    c = Counter(w for t in texts for w in _tok(t))
+    total = sum(c.values())
+    items = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    if vocab_size is not None:
+        items = items[:vocab_size]
+    v = len(items)
+    denom = total + v + 1
+    logp = {w: math.log((n + 1) / denom) for w, n in items}
+    return logp, math.log(1 / denom), total
+
+
+def _ds(texts):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+
+def test_fit_matches_oracle(ray_session):
+    lm = fit_unigram_lm(_ds(TEXTS), "text")
+    want_logp, want_oov, want_total = _oracle_lm(TEXTS)
+    assert lm.total_tokens == want_total
+    assert lm.oov_logp == pytest.approx(want_oov, abs=1e-12)
+    got = dict(zip(lm.vocab.column("term").to_pylist(),
+                   lm.vocab.column("logp").to_pylist()))
+    assert got.keys() == want_logp.keys()
+    for w, lp in want_logp.items():
+        assert got[w] == pytest.approx(lp, abs=1e-12)
+
+
+def test_score_matches_oracle(ray_session):
+    lm = fit_unigram_lm(_ds(TEXTS), "text")
+    logp, oov, _ = _oracle_lm(TEXTS)
+    out = score_unigram_lm(_ds(TEXTS), lm).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(TEXTS):
+        toks = _tok(t)
+        assert out["n_tokens"][i] == len(toks)
+        if not toks:
+            assert np.isnan(out["nll"][i])
+        else:
+            want = -sum(logp.get(w, oov) for w in toks) / len(toks)
+            assert out["nll"][i] == pytest.approx(want, abs=1e-12)
+
+
+def test_vocab_truncation_scores_oov(ray_session):
+    # vocab_size=2 keeps ("the", "a"? ...) by (count DESC, term ASC);
+    # everything else scores as OOV but total_tokens still counts them
+    lm = fit_unigram_lm(_ds(TEXTS), "text", vocab_size=2)
+    logp, oov, total = _oracle_lm(TEXTS, vocab_size=2)
+    assert lm.vocab.num_rows == 2
+    assert lm.total_tokens == total
+    assert set(lm.vocab.column("term").to_pylist()) == set(logp)
+    out = score_unigram_lm(_ds(TEXTS), lm).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    toks = _tok(TEXTS[0])
+    want = -sum(logp.get(w, oov) for w in toks) / len(toks)
+    assert out["nll"][0] == pytest.approx(want, abs=1e-12)
+
+
+def test_model_round_trip(ray_session):
+    lm = fit_unigram_lm(_ds(TEXTS), "text", vocab_size=3)
+    lm2 = UnigramLM.from_dict(lm.to_dict())
+    assert lm2.vocab.equals(lm.vocab)
+    assert lm2.oov_logp == lm.oov_logp
+    assert lm2.total_tokens == lm.total_tokens
+    a = score_unigram_lm(_ds(TEXTS), lm).to_pandas().sort_values("doc_id")
+    b = score_unigram_lm(_ds(TEXTS), lm2).to_pandas().sort_values("doc_id")
+    assert np.array_equal(a["nll"].to_numpy(), b["nll"].to_numpy(),
+                          equal_nan=True)
+
+
+def test_empty_corpus(ray_session):
+    lm = fit_unigram_lm(_ds(["", None]), "text")
+    assert lm.total_tokens == 0 and lm.vocab.num_rows == 0
+    out = score_unigram_lm(_ds(["", None]), lm).to_pandas()
+    assert (out["n_tokens"] == 0).all() and out["nll"].isna().all()

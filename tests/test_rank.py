@@ -275,3 +275,34 @@ def test_window_ops_ntile_matches_sql_rule(ray_session):
 
     for k, c in [("a", 2), ("b", 8), ("c", 10), ("d", 1)]:
         assert list(got[got["k"] == k]["ntile"]) == sql_ntile(c), k
+
+
+def test_iqr_outliers_brute_force(ray_session):
+    import ray.data as rd
+
+    from webval.pipelines import iqr_outliers
+
+    rng = np.random.default_rng(7)
+    keys = rng.choice(["a", "b", "c"], size=400).tolist() + ["nullgrp"] * 3
+    vals = rng.integers(0, 100, size=400).tolist() + [None, None, None]
+    # plant extreme outliers
+    vals[0], vals[1] = 100_000, -100_000
+    t = pa.table({"k": pa.array(keys, pa.string()),
+                  "v": pa.array(vals, pa.int64()),
+                  "i": pa.array(range(len(keys)), pa.int64())})
+    got = iqr_outliers(rd.from_arrow(t), "k", "v").to_pandas()
+
+    import pandas as pd
+    df = t.to_pandas()
+    want_ids = []
+    for k, g in df[df["v"].notna()].groupby("k"):
+        v = g["v"].sort_values().to_numpy()
+        nn = len(v)
+        q1 = v[max(int(np.ceil(0.25 * nn)), 1) - 1]
+        q3 = v[max(int(np.ceil(0.75 * nn)), 1) - 1]
+        lo, hi = 2 * q1 - 3 * (q3 - q1), 2 * q3 + 3 * (q3 - q1)
+        want_ids.extend(g[(2 * g["v"] < lo) | (2 * g["v"] > hi)]["i"])
+    assert sorted(got["i"]) == sorted(want_ids)
+    assert 0 in set(got["i"]) and 1 in set(got["i"])
+    # all-null group contributes no outliers and no crash
+    assert not (got["k"] == "nullgrp").any()

@@ -268,3 +268,37 @@ def test_curate_web_text_equals_stepwise():
     assert got.equals(want)
     assert 500 not in set(got["doc_id"])   # repetitive doc filtered
     assert len(got) > len(set(got["doc_id"]))  # real multi-chunk docs
+
+
+def test_frequent_ngrams_brute_force(ray_session):
+    import ray.data as rd
+    from collections import Counter
+
+    from webval.textclean import frequent_ngrams
+
+    texts = ["a b c a b", "a b a b", "c", "", None, "x y z x y z"]
+    for n in (1, 2, 3):
+        want = Counter()
+        for t in texts:
+            if t is None:
+                continue
+            ws = t.split(" ")
+            for i in range(len(ws) - n + 1):
+                want[" ".join(ws[i:i + n])] += 1
+        want = {g: c for g, c in want.items() if c >= 2}
+        got = frequent_ngrams(rd.from_arrow(
+            pa.table({"text": pa.array(texts, pa.string())})),
+            "text", n=n, min_count=2).to_pandas()
+        assert dict(zip(got["ngram"], got["cnt"])) == want
+
+
+def test_frequent_ngrams_multibyte(ray_session):
+    import ray.data as rd
+
+    from webval.textclean import frequent_ngrams
+
+    texts = ["héllo wörld héllo wörld", "héllo wörld"]
+    got = frequent_ngrams(rd.from_arrow(
+        pa.table({"text": pa.array(texts, pa.string())})),
+        "text", n=2, min_count=2).to_pandas()
+    assert dict(zip(got["ngram"], got["cnt"])) == {"héllo wörld": 3}

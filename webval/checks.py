@@ -52,22 +52,57 @@ CHECK_KINDS: dict = {
     "not_null": _mask_not_null,
 }
 
-ROW_LEVEL_KINDS = CHECK_KINDS.keys()
+
+def _mask_conditional(batch: pa.Table, params):
+    """Cross-column implication: rows where the ``when`` sub-check holds
+    must pass the ``then`` sub-check; rows out of scope pass trivially.
+
+    ``params`` = {"when": {column, kind, params}, "then": {...same...}} —
+    both sides use the registered single-column kinds.  Scope semantics are
+    SQL-natural: a null ``when`` column puts the row OUT of scope (matching
+    ``WHERE when_col = ...``, which drops nulls), overriding the null-pass
+    convention the kinds use when standing alone."""
+    w, t = params["when"], params["then"]
+    wcol = batch.column(w["column"])
+    wm = CHECK_KINDS[w["kind"]](wcol, w["params"])
+    cond = pc.and_(wm, pc.is_valid(wcol))
+    tm = CHECK_KINDS[t["kind"]](batch.column(t["column"]), t["params"])
+    return pc.or_(pc.invert(cond), tm)
+
+
+# kinds whose kernel needs the whole batch (cross-column predicates):
+# mask_fn(batch: pa.Table, params) -> bool mask, True = pass
+BATCH_CHECK_KINDS: dict = {
+    "conditional": _mask_conditional,
+}
+
+ROW_LEVEL_KINDS = CHECK_KINDS.keys() | BATCH_CHECK_KINDS.keys()
 
 
 def register_check_kind(kind: str, mask_fn) -> None:
     """Plugin hook: mask_fn(column: pa.ChunkedArray, params: dict) -> bool
     mask (True = pass).  Nulls should pass unless the kind is about nulls."""
+    global ROW_LEVEL_KINDS
     CHECK_KINDS[kind] = mask_fn
+    ROW_LEVEL_KINDS = CHECK_KINDS.keys() | BATCH_CHECK_KINDS.keys()
+
+
+def register_batch_check_kind(kind: str, mask_fn) -> None:
+    """Plugin hook for cross-column kinds: mask_fn(batch: pa.Table,
+    params: dict) -> bool mask (True = pass)."""
+    global ROW_LEVEL_KINDS
+    BATCH_CHECK_KINDS[kind] = mask_fn
+    ROW_LEVEL_KINDS = CHECK_KINDS.keys() | BATCH_CHECK_KINDS.keys()
 
 
 def check_mask(batch: pa.Table, check: CheckSpec) -> np.ndarray:
     """Evaluate one row-level check → bool ndarray, True = pass."""
-    try:
-        fn = CHECK_KINDS[check.kind]
-    except KeyError:
-        raise ValueError(f"not a row-level check kind: {check.kind}") from None
-    m = fn(batch.column(check.column), check.params)
+    if check.kind in BATCH_CHECK_KINDS:
+        m = BATCH_CHECK_KINDS[check.kind](batch, check.params)
+    elif check.kind in CHECK_KINDS:
+        m = CHECK_KINDS[check.kind](batch.column(check.column), check.params)
+    else:
+        raise ValueError(f"not a row-level check kind: {check.kind}")
     return np.asarray(m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m,
                       dtype=bool)
 

@@ -1,0 +1,177 @@
+"""Corpus-trained unigram language-model quality scoring (the CCNet /
+Wenzek et al. 2020 perplexity-filter shape, arXiv:1911.00359 — CCNet trains
+a KenLM 5-gram and buckets Common-Crawl documents into head/middle/tail by
+perplexity; no pretrained LM exists in this sandbox, so the model here is a
+unigram LM *trained on the corpus itself*, which keeps the distributed
+shape honest while staying exactly reproducible in SQL).
+
+Distributed shape (nothing corpus-sized ever sits on the driver):
+
+1. ``term_counts``: one stateless ``map_batches`` pass tokenizes each batch
+   (same RE2 split as ``webval.tfidf`` — byte-identical to DuckDB's
+   ``regexp_split_to_array``) and reduces it to (term, partial-count) rows
+   INSIDE the batch, then the hash-bucket exchange sums partials per term.
+   The shuffle carries (term, int64) pairs only.
+2. ``fit_unigram_lm``: the aggregated vocabulary (one row per DISTINCT
+   term — bounded by vocabulary size, not corpus size; optionally truncated
+   to the top ``vocab_size`` terms) is collected into one Arrow table and
+   turned into add-one-smoothed log-probabilities::
+
+       logp(w in vocab) = ln((c_w + 1) / (total + V + 1))
+       logp(OOV)        = ln(          1 / (total + V + 1))
+
+   where ``total`` counts every corpus token (including ones outside a
+   truncated vocabulary) and ``V`` is the retained vocabulary size.  This
+   is the standard Laplace estimate with one shared OOV symbol.
+3. ``score_unigram_lm``: the (term, logp) table is ``ray.put`` ONCE and
+   every scoring task reads it from the object store — the small side is
+   broadcast, never re-shipped per batch and never joined through a
+   shuffle.  Per batch: tokenize, ``pc.index_in`` against the vocab,
+   ``np.bincount``-segmented sums → per-document mean negative
+   log-likelihood (``nll``; CCNet's perplexity is ``exp(nll)``).
+
+Scale notes: the vocabulary broadcast is the same auto-broadcast contract
+as ``tfidf.tfidf_topk`` (tens of millions of terms fit the object store; a
+truncated ``vocab_size`` bounds it regardless of corpus size).  Truncation
+order is (count DESC, term ASC) — deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from webval.tfidf import TOKEN_SPLIT_PATTERN
+
+
+def _tokenize(txt: pa.ChunkedArray, pattern: str):
+    """-> (flat tokens Array, int64 doc index per token).  Tokens are the
+    non-empty pieces of the RE2 split of the lowered text; null text
+    yields no tokens."""
+    lists = pc.split_pattern_regex(pc.utf8_lower(txt), pattern)
+    la = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+    lengths = pc.fill_null(pc.list_value_length(la), 0) \
+        .to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(la)
+    doc_idx = np.repeat(np.arange(len(la), dtype=np.int64), lengths)
+    keep = pc.invert(pc.equal(flat, "")).to_numpy(zero_copy_only=False)
+    return flat.filter(pa.array(keep)), doc_idx[keep]
+
+
+def term_counts(ds, text_col: str, *, pattern: str = TOKEN_SPLIT_PATTERN,
+                num_buckets: int | None = None):
+    """(term, count) Dataset: corpus-wide token frequencies.  Per-batch
+    tokenize + value_counts combiner, then a bucketed int64 sum — the same
+    two-phase exchange as ``exchange.grouped_count``."""
+    from webval.exchange import bucketed_group_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _tokenize(batch.column(text_col).combine_chunks(), pattern)
+        vc = flat.value_counts()
+        return pa.table({"term": vc.field("values"),
+                         "count": pc.cast(vc.field("counts"), pa.int64())})
+
+    def final(g: pa.Table) -> pa.Table:
+        agg = g.group_by("term").aggregate([("count", "sum")])
+        return agg.select(["term", "count_sum"]) \
+            .rename_columns(["term", "count"])
+
+    return bucketed_group_apply(ds.select_columns([text_col]), ["term"],
+                                final, num_buckets=num_buckets,
+                                partial_fn=partial)
+
+
+@dataclass
+class UnigramLM:
+    """Fitted model: vocab = Arrow table (term: string, logp: float64);
+    OOV tokens score ``oov_logp``.  JSON-serializable via to/from_dict so a
+    fitted LM can ride a SchemaSpec the way rdv persists extractor state."""
+
+    vocab: pa.Table
+    oov_logp: float
+    total_tokens: int
+    pattern: str = TOKEN_SPLIT_PATTERN
+
+    def to_dict(self) -> dict:
+        return {"terms": self.vocab.column("term").to_pylist(),
+                "logp": self.vocab.column("logp").to_pylist(),
+                "oov_logp": self.oov_logp,
+                "total_tokens": self.total_tokens,
+                "pattern": self.pattern}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "UnigramLM":
+        return cls(vocab=pa.table({"term": pa.array(d["terms"], pa.string()),
+                                   "logp": pa.array(d["logp"], pa.float64())}),
+                   oov_logp=d["oov_logp"],
+                   total_tokens=d["total_tokens"], pattern=d["pattern"])
+
+
+def fit_unigram_lm(ds, text_col: str, *, vocab_size: int | None = None,
+                   pattern: str = TOKEN_SPLIT_PATTERN,
+                   num_buckets: int | None = None) -> UnigramLM:
+    """Train on the corpus: exchange-aggregated term counts → add-one
+    smoothed log-probs.  ``vocab_size`` keeps the top terms by
+    (count DESC, term ASC); ``total`` still counts every token so the
+    probabilities of a truncated model remain a proper distribution over
+    vocab ∪ {OOV}."""
+    import ray
+
+    counts = term_counts(ds, text_col, pattern=pattern,
+                         num_buckets=num_buckets).materialize()
+    blocks = [ray.get(r) for r in counts.to_arrow_refs()]
+    # vocabulary-sized (one row per distinct term), same collect contract
+    # as tfidf's broadcast mode — bounded further by vocab_size truncation
+    vocab = pa.concat_tables([b for b in blocks if b.num_rows],
+                             promote_options="permissive") \
+        if any(b.num_rows for b in blocks) \
+        else pa.table({"term": pa.array([], pa.string()),
+                       "count": pa.array([], pa.int64())})
+    vocab = vocab.combine_chunks()
+    total = int(pc.sum(vocab.column("count")).as_py() or 0)
+    vocab = vocab.sort_by([("count", "descending"), ("term", "ascending")])
+    if vocab_size is not None and vocab.num_rows > vocab_size:
+        vocab = vocab.slice(0, vocab_size)
+    v = vocab.num_rows
+    denom = float(total + v + 1)
+    c = vocab.column("count").to_numpy(zero_copy_only=False).astype(np.float64)
+    logp = np.log((c + 1.0) / denom)
+    return UnigramLM(
+        vocab=pa.table({"term": vocab.column("term"),
+                        "logp": pa.array(logp, pa.float64())}),
+        oov_logp=float(np.log(1.0 / denom)),
+        total_tokens=total, pattern=pattern)
+
+
+def score_unigram_lm(ds, lm: UnigramLM, *, text_col: str = "text",
+                     out_col: str = "nll", batch_size: int | None = 8192):
+    """Append ``n_tokens`` (int64) and ``out_col`` (float64, mean negative
+    log-likelihood; null when the document has no tokens).  The vocab table
+    is broadcast once via ``ray.put``; scoring is a stateless map."""
+    import ray
+
+    vocab_ref = ray.put(lm.vocab)
+    oov, pattern = lm.oov_logp, lm.pattern
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat, doc_idx = _tokenize(batch.column(text_col).combine_chunks(),
+                                  pattern)
+        vocab = ray.get(vocab_ref)
+        pos = pc.index_in(flat, value_set=vocab.column("term"))
+        lp = pc.fill_null(
+            pc.take(vocab.column("logp"), pos), oov) \
+            .to_numpy(zero_copy_only=False)
+        sums = np.bincount(doc_idx, weights=lp, minlength=n)
+        ntok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nll = np.where(ntok > 0, -sums / np.maximum(ntok, 1), np.nan)
+        out = batch.append_column("n_tokens", pa.array(ntok))
+        return out.append_column(
+            out_col, pa.array(nll, pa.float64(), from_pandas=True))
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -602,3 +602,98 @@ def fixed_size_sample(ds, id_col: str, n: int, *, fan: int = 64,
             .map_batches(topn, batch_format="pyarrow", batch_size=None)
             .materialize())
     return parts
+
+
+def iqr_outliers(ds, key: str, value_col: str, *, k_num: int = 3,
+                 k_den: int = 2, num_buckets: int | None = None):
+    """Per-group statistical outlier rows by the Tukey IQR fence:
+    x is an outlier of its ``key`` group iff
+
+        x < Q1 - (k_num/k_den)·IQR   or   x > Q3 + (k_num/k_den)·IQR
+
+    with Q1/Q3 the EXACT discrete quartiles (quantile_disc semantics).
+    The comparison is evaluated multiplied through by ``k_den`` so integer
+    columns stay in exact int64 arithmetic — bit-identical to a SQL twin
+    regardless of float rounding (k=3/2 default: 2x < 2·Q1 − 3·IQR).
+
+    Validation-tier shape (an rdv-style anomaly surface the reference
+    lacks): the quartile table is one row per group — computed through the
+    (key, value)-only quantile exchange, then broadcast ONCE via ray.put;
+    flagging is a stateless map over the full rows.  Null values and keys
+    absent from the quartile table (all-null groups) are never outliers.
+    """
+    import ray
+
+    from webval.rank import grouped_exact_quantiles
+
+    bounds_ds = grouped_exact_quantiles(
+        ds, key, value_col, {"q1": 0.25, "q3": 0.75},
+        num_buckets=num_buckets)
+    blocks = [ray.get(r) for r in bounds_ds.materialize().to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows]
+    if not blocks:
+        return ds.limit(0)
+    bounds_ref = ray.put(pa.concat_tables(blocks).combine_chunks())
+
+    def flag(batch: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        pos = pc.index_in(batch.column(key).combine_chunks(),
+                          value_set=b.column(key))
+        q1 = pc.take(b.column("q1"), pos)
+        q3 = pc.take(b.column("q3"), pos)
+        iqr = pc.subtract(q3, q1)
+        lo = pc.subtract(pc.multiply(q1, k_den), pc.multiply(iqr, k_num))
+        hi = pc.add(pc.multiply(q3, k_den), pc.multiply(iqr, k_num))
+        xs = pc.multiply(batch.column(value_col).combine_chunks(), k_den)
+        m = pc.or_(pc.less(xs, lo), pc.greater(xs, hi))
+        return batch.filter(pc.fill_null(m, False))
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def check_pass_rates(ds, schema: SchemaSpec, *,
+                     batch_size: int | None = 8192) -> pa.Table:
+    """Expectation-suite summary (the aggregate face of rdv's Schema.check
+    tags): one row per row-level check with its failure count and rate over
+    the whole dataset.
+
+    Scale shape: each batch reduces to ONE partial-counts row (k+1 int64s),
+    the partials materialize, and the driver sums per-block scalars — the
+    big-map-then-tiny-rollup pattern (a trailing .sum() would cap the map
+    stage via the AllToAll resource reservation, see BENCH/BASELINE.md
+    finding 2).  Null semantics are the check kinds' own (nulls pass unless
+    the kind is about nulls)."""
+    from webval.checks import check_mask, row_checks_of
+
+    checks = row_checks_of(schema)
+    if not checks:
+        raise ValueError("check_pass_rates: schema has no row-level checks")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {"n": pa.array([batch.num_rows], pa.int64())}
+        for c in checks:
+            failed = int(batch.num_rows - check_mask(batch, c).sum())
+            cols[f"f_{c.name}"] = pa.array([failed], pa.int64())
+        return pa.table(cols)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size).materialize()
+    import ray
+    totals = {name: 0 for name in ["n"] + [f"f_{c.name}" for c in checks]}
+    for ref in parts.to_arrow_refs():
+        b = ray.get(ref)
+        for name in totals:
+            s = pc.sum(b.column(name)).as_py()
+            totals[name] += int(s or 0)
+    n = totals["n"]
+    return pa.table({
+        "check_name": pa.array([c.name for c in checks], pa.string()),
+        "n_failed": pa.array([totals[f"f_{c.name}"] for c in checks],
+                             pa.int64()),
+        "n_rows": pa.array([n] * len(checks), pa.int64()),
+        # exact IEEE int/int division — bit-identical to SQL's
+        # CAST(n_failed AS DOUBLE)/n_rows, no rounding needed
+        "fail_rate": pa.array(
+            [totals[f"f_{c.name}"] / n if n else None
+             for c in checks], pa.float64()),
+    })

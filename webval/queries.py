@@ -2596,6 +2596,153 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_lm_quality(sf_dir: str):
+    """CCNet-style LM quality scoring (Wenzek et al., arXiv:1911.00359):
+    fit a unigram LM on the corpus itself (exchange-aggregated term counts
+    → add-one smoothed log-probs), broadcast the vocab once, score every
+    document's mean negative log-likelihood in a stateless map.  The SQL
+    twin reproduces the tokenizer, the smoothing formula, and the per-doc
+    average exactly (rounded to 4 decimals)."""
+    import ray.data as rd
+
+    from webval.lm import fit_unigram_lm, score_unigram_lm
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    lm = fit_unigram_lm(ds, "text")
+    out = score_unigram_lm(ds, lm).select_columns(
+        ["doc_id", "n_tokens", "nll"])
+    t = ds_to_table(out).sort_by([("doc_id", "ascending")])
+    return _round_cols(t, {"nll": 4})
+
+
+SQL_LM_QUALITY = """
+WITH tok AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents)
+  WHERE t <> ''),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS v FROM cnt),
+sc AS (SELECT tok.doc_id, count(*) AS n_tokens,
+              -avg(ln((cnt.c + 1) / (tot.total + tot.v + 1))) AS nll
+       FROM tok JOIN cnt USING (term) CROSS JOIN tot
+       GROUP BY tok.doc_id)
+SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens, round(sc.nll, 4) AS nll
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
+def q_conditional_violations(sf_dir: str):
+    """Cross-column conditional constraint through the verdict engine
+    (BATCH_CHECK_KINDS extension surface): WHEN lang='en' THEN n_chars must
+    be ≤ 400; rows out of scope pass trivially.  rdv has no cross-column
+    checks — this is the §2-J surface carrying an operator the validation
+    tier needs (conditional expectations à la Great Expectations'
+    expect_column_values_to_... row_condition)."""
+    import ray.data as rd
+
+    from webval.checks import check_dataset
+    from webval.schema import CheckSpec, SchemaSpec
+
+    spec = SchemaSpec(name="documents", built=True, checks=[
+        CheckSpec("en-len", "n_chars", "conditional", {
+            "when": {"column": "lang", "kind": "domain",
+                     "params": {"values": ["en"]}},
+            "then": {"column": "n_chars", "kind": "range",
+                     "params": {"min": 0, "max": 400}},
+        })])
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    v = check_dataset(ds, spec, keep_cols=["doc_id", "lang", "n_chars"],
+                      per_check_cols=True)
+    return v.map_batches(
+        lambda t: t.filter(t.column("fail_en-len").combine_chunks())
+                   .select(["doc_id", "lang", "n_chars"]),
+        batch_format="pyarrow")
+
+
+SQL_CONDITIONAL_VIOLATIONS = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang = 'en' AND NOT (n_chars BETWEEN 0 AND 400)
+"""
+
+
+def q_iqr_outliers(sf_dir: str):
+    """Per-group Tukey-fence outlier rows (validation anomaly surface):
+    exact discrete quartiles per event_type through the quantile exchange,
+    broadcast once, fences evaluated multiplied-through by k_den so the
+    comparison is bit-identical to SQL (same IEEE op order for floats,
+    exact int64 for integer columns)."""
+    import ray.data as rd
+
+    from webval.pipelines import iqr_outliers
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return iqr_outliers(ds, "event_type", "value")
+
+
+SQL_IQR_OUTLIERS = """
+WITH b AS (SELECT event_type, quantile_disc(value, 0.25) AS q1,
+                  quantile_disc(value, 0.75) AS q3
+           FROM events GROUP BY event_type)
+SELECT t.event_id, t.event_type, t.value
+FROM events t JOIN b USING (event_type)
+WHERE 2 * t.value < 2 * b.q1 - 3 * (b.q3 - b.q1)
+   OR 2 * t.value > 2 * b.q3 + 3 * (b.q3 - b.q1)
+"""
+
+
+def q_frequent_bigrams(sf_dir: str):
+    """Corpus-wide frequent bigram discovery (template/boilerplate mining):
+    Arrow take+join n-gram construction, per-batch value_counts combiner,
+    exact exchange count, min_count filter."""
+    import ray.data as rd
+
+    from webval.textclean import frequent_ngrams
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return frequent_ngrams(ds, "text", n=2, min_count=25)
+
+
+SQL_FREQUENT_BIGRAMS = """
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i + 1])) AS b
+       FROM w)
+SELECT b AS ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM bg GROUP BY b HAVING count(*) >= 25
+"""
+
+
+def q_check_pass_rates(sf_dir: str):
+    """Expectation-suite summary: per-check failure counts + rates over the
+    whole events table in one streaming pass (each batch reduces to one
+    partial-counts row; driver sums per-block scalars)."""
+    import ray.data as rd
+
+    from webval.pipelines import check_pass_rates
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["value", "event_type"])
+    return check_pass_rates(ds, _events_check_schema("range", "domain"))
+
+
+SQL_CHECK_PASS_RATES = """
+WITH t AS (SELECT count(*) AS n,
+                  count(*) FILTER (value < 5.0 OR value > 250.0) AS f_range,
+                  count(*) FILTER (event_type NOT IN
+                      ('click', 'view', 'purchase', 'signup')) AS f_domain
+           FROM events)
+SELECT 'value-range' AS check_name, f_range AS n_failed, n AS n_rows,
+       CAST(f_range AS DOUBLE) / n AS fail_rate FROM t
+UNION ALL
+SELECT 'type-domain', f_domain, n, CAST(f_domain AS DOUBLE) / n FROM t
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -2677,4 +2824,10 @@ QUERIES = {
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "curation_v2": (q_curation_v2, SQL_CURATION_V2),
     "except_orderkeys": (q_except_orderkeys, SQL_EXCEPT_ORDERKEYS),
+    "lm_quality": (q_lm_quality, SQL_LM_QUALITY),
+    "conditional_violations": (q_conditional_violations,
+                               SQL_CONDITIONAL_VIOLATIONS),
+    "iqr_outliers": (q_iqr_outliers, SQL_IQR_OUTLIERS),
+    "check_pass_rates": (q_check_pass_rates, SQL_CHECK_PASS_RATES),
+    "frequent_bigrams": (q_frequent_bigrams, SQL_FREQUENT_BIGRAMS),
 }

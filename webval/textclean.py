@@ -372,3 +372,52 @@ def curate_web_text(ds, id_col: str, text_col: str = "text", *,
     kept = stats.map_batches(keep, batch_format="pyarrow")
     return chunk_text(kept, id_col, "clean_text", window=window,
                       overlap=overlap, delimiter=delimiter)
+
+
+def frequent_ngrams(ds, text_col: str = "text", *, n: int = 2,
+                    min_count: int, delimiter: str = " ",
+                    num_buckets: int | None = None):
+    """Corpus-wide frequent word n-grams (template/boilerplate discovery —
+    the corpus-level companion of ``frequent_lines``): every n-token window
+    of every document, counted exactly, keeping n-grams seen ≥ ``min_count``
+    times.
+
+    Scale shape: n-gram construction is pure Arrow take + join over the
+    split word lists (no per-row Python); each batch pre-reduces with a
+    ``value_counts`` combiner so the exchange shuffles (ngram, partial
+    count) pairs — bounded by DISTINCT n-grams per batch, not corpus size.
+    Output: (ngram, cnt) rows.
+    """
+    from webval.exchange import bucketed_group_apply
+
+    if n < 1:
+        raise ValueError(f"frequent_ngrams: n={n}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, off = _split_lines(t.column(text_col), delimiter)
+        counts = np.diff(off)
+        empty = pa.table({"ngram": pa.array([], pa.large_string()),
+                          "cnt": pa.array([], pa.int64())})
+        if len(flat) == 0:
+            return empty
+        rows_len = np.repeat(counts, counts)
+        pos_in_doc = np.arange(len(flat)) - np.repeat(off[:-1], counts)
+        starts = np.nonzero(pos_in_doc + n <= rows_len)[0]
+        if len(starts) == 0:
+            return empty
+        parts = [flat.take(pa.array(starts + j, pa.int64()))
+                 for j in range(n)]
+        ng = parts[0] if n == 1 else pc.binary_join_element_wise(
+            *parts, pa.scalar(delimiter, pa.large_string()))
+        vc = ng.value_counts()
+        return pa.table({"ngram": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    def final(g: pa.Table) -> pa.Table:
+        agg = g.group_by("ngram").aggregate([("cnt", "sum")])
+        agg = agg.select(["ngram", "cnt_sum"]).rename_columns(["ngram", "cnt"])
+        return agg.filter(pc.greater_equal(agg.column("cnt"), min_count))
+
+    return bucketed_group_apply(ds.select_columns([text_col]), ["ngram"],
+                                final, num_buckets=num_buckets,
+                                partial_fn=partial)
