@@ -166,3 +166,27 @@ def test_register_pre_stage_plugin_roundtrip(tmp_path):
         assert got == {"a": 1, "bbb": 3, None: None, "cc": 2}
     finally:
         PRE_STAGE_KINDS.pop("add_len", None)
+
+
+def test_diff_specs_schema_evolution(ray_session):
+    import ray.data as rd
+
+    from webval.pipelines import build_schema
+    from webval.schema import diff_specs
+
+    a = build_schema(rd.from_arrow(pa.table({
+        "x": [1.0, 2.0, 3.0, None],
+        "cat": ["a", "b", "a", "b"],
+        "gone": [1, 2, 3, 4]})),
+        {"x": "numeric", "cat": "categorical", "gone": "numeric"})
+    b = build_schema(rd.from_arrow(pa.table({
+        "x": [None, None, 3.0, None],            # null-rate shift
+        "cat": [str(i) for i in range(4)],        # distinct ratio 2x
+        "fresh": ["u", "v", "w", "z"]})),
+        {"x": "numeric", "cat": "categorical", "fresh": "text"})
+    d = diff_specs(a, b)
+    assert d["added"] == ["fresh"] and d["removed"] == ["gone"]
+    assert {s["column"] for s in d["null_rate_shifts"]} == {"x"}
+    assert not d["compatible"]
+    same = diff_specs(a, a)
+    assert same["compatible"] and not same["added"]

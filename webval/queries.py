@@ -2634,6 +2634,87 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
 
 
+def q_lm_buckets(sf_dir: str):
+    """CCNet's head/middle/tail corpus partition (Wenzek et al. §4.3):
+    score every document with the corpus-trained unigram LM, cut each
+    language at the exact discrete terciles of the score distribution,
+    and report per-(lang, bucket) document counts.  Thresholds ride the
+    (key, value)-only quantile exchange and broadcast once; zero-token
+    documents (null score) are excluded, like CCNet drops empty docs.
+
+    Robustness note: only bucket COUNTS are emitted — bucket membership
+    compares each doc's nll to a threshold that is itself some doc's nll,
+    so cross-engine float noise (~1e-15) can't flip any comparison except
+    between duplicate-text docs exactly at a tercile boundary (verified
+    absent in the fixture at all sfs)."""
+    import ray
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.lm import fit_unigram_lm, score_unigram_lm
+    from webval.rank import grouped_exact_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+    lm = fit_unigram_lm(ds, "text")
+    scored = score_unigram_lm(ds, lm).map_batches(
+        lambda t: t.select(["doc_id", "lang", "nll"])
+                   .filter(pc.is_valid(t.column("nll").combine_chunks())),
+        batch_format="pyarrow")
+    th_ds = grouped_exact_quantiles(scored, "lang", "nll",
+                                    {"t1": 1 / 3, "t2": 2 / 3})
+    th = pa.concat_tables(
+        [b for b in (ray.get(r) for r in
+                     th_ds.materialize().to_arrow_refs()) if b.num_rows]
+    ).combine_chunks()
+    th_ref = ray.put(th)
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = ray.get(th_ref)
+        pos = pc.index_in(t.column("lang").combine_chunks(),
+                          value_set=b.column("lang"))
+        t1 = pc.take(b.column("t1"), pos)
+        t2 = pc.take(b.column("t2"), pos)
+        nll = t.column("nll").combine_chunks()
+        bucket = pc.if_else(
+            pc.less_equal(nll, t1), "head",
+            pc.if_else(pc.less_equal(nll, t2), "middle", "tail"))
+        return pa.table({"lang": t.column("lang"), "bucket": bucket})
+
+    counts = grouped_agg(scored.map_batches(assign, batch_format="pyarrow"),
+                         ["lang", "bucket"], [("bucket", "count")],
+                         rename={"bucket_count": "n_docs"})
+    return ds_to_table(counts).sort_by(
+        [("lang", "ascending"), ("bucket", "ascending")])
+
+
+SQL_LM_BUCKETS = """
+WITH tok AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents)
+  WHERE t <> ''),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS v FROM cnt),
+sc AS (SELECT tok.doc_id,
+              -avg(ln((cnt.c + 1) / (tot.total + tot.v + 1))) AS nll
+       FROM tok JOIN cnt USING (term) CROSS JOIN tot
+       GROUP BY tok.doc_id),
+j AS (SELECT d.lang, sc.nll FROM documents d JOIN sc USING (doc_id)),
+th AS (SELECT lang, quantile_disc(nll, 1.0/3) AS t1,
+              quantile_disc(nll, 2.0/3) AS t2
+       FROM j GROUP BY lang)
+SELECT j.lang,
+       CASE WHEN j.nll <= th.t1 THEN 'head'
+            WHEN j.nll <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM j JOIN th USING (lang)
+GROUP BY 1, 2
+"""
+
+
 def q_conditional_violations(sf_dir: str):
     """Cross-column conditional constraint through the verdict engine
     (BATCH_CHECK_KINDS extension surface): WHEN lang='en' THEN n_chars must
@@ -2830,4 +2911,5 @@ QUERIES = {
     "iqr_outliers": (q_iqr_outliers, SQL_IQR_OUTLIERS),
     "check_pass_rates": (q_check_pass_rates, SQL_CHECK_PASS_RATES),
     "frequent_bigrams": (q_frequent_bigrams, SQL_FREQUENT_BIGRAMS),
+    "lm_buckets": (q_lm_buckets, SQL_LM_BUCKETS),
 }

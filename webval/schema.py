@@ -180,3 +180,57 @@ class SchemaSpec:
             checks=[CheckSpec.from_dict(c) for c in d["checks"]],
             pre_stages=d.get("pre_stages", []),  # pre-r3 files lack the key
         )
+
+
+def diff_specs(old: SchemaSpec, new: SchemaSpec, *,
+               max_null_rate_delta: float = 0.05,
+               max_distinct_ratio: float = 2.0) -> dict:
+    """Schema-evolution report between two BUILT specs (the structural
+    companion of contrast(): contrast compares distributions, this compares
+    the schemas themselves — what a validation run should flag before any
+    data is scanned).
+
+    Returns a JSON-able dict:
+    - ``added`` / ``removed``: column names present in only one spec
+    - ``kind_changed``: [{column, old, new}] profile-kind changes
+    - ``null_rate_shifts``: [{column, old, new}] where |Δ null_rate| >
+      ``max_null_rate_delta``
+    - ``distinct_shifts``: [{column, old, new}] where the HLL distinct
+      estimate grew/shrank by more than ``max_distinct_ratio``×
+    - ``checks_added`` / ``checks_removed``: check names in only one spec
+    - ``compatible``: True iff nothing above fired (adding checks is
+      allowed — new constraints don't break existing consumers)
+    """
+    o = {c.name: c for c in old.columns}
+    n = {c.name: c for c in new.columns}
+    added = sorted(n.keys() - o.keys())
+    removed = sorted(o.keys() - n.keys())
+    kind_changed, null_shifts, distinct_shifts = [], [], []
+    for name in sorted(o.keys() & n.keys()):
+        a, b = o[name], n[name]
+        if a.kind != b.kind:
+            kind_changed.append({"column": name, "old": a.kind,
+                                 "new": b.kind})
+        if abs(a.null_rate - b.null_rate) > max_null_rate_delta:
+            null_shifts.append({"column": name,
+                                "old": round(a.null_rate, 6),
+                                "new": round(b.null_rate, 6)})
+        lo, hi = sorted([max(a.distinct_est, 1.0), max(b.distinct_est, 1.0)])
+        if hi / lo > max_distinct_ratio:
+            distinct_shifts.append({"column": name,
+                                    "old": round(a.distinct_est, 1),
+                                    "new": round(b.distinct_est, 1)})
+    oc = {c.name for c in old.checks}
+    nc = {c.name for c in new.checks}
+    report = {
+        "added": added,
+        "removed": removed,
+        "kind_changed": kind_changed,
+        "null_rate_shifts": null_shifts,
+        "distinct_shifts": distinct_shifts,
+        "checks_added": sorted(nc - oc),
+        "checks_removed": sorted(oc - nc),
+    }
+    report["compatible"] = not (removed or kind_changed or null_shifts
+                                or distinct_shifts or report["checks_removed"])
+    return report
