@@ -278,3 +278,39 @@ def test_exact_dedup_keep_cols_excluding_id(docs_table):
     assert len(kept) == 66  # 71 - 5 exact dups (null kept)
     non_null = [t for t in texts if t is not None]
     assert len(set(non_null)) == len(non_null)
+
+
+def test_dup_substring_stats_brute_force(ray_session):
+    import ray.data as rd
+
+    from webval.dedup import dup_substring_stats
+
+    W = 8
+    shared = "SHARED-BOILERPLATE-FOOTER-TEXT"
+    texts = [
+        "unique text one with no overlap at all %d" % 1 + shared,
+        "a different body entirely %d " % 2 + shared,
+        "totally disjoint content here without the footer",
+        "short",                      # < window: zero shingles
+        None,                         # null text
+        "unique text one with no overlap at all 1" + shared,  # exact dup of 0
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = dup_substring_stats(ds, "doc_id", "text", window=W, min_docs=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # brute-force oracle on distinct char shingles
+    sh = [set(t[i:i + W] for i in range(len(t) - W + 1)) if t else set()
+          for t in ["" if x is None else x for x in texts]]
+    from collections import Counter
+    docs_per = Counter(g for s in sh for g in s)
+    for i in range(len(texts)):
+        want_total = len(sh[i])
+        want_dup = sum(1 for g in sh[i] if docs_per[g] >= 2)
+        assert got["n_shingles"][i] == want_total, i
+        assert got["n_dup_shingles"][i] == want_dup, i
+        assert got["has_dup"][i] == (want_dup > 0), i
+    # sanity: the shared footer makes docs 0,1,5 dup-flagged; 2,3,4 clean
+    assert list(got["has_dup"]) == [True, True, False, False, False, True]

@@ -117,3 +117,52 @@ def test_linear_scorer_loads_weights_once_per_actor(tmp_path):
     wz = np.load(wpath)
     got = {r["score"] for r in rows}
     assert len(got) > 100  # non-trivial score spread
+
+
+def _png(w, h):
+    import struct
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00" + b"\0" * 8)
+
+
+def _gif(w, h):
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00" + b"\0" * 8
+
+
+def _jpeg(w, h):
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\0" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x03" + b"\0" * 9)
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_parse_image_headers(ray_session):
+    import ray.data as rd
+
+    from webval.multimodal import parse_image_headers
+
+    payloads = [
+        _png(640, 480), _gif(320, 200), _jpeg(1024, 768),
+        b"<html>not an image</html>",   # unknown
+        b"\x89PN",                      # truncated magic
+        None,                           # null payload
+        _jpeg(1, 65535),                # extreme dims
+        b"\xff\xd8\xff\xd9",            # JPEG EOI before SOF -> unknown
+        b"GIF88a" + b"\0" * 10,         # bad GIF version byte
+    ]
+    t = pa.table({"i": pa.array(range(len(payloads)), pa.int64()),
+                  "media": pa.array(payloads, pa.binary())})
+    got = parse_image_headers(rd.from_arrow(t), "media").to_pandas() \
+        .sort_values("i").reset_index(drop=True)
+    want = [("png", 640, 480), ("gif", 320, 200), ("jpeg", 1024, 768),
+            (None, None, None), (None, None, None), (None, None, None),
+            ("jpeg", 1, 65535), (None, None, None), (None, None, None)]
+    for i, (f, w, h) in enumerate(want):
+        assert got["media_format"][i] == f or (
+            f is None and got["media_format"][i] is None), i
+        if f is None:
+            assert got["media_width"].isna()[i] and got["media_height"].isna()[i], i
+        else:
+            assert got["media_width"][i] == w and got["media_height"][i] == h, i

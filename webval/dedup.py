@@ -1069,3 +1069,79 @@ def embedding_dup_pairs(ds, id_col: str, emb_col: str = "embedding", *,
     return verify_pairs_by_values(
         ds, id_col, cands, make_blob, cosine, threshold=cosine_threshold,
         score_col="cosine", num_buckets=num_buckets, aux_cols=[emb_col])
+
+
+def dup_substring_stats(ds, id_col: str, text_col: str = "text", *,
+                        window: int = 16, min_docs: int = 2,
+                        num_buckets: int | None = None):
+    """Cross-document repeated-substring statistics — the ExactSubstr
+    signal of Lee et al. 2021 (arXiv:2107.06499 "Deduplicating Training
+    Data Makes Language Models Better") as a per-document metric: for every
+    doc, how many of its DISTINCT character ``window``-grams also occur in
+    ≥ ``min_docs`` distinct documents corpus-wide.  Docs with a high dup
+    fraction are boilerplate/templated and candidates for removal or
+    span-level dedup.
+
+    Distributed shape (no driver state, no broadcast of the dup set —
+    which at crawl scale is unbounded): per-batch Arrow-buffer rolling
+    hashes (per-doc distinct by construction) → exchange 1 buckets
+    (shingle-hash, doc) pairs and counts distinct docs per shingle INSIDE
+    each bucket (pairs are globally unique, so row count = doc count) →
+    per-bucket (doc, n_dup) partials → exchange 2 sums per doc → left
+    equi-join against the stateless per-doc shingle totals.
+
+    Output: (id_col, n_shingles, n_dup_shingles, has_dup).  64-bit shingle
+    hashes stand in for the substrings (collision odds ~n²/2⁶⁵; the SQL
+    twin's exact substrings agree on every tested fixture).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from webval.exchange import bucketed_group_apply, grouped_agg
+    from webval.joins import equi_join
+    from webval.textstats import rolling_hashes_arrow
+
+    def pairs(t: pa.Table) -> pa.Table:
+        kept, counts, hashes = rolling_hashes_arrow(t.column(text_col),
+                                                    window)
+        ids = t.column(id_col).take(pa.array(kept, pa.int64()))
+        doc_of = np.repeat(np.arange(len(kept)), counts)
+        return pa.table({"h": pa.array(hashes),
+                         id_col: ids.take(pa.array(doc_of, pa.int64()))})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        h = g.column("h").combine_chunks()
+        vc = h.value_counts()
+        per_row = pc.take(vc.field("counts"),
+                          pc.index_in(h, value_set=vc.field("values")))
+        marked = g.filter(pc.greater_equal(per_row, min_docs))
+        out = marked.group_by(id_col).aggregate([([], "count_all")])
+        return out.rename_columns([id_col, "n_dup_shingles"])
+
+    partials = bucketed_group_apply(ds.select_columns([id_col, text_col]),
+                                    ["h"], per_bucket,
+                                    num_buckets=num_buckets,
+                                    partial_fn=pairs)
+    dups = grouped_agg(partials, [id_col], [("n_dup_shingles", "sum")],
+                       num_buckets=num_buckets,
+                       rename={"n_dup_shingles_sum": "n_dup_shingles"})
+
+    def totals(t: pa.Table) -> pa.Table:
+        kept, counts, _ = rolling_hashes_arrow(t.column(text_col), window)
+        n_sh = np.zeros(t.num_rows, dtype=np.int64)
+        n_sh[kept] = counts
+        return pa.table({id_col: t.column(id_col),
+                         "n_shingles": pa.array(n_sh)})
+
+    tot = ds.map_batches(totals, batch_format="pyarrow")
+    joined = equi_join(tot, dups, on=id_col, how="left",
+                       num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = pc.fill_null(t.column("n_dup_shingles"), 0)
+        return pa.table({id_col: t.column(id_col),
+                         "n_shingles": t.column("n_shingles"),
+                         "n_dup_shingles": nd,
+                         "has_dup": pc.greater(nd, 0)})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -185,3 +185,118 @@ class FrameSampler:
         return pa.table({self.id_col: pa.array(ids, batch.column(self.id_col).type),
                          "frame_idx": pa.array(idxs, pa.int32()),
                          "frame": pa.array(frames, pa.large_binary())})
+
+
+# ---- codec-free image header sniffing (REAL, not stubbed) ----------------
+#
+# Dimension/format extraction needs no codec: PNG and GIF carry their size
+# at fixed offsets and JPEG in its SOF marker segment.  PNG/GIF parse fully
+# vectorized off the Arrow binary buffers (fancy-indexed numpy on the data
+# buffer — the rolling_hashes_arrow technique); JPEG needs a per-row marker
+# walk, done in Python ONLY for rows whose magic says JPEG, bounded by
+# ``max_jpeg_scan`` bytes.
+
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _jpeg_dims(b: bytes, max_scan: int) -> tuple[int, int] | None:
+    n = min(len(b), max_scan)
+    pos = 2
+    while pos + 9 <= n:
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker in _JPEG_SOF:
+            return (int.from_bytes(b[pos + 7: pos + 9], "big"),
+                    int.from_bytes(b[pos + 5: pos + 7], "big"))
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg = int.from_bytes(b[pos + 2: pos + 4], "big")
+        if seg < 2:
+            return None
+        pos += 2 + seg
+    return None
+
+
+def parse_image_headers(ds, media_col: str, *, out_prefix: str | None = None,
+                        max_jpeg_scan: int = 65536,
+                        batch_size: int | None = 1024):
+    """Append ``<prefix>format`` (string: "png" | "gif" | "jpeg"; null when
+    unrecognized/too short/null) and ``<prefix>width`` / ``<prefix>height``
+    (int32, null with format) parsed from the binary payload's header.
+    ``out_prefix`` defaults to ``{media_col}_``."""
+    import pyarrow.compute as pc
+
+    pre = f"{media_col}_" if out_prefix is None else out_prefix
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(media_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        col = col.cast(pa.large_binary())
+        bufs = col.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int64)[
+            col.offset: col.offset + n + 1]
+        data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+            else np.empty(0, np.uint8)
+        starts = offs[:-1]
+        lens = offs[1:] - starts
+        valid = np.asarray(
+            pc.is_valid(col).to_numpy(zero_copy_only=False), dtype=bool)
+
+        fmt = np.full(n, None, dtype=object)
+        width = np.full(n, -1, dtype=np.int64)
+        height = np.full(n, -1, dtype=np.int64)
+
+        def byte(rows, k):
+            return data[starts[rows] + k].astype(np.int64)
+
+        # PNG: 8-byte magic, IHDR width/height big-endian at 16/20
+        rows = np.flatnonzero(valid & (lens >= 24))
+        if len(rows):
+            magic = np.array([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+            m = np.ones(len(rows), dtype=bool)
+            for k, want in enumerate(magic):
+                m &= byte(rows, k) == want
+            png = rows[m]
+            if len(png):
+                w = sum(byte(png, 16 + i) << (8 * (3 - i)) for i in range(4))
+                h = sum(byte(png, 20 + i) << (8 * (3 - i)) for i in range(4))
+                fmt[png], width[png], height[png] = "png", w, h
+
+        # GIF87a/GIF89a: width/height little-endian uint16 at 6/8
+        rows = np.flatnonzero(valid & (lens >= 10))
+        if len(rows):
+            m = (byte(rows, 0) == 0x47) & (byte(rows, 1) == 0x49) \
+                & (byte(rows, 2) == 0x46) & (byte(rows, 3) == 0x38) \
+                & ((byte(rows, 4) == 0x37) | (byte(rows, 4) == 0x39)) \
+                & (byte(rows, 5) == 0x61)
+            gif = rows[m]
+            if len(gif):
+                width[gif] = byte(gif, 6) | (byte(gif, 7) << 8)
+                height[gif] = byte(gif, 8) | (byte(gif, 9) << 8)
+                fmt[gif] = "gif"
+
+        # JPEG: FFD8 magic, then a bounded per-row marker walk to SOF
+        rows = np.flatnonzero(valid & (lens >= 4))
+        if len(rows):
+            m = (byte(rows, 0) == 0xFF) & (byte(rows, 1) == 0xD8)
+            for i in rows[m]:
+                dims = _jpeg_dims(
+                    data[starts[i]: starts[i] + lens[i]].tobytes(),
+                    max_jpeg_scan)
+                if dims is not None:
+                    fmt[i], (width[i], height[i]) = "jpeg", dims
+
+        known = np.array([f is not None for f in fmt], dtype=bool)
+        out = batch.append_column(f"{pre}format",
+                                  pa.array(fmt, pa.string()))
+        out = out.append_column(f"{pre}width", pa.array(
+            width.astype(np.int32), mask=~known))
+        out = out.append_column(f"{pre}height", pa.array(
+            height.astype(np.int32), mask=~known))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

@@ -2798,6 +2798,107 @@ FROM bg GROUP BY b HAVING count(*) >= 25
 """
 
 
+def q_media_dimensions(sf_dir: str):
+    """Codec-free image header parsing, round-tripped: plant real
+    PNG/GIF/JPEG headers whose dimensions are pure functions of page_id
+    (fmt = id%3; w = id%640+16; h = id%480+16), parse them back off the
+    binary column with parse_image_headers, and aggregate per format.
+    The SQL twin recomputes the same aggregate from the id formulas — the
+    hashes only match if the byte-level parser is correct."""
+    import struct
+
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.multimodal import parse_image_headers
+
+    pages_p, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages_p, columns=["page_id"])
+
+    def make_media(t: pa.Table) -> pa.Table:
+        ids = t.column("page_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            w, h = int(i % 640 + 16), int(i % 480 + 16)
+            k = int(i % 3)
+            if k == 0:
+                payloads.append(b"\x89PNG\r\n\x1a\n"
+                                + struct.pack(">I", 13) + b"IHDR"
+                                + struct.pack(">II", w, h) + b"\0" * 13)
+            elif k == 1:
+                payloads.append(b"GIF89a" + struct.pack("<HH", w, h)
+                                + b"\0" * 11)
+            else:
+                payloads.append(
+                    b"\xff\xd8\xff\xe0" + struct.pack(">H", 16)
+                    + b"JFIF\x00" + b"\0" * 9
+                    + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+                    + struct.pack(">HH", h, w) + b"\x03" + b"\0" * 9
+                    + b"\xff\xd9")
+        return t.append_column("media", pa.array(payloads, pa.binary()))
+
+    parsed = parse_image_headers(
+        ds.map_batches(make_media, batch_format="pyarrow"), "media")
+    proj = parsed.map_batches(
+        lambda t: pa.table({
+            "fmt": t.column("media_format"),
+            "w": pc.cast(t.column("media_width"), pa.int64()),
+            "h": pc.cast(t.column("media_height"), pa.int64())}),
+        batch_format="pyarrow")
+    out = grouped_agg(
+        proj, ["fmt"], [("fmt", "count"), ("w", "sum"), ("h", "sum")],
+        rename={"fmt_count": "n", "w_sum": "sum_w", "h_sum": "sum_h"})
+    return ds_to_table(out).sort_by([("fmt", "ascending")])
+
+
+SQL_MEDIA_DIMENSIONS = f"""
+SELECT CASE page_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+       ELSE 'jpeg' END AS fmt,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(page_id % 640 + 16) AS BIGINT) AS sum_w,
+       CAST(sum(page_id % 480 + 16) AS BIGINT) AS sum_h
+FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+GROUP BY 1
+"""
+
+
+def q_dup_substrings(sf_dir: str):
+    """Cross-document repeated-substring stats (Lee et al. ExactSubstr
+    signal): per doc, its distinct 16-char shingles occurring in ≥2 docs
+    corpus-wide.  Hash pairs exchange-counted, never broadcast; totals
+    left-joined through the bucketed equi-join.  Exact DuckDB substring
+    twin (fixture text is ASCII, so byte windows ≡ char windows)."""
+    import ray.data as rd
+
+    from webval.dedup import dup_substring_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = dup_substring_stats(ds, "doc_id", "text", window=16, min_docs=2)
+    return ds_to_table(out).sort_by([("doc_id", "ascending")])
+
+
+SQL_DUP_SUBSTRINGS = """
+WITH pos AS (SELECT CAST(i AS INT) AS i FROM range(1, 8192) t(i)),
+dsh AS (SELECT DISTINCT doc_id, substr(text, i, 16) AS g
+        FROM documents, pos
+        WHERE text IS NOT NULL AND length(text) >= 16
+          AND i <= length(text) - 15),
+cnt AS (SELECT g, count(*) AS docs FROM dsh GROUP BY g),
+d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_shingles
+      FROM dsh JOIN cnt USING (g) WHERE cnt.docs >= 2 GROUP BY doc_id),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dsh
+          GROUP BY doc_id)
+SELECT doc.doc_id,
+       coalesce(s.n, 0) AS n_shingles,
+       coalesce(d.n_dup_shingles, 0) AS n_dup_shingles,
+       coalesce(d.n_dup_shingles, 0) > 0 AS has_dup
+FROM documents doc
+LEFT JOIN sizes s USING (doc_id)
+LEFT JOIN d USING (doc_id)
+"""
+
+
 def q_check_pass_rates(sf_dir: str):
     """Expectation-suite summary: per-check failure counts + rates over the
     whole events table in one streaming pass (each batch reduces to one
@@ -2912,4 +3013,6 @@ QUERIES = {
     "check_pass_rates": (q_check_pass_rates, SQL_CHECK_PASS_RATES),
     "frequent_bigrams": (q_frequent_bigrams, SQL_FREQUENT_BIGRAMS),
     "lm_buckets": (q_lm_buckets, SQL_LM_BUCKETS),
+    "dup_substrings": (q_dup_substrings, SQL_DUP_SUBSTRINGS),
+    "media_dimensions": (q_media_dimensions, SQL_MEDIA_DIMENSIONS),
 }
