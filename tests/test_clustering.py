@@ -140,3 +140,18 @@ def test_pca_rejects_bad_args():
                                          pa.list_(pa.float32()))})
     with pytest.raises(ValueError, match="n_components"):
         pca_fit(rd.from_arrow(t2), "embedding", 5)
+
+
+def test_standardize_edges(ray_session):
+    import ray.data as rd
+
+    from webval.clustering import standardize_fit, standardize_transform
+
+    t = pa.table({"a": [1.0, 2.0, 3.0, None], "b": [5.0, 5.0, 5.0, 5.0]})
+    model = standardize_fit(rd.from_arrow(t), ["a", "b"])
+    assert model["a"]["mean"] == 2.0
+    assert model["b"]["std"] == 0.0
+    out = standardize_transform(rd.from_arrow(t), model).to_pandas()
+    assert abs(out["a_z"][1] - 0.0) < 1e-12          # (2-2)/std
+    assert np.isnan(out["a_z"][3])                   # null in -> null out
+    assert out["b_z"].isna().all()                   # zero std -> nulls

@@ -89,3 +89,42 @@ def test_partition_report_flags_only_drifted_part(specs):
     assert bool(rep.loc[0, "drifted"]) is False
     assert bool(rep.loc[1, "drifted"]) is False
     assert int(rep.loc[2, "rows"]) == RPP
+
+
+def test_ks_statistic():
+    from webval.drift import ks_statistic
+
+    # identical -> 0
+    assert ks_statistic([1, 2, 3], [2, 4, 6]) == 0.0
+    # disjoint mass -> 1
+    assert ks_statistic([1, 0, 0], [0, 0, 1]) == 1.0
+    # known gap: CDFs (0.5, 1.0) vs (0.25, 1.0) -> 0.25
+    assert abs(ks_statistic([1, 1], [1, 3]) - 0.25) < 1e-12
+    # shape mismatch raises
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ks_statistic([1], [1, 2])
+
+
+def test_contrast_reports_ks_and_thresholds():
+    import numpy as np
+
+    from webval.pipelines import contrast
+    from webval.sketches import NumericHistogram
+
+    def spec_with_hist(name, counts):
+        from webval.schema import ColumnProfile, SchemaSpec
+        h = NumericHistogram(list(np.linspace(0, 1, len(counts) + 1)))
+        h.counts = np.asarray(counts, dtype=np.int64)
+        p = ColumnProfile(name="x", kind="numeric", count=int(sum(counts)),
+                          histogram=h.to_dict())
+        return SchemaSpec(name=name, built=True, columns=[p])
+
+    a = spec_with_hist("a", [100, 100, 100, 100])
+    b = spec_with_hist("b", [400, 10, 10, 10])   # heavy shift
+    rep = contrast(a, b)
+    assert "ks" in rep["columns"]["x"]
+    assert rep["columns"]["x"]["ks"] > 0.2
+    assert rep["drifted"]
+    same = contrast(a, a)
+    assert same["columns"]["x"]["ks"] == 0.0

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _matrix_of(col: pa.ChunkedArray) -> np.ndarray:
@@ -217,3 +218,62 @@ def pca_transform(ds, col: str, model: dict, *, out_col: str = "pc",
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def standardize_fit(ds, cols: list[str], *,
+                    batch_size: int | None = 8192) -> dict:
+    """Fit per-column (mean, population std) for z-score standardization —
+    the classic ML-preprocessing stage ahead of kmeans/pca.  One streaming
+    pass of mergeable Moments partials (map_batches → driver merge of
+    KB-sized accumulators); returns a JSON-able {col: {mean, std}} model."""
+    import ray
+
+    from webval.sketches import Moments
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import json
+        out = {}
+        for c in cols:
+            m = Moments()
+            v = batch.column(c).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            m.add(v, n_total=batch.num_rows)
+            out[c] = json.dumps(m.to_dict())
+        return pa.table({c: pa.array([out[c]]) for c in cols})
+
+    import json
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size).materialize()
+    merged = {c: None for c in cols}
+    from webval.sketches import Moments as _M
+    for ref in parts.to_arrow_refs():
+        b = ray.get(ref)
+        for c in cols:
+            for s in b.column(c).to_pylist():
+                m = _M.from_dict(json.loads(s))
+                merged[c] = m if merged[c] is None else merged[c].merge(m)
+    return {c: {"mean": merged[c].mean if merged[c] else None,
+                "std": merged[c].std if merged[c] else None}
+            for c in cols}
+
+
+def standardize_transform(ds, model: dict, *, suffix: str = "_z",
+                          batch_size: int | None = 8192):
+    """Append ``<col><suffix>`` = (x − mean)/std per fitted column (model
+    broadcast in the task closure — it is bytes-sized).  Columns with
+    std == 0 or an unfitted model yield nulls; null inputs stay null."""
+    items = [(c, m["mean"], m["std"]) for c, m in model.items()]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = batch
+        for c, mean, std in items:
+            col = batch.column(c)
+            if mean is None or std is None or std == 0.0:
+                z = pa.nulls(batch.num_rows, pa.float64())
+            else:
+                z = pc.divide(pc.subtract(pc.cast(col, pa.float64()), mean),
+                              std)
+            out = out.append_column(f"{c}{suffix}", z)
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

@@ -131,3 +131,24 @@ def psi(expected, actual, *, min_frac: float = 1e-4) -> float:
     e = e / e.sum()
     a = a / a.sum()
     return float(np.sum((a - e) * np.log(a / e)))
+
+
+def ks_statistic(a_counts, b_counts) -> float:
+    """Two-sample Kolmogorov-Smirnov statistic over a SHARED binning: the
+    max absolute gap between the two empirical CDFs built from binned
+    counts (exact KS needs raw sorted samples — at 10¹² rows the binned
+    variant over the schema's histogram/t-digest-CDF bins is the scalable
+    standard, and it lower-bounds the exact statistic).
+
+    Inputs are counts or probabilities over identical bins; returns a value
+    in [0, 1].
+    """
+    a = np.asarray(a_counts, dtype=np.float64)
+    b = np.asarray(b_counts, dtype=np.float64)
+    if a.shape != b.shape:
+        raise ValueError(f"ks_statistic: shape mismatch {a.shape} vs {b.shape}")
+    if a.sum() == 0 or b.sum() == 0:
+        return 0.0 if a.sum() == b.sum() else 1.0
+    ca = np.cumsum(a / a.sum())
+    cb = np.cumsum(b / b.sum())
+    return float(np.abs(ca - cb).max())

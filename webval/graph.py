@@ -156,3 +156,47 @@ def connected_components(edges, src_col: str, dst_col: str, *,
     return out.map_batches(
         lambda t: t.rename_columns(["id", "component"]),
         batch_format="pyarrow")
+
+
+def link_degrees(links, src_col: str = "src_url", dst_col: str = "dst_url", *,
+                 num_buckets: int | None = None):
+    """Per-node in/out degree of the link graph — the cheapest graph
+    feature a crawl-validation pass wants (dangling-page and hub detection)
+    and the warm-up structure for pagerank/connected_components.
+
+    One stateless explode (each edge contributes (src, out=1) and
+    (dst, in=1) rows; null endpoints dropped) followed by one exchange sum
+    — the per-batch partial is the explode itself, so the shuffle carries
+    (url, 0/1, 0/1) rows pre-summed per batch by the exchange combiner.
+    Output: (node, out_deg, in_deg), one row per distinct endpoint.
+    """
+    import pyarrow.compute as pc
+
+    from webval.exchange import grouped_agg
+
+    def explode(t: pa.Table) -> pa.Table:
+        src = t.column(src_col).combine_chunks()
+        dst = t.column(dst_col).combine_chunks()
+        n_s, n_d = len(src), len(dst)
+        node = pa.concat_arrays([src, dst])
+        out_deg = pa.array(np.r_[np.ones(n_s, np.int64),
+                                 np.zeros(n_d, np.int64)])
+        in_deg = pa.array(np.r_[np.zeros(n_s, np.int64),
+                                np.ones(n_d, np.int64)])
+        tt = pa.table({"node": node, "out_deg": out_deg, "in_deg": in_deg})
+        return tt.filter(pc.is_valid(tt.column("node")))
+
+    exploded = links.select_columns([src_col, dst_col]) \
+        .map_batches(explode, batch_format="pyarrow")
+    # pre-sum inside each batch so the shuffle carries one row per distinct
+    # node per batch, not one per edge endpoint
+    partial = exploded.map_batches(
+        lambda t: t.group_by("node").aggregate(
+            [("out_deg", "sum"), ("in_deg", "sum")]).rename_columns(
+            ["node", "out_deg", "in_deg"]),
+        batch_format="pyarrow")
+    return grouped_agg(partial, ["node"],
+                       [("out_deg", "sum"), ("in_deg", "sum")],
+                       num_buckets=num_buckets,
+                       rename={"out_deg_sum": "out_deg",
+                               "in_deg_sum": "in_deg"})

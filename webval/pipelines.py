@@ -23,7 +23,7 @@ from webval.aggregates import (
     profile_dataset,
 )
 from webval.checks import check_dataset, violations_of
-from webval.drift import chi2_test, freq_vectors, js_divergence, psi
+from webval.drift import chi2_test, freq_vectors, js_divergence, ks_statistic, psi
 from webval.schema import SchemaSpec
 from webval.sketches import NumericHistogram
 
@@ -419,7 +419,8 @@ def partition_report(ds, schema: SchemaSpec, part_col: str = "part_id",
 
 
 def contrast(a: SchemaSpec, b: SchemaSpec, *, max_js: float = 0.1,
-             min_chi2_p: float = 0.001, max_psi: float = 0.25) -> dict:
+             min_chi2_p: float = 0.001, max_psi: float = 0.25,
+             max_ks: float = 0.2) -> dict:
     """rdv Schema.contrast: pairwise per-column distance between two built
     schemas + thresholds → report dict (JSON-serializable).  No raw data
     touched — only stats objects."""
@@ -434,6 +435,7 @@ def contrast(a: SchemaSpec, b: SchemaSpec, *, max_js: float = 0.1,
             ha, hb = NumericHistogram.from_dict(p.histogram), NumericHistogram.from_dict(q.histogram)
             col["js"] = js_divergence(ha.probs(), hb.probs())
             col["psi"] = psi(ha.probs(), hb.probs())
+            col["ks"] = ks_statistic(ha.probs(), hb.probs())
             stat, pv = chi2_test(
                 np.concatenate([[hb.underflow], hb.counts, [hb.overflow]]), ha.probs())
             col["chi2_stat"], col["chi2_p"] = stat, pv
@@ -453,6 +455,7 @@ def contrast(a: SchemaSpec, b: SchemaSpec, *, max_js: float = 0.1,
                                       [1.0 - tb.cdf(edges[-2:-1])[0]]])
                 col["js"] = js_divergence(pa_, pb_)
                 col["psi"] = psi(pa_, pb_)
+                col["ks"] = ks_statistic(pa_, pb_)
                 n_b = q.count - q.null_count
                 stat, pv = chi2_test(pb_ * n_b, pa_)
                 col["chi2_stat"], col["chi2_p"] = stat, pv
@@ -469,7 +472,8 @@ def contrast(a: SchemaSpec, b: SchemaSpec, *, max_js: float = 0.1,
             else (q.moments["sum"] / q.moments["count"]) - (p.moments["sum"] / p.moments["count"]))
         col["drifted"] = bool(col.get("js", 0.0) > max_js
                               or col.get("chi2_p", 1.0) < min_chi2_p
-                              or col.get("psi", 0.0) > max_psi)
+                              or col.get("psi", 0.0) > max_psi
+                              or col.get("ks", 0.0) > max_ks)
         report["columns"][p.name] = col
         report["drifted"] = report["drifted"] or col["drifted"]
     return report

@@ -2798,6 +2798,57 @@ FROM bg GROUP BY b HAVING count(*) >= 25
 """
 
 
+def q_standardize(sf_dir: str):
+    """Z-score standardization (fit mergeable moments in one pass, apply as
+    a stateless map): events.value against the global mean/population-std.
+    Rounded to 6 decimals — the fit's naive sumsq formula and SQL's
+    stddev_pop agree to ~1e-10 relative."""
+    import ray.data as rd
+
+    from webval.clustering import standardize_fit, standardize_transform
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+    model = standardize_fit(ds, ["value"])
+    out = standardize_transform(ds, model).select_columns(
+        ["event_id", "value_z"])
+    t = ds_to_table(out).sort_by([("event_id", "ascending")])
+    return _round_cols(t, {"value_z": 6})
+
+
+SQL_STANDARDIZE = """
+WITH s AS (SELECT avg(value) AS a, stddev_pop(value) AS sd FROM events)
+SELECT event_id, round((value - s.a) / s.sd, 6) AS value_z
+FROM events CROSS JOIN s
+"""
+
+
+def q_link_degrees(sf_dir: str):
+    """Per-node in/out degree over the synthetic link graph: one explode +
+    per-batch combiner + exchange sum."""
+    import ray.data as rd
+
+    from webval.graph import link_degrees
+
+    _, links_p = ensure_synth(sf_dir)
+    return link_degrees(rd.read_parquet(links_p), "src_url", "dst_url")
+
+
+SQL_LINK_DEGREES = f"""
+WITH u AS (
+  SELECT src_url AS node, 1 AS o, 0 AS i
+  FROM read_parquet('{SYNTH_ROOT}/sf0.01/links.parquet')
+  WHERE src_url IS NOT NULL
+  UNION ALL
+  SELECT dst_url, 0, 1
+  FROM read_parquet('{SYNTH_ROOT}/sf0.01/links.parquet')
+  WHERE dst_url IS NOT NULL)
+SELECT node, CAST(sum(o) AS BIGINT) AS out_deg,
+       CAST(sum(i) AS BIGINT) AS in_deg
+FROM u GROUP BY node
+"""
+
+
 def q_media_dimensions(sf_dir: str):
     """Codec-free image header parsing, round-tripped: plant real
     PNG/GIF/JPEG headers whose dimensions are pure functions of page_id
@@ -3015,4 +3066,6 @@ QUERIES = {
     "lm_buckets": (q_lm_buckets, SQL_LM_BUCKETS),
     "dup_substrings": (q_dup_substrings, SQL_DUP_SUBSTRINGS),
     "media_dimensions": (q_media_dimensions, SQL_MEDIA_DIMENSIONS),
+    "link_degrees": (q_link_degrees, SQL_LINK_DEGREES),
+    "standardize": (q_standardize, SQL_STANDARDIZE),
 }
