@@ -2798,6 +2798,96 @@ FROM bg GROUP BY b HAVING count(*) >= 25
 """
 
 
+def q_dedup_keep_latest(sf_dir: str):
+    """Crawl recency dedup — the standard recrawl policy: of each url's
+    duplicate fetches keep the LATEST snapshot (max warc_ts, page_id
+    tie-break), exactly row_number() OVER (PARTITION BY url ORDER BY
+    warc_ts DESC, page_id) = 1.  Rides top_k_per_group's per-batch top-k
+    combiner, so hot urls move ≤1 row per batch through the shuffle."""
+    import ray.data as rd
+
+    from webval.rank import top_k_per_group
+
+    pages_p, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages_p, columns=["page_id", "url", "warc_ts"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("warc_ts").combine_chunks())),
+        batch_format="pyarrow")
+    out = top_k_per_group(ds, "url", "warc_ts", 1, descending=True,
+                          tie_cols=["page_id"])
+    return out.map_batches(lambda t: t.select(["page_id", "url"]),
+                           batch_format="pyarrow")
+
+
+SQL_DEDUP_KEEP_LATEST = f"""
+SELECT page_id, url FROM (
+  SELECT page_id, url,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, page_id) AS rn
+  FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+  WHERE warc_ts IS NOT NULL) WHERE rn = 1
+"""
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-label mean embedding (the vector-column grouped aggregate): each
+    batch reduces to (label, dim, partial sum, count) rows — 64 rows per
+    label per batch — the exchange sums them, and the mean finalizes
+    vectorized.  Long-form output matches SQL's unnest-by-index twin."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding").combine_chunks()
+        # offsets-based explode: null lists contribute nothing and ragged
+        # lengths stay aligned (no fixed-dim assumption)
+        lens = pc.fill_null(pc.list_value_length(emb), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        starts = np.cumsum(lens) - lens
+        dim_idx = np.arange(len(flat), dtype=np.int64) \
+            - np.repeat(starts, lens) + 1
+        long = pa.table({
+            "label": pa.array(np.repeat(labels, lens).astype(np.int32),
+                              pa.int32()),
+            "dim": pa.array(dim_idx),
+            "s": pa.array(flat, pa.float64()),
+        })
+        part = long.group_by(["label", "dim"]).aggregate(
+            [("s", "sum"), ("s", "count")])
+        return part.rename_columns(["label", "dim", "s", "cnt"])
+
+    parts = ds.map_batches(explode, batch_format="pyarrow")
+    summed = grouped_agg(parts, ["label", "dim"],
+                         [("s", "sum"), ("cnt", "sum")],
+                         rename={"s_sum": "s", "cnt_sum": "cnt"})
+    out = summed.map_batches(
+        lambda t: pa.table({
+            "label": t.column("label"),
+            "dim": t.column("dim"),
+            "c": pc.divide(t.column("s"),
+                           pc.cast(t.column("cnt"), pa.float64()))}),
+        batch_format="pyarrow")
+    t = ds_to_table(out).sort_by([("label", "ascending"),
+                                  ("dim", "ascending")])
+    return _round_cols(t, {"c": 6})
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH e AS (SELECT label, CAST(i AS BIGINT) AS dim,
+                  CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+           FROM embeddings, range(1, 65) r(i))
+SELECT label, dim, round(avg(v), 6) AS c
+FROM e GROUP BY label, dim
+"""
+
+
 def q_standardize(sf_dir: str):
     """Z-score standardization (fit mergeable moments in one pass, apply as
     a stateless map): events.value against the global mean/population-std.
@@ -3068,4 +3158,6 @@ QUERIES = {
     "media_dimensions": (q_media_dimensions, SQL_MEDIA_DIMENSIONS),
     "link_degrees": (q_link_degrees, SQL_LINK_DEGREES),
     "standardize": (q_standardize, SQL_STANDARDIZE),
+    "dedup_keep_latest": (q_dedup_keep_latest, SQL_DEDUP_KEEP_LATEST),
+    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
 }
