@@ -112,3 +112,36 @@ def test_sessionize_oversized_group_diagnostic():
                    gap_us=5, max_group_rows=8)
     with pytest.raises(Exception, match="max_group_rows"):
         s.take_all()
+
+
+def test_funnel_stages_brute_force(ray_session):
+    import ray.data as rd
+
+    from webval.windows import funnel_counts, funnel_stages
+
+    # handcrafted edges: u1 full funnel; u2 stalls (view BEFORE click);
+    # u3 tie-ts (view at same instant as click: strict > blocks it);
+    # u4 repeats steps (first-touch uses earliest qualifying); u5 only b
+    rows = [
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "c"),
+        (2, 10, "b"), (2, 20, "a"),
+        (3, 10, "a"), (3, 10, "b"),
+        (4, 10, "a"), (4, 5, "a"), (4, 7, "b"), (4, 8, "b"), (4, 9, "c"),
+        (5, 10, "b"),
+    ]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us")),
+        "typ": pa.array([r[2] for r in rows], pa.string()),
+    })
+    got = funnel_stages(rd.from_arrow(t), "u", "ts", "typ",
+                        ["a", "b", "c"]).to_pandas() \
+        .set_index("u")["stage"].to_dict()
+    # u4: first a at ts=5, first b after 5 is 7, first c after 7 is 9 -> 3
+    assert got == {1: 3, 2: 1, 3: 1, 4: 3, 5: 0}
+
+    counts = funnel_counts(rd.from_arrow(t), "u", "ts", "typ",
+                           ["a", "b", "c"]).to_pandas() \
+        .set_index("stage")["n_users"].to_dict()
+    assert counts == {1: 4, 2: 2, 3: 2}

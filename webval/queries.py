@@ -2798,6 +2798,36 @@ FROM bg GROUP BY b HAVING count(*) >= 25
 """
 
 
+def q_funnel(sf_dir: str):
+    """First-touch funnel click→view→purchase over the events table:
+    per-user deepest strictly-ordered prefix (co-bucketed exchange, k
+    vectorized passes per bucket), rolled up to users-reaching-stage
+    counts.  SQL twin chains min-ts CTEs with strict inequalities —
+    identical greedy semantics."""
+    import ray.data as rd
+
+    from webval.windows import funnel_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    out = funnel_counts(ds, "user_id", "ts", "event_type",
+                        ["click", "view", "purchase"])
+    return ds_to_table(out).sort_by([("stage", "ascending")])
+
+
+SQL_FUNNEL = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'click' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT 1 AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM s2
+UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM s3
+"""
+
+
 def q_dedup_keep_latest(sf_dir: str):
     """Crawl recency dedup — the standard recrawl policy: of each url's
     duplicate fetches keep the LATEST snapshot (max warc_ts, page_id
@@ -3160,4 +3190,5 @@ QUERIES = {
     "standardize": (q_standardize, SQL_STANDARDIZE),
     "dedup_keep_latest": (q_dedup_keep_latest, SQL_DEDUP_KEEP_LATEST),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    "funnel": (q_funnel, SQL_FUNNEL),
 }

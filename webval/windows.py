@@ -142,3 +142,101 @@ def sessionize(ds, *, ts_col: str, by: str, gap_us: int,
     return bucketed_group_apply(ds.select_columns(cols), [by], assign,
                                 num_buckets=num_buckets,
                                 max_group_rows=max_group_rows)
+
+
+def funnel_stages(ds, user_col: str, ts_col: str, type_col: str,
+                  steps: list[str], *, num_buckets: int | None = None,
+                  max_group_rows: int | None = 4_000_000):
+    """Ordered-sequence funnel: per user, the deepest prefix of ``steps``
+    completed with STRICTLY increasing timestamps (step i+1 must occur
+    after the FIRST qualifying occurrence of step i — the standard
+    first-touch funnel; ties in ts do not advance).  Output: one row per
+    user with ``stage`` ∈ [0, len(steps)].
+
+    Scale shape: events project to (user, ts, type) and co-bucket by user
+    through the exchange; inside each bucket the k steps each resolve in
+    one vectorized pass (sorted group runs + first-eligible-per-group via
+    unique-on-segment), no per-row Python.  A user's events must fit one
+    bucket task (max_group_rows guard, shared with sessionize/joins).
+    """
+    import numpy as np
+
+    from webval.exchange import bucketed_group_apply
+
+    if not steps:
+        raise ValueError("funnel_stages: steps is empty")
+
+    proj = ds.map_batches(
+        lambda t: t.select([user_col, ts_col, type_col]).filter(
+            pc.and_(pc.is_valid(t.column(ts_col).combine_chunks()),
+                    pc.is_valid(t.column(type_col).combine_chunks()))),
+        batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        ut = g.schema.field(user_col).type
+        if g.num_rows == 0:
+            return pa.table({user_col: pa.array([], ut),
+                             "stage": pa.array([], pa.int64())})
+        ts_int = pc.cast(g.column(ts_col), pa.int64())
+        g = g.set_column(g.column_names.index(ts_col), ts_col, ts_int)
+        g = g.sort_by([(user_col, "ascending"), (ts_col, "ascending")])
+        users = g.column(user_col).to_numpy(zero_copy_only=False)
+        ts = g.column(ts_col).to_numpy(zero_copy_only=False)
+        types = g.column(type_col)
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        n_grp = len(starts)
+        counts = np.diff(np.r_[starts, len(users)])
+        seg = np.repeat(np.arange(n_grp), counts)
+        t_prev = np.full(n_grp, -(2 ** 63), dtype=np.int64)
+        alive = np.ones(n_grp, dtype=bool)
+        stage = np.zeros(n_grp, dtype=np.int64)
+        for s in steps:
+            is_s = pc.equal(types, s)
+            m = pc.fill_null(is_s, False).to_numpy(zero_copy_only=False) \
+                .astype(bool)
+            elig = m & alive[seg] & (ts > t_prev[seg])
+            idx = np.flatnonzero(elig)
+            if len(idx) == 0:
+                break
+            segs_hit, first = np.unique(seg[idx], return_index=True)
+            hit_ts = ts[idx[first]]
+            advanced = np.zeros(n_grp, dtype=bool)
+            advanced[segs_hit] = True
+            t_prev[segs_hit] = hit_ts
+            stage[advanced] += 1
+            alive &= advanced
+            if not alive.any():
+                break
+        return pa.table({
+            user_col: g.column(user_col).take(pa.array(starts, pa.int64())),
+            "stage": pa.array(stage)})
+
+    return bucketed_group_apply(proj, [user_col], final,
+                                num_buckets=num_buckets,
+                                max_group_rows=max_group_rows)
+
+
+def funnel_counts(ds, user_col: str, ts_col: str, type_col: str,
+                  steps: list[str], *, num_buckets: int | None = None):
+    """Aggregate funnel: for each step i (1-based), how many users reached
+    at least stage i.  One small rollup over funnel_stages' per-user rows."""
+    import numpy as np
+
+    stages = funnel_stages(ds, user_col, ts_col, type_col, steps,
+                           num_buckets=num_buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        st = t.column("stage").to_numpy(zero_copy_only=False)
+        k = len(steps)
+        reach = [int((st >= i).sum()) for i in range(1, k + 1)]
+        return pa.table({"stage": pa.array(range(1, k + 1), pa.int64()),
+                         "n_users": pa.array(reach, pa.int64())})
+
+    parts = stages.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        agg = g.group_by("stage").aggregate([("n_users", "sum")])
+        return agg.rename_columns(["stage", "n_users"])
+
+    from webval.exchange import bucketed_group_apply
+    return bucketed_group_apply(parts, ["stage"], final, num_buckets=8)
