@@ -300,6 +300,13 @@ def run_ops(sf_dir: str, ncpu: int, pages_dir: str) -> dict[str, float]:
             batch_format="pyarrow").materialize()
         assert sum(r["n"] for r in mat.take_all()) == DEFAULT_OPS_ROWS
 
+    with timed("bm25_search_400k"):
+        from webval.search import bm25_search
+
+        ds = rd.read_parquet(pages_dir, columns=["page_id", "text"])
+        assert bm25_search(ds, "page_id", "text",
+                           "fast vector scan", k=10).count() == 10
+
     with timed("frequent_bigrams_400k"):
         from webval.textclean import frequent_ngrams
 

@@ -2798,6 +2798,53 @@ FROM bg GROUP BY b HAVING count(*) >= 25
 """
 
 
+def q_bm25_search(sf_dir: str):
+    """Okapi BM25 top-10 for the query "fast vector scan": one stats pass
+    reducing to Q+2 ints per batch (driver-summed), one scoring pass with
+    per-batch local top-k + fan-in tree.  SQL twin evaluates the identical
+    formula with the same IEEE op order from the same integer stats."""
+    import ray.data as rd
+
+    from webval.search import bm25_search
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = bm25_search(ds, "doc_id", "text", "fast vector scan", k=10)
+    t = ds_to_table(out).sort_by([("score", "descending"),
+                                  ("doc_id", "ascending")])
+    return _round_cols(t, {"score": 6})
+
+
+SQL_BM25_SEARCH = """
+WITH tok AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents)
+  WHERE t <> ''),
+q(term) AS (VALUES ('fast'), ('scan'), ('vector')),
+dl AS (SELECT d.doc_id, CAST(coalesce(c.n, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok
+                                   GROUP BY doc_id) c USING (doc_id)),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT CAST(count(*) AS DOUBLE) FROM tok)
+              / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT q.term,
+              (SELECT count(DISTINCT doc_id) FROM tok
+               WHERE tok.term = q.term) AS df FROM q),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM tok JOIN q USING (term) GROUP BY doc_id, term),
+sc AS (SELECT tf.doc_id,
+              sum(tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))
+                  * ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)) AS score
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM sc ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def q_funnel(sf_dir: str):
     """First-touch funnel click→view→purchase over the events table:
     per-user deepest strictly-ordered prefix (co-bucketed exchange, k
@@ -3191,4 +3238,5 @@ QUERIES = {
     "dedup_keep_latest": (q_dedup_keep_latest, SQL_DEDUP_KEEP_LATEST),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "funnel": (q_funnel, SQL_FUNNEL),
+    "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
 }

@@ -1,0 +1,126 @@
+"""BM25 full-text search over a document Dataset — the lexical sibling of
+``webval.similarity``'s vector search (Robertson-Sparck Jones probabilistic
+ranking; the Okapi BM25 formulation is public textbook material).
+
+Distributed shape for a single query (the interactive-retrieval path):
+
+1. The query tokenizes ON THE DRIVER (it is a handful of terms by
+   definition) with the same RE2 split contract as ``webval.tfidf``.
+2. One stats pass: each batch reduces to (n_docs, n_tokens, df_1..df_Q)
+   — Q+2 integers — and the driver sums per-block scalars (the
+   big-map-then-tiny-rollup pattern).  Per-term IDF and the corpus average
+   document length finalize on the driver from those integers, so both
+   engines in the parity check compute them from identical ints.
+3. One scoring pass: per batch, term frequencies of the Q query terms
+   resolve vectorized (index_in + one bincount over doc·Q keys), the BM25
+   sum evaluates as a (rows × Q) numpy expression, and the batch emits its
+   local top-k rows only.  A fan-in tree of top-k reductions produces the
+   global top-k — no global sort, nothing doc-sized on the driver.
+
+Determinism: ranking is (score DESC, id ASC); exact score ties (identical
+tf-vector and doc length) break on id in any engine.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from webval.lm import _tokenize
+from webval.tfidf import TOKEN_SPLIT_PATTERN
+
+
+def query_terms(query: str, pattern: str = TOKEN_SPLIT_PATTERN) -> list[str]:
+    """Driver-side tokenization of the query string — same split contract
+    as the corpus tokenizer (python re and RE2 agree on this class)."""
+    import re
+
+    return sorted({w for w in re.split(pattern, query.lower()) if w})
+
+
+def bm25_search(ds, id_col: str, text_col: str, query: str, k: int = 10, *,
+                k1: float = 1.2, b: float = 0.75,
+                pattern: str = TOKEN_SPLIT_PATTERN, fan: int = 64,
+                batch_size: int | None = 8192):
+    """Top-k documents for ``query`` by BM25.  Returns a Dataset of
+    (id_col, score) rows, the global top-k ordered by (score DESC, id)."""
+    import ray
+
+    terms = query_terms(query, pattern)
+    if not terms:
+        raise ValueError(f"bm25_search: no terms in query {query!r}")
+    nq = len(terms)
+    terms_arr = pa.array(terms, pa.string())
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _tokenize(batch.column(text_col).combine_chunks(),
+                                  pattern)
+        pos = pc.index_in(flat, value_set=terms_arr) \
+            .to_numpy(zero_copy_only=False)
+        hit = ~np.isnan(pos)
+        df = np.zeros(nq, dtype=np.int64)
+        if hit.any():
+            key = doc_idx[hit] * nq + pos[hit].astype(np.int64)
+            uniq = np.unique(key)  # one per (doc, term) present
+            np.add.at(df, uniq % nq, 1)
+        cols = {"n": pa.array([batch.num_rows], pa.int64()),
+                "toks": pa.array([len(flat)], pa.int64())}
+        for j in range(nq):
+            cols[f"df_{j}"] = pa.array([int(df[j])], pa.int64())
+        return pa.table(cols)
+
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow",
+                           batch_size=batch_size).materialize()
+    totals = {name: 0 for name in
+              ["n", "toks"] + [f"df_{j}" for j in range(nq)]}
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        for name in totals:
+            totals[name] += int(pc.sum(t.column(name)).as_py() or 0)
+    n_docs = totals["n"]
+    if n_docs == 0:
+        return ds.limit(0)
+    avgdl = totals["toks"] / n_docs
+    idf = np.array([math.log((n_docs - totals[f"df_{j}"] + 0.5)
+                             / (totals[f"df_{j}"] + 0.5) + 1.0)
+                    for j in range(nq)], dtype=np.float64)
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], batch.schema.field(id_col).type),
+                             "score": pa.array([], pa.float64())})
+        flat, doc_idx = _tokenize(batch.column(text_col).combine_chunks(),
+                                  pattern)
+        dl = np.bincount(doc_idx, minlength=n).astype(np.float64)
+        pos = pc.index_in(flat, value_set=terms_arr) \
+            .to_numpy(zero_copy_only=False)
+        hit = ~np.isnan(pos)
+        tf = np.zeros(n * nq, dtype=np.int64)
+        if hit.any():
+            key = doc_idx[hit] * nq + pos[hit].astype(np.int64)
+            tf = np.bincount(key, minlength=n * nq)
+        tf = tf.reshape(n, nq).astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * dl[:, None] / avgdl)
+        with np.errstate(invalid="ignore"):
+            contrib = tf * (k1 + 1.0) / denom * idf[None, :]
+        score = np.nansum(contrib, axis=1)
+        keep = np.flatnonzero(score > 0.0)
+        t = pa.table({id_col: batch.column(id_col).take(
+            pa.array(keep, pa.int64())),
+            "score": pa.array(score[keep], pa.float64())})
+        return t.sort_by([("score", "descending"),
+                          (id_col, "ascending")]).slice(0, k)
+
+    out = ds.map_batches(score_topk, batch_format="pyarrow",
+                         batch_size=batch_size).materialize()
+    while out.num_blocks() > 1:
+        out = (out.repartition(max(1, math.ceil(out.num_blocks() / fan)))
+               .map_batches(lambda t: t.sort_by(
+                   [("score", "descending"), (id_col, "ascending")])
+                   .slice(0, k), batch_format="pyarrow", batch_size=None)
+               .materialize())
+    return out
