@@ -306,3 +306,19 @@ def test_iqr_outliers_brute_force(ray_session):
     assert 0 in set(got["i"]) and 1 in set(got["i"])
     # all-null group contributes no outliers and no crash
     assert not (got["k"] == "nullgrp").any()
+
+
+def test_percent_rank_matches_sql_rule(ray_session):
+    import ray.data as rd
+
+    from webval.rank import window_ops
+
+    t = pa.table({"k": ["a"] * 4 + ["b"] * 1 + ["c"] * 3,
+                  "o": [3, 1, 4, 2, 9, 7, 8, 6],
+                  "i": list(range(8))})
+    got = window_ops(rd.from_arrow(t), "k", ["o"], row_number=True,
+                     percent_rank=True).to_pandas() \
+        .sort_values(["k", "o"]).reset_index(drop=True)
+    # a: 4 rows -> 0, 1/3, 2/3, 1; b singleton -> 0; c: 0, 0.5, 1
+    want = [0.0, 1 / 3, 2 / 3, 1.0, 0.0, 0.0, 0.5, 1.0]
+    assert np.allclose(got["percent_rank"], want, atol=1e-15)

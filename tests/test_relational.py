@@ -241,3 +241,33 @@ def test_grouping_sets_rejects_bad_args():
         grouping_sets_agg(t, [["a"], ["a"]], [("v", "sum")])
     with pytest.raises(ValueError, match="at least one set must"):
         grouping_sets_agg(t, [[]], [("v", "sum")])
+
+
+def test_table_diff_statuses_and_null_safety(ray_session):
+    import ray.data as rd
+
+    from webval.relational import table_diff
+
+    old = pa.table({"k": [1, 2, 3, 4, 5, None],
+                    "v": ["a", "b", None, "d", "e", "x"]})
+    new = pa.table({"k": [2, 3, 4, 5, 6],
+                    "v": ["B", None, "d", None, "f"]})
+    got = table_diff(rd.from_arrow(old), rd.from_arrow(new),
+                     "k", ["v"]).to_pandas()
+    st = dict(zip(got["k"], got["status"]))
+    # 1 removed; 2 changed; 3 unchanged (null==null, null-safe); 4
+    # unchanged; 5 changed (e -> null); 6 added; null key excluded
+    assert st == {1: "removed", 2: "changed", 5: "changed", 6: "added"}
+
+
+def test_table_diff_duplicate_key_raises(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from webval.relational import table_diff
+
+    old = pa.table({"k": [1, 1], "v": ["a", "b"]})
+    new = pa.table({"k": [1], "v": ["a"]})
+    with pytest.raises(Exception, match="duplicate key"):
+        table_diff(rd.from_arrow(old), rd.from_arrow(new),
+                   "k", ["v"]).to_pandas()

@@ -2575,10 +2575,11 @@ def q_window_functions(sf_dir: str):
     out = window_ops(ds, "user_id", ["ts", "event_id"],
                      cumsum_cols=["value"], lag_cols=["value"],
                      rolling_mean_cols=["value"], rolling_window=5,
-                     ntile=4)
+                     ntile=4, percent_rank=True)
     t = ds_to_table(out.map_batches(
         lambda t: t.select(["event_id", "row_number", "cum_value",
-                            "lag_value", "rmean_value", "ntile"]),
+                            "lag_value", "rmean_value", "ntile",
+                            "percent_rank"]),
         batch_format="pyarrow"))
     return _round_cols(t, {"cum_value": 6, "rmean_value": 6})
 
@@ -2590,7 +2591,8 @@ SELECT event_id,
        lag(value) OVER w AS lag_value,
        round(avg(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
              6) AS rmean_value,
-       ntile(4) OVER w AS ntile
+       ntile(4) OVER w AS ntile,
+       percent_rank() OVER w AS percent_rank
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
@@ -2795,6 +2797,57 @@ bg AS (SELECT unnest(list_transform(range(1, len(ws)),
        FROM w)
 SELECT b AS ngram, CAST(count(*) AS BIGINT) AS cnt
 FROM bg GROUP BY b HAVING count(*) >= 25
+"""
+
+
+def q_table_diff(sf_dir: str):
+    """Snapshot diff (what changed between two crawls): old = pages with
+    page_id % 7 != 0, new = pages with page_id % 5 != 0 and n_chars bumped
+    where page_id % 11 == 0.  Emits only added/removed/changed keys via a
+    co-bucketed null-safe full-outer compare; SQL twin = FULL OUTER JOIN
+    with IS DISTINCT FROM over identically-derived snapshots."""
+    import ray.data as rd
+
+    from webval.relational import table_diff
+
+    pages_p, _ = ensure_synth(sf_dir)
+    base = rd.read_parquet(pages_p, columns=["page_id", "url", "lang"])
+    def mk_old(t: pa.Table) -> pa.Table:
+        pid = t.column("page_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(pid % 7 != 0))
+
+    old = base.map_batches(mk_old, batch_format="pyarrow")
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        pid = t.column("page_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(pid % 5 != 0))
+        pid = t.column("page_id").to_numpy(zero_copy_only=False)
+        lang = t.column("lang").combine_chunks()
+        mod = pc.if_else(pa.array(pid % 11 == 0),
+                         pc.utf8_upper(lang), lang)
+        return t.set_column(t.column_names.index("lang"), "lang", mod)
+
+    new = base.map_batches(mk_new, batch_format="pyarrow")
+    out = table_diff(old, new, "page_id", ["url", "lang"])
+    return ds_to_table(out).sort_by([("page_id", "ascending")])
+
+
+SQL_TABLE_DIFF = f"""
+WITH base AS (SELECT page_id, url, lang
+              FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')),
+o AS (SELECT * FROM base WHERE page_id % 7 != 0),
+n AS (SELECT page_id, url,
+             CASE WHEN page_id % 11 = 0 THEN upper(lang) ELSE lang END
+                 AS lang
+      FROM base WHERE page_id % 5 != 0)
+SELECT coalesce(o.page_id, n.page_id) AS page_id,
+       CASE WHEN o.page_id IS NULL THEN 'added'
+            WHEN n.page_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.page_id = n.page_id
+WHERE o.page_id IS NULL OR n.page_id IS NULL
+   OR o.url IS DISTINCT FROM n.url
+   OR o.lang IS DISTINCT FROM n.lang
 """
 
 
@@ -3239,4 +3292,5 @@ QUERIES = {
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "funnel": (q_funnel, SQL_FUNNEL),
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
+    "table_diff": (q_table_diff, SQL_TABLE_DIFF),
 }

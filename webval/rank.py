@@ -119,6 +119,7 @@ def window_ops(ds, key: str, order_cols: list[str], *,
                rolling_window: int = 10,
                ntile: int | None = None,
                row_number: bool = True,
+               percent_rank: bool = False,
                num_buckets: int | None = None,
                max_group_rows: int | None = 4_000_000):
     """SQL window functions per key partition: ``row_number() OVER w``,
@@ -159,6 +160,8 @@ def window_ops(ds, key: str, order_cols: list[str], *,
                 cols[f"rmean_{c}"] = pa.array([], pa.float64())
             if ntile is not None:
                 cols["ntile"] = pa.array([], pa.int64())
+            if percent_rank:
+                cols["percent_rank"] = pa.array([], pa.float64())
             return pa.table(cols)
         g = g.sort_by([(key, "ascending")]
                       + [(c, "ascending") for c in order_cols])
@@ -177,6 +180,10 @@ def window_ops(ds, key: str, order_cols: list[str], *,
             nt = np.where(pos < cut, pos // (q + 1),
                           r + (pos - cut) // small_q) + 1
             cols["ntile"] = pa.array(nt.astype(np.int64))
+        if percent_rank:
+            c = counts[seg_id]
+            pr = np.where(c > 1, pos / np.maximum(c - 1, 1), 0.0)
+            cols["percent_rank"] = pa.array(pr, pa.float64())
         for c in cumsum_cols:
             arr = g.column(c)
             valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)

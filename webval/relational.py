@@ -327,3 +327,81 @@ def pivot_wider(ds, row_key: str, col_key: str, value_col: str, *,
 
     return bucketed_group_apply(long, [row_key], reshape,
                                 num_buckets=num_buckets)
+
+
+def table_diff(old, new, key: str, compare_cols: list[str], *,
+               num_buckets: int | None = None,
+               max_group_rows: int | None = 4_000_000):
+    """Snapshot diff between two versions of a keyed table — the
+    validation question "what changed between crawls/runs": for every key,
+    status ∈ added (new only) / removed (old only) / changed (both sides,
+    any compare column IS DISTINCT FROM the other).  Unchanged keys are
+    NOT emitted (at crawl scale they are the overwhelming majority; the
+    diff is the small output).
+
+    Both snapshots project to (key, compare_cols), tag their side, and
+    co-bucket on the key hash; each bucket splits sides and compares
+    null-safely via one Arrow full-outer join.  ``key`` must be unique
+    within each snapshot — a duplicate raises a named ValueError (run
+    uniqueness_violations first; a diff over dup keys is ill-posed).
+    """
+    compare_cols = list(compare_cols)
+    proj = [key] + compare_cols
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            # null keys are excluded (a null-keyed row can't be matched
+            # across snapshots; the not_null check owns that defect)
+            d = t.select(proj).filter(
+                pc.is_valid(t.column(key).combine_chunks()))
+            return d.append_column(
+                "__side__", pa.array(np.full(d.num_rows, side, np.int8)))
+        return fn
+
+    both = (old.map_batches(tag(0), batch_format="pyarrow")
+            .union(new.map_batches(tag(1), batch_format="pyarrow")))
+
+    def final(g: pa.Table) -> pa.Table:
+        side = g.column("__side__")
+        o = g.filter(pc.equal(side, 0)).select(proj)
+        n = g.filter(pc.equal(side, 1)).select(proj)
+        for name, t in (("old", o), ("new", n)):
+            if t.num_rows:
+                vc = t.column(key).combine_chunks().value_counts()
+                dup = vc.filter(pc.greater(vc.field("counts"), 1))
+                if len(dup):
+                    raise ValueError(
+                        f"table_diff: duplicate key in {name} snapshot: "
+                        f"{key}={dup.field('values')[0].as_py()!r} "
+                        f"(×{dup.field('counts')[0].as_py()})")
+        n = n.rename_columns([key] + [f"{c}__new" for c in compare_cols])
+        j = o.join(n, keys=[key], join_type="full outer")
+        # membership: recompute via index_in against each side's key set
+        # (keys are non-null and unique per side at this point)
+        jk = j.column(key).combine_chunks()
+        in_old = pc.is_valid(pc.index_in(jk, value_set=o.column(key)
+                                         .combine_chunks())) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        in_new = pc.is_valid(pc.index_in(jk, value_set=n.column(key)
+                                         .combine_chunks())) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        changed = np.zeros(j.num_rows, dtype=bool)
+        for c in compare_cols:
+            a_ = j.column(c).combine_chunks()
+            b_ = j.column(f"{c}__new").combine_chunks()
+            eq = pc.fill_null(pc.equal(a_, b_), False) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+            both_null = (pc.and_(pc.is_null(a_), pc.is_null(b_))
+                         .to_numpy(zero_copy_only=False).astype(bool))
+            changed |= ~(eq | both_null)
+        status = np.where(~in_old, "added",
+                          np.where(~in_new, "removed",
+                                   np.where(changed, "changed",
+                                            "unchanged")))
+        keep = status != "unchanged"
+        return pa.table({key: jk.filter(pa.array(keep)),
+                         "status": pa.array(status[keep], pa.string())})
+
+    return bucketed_group_apply(both, [key], final,
+                                num_buckets=num_buckets,
+                                max_group_rows=max_group_rows)
