@@ -44,3 +44,59 @@ def test_exchange_and_windows_on_empty():
     ev = rd.from_arrow(pa.table({"uid": pa.array([], pa.int64()),
                                  "ts": pa.array([], pa.int64())}))
     assert sessionize(ev, ts_col="ts", by="uid", gap_us=10).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_session4_ops_on_empty():
+    import numpy as np
+    import ray.data as rd
+
+    from webval.clustering import standardize_fit, standardize_transform
+    from webval.dedup import dup_substring_stats
+    from webval.graph import link_degrees
+    from webval.lm import fit_unigram_lm, score_unigram_lm
+    from webval.pipelines import iqr_outliers, reconcile_aggregate
+    from webval.relational import table_diff
+    from webval.search import bm25_search
+    from webval.textclean import frequent_ngrams
+    from webval.windows import funnel_stages
+
+    docs = _empty_docs()
+    lm = fit_unigram_lm(docs, "text")
+    assert lm.total_tokens == 0
+    assert score_unigram_lm(docs, lm).count() == 0
+    assert frequent_ngrams(docs, "text", n=2, min_count=1).count() == 0
+    assert dup_substring_stats(docs, "doc_id", "text").count() == 0
+    assert bm25_search(docs, "doc_id", "text", "anything").count() == 0
+
+    ev = rd.from_arrow(pa.table({
+        "u": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "typ": pa.array([], pa.string()),
+        "v": pa.array([], pa.float64())}))
+    assert funnel_stages(ev, "u", "ts", "typ", ["a", "b"]).count() == 0
+    assert iqr_outliers(ev, "typ", "v").count() == 0
+
+    model = standardize_fit(ev, ["v"])
+    assert model["v"]["mean"] is None
+    out = standardize_transform(ev, model)
+    assert out.count() == 0
+
+    links = rd.from_arrow(pa.table({
+        "src": pa.array([], pa.string()),
+        "dst": pa.array([], pa.string())}))
+    assert link_degrees(links, "src", "dst").count() == 0
+
+    kt = pa.table({"k": pa.array([], pa.int64()),
+                   "v": pa.array([], pa.string())})
+    assert table_diff(rd.from_arrow(kt), rd.from_arrow(kt),
+                      "k", ["v"]).count() == 0
+
+    rec = reconcile_aggregate(
+        rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                "p": pa.array([], pa.float64())})),
+        rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                "c": pa.array([], pa.float64())})),
+        "k", "k", "p", "c")
+    assert rec.to_pylist() == [{"n_parents": 0, "n_missing_child": 0,
+                                "n_mismatched": 0, "n_matched": 0}]

@@ -248,6 +248,8 @@ def standardize_fit(ds, cols: list[str], *,
     from webval.sketches import Moments as _M
     for ref in parts.to_arrow_refs():
         b = ray.get(ref)
+        if b.num_rows == 0:
+            continue  # empty blocks skip the map UDF and keep the INPUT schema
         for c in cols:
             for s in b.column(c).to_pylist():
                 m = _M.from_dict(json.loads(s))

@@ -376,6 +376,22 @@ def equi_join(left, right, *, on, right_on=None, how: str = "inner",
     hot_set = pa.array(list(hot_keys)) if hot_keys else None
 
     l_schema, r_schema = left.schema(), right.schema()
+    # a side whose pipeline produced ZERO blocks (e.g. an exchange over an
+    # empty input) has schema None — no column names to join on.  The
+    # exactly-answerable cases resolve here; the rest raise a named error
+    # instead of an AttributeError deep in the planner.
+    if l_schema is None or l_schema.names is None:
+        return left.limit(0)   # empty in, empty out (semantics-free)
+    if r_schema is None or r_schema.names is None:
+        if how == "semi":
+            return left.limit(0)      # nothing can match
+        if how == "anti":
+            return left               # nothing matches ⇒ every row survives
+        raise ValueError(
+            f"equi_join(how={how!r}): right side is empty with no schema "
+            "(zero blocks), so its column names/types are unknowable — "
+            "guard the caller (skip the join when the right side is empty) "
+            "or materialize a schema-bearing empty table")
     l_names = list(l_schema.names)
     l_payload = [c for c in l_names if c not in keys]
     r_payload_in = [c for c in r_schema.names if c not in rkeys]

@@ -686,6 +686,8 @@ def check_pass_rates(ds, schema: SchemaSpec, *,
     totals = {name: 0 for name in ["n"] + [f"f_{c.name}" for c in checks]}
     for ref in parts.to_arrow_refs():
         b = ray.get(ref)
+        if b.num_rows == 0:
+            continue  # empty blocks skip the map UDF and keep the INPUT schema
         for name in totals:
             s = pc.sum(b.column(name)).as_py()
             totals[name] += int(s or 0)
@@ -701,3 +703,71 @@ def check_pass_rates(ds, schema: SchemaSpec, *,
             [totals[f"f_{c.name}"] / n if n else None
              for c in checks], pa.float64()),
     })
+
+
+def reconcile_aggregate(parent, child, parent_key: str, child_key: str,
+                        parent_col: str, child_col: str, *,
+                        tol: float = 0.01,
+                        num_buckets: int | None = None) -> pa.Table:
+    """Cross-table aggregate reconciliation — the accounting-style
+    validation "does the parent's recorded total equal the sum of its
+    child rows": child aggregates through the exchange, left-joins onto
+    the parent stream, and the comparison reduces to one summary row:
+
+      (n_parents, n_missing_child, n_mismatched, n_matched)
+
+    where mismatched means |parent_col − Σ child_col| > ``tol`` (an
+    absolute tolerance — exact float equality across independently-ordered
+    sums is meaningless).  Count-shaped output keeps the result engine-
+    comparable; per-key drill-down is ``equi_join`` + a filter away.
+    """
+    import ray
+
+    from webval.exchange import grouped_agg
+    from webval.joins import equi_join
+
+    sums = grouped_agg(
+        child.map_batches(lambda t: t.select([child_key, child_col]),
+                          batch_format="pyarrow"),
+        [child_key], [(child_col, "sum")],
+        num_buckets=num_buckets,
+        rename={f"{child_col}_sum": "__child_sum__", child_key: parent_key})
+    sums = sums.materialize()
+    proj = parent.map_batches(lambda t: t.select([parent_key, parent_col]),
+                              batch_format="pyarrow")
+    if sums.count() == 0:
+        # no child rows at all (schema-less empty exchange output): every
+        # parent is missing its child aggregate
+        joined = proj.map_batches(
+            lambda t: t.append_column(
+                "__child_sum__", pa.nulls(t.num_rows, pa.float64())),
+            batch_format="pyarrow")
+    else:
+        joined = equi_join(proj, sums, on=parent_key, how="left",
+                           num_buckets=num_buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column("__child_sum__").combine_chunks()
+        p = pc.cast(t.column(parent_col), pa.float64())
+        missing = pc.is_null(s).to_numpy(zero_copy_only=False).astype(bool)
+        gap = np.abs(p.to_numpy(zero_copy_only=False)
+                     - pc.fill_null(pc.cast(s, pa.float64()), 0.0)
+                     .to_numpy(zero_copy_only=False))
+        mism = (~missing) & (gap > tol)
+        return pa.table({
+            "n_parents": pa.array([t.num_rows], pa.int64()),
+            "n_missing_child": pa.array([int(missing.sum())], pa.int64()),
+            "n_mismatched": pa.array([int(mism.sum())], pa.int64()),
+        })
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").materialize()
+    totals = {"n_parents": 0, "n_missing_child": 0, "n_mismatched": 0}
+    for ref in parts.to_arrow_refs():
+        b = ray.get(ref)
+        if b.num_rows == 0:
+            continue  # empty blocks skip the map UDF and keep the INPUT schema
+        for name in totals:
+            totals[name] += int(pc.sum(b.column(name)).as_py() or 0)
+    totals["n_matched"] = (totals["n_parents"] - totals["n_missing_child"]
+                           - totals["n_mismatched"])
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in totals.items()})

@@ -2800,6 +2800,38 @@ FROM bg GROUP BY b HAVING count(*) >= 25
 """
 
 
+def q_reconcile(sf_dir: str):
+    """Cross-table aggregate reconciliation: does o_totalprice equal the
+    sum of the order's lineitem extended prices (tol 0.01)?  Child sums
+    exchange-aggregated, left-joined to the parent stream, reduced to one
+    count row (driver sums per-block scalars)."""
+    import ray.data as rd
+
+    from webval.pipelines import reconcile_aggregate
+
+    parent = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    child = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice"])
+    return reconcile_aggregate(parent, child, "o_orderkey", "l_orderkey",
+                               "o_totalprice", "l_extendedprice", tol=0.01)
+
+
+SQL_RECONCILE = """
+WITH c AS (SELECT l_orderkey, sum(l_extendedprice) AS s
+           FROM lineitem GROUP BY l_orderkey),
+j AS (SELECT o.o_totalprice AS p, c.s
+      FROM orders o LEFT JOIN c ON o.o_orderkey = c.l_orderkey)
+SELECT CAST(count(*) AS BIGINT) AS n_parents,
+       CAST(count(*) FILTER (s IS NULL) AS BIGINT) AS n_missing_child,
+       CAST(count(*) FILTER (s IS NOT NULL AND abs(p - s) > 0.01)
+            AS BIGINT) AS n_mismatched,
+       CAST(count(*) FILTER (s IS NOT NULL AND abs(p - s) <= 0.01)
+            AS BIGINT) AS n_matched
+FROM j
+"""
+
+
 def q_table_diff(sf_dir: str):
     """Snapshot diff (what changed between two crawls): old = pages with
     page_id % 7 != 0, new = pages with page_id % 5 != 0 and n_chars bumped
@@ -3293,4 +3325,5 @@ QUERIES = {
     "funnel": (q_funnel, SQL_FUNNEL),
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "table_diff": (q_table_diff, SQL_TABLE_DIFF),
+    "reconcile": (q_reconcile, SQL_RECONCILE),
 }

@@ -78,6 +78,8 @@ def bm25_search(ds, id_col: str, text_col: str, query: str, k: int = 10, *,
               ["n", "toks"] + [f"df_{j}" for j in range(nq)]}
     for ref in parts.to_arrow_refs():
         t = ray.get(ref)
+        if t.num_rows == 0:
+            continue  # empty blocks skip the map UDF and keep the INPUT schema
         for name in totals:
             totals[name] += int(pc.sum(t.column(name)).as_py() or 0)
     n_docs = totals["n"]
