@@ -314,3 +314,43 @@ def test_dup_substring_stats_brute_force(ray_session):
         assert got["has_dup"][i] == (want_dup > 0), i
     # sanity: the shared footer makes docs 0,1,5 dup-flagged; 2,3,4 clean
     assert list(got["has_dup"]) == [True, True, False, False, False, True]
+
+
+def test_incremental_dedup_across_runs(ray_session, tmp_path):
+    import ray.data as rd
+
+    from webval.dedup import build_dedup_index, incremental_dedup
+
+    idx = str(tmp_path / "fpidx")
+
+    def docs(ids, texts):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+
+    # run 0: index the day-0 corpus
+    build_dedup_index(docs([1, 2], ["alpha body", "beta body"]), idx)
+
+    # run 1: one repeat of day-0, one internal dup pair, one null, two new
+    run1 = docs([10, 11, 12, 13, 14],
+                ["alpha body",          # already indexed -> dropped
+                 "gamma body", "gamma body",  # internal dup -> keep id 11
+                 None,                  # null text -> dropped
+                 "delta body"])         # new
+    got1 = incremental_dedup(run1, "doc_id", idx, append=True).to_pandas()
+    assert sorted(got1["doc_id"]) == [11, 14]
+
+    # run 2: everything from run 1 again -> all dropped (state persisted);
+    # one genuinely new doc survives
+    run2 = docs([20, 21, 22], ["gamma body", "delta body", "epsilon body"])
+    got2 = incremental_dedup(run2, "doc_id", idx, append=True).to_pandas()
+    assert sorted(got2["doc_id"]) == [22]
+
+    # normalization: case/whitespace variants hit the same fingerprint
+    run3 = docs([30, 31], ["  ALPHA   body ", "zeta body"])
+    got3 = incremental_dedup(run3, "doc_id", idx, append=False).to_pandas()
+    assert sorted(got3["doc_id"]) == [31]
+
+    # append=False left no trace: same increment still survives
+    got3b = incremental_dedup(run3, "doc_id", idx, append=False).to_pandas()
+    assert sorted(got3b["doc_id"]) == [31]

@@ -1145,3 +1145,189 @@ def dup_substring_stats(ds, id_col: str, text_col: str = "text", *,
                          "has_dup": pc.greater(nd, 0)})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ---- persisted fingerprint index: dedup across runs ----------------------
+#
+# The incremental-crawl primitive: run N dedups today's increment against
+# everything already accepted.  Fingerprints live as parquet part files
+# partitioned by ``bucket = fp % num_disk_buckets`` (hive layout, same
+# append-safe uuid-part scheme as similarity.build_ann_index), so a dedup
+# pass reads ONLY the buckets its keys hash to and an append never rewrites
+# existing files.
+
+def _dedup_index_meta(index_dir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        return json.load(f)
+
+
+def _write_dedup_meta(index_dir: str, meta: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, f"meta.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "meta.json"))
+
+
+def _fp_stream(ds, text_col: str, normalize: bool, num_disk_buckets: int):
+    """(fingerprint, __disk_bucket__) rows, per-batch deduped; null text
+    (null fingerprint) contributes nothing."""
+    from webval.textstats import add_fingerprints
+
+    fps = add_fingerprints(ds.select_columns([text_col]), text_col,
+                           normalize=normalize)
+
+    def proj(t: pa.Table) -> pa.Table:
+        fp = t.column("fingerprint").combine_chunks()
+        u = pc.unique(fp.filter(pc.is_valid(fp)))
+        b = (u.to_numpy(zero_copy_only=False).astype(np.uint64)
+             % np.uint64(num_disk_buckets)).astype(np.int32)
+        return pa.table({"fingerprint": u, "__disk_bucket__": pa.array(b)})
+
+    return fps.map_batches(proj, batch_format="pyarrow")
+
+
+def _append_fp_groups(index_dir: str, rows_per_file: int):
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    def write_group(g: pa.Table) -> pa.Table:
+        out_b, out_r = [], []
+        bks = g.column("__disk_bucket__").to_numpy(zero_copy_only=False)
+        for b in np.unique(bks):
+            sub = g.filter(pa.array(bks == b)).select(["fingerprint"])
+            sub = pa.table({"fingerprint": pc.unique(
+                sub.column("fingerprint").combine_chunks())})
+            d = os.path.join(index_dir, f"bucket={int(b)}")
+            os.makedirs(d, exist_ok=True)
+            for i in range(0, sub.num_rows, rows_per_file):
+                pq.write_table(
+                    sub.slice(i, rows_per_file),
+                    os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+            out_b.append(int(b))
+            out_r.append(sub.num_rows)
+        return pa.table({"bucket": pa.array(out_b, pa.int32()),
+                         "rows": pa.array(out_r, pa.int64())})
+
+    return write_group
+
+
+def _read_bucket_fps(index_dir: str, bucket: int) -> np.ndarray:
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(index_dir, f"bucket={bucket}",
+                                          "part-*.parquet")))
+    if not files:
+        return np.empty(0, dtype=np.int64)
+    parts = [pq.read_table(f, columns=["fingerprint"]) for f in files]
+    return np.unique(pa.concat_tables(parts).column("fingerprint")
+                     .to_numpy(zero_copy_only=False))
+
+
+def build_dedup_index(ds, index_dir: str, *, text_col: str = "text",
+                      normalize: bool = True, num_disk_buckets: int = 64,
+                      rows_per_file: int = 4_000_000) -> dict:
+    """Create a fingerprint index from a corpus: distinct content hashes,
+    written as bucket-partitioned parquet inside the exchange (nothing
+    corpus-sized on the driver).  Returns (and persists) meta.json."""
+    from webval.exchange import bucketed_group_apply
+
+    stream = _fp_stream(ds, text_col, normalize, num_disk_buckets)
+    written = bucketed_group_apply(
+        stream, ["__disk_bucket__"], _append_fp_groups(index_dir,
+                                                       rows_per_file),
+        num_buckets=num_disk_buckets)
+    counts: dict[str, int] = {}
+    for r in written.take_all():  # ≤ num_disk_buckets rows
+        counts[str(r["bucket"])] = counts.get(str(r["bucket"]), 0) \
+            + int(r["rows"])
+    meta = {"num_disk_buckets": num_disk_buckets, "normalize": normalize,
+            "text_col": text_col, "buckets": counts}
+    _write_dedup_meta(index_dir, meta)
+    return meta
+
+
+def incremental_dedup(ds, id_col: str, index_dir: str, *,
+                      text_col: str = "text", append: bool = True,
+                      num_buckets: int | None = None,
+                      rows_per_file: int = 4_000_000):
+    """Dedup an increment against a persisted fingerprint index: emit only
+    rows whose content fingerprint is NEW — absent from the index AND
+    first (min ``id_col``) within the increment itself.  Null-text rows
+    are dropped (they have no fingerprint; the not_null check owns them).
+
+    Each bucket task reads exactly the index partitions its fingerprints
+    hash to (prune at the read).  With ``append=True`` the surviving
+    fingerprints are committed to the index AFTER the result materializes
+    — a retried task can therefore never see its own writes (two-phase:
+    decide, then append)."""
+    from webval.exchange import bucketed_group_apply
+    from webval.textstats import add_fingerprints
+
+    meta = _dedup_index_meta(index_dir)
+    d_buckets = int(meta["num_disk_buckets"])
+    fps = add_fingerprints(ds, text_col, normalize=bool(meta["normalize"]))
+
+    def proj(t: pa.Table) -> pa.Table:
+        fp = t.column("fingerprint").combine_chunks()
+        t = t.filter(pc.is_valid(fp))
+        fp = t.column("fingerprint").combine_chunks()
+        b = (fp.to_numpy(zero_copy_only=False).astype(np.uint64)
+             % np.uint64(d_buckets)).astype(np.int32)
+        return t.append_column("__disk_bucket__", pa.array(b))
+
+    stream = fps.map_batches(proj, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        fp = g.column("fingerprint").to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, fp))
+        first = np.zeros(len(fp), dtype=bool)
+        if len(fp):
+            first[order] = np.r_[True, fp[order][1:] != fp[order][:-1]]
+        g = g.filter(pa.array(first))
+        fp = g.column("fingerprint").to_numpy(zero_copy_only=False)
+        bks = g.column("__disk_bucket__").to_numpy(zero_copy_only=False)
+        keep = np.ones(g.num_rows, dtype=bool)
+        for b in np.unique(bks):
+            known = _read_bucket_fps(index_dir, int(b))
+            if not len(known):
+                continue
+            sel = bks == b
+            pos = np.searchsorted(known, fp[sel])
+            pos[pos == len(known)] = 0
+            keep[sel] = known[pos] != fp[sel]
+        return g.filter(pa.array(keep)).drop_columns(["__disk_bucket__"])
+
+    survivors = bucketed_group_apply(stream, ["__disk_bucket__"], final,
+                                     num_buckets=num_buckets).materialize()
+    if append and survivors.count() > 0:
+        new_fps = survivors.map_batches(
+            lambda t: pa.table({
+                "fingerprint": t.column("fingerprint"),
+                "__disk_bucket__": pa.array(
+                    (t.column("fingerprint").to_numpy(zero_copy_only=False)
+                     .astype(np.uint64) % np.uint64(d_buckets))
+                    .astype(np.int32))}),
+            batch_format="pyarrow")
+        written = bucketed_group_apply(
+            new_fps, ["__disk_bucket__"],
+            _append_fp_groups(index_dir, rows_per_file),
+            num_buckets=d_buckets)
+        for r in written.take_all():
+            k = str(r["bucket"])
+            meta["buckets"][k] = meta["buckets"].get(k, 0) + int(r["rows"])
+        _write_dedup_meta(index_dir, meta)
+    return survivors.map_batches(lambda t: t.drop_columns(["fingerprint"]),
+                                 batch_format="pyarrow")

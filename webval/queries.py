@@ -2800,6 +2800,43 @@ FROM bg GROUP BY b HAVING count(*) >= 25
 """
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Dedup an increment against a PERSISTED fingerprint index (the
+    cross-run crawl primitive): index the even-doc_id half, then dedup the
+    full table against it — survivors are odd-doc texts unseen in the
+    index, keep-min-id within the increment.  Bucket-partitioned index
+    parquet is read pruned per exchange task."""
+    import tempfile
+
+    import ray.data as rd
+
+    from webval.dedup import build_dedup_index, incremental_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def evens(t: pa.Table) -> pa.Table:
+        pid = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(pid % 2 == 0))
+
+    idx = tempfile.mkdtemp(prefix="webval_dedupidx_")
+    build_dedup_index(ds.map_batches(evens, batch_format="pyarrow"), idx)
+    out = incremental_dedup(ds, "doc_id", idx, append=False)
+    return ds_to_table(out.select_columns(["doc_id"])) \
+        .sort_by([("doc_id", "ascending")])
+
+
+SQL_INCREMENTAL_DEDUP = r"""
+WITH norm AS (SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
+              FROM documents WHERE text IS NOT NULL),
+a AS (SELECT DISTINCT nt FROM norm WHERE doc_id % 2 = 0)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM norm WHERE nt NOT IN (SELECT nt FROM a)
+GROUP BY nt
+"""
+
+
 def q_reconcile(sf_dir: str):
     """Cross-table aggregate reconciliation: does o_totalprice equal the
     sum of the order's lineitem extended prices (tol 0.01)?  Child sums
@@ -3326,4 +3363,5 @@ QUERIES = {
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "table_diff": (q_table_diff, SQL_TABLE_DIFF),
     "reconcile": (q_reconcile, SQL_RECONCILE),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
 }
