@@ -67,7 +67,9 @@ def test_session4_ops_on_empty():
     assert score_unigram_lm(docs, lm).count() == 0
     assert frequent_ngrams(docs, "text", n=2, min_count=1).count() == 0
     assert dup_substring_stats(docs, "doc_id", "text").count() == 0
-    assert bm25_search(docs, "doc_id", "text", "anything").count() == 0
+    bm = bm25_search(docs, "doc_id", "text", "anything")
+    assert bm.count() == 0
+    assert set(bm.schema().names) == {"doc_id", "score"}  # OUTPUT schema kept
 
     ev = rd.from_arrow(pa.table({
         "u": pa.array([], pa.int64()),

@@ -322,3 +322,21 @@ def test_percent_rank_matches_sql_rule(ray_session):
     # a: 4 rows -> 0, 1/3, 2/3, 1; b singleton -> 0; c: 0, 0.5, 1
     want = [0.0, 1 / 3, 2 / 3, 1.0, 0.0, 0.0, 0.5, 1.0]
     assert np.allclose(got["percent_rank"], want, atol=1e-15)
+
+
+def test_percent_rank_ties_share_rank(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from webval.rank import window_ops
+
+    t = pa.table({"k": ["a"] * 5 + ["b"] * 3,
+                  "o": [1, 1, 2, 2, 3, 7, 7, 7],
+                  "i": list(range(8))})
+    got = window_ops(rd.from_arrow(t), "k", ["o"], row_number=False,
+                     percent_rank=True).to_pandas() \
+        .sort_values(["k", "o", "i"]).reset_index(drop=True)
+    want = duckdb.sql(
+        "SELECT k, o, i, percent_rank() OVER (PARTITION BY k ORDER BY o) "
+        "AS pr FROM t ORDER BY k, o, i").df()
+    assert np.allclose(got["percent_rank"], want["pr"], atol=1e-15)

@@ -1073,7 +1073,8 @@ def embedding_dup_pairs(ds, id_col: str, emb_col: str = "embedding", *,
 
 def dup_substring_stats(ds, id_col: str, text_col: str = "text", *,
                         window: int = 16, min_docs: int = 2,
-                        num_buckets: int | None = None):
+                        num_buckets: int | None = None,
+                        max_group_rows: int | None = 4_000_000):
     """Cross-document repeated-substring statistics — the ExactSubstr
     signal of Lee et al. 2021 (arXiv:2107.06499 "Deduplicating Training
     Data Makes Language Models Better") as a per-document metric: for every
@@ -1118,10 +1119,14 @@ def dup_substring_stats(ds, id_col: str, text_col: str = "text", *,
         out = marked.group_by(id_col).aggregate([([], "count_all")])
         return out.rename_columns([id_col, "n_dup_shingles"])
 
+    # combiner-less on the shingle key (per-doc-distinct pairs can't be
+    # pre-reduced across docs): an ultra-common shingle raises the NAMED
+    # group-size diagnostic instead of an opaque bucket-task OOM
     partials = bucketed_group_apply(ds.select_columns([id_col, text_col]),
                                     ["h"], per_bucket,
                                     num_buckets=num_buckets,
-                                    partial_fn=pairs)
+                                    partial_fn=pairs,
+                                    max_group_rows=max_group_rows)
     dups = grouped_agg(partials, [id_col], [("n_dup_shingles", "sum")],
                        num_buckets=num_buckets,
                        rename={"n_dup_shingles_sum": "n_dup_shingles"})

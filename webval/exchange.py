@@ -245,3 +245,24 @@ def detect_hot_keys(ds, col: str, *, min_count: int, k: int = 64,
         final.merge(pickle.loads(row["mg"]))
     return [v for v, _lo, hi in final.heavy_hitters(min_count)
             if hi >= min_count]
+
+
+def sum_block_scalars(materialized_ds, names: list[str]) -> dict[str, int]:
+    """Driver-side sum of int64 partial columns over a MATERIALIZED
+    dataset's blocks — the finisher of the big-map-then-tiny-rollup
+    pattern (a trailing .sum() would cap the upstream map via the AllToAll
+    resource reservation; BENCH/BASELINE.md finding 2).
+
+    Skips zero-row blocks: an empty input block bypasses map UDFs entirely
+    and keeps the INPUT schema, so reading the partial columns off it would
+    KeyError (r3s4 finding)."""
+    import ray
+
+    totals = {n: 0 for n in names}
+    for ref in materialized_ds.to_arrow_refs():
+        b = ray.get(ref)
+        if b.num_rows == 0:
+            continue
+        for n in names:
+            totals[n] += int(pc.sum(b.column(n)).as_py() or 0)
+    return totals

@@ -253,18 +253,25 @@ def parse_image_headers(ds, media_col: str, *, out_prefix: str | None = None,
         def byte(rows, k):
             return data[starts[rows] + k].astype(np.int64)
 
-        # PNG: 8-byte magic, IHDR width/height big-endian at 16/20
+        # PNG: 8-byte magic + the first chunk MUST be IHDR (bytes 12-15);
+        # width/height big-endian at 16/20, high bit zero per spec —
+        # crawl bytes violating either stay format=null instead of
+        # emitting garbage/negative dimensions
         rows = np.flatnonzero(valid & (lens >= 24))
         if len(rows):
-            magic = np.array([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+            magic = np.array([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+                              -1, -1, -1, -1, 0x49, 0x48, 0x44, 0x52])
             m = np.ones(len(rows), dtype=bool)
             for k, want in enumerate(magic):
-                m &= byte(rows, k) == want
+                if want >= 0:
+                    m &= byte(rows, k) == want
             png = rows[m]
             if len(png):
                 w = sum(byte(png, 16 + i) << (8 * (3 - i)) for i in range(4))
                 h = sum(byte(png, 20 + i) << (8 * (3 - i)) for i in range(4))
-                fmt[png], width[png], height[png] = "png", w, h
+                ok = (w < (1 << 31)) & (h < (1 << 31))
+                png = png[ok]
+                fmt[png], width[png], height[png] = "png", w[ok], h[ok]
 
         # GIF87a/GIF89a: width/height little-endian uint16 at 6/8
         rows = np.flatnonzero(valid & (lens >= 10))

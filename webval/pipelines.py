@@ -680,17 +680,12 @@ def check_pass_rates(ds, schema: SchemaSpec, *,
             cols[f"f_{c.name}"] = pa.array([failed], pa.int64())
         return pa.table(cols)
 
+    from webval.exchange import sum_block_scalars
+
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=batch_size).materialize()
-    import ray
-    totals = {name: 0 for name in ["n"] + [f"f_{c.name}" for c in checks]}
-    for ref in parts.to_arrow_refs():
-        b = ray.get(ref)
-        if b.num_rows == 0:
-            continue  # empty blocks skip the map UDF and keep the INPUT schema
-        for name in totals:
-            s = pc.sum(b.column(name)).as_py()
-            totals[name] += int(s or 0)
+    totals = sum_block_scalars(parts,
+                               ["n"] + [f"f_{c.name}" for c in checks])
     n = totals["n"]
     return pa.table({
         "check_name": pa.array([c.name for c in checks], pa.string()),
@@ -760,14 +755,11 @@ def reconcile_aggregate(parent, child, parent_key: str, child_key: str,
             "n_mismatched": pa.array([int(mism.sum())], pa.int64()),
         })
 
+    from webval.exchange import sum_block_scalars
+
     parts = joined.map_batches(partial, batch_format="pyarrow").materialize()
-    totals = {"n_parents": 0, "n_missing_child": 0, "n_mismatched": 0}
-    for ref in parts.to_arrow_refs():
-        b = ray.get(ref)
-        if b.num_rows == 0:
-            continue  # empty blocks skip the map UDF and keep the INPUT schema
-        for name in totals:
-            totals[name] += int(pc.sum(b.column(name)).as_py() or 0)
+    totals = sum_block_scalars(
+        parts, ["n_parents", "n_missing_child", "n_mismatched"])
     totals["n_matched"] = (totals["n_parents"] - totals["n_missing_child"]
                            - totals["n_mismatched"])
     return pa.table({k: pa.array([v], pa.int64()) for k, v in totals.items()})

@@ -2662,7 +2662,10 @@ def q_lm_buckets(sf_dir: str):
     scored = score_unigram_lm(ds, lm).map_batches(
         lambda t: t.select(["doc_id", "lang", "nll"])
                    .filter(pc.is_valid(t.column("nll").combine_chunks())),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
+    # materialized: the scoring pass feeds BOTH the threshold quantiles and
+    # the bucket assignment — without this the whole tokenize+score lineage
+    # executes twice (review r3s4 finding)
     th_ds = grouped_exact_quantiles(scored, "lang", "nll",
                                     {"t1": 1 / 3, "t2": 2 / 3})
     th = pa.concat_tables(

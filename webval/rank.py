@@ -181,8 +181,23 @@ def window_ops(ds, key: str, order_cols: list[str], *,
                           r + (pos - cut) // small_q) + 1
             cols["ntile"] = pa.array(nt.astype(np.int64))
         if percent_rank:
+            # SQL percent_rank = (RANK-1)/(rows-1), where RANK gives order-
+            # value PEERS the first peer's position (nulls are peers too)
+            new_peer = np.zeros(len(kk), dtype=bool)
+            new_peer[starts] = True
+            for oc in order_cols:
+                arr = g.column(oc).combine_chunks()
+                a, b = arr.slice(1), arr.slice(0, len(arr) - 1)
+                eq = pc.fill_null(pc.equal(a, b), False) \
+                    .to_numpy(zero_copy_only=False).astype(bool)
+                both_null = pc.and_(pc.is_null(a), pc.is_null(b)) \
+                    .to_numpy(zero_copy_only=False).astype(bool)
+                new_peer[1:] |= ~(eq | both_null)
+            idx = np.arange(len(kk))
+            rank_pos = np.maximum.accumulate(np.where(new_peer, idx, 0))
+            rank0 = rank_pos - starts[seg_id]   # 0-based RANK
             c = counts[seg_id]
-            pr = np.where(c > 1, pos / np.maximum(c - 1, 1), 0.0)
+            pr = np.where(c > 1, rank0 / np.maximum(c - 1, 1), 0.0)
             cols["percent_rank"] = pa.array(pr, pa.float64())
         for c in cumsum_cols:
             arr = g.column(c)

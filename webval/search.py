@@ -72,19 +72,22 @@ def bm25_search(ds, id_col: str, text_col: str, query: str, k: int = 10, *,
             cols[f"df_{j}"] = pa.array([int(df[j])], pa.int64())
         return pa.table(cols)
 
+    from webval.exchange import sum_block_scalars
+
     parts = ds.map_batches(stats_partial, batch_format="pyarrow",
                            batch_size=batch_size).materialize()
-    totals = {name: 0 for name in
-              ["n", "toks"] + [f"df_{j}" for j in range(nq)]}
-    for ref in parts.to_arrow_refs():
-        t = ray.get(ref)
-        if t.num_rows == 0:
-            continue  # empty blocks skip the map UDF and keep the INPUT schema
-        for name in totals:
-            totals[name] += int(pc.sum(t.column(name)).as_py() or 0)
+    totals = sum_block_scalars(
+        parts, ["n", "toks"] + [f"df_{j}" for j in range(nq)])
     n_docs = totals["n"]
     if n_docs == 0:
-        return ds.limit(0)
+        # keep the documented (id, score) OUTPUT schema even when empty
+        import ray.data as rd
+        sch = ds.schema()
+        id_type = pa.int64()
+        if sch is not None and sch.names is not None:
+            id_type = dict(zip(sch.names, sch.types))[id_col]
+        return rd.from_arrow(pa.table({id_col: pa.array([], id_type),
+                                       "score": pa.array([], pa.float64())}))
     avgdl = totals["toks"] / n_docs
     idf = np.array([math.log((n_docs - totals[f"df_{j}"] + 0.5)
                              / (totals[f"df_{j}"] + 0.5) + 1.0)

@@ -166,11 +166,18 @@ def funnel_stages(ds, user_col: str, ts_col: str, type_col: str,
     if not steps:
         raise ValueError("funnel_stages: steps is empty")
 
-    proj = ds.map_batches(
-        lambda t: t.select([user_col, ts_col, type_col]).filter(
-            pc.and_(pc.is_valid(t.column(ts_col).combine_chunks()),
-                    pc.is_valid(t.column(type_col).combine_chunks()))),
-        batch_format="pyarrow")
+    def proj_fn(t: pa.Table) -> pa.Table:
+        t = t.select([user_col, ts_col, type_col])
+        # null users are dropped (SQL's JOIN USING would lose them after
+        # stage 1 anyway, and a null id also poisons the int64 group key
+        # by forcing a float64/NaN numpy conversion)
+        m = pc.and_(pc.is_valid(t.column(user_col).combine_chunks()),
+                    pc.and_(pc.is_valid(t.column(ts_col).combine_chunks()),
+                            pc.is_valid(t.column(type_col)
+                                        .combine_chunks())))
+        return t.filter(m)
+
+    proj = ds.map_batches(proj_fn, batch_format="pyarrow")
 
     def final(g: pa.Table) -> pa.Table:
         ut = g.schema.field(user_col).type
