@@ -271,3 +271,38 @@ def test_table_diff_duplicate_key_raises(ray_session):
     with pytest.raises(Exception, match="duplicate key"):
         table_diff(rd.from_arrow(old), rd.from_arrow(new),
                    "k", ["v"]).to_pandas()
+
+
+def test_unpivot_shape_and_nulls(ray_session):
+    import ray.data as rd
+
+    from webval.relational import unpivot
+
+    t = pa.table({"id": [1, 2], "a": [1.0, None], "b": [3.0, 4.0]})
+    got = unpivot(rd.from_arrow(t), ["id"], ["a", "b"]).to_pandas() \
+        .sort_values(["variable", "id"]).reset_index(drop=True)
+    assert len(got) == 4
+    assert list(got["variable"]) == ["a", "a", "b", "b"]
+    assert got["value"][1] != got["value"][1] or got["value"].isna()[1]
+    assert list(got[got["variable"] == "b"]["value"]) == [3.0, 4.0]
+
+
+def test_grouped_entropy(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from webval.aggregates import grouped_entropy
+
+    t = pa.table({
+        "k": ["u"] * 4 + ["s"] * 3 + ["n"] * 2 + [None],
+        "v": ["a", "b", "c", "d",     # uniform over 4 -> ln 4
+              "x", "x", "x",          # single value -> 0
+              "y", None,              # null val dropped -> single -> 0
+              "z"],                   # null key dropped entirely
+    })
+    got = grouped_entropy(rd.from_arrow(t), "k", "v").to_pandas() \
+        .set_index("k")["entropy"].to_dict()
+    assert set(got) == {"u", "s", "n"}
+    assert abs(got["u"] - math.log(4)) < 1e-12
+    assert got["s"] == 0.0 and got["n"] == 0.0

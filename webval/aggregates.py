@@ -569,3 +569,45 @@ def merge_specs(a: SchemaSpec, b: SchemaSpec, *,
     spec.pre_stages = list(getattr(a, "pre_stages", []) or [])
     spec.infer_default_checks()
     return spec
+
+
+def grouped_entropy(ds, key: str, val: str, *,
+                    num_buckets: int | None = None):
+    """Shannon entropy (nats) of ``val``'s distribution within each
+    ``key`` group — the class-balance diagnostic of a categorical column
+    (0 = single value, ln(k) = uniform over k values).  Exact: one
+    (key, val) count exchange, then a per-key −Σ p·ln p finalize; null
+    vals are excluded like SQL GROUP BY drops them from counts... they
+    are COUNTED as their own class by Arrow group_by, so both sides must
+    agree — null keys AND null values are dropped explicitly to match the
+    SQL twin's ``WHERE key IS NOT NULL AND val IS NOT NULL``.
+    Output: (key, entropy float64).
+    """
+    from webval.exchange import bucketed_group_apply, grouped_agg
+
+    proj = ds.map_batches(
+        lambda t: t.select([key, val]).filter(
+            pc.and_(pc.is_valid(t.column(key).combine_chunks()),
+                    pc.is_valid(t.column(val).combine_chunks()))),
+        batch_format="pyarrow")
+    counts = grouped_agg(proj, [key, val], [(val, "count")],
+                         num_buckets=num_buckets,
+                         rename={f"{val}_count": "cnt"})
+
+    def final(g: pa.Table) -> pa.Table:
+        agg = g.group_by(key).aggregate([("cnt", "sum")])
+        pos = pc.index_in(g.column(key).combine_chunks(),
+                          value_set=agg.column(key).combine_chunks())
+        n = pc.take(agg.column("cnt_sum"), pos) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        p = cnt / n
+        term = p * np.log(p)
+        out = pa.table({key: g.column(key), "__t__": pa.array(term)})
+        ent = out.group_by(key).aggregate([("__t__", "sum")])
+        return pa.table({key: ent.column(key),
+                         "entropy": pc.negate(ent.column("__t___sum"))})
+
+    return bucketed_group_apply(counts, [key], final,
+                                num_buckets=num_buckets)

@@ -2803,6 +2803,67 @@ FROM bg GROUP BY b HAVING count(*) >= 25
 """
 
 
+def q_unpivot(sf_dir: str):
+    """Wide→long reshape of three lineitem measures, rolled up per
+    variable (stateless flat-map; the rollup keeps the result tiny)."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.relational import unpivot
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+    long = unpivot(ds, ["l_orderkey"],
+                   ["l_quantity", "l_extendedprice", "l_discount"])
+    out = grouped_agg(long, ["variable"],
+                      [("value", "count"), ("value", "sum")],
+                      rename={"value_count": "n", "value_sum": "total"})
+    t = ds_to_table(out).sort_by([("variable", "ascending")])
+    return _round_cols(t, {"total": 2})
+
+
+SQL_UNPIVOT = """
+WITH long AS (
+  SELECT 'l_quantity' AS variable, CAST(l_quantity AS DOUBLE) AS value
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem)
+SELECT variable, CAST(count(value) AS BIGINT) AS n,
+       round(sum(value), 2) AS total
+FROM long GROUP BY variable
+"""
+
+
+def q_lang_entropy(sf_dir: str):
+    """Per-source Shannon entropy of the language mix (class-balance
+    diagnostic): exact (key, val) count exchange → vectorized −Σ p·ln p
+    per key."""
+    import ray.data as rd
+
+    from webval.aggregates import grouped_entropy
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang"])
+    out = grouped_entropy(ds, "source", "lang")
+    t = ds_to_table(out).sort_by([("source", "ascending")])
+    return _round_cols(t, {"entropy": 6})
+
+
+SQL_LANG_ENTROPY = """
+WITH c AS (SELECT source, lang, count(*) AS cnt FROM documents
+           WHERE source IS NOT NULL AND lang IS NOT NULL
+           GROUP BY source, lang),
+t AS (SELECT source, sum(cnt) AS n FROM c GROUP BY source)
+SELECT c.source,
+       round(-sum((cnt / n) * ln(cnt / n)), 6) AS entropy
+FROM c JOIN t USING (source) GROUP BY c.source
+"""
+
+
 def q_incremental_dedup(sf_dir: str):
     """Dedup an increment against a PERSISTED fingerprint index (the
     cross-run crawl primitive): index the even-doc_id half, then dedup the
@@ -3367,4 +3428,6 @@ QUERIES = {
     "table_diff": (q_table_diff, SQL_TABLE_DIFF),
     "reconcile": (q_reconcile, SQL_RECONCILE),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "unpivot_measures": (q_unpivot, SQL_UNPIVOT),
+    "lang_entropy": (q_lang_entropy, SQL_LANG_ENTROPY),
 }

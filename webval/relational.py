@@ -405,3 +405,27 @@ def table_diff(old, new, key: str, compare_cols: list[str], *,
     return bucketed_group_apply(both, [key], final,
                                 num_buckets=num_buckets,
                                 max_group_rows=max_group_rows)
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str], *,
+            var_name: str = "variable", value_name: str = "value",
+            batch_size: int | None = 65536):
+    """Wide→long reshape (the inverse of ``pivot_wider``): each input row
+    emits one output row per ``value_cols`` entry, carrying ``id_cols``,
+    the column's name in ``var_name``, and its value (cast to a common
+    float64) in ``value_name``.  Pure stateless flat-map shape — column
+    take + tile, no shuffle, no per-row Python."""
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        parts = []
+        for c in value_cols:
+            cols = {k: t.column(k) for k in id_cols}
+            cols[var_name] = pa.array(np.repeat(np.array([c], object), n),
+                                      pa.string())
+            cols[value_name] = pc.cast(t.column(c), pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
