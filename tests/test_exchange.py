@@ -140,3 +140,31 @@ def test_detect_hot_keys_no_false_negatives():
             assert key in hot, (key, c)
     # and the sketch stays small: far fewer than distinct keys
     assert len(hot) <= 64
+
+
+def test_grouped_approx_distinct_accuracy(ray_session):
+    import ray.data as rd
+
+    from webval.exchange import grouped_approx_distinct
+
+    rng = np.random.default_rng(3)
+    n = 40_000
+    keys = rng.choice(["a", "b", "c"], size=n)
+    # distinct cardinalities differ per key: a~5000, b~500, c~5
+    pool = {"a": 5000, "b": 500, "c": 5}
+    vals = np.array([f"{k}:{rng.integers(pool[k])}" for k in keys])
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals),
+                  "nullrow": pa.array([None] * n, pa.string())})
+    ds = rd.from_arrow(t).repartition(8)
+    got = grouped_approx_distinct(ds, "k", "v", p=12).to_pandas() \
+        .set_index("k")["approx_distinct"].to_dict()
+    import pandas as pd
+    df = t.to_pandas()
+    for k, g in df.groupby("k"):
+        exact = g["v"].nunique()
+        assert abs(got[k] - exact) / exact <= 0.05, (k, got[k], exact)
+    # null keys/vals dropped
+    t2 = pa.table({"k": ["x", None, "x"], "v": ["1", "2", None]})
+    got2 = grouped_approx_distinct(rd.from_arrow(t2), "k", "v") \
+        .to_pandas()
+    assert list(got2["k"]) == ["x"] and list(got2["approx_distinct"]) == [1]

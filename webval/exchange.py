@@ -266,3 +266,83 @@ def sum_block_scalars(materialized_ds, names: list[str]) -> dict[str, int]:
         for n in names:
             totals[n] += int(pc.sum(b.column(n)).as_py() or 0)
     return totals
+
+
+def grouped_approx_distinct(ds, key: str, val: str, *, p: int = 12,
+                            num_buckets: int | None = None,
+                            out_col: str = "approx_distinct",
+                            batch_size: int | None = 65536):
+    """Approximate COUNT(DISTINCT val) per key via per-group HyperLogLog
+    sketches riding the exchange — the scale path when the exact
+    ``grouped_distinct_count`` would shuffle every (key, val) pair: here
+    the shuffle carries one 2^p-byte register blob per key per batch
+    (p=12 → 4 KB, ~1.6% standard error), independent of value cardinality.
+
+    Per batch: group rows by key, one vectorized ``np.maximum.at`` per
+    group's hash slice; per bucket: register-matrix ``maximum.reduceat``
+    across batches and a vectorized estimate with the standard
+    linear-counting small-range correction (sketches.HyperLogLog formula).
+    Null keys/values are dropped (SQL count(DISTINCT) semantics).
+    """
+    import math
+
+    from webval.sketches import hash64
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, val])
+        t = t.filter(pc.and_(pc.is_valid(t.column(key).combine_chunks()),
+                             pc.is_valid(t.column(val).combine_chunks())))
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], t.schema.field(key).type),
+                             "__regs__": pa.array([], pa.large_binary())})
+        t = t.sort_by([(key, "ascending")])
+        kk = t.column(key).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        counts = np.diff(np.r_[starts, len(kk)])
+        h = hash64(t.column(val).to_numpy(zero_copy_only=False))
+        idx = (h & np.uint64(m - 1)).astype(np.int64)
+        w = (h >> np.uint64(p)).astype(np.uint64)
+        bl = np.zeros(len(w), dtype=np.int64)
+        nz = w > 0
+        if nz.any():
+            _, e = np.frexp(w[nz].astype(np.float64))
+            bl[nz] = e
+        rho = ((64 - p) - bl + 1).astype(np.uint8)
+        # one flat maximum.at over (group_row, register) keys — no loop
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
+        regs = np.zeros((len(starts), m), dtype=np.uint8)
+        np.maximum.at(regs.reshape(-1), seg * m + idx, rho)
+        blobs = pa.array([regs[i].tobytes() for i in range(len(starts))],
+                         pa.large_binary())
+        return pa.table({key: t.column(key).take(
+            pa.array(starts, pa.int64())), "__regs__": blobs})
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({key: pa.array([], g.schema.field(key).type),
+                             out_col: pa.array([], pa.int64())})
+        kk = g.column(key).to_numpy(zero_copy_only=False)
+        order = np.argsort(kk, kind="stable")
+        kk = kk[order]
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        blobs = g.column("__regs__").to_pylist()
+        flat = np.frombuffer(b"".join(blobs[i] for i in order),
+                             dtype=np.uint8).reshape(len(kk), m)
+        merged = np.maximum.reduceat(flat, starts, axis=0)
+        mf = float(m)
+        alpha = 0.7213 / (1.0 + 1.079 / mf)
+        est = alpha * mf * mf / np.sum(np.exp2(-merged.astype(np.float64)),
+                                       axis=1)
+        zeros = (merged == 0).sum(axis=1)
+        small = (est <= 2.5 * mf) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            lin = mf * np.log(mf / np.maximum(zeros, 1))
+        est = np.where(small, lin, est)
+        return pa.table({
+            key: g.column(key).take(pa.array(order[starts], pa.int64())),
+            out_col: pa.array(np.rint(est).astype(np.int64))})
+
+    return bucketed_group_apply(ds, [key], final, num_buckets=num_buckets,
+                                partial_fn=partial, batch_size=batch_size)

@@ -2803,6 +2803,44 @@ FROM bg GROUP BY b HAVING count(*) >= 25
 """
 
 
+def q_grouped_approx_distinct(sf_dir: str):
+    """Per-group HLL distinct counts (the scale path for grouped
+    COUNT(DISTINCT): register blobs ride the shuffle instead of every
+    (key, val) pair), cross-checked IN-QUERY against the exchange-exact
+    path — the driver hashes (key, exact, hll_ok), so a >3%-off sketch
+    flips hll_ok and fails the oracle compare."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_approx_distinct, grouped_distinct_count
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_suppkey"])
+    approx = ds_to_table(grouped_approx_distinct(
+        ds, "l_returnflag", "l_suppkey"))
+    exact = ds_to_table(grouped_distinct_count(
+        ds, "l_returnflag", "l_suppkey"))
+    a = dict(zip(approx.column("l_returnflag").to_pylist(),
+                 approx.column("approx_distinct").to_pylist()))
+    rows = sorted(zip(exact.column("l_returnflag").to_pylist(),
+                      exact.column("n_distinct").to_pylist()))
+    out = {"l_returnflag": [], "n_exact": [], "hll_ok": []}
+    for k, n in rows:
+        est = a.get(k, 0)
+        out["l_returnflag"].append(k)
+        out["n_exact"].append(int(n))
+        out["hll_ok"].append(abs(est - n) / max(n, 1) <= 0.03)
+    return pa.table({"l_returnflag": pa.array(out["l_returnflag"]),
+                     "n_exact": pa.array(out["n_exact"], pa.int64()),
+                     "hll_ok": pa.array(out["hll_ok"], pa.bool_())})
+
+
+SQL_GROUPED_APPROX_DISTINCT = """
+SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_exact,
+       true AS hll_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_unpivot(sf_dir: str):
     """Wide→long reshape of three lineitem measures, rolled up per
     variable (stateless flat-map; the rollup keeps the result tiny)."""
@@ -3430,4 +3468,6 @@ QUERIES = {
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "unpivot_measures": (q_unpivot, SQL_UNPIVOT),
     "lang_entropy": (q_lang_entropy, SQL_LANG_ENTROPY),
+    "grouped_approx_distinct": (q_grouped_approx_distinct,
+                                SQL_GROUPED_APPROX_DISTINCT),
 }
