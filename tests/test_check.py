@@ -275,3 +275,25 @@ def test_check_pass_rates(ray_session):
     assert by["type-domain"]["n_failed"] == 1
     assert by["value-range"]["n_rows"] == 4
     assert by["value-range"]["fail_rate"] == 0.5
+
+
+def test_weighted_sample_membership(ray_session):
+    import ray.data as rd
+
+    from webval.pipelines import weighted_sample
+
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    p = np.where(ids % 4 == 0, 1.0,          # always kept
+                 np.where(ids % 4 == 1, 0.0,  # never kept
+                          0.5))               # hash decides
+    t = pa.table({"id": pa.array(ids), "p": pa.array(p)})
+    got = set(weighted_sample(rd.from_arrow(t), "id", "p")
+              .to_pandas()["id"])
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+    want = set(ids[h.astype(np.float64) < np.floor(p * 2.0**32)])
+    assert got == want
+    assert set(ids[ids % 4 == 0]) <= got
+    assert not (set(ids[ids % 4 == 1]) & got)
+    mid = [i for i in got if i % 4 in (2, 3)]
+    assert 0.4 * n / 2 < len(mid) < 0.6 * n / 2   # ~half of the 0.5 class

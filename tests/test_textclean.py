@@ -302,3 +302,24 @@ def test_frequent_ngrams_multibyte(ray_session):
         pa.table({"text": pa.array(texts, pa.string())})),
         "text", n=2, min_count=2).to_pandas()
     assert dict(zip(got["ngram"], got["cnt"])) == {"héllo wörld": 3}
+
+
+def test_normalize_unicode_tiers(ray_session):
+    import unicodedata
+
+    import ray.data as rd
+
+    from webval.textclean import normalize_unicode
+
+    decomposed = "Café du monde"      # e + combining acute (NFD-ish)
+    texts = ["plain ascii stays", decomposed, "", None, "héllo"]
+    got = normalize_unicode(rd.from_arrow(pa.table({
+        "id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts, pa.string())})), "text",
+        form="NFC", out_col="norm").to_pandas().sort_values("id")
+    assert got["norm"][0] == texts[0]
+    assert got["norm"][1] == unicodedata.normalize("NFC", decomposed)
+    assert got["norm"][1] != decomposed          # actually changed
+    assert got["norm"][2] == ""
+    assert got["norm"][3] is None or got["norm"].isna()[3]
+    assert got["norm"][4] == "héllo"             # already NFC: unchanged

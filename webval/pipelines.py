@@ -763,3 +763,28 @@ def reconcile_aggregate(parent, child, parent_key: str, child_key: str,
     totals["n_matched"] = (totals["n_parents"] - totals["n_missing_child"]
                            - totals["n_mismatched"])
     return pa.table({k: pa.array([v], pa.int64()) for k, v in totals.items()})
+
+
+def weighted_sample(ds, id_col: str, prob_col: str, *,
+                    modulus: int = 2**32, multiplier: int = 2654435761):
+    """Per-row weighted deterministic sampling: keep a row iff the Knuth
+    hash of its id lands under ``floor(prob * modulus)``, where ``prob_col``
+    is a precomputed keep-probability in [0, 1] (the FineWeb-style
+    soft-dedup shape: e.g. prob = 1/dup_count keeps each duplicate cluster
+    in expectation once).  Pure map filter, engine-reproducible: the same
+    predicate is ANSI-SQL (``(id*K)%M < floor(p*M)``) with bit-identical
+    floats.  Null/NaN probabilities drop the row; probs clip to [0, 1]."""
+    mult, mod = np.uint64(multiplier), np.uint64(modulus)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False)
+        p = batch.column(prob_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        with np.errstate(over="ignore", invalid="ignore"):
+            h = (ids * mult) % mod
+            thr = np.floor(np.clip(p, 0.0, 1.0) * float(modulus))
+        m = np.where(np.isnan(p), False, h.astype(np.float64) < thr)
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -2803,6 +2803,61 @@ FROM bg GROUP BY b HAVING count(*) >= 25
 """
 
 
+def q_weighted_sample(sf_dir: str):
+    """FineWeb-style soft sampling: keep probability proportional to the
+    event value (p = min(value, 250)/250), membership decided by the same
+    Knuth hash in both engines — bit-identical floats end to end."""
+    import ray.data as rd
+
+    from webval.pipelines import weighted_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+    withp = ds.map_batches(
+        lambda t: t.append_column(
+            "p", pc.divide(pc.min_element_wise(
+                pc.cast(t.column("value"), pa.float64()), 250.0), 250.0)),
+        batch_format="pyarrow")
+    out = weighted_sample(withp, "event_id", "p")
+    return out.map_batches(lambda t: t.select(["event_id", "value"]),
+                           batch_format="pyarrow")
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT event_id, value FROM events
+WHERE value IS NOT NULL
+  AND CAST((event_id * 2654435761) % 4294967296 AS DOUBLE)
+      < floor((least(CAST(value AS DOUBLE), 250.0) / 250.0) * 4294967296.0)
+"""
+
+
+def q_normalize_unicode(sf_dir: str):
+    """Unicode NFC normalization (ASCII fast path; per-row unicodedata only
+    on non-ASCII rows), reduced to per-doc changed/byte-length columns."""
+    import ray.data as rd
+
+    from webval.textclean import normalize_unicode
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = normalize_unicode(ds, "text", form="NFC", out_col="norm")
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_bytes": pc.binary_length(
+                pc.cast(t.column("norm"), pa.large_binary())),
+            "changed": pc.not_equal(t.column("norm"), t.column("text"))}),
+        batch_format="pyarrow")
+
+
+SQL_NORMALIZE_UNICODE = """
+SELECT doc_id,
+       CAST(strlen(nfc_normalize(text)) AS BIGINT) AS n_bytes,
+       nfc_normalize(text) != text AS changed
+FROM documents
+"""
+
+
 def q_grouped_approx_distinct(sf_dir: str):
     """Per-group HLL distinct counts (the scale path for grouped
     COUNT(DISTINCT): register blobs ride the shuffle instead of every
@@ -3470,4 +3525,6 @@ QUERIES = {
     "lang_entropy": (q_lang_entropy, SQL_LANG_ENTROPY),
     "grouped_approx_distinct": (q_grouped_approx_distinct,
                                 SQL_GROUPED_APPROX_DISTINCT),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "normalize_unicode": (q_normalize_unicode, SQL_NORMALIZE_UNICODE),
 }

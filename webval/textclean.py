@@ -421,3 +421,43 @@ def frequent_ngrams(ds, text_col: str = "text", *, n: int = 2,
     return bucketed_group_apply(ds.select_columns([text_col]), ["ngram"],
                                 final, num_buckets=num_buckets,
                                 partial_fn=partial)
+
+
+def normalize_unicode(ds, text_col: str = "text", *, form: str = "NFC",
+                      out_col: str | None = None,
+                      batch_size: int | None = 8192):
+    """Unicode normalization of a text column (stdlib ``unicodedata``,
+    no external deps).  Tiered like the HTML extractor: pure-ASCII rows —
+    the overwhelming majority of English web text — are provably fixed
+    points of every normalization form and pass through zero-copy
+    (vectorized ASCII detection on the Arrow buffer); only rows with
+    non-ASCII bytes pay the per-row ``unicodedata.normalize`` call.
+    DuckDB twin for NFC: ``nfc_normalize``."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"normalize_unicode: form={form!r}")
+    out = out_col or text_col
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # a string is ASCII iff its utf8 byte length == its char length
+        ascii_m = pc.fill_null(
+            pc.equal(pc.binary_length(pc.cast(col, pa.large_binary())),
+                     pc.utf8_length(col)), True) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        if ascii_m.all():
+            norm = col
+        else:
+            vals = col.to_pylist()
+            norm = pa.array(
+                [v if v is None or ascii_m[i]
+                 else unicodedata.normalize(form, v)
+                 for i, v in enumerate(vals)], col.type)
+        if out == text_col:
+            return t.set_column(t.column_names.index(text_col), out, norm)
+        return t.append_column(out, norm)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
