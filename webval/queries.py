@@ -2477,9 +2477,10 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
 
 def q_link_components(sf_dir: str):
     """Connected components of the link graph (min-label propagation over
-    the exchange).  Rows-only driver check but SELF-ASSERTING: the full
-    labeling must equal a driver union-find exactly; returns the component
-    size distribution."""
+    the exchange).  Twice-checked (r3s4: was rows-only): in-query the full
+    labeling must equal a driver union-find exactly, AND the returned
+    component-size distribution (label-invariant) hashes against a DuckDB
+    WITH RECURSIVE reachability twin."""
     import ray.data as rd
 
     from webval.graph import connected_components
@@ -2525,12 +2526,11 @@ def q_link_components(sf_dir: str):
 
 
 def q_pagerank_links(sf_dir: str):
-    """Iterative PageRank over the synthetic link graph (rows-only: power
-    iteration is not ANSI-SQL-expressible without recursive CTE gymnastics).
-    Self-asserting: the distributed ranks must match the exact in-memory
-    power method (webval.graph.pagerank_reference — driver recompute over
-    the small fixture IS the oracle, not the compute path) to 1e-10, and
-    sum to 1."""
+    """Iterative PageRank over the synthetic link graph.  Twice-checked:
+    in-query the distributed ranks must match the exact in-memory power
+    method (webval.graph.pagerank_reference) to 1e-10 and sum to 1, AND
+    the driver hashes the top-10 against a DuckDB twin that unrolls the
+    8 power iterations as chained CTEs (r3s4: was rows-only)."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
@@ -2556,10 +2556,66 @@ def q_pagerank_links(sf_dir: str):
         raise AssertionError(f"ranks sum to {got.sum()}, not 1")
     top = ranks.sort_by([("rank", "descending"),
                          ("node", "ascending")]).slice(0, 10)
-    return pa.table({
+    out = pa.table({
         "node": top.column("node"),
-        "rank_e6": pc.round(pc.multiply(top.column("rank"), 1e6),
-                            ndigits=3)})
+        "rank_e6": pc.multiply(top.column("rank"), 1e6)})
+    return _round_cols(out, {"rank_e6": 3})
+
+
+def _sql_pagerank(n_iter: int = 8, damping: float = 0.85) -> str:
+    """The power iteration unrolled as chained CTEs — one layer per
+    iteration, each reproducing exactly webval.graph.pagerank's update:
+    r(v) = (1−d)/n + d·dangling/n + d·Σ_{s→v} r(s)/outdeg(s)."""
+    links = f"read_parquet('{SYNTH_ROOT}/sf0.01/links.parquet')"
+    layers = [f"""
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src_url AS node FROM {links}
+  UNION ALL SELECT dst_url FROM {links})),
+deg AS (SELECT n.node, coalesce(d.c, 0) AS deg
+        FROM nodes n LEFT JOIN (SELECT src_url, count(*) AS c FROM {links}
+                                GROUP BY src_url) d ON n.node = d.src_url),
+meta AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM meta) AS rank FROM deg)"""]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        layers.append(f"""
+r{k} AS (
+  SELECT d.node, d.deg,
+         (1.0 - {damping}) / m.n
+         + {damping} * (SELECT coalesce(sum(rank), 0) FROM r{p}
+                        WHERE deg = 0) / m.n
+         + {damping} * coalesce(c.w, 0) AS rank
+  FROM deg d CROSS JOIN meta m
+  LEFT JOIN (SELECT l.dst_url AS node, sum(r.rank / r.deg) AS w
+             FROM {links} l JOIN r{p} r ON l.src_url = r.node
+             GROUP BY l.dst_url) c ON d.node = c.node)""")
+    return ("WITH " + ",".join(layers) + f"""
+SELECT node, round(rank * 1e6, 3) AS rank_e6
+FROM r{n_iter} ORDER BY rank DESC, node LIMIT 10
+""")
+
+
+SQL_PAGERANK_LINKS = _sql_pagerank()
+
+
+SQL_LINK_COMPONENTS = f"""
+WITH RECURSIVE
+e AS (SELECT src_url AS a, dst_url AS b
+      FROM read_parquet('{SYNTH_ROOT}/sf0.01/links.parquet')
+      UNION ALL
+      SELECT dst_url, src_url
+      FROM read_parquet('{SYNTH_ROOT}/sf0.01/links.parquet')),
+n AS (SELECT DISTINCT a AS node FROM e),
+reach AS (
+  SELECT node AS id, node AS r FROM n
+  UNION
+  SELECT e.b AS id, reach.r FROM reach JOIN e ON reach.id = e.a),
+lab AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+cs AS (SELECT component, count(*) AS sz FROM lab GROUP BY component)
+SELECT CAST(sz AS BIGINT) AS component_size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM cs GROUP BY sz
+"""
 
 
 def q_window_functions(sf_dir: str):
@@ -3486,8 +3542,8 @@ QUERIES = {
     "rollup_lineitem": (q_rollup_lineitem, SQL_ROLLUP_LINEITEM),
     "pivot_chars_by_lang": (q_pivot_chars_by_lang, SQL_PIVOT_CHARS_BY_LANG),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
-    "pagerank_links": (q_pagerank_links, None),
-    "link_components": (q_link_components, None),
+    "pagerank_links": (q_pagerank_links, SQL_PAGERANK_LINKS),
+    "link_components": (q_link_components, SQL_LINK_COMPONENTS),
     "window_functions": (q_window_functions, SQL_WINDOW_FUNCTIONS),
     "cube_orders": (q_cube_orders, SQL_CUBE_ORDERS),
     "grouping_sets_orders": (q_grouping_sets, SQL_GROUPING_SETS),
