@@ -155,3 +155,29 @@ def test_standardize_edges(ray_session):
     assert abs(out["a_z"][1] - 0.0) < 1e-12          # (2-2)/std
     assert np.isnan(out["a_z"][3])                   # null in -> null out
     assert out["b_z"].isna().all()                   # zero std -> nulls
+
+
+def test_kmeans_init_centroids_deterministic(ray_session):
+    import ray.data as rd
+
+    from webval.clustering import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(11)
+    blobs = np.concatenate([rng.normal(loc=c, scale=0.05, size=(30, 4))
+                            for c in (0.0, 5.0, 10.0)]).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(90), pa.int64()),
+                  "embedding": pa.array(list(map(list, blobs)),
+                                        pa.list_(pa.float32()))})
+    init = blobs[[0, 30, 60]].astype(np.float64)
+    a = kmeans_fit(rd.from_arrow(t), "embedding", 3, n_iter=3, tol=0.0,
+                   init_centroids=init)
+    b = kmeans_fit(rd.from_arrow(t).repartition(5), "embedding", 3,
+                   n_iter=3, tol=0.0, init_centroids=init)
+    assert np.allclose(a, b, atol=1e-12)   # parallelism-invariant
+    got = kmeans_assign(rd.from_arrow(t), "embedding", a).to_pandas()
+    got = got.sort_values("vec_id")["cluster"].to_numpy()
+    assert (got == np.repeat([0, 1, 2], 30)).all()  # blobs recovered
+
+    import pytest
+    with pytest.raises(ValueError, match="init_centroids"):
+        kmeans_fit(rd.from_arrow(t), "embedding", 4, init_centroids=init)

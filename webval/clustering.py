@@ -62,21 +62,30 @@ def _assign(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
 
 def kmeans_fit(ds, col: str, k: int, *, n_iter: int = 20, seed: int = 0,
                init_sample: int = 4096, tol: float = 1e-6,
+               init_centroids: np.ndarray | None = None,
                batch_size: int | None = 4096) -> np.ndarray:
     """Fit k centroids to the list<float> column ``col``; returns a (k, d)
     float64 array.  ``init_sample`` rows are pulled to the driver only for
-    k-means++ seeding (KB–MB); every full pass stays distributed."""
+    k-means++ seeding (KB–MB); every full pass stays distributed.
+    ``init_centroids`` (k, d) skips the ++ seeding — deterministic inits
+    make the whole fit engine-reproducible (the SQL-twin path)."""
     import ray
 
-    sample = _matrix_of(
-        pa.concat_tables(
-            ds.select_columns([col]).limit(init_sample)
-              .iter_batches(batch_format="pyarrow", batch_size=None),
-            promote_options="permissive").column(col))
-    if len(sample) < k:
-        raise ValueError(f"kmeans: need >= k={k} rows to initialize, "
-                         f"got {len(sample)}")
-    cents = _plusplus_init(sample, k, seed)
+    if init_centroids is not None:
+        cents = np.ascontiguousarray(init_centroids, dtype=np.float64)
+        if cents.shape[0] != k:
+            raise ValueError(f"kmeans: init_centroids has {cents.shape[0]} "
+                             f"rows, k={k}")
+    else:
+        sample = _matrix_of(
+            pa.concat_tables(
+                ds.select_columns([col]).limit(init_sample)
+                  .iter_batches(batch_format="pyarrow", batch_size=None),
+                promote_options="permissive").column(col))
+        if len(sample) < k:
+            raise ValueError(f"kmeans: need >= k={k} rows to initialize, "
+                             f"got {len(sample)}")
+        cents = _plusplus_init(sample, k, seed)
     proj = ds.select_columns([col])
 
     for _ in range(n_iter):

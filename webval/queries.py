@@ -2859,6 +2859,88 @@ FROM bg GROUP BY b HAVING count(*) >= 25
 """
 
 
+def q_kmeans_sql(sf_dir: str):
+    """Lloyd's algorithm made engine-reproducible: deterministic init (the
+    min-vec_id embedding of each planted label, labels ascending), a fixed
+    3 iterations, and the EXACT per-row assignment rule the engine uses
+    (argmax of x·c − ½‖c‖², ties to the lowest centroid id).  The SQL twin
+    unrolls the 3 iterations as long-form centroid CTEs — the hash only
+    matches if every assignment agrees after 3 rounds of drift."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from webval.clustering import kmeans_assign, kmeans_fit
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label", "embedding"])
+    # deterministic init: per label (ascending), the min-vec_id embedding
+    import numpy as np_
+    labels = full.column("label").to_numpy(zero_copy_only=False)
+    vids = full.column("vec_id").to_numpy(zero_copy_only=False)
+    init_rows = []
+    for lab in sorted(set(labels.tolist())):
+        sel = np_.flatnonzero(labels == lab)
+        init_rows.append(int(sel[np_.argmin(vids[sel])]))
+    emb = full.column("embedding")
+    init = np_.asarray([emb[i].as_py() for i in init_rows],
+                       dtype=np_.float64)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cents = kmeans_fit(ds, "embedding", len(init_rows), n_iter=3, tol=0.0,
+                       init_centroids=init)
+    out = kmeans_assign(ds, "embedding", cents)
+    t = ds_to_table(out.map_batches(
+        lambda t: pa.table({"vec_id": t.column("vec_id"),
+                            "cluster": pc.cast(t.column("cluster"),
+                                               pa.int64())}),
+        batch_format="pyarrow"))
+    return t.sort_by([("vec_id", "ascending")])
+
+
+def _sql_kmeans(n_iter: int = 3, dim: int = 64) -> str:
+    """3 Lloyd iterations unrolled; centroids kept LONG (cid, i, v) so
+    dot products and means are plain joins + grouped aggregates."""
+    score = ("sum(CAST(e.embedding[CAST(c.i AS INT)] AS DOUBLE) * c.v) "
+             "- 0.5 * sum(c.v * c.v)")
+    layers = [f"""
+m AS (SELECT label, min(vec_id) AS vid FROM embeddings GROUP BY label),
+c0 AS (SELECT CAST(dense_rank() OVER (ORDER BY m.label) - 1 AS BIGINT)
+              AS cid, CAST(r.i AS BIGINT) AS i,
+              CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE) AS v
+       FROM m JOIN embeddings e ON e.vec_id = m.vid
+       CROSS JOIN range(1, {dim + 1}) r(i))"""]
+    for t in range(n_iter):
+        layers.append(f"""
+s{t} AS (SELECT e.vec_id, c.cid, {score} AS sc
+         FROM embeddings e JOIN c{t} c ON true
+         GROUP BY e.vec_id, c.cid),
+a{t} AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sc DESC, cid) AS rn
+           FROM s{t}) WHERE rn = 1),
+c{t + 1} AS (SELECT a.cid, CAST(r.i AS BIGINT) AS i,
+                    avg(CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE)) AS v
+             FROM a{t} a JOIN embeddings e USING (vec_id)
+             CROSS JOIN range(1, {dim + 1}) r(i)
+             GROUP BY a.cid, r.i)""")
+    last = n_iter
+    return ("WITH " + ",".join(layers) + f"""
+, sf AS (SELECT e.vec_id, c.cid, {score} AS sc
+         FROM embeddings e JOIN c{last} c ON true
+         GROUP BY e.vec_id, c.cid)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sc DESC, cid) AS rn
+  FROM sf) WHERE rn = 1
+""")
+
+
+SQL_KMEANS_SQL = _sql_kmeans()
+
+
 def q_weighted_sample(sf_dir: str):
     """FineWeb-style soft sampling: keep probability proportional to the
     event value (p = min(value, 250)/250), membership decided by the same
@@ -3582,5 +3664,6 @@ QUERIES = {
     "grouped_approx_distinct": (q_grouped_approx_distinct,
                                 SQL_GROUPED_APPROX_DISTINCT),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "kmeans_sql": (q_kmeans_sql, SQL_KMEANS_SQL),
     "normalize_unicode": (q_normalize_unicode, SQL_NORMALIZE_UNICODE),
 }
