@@ -201,7 +201,7 @@ def pca_fit(ds, col: str, n_components: int, *, batch_size: int | None = 4096):
     comps = comps * flip[:, None]
     ev = np.maximum(evals[order], 0.0)
     total = float(np.maximum(evals, 0.0).sum()) or 1.0
-    return {"mean": mean, "components": comps,
+    return {"mean": mean, "components": comps, "cov": cov,
             "explained_variance": ev,
             "explained_variance_ratio": ev / total, "n": int(n)}
 

@@ -2174,10 +2174,12 @@ LEFT JOIN hits h ON d.doc_id = h.doc_id
 
 def q_pca_embeddings(sf_dir: str):
     """Distributed exact PCA over the embeddings table (one streaming
-    (n, Σx, XᵀX) pass, driver eigh of the d×d covariance).  Rows-only
-    driver check, but SELF-ASSERTING in-query: components must match an
-    exact in-memory numpy PCA up to 1e-6, rows be orthonormal, and the
-    projection variance equal the eigenvalues."""
+    (n, Σx, XᵀX) pass, driver eigh of the d×d covariance).  Twice-checked
+    (r3s4: was rows-only): in-query the components must match an exact
+    in-memory numpy PCA to 1e-6, be orthonormal, and project variance
+    equal to the eigenvalues; the HASHED output is the upper triangle of
+    the model's sample covariance, whose SQL twin is covar_samp over
+    every dimension pair — the matrix the eigendecomposition consumed."""
     import ray.data as rd
 
     from webval.clustering import pca_fit, pca_transform
@@ -2204,13 +2206,26 @@ def q_pca_embeddings(sf_dir: str):
     assert np.allclose(np.var(y, axis=0, ddof=1),
                        model["explained_variance"], rtol=1e-3), \
         "projection variance != eigenvalues"
-    return pa.table({
-        "component": pa.array(range(k), pa.int64()),
-        "explained_variance": [round(v, 6)
-                               for v in model["explained_variance"]],
-        "explained_variance_ratio":
-            [round(v, 6) for v in model["explained_variance_ratio"]],
+    cov = model["cov"]
+    d = cov.shape[0]
+    iu, ju = np.triu_indices(d)
+    out = pa.table({
+        "i": pa.array((iu + 1).astype(np.int64)),
+        "j": pa.array((ju + 1).astype(np.int64)),
+        "cov": pa.array(cov[iu, ju], pa.float64()),
     })
+    return _round_cols(out, {"cov": 6})
+
+
+SQL_PCA_EMBEDDINGS = """
+WITH p AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j
+           FROM range(1, 65) r(i), range(1, 65) q(j) WHERE j >= i)
+SELECT p.i, p.j,
+       round(covar_samp(CAST(e.embedding[CAST(p.i AS INT)] AS DOUBLE),
+                        CAST(e.embedding[CAST(p.j AS INT)] AS DOUBLE)),
+             6) AS cov
+FROM embeddings e CROSS JOIN p GROUP BY p.i, p.j
+"""
 
 
 def q_chunk_text(sf_dir: str):
@@ -3619,7 +3634,7 @@ QUERIES = {
     "revenue_by_region": (q_revenue_by_region, SQL_REVENUE_BY_REGION),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "kmeans_clusters": (q_kmeans_clusters, None),
-    "pca_embeddings": (q_pca_embeddings, None),
+    "pca_embeddings": (q_pca_embeddings, SQL_PCA_EMBEDDINGS),
     "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
     "rollup_lineitem": (q_rollup_lineitem, SQL_ROLLUP_LINEITEM),
     "pivot_chars_by_lang": (q_pivot_chars_by_lang, SQL_PIVOT_CHARS_BY_LANG),
