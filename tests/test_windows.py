@@ -145,3 +145,27 @@ def test_funnel_stages_brute_force(ray_session):
                            ["a", "b", "c"]).to_pandas() \
         .set_index("stage")["n_users"].to_dict()
     assert counts == {1: 4, 2: 2, 3: 2}
+
+
+def test_inter_arrival_stats(ray_session):
+    import ray.data as rd
+
+    from webval.windows import inter_arrival_stats
+
+    rows = [
+        ("a", 100), ("a", 130), ("a", 150),   # gaps 30, 20
+        ("b", 10),                            # single event: no gaps
+        ("c", 5), ("c", 5),                   # tie ts: gap 0
+        (None, 1), ("d", None),               # null key / null ts dropped
+    ]
+    t = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    got = inter_arrival_stats(rd.from_arrow(t), "k", "ts").to_pandas() \
+        .set_index("k")
+    assert set(got.index) == {"a", "c"}
+    assert got.loc["a", "n_gaps"] == 2
+    assert got.loc["a", "min_gap_us"] == 20
+    assert got.loc["a", "avg_gap_us"] == 25.0
+    assert got.loc["c", "min_gap_us"] == 0

@@ -2874,6 +2874,37 @@ FROM bg GROUP BY b HAVING count(*) >= 25
 """
 
 
+def q_fetch_gaps(sf_dir: str):
+    """Per-user inter-arrival gap stats (the crawl-politeness audit shape):
+    sorted vectorized diffs per co-bucketed key, reduced to count/min/avg
+    microsecond gaps; SQL twin via lag() OVER."""
+    import ray.data as rd
+
+    from webval.windows import inter_arrival_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    out = inter_arrival_stats(ds, "user_id", "ts",
+                              order_cols=["event_id"])
+    # avg is one exact int/int IEEE division on both sides (gap sums are
+    # exactly representable) — no rounding, bit-identical
+    return ds_to_table(out).sort_by([("user_id", "ascending")])
+
+
+SQL_FETCH_GAPS = """
+WITH x AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+g AS (SELECT user_id,
+             t - lag(t) OVER (PARTITION BY user_id
+                              ORDER BY t, event_id) AS gap
+      FROM x)
+SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(min(gap) AS BIGINT) AS min_gap_us,
+       CAST(sum(gap) AS DOUBLE) / count(gap) AS avg_gap_us
+FROM g GROUP BY user_id HAVING count(gap) > 0
+"""
+
+
 def q_kmeans_sql(sf_dir: str):
     """Lloyd's algorithm made engine-reproducible: deterministic init (the
     min-vec_id embedding of each planted label, labels ascending), a fixed
@@ -3680,5 +3711,6 @@ QUERIES = {
                                 SQL_GROUPED_APPROX_DISTINCT),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "kmeans_sql": (q_kmeans_sql, SQL_KMEANS_SQL),
+    "fetch_gaps": (q_fetch_gaps, SQL_FETCH_GAPS),
     "normalize_unicode": (q_normalize_unicode, SQL_NORMALIZE_UNICODE),
 }

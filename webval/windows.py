@@ -247,3 +247,76 @@ def funnel_counts(ds, user_col: str, ts_col: str, type_col: str,
 
     from webval.exchange import bucketed_group_apply
     return bucketed_group_apply(parts, ["stage"], final, num_buckets=8)
+
+
+def inter_arrival_stats(ds, key: str, ts_col: str, *,
+                        order_cols: list[str] | None = None,
+                        num_buckets: int | None = None,
+                        max_group_rows: int | None = 4_000_000):
+    """Per-key gaps between consecutive events — the crawl-politeness /
+    rate-limit audit (per-domain inter-fetch spacing): order each key's
+    events by (ts, *order_cols), difference adjacent timestamps, and
+    reduce to (key, n_gaps, min_gap_us, avg_gap_us).  Keys with a single
+    event have no gaps and are not emitted (SQL HAVING count(gap) > 0).
+
+    Combiner-less (each key partition is consumed whole, in order) —
+    co-bucketed exchange with the shared max_group_rows diagnostic;
+    inside a bucket everything is sort + vectorized diff, no per-row
+    Python.  Null timestamps are dropped.
+    """
+    import numpy as np
+
+    from webval.exchange import bucketed_group_apply
+
+    order_cols = list(order_cols or [])
+    proj_cols = [key, ts_col] + order_cols
+
+    def proj_fn(t: pa.Table) -> pa.Table:
+        t = t.select(proj_cols)
+        m = pc.and_(pc.is_valid(t.column(key).combine_chunks()),
+                    pc.is_valid(t.column(ts_col).combine_chunks()))
+        return t.filter(m)
+
+    proj = ds.map_batches(proj_fn, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        kt = g.schema.field(key).type
+        empty = pa.table({key: pa.array([], kt),
+                          "n_gaps": pa.array([], pa.int64()),
+                          "min_gap_us": pa.array([], pa.int64()),
+                          "avg_gap_us": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        ts_int = pc.cast(g.column(ts_col), pa.int64())
+        g = g.set_column(g.column_names.index(ts_col), ts_col, ts_int)
+        g = g.sort_by([(key, "ascending"), (ts_col, "ascending")]
+                      + [(c, "ascending") for c in order_cols])
+        kk = g.column(key).to_numpy(zero_copy_only=False)
+        ts = g.column(ts_col).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        counts = np.diff(np.r_[starts, len(kk)])
+        gaps = np.diff(ts)
+        is_gap = np.ones(len(kk), dtype=bool)
+        is_gap[starts] = False          # no gap into a new key
+        seg = np.repeat(np.arange(len(starts)), counts)
+        n_gaps = np.bincount(seg[is_gap], minlength=len(starts))
+        keep = n_gaps > 0
+        if not keep.any():
+            return empty
+        gap_vals = gaps[is_gap[1:]]     # aligned: gaps[i] = ts[i+1]-ts[i]
+        gseg = seg[is_gap]
+        sums = np.bincount(gseg, weights=gap_vals.astype(np.float64),
+                           minlength=len(starts))
+        mins = np.full(len(starts), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, gseg, gap_vals)
+        return pa.table({
+            key: g.column(key).take(
+                pa.array(starts[keep], pa.int64())),
+            "n_gaps": pa.array(n_gaps[keep]),
+            "min_gap_us": pa.array(mins[keep]),
+            "avg_gap_us": pa.array(sums[keep] / n_gaps[keep], pa.float64()),
+        })
+
+    return bucketed_group_apply(proj, [key], final,
+                                num_buckets=num_buckets,
+                                max_group_rows=max_group_rows)
