@@ -572,7 +572,8 @@ def merge_specs(a: SchemaSpec, b: SchemaSpec, *,
 
 
 def grouped_entropy(ds, key: str, val: str, *,
-                    num_buckets: int | None = None):
+                    num_buckets: int | None = None,
+                    max_group_rows: int | None = 4_000_000):
     """Shannon entropy (nats) of ``val``'s distribution within each
     ``key`` group — the class-balance diagnostic of a categorical column
     (0 = single value, ln(k) = uniform over k values).  Exact: one
@@ -609,5 +610,8 @@ def grouped_entropy(ds, key: str, val: str, *,
         return pa.table({key: ent.column(key),
                          "entropy": pc.negate(ent.column("__t___sum"))})
 
+    # combiner-less second phase (a key's (key,val) count rows must all
+    # land in one bucket): oversized keys get the named diagnostic
     return bucketed_group_apply(counts, [key], final,
-                                num_buckets=num_buckets)
+                                num_buckets=num_buckets,
+                                max_group_rows=max_group_rows)

@@ -94,6 +94,10 @@ def kmeans_fit(ds, col: str, k: int, *, n_iter: int = 20, seed: int = 0,
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(ref)
             x = _matrix_of(batch.column(col))
+            if x.size and x.shape[1] != c.shape[1]:
+                raise ValueError(
+                    f"kmeans: data dim {x.shape[1]} != centroid dim "
+                    f"{c.shape[1]} (check init_centroids)")
             a = _assign(x, c)
             sums = np.zeros((k, x.shape[1]), dtype=np.float64)
             np.add.at(sums, a, x)

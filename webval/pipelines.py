@@ -777,8 +777,16 @@ def weighted_sample(ds, id_col: str, prob_col: str, *,
     mult, mod = np.uint64(multiplier), np.uint64(modulus)
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
-            .astype(np.uint64, copy=False)
+        # null ids can't hash deterministically; negative ids would wrap
+        # differently than SQL's % — reject both loudly (review r3s4)
+        idc = batch.column(id_col).combine_chunks()
+        if idc.null_count:
+            raise ValueError(f"weighted_sample: null {id_col} values")
+        ids = idc.to_numpy(zero_copy_only=False)
+        if len(ids) and ids.min() < 0:
+            raise ValueError(f"weighted_sample: negative {id_col} values "
+                             "hash differently than the SQL % operator")
+        ids = ids.astype(np.uint64, copy=False)
         p = batch.column(prob_col).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         with np.errstate(over="ignore", invalid="ignore"):

@@ -2920,16 +2920,15 @@ def q_kmeans_sql(sf_dir: str):
     full = pq.read_table(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "label", "embedding"])
     # deterministic init: per label (ascending), the min-vec_id embedding
-    import numpy as np_
     labels = full.column("label").to_numpy(zero_copy_only=False)
     vids = full.column("vec_id").to_numpy(zero_copy_only=False)
     init_rows = []
     for lab in sorted(set(labels.tolist())):
-        sel = np_.flatnonzero(labels == lab)
-        init_rows.append(int(sel[np_.argmin(vids[sel])]))
+        sel = np.flatnonzero(labels == lab)
+        init_rows.append(int(sel[np.argmin(vids[sel])]))
     emb = full.column("embedding")
-    init = np_.asarray([emb[i].as_py() for i in init_rows],
-                       dtype=np_.float64)
+    init = np.asarray([emb[i].as_py() for i in init_rows],
+                      dtype=np.float64)
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
@@ -2941,6 +2940,16 @@ def q_kmeans_sql(sf_dir: str):
                             "cluster": pc.cast(t.column("cluster"),
                                                pa.int64())}),
         batch_format="pyarrow"))
+    # precondition of the SQL twin: its c{t+1} CTE drops a centroid that
+    # captured zero rows, while the engine keeps it — the twin is only
+    # valid while every cluster stays populated, so fail LOUDLY here
+    # instead of as an unexplained hash mismatch
+    got_clusters = set(t.column("cluster").to_pylist())
+    if got_clusters != set(range(len(init_rows))):
+        raise AssertionError(
+            f"kmeans_sql: empty cluster(s) "
+            f"{set(range(len(init_rows))) - got_clusters} — the SQL twin's "
+            "unroll diverges on empty clusters (see _sql_kmeans)")
     return t.sort_by([("vec_id", "ascending")])
 
 
@@ -2997,11 +3006,16 @@ def q_weighted_sample(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "value"])
-    withp = ds.map_batches(
-        lambda t: t.append_column(
+
+    def withp_fn(t: pa.Table) -> pa.Table:
+        # drop nulls BEFORE deriving p: min_element_wise skips nulls, so a
+        # null value would otherwise launder into p=1.0 (review r3s4)
+        t = t.filter(pc.is_valid(t.column("value").combine_chunks()))
+        return t.append_column(
             "p", pc.divide(pc.min_element_wise(
-                pc.cast(t.column("value"), pa.float64()), 250.0), 250.0)),
-        batch_format="pyarrow")
+                pc.cast(t.column("value"), pa.float64()), 250.0), 250.0))
+
+    withp = ds.map_batches(withp_fn, batch_format="pyarrow")
     out = weighted_sample(withp, "event_id", "p")
     return out.map_batches(lambda t: t.select(["event_id", "value"]),
                            batch_format="pyarrow")

@@ -416,6 +416,8 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str], *,
     float64) in ``value_name``.  Pure stateless flat-map shape — column
     take + tile, no shuffle, no per-row Python."""
     id_cols, value_cols = list(id_cols), list(value_cols)
+    if not value_cols:
+        raise ValueError("unpivot: value_cols is empty")
 
     def fn(t: pa.Table) -> pa.Table:
         n = t.num_rows
