@@ -128,3 +128,30 @@ def test_contrast_reports_ks_and_thresholds():
     assert rep["drifted"]
     same = contrast(a, a)
     assert same["columns"]["x"]["ks"] == 0.0
+
+
+def test_contingency_stats_hand_computed():
+    from webval.drift import contingency_stats
+
+    # classic 2×2: perfect association → V = 1; independent → V ≈ 0
+    stat, dof, v = contingency_stats([[50, 0], [0, 50]])
+    assert dof == 1
+    assert stat == pytest.approx(100.0)
+    assert v == pytest.approx(1.0)
+
+    stat, dof, v = contingency_stats([[25, 25], [25, 25]])
+    assert stat == pytest.approx(0.0)
+    assert v == pytest.approx(0.0)
+
+    # hand-computed 2×3 (o−e)²/e sum; all-zero row/col dropped first
+    m = [[10, 20, 30], [30, 20, 10], [0, 0, 0]]
+    o = np.array(m[:2], dtype=float)
+    e = o.sum(1, keepdims=True) * o.sum(0, keepdims=True) / o.sum()
+    want = float(((o - e) ** 2 / e).sum())
+    stat, dof, v = contingency_stats(m)
+    assert dof == 2
+    assert stat == pytest.approx(want)
+    assert v == pytest.approx(np.sqrt(want / (o.sum() * 1)))
+
+    # degenerate: a single effective row → no association measurable
+    assert contingency_stats([[5, 5], [0, 0]]) == (0.0, 0, 0.0)

@@ -162,3 +162,38 @@ def test_warc_resync_after_corrupt_length(tmp_path):
     giant = corrupt.replace(b"99999999", b"99999999999")
     blob2 = giant + b"".join(_format_record(*r) for r in rows[:3])
     assert sorted(parse_warc_bytes(blob2, strict=False)) == rows[:3]
+
+
+def test_jsonl_and_csv_roundtrip_vs_parquet(ray_session, tmp_path):
+    """Ray-native write_json/write_csv → read_json/read_csv round-trips a
+    typed slice (int64, nullable string) losslessly vs the in-memory
+    ground truth, including null handling."""
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(200), pa.int64()),
+        "lang": pa.array([None if i % 7 == 0 else ["en", "de", "fr"][i % 3]
+                          for i in range(200)]),
+        "n_chars": pa.array([None if i % 11 == 0 else i * 3
+                             for i in range(200)], pa.int64()),
+    })
+    for fmt in ("jsonl", "csv"):
+        out = str(tmp_path / fmt)
+        ds = rd.from_arrow(t).repartition(4)
+        (ds.write_json(out) if fmt == "jsonl" else ds.write_csv(out))
+        if fmt == "jsonl":
+            back = rd.read_json(out)
+        else:
+            # unquoted empty → null; quoted "" stays a real empty string
+            # (mirrors webval.queries.q_csv_read)
+            from pyarrow import csv as pacsv
+            back = rd.read_csv(out, convert_options=pacsv.ConvertOptions(
+                strings_can_be_null=True, quoted_strings_can_be_null=False))
+        got = (pa.concat_tables(
+            back.iter_batches(batch_format="pyarrow", batch_size=None))
+            .select(["doc_id", "lang", "n_chars"]).sort_by("doc_id"))
+        assert got.num_rows == t.num_rows
+        assert got.column("doc_id").to_pylist() == t.column("doc_id").to_pylist()
+        assert got.column("lang").to_pylist() == t.column("lang").to_pylist()
+        assert got.column("n_chars").cast(pa.int64()).to_pylist() \
+            == t.column("n_chars").to_pylist()

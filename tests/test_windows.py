@@ -169,3 +169,71 @@ def test_inter_arrival_stats(ray_session):
     assert got.loc["a", "min_gap_us"] == 20
     assert got.loc["a", "avg_gap_us"] == 25.0
     assert got.loc["c", "min_gap_us"] == 0
+
+
+def test_ordered_inversions_brute_force(ray_session):
+    """Inversion counts vs a per-key Python oracle, with order-col ties
+    (broken by value — a tie-pair is never an inversion) and nulls."""
+    import ray.data as rd
+
+    from webval.windows import ordered_inversions
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    key = rng.integers(0, 200, n)
+    order = rng.integers(0, 6, n)          # deliberately tied within keys
+    val = rng.integers(0, 50, n).astype(float)
+    val[rng.random(n) < 0.05] = np.nan     # dropped rows (NaN → arrow null)
+    t = pa.table({"k": pa.array(key), "o": pa.array(order),
+                  "v": pa.array(val, from_pandas=True)})
+    out = (ordered_inversions(rd.from_arrow(t).repartition(7), "k", "o", "v",
+                              num_buckets=8)
+           .to_pandas().set_index("k").sort_index())
+
+    df = t.to_pandas().dropna()
+    truth_pairs, truth_inv = {}, {}
+    for k, g in df.groupby("k"):
+        g = g.sort_values(["o", "v"], kind="mergesort")
+        v = g["v"].to_numpy()
+        if len(v) < 2:
+            continue
+        truth_pairs[k] = len(v) - 1
+        truth_inv[k] = int((v[1:] < v[:-1]).sum())
+    assert set(out.index) == set(truth_pairs)
+    for k in truth_pairs:
+        assert out.loc[k, "n_pairs"] == truth_pairs[k]
+        assert out.loc[k, "n_inversions"] == truth_inv[k]
+
+
+def test_session_rollup_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from webval.windows import session_rollup
+
+    gap = 1000 * US
+    rng = np.random.default_rng(11)
+    n = 2000
+    ts_i = np.sort(rng.integers(0, 3_000_000, n)) * np.int64(US) // 1000
+    users = rng.integers(0, 40, n)
+    t = pa.table({"user": pa.array(users),
+                  "ts": pa.array(ts_i).cast(pa.timestamp("us"))})
+    out = session_rollup(rd.from_arrow(t).repartition(5), ts_col="ts",
+                         by="user", gap_us=gap, num_buckets=8).to_pandas()
+
+    df = pd.DataFrame({"user": users, "ts": ts_i}).sort_values(["user", "ts"])
+    sess = []
+    for u, g in df.groupby("user"):
+        tv = g["ts"].to_numpy()
+        new = np.ones(len(tv), dtype=int)
+        new[1:] = (np.diff(tv) > gap).astype(int)
+        seq = np.cumsum(new)
+        for s in np.unique(seq):
+            sel = tv[seq == s]
+            sess.append((u, int(s), len(sel), int(sel.max() - sel.min())))
+    truth = pd.DataFrame(sess, columns=["user", "session_seq", "n_events",
+                                        "duration_us"])
+    merged = out.merge(truth, on=["user", "session_seq"],
+                       suffixes=("", "_t"))
+    assert len(merged) == len(truth) == len(out)
+    assert (merged["n_events"] == merged["n_events_t"]).all()
+    assert (merged["duration_us"] == merged["duration_us_t"]).all()

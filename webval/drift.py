@@ -152,3 +152,28 @@ def ks_statistic(a_counts, b_counts) -> float:
     ca = np.cumsum(a / a.sum())
     cb = np.cumsum(b / b.sum())
     return float(np.abs(ca - cb).max())
+
+
+def contingency_stats(counts) -> tuple[float, int, float]:
+    """Pearson chi-square statistic, degrees of freedom and Cramér's V of
+    an r×c contingency-count matrix — the association strength between two
+    categorical columns (V in [0, 1]; 0 = independent).
+
+    All-zero rows/columns are dropped (their expected counts are 0); the
+    statistic then sums (o − e)²/e over the FULL remaining grid, including
+    cells whose observed count is 0 (e = row_total·col_total/n > 0 there).
+    """
+    o = np.asarray(counts, dtype=np.float64)
+    if o.ndim != 2:
+        raise ValueError("contingency_stats expects a 2-D count matrix")
+    o = o[o.sum(axis=1) > 0, :]
+    o = o[:, o.sum(axis=0) > 0]
+    n = o.sum()
+    r, c = o.shape
+    if n == 0 or r < 2 or c < 2:
+        return 0.0, 0, 0.0
+    e = o.sum(axis=1, keepdims=True) * o.sum(axis=0, keepdims=True) / n
+    stat = float(np.sum((o - e) ** 2 / e))
+    dof = (r - 1) * (c - 1)
+    v = math.sqrt(stat / (n * min(r - 1, c - 1)))
+    return stat, dof, v

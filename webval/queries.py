@@ -3620,6 +3620,424 @@ SELECT 'type-domain', f_domain, n, CAST(f_domain AS DOUBLE) / n FROM t
 """
 
 
+def _two_side_counts(sf_dir: str, table: str, id_col: str, val_col: str,
+                     cast_bin: pa.DataType | None = None):
+    """Shared shape of the two-sample drift queries: exact (side, bin)
+    counts where side = id parity, aligned on the union of bins.  Returns
+    (sorted_bins, expected_counts, actual_counts) numpy arrays."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet",
+                         columns=[id_col, val_col])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(val_col).combine_chunks()))
+        side = pc.cast(pc.bit_wise_and(t.column(id_col).combine_chunks(),
+                                       pa.scalar(1, pa.int64())), pa.int32())
+        b = t.column(val_col)
+        if cast_bin is not None:
+            b = pc.cast(b, cast_bin)
+        return pa.table({"side": side, "bin": b})
+
+    counts = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                         ["side", "bin"], [("bin", "count")],
+                         rename={"bin_count": "cnt"})
+    t = ds_to_table(counts)
+    side = t.column("side").to_numpy(zero_copy_only=False)
+    bins = t.column("bin").to_numpy(zero_copy_only=False)
+    cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+    ub = np.unique(bins)
+    pos = np.searchsorted(ub, bins)
+    e = np.zeros(len(ub), dtype=np.float64)
+    a = np.zeros(len(ub), dtype=np.float64)
+    np.add.at(e, pos[side == 0], cnt[side == 0])
+    np.add.at(a, pos[side == 1], cnt[side == 1])
+    return ub, e, a
+
+
+def q_psi_drift(sf_dir: str):
+    """Population Stability Index of the l_quantity distribution between
+    even and odd orderkeys — the standard model-monitoring drift score,
+    SQL-exact because the bins are the (integral) quantity values and the
+    twin mirrors drift.psi's clamp-at-1e-4 + renormalize term-for-term."""
+    from webval.drift import psi
+
+    ub, e, a = _two_side_counts(sf_dir, "lineitem", "l_orderkey",
+                                "l_quantity", cast_bin=pa.int64())
+    return pa.table({
+        "n_bins": pa.array([len(ub)], pa.int64()),
+        "psi": pa.array([float(f"{psi(e, a):.6f}")], pa.float64()),
+    })
+
+
+SQL_PSI_DRIFT = """
+WITH c AS (SELECT CAST(l_orderkey % 2 AS INT) AS side,
+                  CAST(l_quantity AS BIGINT) AS bin, count(*) AS cnt
+           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+b AS (SELECT DISTINCT bin FROM c),
+m AS (SELECT b.bin,
+             CAST(COALESCE(e.cnt, 0) AS DOUBLE) AS ce,
+             CAST(COALESCE(a.cnt, 0) AS DOUBLE) AS ca
+      FROM b LEFT JOIN c e ON e.bin = b.bin AND e.side = 0
+             LEFT JOIN c a ON a.bin = b.bin AND a.side = 1),
+f AS (SELECT greatest(ce / (SELECT sum(ce) FROM m), 1e-4) AS fe,
+             greatest(ca / (SELECT sum(ca) FROM m), 1e-4) AS fa FROM m),
+g AS (SELECT fe / (SELECT sum(fe) FROM f) AS pe,
+             fa / (SELECT sum(fa) FROM f) AS pq FROM f)
+SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n_bins,
+       round((SELECT sum((pq - pe) * ln(pq / pe)) FROM g), 6) AS psi
+"""
+
+
+def q_js_drift(sf_dir: str):
+    """Jensen-Shannon divergence (base 2) plus the Pearson chi-square
+    statistic of the documents language mix between even and odd doc_ids;
+    the SQL twin mirrors drift.js_divergence / drift.chi2_test
+    term-for-term, including the p>0 masks and the zero-expected pooled
+    pseudo-bin."""
+    from webval.drift import chi2_test, js_divergence
+
+    ub, e, a = _two_side_counts(sf_dir, "documents", "doc_id", "lang")
+    stat, _ = chi2_test(a, e)
+    return pa.table({
+        "n_classes": pa.array([len(ub)], pa.int64()),
+        "js": pa.array([float(f"{js_divergence(e, a):.6f}")], pa.float64()),
+        "chi2_stat": pa.array([float(f"{stat:.6f}")], pa.float64()),
+    })
+
+
+SQL_JS_DRIFT = """
+WITH c AS (SELECT CAST(doc_id % 2 AS INT) AS side, lang, count(*) AS cnt
+           FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+k AS (SELECT DISTINCT lang FROM c),
+m AS (SELECT k.lang,
+             CAST(COALESCE(e.cnt, 0) AS DOUBLE) AS ce,
+             CAST(COALESCE(a.cnt, 0) AS DOUBLE) AS ca
+      FROM k LEFT JOIN c e ON e.lang = k.lang AND e.side = 0
+             LEFT JOIN c a ON a.lang = k.lang AND a.side = 1),
+t AS (SELECT sum(ce) AS te, sum(ca) AS ta FROM m),
+p AS (SELECT ce / te AS pe, ca / ta AS pq,
+             (ce / te + ca / ta) / 2 AS pm FROM m, t),
+kl AS (SELECT sum(CASE WHEN pe > 0 THEN pe * ln(pe / pm) ELSE 0 END) AS kpm,
+              sum(CASE WHEN pq > 0 THEN pq * ln(pq / pm) ELSE 0 END) AS kqm
+       FROM p),
+x AS (SELECT sum(CASE WHEN ce > 0
+                      THEN (ca - ce / te * ta) * (ca - ce / te * ta)
+                           / (ce / te * ta) ELSE 0 END) AS s0,
+             sum(CASE WHEN ce = 0 THEN ca ELSE 0 END) AS extra
+      FROM m, t)
+SELECT CAST((SELECT count(*) FROM k) AS BIGINT) AS n_classes,
+       round((SELECT (kpm + kqm) / 2 / ln(2) FROM kl), 6) AS js,
+       round((SELECT s0 + CASE WHEN extra > 0
+                               THEN (extra - 0.5) * (extra - 0.5) / 0.5
+                               ELSE 0 END FROM x), 6) AS chi2_stat
+"""
+
+
+def q_cramers_v(sf_dir: str):
+    """Cramér's V association between the documents lang and source
+    columns (profiling's categorical-dependence diagnostic): exact
+    contingency counts through the exchange, then the chi-square
+    statistic over the full (row-total × col-total) grid — SQL-exact."""
+    import ray.data as rd
+
+    from webval.drift import contingency_stats
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.select(["lang", "source"])
+        return t.filter(pc.and_(
+            pc.is_valid(t.column("lang").combine_chunks()),
+            pc.is_valid(t.column("source").combine_chunks())))
+
+    counts = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                         ["lang", "source"], [("lang", "count")],
+                         rename={"lang_count": "cnt"})
+    t = ds_to_table(counts)
+    langs = t.column("lang").to_numpy(zero_copy_only=False)
+    srcs = t.column("source").to_numpy(zero_copy_only=False)
+    cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+    ul, us = np.unique(langs), np.unique(srcs)
+    mat = np.zeros((len(ul), len(us)), dtype=np.float64)
+    mat[np.searchsorted(ul, langs), np.searchsorted(us, srcs)] = cnt
+    stat, _, v = contingency_stats(mat)
+    return pa.table({
+        "n_langs": pa.array([len(ul)], pa.int64()),
+        "n_sources": pa.array([len(us)], pa.int64()),
+        "chi2_stat": pa.array([float(f"{stat:.6f}")], pa.float64()),
+        "cramers_v": pa.array([float(f"{v:.6f}")], pa.float64()),
+    })
+
+
+SQL_CRAMERS_V = """
+WITH c AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS cnt
+           FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+           GROUP BY 1, 2),
+rt AS (SELECT lang, sum(cnt) AS r FROM c GROUP BY 1),
+ct AS (SELECT source, sum(cnt) AS cl FROM c GROUP BY 1),
+n AS (SELECT sum(cnt) AS n FROM c),
+cell AS (SELECT COALESCE(c.cnt, 0) AS o, rt.r * ct.cl / n.n AS e
+         FROM rt CROSS JOIN ct CROSS JOIN n
+         LEFT JOIN c ON c.lang = rt.lang AND c.source = ct.source),
+st AS (SELECT sum((o - e) * (o - e) / e) AS stat FROM cell)
+SELECT CAST((SELECT count(*) FROM rt) AS BIGINT) AS n_langs,
+       CAST((SELECT count(*) FROM ct) AS BIGINT) AS n_sources,
+       round((SELECT stat FROM st), 6) AS chi2_stat,
+       round(sqrt((SELECT stat FROM st)
+                  / ((SELECT n FROM n)
+                     * least((SELECT count(*) FROM rt) - 1,
+                             (SELECT count(*) FROM ct) - 1))), 6) AS cramers_v
+"""
+
+
+def q_monotonic_violations(sf_dir: str):
+    """Ordering check: within each order (rows ordered by l_linenumber),
+    ship dates should be non-decreasing; emits the orders where at least
+    one adjacent pair goes backwards.  SQL twin via lag() windows."""
+    import ray.data as rd
+
+    from webval.windows import ordered_inversions
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+    out = ordered_inversions(ds, "l_orderkey", "l_linenumber", "l_shipdate")
+    t = ds_to_table(out)
+    t = t.filter(pc.greater(t.column("n_inversions"), 0))
+    return t.sort_by([("l_orderkey", "ascending")])
+
+
+SQL_MONOTONIC_VIOLATIONS = """
+WITH s AS (
+  SELECT l_orderkey,
+         CASE WHEN lag(l_shipdate) OVER w IS NULL THEN 0 ELSE 1 END AS pair,
+         CASE WHEN l_shipdate < lag(l_shipdate) OVER w THEN 1 ELSE 0
+              END AS inv
+  FROM lineitem WHERE l_shipdate IS NOT NULL
+  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_shipdate))
+SELECT l_orderkey, CAST(sum(pair) AS BIGINT) AS n_pairs,
+       CAST(sum(inv) AS BIGINT) AS n_inversions
+FROM s GROUP BY 1 HAVING sum(inv) > 0 ORDER BY 1
+"""
+
+
+def q_session_stats(sf_dir: str):
+    """Session-level rollup of the 30-minute-gap sessionization: per-session
+    (count, duration) through the exchange, then a tiny per-block partial
+    summary finished on the driver — the scale shape for "how long are our
+    sessions" over billions of events."""
+    import ray.data as rd
+
+    from webval.windows import session_rollup
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    per = session_rollup(ds, ts_col="ts", by="user_id",
+                         gap_us=30 * 60 * 1_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_sessions": pa.array([t.num_rows], pa.int64()),
+            "events": pa.array([pc.sum(t.column("n_events")).as_py() or 0],
+                               pa.int64()),
+            "max_events": pa.array([pc.max(t.column("n_events")).as_py() or 0],
+                                   pa.int64()),
+            "dur_sum": pa.array([pc.sum(t.column("duration_us")).as_py() or 0],
+                                pa.int64()),
+        })
+
+    s = ds_to_table(per.map_batches(partial, batch_format="pyarrow"))
+    if "n_sessions" not in s.column_names or s.num_rows == 0:
+        ns = ev = mx = dur = 0
+    else:
+        ns = pc.sum(s.column("n_sessions")).as_py() or 0
+        ev = pc.sum(s.column("events")).as_py() or 0
+        mx = pc.max(s.column("max_events")).as_py() or 0
+        dur = pc.sum(s.column("dur_sum")).as_py() or 0
+    avg_ev = float(f"{ev / ns:.6f}") if ns else 0.0
+    avg_dur = float(f"{dur / ns:.6f}") if ns else 0.0
+    return pa.table({
+        "n_sessions": pa.array([ns], pa.int64()),
+        "n_events": pa.array([ev], pa.int64()),
+        "max_events": pa.array([mx], pa.int64()),
+        "avg_events": pa.array([avg_ev], pa.float64()),
+        "avg_duration_us": pa.array([avg_dur], pa.float64()),
+    })
+
+
+SQL_SESSION_STATS = """
+WITH m AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS session_seq, ts
+      FROM m),
+per AS (SELECT user_id, session_seq, count(ts) AS n_events,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        FROM s GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(max(n_events) AS BIGINT) AS max_events,
+       round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_events,
+       round(CAST(sum(dur_us) AS DOUBLE) / count(*), 6) AS avg_duration_us
+FROM per
+"""
+
+
+def q_freshness(sf_dir: str):
+    """Freshness audit: per event type, the last-seen timestamp and its
+    staleness against the newest event anywhere — exact int64 µs, the
+    "is this partition still being fed" check."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.select(["event_type", "ts"])
+        t = t.filter(pc.and_(
+            pc.is_valid(t.column("event_type").combine_chunks()),
+            pc.is_valid(t.column("ts").combine_chunks())))
+        return pa.table({"event_type": t.column("event_type"),
+                         "ts_us": pc.cast(t.column("ts"), pa.int64())})
+
+    agg = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                      ["event_type"], [("ts_us", "max")],
+                      rename={"ts_us_max": "last_ts_us"})
+    t = ds_to_table(agg).sort_by([("event_type", "ascending")])
+    gmax = pc.max(t.column("last_ts_us"))
+    return t.append_column("staleness_us",
+                           pc.subtract(gmax, t.column("last_ts_us")))
+
+
+SQL_FRESHNESS = """
+WITH m AS (SELECT event_type, max(epoch_us(ts)) AS last_ts_us
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1)
+SELECT event_type, last_ts_us,
+       (SELECT max(last_ts_us) FROM m) - last_ts_us AS staleness_us
+FROM m ORDER BY event_type
+"""
+
+
+def q_histogram_fixed(sf_dir: str):
+    """Fixed-width histogram of l_extendedprice (width 5000, top bin
+    clamped at 23) — the profile histogram as an exact, SQL-pairable
+    integer aggregate (the adaptive t-digest-CDF histogram stays in
+    schema_build)."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        x = t.column("l_extendedprice").combine_chunks()
+        x = x.filter(pc.is_valid(x)).to_numpy(zero_copy_only=False)
+        b = np.minimum(np.floor(x / 5000.0), 23.0).astype(np.int64)
+        return pa.table({"bin": pa.array(b)})
+
+    counts = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                         ["bin"], [("bin", "count")],
+                         rename={"bin_count": "cnt"})
+    return ds_to_table(counts).sort_by([("bin", "ascending")])
+
+
+SQL_HISTOGRAM_FIXED = """
+SELECT CAST(least(floor(l_extendedprice / 5000), 23.0) AS BIGINT) AS bin,
+       count(*) AS cnt
+FROM lineitem WHERE l_extendedprice IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _docs_export(sf_dir: str, fmt: str) -> str:
+    """Materialize documents (doc_id, lang, n_chars) as NDJSON / CSV shards
+    under the versioned synth root (once; written to a tmp dir then renamed
+    so readers never see a partial export) — fixtures for the non-parquet
+    source queries, exercising Ray's native write_json/write_csv sinks."""
+    import ray.data as rd
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(SYNTH_ROOT, name, f"docs_{fmt}")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tmp = f"{out}.tmp.{os.getpid()}"
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    if fmt == "jsonl":
+        ds.write_json(tmp)
+    else:
+        ds.write_csv(tmp)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)   # another writer won
+    return out
+
+
+def q_jsonl_read(sf_dir: str):
+    """A1 source coverage beyond parquet/WARC: newline-delimited JSON
+    shards read with Ray's native read_json, aggregated per lang; the
+    oracle runs the same aggregate over the parquet ground truth, so a
+    hash match proves the JSON round-trip lossless."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_json(_docs_export(sf_dir, "jsonl"))
+    agg = grouped_agg(ds, ["lang"],
+                      [("doc_id", "count"), ("n_chars", "sum")],
+                      rename={"doc_id_count": "n_docs",
+                              "n_chars_sum": "chars"})
+    return ds_to_table(agg).sort_by([("lang", "ascending")])
+
+
+SQL_DOCS_BY_LANG = """
+SELECT lang, CAST(count(doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_csv_read(sf_dir: str):
+    """A1 source coverage: the same documents slice as CSV shards via
+    Ray's native read_csv (arrow CSV reader with type inference), proving
+    the CSV round-trip against the parquet oracle.  The convert options
+    make the round-trip null-exact: the arrow CSV writer emits null as an
+    UNQUOTED empty field and real strings quoted, so unquoted-empty→null
+    with quoted `\"\"` kept as a true empty string is lossless."""
+    from pyarrow import csv as pacsv
+
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_csv(_docs_export(sf_dir, "csv"),
+                     convert_options=pacsv.ConvertOptions(
+                         strings_can_be_null=True,
+                         quoted_strings_can_be_null=False))
+    agg = grouped_agg(ds, ["lang"],
+                      [("doc_id", "count"), ("n_chars", "sum")],
+                      rename={"doc_id_count": "n_docs",
+                              "n_chars_sum": "chars"})
+    return ds_to_table(agg).sort_by([("lang", "ascending")])
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -3727,4 +4145,14 @@ QUERIES = {
     "kmeans_sql": (q_kmeans_sql, SQL_KMEANS_SQL),
     "fetch_gaps": (q_fetch_gaps, SQL_FETCH_GAPS),
     "normalize_unicode": (q_normalize_unicode, SQL_NORMALIZE_UNICODE),
+    "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
+    "js_drift": (q_js_drift, SQL_JS_DRIFT),
+    "cramers_v": (q_cramers_v, SQL_CRAMERS_V),
+    "monotonic_violations": (q_monotonic_violations,
+                             SQL_MONOTONIC_VIOLATIONS),
+    "session_stats": (q_session_stats, SQL_SESSION_STATS),
+    "freshness": (q_freshness, SQL_FRESHNESS),
+    "histogram_fixed": (q_histogram_fixed, SQL_HISTOGRAM_FIXED),
+    "jsonl_read": (q_jsonl_read, SQL_DOCS_BY_LANG),
+    "csv_read": (q_csv_read, SQL_DOCS_BY_LANG),
 }

@@ -144,6 +144,114 @@ def sessionize(ds, *, ts_col: str, by: str, gap_us: int,
                                 max_group_rows=max_group_rows)
 
 
+def session_rollup(ds, *, ts_col: str, by: str, gap_us: int,
+                   num_buckets: int | None = None,
+                   max_group_rows: int | None = None):
+    """Per-session aggregates on top of :func:`sessionize`: one row per
+    (by, session_seq) with the event count and the session's duration in
+    microseconds (max ts − min ts, exact int64).  Sessions are
+    high-cardinality (≈ users × sessions/user) so the grouped aggregation
+    runs on the exchange; callers wanting a global summary do a tiny
+    rollup over this output (one partial row per block).
+    """
+    from webval.exchange import grouped_agg
+
+    sess = sessionize(ds, ts_col=ts_col, by=by, gap_us=gap_us,
+                      num_buckets=num_buckets, max_group_rows=max_group_rows)
+
+    def to_int_ts(t: pa.Table) -> pa.Table:
+        i = t.column_names.index(ts_col)
+        return t.set_column(i, ts_col, pc.cast(t.column(ts_col), pa.int64()))
+
+    per = grouped_agg(sess.map_batches(to_int_ts, batch_format="pyarrow"),
+                      [by, "session_seq"],
+                      [(ts_col, "count"), (ts_col, "min"), (ts_col, "max")],
+                      num_buckets=num_buckets,
+                      rename={f"{ts_col}_count": "n_events",
+                              f"{ts_col}_min": "ts_min_us",
+                              f"{ts_col}_max": "ts_max_us"})
+
+    def add_dur(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "duration_us",
+            pc.subtract(t.column("ts_max_us"), t.column("ts_min_us")))
+
+    return per.map_batches(add_dur, batch_format="pyarrow")
+
+
+def ordered_inversions(ds, key: str, order_col: str, val_col: str, *,
+                       num_buckets: int | None = None,
+                       max_group_rows: int | None = 4_000_000):
+    """Per-key monotonicity audit (an ordering check, SURVEY.md §2-B
+    family): order each key's rows by ``order_col`` and count adjacent
+    pairs where ``val_col`` strictly DECREASES — e.g. "within an order,
+    ship dates must not go backwards as line numbers increase".  Emits one
+    row per key that has at least one adjacent pair:
+    (key, n_pairs, n_inversions); the caller filters n_inversions > 0 for
+    violation rows.
+
+    Rows with a null key, order or value are dropped (mirrors the SQL
+    twin's WHERE ... IS NOT NULL).  Ties in ``order_col`` are broken by
+    the VALUE (ascending), so a tie-pair never counts as an inversion and
+    the answer is deterministic however the engine ordered the tied rows
+    (the SQL twin orders its lag() window the same way).  Combiner-less
+    exchange (a key's rows are consumed whole, in order): one sort +
+    shifted vectorized compare per bucket, no per-row Python; oversized
+    key groups raise the named exchange diagnostic.
+    """
+    import numpy as np
+
+    from webval.exchange import bucketed_group_apply
+
+    proj_cols = [key, order_col, val_col]
+
+    def proj_fn(t: pa.Table) -> pa.Table:
+        t = t.select(proj_cols)
+        m = pc.is_valid(t.column(key).combine_chunks())
+        for c in (order_col, val_col):
+            m = pc.and_(m, pc.is_valid(t.column(c).combine_chunks()))
+        return t.filter(m)
+
+    proj = ds.map_batches(proj_fn, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        kt = g.schema.field(key).type
+        empty = pa.table({key: pa.array([], kt),
+                          "n_pairs": pa.array([], pa.int64()),
+                          "n_inversions": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        g = g.sort_by([(key, "ascending"), (order_col, "ascending"),
+                       (val_col, "ascending")])
+        kk = g.column(key).to_numpy(zero_copy_only=False)
+        vv = g.column(val_col)
+        if pa.types.is_temporal(vv.type):
+            vv = pc.cast(vv, pa.int64())
+        v = vv.combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(kk)
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        is_pair = np.ones(n, dtype=bool)
+        is_pair[starts] = False          # first row of a key opens no pair
+        dec = np.zeros(n, dtype=bool)
+        dec[1:] = v[1:] < v[:-1]
+        dec &= is_pair
+        seg = np.repeat(np.arange(len(starts)), counts)
+        n_pairs = np.bincount(seg[is_pair], minlength=len(starts))
+        n_inv = np.bincount(seg[dec], minlength=len(starts))
+        keep = n_pairs > 0
+        if not keep.any():
+            return empty
+        return pa.table({
+            key: g.column(key).take(pa.array(starts[keep], pa.int64())),
+            "n_pairs": pa.array(n_pairs[keep].astype(np.int64)),
+            "n_inversions": pa.array(n_inv[keep].astype(np.int64)),
+        })
+
+    return bucketed_group_apply(proj, [key], final, num_buckets=num_buckets,
+                                max_group_rows=max_group_rows)
+
+
 def funnel_stages(ds, user_col: str, ts_col: str, type_col: str,
                   steps: list[str], *, num_buckets: int | None = None,
                   max_group_rows: int | None = 4_000_000):
