@@ -148,3 +148,65 @@ def test_merge_specs_column_union_and_kind_conflict(ray_session):
                      {"x": "categorical"}, name="c")
     with pytest.raises(ValueError, match="kind differs"):
         merge_specs(a, c)
+
+
+def test_grouped_mode_brute_force(ray_session):
+    import ray.data as rd
+
+    from webval.aggregates import grouped_mode
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    key = rng.integers(0, 300, n)                 # high cardinality
+    val = rng.choice(list("abcde"), n).astype(object)
+    val[rng.random(n) < 0.03] = None
+    t = pa.table({"k": pa.array(key), "v": pa.array(val)})
+    out = (grouped_mode(rd.from_arrow(t).repartition(6), "k", "v",
+                        num_buckets=8)
+           .to_pandas().set_index("k").sort_index())
+
+    df = t.to_pandas().dropna()
+    for k, g in df.groupby("k"):
+        cnts = g["v"].value_counts()
+        top = cnts.max()
+        want = sorted(cnts[cnts == top].index)[0]   # tie → smallest value
+        assert out.loc[k, "mode_v"] == want
+        assert out.loc[k, "n"] == top
+    assert set(out.index) == set(df["k"].unique())
+
+
+def test_pairwise_corr_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from webval.aggregates import pairwise_corr
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    x = rng.normal(0, 2, n)
+    y = 0.7 * x + rng.normal(0, 1, n)
+    z = rng.normal(5, 3, n)
+    y[rng.random(n) < 0.02] = np.nan              # pairwise-null rows
+    t = pa.table({"x": pa.array(x), "y": pa.array(y, from_pandas=True),
+                  "z": pa.array(z)})
+    out = pairwise_corr(rd.from_arrow(t).repartition(5),
+                        [("x", "y"), ("x", "z")]).to_pandas()
+    m = ~np.isnan(y)
+    want_xy = np.corrcoef(x[m], y[m])[0, 1]
+    want_xz = np.corrcoef(x, z)[0, 1]
+    got = out.set_index(["col_x", "col_y"])
+    assert got.loc[("x", "y"), "n"] == int(m.sum())
+    assert got.loc[("x", "y"), "corr"] == pytest.approx(want_xy, abs=1e-9)
+    assert got.loc[("x", "z"), "corr"] == pytest.approx(want_xz, abs=1e-9)
+
+
+def test_median_from_counts_matches_numpy():
+    from webval.queries import _median_from_counts
+
+    rng = np.random.default_rng(3)
+    for n in (1, 2, 7, 100, 101):
+        data = rng.integers(0, 12, n)
+        vals, counts = np.unique(data, return_counts=True)
+        # shuffle to prove order independence
+        p = rng.permutation(len(vals))
+        got = _median_from_counts(vals[p].astype(float), counts[p])
+        assert got == pytest.approx(float(np.median(data)))

@@ -615,3 +615,113 @@ def grouped_entropy(ds, key: str, val: str, *,
     return bucketed_group_apply(counts, [key], final,
                                 num_buckets=num_buckets,
                                 max_group_rows=max_group_rows)
+
+
+def grouped_mode(ds, key: str, val: str, *,
+                 num_buckets: int | None = None,
+                 max_group_rows: int | None = 4_000_000):
+    """Exact modal category of ``val`` within each ``key`` group — the
+    profiling "most frequent value" column.  Ties broken by the SMALLEST
+    value (deterministic; the SQL twin is row_number() OVER (ORDER BY cnt
+    DESC, val) = 1).  Null keys and null values are dropped on both sides.
+
+    Shape: one (key, val) count exchange (per-batch Arrow combiner), then a
+    vectorized per-key argmax inside each bucket — a key's count rows are
+    co-bucketed, so the winner is the first row per key after one sort.
+    Output: (key, mode_<val>, n) with n the winner's count.
+    """
+    from webval.exchange import bucketed_group_apply, grouped_agg
+
+    proj = ds.map_batches(
+        lambda t: t.select([key, val]).filter(
+            pc.and_(pc.is_valid(t.column(key).combine_chunks()),
+                    pc.is_valid(t.column(val).combine_chunks()))),
+        batch_format="pyarrow")
+    counts = grouped_agg(proj, [key, val], [(val, "count")],
+                         num_buckets=num_buckets,
+                         rename={f"{val}_count": "cnt"})
+
+    def final(g: pa.Table) -> pa.Table:
+        empty = pa.table({key: pa.array([], g.schema.field(key).type),
+                          f"mode_{val}": pa.array([], g.schema.field(val).type),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        g = g.sort_by([(key, "ascending"), ("cnt", "descending"),
+                       (val, "ascending")])
+        kk = g.column(key).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        idx = pa.array(starts, pa.int64())
+        return pa.table({key: g.column(key).take(idx),
+                         f"mode_{val}": g.column(val).take(idx),
+                         "n": pc.cast(g.column("cnt").take(idx), pa.int64())})
+
+    return bucketed_group_apply(counts, [key], final,
+                                num_buckets=num_buckets,
+                                max_group_rows=max_group_rows)
+
+
+def pairwise_corr(ds, cols: list[tuple[str, str]]):
+    """Pearson correlation for each (x, y) column pair in ONE streaming
+    pass: per-batch partial moment rows (n, Σx, Σy, Σx², Σy², Σxy per
+    pair, rows where either side is null excluded pair-wise — SQL corr()
+    semantics), finalized on the driver.  Returns a small pyarrow Table
+    (col_x, col_y, n, corr); corr is None for degenerate pairs (n < 2 or
+    zero variance).
+    """
+    pairs = [(x, y) for x, y in cols]
+    need = sorted({c for p in pairs for c in p})
+
+    def partial(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {}
+        for i, (xc, yc) in enumerate(pairs):
+            x = t.column(xc).combine_chunks().to_numpy(zero_copy_only=False)
+            y = t.column(yc).combine_chunks().to_numpy(zero_copy_only=False)
+            x = x.astype(np.float64, copy=False)
+            y = y.astype(np.float64, copy=False)
+            m = ~(np.isnan(x) | np.isnan(y))
+            xm, ym = x[m], y[m]
+            out[f"n_{i}"] = [int(m.sum())]
+            out[f"sx_{i}"] = [float(xm.sum())]
+            out[f"sy_{i}"] = [float(ym.sum())]
+            out[f"sxx_{i}"] = [float((xm * xm).sum())]
+            out[f"syy_{i}"] = [float((ym * ym).sum())]
+            out[f"sxy_{i}"] = [float((xm * ym).sum())]
+        return pa.table(out)
+
+    parts = ds.map_batches(
+        lambda t: partial(t.select(need)), batch_format="pyarrow")
+    import math
+
+    rows = {"col_x": [], "col_y": [], "n": [], "corr": []}
+    # permissive concat: zero-row input blocks BYPASS the partial UDF and
+    # keep the INPUT schema (r3s4 finding) — union their (absent) partial
+    # columns as nulls, which the null-skipping sums below ignore
+    batches = list(parts.iter_batches(batch_format="pyarrow",
+                                      batch_size=None))
+    agg = (pa.concat_tables(batches, promote_options="permissive")
+           if batches else None)
+    for i, (xc, yc) in enumerate(pairs):
+        if agg is None or f"n_{i}" not in agg.column_names:
+            n = 0
+            sx = sy = sxx = syy = sxy = 0.0
+        else:
+            n = int(pc.sum(agg.column(f"n_{i}")).as_py() or 0)
+            sx = float(pc.sum(agg.column(f"sx_{i}")).as_py() or 0.0)
+            sy = float(pc.sum(agg.column(f"sy_{i}")).as_py() or 0.0)
+            sxx = float(pc.sum(agg.column(f"sxx_{i}")).as_py() or 0.0)
+            syy = float(pc.sum(agg.column(f"syy_{i}")).as_py() or 0.0)
+            sxy = float(pc.sum(agg.column(f"sxy_{i}")).as_py() or 0.0)
+        rows["col_x"].append(xc)
+        rows["col_y"].append(yc)
+        rows["n"].append(n)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if n < 2 or vx <= 0 or vy <= 0:
+            rows["corr"].append(None)
+        else:
+            rows["corr"].append((n * sxy - sx * sy) / math.sqrt(vx * vy))
+    return pa.table({"col_x": pa.array(rows["col_x"]),
+                     "col_y": pa.array(rows["col_y"]),
+                     "n": pa.array(rows["n"], pa.int64()),
+                     "corr": pa.array(rows["corr"], pa.float64())})

@@ -4038,6 +4038,213 @@ def q_csv_read(sf_dir: str):
     return ds_to_table(agg).sort_by([("lang", "ascending")])
 
 
+def q_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlations of the lineitem numeric columns in
+    one streaming pass (per-batch moment partials, SQL corr() pairwise
+    null semantics via count(x+y))."""
+    import ray.data as rd
+
+    from webval.aggregates import pairwise_corr
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"])
+    t = pairwise_corr(ds, [("l_quantity", "l_extendedprice"),
+                           ("l_quantity", "l_discount"),
+                           ("l_extendedprice", "l_discount")])
+    return _round_cols(t, {"corr": 6})
+
+
+SQL_CORR_MATRIX = """
+SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+       CAST(count(l_quantity + l_extendedprice) AS BIGINT) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_discount', CAST(count(l_quantity + l_discount)
+       AS BIGINT), round(corr(l_quantity, l_discount), 6) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount',
+       CAST(count(l_extendedprice + l_discount) AS BIGINT),
+       round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+"""
+
+
+def _median_from_counts(vals: np.ndarray, counts: np.ndarray) -> float:
+    """Exact continuous median (quantile_cont 0.5 / SQL median()) from a
+    sorted distinct-value histogram: the mean of the two middle order
+    statistics for even n."""
+    order = np.argsort(vals)
+    v, c = vals[order], counts[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    hi = int(np.searchsorted(cum, n // 2 + 1))       # 0-based rank n//2
+    if n % 2 == 1:
+        return float(v[hi])
+    lo = int(np.searchsorted(cum, n // 2))           # 0-based rank n//2-1
+    return (float(v[lo]) + float(v[hi])) / 2.0
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust outlier audit via the median absolute deviation: exact
+    median and MAD computed from the value-count exchange (no second data
+    pass — the |x − med| histogram is derived from the value histogram),
+    then the count of rows beyond 3×MAD."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity"])
+    proj = ds.map_batches(
+        lambda t: pa.table({"v": t.column("l_quantity").combine_chunks()
+                           .filter(pc.is_valid(
+                               t.column("l_quantity").combine_chunks()))}),
+        batch_format="pyarrow")
+    counts = grouped_agg(proj, ["v"], [("v", "count")],
+                         rename={"v_count": "cnt"})
+    t = ds_to_table(counts)
+    v = t.column("v").to_numpy(zero_copy_only=False).astype(np.float64)
+    c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    med = _median_from_counts(v, c)
+    d = np.abs(v - med)
+    # collapse equal deviations before taking their median
+    ud = np.unique(d)
+    dc = np.zeros(len(ud), dtype=np.int64)
+    np.add.at(dc, np.searchsorted(ud, d), c)
+    mad = _median_from_counts(ud, dc)
+    n_out = int(c[d > 3 * mad].sum())
+    return pa.table({
+        "median": pa.array([float(f"{med:.6f}")], pa.float64()),
+        "mad": pa.array([float(f"{mad:.6f}")], pa.float64()),
+        "n_outliers": pa.array([n_out], pa.int64()),
+    })
+
+
+SQL_MAD_OUTLIERS = """
+WITH m AS (SELECT median(l_quantity) AS med FROM lineitem
+           WHERE l_quantity IS NOT NULL),
+d AS (SELECT median(abs(l_quantity - med)) AS mad FROM lineitem, m
+      WHERE l_quantity IS NOT NULL)
+SELECT round((SELECT med FROM m), 6) AS median,
+       round((SELECT mad FROM d), 6) AS mad,
+       CAST((SELECT count(*) FROM lineitem, m, d
+             WHERE l_quantity IS NOT NULL
+               AND abs(l_quantity - med) > 3 * mad) AS BIGINT) AS n_outliers
+"""
+
+
+def q_hourly_complete(sf_dir: str):
+    """Zero-filled hourly time spine (gap filling): exact hourly counts
+    through the exchange, then the [min, max] hour grid materialized on
+    the driver (a spine is small — years of hours ≈ 10⁴ rows — even when
+    the events are 100 TB) with absent hours emitted as cnt = 0."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    hour_us = 3_600_000_000
+
+    def proj(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").combine_chunks()
+        ts = ts.filter(pc.is_valid(ts))
+        h = pc.cast(pc.floor_temporal(ts, unit="hour"), pa.int64())
+        return pa.table({"h_us": h})
+
+    counts = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                         ["h_us"], [("h_us", "count")],
+                         rename={"h_us_count": "cnt"})
+    t = ds_to_table(counts)
+    if t.num_rows == 0:
+        return pa.table({"hour": pa.array([], pa.timestamp("us")),
+                         "cnt": pa.array([], pa.int64())})
+    h = t.column("h_us").to_numpy(zero_copy_only=False)
+    c = t.column("cnt").to_numpy(zero_copy_only=False)
+    spine = np.arange(h.min(), h.max() + 1, hour_us, dtype=np.int64)
+    filled = np.zeros(len(spine), dtype=np.int64)
+    filled[(h - h.min()) // hour_us] = c
+    return pa.table({"hour": pa.array(spine).cast(pa.timestamp("us")),
+                     "cnt": pa.array(filled)})
+
+
+SQL_HOURLY_COMPLETE = """
+WITH RECURSIVE b AS (SELECT epoch_us(date_trunc('hour', min(ts))) AS lo,
+                            epoch_us(date_trunc('hour', max(ts))) AS hi
+                     FROM events WHERE ts IS NOT NULL),
+spine(h_us) AS (
+  SELECT lo FROM b
+  UNION ALL
+  SELECT h_us + 3600000000 FROM spine, b
+  WHERE h_us + 3600000000 <= hi),
+c AS (SELECT epoch_us(date_trunc('hour', ts)) AS h_us, count(*) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1)
+SELECT make_timestamp(spine.h_us) AS hour,
+       CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+FROM spine LEFT JOIN c ON c.h_us = spine.h_us ORDER BY 1
+"""
+
+
+_HOST_RE = r"^https?://(?P<host>[a-z0-9-]+)\."
+
+
+def q_host_freq(sf_dir: str):
+    """Regex group extraction (RE2 on both engines): the first host label
+    of each webpage URL (the shard domain, ~input_hint cardinality),
+    counted — rows whose URL does not match (the planted malformed class)
+    are excluded on both sides."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["url"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        u = t.column("url").combine_chunks()
+        st = pc.extract_regex(u, _HOST_RE)
+        host = pc.struct_field(st, "host")
+        keep = pc.is_valid(host)
+        return pa.table({"host": host.filter(keep)})
+
+    counts = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                         ["host"], [("host", "count")],
+                         rename={"host_count": "cnt"})
+    return ds_to_table(counts).sort_by([("host", "ascending")])
+
+
+SQL_HOST_FREQ = f"""
+SELECT regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1) AS host,
+       count(*) AS cnt
+FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+WHERE regexp_matches(url, '^https?://([a-z0-9-]+)\\.')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_mode_by_group(sf_dir: str):
+    """Profiling's modal-category column: the most frequent lang per
+    source (exact; ties to the smallest lang on both sides)."""
+    import ray.data as rd
+
+    from webval.aggregates import grouped_mode
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang"])
+    out = grouped_mode(ds, "source", "lang")
+    return ds_to_table(out).sort_by([("source", "ascending")])
+
+
+SQL_MODE_BY_GROUP = """
+WITH c AS (SELECT source, lang, count(*) AS cnt FROM documents
+           WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT source, lang, cnt, row_number() OVER
+          (PARTITION BY source ORDER BY cnt DESC, lang) AS rn
+      FROM c)
+SELECT source, lang AS mode_lang, CAST(cnt AS BIGINT) AS n
+FROM r WHERE rn = 1 ORDER BY source
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -4155,4 +4362,9 @@ QUERIES = {
     "histogram_fixed": (q_histogram_fixed, SQL_HISTOGRAM_FIXED),
     "jsonl_read": (q_jsonl_read, SQL_DOCS_BY_LANG),
     "csv_read": (q_csv_read, SQL_DOCS_BY_LANG),
+    "corr_matrix": (q_corr_matrix, SQL_CORR_MATRIX),
+    "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
+    "hourly_complete": (q_hourly_complete, SQL_HOURLY_COMPLETE),
+    "host_freq": (q_host_freq, SQL_HOST_FREQ),
+    "mode_by_group": (q_mode_by_group, SQL_MODE_BY_GROUP),
 }
