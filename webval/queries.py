@@ -4245,6 +4245,159 @@ FROM r WHERE rn = 1 ORDER BY source
 """
 
 
+def q_retention(sf_dir: str):
+    """Cohort retention: users bucketed by first-seen day; for each
+    (cohort_day, day_offset) the count of distinct users active that day.
+    Shape: (user, day) dedup exchange + per-user first-touch exchange →
+    co-bucketed large×large equi-join on user → tiny (cohort, offset)
+    count exchange — no driver-side data loop anywhere."""
+    import ray.data as rd
+
+    from webval.exchange import distinct_rows, grouped_agg
+    from webval.joins import equi_join
+
+    day_us = 86_400_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "ts"])
+        t = t.filter(pc.and_(
+            pc.is_valid(t.column("user_id").combine_chunks()),
+            pc.is_valid(t.column("ts").combine_chunks())))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "day_us": pc.cast(pc.floor_temporal(t.column("ts"), unit="day"),
+                              pa.int64())})
+
+    days = ds.map_batches(proj, batch_format="pyarrow")
+    active = distinct_rows(days, ["user_id", "day_us"])
+    first = grouped_agg(days, ["user_id"], [("day_us", "min")],
+                        rename={"day_us_min": "cohort_us"})
+    j = equi_join(active, first, on="user_id", how="inner")
+
+    def to_cell(t: pa.Table) -> pa.Table:
+        d = t.column("day_us").combine_chunks().to_numpy(zero_copy_only=False)
+        c = t.column("cohort_us").combine_chunks() \
+             .to_numpy(zero_copy_only=False)
+        return pa.table({"cohort_us": pa.array(c),
+                         "day_offset": pa.array((d - c) // day_us)})
+
+    cells = grouped_agg(j.map_batches(to_cell, batch_format="pyarrow"),
+                        ["cohort_us", "day_offset"],
+                        [("day_offset", "count")],
+                        rename={"day_offset_count": "n_users"})
+    t = ds_to_table(cells)
+    t = t.set_column(t.column_names.index("cohort_us"), "cohort_day",
+                     pc.cast(t.column("cohort_us"), pa.timestamp("us")))
+    return t.sort_by([("cohort_day", "ascending"),
+                      ("day_offset", "ascending")])
+
+
+SQL_RETENTION = """
+WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT f.cohort AS cohort_day,
+       (epoch_us(a.day) - epoch_us(f.cohort)) // 86400000000 AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_vocab_drift(sf_dir: str):
+    """Vocabulary drift / OOV-rate between two corpus halves (the LM
+    freshness question "how many never-seen tokens is the new crawl
+    adding"): distinct (side, token) sets through the exchange, per-token
+    presence flags, and a per-block partial rollup — token sets never
+    touch the driver.  Tokenization is lower + split on [^a-z0-9]+,
+    chosen because arrow and DuckDB run the same RE2/utf8proc kernels so
+    the twin is byte-identical."""
+    import ray.data as rd
+
+    from webval.exchange import distinct_rows, grouped_agg
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["page_id", "html"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("html").combine_chunks()))
+        h = pc.cast(t.column("html").combine_chunks(), pa.string())
+        side = pc.cast(pc.bit_wise_and(
+            t.column("page_id").combine_chunks(),
+            pa.scalar(1, pa.int64())), pa.int32())
+        la = pc.split_pattern_regex(pc.utf8_lower(h), "[^a-z0-9]+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        offsets = la.offsets.to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(la), dtype=np.int64),
+                           np.diff(offsets))
+        flat = pa.table({
+            "side": side.take(pa.array(parent)),
+            "tok": la.values,
+        })
+        return flat.filter(pc.not_equal(flat.column("tok"), ""))
+
+    pairs = distinct_rows(ds.map_batches(toks, batch_format="pyarrow"),
+                          ["side", "tok"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        s = t.column("side").combine_chunks()
+        return pa.table({
+            "tok": t.column("tok"),
+            "b": pc.cast(pc.equal(s, 0), pa.int64()),
+            "a": pc.cast(pc.equal(s, 1), pa.int64()),
+        })
+
+    per_tok = grouped_agg(pairs.map_batches(flags, batch_format="pyarrow"),
+                          ["tok"], [("b", "max"), ("a", "max")])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = t.column("b_max").combine_chunks().to_numpy(zero_copy_only=False)
+        a = t.column("a_max").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "nb": pa.array([int(b.sum())], pa.int64()),
+            "na": pa.array([int(a.sum())], pa.int64()),
+            "nn": pa.array([int((a & ~b & 1).sum())], pa.int64()),
+        })
+
+    s = ds_to_table(per_tok.map_batches(partial, batch_format="pyarrow"))
+    if "nb" not in s.column_names or s.num_rows == 0:
+        nb = na = nn = 0
+    else:
+        nb = pc.sum(s.column("nb")).as_py() or 0
+        na = pc.sum(s.column("na")).as_py() or 0
+        nn = pc.sum(s.column("nn")).as_py() or 0
+    rate = float(f"{nn / na:.6f}") if na else 0.0
+    return pa.table({
+        "n_vocab_base": pa.array([nb], pa.int64()),
+        "n_vocab_actual": pa.array([na], pa.int64()),
+        "n_new": pa.array([nn], pa.int64()),
+        "new_rate": pa.array([rate], pa.float64()),
+    })
+
+
+SQL_VOCAB_DRIFT = f"""
+WITH s AS (SELECT DISTINCT CAST(page_id % 2 AS INT) AS side, t.tok AS tok
+  FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet'),
+       unnest(regexp_split_to_array(lower(decode(html)),
+                                    '[^a-z0-9]+')) AS t(tok)
+  WHERE html IS NOT NULL AND t.tok <> ''),
+f AS (SELECT tok, max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS b,
+             max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS a
+      FROM s GROUP BY 1)
+SELECT CAST(sum(b) AS BIGINT) AS n_vocab_base,
+       CAST(sum(a) AS BIGINT) AS n_vocab_actual,
+       CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       round(CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(a), 6) AS new_rate
+FROM f
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -4367,4 +4520,6 @@ QUERIES = {
     "hourly_complete": (q_hourly_complete, SQL_HOURLY_COMPLETE),
     "host_freq": (q_host_freq, SQL_HOST_FREQ),
     "mode_by_group": (q_mode_by_group, SQL_MODE_BY_GROUP),
+    "retention": (q_retention, SQL_RETENTION),
+    "vocab_drift": (q_vocab_drift, SQL_VOCAB_DRIFT),
 }
