@@ -4398,6 +4398,202 @@ FROM f
 """
 
 
+def q_rare_collapse(sf_dir: str):
+    """Long-tail category collapse (the standard pre-encoding step for
+    high-cardinality categoricals): hosts with fewer than 100 pages fold
+    into '__other__'.  Collapsing happens on the already-aggregated count
+    stream through a second (tiny) exchange — the raw rows are never
+    re-touched and no count table lands on the driver."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["url"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        u = t.column("url").combine_chunks()
+        host = pc.struct_field(pc.extract_regex(u, _HOST_RE), "host")
+        return pa.table({"host": host.filter(pc.is_valid(host))})
+
+    counts = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                         ["host"], [("host", "count")],
+                         rename={"host_count": "cnt"})
+
+    def relabel(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t.column("cnt").combine_chunks(), 100)
+        label = pc.if_else(keep, t.column("host").combine_chunks(),
+                           pa.scalar("__other__"))
+        return pa.table({"label": label, "cnt": t.column("cnt")})
+
+    out = grouped_agg(counts.map_batches(relabel, batch_format="pyarrow"),
+                      ["label"], [("cnt", "sum")], rename={"cnt_sum": "n"})
+    return ds_to_table(out).sort_by([("label", "ascending")])
+
+
+SQL_RARE_COLLAPSE = f"""
+WITH h AS (SELECT regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1) AS host
+           FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+           WHERE regexp_matches(url, '^https?://([a-z0-9-]+)\\.')),
+c AS (SELECT host, count(*) AS cnt FROM h GROUP BY 1)
+SELECT CASE WHEN cnt >= 100 THEN host ELSE '__other__' END AS label,
+       CAST(sum(cnt) AS BIGINT) AS n
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_hourly_anomalies(sf_dir: str):
+    """Monitoring-style anomaly flags: hours whose event count deviates
+    more than 2 sample-stddevs from the mean hourly count; the hourly
+    count table is exchange-built and small (one row per hour), so the
+    mean/σ finalize is a driver scalar pass."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").combine_chunks()
+        ts = ts.filter(pc.is_valid(ts))
+        return pa.table({"h_us": pc.cast(
+            pc.floor_temporal(ts, unit="hour"), pa.int64())})
+
+    counts = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                         ["h_us"], [("h_us", "count")],
+                         rename={"h_us_count": "cnt"})
+    t = ds_to_table(counts)
+    c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+    if len(c) < 2:
+        return pa.table({"hour": pa.array([], pa.timestamp("us")),
+                         "cnt": pa.array([], pa.int64()),
+                         "z": pa.array([], pa.float64())})
+    mu = float(c.mean())
+    sd = float(c.std(ddof=1))
+    keep = np.abs(c - mu) > 2 * sd
+    out = t.filter(pa.array(keep)).sort_by([("h_us", "ascending")])
+    z = (out.column("cnt").to_numpy(zero_copy_only=False) - mu) / sd
+    return pa.table({
+        "hour": pc.cast(out.column("h_us"), pa.timestamp("us")),
+        "cnt": pc.cast(out.column("cnt"), pa.int64()),
+        "z": pa.array([float(f"{x:.6f}") for x in z], pa.float64()),
+    })
+
+
+SQL_HOURLY_ANOMALIES = """
+WITH c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+s AS (SELECT avg(cnt) AS mu, stddev_samp(cnt) AS sd FROM c)
+SELECT hour, CAST(cnt AS BIGINT) AS cnt, round((cnt - mu) / sd, 6) AS z
+FROM c, s WHERE abs(cnt - mu) > 2 * sd ORDER BY hour
+"""
+
+
+def q_dow_hour_profile(sf_dir: str):
+    """Temporal profile: event counts per (day-of-week, hour-of-day) cell
+    — the seasonality heat-map behind crawl/traffic scheduling.  Exact
+    int64 µs arithmetic (epoch day 0 = Thursday → +4 mod 7 matches SQL
+    dayofweek's Sunday=0 convention)."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    day_us, hour_us = 86_400_000_000, 3_600_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").combine_chunks()
+        ts = ts.filter(pc.is_valid(ts))
+        us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "dow": pa.array((us // day_us + 4) % 7),
+            "hour": pa.array(us % day_us // hour_us),
+        })
+
+    counts = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                         ["dow", "hour"], [("hour", "count")],
+                         rename={"hour_count": "cnt"})
+    return ds_to_table(counts).sort_by([("dow", "ascending"),
+                                        ("hour", "ascending")])
+
+
+SQL_DOW_HOUR_PROFILE = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour, count(*) AS cnt
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_temperature_mix(sf_dir: str):
+    """Data-mixing weights for multi-source training corpora: per-source
+    counts reweighted by temperature α = 0.5 (w_i = √c_i / Σ√c_j — the
+    multilingual-sampling standard) and the resulting per-source target
+    document counts at the current corpus size."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    proj = ds.map_batches(
+        lambda t: t.select(["source"]).filter(
+            pc.is_valid(t.column("source").combine_chunks())),
+        batch_format="pyarrow")
+    counts = grouped_agg(proj, ["source"], [("source", "count")],
+                         rename={"source_count": "n_docs"})
+    t = ds_to_table(counts).sort_by([("source", "ascending")])
+    c = t.column("n_docs").to_numpy(zero_copy_only=False).astype(np.float64)
+    w = np.sqrt(c)
+    w = w / w.sum()
+    total = float(c.sum())
+    return pa.table({
+        "source": t.column("source"),
+        "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+        "weight": pa.array([float(f"{x:.6f}") for x in w], pa.float64()),
+        "target_n": pa.array(np.floor(w * total).astype(np.int64)),
+    })
+
+
+SQL_TEMPERATURE_MIX = """
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+           WHERE source IS NOT NULL GROUP BY 1),
+s AS (SELECT sum(sqrt(n_docs)) AS sw, sum(n_docs) AS tot FROM c)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       round(sqrt(n_docs) / sw, 6) AS weight,
+       CAST(floor(sqrt(n_docs) / sw * tot) AS BIGINT) AS target_n
+FROM c, s ORDER BY source
+"""
+
+
+def q_degree_histogram(sf_dir: str):
+    """Degree distribution of the link graph (count of nodes per
+    out-degree — the power-law sanity check): link_degrees' per-node
+    exchange output re-counted through a second, tiny exchange."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.graph import link_degrees
+
+    _, links_p = ensure_synth(sf_dir)
+    deg = link_degrees(rd.read_parquet(links_p), "src_url", "dst_url")
+    counts = grouped_agg(deg, ["out_deg"], [("out_deg", "count")],
+                         rename={"out_deg_count": "n_nodes"})
+    return ds_to_table(counts).sort_by([("out_deg", "ascending")])
+
+
+SQL_DEGREE_HISTOGRAM = f"""
+WITH u AS (
+  SELECT src_url AS node, 1 AS o
+  FROM read_parquet('{SYNTH_ROOT}/sf0.01/links.parquet')
+  WHERE src_url IS NOT NULL
+  UNION ALL
+  SELECT dst_url, 0
+  FROM read_parquet('{SYNTH_ROOT}/sf0.01/links.parquet')
+  WHERE dst_url IS NOT NULL),
+d AS (SELECT node, CAST(sum(o) AS BIGINT) AS out_deg FROM u GROUP BY node)
+SELECT out_deg, count(*) AS n_nodes FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -4522,4 +4718,9 @@ QUERIES = {
     "mode_by_group": (q_mode_by_group, SQL_MODE_BY_GROUP),
     "retention": (q_retention, SQL_RETENTION),
     "vocab_drift": (q_vocab_drift, SQL_VOCAB_DRIFT),
+    "rare_collapse": (q_rare_collapse, SQL_RARE_COLLAPSE),
+    "hourly_anomalies": (q_hourly_anomalies, SQL_HOURLY_ANOMALIES),
+    "dow_hour_profile": (q_dow_hour_profile, SQL_DOW_HOUR_PROFILE),
+    "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
+    "degree_histogram": (q_degree_histogram, SQL_DEGREE_HISTOGRAM),
 }
