@@ -4594,6 +4594,109 @@ SELECT out_deg, count(*) AS n_nodes FROM d GROUP BY 1 ORDER BY 1
 """
 
 
+def q_peak_fetch_rate(sf_dir: str):
+    """Crawl-politeness ceiling: each host's PEAK fetches-per-minute (max
+    over minutes of the per-(host, minute) count) — the rate-limit audit
+    that complements fetch_gaps' spacing view.  Two chained exchanges:
+    minute-cell counts, then per-host max of the (already tiny) cells."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    minute_us = 60_000_000
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["url", "warc_ts"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("warc_ts").combine_chunks()))
+        host = pc.struct_field(
+            pc.extract_regex(t.column("url").combine_chunks(), _HOST_RE),
+            "host")
+        m = pc.cast(pc.floor_temporal(t.column("warc_ts"), unit="minute"),
+                    pa.int64())
+        keep = pc.is_valid(host)
+        return pa.table({"host": host, "m": m}).filter(keep)
+
+    cells = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                        ["host", "m"], [("m", "count")],
+                        rename={"m_count": "cnt"})
+    peaks = grouped_agg(cells, ["host"], [("cnt", "max")],
+                        rename={"cnt_max": "peak_per_min"})
+    out = ds_to_table(peaks).sort_by([("host", "ascending")])
+    return out.set_column(out.column_names.index("peak_per_min"),
+                          "peak_per_min",
+                          pc.cast(out.column("peak_per_min"), pa.int64()))
+
+
+SQL_PEAK_FETCH_RATE = f"""
+WITH h AS (SELECT regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1) AS host,
+                  date_trunc('minute', warc_ts) AS m
+           FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+           WHERE regexp_matches(url, '^https?://([a-z0-9-]+)\\.')
+             AND warc_ts IS NOT NULL),
+c AS (SELECT host, m, count(*) AS cnt FROM h GROUP BY 1, 2)
+SELECT host, CAST(max(cnt) AS BIGINT) AS peak_per_min
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+_TITLE_RE = r"<title>(?P<title>[^<]*)</title>"
+
+
+def q_title_stats(sf_dir: str):
+    """HTML field extraction profile: per declared lang, the count and
+    length stats of <title> contents (RE2 field extraction on both
+    engines; pages without a title excluded on both sides)."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["lang", "html"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.is_valid(t.column("lang").combine_chunks()),
+            pc.is_valid(t.column("html").combine_chunks())))
+        h = pc.cast(t.column("html").combine_chunks(), pa.string())
+        title = pc.struct_field(pc.extract_regex(h, _TITLE_RE), "title")
+        keep = pc.is_valid(title)
+        return pa.table({
+            "lang": t.column("lang").combine_chunks().filter(keep),
+            "tlen": pc.cast(pc.utf8_length(title.filter(keep)), pa.int64()),
+        })
+
+    agg = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                      ["lang"],
+                      [("tlen", "count"), ("tlen", "sum"), ("tlen", "max")],
+                      rename={"tlen_count": "n_pages", "tlen_sum": "len_sum",
+                              "tlen_max": "max_len"})
+    t = ds_to_table(agg).sort_by([("lang", "ascending")])
+    n = t.column("n_pages").to_numpy(zero_copy_only=False).astype(np.float64)
+    s = t.column("len_sum").to_numpy(zero_copy_only=False).astype(np.float64)
+    avg = [float(f"{x:.6f}") for x in s / n]
+    return pa.table({
+        "lang": t.column("lang"),
+        "n_pages": pc.cast(t.column("n_pages"), pa.int64()),
+        "avg_len": pa.array(avg, pa.float64()),
+        "max_len": pc.cast(t.column("max_len"), pa.int64()),
+    })
+
+
+SQL_TITLE_STATS = f"""
+WITH x AS (SELECT lang,
+                  length(regexp_extract(decode(html),
+                                        '<title>([^<]*)</title>', 1)) AS tlen
+           FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+           WHERE lang IS NOT NULL AND html IS NOT NULL
+             AND regexp_matches(decode(html), '<title>([^<]*)</title>'))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_pages,
+       round(CAST(sum(tlen) AS DOUBLE) / count(*), 6) AS avg_len,
+       CAST(max(tlen) AS BIGINT) AS max_len
+FROM x GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -4723,4 +4826,6 @@ QUERIES = {
     "dow_hour_profile": (q_dow_hour_profile, SQL_DOW_HOUR_PROFILE),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "degree_histogram": (q_degree_histogram, SQL_DEGREE_HISTOGRAM),
+    "peak_fetch_rate": (q_peak_fetch_rate, SQL_PEAK_FETCH_RATE),
+    "title_stats": (q_title_stats, SQL_TITLE_STATS),
 }
