@@ -237,3 +237,29 @@ def test_session_rollup_matches_bruteforce(ray_session):
     assert len(merged) == len(truth) == len(out)
     assert (merged["n_events"] == merged["n_events_t"]).all()
     assert (merged["duration_us"] == merged["duration_us_t"]).all()
+
+
+def test_rolling_distinct_count_brute_force(ray_session):
+    import ray.data as rd
+
+    from webval.windows import rolling_distinct_count
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    day_us = 86_400_000_000
+    ts_i = rng.integers(0, 40 * day_us, n)
+    users = rng.integers(0, 60, n)
+    t = pa.table({"u": pa.array(users),
+                  "ts": pa.array(ts_i).cast(pa.timestamp("us"))})
+    out = (rolling_distinct_count(rd.from_arrow(t).repartition(5),
+                                  key="u", ts_col="ts", window=7,
+                                  num_buckets=8)
+           .to_pandas().set_index("wd").sort_index())
+
+    days = ts_i // day_us
+    obs = np.unique(days)
+    for wd in obs:
+        active = len({u for u, d in zip(users, days)
+                      if wd - 6 <= d <= wd})
+        assert out.loc[wd, "active"] == active
+    assert set(out.index) == set(obs)

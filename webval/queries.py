@@ -4697,6 +4697,39 @@ FROM x GROUP BY 1 ORDER BY 1
 """
 
 
+def q_rolling_active_users(sf_dir: str):
+    """Trailing-7-day distinct active users per day (exact windowed
+    distinct at any user cardinality — see
+    windows.rolling_distinct_count for the bounded-expansion shape)."""
+    import ray.data as rd
+
+    from webval.windows import rolling_distinct_count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    out = rolling_distinct_count(ds, key="user_id", ts_col="ts", window=7)
+    t = ds_to_table(out).sort_by([("wd", "ascending")])
+    day_us = 86_400_000_000
+    wd = t.column("wd").to_numpy(zero_copy_only=False) * day_us
+    return pa.table({
+        "window_day": pa.array(wd).cast(pa.timestamp("us")),
+        "active_users": pc.cast(t.column("active"), pa.int64()),
+    })
+
+
+SQL_ROLLING_ACTIVE_USERS = """
+WITH a AS (SELECT DISTINCT user_id,
+                  epoch_us(date_trunc('day', ts)) // 86400000000 AS d
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+days AS (SELECT DISTINCT d FROM a),
+w AS (SELECT DISTINCT a.user_id, days.d AS wd
+      FROM a JOIN days ON days.d BETWEEN a.d AND a.d + 6)
+SELECT make_timestamp(wd * 86400000000) AS window_day,
+       CAST(count(*) AS BIGINT) AS active_users
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -4828,4 +4861,6 @@ QUERIES = {
     "degree_histogram": (q_degree_histogram, SQL_DEGREE_HISTOGRAM),
     "peak_fetch_rate": (q_peak_fetch_rate, SQL_PEAK_FETCH_RATE),
     "title_stats": (q_title_stats, SQL_TITLE_STATS),
+    "rolling_active_users": (q_rolling_active_users,
+                             SQL_ROLLING_ACTIVE_USERS),
 }

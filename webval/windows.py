@@ -179,6 +179,72 @@ def session_rollup(ds, *, ts_col: str, by: str, gap_us: int,
     return per.map_batches(add_dur, batch_format="pyarrow")
 
 
+def rolling_distinct_count(ds, *, key: str, ts_col: str, window: int = 7,
+                           num_buckets: int | None = None):
+    """Trailing-``window``-day distinct-``key`` count per observed day —
+    the rolling active-users metric, exact at any key cardinality.
+
+    Shape: dedup (key, day) through the exchange; EXPAND each surviving
+    pair to its ≤window contributing window-end days (bounded flat map —
+    the shuffle carries at most ``window`` small rows per distinct pair,
+    never per raw event); drop window days never observed in the data
+    (broadcast of the tiny observed-day set, ray.put once); dedup
+    (key, window_day) and count.  Two distinct exchanges + one count —
+    nothing key-cardinality-sized ever lands on the driver.
+
+    Output: (window_day int64 epoch-days, active int64), one row per
+    observed day; a key active on day d contributes to window days
+    d .. d+window−1 (i.e. each window day counts keys active in its
+    trailing ``window`` days).
+    """
+    import numpy as np
+    import ray
+
+    from webval.exchange import distinct_rows, grouped_agg
+
+    day_us = 86_400_000_000
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.select([key, ts_col])
+        t = t.filter(pc.and_(
+            pc.is_valid(t.column(key).combine_chunks()),
+            pc.is_valid(t.column(ts_col).combine_chunks())))
+        d = pc.cast(t.column(ts_col), pa.int64()).combine_chunks() \
+              .to_numpy(zero_copy_only=False) // day_us
+        return pa.table({key: t.column(key), "d": pa.array(d)})
+
+    pairs = distinct_rows(ds.map_batches(proj, batch_format="pyarrow"),
+                          [key, "d"], num_buckets=num_buckets)
+
+    # observed-day set: per-block unique (tiny) → driver union → broadcast
+    obs_parts = pairs.map_batches(
+        lambda t: pa.table({"d": pc.unique(t.column("d").combine_chunks())}),
+        batch_format="pyarrow")
+    obs_days = sorted({v for b in obs_parts.iter_batches(
+        batch_format="pyarrow", batch_size=None)
+        if "d" in b.column_names
+        for v in b.column("d").to_pylist()})
+    obs_ref = ray.put(np.asarray(obs_days, dtype=np.int64))
+
+    def expand(t: pa.Table) -> pa.Table:
+        obs = ray.get(obs_ref)
+        d = t.column("d").combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(d)
+        wd = (d[:, None] + np.arange(window, dtype=np.int64)).ravel()
+        idx = np.repeat(np.arange(n, dtype=np.int64), window)
+        keep = np.isin(wd, obs)
+        return pa.table({
+            key: t.column(key).combine_chunks().take(pa.array(idx[keep])),
+            "wd": pa.array(wd[keep]),
+        })
+
+    expanded = pairs.map_batches(expand, batch_format="pyarrow")
+    pairs2 = distinct_rows(expanded, [key, "wd"], num_buckets=num_buckets)
+    return grouped_agg(pairs2, ["wd"], [("wd", "count")],
+                       num_buckets=num_buckets,
+                       rename={"wd_count": "active"})
+
+
 def ordered_inversions(ds, key: str, order_col: str, val_col: str, *,
                        num_buckets: int | None = None,
                        max_group_rows: int | None = 4_000_000):
