@@ -330,6 +330,50 @@ def run_ops(sf_dir: str, ncpu: int, pages_dir: str) -> dict[str, float]:
             lambda t: pa.table({"n": [t.num_rows]}),
             batch_format="pyarrow").sum("n")
 
+    # vocabulary drift over the 400k-page raw html: token explode →
+    # distinct (side, token) exchange → presence-flag rollup
+    with timed("vocab_drift_400k"):
+        from webval.textstats import vocab_overlap
+
+        nb, na, _ = vocab_overlap(
+            rd.read_parquet(pages_dir, columns=["page_id", "html"]),
+            "page_id", "html")
+        assert nb > 0 and na > 0
+
+    # 1M-row synthetic activity table for the event-time distinct ops
+    # (cached; generation is untimed, 16 files for read parallelism)
+    events_dir = os.path.join(BENCH_PAGES_ROOT, "events_1m")
+    ev_marker = os.path.join(events_dir, "_DONE")
+    if not os.path.exists(ev_marker):
+        import numpy as np
+        import pyarrow.parquet as pq
+        rng = np.random.default_rng(42)
+        os.makedirs(events_dir, exist_ok=True)
+        shard = 1_000_000 // 16
+        for i in range(16):
+            t = pa.table({
+                "user_id": pa.array(rng.integers(0, 200_000, shard)),
+                "ts": pa.array(rng.integers(0, 60 * 86_400_000_000, shard))
+                        .cast(pa.timestamp("us")),
+            })
+            pq.write_table(t, os.path.join(events_dir, f"ev_{i:02d}.parquet"))
+        open(ev_marker, "w").write("ok")
+    ev_paths = [os.path.join(events_dir, f"ev_{i:02d}.parquet")
+                for i in range(16)]
+
+    with timed("retention_1m"):
+        from webval.windows import retention_cells
+
+        retention_cells(rd.read_parquet(ev_paths),
+                        key="user_id", ts_col="ts").count()
+
+    with timed("rolling_active_7d_1m"):
+        from webval.windows import rolling_distinct_count
+
+        rolling_distinct_count(rd.read_parquet(ev_paths),
+                               key="user_id", ts_col="ts",
+                               window=7).count()
+
     return timings
 
 

@@ -4247,46 +4247,15 @@ FROM r WHERE rn = 1 ORDER BY source
 
 def q_retention(sf_dir: str):
     """Cohort retention: users bucketed by first-seen day; for each
-    (cohort_day, day_offset) the count of distinct users active that day.
-    Shape: (user, day) dedup exchange + per-user first-touch exchange →
-    co-bucketed large×large equi-join on user → tiny (cohort, offset)
-    count exchange — no driver-side data loop anywhere."""
+    (cohort_day, day_offset) the count of distinct users active that day
+    (windows.retention_cells — four exchanges, no driver loop)."""
     import ray.data as rd
 
-    from webval.exchange import distinct_rows, grouped_agg
-    from webval.joins import equi_join
+    from webval.windows import retention_cells
 
-    day_us = 86_400_000_000
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
-
-    def proj(t: pa.Table) -> pa.Table:
-        t = t.select(["user_id", "ts"])
-        t = t.filter(pc.and_(
-            pc.is_valid(t.column("user_id").combine_chunks()),
-            pc.is_valid(t.column("ts").combine_chunks())))
-        return pa.table({
-            "user_id": t.column("user_id"),
-            "day_us": pc.cast(pc.floor_temporal(t.column("ts"), unit="day"),
-                              pa.int64())})
-
-    days = ds.map_batches(proj, batch_format="pyarrow")
-    active = distinct_rows(days, ["user_id", "day_us"])
-    first = grouped_agg(days, ["user_id"], [("day_us", "min")],
-                        rename={"day_us_min": "cohort_us"})
-    j = equi_join(active, first, on="user_id", how="inner")
-
-    def to_cell(t: pa.Table) -> pa.Table:
-        d = t.column("day_us").combine_chunks().to_numpy(zero_copy_only=False)
-        c = t.column("cohort_us").combine_chunks() \
-             .to_numpy(zero_copy_only=False)
-        return pa.table({"cohort_us": pa.array(c),
-                         "day_offset": pa.array((d - c) // day_us)})
-
-    cells = grouped_agg(j.map_batches(to_cell, batch_format="pyarrow"),
-                        ["cohort_us", "day_offset"],
-                        [("day_offset", "count")],
-                        rename={"day_offset_count": "n_users"})
+    cells = retention_cells(ds, key="user_id", ts_col="ts")
     t = ds_to_table(cells)
     t = t.set_column(t.column_names.index("cohort_us"), "cohort_day",
                      pc.cast(t.column("cohort_us"), pa.timestamp("us")))
@@ -4310,66 +4279,18 @@ GROUP BY 1, 2 ORDER BY 1, 2
 def q_vocab_drift(sf_dir: str):
     """Vocabulary drift / OOV-rate between two corpus halves (the LM
     freshness question "how many never-seen tokens is the new crawl
-    adding"): distinct (side, token) sets through the exchange, per-token
-    presence flags, and a per-block partial rollup — token sets never
-    touch the driver.  Tokenization is lower + split on [^a-z0-9]+,
-    chosen because arrow and DuckDB run the same RE2/utf8proc kernels so
-    the twin is byte-identical."""
+    adding") — textstats.vocab_overlap: distinct (side, token) sets
+    through the exchange, per-token presence flags, per-block rollup;
+    token sets never touch the driver.  Tokenization is lower + split on
+    [^a-z0-9]+, chosen because arrow and DuckDB run the same RE2/utf8proc
+    kernels so the twin is byte-identical."""
     import ray.data as rd
 
-    from webval.exchange import distinct_rows, grouped_agg
+    from webval.textstats import vocab_overlap
 
     pages, _ = ensure_synth(sf_dir)
     ds = rd.read_parquet(pages, columns=["page_id", "html"])
-
-    def toks(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t.column("html").combine_chunks()))
-        h = pc.cast(t.column("html").combine_chunks(), pa.string())
-        side = pc.cast(pc.bit_wise_and(
-            t.column("page_id").combine_chunks(),
-            pa.scalar(1, pa.int64())), pa.int32())
-        la = pc.split_pattern_regex(pc.utf8_lower(h), "[^a-z0-9]+")
-        if isinstance(la, pa.ChunkedArray):
-            la = la.combine_chunks()
-        offsets = la.offsets.to_numpy(zero_copy_only=False)
-        parent = np.repeat(np.arange(len(la), dtype=np.int64),
-                           np.diff(offsets))
-        flat = pa.table({
-            "side": side.take(pa.array(parent)),
-            "tok": la.values,
-        })
-        return flat.filter(pc.not_equal(flat.column("tok"), ""))
-
-    pairs = distinct_rows(ds.map_batches(toks, batch_format="pyarrow"),
-                          ["side", "tok"])
-
-    def flags(t: pa.Table) -> pa.Table:
-        s = t.column("side").combine_chunks()
-        return pa.table({
-            "tok": t.column("tok"),
-            "b": pc.cast(pc.equal(s, 0), pa.int64()),
-            "a": pc.cast(pc.equal(s, 1), pa.int64()),
-        })
-
-    per_tok = grouped_agg(pairs.map_batches(flags, batch_format="pyarrow"),
-                          ["tok"], [("b", "max"), ("a", "max")])
-
-    def partial(t: pa.Table) -> pa.Table:
-        b = t.column("b_max").combine_chunks().to_numpy(zero_copy_only=False)
-        a = t.column("a_max").combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.table({
-            "nb": pa.array([int(b.sum())], pa.int64()),
-            "na": pa.array([int(a.sum())], pa.int64()),
-            "nn": pa.array([int((a & ~b & 1).sum())], pa.int64()),
-        })
-
-    s = ds_to_table(per_tok.map_batches(partial, batch_format="pyarrow"))
-    if "nb" not in s.column_names or s.num_rows == 0:
-        nb = na = nn = 0
-    else:
-        nb = pc.sum(s.column("nb")).as_py() or 0
-        na = pc.sum(s.column("na")).as_py() or 0
-        nn = pc.sum(s.column("nn")).as_py() or 0
+    nb, na, nn = vocab_overlap(ds, "page_id", "html")
     rate = float(f"{nn / na:.6f}") if na else 0.0
     return pa.table({
         "n_vocab_base": pa.array([nb], pa.int64()),

@@ -426,3 +426,69 @@ def c4_quality_filter(ds, text_col: str = "text", *,
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def vocab_overlap(ds, id_col: str, text_col: str, *,
+                  pattern: str = "[^a-z0-9]+",
+                  num_buckets: int | None = None) -> tuple[int, int, int]:
+    """Distinct-token vocabulary overlap between the even-id ("base") and
+    odd-id ("actual") halves of a corpus — the LM freshness question "how
+    many never-seen tokens is the new crawl adding".  Tokenization is
+    utf8_lower + RE2 split on ``pattern`` (binary text columns are decoded
+    as UTF-8 first).
+
+    Scale shape: flat token stream → distinct (side, token) exchange →
+    per-token presence flags summed per block — token sets never land on
+    the driver; only the three scalars do.  Returns
+    (n_vocab_base, n_vocab_actual, n_new_in_actual).
+    """
+    from webval.exchange import distinct_rows, grouped_agg
+
+    def toks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(text_col).combine_chunks()))
+        h = t.column(text_col).combine_chunks()
+        if pa.types.is_binary(h.type) or pa.types.is_large_binary(h.type):
+            h = pc.cast(h, pa.string())
+        side = pc.cast(pc.bit_wise_and(
+            t.column(id_col).combine_chunks(),
+            pa.scalar(1, pa.int64())), pa.int32())
+        la = pc.split_pattern_regex(pc.utf8_lower(h), pattern)
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        offsets = la.offsets.to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(la), dtype=np.int64),
+                           np.diff(offsets))
+        flat = pa.table({"side": side.take(pa.array(parent)),
+                         "tok": la.values})
+        return flat.filter(pc.not_equal(flat.column("tok"), ""))
+
+    pairs = distinct_rows(ds.map_batches(toks, batch_format="pyarrow"),
+                          ["side", "tok"], num_buckets=num_buckets)
+
+    def flags(t: pa.Table) -> pa.Table:
+        s = t.column("side").combine_chunks()
+        return pa.table({"tok": t.column("tok"),
+                         "b": pc.cast(pc.equal(s, 0), pa.int64()),
+                         "a": pc.cast(pc.equal(s, 1), pa.int64())})
+
+    per_tok = grouped_agg(pairs.map_batches(flags, batch_format="pyarrow"),
+                          ["tok"], [("b", "max"), ("a", "max")],
+                          num_buckets=num_buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = t.column("b_max").combine_chunks().to_numpy(zero_copy_only=False)
+        a = t.column("a_max").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"nb": pa.array([int(b.sum())], pa.int64()),
+                         "na": pa.array([int(a.sum())], pa.int64()),
+                         "nn": pa.array([int((a & ~b & 1).sum())],
+                                        pa.int64())})
+
+    parts = per_tok.map_batches(partial, batch_format="pyarrow")
+    nb = na = nn = 0
+    for blk in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        if "nb" not in blk.column_names or blk.num_rows == 0:
+            continue   # empty input blocks bypass the UDF (r3s4 finding)
+        nb += int(pc.sum(blk.column("nb")).as_py() or 0)
+        na += int(pc.sum(blk.column("na")).as_py() or 0)
+        nn += int(pc.sum(blk.column("nn")).as_py() or 0)
+    return nb, na, nn

@@ -179,6 +179,55 @@ def session_rollup(ds, *, ts_col: str, by: str, gap_us: int,
     return per.map_batches(add_dur, batch_format="pyarrow")
 
 
+def retention_cells(ds, *, key: str, ts_col: str,
+                    num_buckets: int | None = None):
+    """Cohort retention matrix: keys bucketed by first-seen day; for each
+    (cohort_day, day_offset) the count of distinct keys active that day.
+
+    Shape: (key, day) dedup exchange + per-key first-touch (min-day)
+    exchange → co-bucketed large×large equi-join on the key → tiny
+    (cohort, offset) count exchange — four exchanges, no driver loop.
+    Output: (cohort_us int64 epoch-µs of the cohort day, day_offset
+    int64, n_users int64).
+    """
+    import numpy as np
+
+    from webval.exchange import distinct_rows, grouped_agg
+    from webval.joins import equi_join
+
+    day_us = 86_400_000_000
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.select([key, ts_col])
+        t = t.filter(pc.and_(
+            pc.is_valid(t.column(key).combine_chunks()),
+            pc.is_valid(t.column(ts_col).combine_chunks())))
+        d = pc.cast(t.column(ts_col), pa.int64()).combine_chunks() \
+              .to_numpy(zero_copy_only=False) // day_us * day_us
+        return pa.table({key: t.column(key), "day_us": pa.array(d)})
+
+    days = ds.map_batches(proj, batch_format="pyarrow")
+    active = distinct_rows(days, [key, "day_us"], num_buckets=num_buckets)
+    first = grouped_agg(days, [key], [("day_us", "min")],
+                        num_buckets=num_buckets,
+                        rename={"day_us_min": "cohort_us"})
+    j = equi_join(active, first, on=key, how="inner",
+                  num_buckets=num_buckets)
+
+    def to_cell(t: pa.Table) -> pa.Table:
+        d = t.column("day_us").combine_chunks().to_numpy(zero_copy_only=False)
+        c = t.column("cohort_us").combine_chunks() \
+             .to_numpy(zero_copy_only=False)
+        return pa.table({"cohort_us": pa.array(c),
+                         "day_offset": pa.array((d - c) // day_us)})
+
+    return grouped_agg(j.map_batches(to_cell, batch_format="pyarrow"),
+                       ["cohort_us", "day_offset"],
+                       [("day_offset", "count")],
+                       num_buckets=num_buckets,
+                       rename={"day_offset_count": "n_users"})
+
+
 def rolling_distinct_count(ds, *, key: str, ts_col: str, window: int = 7,
                            num_buckets: int | None = None):
     """Trailing-``window``-day distinct-``key`` count per observed day —
