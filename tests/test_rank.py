@@ -340,3 +340,34 @@ def test_percent_rank_ties_share_rank(ray_session):
         "SELECT k, o, i, percent_rank() OVER (PARTITION BY k ORDER BY o) "
         "AS pr FROM t ORDER BY k, o, i").df()
     assert np.allclose(got["percent_rank"], want["pr"], atol=1e-15)
+
+
+def test_assign_split_disjoint_exhaustive_deterministic(ray_session):
+    import ray.data as rd
+
+    from webval.pipelines import assign_split
+
+    n = 20_000
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64())})
+    ds = rd.from_arrow(t).repartition(5)
+    out = assign_split(ds, "id").to_pandas()
+    # exhaustive + disjoint: every row got exactly one label
+    assert len(out) == n
+    assert set(out["split"].unique()) == {"train", "val", "test"}
+    frac = out["split"].value_counts(normalize=True)
+    assert frac["train"] == pytest.approx(0.9, abs=0.02)
+    assert frac["val"] == pytest.approx(0.05, abs=0.01)
+    # deterministic across runs/parallelism
+    out2 = assign_split(rd.from_arrow(t).repartition(11), "id").to_pandas()
+    m = out.sort_values("id")["split"].to_numpy()
+    m2 = out2.sort_values("id")["split"].to_numpy()
+    assert (m == m2).all()
+    # matches the SQL CASE predicate boundaries exactly
+    h = (np.arange(n).astype(np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(2**32)
+    want = np.select([h < 3865470566, h < 4080218931],
+                     ["train", "val"], "test")
+    assert (m == want).all()
+
+    with pytest.raises(ValueError, match="fractions"):
+        assign_split(ds, "id", fractions=(0.5, 0.4), names=("a", "b", "c"))

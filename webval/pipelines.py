@@ -530,6 +530,40 @@ def deterministic_sample(ds, id_col: str, fraction: float, *,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def assign_split(ds, id_col: str, *,
+                 fractions: tuple = (0.9, 0.05, 0.05),
+                 names: tuple = ("train", "val", "test"),
+                 out_col: str = "split",
+                 modulus: int = 2**32, multiplier: int = 2654435761):
+    """Deterministic train/val/test split assignment by the same Knuth
+    multiplicative hash as :func:`deterministic_sample`: the hash of
+    ``id_col`` is cut at the cumulative ``fractions`` boundaries.  A pure
+    per-row function — membership is stable across runs, parallelism and
+    engines (the identical CASE predicate is ANSI-SQL), disjoint and
+    exhaustive by construction, so a 100-TB corpus can be re-split
+    identically forever.  Appends ``out_col``; no shuffle."""
+    if len(fractions) != len(names) or abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"assign_split: fractions {fractions} must match "
+                         f"names {names} and sum to 1")
+    cuts = np.cumsum([0.0] + list(fractions)) * modulus
+    bounds = [np.uint64(int(c)) for c in cuts]
+    bounds[-1] = np.uint64(modulus)          # guard fp short-fall at 1.0
+    mult = np.uint64(multiplier)
+    mod = np.uint64(modulus)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ids = ids.astype(np.uint64, copy=False)
+        with np.errstate(over="ignore"):
+            h = (ids * mult) % mod
+        conds = [(h >= bounds[i]) & (h < bounds[i + 1])
+                 for i in range(len(names))]
+        lab = np.select(conds, list(names))
+        return batch.append_column(out_col, pa.array(lab.astype(object)))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
 def stratified_sample(ds, id_col: str, group_col: str,
                       fractions: dict, *, default: float = 0.0,
                       modulus: int = 2**32, multiplier: int = 2654435761):

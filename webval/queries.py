@@ -4651,6 +4651,133 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+def q_split_assign(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment by the Knuth
+    multiplicative hash (pipelines.assign_split) — the SAME CASE predicate
+    runs in SQL, so per-split membership (not just the rates) is verified
+    exactly; summarized as per-split doc and char counts."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.pipelines import assign_split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    tagged = assign_split(ds, "doc_id")
+    agg = grouped_agg(tagged, ["split"],
+                      [("doc_id", "count"), ("n_chars", "sum")],
+                      rename={"doc_id_count": "n_docs",
+                              "n_chars_sum": "chars"})
+    return ds_to_table(agg).sort_by([("split", "ascending")])
+
+
+SQL_SPLIT_ASSIGN = """
+SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+                THEN 'train'
+            WHEN (doc_id * 2654435761) % 4294967296 < 4080218931
+                THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_zipf_fit(sf_dir: str):
+    """Zipf's-law slope of the token frequency head (ln freq vs ln rank
+    least squares over tokens with count ≥ 10) — the corpus-naturalness
+    diagnostic.  Token counts come from the exchange; only the HEAD of
+    the distribution (small by Zipf's own law) reaches the driver for the
+    rank sort."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["html"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        h = t.column("html").combine_chunks()
+        h = pc.cast(h.filter(pc.is_valid(h)), pa.string())
+        la = pc.split_pattern_regex(pc.utf8_lower(h), "[^a-z0-9]+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = pa.table({"tok": la.values})
+        return flat.filter(pc.not_equal(flat.column("tok"), ""))
+
+    counts = grouped_agg(ds.map_batches(toks, batch_format="pyarrow"),
+                         ["tok"], [("tok", "count")],
+                         rename={"tok_count": "cnt"})
+    head = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("cnt").combine_chunks(),
+                                            10)),
+        batch_format="pyarrow")
+    t = ds_to_table(head)
+    t = t.sort_by([("cnt", "descending"), ("tok", "ascending")])
+    c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+    x = np.log(np.arange(1, len(c) + 1, dtype=np.float64))
+    y = np.log(c)
+    xm, ym = x.mean(), y.mean()
+    slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
+    return pa.table({
+        "n_head_tokens": pa.array([len(c)], pa.int64()),
+        "zipf_slope": pa.array([float(f"{slope:.6f}")], pa.float64()),
+    })
+
+
+SQL_ZIPF_FIT = f"""
+WITH tokc AS (SELECT t.tok AS tok, count(*) AS cnt
+  FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet'),
+       unnest(regexp_split_to_array(lower(decode(html)),
+                                    '[^a-z0-9]+')) AS t(tok)
+  WHERE html IS NOT NULL AND t.tok <> ''
+  GROUP BY 1 HAVING count(*) >= 10),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+      FROM tokc)
+SELECT CAST(count(*) AS BIGINT) AS n_head_tokens,
+       round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope
+FROM r
+"""
+
+
+def q_normalized_dup_groups(sf_dir: str):
+    """Dedup after text normalization (lower + non-alnum collapse + trim
+    — the first tier every dedup pipeline applies before hashing): groups
+    of documents identical post-normalization, with sizes.  The
+    normalization chain is the same RE2/utf8proc kernels in both
+    engines."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = t.column("text").combine_chunks()
+        s = s.filter(pc.is_valid(s))
+        n = pc.utf8_trim(pc.replace_substring_regex(
+            pc.utf8_lower(s), "[^a-z0-9]+", " "), " ")
+        return pa.table({"norm_text": n})
+
+    counts = grouped_agg(ds.map_batches(norm, batch_format="pyarrow"),
+                         ["norm_text"], [("norm_text", "count")],
+                         rename={"norm_text_count": "n"})
+    t = ds_to_table(counts)
+    t = t.filter(pc.greater(t.column("n"), 1))
+    return t.sort_by([("norm_text", "ascending")])
+
+
+SQL_NORMALIZED_DUP_GROUPS = f"""
+SELECT trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')
+           AS norm_text,
+       count(*) AS n
+FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+WHERE text IS NOT NULL
+GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -4784,4 +4911,8 @@ QUERIES = {
     "title_stats": (q_title_stats, SQL_TITLE_STATS),
     "rolling_active_users": (q_rolling_active_users,
                              SQL_ROLLING_ACTIVE_USERS),
+    "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
+    "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
+    "normalized_dup_groups": (q_normalized_dup_groups,
+                              SQL_NORMALIZED_DUP_GROUPS),
 }
