@@ -541,7 +541,12 @@ def assign_split(ds, id_col: str, *,
     per-row function — membership is stable across runs, parallelism and
     engines (the identical CASE predicate is ANSI-SQL), disjoint and
     exhaustive by construction, so a 100-TB corpus can be re-split
-    identically forever.  Appends ``out_col``; no shuffle."""
+    identically forever.  Appends ``out_col``; no shuffle.
+
+    ``id_col`` must be non-null and non-negative — enforced with a named
+    error, because a null id has no hash and a negative one wraps
+    differently in uint64 arithmetic than in SQL's signed modulo, which
+    would silently break the cross-engine membership claim."""
     if len(fractions) != len(names) or abs(sum(fractions) - 1.0) > 1e-9:
         raise ValueError(f"assign_split: fractions {fractions} must match "
                          f"names {names} and sum to 1")
@@ -552,7 +557,15 @@ def assign_split(ds, id_col: str, *,
     mod = np.uint64(modulus)
 
     def tag(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        col = batch.column(id_col)
+        if col.null_count > 0:
+            raise ValueError(f"assign_split: {id_col} contains nulls — a "
+                             "null id has no deterministic split")
+        ids = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(ids.dtype, np.signedinteger) and (ids < 0).any():
+            raise ValueError(f"assign_split: {id_col} contains negative "
+                             "ids — uint64 wrap diverges from SQL's "
+                             "signed modulo")
         ids = ids.astype(np.uint64, copy=False)
         with np.errstate(over="ignore"):
             h = (ids * mult) % mod

@@ -3666,10 +3666,10 @@ def q_psi_drift(sf_dir: str):
 
     ub, e, a = _two_side_counts(sf_dir, "lineitem", "l_orderkey",
                                 "l_quantity", cast_bin=pa.int64())
-    return pa.table({
+    return _round_cols(pa.table({
         "n_bins": pa.array([len(ub)], pa.int64()),
-        "psi": pa.array([float(f"{psi(e, a):.6f}")], pa.float64()),
-    })
+        "psi": pa.array([psi(e, a)], pa.float64()),
+    }), {"psi": 6})
 
 
 SQL_PSI_DRIFT = """
@@ -3701,11 +3701,11 @@ def q_js_drift(sf_dir: str):
 
     ub, e, a = _two_side_counts(sf_dir, "documents", "doc_id", "lang")
     stat, _ = chi2_test(a, e)
-    return pa.table({
+    return _round_cols(pa.table({
         "n_classes": pa.array([len(ub)], pa.int64()),
-        "js": pa.array([float(f"{js_divergence(e, a):.6f}")], pa.float64()),
-        "chi2_stat": pa.array([float(f"{stat:.6f}")], pa.float64()),
-    })
+        "js": pa.array([js_divergence(e, a)], pa.float64()),
+        "chi2_stat": pa.array([stat], pa.float64()),
+    }), {"js": 6, "chi2_stat": 6})
 
 
 SQL_JS_DRIFT = """
@@ -3766,12 +3766,12 @@ def q_cramers_v(sf_dir: str):
     mat = np.zeros((len(ul), len(us)), dtype=np.float64)
     mat[np.searchsorted(ul, langs), np.searchsorted(us, srcs)] = cnt
     stat, _, v = contingency_stats(mat)
-    return pa.table({
+    return _round_cols(pa.table({
         "n_langs": pa.array([len(ul)], pa.int64()),
         "n_sources": pa.array([len(us)], pa.int64()),
-        "chi2_stat": pa.array([float(f"{stat:.6f}")], pa.float64()),
-        "cramers_v": pa.array([float(f"{v:.6f}")], pa.float64()),
-    })
+        "chi2_stat": pa.array([stat], pa.float64()),
+        "cramers_v": pa.array([v], pa.float64()),
+    }), {"chi2_stat": 6, "cramers_v": 6})
 
 
 SQL_CRAMERS_V = """
@@ -3859,15 +3859,14 @@ def q_session_stats(sf_dir: str):
         ev = pc.sum(s.column("events")).as_py() or 0
         mx = pc.max(s.column("max_events")).as_py() or 0
         dur = pc.sum(s.column("dur_sum")).as_py() or 0
-    avg_ev = float(f"{ev / ns:.6f}") if ns else 0.0
-    avg_dur = float(f"{dur / ns:.6f}") if ns else 0.0
-    return pa.table({
+    return _round_cols(pa.table({
         "n_sessions": pa.array([ns], pa.int64()),
         "n_events": pa.array([ev], pa.int64()),
         "max_events": pa.array([mx], pa.int64()),
-        "avg_events": pa.array([avg_ev], pa.float64()),
-        "avg_duration_us": pa.array([avg_dur], pa.float64()),
-    })
+        "avg_events": pa.array([ev / ns if ns else 0.0], pa.float64()),
+        "avg_duration_us": pa.array([dur / ns if ns else 0.0],
+                                    pa.float64()),
+    }), {"avg_events": 6, "avg_duration_us": 6})
 
 
 SQL_SESSION_STATS = """
@@ -4113,11 +4112,11 @@ def q_mad_outliers(sf_dir: str):
     np.add.at(dc, np.searchsorted(ud, d), c)
     mad = _median_from_counts(ud, dc)
     n_out = int(c[d > 3 * mad].sum())
-    return pa.table({
-        "median": pa.array([float(f"{med:.6f}")], pa.float64()),
-        "mad": pa.array([float(f"{mad:.6f}")], pa.float64()),
+    return _round_cols(pa.table({
+        "median": pa.array([med], pa.float64()),
+        "mad": pa.array([mad], pa.float64()),
         "n_outliers": pa.array([n_out], pa.int64()),
-    })
+    }), {"median": 6, "mad": 6})
 
 
 SQL_MAD_OUTLIERS = """
@@ -4291,13 +4290,12 @@ def q_vocab_drift(sf_dir: str):
     pages, _ = ensure_synth(sf_dir)
     ds = rd.read_parquet(pages, columns=["page_id", "html"])
     nb, na, nn = vocab_overlap(ds, "page_id", "html")
-    rate = float(f"{nn / na:.6f}") if na else 0.0
-    return pa.table({
+    return _round_cols(pa.table({
         "n_vocab_base": pa.array([nb], pa.int64()),
         "n_vocab_actual": pa.array([na], pa.int64()),
         "n_new": pa.array([nn], pa.int64()),
-        "new_rate": pa.array([rate], pa.float64()),
-    })
+        "new_rate": pa.array([nn / na if na else 0.0], pa.float64()),
+    }), {"new_rate": 6})
 
 
 SQL_VOCAB_DRIFT = f"""
@@ -4394,11 +4392,11 @@ def q_hourly_anomalies(sf_dir: str):
     keep = np.abs(c - mu) > 2 * sd
     out = t.filter(pa.array(keep)).sort_by([("h_us", "ascending")])
     z = (out.column("cnt").to_numpy(zero_copy_only=False) - mu) / sd
-    return pa.table({
+    return _round_cols(pa.table({
         "hour": pc.cast(out.column("h_us"), pa.timestamp("us")),
         "cnt": pc.cast(out.column("cnt"), pa.int64()),
-        "z": pa.array([float(f"{x:.6f}") for x in z], pa.float64()),
-    })
+        "z": pa.array(z, pa.float64()),
+    }), {"z": 6})
 
 
 SQL_HOURLY_ANOMALIES = """
@@ -4466,12 +4464,15 @@ def q_temperature_mix(sf_dir: str):
     w = np.sqrt(c)
     w = w / w.sum()
     total = float(c.sum())
-    return pa.table({
+    # decimal-round the product BEFORE floor on BOTH sides: a 1-ulp
+    # cross-engine difference in the sqrt-sum must not flip the integer
+    wt = [float(f"{x:.6f}") for x in w * total]
+    return _round_cols(pa.table({
         "source": t.column("source"),
         "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
-        "weight": pa.array([float(f"{x:.6f}") for x in w], pa.float64()),
-        "target_n": pa.array(np.floor(w * total).astype(np.int64)),
-    })
+        "weight": pa.array(w, pa.float64()),
+        "target_n": pa.array(np.floor(wt).astype(np.int64)),
+    }), {"weight": 6})
 
 
 SQL_TEMPERATURE_MIX = """
@@ -4480,7 +4481,7 @@ WITH c AS (SELECT source, count(*) AS n_docs FROM documents
 s AS (SELECT sum(sqrt(n_docs)) AS sw, sum(n_docs) AS tot FROM c)
 SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
        round(sqrt(n_docs) / sw, 6) AS weight,
-       CAST(floor(sqrt(n_docs) / sw * tot) AS BIGINT) AS target_n
+       CAST(floor(round(sqrt(n_docs) / sw * tot, 6)) AS BIGINT) AS target_n
 FROM c, s ORDER BY source
 """
 
@@ -4595,13 +4596,12 @@ def q_title_stats(sf_dir: str):
     t = ds_to_table(agg).sort_by([("lang", "ascending")])
     n = t.column("n_pages").to_numpy(zero_copy_only=False).astype(np.float64)
     s = t.column("len_sum").to_numpy(zero_copy_only=False).astype(np.float64)
-    avg = [float(f"{x:.6f}") for x in s / n]
-    return pa.table({
+    return _round_cols(pa.table({
         "lang": t.column("lang"),
         "n_pages": pc.cast(t.column("n_pages"), pa.int64()),
-        "avg_len": pa.array(avg, pa.float64()),
+        "avg_len": pa.array(s / n, pa.float64()),
         "max_len": pc.cast(t.column("max_len"), pa.int64()),
-    })
+    }), {"avg_len": 6})
 
 
 SQL_TITLE_STATS = f"""
@@ -4719,10 +4719,10 @@ def q_zipf_fit(sf_dir: str):
     y = np.log(c)
     xm, ym = x.mean(), y.mean()
     slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
-    return pa.table({
+    return _round_cols(pa.table({
         "n_head_tokens": pa.array([len(c)], pa.int64()),
-        "zipf_slope": pa.array([float(f"{slope:.6f}")], pa.float64()),
-    })
+        "zipf_slope": pa.array([slope], pa.float64()),
+    }), {"zipf_slope": 6})
 
 
 SQL_ZIPF_FIT = f"""

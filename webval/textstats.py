@@ -445,7 +445,9 @@ def vocab_overlap(ds, id_col: str, text_col: str, *,
     from webval.exchange import distinct_rows, grouped_agg
 
     def toks(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t.column(text_col).combine_chunks()))
+        t = t.filter(pc.and_(
+            pc.is_valid(t.column(id_col).combine_chunks()),
+            pc.is_valid(t.column(text_col).combine_chunks())))
         h = t.column(text_col).combine_chunks()
         if pa.types.is_binary(h.type) or pa.types.is_large_binary(h.type):
             h = pc.cast(h, pa.string())
@@ -483,12 +485,8 @@ def vocab_overlap(ds, id_col: str, text_col: str, *,
                          "nn": pa.array([int((a & ~b & 1).sum())],
                                         pa.int64())})
 
+    from webval.exchange import sum_block_scalars
+
     parts = per_tok.map_batches(partial, batch_format="pyarrow")
-    nb = na = nn = 0
-    for blk in parts.iter_batches(batch_format="pyarrow", batch_size=None):
-        if "nb" not in blk.column_names or blk.num_rows == 0:
-            continue   # empty input blocks bypass the UDF (r3s4 finding)
-        nb += int(pc.sum(blk.column("nb")).as_py() or 0)
-        na += int(pc.sum(blk.column("na")).as_py() or 0)
-        nn += int(pc.sum(blk.column("nn")).as_py() or 0)
-    return nb, na, nn
+    tot = sum_block_scalars(parts.materialize(), ["nb", "na", "nn"])
+    return tot["nb"], tot["na"], tot["nn"]

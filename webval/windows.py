@@ -180,7 +180,8 @@ def session_rollup(ds, *, ts_col: str, by: str, gap_us: int,
 
 
 def retention_cells(ds, *, key: str, ts_col: str,
-                    num_buckets: int | None = None):
+                    num_buckets: int | None = None,
+                    max_group_rows: int | None = None):
     """Cohort retention matrix: keys bucketed by first-seen day; for each
     (cohort_day, day_offset) the count of distinct keys active that day.
 
@@ -211,8 +212,10 @@ def retention_cells(ds, *, key: str, ts_col: str,
     first = grouped_agg(days, [key], [("day_us", "min")],
                         num_buckets=num_buckets,
                         rename={"day_us_min": "cohort_us"})
+    # combiner-less join: equi_join applies DEFAULT_MAX_GROUP_ROWS itself
+    # when None — callers can lower/raise the named-diagnostic cap here
     j = equi_join(active, first, on=key, how="inner",
-                  num_buckets=num_buckets)
+                  num_buckets=num_buckets, max_group_rows=max_group_rows)
 
     def to_cell(t: pa.Table) -> pa.Table:
         d = t.column("day_us").combine_chunks().to_numpy(zero_copy_only=False)
@@ -262,8 +265,10 @@ def rolling_distinct_count(ds, *, key: str, ts_col: str, window: int = 7,
               .to_numpy(zero_copy_only=False) // day_us
         return pa.table({key: t.column(key), "d": pa.array(d)})
 
+    # materialized: consumed TWICE (observed-day scan + expansion) — without
+    # this the whole read→dedup exchange re-executes for the second consumer
     pairs = distinct_rows(ds.map_batches(proj, batch_format="pyarrow"),
-                          [key, "d"], num_buckets=num_buckets)
+                          [key, "d"], num_buckets=num_buckets).materialize()
 
     # observed-day set: per-block unique (tiny) → driver union → broadcast
     obs_parts = pairs.map_batches(
