@@ -3621,10 +3621,11 @@ SELECT 'type-domain', f_domain, n, CAST(f_domain AS DOUBLE) / n FROM t
 
 
 def _two_side_counts(sf_dir: str, table: str, id_col: str, val_col: str,
-                     cast_bin: pa.DataType | None = None):
+                     cast_bin: pa.DataType | None = None, bin_fn=None):
     """Shared shape of the two-sample drift queries: exact (side, bin)
-    counts where side = id parity, aligned on the union of bins.  Returns
-    (sorted_bins, expected_counts, actual_counts) numpy arrays."""
+    counts where side = id parity, aligned on the union of bins.
+    ``bin_fn`` (numpy values → bin labels) buckets continuous columns.
+    Returns (sorted_bins, expected_counts, actual_counts) numpy arrays."""
     import ray.data as rd
 
     from webval.exchange import grouped_agg
@@ -3637,7 +3638,10 @@ def _two_side_counts(sf_dir: str, table: str, id_col: str, val_col: str,
         side = pc.cast(pc.bit_wise_and(t.column(id_col).combine_chunks(),
                                        pa.scalar(1, pa.int64())), pa.int32())
         b = t.column(val_col)
-        if cast_bin is not None:
+        if bin_fn is not None:
+            b = pa.array(bin_fn(
+                b.combine_chunks().to_numpy(zero_copy_only=False)))
+        elif cast_bin is not None:
             b = pc.cast(b, cast_bin)
         return pa.table({"side": side, "bin": b})
 
@@ -4778,6 +4782,43 @@ GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
 """
 
 
+def q_ks_drift(sf_dir: str):
+    """Binned two-sample Kolmogorov-Smirnov statistic of l_extendedprice
+    between even and odd orderkeys (drift.ks_statistic over shared
+    width-5000 bins — the scalable KS variant; SQL twin via windowed
+    cumulative sums)."""
+    from webval.drift import ks_statistic
+
+    ub, e, a = _two_side_counts(sf_dir, "lineitem", "l_orderkey",
+                                "l_extendedprice", bin_fn=lambda x:
+                                np.minimum(np.floor(x / 5000.0), 23.0)
+                                .astype(np.int64))
+    return _round_cols(pa.table({
+        "n_bins": pa.array([len(ub)], pa.int64()),
+        "ks": pa.array([ks_statistic(e, a)], pa.float64()),
+    }), {"ks": 6})
+
+
+SQL_KS_DRIFT = """
+WITH c AS (SELECT CAST(l_orderkey % 2 AS INT) AS side,
+                  CAST(least(floor(l_extendedprice / 5000), 23.0) AS BIGINT)
+                      AS bin, count(*) AS cnt
+           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+b AS (SELECT DISTINCT bin FROM c),
+m AS (SELECT b.bin,
+             CAST(COALESCE(e.cnt, 0) AS DOUBLE) AS ce,
+             CAST(COALESCE(a.cnt, 0) AS DOUBLE) AS ca
+      FROM b LEFT JOIN c e ON e.bin = b.bin AND e.side = 0
+             LEFT JOIN c a ON a.bin = b.bin AND a.side = 1),
+g AS (SELECT sum(ce) OVER w / (SELECT sum(ce) FROM m) AS fe,
+             sum(ca) OVER w / (SELECT sum(ca) FROM m) AS fa
+      FROM m WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW))
+SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n_bins,
+       round((SELECT max(abs(fa - fe)) FROM g), 6) AS ks
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -4915,4 +4956,5 @@ QUERIES = {
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "normalized_dup_groups": (q_normalized_dup_groups,
                               SQL_NORMALIZED_DUP_GROUPS),
+    "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
 }
