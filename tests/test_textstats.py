@@ -212,3 +212,19 @@ def test_rolling_hashes_arrow_matches_batch():
     got_ch = rolling_hashes_arrow(ch, 8)
     for w, g in zip(want, got_ch):
         assert (w == g).all()
+
+
+def test_vocab_overlap_null_ids_and_text(ray_session):
+    """Null ids/text are dropped (review r3s5: a null id used to NaN-crash
+    the presence-flag rollup)."""
+    import ray.data as rd
+
+    from webval.textstats import vocab_overlap
+
+    t = pa.table({
+        "id": pa.array([0, 1, 2, 3, None], pa.int64()),
+        "txt": pa.array(["aa bb", "bb cc", None, "dd", "ee"]),
+    })
+    nb, na, nn = vocab_overlap(rd.from_arrow(t).repartition(2), "id", "txt")
+    # even ids: {aa, bb}; odd ids: {bb, cc, dd}; new in odd: {cc, dd}
+    assert (nb, na, nn) == (2, 3, 2)
