@@ -102,3 +102,38 @@ def test_session4_ops_on_empty():
         "k", "k", "p", "c")
     assert rec.to_pylist() == [{"n_parents": 0, "n_missing_child": 0,
                                 "n_mismatched": 0, "n_matched": 0}]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_session5_ops_on_empty():
+    import ray.data as rd
+
+    from webval.aggregates import grouped_mode, pairwise_corr
+    from webval.pipelines import assign_split
+    from webval.textstats import vocab_overlap
+    from webval.windows import (
+        ordered_inversions,
+        retention_cells,
+        rolling_distinct_count,
+        session_rollup,
+    )
+
+    ev = rd.from_arrow(pa.table({
+        "uid": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "o": pa.array([], pa.int64()),
+        "v": pa.array([], pa.float64())}))
+    assert ordered_inversions(ev, "uid", "o", "v", num_buckets=4).count() == 0
+    assert session_rollup(ev, ts_col="ts", by="uid", gap_us=10,
+                          num_buckets=4).count() == 0
+    assert retention_cells(ev, key="uid", ts_col="ts",
+                           num_buckets=4).count() == 0
+    assert rolling_distinct_count(ev, key="uid", ts_col="ts",
+                                  num_buckets=4).count() == 0
+    assert grouped_mode(ev, "uid", "v", num_buckets=4).count() == 0
+    corr = pairwise_corr(ev, [("o", "v")])
+    assert corr.num_rows == 1 and corr.column("corr")[0].as_py() is None
+    assert assign_split(ev, "uid").count() == 0
+
+    docs = _empty_docs()
+    assert vocab_overlap(docs, "doc_id", "text") == (0, 0, 0)
