@@ -208,8 +208,14 @@ def retention_cells(ds, *, key: str, ts_col: str,
         return pa.table({key: t.column(key), "day_us": pa.array(d)})
 
     days = ds.map_batches(proj, batch_format="pyarrow")
-    active = distinct_rows(days, [key, "day_us"], num_buckets=num_buckets)
-    first = grouped_agg(days, [key], [("day_us", "min")],
+    # first-touch over the DEDUPED pairs (min over distinct days ≡ min over
+    # raw events), materialized because it feeds two consumers — otherwise
+    # the read + dedup exchange executes twice (same defect class as the
+    # r3s5 rolling_distinct_count finding), and the deduped stream is the
+    # cheapest thing to pin
+    active = distinct_rows(days, [key, "day_us"],
+                           num_buckets=num_buckets).materialize()
+    first = grouped_agg(active, [key], [("day_us", "min")],
                         num_buckets=num_buckets,
                         rename={"day_us_min": "cohort_us"})
     # combiner-less join: equi_join applies DEFAULT_MAX_GROUP_ROWS itself
