@@ -304,8 +304,12 @@ def run_ops(sf_dir: str, ncpu: int, pages_dir: str) -> dict[str, float]:
         from webval.search import bm25_search
 
         ds = rd.read_parquet(pages_dir, columns=["page_id", "text"])
+        # query terms must come from the bench fixture's vocabulary — the
+        # original "fast vector scan" (sf-testdata vocabulary) matched zero
+        # docs, and the failed assert crashed EVERY full bench run since
+        # the entry landed (found r3s5)
         assert bm25_search(ds, "page_id", "text",
-                           "fast vector scan", k=10).count() == 10
+                           "market world game", k=10).count() == 10
 
     with timed("frequent_bigrams_400k"):
         from webval.textclean import frequent_ngrams
