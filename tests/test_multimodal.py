@@ -2,6 +2,7 @@
 extraction (deterministic fake decoder), frame sampling layout."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -166,3 +167,41 @@ def test_parse_image_headers(ray_session):
             assert got["media_width"].isna()[i] and got["media_height"].isna()[i], i
         else:
             assert got["media_width"][i] == w and got["media_height"][i] == h, i
+
+
+def test_parse_wav_headers_vectorized(ray_session):
+    import struct
+
+    import ray.data as rd
+
+    from webval.multimodal import parse_wav_headers
+
+    def wav(sr, ch, bits, nsamp):
+        dsz = nsamp * ch * (bits // 8)
+        return (b"RIFF" + struct.pack("<I", 36 + dsz) + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, ch, sr,
+                              sr * ch * (bits // 8), ch * (bits // 8), bits)
+                + b"data" + struct.pack("<I", dsz))
+
+    good = wav(44100, 2, 16, 1234)
+    mono8 = wav(8000, 1, 8, 99)
+    rows = [
+        good,
+        mono8,
+        b"RIFX" + good[4:],                # wrong magic
+        good[:30],                         # too short
+        None,                              # null payload
+        b"RIFF\x00\x00\x00\x00WAVEfmt " + struct.pack(
+            "<IHHIIHH", 16, 3, 2, 44100, 1, 1, 16) + b"data\x00\x00\x00\x00",
+        # non-PCM audio_format=3 → rejected
+    ]
+    t = pa.table({"audio": pa.array(rows, pa.binary())})
+    out = parse_wav_headers(rd.from_arrow(t), "audio").to_pandas()
+    assert out.loc[0, "audio_sample_rate"] == 44100
+    assert out.loc[0, "audio_channels"] == 2
+    assert out.loc[0, "audio_bits"] == 16
+    assert out.loc[0, "audio_n_samples"] == 1234
+    assert out.loc[1, "audio_sample_rate"] == 8000
+    assert out.loc[1, "audio_n_samples"] == 99
+    for i in (2, 3, 4, 5):
+        assert pd.isna(out.loc[i, "audio_sample_rate"])

@@ -307,3 +307,87 @@ def parse_image_headers(ds, media_col: str, *, out_prefix: str | None = None,
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def parse_wav_headers(ds, media_col: str, *, out_prefix: str | None = None,
+                      batch_size: int | None = 1024):
+    """Append ``<prefix>sample_rate`` / ``<prefix>channels`` /
+    ``<prefix>bits`` (int32) and ``<prefix>n_samples`` (int64) parsed
+    codec-free from canonical 44-byte PCM WAV headers (RIFF/WAVE/fmt_/
+    data, audio_format == 1) — the audio twin of parse_image_headers.
+    Null for payloads that are null, too short, or not canonical PCM
+    (including zero-size frames, bits not a multiple of 8).  Fully
+    vectorized over the arrow binary buffers; no per-row Python.
+    """
+    import pyarrow.compute as pc
+
+    pre = f"{media_col}_" if out_prefix is None else out_prefix
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(media_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        col = col.cast(pa.large_binary())
+        bufs = col.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int64)[
+            col.offset: col.offset + n + 1]
+        data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+            else np.empty(0, np.uint8)
+        starts = offs[:-1]
+        lens = offs[1:] - starts
+        valid = np.asarray(
+            pc.is_valid(col).to_numpy(zero_copy_only=False), dtype=bool)
+
+        sr = np.full(n, -1, dtype=np.int64)
+        ch = np.full(n, -1, dtype=np.int64)
+        bits = np.full(n, -1, dtype=np.int64)
+        nsamp = np.full(n, -1, dtype=np.int64)
+
+        def byte(rows, k):
+            return data[starts[rows] + k].astype(np.int64)
+
+        def le16(rows, k):
+            return byte(rows, k) | (byte(rows, k + 1) << 8)
+
+        def le32(rows, k):
+            return le16(rows, k) | (le16(rows, k + 2) << 16)
+
+        rows = np.flatnonzero(valid & (lens >= 44))
+        if len(rows):
+            m = np.ones(len(rows), dtype=bool)
+            for k, want in [(0, 0x52), (1, 0x49), (2, 0x46), (3, 0x46),
+                            (8, 0x57), (9, 0x41), (10, 0x56), (11, 0x45),
+                            (12, 0x66), (13, 0x6D), (14, 0x74), (15, 0x20),
+                            (36, 0x64), (37, 0x61), (38, 0x74), (39, 0x61)]:
+                m &= byte(rows, k) == want
+            rows = rows[m]
+        if len(rows):
+            m = (le32(rows, 16) == 16) & (le16(rows, 20) == 1)
+            rows = rows[m]
+        if len(rows):
+            r_sr = le32(rows, 24)
+            r_ch = le16(rows, 22)
+            r_bits = le16(rows, 34)
+            r_dsz = le32(rows, 40)
+            block = r_ch * (r_bits // 8)
+            ok = (r_sr > 0) & (r_ch > 0) & (r_bits > 0) \
+                & (r_bits % 8 == 0) & (block > 0)
+            rows, r_sr, r_ch, r_bits, r_dsz, block = (
+                rows[ok], r_sr[ok], r_ch[ok], r_bits[ok], r_dsz[ok],
+                block[ok])
+            sr[rows], ch[rows], bits[rows] = r_sr, r_ch, r_bits
+            nsamp[rows] = r_dsz // block
+
+        known = sr >= 0
+        out = batch.append_column(f"{pre}sample_rate", pa.array(
+            sr.astype(np.int32), mask=~known))
+        out = out.append_column(f"{pre}channels", pa.array(
+            ch.astype(np.int32), mask=~known))
+        out = out.append_column(f"{pre}bits", pa.array(
+            bits.astype(np.int32), mask=~known))
+        out = out.append_column(f"{pre}n_samples", pa.array(nsamp,
+                                                            mask=~known))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

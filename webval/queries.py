@@ -4819,6 +4819,67 @@ SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n_bins,
 """
 
 
+def q_audio_stats(sf_dir: str):
+    """Codec-free audio header parsing, round-tripped: plant canonical
+    PCM WAV headers whose fields are pure functions of page_id
+    (sr = {16000,22050,44100}[id%3]; ch = 1+id%2; 16-bit;
+    n_samples = (id%1000)*100+1000), parse them back off the binary
+    column with parse_wav_headers, and aggregate per sample rate.  The
+    SQL twin recomputes the same aggregate from the id formulas — hashes
+    match only if the byte-level WAV parser is correct."""
+    import struct
+
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.multimodal import parse_wav_headers
+
+    pages_p, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages_p, columns=["page_id"])
+
+    def make_media(t: pa.Table) -> pa.Table:
+        ids = t.column("page_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            sr = (16000, 22050, 44100)[int(i % 3)]
+            ch = 1 + int(i % 2)
+            nsamp = int(i % 1000) * 100 + 1000
+            dsz = nsamp * ch * 2
+            payloads.append(
+                b"RIFF" + struct.pack("<I", 36 + dsz) + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ch * 2,
+                              ch * 2, 16)
+                + b"data" + struct.pack("<I", dsz))
+        return t.append_column("audio", pa.array(payloads, pa.binary()))
+
+    parsed = parse_wav_headers(
+        ds.map_batches(make_media, batch_format="pyarrow"), "audio")
+    proj = parsed.map_batches(
+        lambda t: pa.table({
+            "sample_rate": pc.cast(t.column("audio_sample_rate"),
+                                   pa.int64()),
+            "samp": t.column("audio_n_samples"),
+            "ch": pc.cast(t.column("audio_channels"), pa.int64())}),
+        batch_format="pyarrow")
+    out = grouped_agg(
+        proj, ["sample_rate"],
+        [("sample_rate", "count"), ("samp", "sum"), ("ch", "sum")],
+        rename={"sample_rate_count": "n", "samp_sum": "sum_samples",
+                "ch_sum": "sum_channels"})
+    return ds_to_table(out).sort_by([("sample_rate", "ascending")])
+
+
+SQL_AUDIO_STATS = f"""
+SELECT CASE CAST(page_id % 3 AS INT) WHEN 0 THEN 16000
+            WHEN 1 THEN 22050 ELSE 44100 END AS sample_rate,
+       count(*) AS n,
+       CAST(sum((page_id % 1000) * 100 + 1000) AS BIGINT) AS sum_samples,
+       CAST(sum(1 + page_id % 2) AS BIGINT) AS sum_channels
+FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -4957,4 +5018,5 @@ QUERIES = {
     "normalized_dup_groups": (q_normalized_dup_groups,
                               SQL_NORMALIZED_DUP_GROUPS),
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
+    "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
 }
