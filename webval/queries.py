@@ -4880,6 +4880,113 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_grouped_regression(sf_dir: str):
+    """Per-group least-squares slope/intercept (l_extendedprice vs
+    l_quantity per returnflag) from one pass of exchange-summed moment
+    columns — the grouped regr_slope/regr_intercept analytic, no
+    per-group data materialization anywhere."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(
+            pc.is_valid(t.column("l_returnflag").combine_chunks()),
+            pc.is_valid(t.column("l_quantity").combine_chunks())),
+            pc.is_valid(t.column("l_extendedprice").combine_chunks())))
+        x = t.column("l_quantity").combine_chunks() \
+             .to_numpy(zero_copy_only=False)
+        y = t.column("l_extendedprice").combine_chunks() \
+             .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "flag": t.column("l_returnflag"),
+            "one": pa.array(np.ones(len(x), dtype=np.int64)),
+            "x": pa.array(x), "y": pa.array(y),
+            "xx": pa.array(x * x), "xy": pa.array(x * y),
+        })
+
+    agg = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                      ["flag"],
+                      [("one", "sum"), ("x", "sum"), ("y", "sum"),
+                       ("xx", "sum"), ("xy", "sum")])
+    t = ds_to_table(agg).sort_by([("flag", "ascending")])
+    n = t.column("one_sum").to_numpy(zero_copy_only=False) \
+         .astype(np.float64)
+    sx = t.column("x_sum").to_numpy(zero_copy_only=False)
+    sy = t.column("y_sum").to_numpy(zero_copy_only=False)
+    sxx = t.column("xx_sum").to_numpy(zero_copy_only=False)
+    sxy = t.column("xy_sum").to_numpy(zero_copy_only=False)
+    slope = (sxy / n - sx / n * (sy / n)) / (sxx / n - (sx / n) ** 2)
+    intercept = sy / n - slope * (sx / n)
+    return _round_cols(pa.table({
+        "flag": t.column("flag"),
+        "n": pc.cast(t.column("one_sum"), pa.int64()),
+        "slope": pa.array(slope, pa.float64()),
+        "intercept": pa.array(intercept, pa.float64()),
+    }), {"slope": 4, "intercept": 4})
+
+
+SQL_GROUPED_REGRESSION = """
+SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+  AND l_extendedprice IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_weighted_avg(sf_dir: str):
+    """Weighted grouped average: revenue-weighted mean discount per
+    returnflag (weight = extendedprice) — sum(w·x)/sum(w) from exchange
+    partials, the SQL sum/sum idiom."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_discount", "l_extendedprice"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(
+            pc.is_valid(t.column("l_returnflag").combine_chunks()),
+            pc.is_valid(t.column("l_discount").combine_chunks())),
+            pc.is_valid(t.column("l_extendedprice").combine_chunks())))
+        w = t.column("l_extendedprice").combine_chunks() \
+             .to_numpy(zero_copy_only=False)
+        x = t.column("l_discount").combine_chunks() \
+             .to_numpy(zero_copy_only=False)
+        return pa.table({"flag": t.column("l_returnflag"),
+                         "w": pa.array(w), "wx": pa.array(w * x)})
+
+    agg = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                      ["flag"], [("w", "sum"), ("wx", "sum")])
+    t = ds_to_table(agg).sort_by([("flag", "ascending")])
+    w = t.column("w_sum").to_numpy(zero_copy_only=False)
+    wx = t.column("wx_sum").to_numpy(zero_copy_only=False)
+    return _round_cols(pa.table({
+        "flag": t.column("flag"),
+        "wavg_discount": pa.array(wx / w, pa.float64()),
+    }), {"wavg_discount": 6})
+
+
+SQL_WEIGHTED_AVG = """
+SELECT l_returnflag AS flag,
+       round(sum(l_extendedprice * l_discount) / sum(l_extendedprice), 6)
+           AS wavg_discount
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_discount IS NOT NULL
+  AND l_extendedprice IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -5019,4 +5126,6 @@ QUERIES = {
                               SQL_NORMALIZED_DUP_GROUPS),
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
     "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
+    "grouped_regression": (q_grouped_regression, SQL_GROUPED_REGRESSION),
+    "weighted_avg": (q_weighted_avg, SQL_WEIGHTED_AVG),
 }
