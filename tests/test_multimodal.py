@@ -205,3 +205,20 @@ def test_parse_wav_headers_vectorized(ray_session):
     assert out.loc[1, "audio_n_samples"] == 99
     for i in (2, 3, 4, 5):
         assert pd.isna(out.loc[i, "audio_sample_rate"])
+
+
+def test_parse_wav_headers_rejects_int32_overflow_rate(ray_session):
+    """Review r3s5: a crafted sample-rate field above INT32_MAX must be
+    rejected, not wrapped into a negative 'valid' rate."""
+    import struct
+
+    import ray.data as rd
+
+    from webval.multimodal import parse_wav_headers
+
+    bad = (b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 2, 0x8000000A, 1, 4, 16)
+           + b"data" + struct.pack("<I", 0))
+    t = pa.table({"audio": pa.array([bad], pa.binary())})
+    out = parse_wav_headers(rd.from_arrow(t), "audio").to_pandas()
+    assert pd.isna(out.loc[0, "audio_sample_rate"])

@@ -219,6 +219,29 @@ def _jpeg_dims(b: bytes, max_scan: int) -> tuple[int, int] | None:
     return None
 
 
+def _binary_buffers(col):
+    """Zero-copy view of an arrow binary column for vectorized byte-level
+    parsing: returns (starts, lens, data, valid) numpy arrays — the shared
+    scaffolding of parse_image_headers / parse_wav_headers (extracted r3s5
+    after the two copies drifted on the int32-overflow guard)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    col = col.cast(pa.large_binary())
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[
+        col.offset: col.offset + n + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, np.uint8)
+    starts = offs[:-1]
+    lens = offs[1:] - starts
+    valid = np.asarray(
+        pc.is_valid(col).to_numpy(zero_copy_only=False), dtype=bool)
+    return starts, lens, data, valid
+
+
 def parse_image_headers(ds, media_col: str, *, out_prefix: str | None = None,
                         max_jpeg_scan: int = 65536,
                         batch_size: int | None = 1024):
@@ -232,19 +255,8 @@ def parse_image_headers(ds, media_col: str, *, out_prefix: str | None = None,
 
     def fn(batch: pa.Table) -> pa.Table:
         col = batch.column(media_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
         n = len(col)
-        col = col.cast(pa.large_binary())
-        bufs = col.buffers()
-        offs = np.frombuffer(bufs[1], dtype=np.int64)[
-            col.offset: col.offset + n + 1]
-        data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
-            else np.empty(0, np.uint8)
-        starts = offs[:-1]
-        lens = offs[1:] - starts
-        valid = np.asarray(
-            pc.is_valid(col).to_numpy(zero_copy_only=False), dtype=bool)
+        starts, lens, data, valid = _binary_buffers(col)
 
         fmt = np.full(n, None, dtype=object)
         width = np.full(n, -1, dtype=np.int64)
@@ -325,19 +337,8 @@ def parse_wav_headers(ds, media_col: str, *, out_prefix: str | None = None,
 
     def fn(batch: pa.Table) -> pa.Table:
         col = batch.column(media_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
         n = len(col)
-        col = col.cast(pa.large_binary())
-        bufs = col.buffers()
-        offs = np.frombuffer(bufs[1], dtype=np.int64)[
-            col.offset: col.offset + n + 1]
-        data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
-            else np.empty(0, np.uint8)
-        starts = offs[:-1]
-        lens = offs[1:] - starts
-        valid = np.asarray(
-            pc.is_valid(col).to_numpy(zero_copy_only=False), dtype=bool)
+        starts, lens, data, valid = _binary_buffers(col)
 
         sr = np.full(n, -1, dtype=np.int64)
         ch = np.full(n, -1, dtype=np.int64)
@@ -371,8 +372,11 @@ def parse_wav_headers(ds, media_col: str, *, out_prefix: str | None = None,
             r_bits = le16(rows, 34)
             r_dsz = le32(rows, 40)
             block = r_ch * (r_bits // 8)
-            ok = (r_sr > 0) & (r_ch > 0) & (r_bits > 0) \
-                & (r_bits % 8 == 0) & (block > 0)
+            # r_sr < 2^31: a crafted 32-bit field above INT32_MAX would
+            # otherwise wrap negative in the int32 output (same invariant
+            # parse_image_headers enforces on PNG dims)
+            ok = (r_sr > 0) & (r_sr < (1 << 31)) & (r_ch > 0) \
+                & (r_bits > 0) & (r_bits % 8 == 0) & (block > 0)
             rows, r_sr, r_ch, r_bits, r_dsz, block = (
                 rows[ok], r_sr[ok], r_ch[ok], r_bits[ok], r_dsz[ok],
                 block[ok])

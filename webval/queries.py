@@ -4904,17 +4904,16 @@ def q_grouped_regression(sf_dir: str):
              .to_numpy(zero_copy_only=False)
         return pa.table({
             "flag": t.column("l_returnflag"),
-            "one": pa.array(np.ones(len(x), dtype=np.int64)),
             "x": pa.array(x), "y": pa.array(y),
             "xx": pa.array(x * x), "xy": pa.array(x * y),
         })
 
     agg = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
                       ["flag"],
-                      [("one", "sum"), ("x", "sum"), ("y", "sum"),
+                      [("x", "count"), ("x", "sum"), ("y", "sum"),
                        ("xx", "sum"), ("xy", "sum")])
     t = ds_to_table(agg).sort_by([("flag", "ascending")])
-    n = t.column("one_sum").to_numpy(zero_copy_only=False) \
+    n = t.column("x_count").to_numpy(zero_copy_only=False) \
          .astype(np.float64)
     sx = t.column("x_sum").to_numpy(zero_copy_only=False)
     sy = t.column("y_sum").to_numpy(zero_copy_only=False)
@@ -4924,7 +4923,7 @@ def q_grouped_regression(sf_dir: str):
     intercept = sy / n - slope * (sx / n)
     return _round_cols(pa.table({
         "flag": t.column("flag"),
-        "n": pc.cast(t.column("one_sum"), pa.int64()),
+        "n": pc.cast(t.column("x_count"), pa.int64()),
         "slope": pa.array(slope, pa.float64()),
         "intercept": pa.array(intercept, pa.float64()),
     }), {"slope": 4, "intercept": 4})
