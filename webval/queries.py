@@ -4986,6 +4986,63 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_triangles(sf_dir: str):
+    """Directed triangle count over the link graph (a→b, b→c, a→c — the
+    graph-integrity density probe): distinct edges, a co-bucketed
+    two-hop equi-join, then a composite-key SEMI join of the (a, c)
+    closing pairs against the edge set — three exchanges, counts summed
+    per block; no edge list ever lands on the driver."""
+    import ray.data as rd
+
+    from webval.exchange import distinct_rows, sum_block_scalars
+    from webval.joins import equi_join
+
+    _, links_p = ensure_synth(sf_dir)
+    raw = rd.read_parquet(links_p, columns=["src_url", "dst_url"])
+    proj = raw.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.is_valid(t.column("src_url").combine_chunks()),
+            pc.is_valid(t.column("dst_url").combine_chunks()))),
+        batch_format="pyarrow")
+    # distinct edges, materialized: three consumers (two-hop left/right +
+    # the closing semi-join probe)
+    edges = distinct_rows(proj, ["src_url", "dst_url"]).materialize()
+
+    hop1 = edges.map_batches(
+        lambda t: t.rename_columns(["a", "b"]), batch_format="pyarrow")
+    hop2 = edges.map_batches(
+        lambda t: t.rename_columns(["b", "c"]), batch_format="pyarrow")
+    # materialized: feeds both the path counter and the closing semi-join
+    two_hop = equi_join(hop1, hop2, on="b", how="inner").materialize()
+    hop_parts = two_hop.map_batches(
+        lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
+        batch_format="pyarrow")
+    n_paths = sum_block_scalars(hop_parts.materialize(), ["n"])["n"]
+    closing = two_hop.map_batches(
+        lambda t: t.select(["a", "c"]), batch_format="pyarrow")
+    probe = edges.map_batches(
+        lambda t: t.rename_columns(["a", "c"]), batch_format="pyarrow")
+    tri = equi_join(closing, probe, on=["a", "c"], how="semi")
+    parts = tri.map_batches(
+        lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
+        batch_format="pyarrow")
+    n = sum_block_scalars(parts.materialize(), ["n"])["n"]
+    return pa.table({"n_two_hop_paths": pa.array([n_paths], pa.int64()),
+                     "n_triangles": pa.array([n], pa.int64())})
+
+
+SQL_TRIANGLES = f"""
+WITH e AS (SELECT DISTINCT src_url, dst_url
+           FROM read_parquet('{SYNTH_ROOT}/sf0.01/links.parquet')
+           WHERE src_url IS NOT NULL AND dst_url IS NOT NULL)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e e1
+        JOIN e e2 ON e1.dst_url = e2.src_url) AS n_two_hop_paths,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1 JOIN e e2 ON e1.dst_url = e2.src_url
+JOIN e e3 ON e3.src_url = e1.src_url AND e3.dst_url = e2.dst_url
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -5127,4 +5184,5 @@ QUERIES = {
     "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
     "grouped_regression": (q_grouped_regression, SQL_GROUPED_REGRESSION),
     "weighted_avg": (q_weighted_avg, SQL_WEIGHTED_AVG),
+    "triangles": (q_triangles, SQL_TRIANGLES),
 }
