@@ -5043,6 +5043,101 @@ JOIN e e3 ON e3.src_url = e1.src_url AND e3.dst_url = e2.dst_url
 """
 
 
+def q_geo_mean(sf_dir: str):
+    """Grouped geometric mean (exp of the mean log — the multiplicative
+    average for skewed positive metrics) of l_extendedprice per
+    returnflag, from one exchange pass of (Σ ln x, n) partials."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.is_valid(t.column("l_returnflag").combine_chunks()),
+            pc.is_valid(t.column("l_extendedprice").combine_chunks())))
+        x = t.column("l_extendedprice").combine_chunks() \
+             .to_numpy(zero_copy_only=False)
+        keep = x > 0
+        return pa.table({
+            "flag": t.column("l_returnflag").combine_chunks()
+                     .filter(pa.array(keep)),
+            "lx": pa.array(np.log(x[keep])),
+        })
+
+    agg = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                      ["flag"], [("lx", "count"), ("lx", "sum")])
+    t = ds_to_table(agg).sort_by([("flag", "ascending")])
+    n = t.column("lx_count").to_numpy(zero_copy_only=False) \
+         .astype(np.float64)
+    s = t.column("lx_sum").to_numpy(zero_copy_only=False)
+    return _round_cols(pa.table({
+        "flag": t.column("flag"),
+        "n": pc.cast(t.column("lx_count"), pa.int64()),
+        "geo_mean": pa.array(np.exp(s / n), pa.float64()),
+    }), {"geo_mean": 4})
+
+
+SQL_GEO_MEAN = """
+SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+       round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_extendedprice > 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_gini_hosts(sf_dir: str):
+    """Gini coefficient of the per-host page-count distribution — the
+    crawl-coverage-inequality probe (0 = perfectly even crawl, →1 = one
+    host dominates).  Host counts come off the exchange; the rank-sum
+    finalize runs on the (host-cardinality-sized) count table."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["url"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        u = t.column("url").combine_chunks()
+        host = pc.struct_field(pc.extract_regex(u, _HOST_RE), "host")
+        return pa.table({"host": host.filter(pc.is_valid(host))})
+
+    counts = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                         ["host"], [("host", "count")],
+                         rename={"host_count": "cnt"})
+    t = ds_to_table(counts)
+    x = np.sort(t.column("cnt").to_numpy(zero_copy_only=False)
+                 .astype(np.float64))
+    n = len(x)
+    if n == 0 or x.sum() == 0:
+        gini = 0.0
+    else:
+        i = np.arange(1, n + 1, dtype=np.float64)
+        gini = float((2.0 * (i * x).sum()) / (n * x.sum()) - (n + 1.0) / n)
+    return _round_cols(pa.table({
+        "n_hosts": pa.array([n], pa.int64()),
+        "gini": pa.array([gini], pa.float64()),
+    }), {"gini": 6})
+
+
+SQL_GINI_HOSTS = f"""
+WITH c AS (SELECT regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1)
+               AS host, CAST(count(*) AS DOUBLE) AS cnt
+           FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+           WHERE regexp_matches(url, '^https?://([a-z0-9-]+)\\.')
+           GROUP BY 1),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, host) AS i FROM c)
+SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+       round(2.0 * sum(i * cnt) / (count(*) * sum(cnt))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM r
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -5185,4 +5280,6 @@ QUERIES = {
     "grouped_regression": (q_grouped_regression, SQL_GROUPED_REGRESSION),
     "weighted_avg": (q_weighted_avg, SQL_WEIGHTED_AVG),
     "triangles": (q_triangles, SQL_TRIANGLES),
+    "geo_mean": (q_geo_mean, SQL_GEO_MEAN),
+    "gini_hosts": (q_gini_hosts, SQL_GINI_HOSTS),
 }
