@@ -5138,6 +5138,68 @@ FROM r
 """
 
 
+def q_benford_digits(sf_dir: str):
+    """Benford's-law first-digit audit of l_extendedprice (the classic
+    fabricated-numbers screen): observed first-digit counts of the
+    integer part plus the chi-square statistic against the Benford
+    expectation.  Digit extraction is pure int64 arithmetic (floor, then
+    divide by 10 until < 10) so both engines agree exactly."""
+    import math
+
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        x = t.column("l_extendedprice").combine_chunks()
+        x = x.filter(pc.is_valid(x)).to_numpy(zero_copy_only=False)
+        d = np.floor(np.abs(x)).astype(np.int64)
+        d = d[d >= 1]
+        while (d >= 10).any():
+            d = np.where(d >= 10, d // 10, d)
+        return pa.table({"digit": pa.array(d)})
+
+    counts = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                         ["digit"], [("digit", "count")],
+                         rename={"digit_count": "cnt"})
+    t = ds_to_table(counts).sort_by([("digit", "ascending")])
+    dig = t.column("digit").to_numpy(zero_copy_only=False)
+    cnt = t.column("cnt").to_numpy(zero_copy_only=False) \
+           .astype(np.float64)
+    n = cnt.sum()
+    obs = np.zeros(9)
+    obs[dig - 1] = cnt
+    exp = np.array([math.log10(1 + 1 / k) for k in range(1, 10)]) * n
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    out = pa.table({
+        "digit": pc.cast(t.column("digit"), pa.int64()),
+        "cnt": pc.cast(t.column("cnt"), pa.int64()),
+        "chi2_vs_benford": pa.array([chi2] * len(dig), pa.float64()),
+    })
+    return _round_cols(out, {"chi2_vs_benford": 4})
+
+
+SQL_BENFORD_DIGITS = """
+WITH d0 AS (SELECT CAST(floor(abs(l_extendedprice)) AS BIGINT) AS d
+            FROM lineitem WHERE l_extendedprice IS NOT NULL),
+d AS (SELECT CAST(substr(CAST(d AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM d0 WHERE d >= 1),
+c AS (SELECT digit, CAST(count(*) AS DOUBLE) AS cnt FROM d GROUP BY 1),
+n AS (SELECT sum(cnt) AS n FROM c),
+x AS (SELECT sum((COALESCE(c.cnt, 0) - log10(1.0 + 1.0 / k.k) * n.n)
+                 * (COALESCE(c.cnt, 0) - log10(1.0 + 1.0 / k.k) * n.n)
+                 / (log10(1.0 + 1.0 / k.k) * n.n)) AS chi2
+      FROM (SELECT unnest(range(1, 10)) AS k) k
+      CROSS JOIN n LEFT JOIN c ON c.digit = k.k)
+SELECT c.digit, CAST(c.cnt AS BIGINT) AS cnt,
+       round((SELECT chi2 FROM x), 4) AS chi2_vs_benford
+FROM c ORDER BY c.digit
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -5282,4 +5344,5 @@ QUERIES = {
     "triangles": (q_triangles, SQL_TRIANGLES),
     "geo_mean": (q_geo_mean, SQL_GEO_MEAN),
     "gini_hosts": (q_gini_hosts, SQL_GINI_HOSTS),
+    "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
 }
