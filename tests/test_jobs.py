@@ -50,3 +50,34 @@ def test_run_full_check_job_and_resume(tmp_path, capsys):
     assert summary2["units_skipped"] == 2
     assert summary2["rows"] == summary["rows"]
     assert os.path.getmtime(out / "schema.json") == mtime
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_run_curation_job(tmp_path, capsys):
+    from run_curation import main
+
+    import pyarrow as pa
+
+    inp = tmp_path / "docs"
+    inp.mkdir()
+    texts = (["alpha beta gamma delta epsilon zeta eta theta"] * 3
+             + [f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h w{i}j"
+                for i in range(40)])                    # dup group → 1 kept
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}), inp / "part-0.parquet")
+    out = tmp_path / "curated"
+
+    rc = main(["--input", str(inp), "--out", str(out),
+               "--dedup", "exact", "--min-docs", "50",
+               "--window", "8", "--overlap", "2"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_in"] == 43
+    assert summary["chunks"] > 0
+    got = pq.read_table(out)
+    assert set(got.column_names) >= {"doc_id", "chunk_id", "chunk_text",
+                                     "n_tokens"}
+    # exact dedup kept ONE of the three identical docs (the min id)
+    ids = set(got.column("doc_id").to_pylist())
+    assert 0 in ids and 1 not in ids and 2 not in ids
