@@ -5200,6 +5200,85 @@ FROM c ORDER BY c.digit
 """
 
 
+def _hourly_counts_table(sf_dir: str) -> pa.Table:
+    """Shared: exact events-per-hour through the exchange, sorted (the
+    small series the time-series diagnostics finalize on)."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").combine_chunks()
+        ts = ts.filter(pc.is_valid(ts))
+        return pa.table({"h_us": pc.cast(
+            pc.floor_temporal(ts, unit="hour"), pa.int64())})
+
+    counts = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                         ["h_us"], [("h_us", "count")],
+                         rename={"h_us_count": "cnt"})
+    return ds_to_table(counts).sort_by([("h_us", "ascending")])
+
+
+def q_cusum_changepoint(sf_dir: str):
+    """CUSUM level-shift detection on the hourly event-count series: the
+    hour where the cumulative sum of (count − mean) attains its maximum
+    absolute value — the classic single-changepoint estimate.  Series is
+    exchange-built and hour-sized; ties break to the earliest hour on
+    both engines."""
+    t = _hourly_counts_table(sf_dir)
+    c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+    h = t.column("h_us").to_numpy(zero_copy_only=False)
+    s = np.cumsum(c - c.mean())
+    i = int(np.argmax(np.abs(s)))        # first max — earliest-hour tie rule
+    return _round_cols(pa.table({
+        "cp_hour": pa.array([h[i]]).cast(pa.timestamp("us")),
+        "max_abs_cusum": pa.array([abs(float(s[i]))], pa.float64()),
+    }), {"max_abs_cusum": 6})
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+s AS (SELECT hour,
+             sum(cnt - (SELECT avg(cnt) FROM c)) OVER
+                 (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS cus
+      FROM c)
+SELECT hour AS cp_hour, round(abs(cus), 6) AS max_abs_cusum
+FROM s ORDER BY abs(cus) DESC, hour LIMIT 1
+"""
+
+
+def q_lag1_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the hourly event-count series (the
+    self-similarity / seasonality screen): Pearson corr of consecutive
+    ordered rows — corr(x_t, x_{t-1}) over the hour-ordered series (gaps,
+    if any, pair across them; the fixture's hours are dense)."""
+    t = _hourly_counts_table(sf_dir)
+    c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+    x, y = c[1:], c[:-1]
+    n = len(x)
+    vx = (x * x).sum() * n - x.sum() ** 2
+    vy = (y * y).sum() * n - y.sum() ** 2
+    r = (n * (x * y).sum() - x.sum() * y.sum()) / np.sqrt(vx * vy)
+    return _round_cols(pa.table({
+        "n_pairs": pa.array([n], pa.int64()),
+        "lag1_autocorr": pa.array([float(r)], pa.float64()),
+    }), {"lag1_autocorr": 6})
+
+
+SQL_LAG1_AUTOCORR = """
+WITH c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+p AS (SELECT cnt AS x, lag(cnt) OVER (ORDER BY hour) AS y FROM c)
+SELECT CAST(count(y) AS BIGINT) AS n_pairs,
+       round(corr(x, y), 6) AS lag1_autocorr
+FROM p WHERE y IS NOT NULL
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -5345,4 +5424,6 @@ QUERIES = {
     "geo_mean": (q_geo_mean, SQL_GEO_MEAN),
     "gini_hosts": (q_gini_hosts, SQL_GINI_HOSTS),
     "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
+    "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
+    "lag1_autocorr": (q_lag1_autocorr, SQL_LAG1_AUTOCORR),
 }
