@@ -155,3 +155,59 @@ def test_contingency_stats_hand_computed():
 
     # degenerate: a single effective row → no association measurable
     assert contingency_stats([[5, 5], [0, 0]]) == (0.0, 0, 0.0)
+
+
+def test_drift_measure_properties_hypothesis():
+    """Property-based invariants of the drift measures (no Ray needed):
+    identity → zero, scale invariance, and range bounds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from webval.drift import contingency_stats, js_divergence, ks_statistic, psi
+
+    counts = st.lists(st.integers(min_value=0, max_value=10_000),
+                      min_size=2, max_size=30)
+
+    @settings(max_examples=150, deadline=None)
+    @given(counts, counts, st.integers(min_value=1, max_value=7))
+    def check(a, b, scale):
+        a = np.asarray(a, dtype=float)
+        b = np.asarray(b, dtype=float)[: len(a)]
+        b = np.pad(b, (0, len(a) - len(b)))
+        if a.sum() > 0:
+            # identity → 0; scaling counts changes nothing (distributions)
+            assert psi(a, a) == pytest.approx(0.0, abs=1e-12)
+            assert js_divergence(a, a) == pytest.approx(0.0, abs=1e-12)
+            assert ks_statistic(a, a) == pytest.approx(0.0, abs=1e-12)
+            assert psi(a, a * scale) == pytest.approx(0.0, abs=1e-9)
+        if a.sum() > 0 and b.sum() > 0:
+            assert 0.0 <= js_divergence(a, b) <= 1.0 + 1e-12
+            assert 0.0 <= ks_statistic(a, b) <= 1.0 + 1e-12
+            assert psi(a, b) >= -1e-12
+            assert psi(a, b) == pytest.approx(psi(a * scale, b), abs=1e-9)
+
+    check()
+
+
+def test_contingency_stats_properties_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from webval.drift import contingency_stats
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.lists(st.integers(min_value=0, max_value=500),
+                             min_size=2, max_size=6),
+                    min_size=2, max_size=6))
+    def check(rows):
+        w = len(rows[0])
+        m = np.array([r[:w] + [0] * (w - len(r)) for r in rows], dtype=float)
+        stat, dof, v = contingency_stats(m)
+        assert stat >= 0 and dof >= 0
+        assert 0.0 <= v <= 1.0 + 1e-9
+        # row/col permutation invariance
+        stat2, dof2, v2 = contingency_stats(m[::-1, ::-1])
+        assert stat2 == pytest.approx(stat, rel=1e-9, abs=1e-9)
+        assert (dof2, round(v2, 9)) == (dof, round(v, 9))
+
+    check()
