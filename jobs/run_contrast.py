@@ -1,0 +1,81 @@
+"""Cluster job entry point for the P3 drift-monitoring loop: build a
+schema from the CURRENT data, contrast it against a saved BASELINE
+schema (rdv's Schema.contrast), and write the drift report JSON — the
+third job surface alongside run_full_check (P2) and run_curation.
+
+    ray job submit --address http://<head>:8265 \
+        --working-dir /path/to/repo -- \
+        python jobs/run_contrast.py --input /data/webpages_today \
+            --baseline /data/check_out/schema.json \
+            --out /data/drift/2026-08-18.json
+
+Exit code 0 = no column drifted past thresholds, 2 = drift detected
+(report written either way) — cron-able as a data-quality gate.  With
+``--per-partition`` the report also contains one row per ``part_id``
+partition (partition_report), flagging WHICH shard drifted.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--input", required=True,
+                    help="current webpages parquet file/dir")
+    ap.add_argument("--baseline", required=True,
+                    help="baseline SchemaSpec JSON (e.g. run_full_check's "
+                         "schema.json)")
+    ap.add_argument("--out", required=True, help="drift report JSON path")
+    ap.add_argument("--sample-fraction", type=float, default=1.0,
+                    help="current-side build sample")
+    ap.add_argument("--max-js", type=float, default=0.1)
+    ap.add_argument("--max-psi", type=float, default=0.25)
+    ap.add_argument("--min-chi2-p", type=float, default=0.001)
+    ap.add_argument("--per-partition", action="store_true",
+                    help="also emit a per-part_id partition report")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(ignore_reinit_error=True)
+    import ray.data as rd
+
+    from webval.api import Schema
+    from webval.pipelines import build_schema, contrast, partition_report
+
+    base = Schema.load(args.baseline).spec
+    kinds = {p.name: p.kind for p in base.columns}
+    cols = [c for c in kinds]
+    cur_ds = rd.read_parquet(args.input, columns=cols)
+    cur = build_schema(cur_ds, kinds, name="current",
+                      sample_fraction=args.sample_fraction)
+
+    report = contrast(base, cur, max_js=args.max_js, max_psi=args.max_psi,
+                      min_chi2_p=args.min_chi2_p)
+    if args.per_partition:
+        pr = partition_report(
+            rd.read_parquet(args.input, columns=cols + ["part_id"]),
+            base, "part_id", max_js=args.max_js,
+            min_chi2_p=args.min_chi2_p)
+        report["partitions"] = json.loads(pr.to_json(orient="records"))
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    tmp = f"{args.out}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(report, f, sort_keys=True, default=float)
+    os.replace(tmp, args.out)
+    print(json.dumps({"job": "run_contrast", "out": args.out,
+                      "drifted": bool(report["drifted"])}, sort_keys=True))
+    return 2 if report["drifted"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

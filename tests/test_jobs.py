@@ -81,3 +81,44 @@ def test_run_curation_job(tmp_path, capsys):
     # exact dedup kept ONE of the three identical docs (the min id)
     ids = set(got.column("doc_id").to_pylist())
     assert 0 in ids and 1 not in ids and 2 not in ids
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_run_contrast_job_detects_planted_drift(tmp_path, capsys):
+    from run_contrast import main
+
+    import ray.data as rd
+
+    from webval.api import Schema
+    from webval.synth import gen_webpages_table
+
+    clean = tmp_path / "clean"
+    drifted = tmp_path / "drifted"
+    for d, kw in ((clean, {}), (drifted, {"drift_part": 2})):
+        d.mkdir()
+        pq.write_table(gen_webpages_table(np.arange(600), rows_per_part=100,
+                                          **kw), d / "part-0.parquet")
+
+    kinds = {"url": "text", "text": "text", "lang": "categorical",
+             "warc_ts": "timestamp"}
+    base_path = tmp_path / "baseline.json"
+    Schema(name="baseline").build(
+        rd.read_parquet(str(clean), columns=list(kinds)), kinds) \
+        .save(str(base_path))
+
+    out_ok = tmp_path / "rep_ok.json"
+    rc = main(["--input", str(clean), "--baseline", str(base_path),
+               "--out", str(out_ok)])
+    assert rc == 0
+    rep = json.load(open(out_ok))
+    assert rep["drifted"] is False
+
+    out_bad = tmp_path / "rep_bad.json"
+    rc = main(["--input", str(drifted), "--baseline", str(base_path),
+               "--out", str(out_bad), "--per-partition"])
+    assert rc == 2
+    rep = json.load(open(out_bad))
+    assert rep["drifted"] is True and rep["columns"]["text"]["drifted"]
+    # the per-partition report flags the planted partition
+    parts = {p["part_id"]: p for p in rep["partitions"]}
+    assert any(p.get("drifted") for p in parts.values())
