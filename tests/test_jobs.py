@@ -122,3 +122,32 @@ def test_run_contrast_job_detects_planted_drift(tmp_path, capsys):
     # the per-partition report flags the planted partition
     parts = {p["part_id"]: p for p in rep["partitions"]}
     assert any(p.get("drifted") for p in parts.values())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jobs_compose_full_check_schema_feeds_contrast(tmp_path, capsys):
+    """The operational loop across job surfaces: run_full_check persists
+    schema.json; run_contrast consumes it unchanged as the baseline."""
+    from run_contrast import main as contrast_main
+    from run_full_check import main as check_main
+
+    from webval.synth import gen_webpages_table
+
+    inp = tmp_path / "pages"
+    inp.mkdir()
+    pq.write_table(gen_webpages_table(np.arange(600), rows_per_part=100),
+                   inp / "part-0.parquet")
+    out = tmp_path / "check_out"
+    # sample-fraction 1.0: at 600 fixture rows a 10% sampled baseline has
+    # enough sampling noise to legitimately trip the drift thresholds
+    assert check_main(["--input", str(inp), "--out", str(out),
+                       "--sample-fraction", "1.0"]) == 0
+
+    rep = tmp_path / "drift.json"
+    rc = contrast_main(["--input", str(inp),
+                        "--baseline", str(out / "schema.json"),
+                        "--out", str(rep)])
+    capsys.readouterr()
+    # same data vs its own sampled-build schema: nothing drifts
+    assert rc == 0
+    assert json.load(open(rep))["drifted"] is False
