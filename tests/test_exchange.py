@@ -168,3 +168,37 @@ def test_grouped_approx_distinct_accuracy(ray_session):
     got2 = grouped_approx_distinct(rd.from_arrow(t2), "k", "v") \
         .to_pandas()
     assert list(got2["k"]) == ["x"] and list(got2["approx_distinct"]) == [1]
+
+
+def test_exchange_results_invariant_to_bucket_count(ray_session):
+    """Shuffle-shape invariance: the SAME answer at num_buckets 3, 8 and
+    64 for representative session-5 exchange ops (a cluster-size change
+    must never change results)."""
+    import ray.data as rd
+
+    from webval.aggregates import grouped_mode
+    from webval.windows import retention_cells
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 150, n)),
+        "v": pa.array(rng.choice(list("abcdef"), n).astype(object)),
+        "ts": pa.array(rng.integers(0, 30 * 86_400_000_000, n))
+                .cast(pa.timestamp("us")),
+    })
+
+    def canon(ds, keys):
+        df = ds.to_pandas().sort_values(keys).reset_index(drop=True)
+        return df.to_csv(index=False)
+
+    outs = [canon(grouped_mode(rd.from_arrow(t).repartition(5), "k", "v",
+                               num_buckets=b), ["k"])
+            for b in (3, 8, 64)]
+    assert outs[0] == outs[1] == outs[2]
+
+    rets = [canon(retention_cells(rd.from_arrow(t).repartition(5),
+                                  key="k", ts_col="ts", num_buckets=b),
+                  ["cohort_us", "day_offset"])
+            for b in (3, 8, 64)]
+    assert rets[0] == rets[1] == rets[2]
