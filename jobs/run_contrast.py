@@ -9,10 +9,14 @@ third job surface alongside run_full_check (P2) and run_curation.
             --baseline /data/check_out/schema.json \
             --out /data/drift/2026-08-18.json
 
-Exit code 0 = no column drifted past thresholds, 2 = drift detected
-(report written either way) — cron-able as a data-quality gate.  With
+Exit code 0 = no drift past thresholds, 2 = drift detected (report
+written either way) — cron-able as a data-quality gate.  With
 ``--per-partition`` the report also contains one row per ``part_id``
-partition (partition_report), flagging WHICH shard drifted.
+partition (partition_report), flagging WHICH shard drifted, and a
+localized drift in any single shard fails the gate even when the global
+distributions dilute it below the thresholds.  A baseline whose schema
+records pre-stages (extraction etc.) has them replayed on the current
+side automatically.
 """
 
 from __future__ import annotations
@@ -40,6 +44,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-chi2-p", type=float, default=0.001)
     ap.add_argument("--per-partition", action="store_true",
                     help="also emit a per-part_id partition report")
+    ap.add_argument("--drift-cols", default=None,
+                    help="comma-separated columns for the per-partition "
+                         "drift flags (default: all profiled columns; "
+                         "restrict to content columns — id-like or "
+                         "time-ordered columns drift in EVERY partition "
+                         "against a global baseline by construction)")
     args = ap.parse_args(argv)
 
     import ray
@@ -50,22 +60,41 @@ def main(argv: list[str] | None = None) -> int:
 
     from webval.api import Schema
     from webval.pipelines import build_schema, contrast, partition_report
+    from webval.stages import apply_pre_stages
 
     base = Schema.load(args.baseline).spec
     kinds = {p.name: p.kind for p in base.columns}
     cols = [c for c in kinds]
-    cur_ds = rd.read_parquet(args.input, columns=cols)
-    cur = build_schema(cur_ds, kinds, name="current",
-                      sample_fraction=args.sample_fraction)
+    # a baseline built with pre-stages (e.g. html->text extraction) records
+    # them in its JSON; the current side must replay the SAME stages or we
+    # would contrast raw vs extracted distributions (or fail to find the
+    # post-stage column in the parquet at all)
+    pre = list(getattr(base, "pre_stages", None) or [])
+    read_cols = None if pre else cols
+
+    def load(extra: list[str] | None = None):
+        rc = read_cols if extra is None or read_cols is None \
+            else read_cols + extra
+        ds = rd.read_parquet(args.input, columns=rc)
+        return apply_pre_stages(ds, pre)
+
+    cur = build_schema(load(), kinds, name="current",
+                       sample_fraction=args.sample_fraction)
 
     report = contrast(base, cur, max_js=args.max_js, max_psi=args.max_psi,
                       min_chi2_p=args.min_chi2_p)
+    drifted = bool(report["drifted"])
     if args.per_partition:
-        pr = partition_report(
-            rd.read_parquet(args.input, columns=cols + ["part_id"]),
-            base, "part_id", max_js=args.max_js,
-            min_chi2_p=args.min_chi2_p)
+        dcols = (args.drift_cols.split(",") if args.drift_cols else None)
+        pr = partition_report(load(["part_id"]), base, "part_id",
+                              max_js=args.max_js,
+                              min_chi2_p=args.min_chi2_p,
+                              drift_cols=dcols)
         report["partitions"] = json.loads(pr.to_json(orient="records"))
+        # the exit-code gate must catch LOCALIZED drift too: one bad shard
+        # diluted below the global thresholds still fails the cron gate
+        drifted = drifted or any(p.get("drifted") for p in
+                                 report["partitions"])
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     tmp = f"{args.out}.tmp.{os.getpid()}"
@@ -73,8 +102,8 @@ def main(argv: list[str] | None = None) -> int:
         json.dump(report, f, sort_keys=True, default=float)
     os.replace(tmp, args.out)
     print(json.dumps({"job": "run_contrast", "out": args.out,
-                      "drifted": bool(report["drifted"])}, sort_keys=True))
-    return 2 if report["drifted"] else 0
+                      "drifted": drifted}, sort_keys=True))
+    return 2 if drifted else 0
 
 
 if __name__ == "__main__":

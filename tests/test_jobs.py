@@ -115,13 +115,16 @@ def test_run_contrast_job_detects_planted_drift(tmp_path, capsys):
 
     out_bad = tmp_path / "rep_bad.json"
     rc = main(["--input", str(drifted), "--baseline", str(base_path),
-               "--out", str(out_bad), "--per-partition"])
+               "--out", str(out_bad), "--per-partition",
+               "--drift-cols", "text,lang"])
     assert rc == 2
     rep = json.load(open(out_bad))
     assert rep["drifted"] is True and rep["columns"]["text"]["drifted"]
-    # the per-partition report flags the planted partition
+    # the per-partition report flags THE PLANTED partition (id 2), not
+    # merely some partition — wrong-shard attribution must fail here
     parts = {p["part_id"]: p for p in rep["partitions"]}
-    assert any(p.get("drifted") for p in parts.values())
+    assert parts[2]["drifted"] is True
+    assert not parts[0].get("drifted") and not parts[1].get("drifted")
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -48,8 +48,10 @@ def main() -> int:
     print(f"entry(): {len(df)} rows, cols {list(df.columns)}")
 
     qs, sqls = e.queries(), e.oracle_sql()
-    missing = set(sqls) - set(qs)
-    assert not missing, f"oracle_sql keys without queries: {missing}"
+    bad = [k for k, s in sqls.items()
+           if not isinstance(s, str) or not s.strip()]
+    assert not bad, f"empty/non-string oracle SQL: {bad}"
+    assert all(callable(f) for f in qs.values())
     print(f"queries: {len(qs)}  oracles: {len(sqls)}  "
           f"rows-only: {sorted(set(qs) - set(sqls))}")
 
@@ -57,12 +59,12 @@ def main() -> int:
     for name in names:
         try:
             out = qs[name](sf_dir)
-            if hasattr(out, "num_rows"):          # pyarrow Table
+            if isinstance(out, pd.DataFrame):     # check FIRST — DataFrame
+                n = len(out)                      # also has a .count method
+            elif hasattr(out, "num_rows"):        # pyarrow Table
                 n = out.num_rows
-            elif hasattr(out, "count"):           # ray Dataset
+            else:                                 # ray Dataset
                 n = out.count()
-            else:                                 # pandas DataFrame
-                n = len(out)
             print(f"OK  {name}: {n} rows")
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: {type(ex).__name__}: {ex}")

@@ -5012,12 +5012,10 @@ def q_triangles(sf_dir: str):
         lambda t: t.rename_columns(["a", "b"]), batch_format="pyarrow")
     hop2 = edges.map_batches(
         lambda t: t.rename_columns(["b", "c"]), batch_format="pyarrow")
-    # materialized: feeds both the path counter and the closing semi-join
+    # materialized: feeds both the path counter and the closing semi-join;
+    # .count() on a materialized dataset is metadata-only (no extra pass)
     two_hop = equi_join(hop1, hop2, on="b", how="inner").materialize()
-    hop_parts = two_hop.map_batches(
-        lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
-        batch_format="pyarrow")
-    n_paths = sum_block_scalars(hop_parts.materialize(), ["n"])["n"]
+    n_paths = two_hop.count()
     closing = two_hop.map_batches(
         lambda t: t.select(["a", "c"]), batch_format="pyarrow")
     probe = edges.map_batches(
@@ -5228,6 +5226,9 @@ def q_cusum_changepoint(sf_dir: str):
     exchange-built and hour-sized; ties break to the earliest hour on
     both engines."""
     t = _hourly_counts_table(sf_dir)
+    if t.num_rows == 0:                  # SQL twin: LIMIT 1 over empty CTE
+        return pa.table({"cp_hour": pa.array([], pa.timestamp("us")),
+                         "max_abs_cusum": pa.array([], pa.float64())})
     c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
     h = t.column("h_us").to_numpy(zero_copy_only=False)
     s = np.cumsum(c - c.mean())
@@ -5262,10 +5263,13 @@ def q_lag1_autocorr(sf_dir: str):
     n = len(x)
     vx = (x * x).sum() * n - x.sum() ** 2
     vy = (y * y).sum() * n - y.sum() ** 2
-    r = (n * (x * y).sum() - x.sum() * y.sum()) / np.sqrt(vx * vy)
+    # degenerate series (constant counts or < 2 hours): SQL corr() is NULL
+    r = (float((n * (x * y).sum() - x.sum() * y.sum())
+               / np.sqrt(vx * vy))
+         if n > 0 and vx > 0 and vy > 0 else None)
     return _round_cols(pa.table({
         "n_pairs": pa.array([n], pa.int64()),
-        "lag1_autocorr": pa.array([float(r)], pa.float64()),
+        "lag1_autocorr": pa.array([r], pa.float64()),
     }), {"lag1_autocorr": 6})
 
 
