@@ -354,3 +354,50 @@ def test_incremental_dedup_across_runs(ray_session, tmp_path):
     # append=False left no trace: same increment still survives
     got3b = incremental_dedup(run3, "doc_id", idx, append=False).to_pandas()
     assert sorted(got3b["doc_id"]) == [31]
+
+
+def test_shingle_blobs_batch_matches_per_row_oracle():
+    """Vectorized blob builder output is byte-identical to the per-row
+    np.unique(rolling_hashes(t, window)).tobytes() oracle, nulls where the
+    oracle returns None."""
+    import numpy as np
+    import pyarrow as pa
+
+    from webval.dedup import shingle_blobs_batch
+    from webval.textstats import rolling_hashes
+
+    window = 8
+    texts = ["the quick brown fox jumps over the lazy dog",
+             None, "", "short", "x" * 7, "x" * 8,
+             "héllo wörld çafé and some more multibyte ｔｅｘｔ",
+             "repeat repeat repeat repeat"]
+    sub = pa.table({"text": pa.array(texts, pa.string())})
+    got = shingle_blobs_batch("text", window)(sub)
+    assert got.type == pa.large_binary()
+    for t, g in zip(texts, got.to_pylist()):
+        if t is None or len(t) < window:
+            assert g is None, repr(t)
+        else:
+            want = np.unique(rolling_hashes(t, window)).tobytes()
+            assert g == want, repr(t)
+
+
+def test_unit_vec_blobs_batch_matches_per_row_oracle():
+    import numpy as np
+    import pyarrow as pa
+
+    from webval.dedup import unit_vec_blobs_batch
+
+    vecs = [[1.0, 2.0, 2.0], None, [0.0, 0.0, 0.0], [3.0, -4.0],
+            [0.5] * 16]
+    sub = pa.table({"emb": pa.array(vecs, pa.list_(pa.float32()))})
+    got = unit_vec_blobs_batch("emb")(sub)
+    for v, g in zip(vecs, got.to_pylist()):
+        if v is None:
+            assert g is None
+            continue
+        u = np.asarray(v, dtype=np.float32)
+        nrm = float(np.linalg.norm(u))
+        want = (u / (nrm or 1.0)).astype(np.float32)
+        np.testing.assert_allclose(np.frombuffer(g, np.float32), want,
+                                   rtol=1e-6, atol=1e-9)

@@ -105,3 +105,58 @@ def test_empty_corpus(ray_session):
     assert lm.total_tokens == 0 and lm.vocab.num_rows == 0
     out = score_unigram_lm(_ds(["", None]), lm).to_pandas()
     assert (out["n_tokens"] == 0).all() and out["nll"].isna().all()
+
+def test_fit_distributed_topk_no_driver_concat(ray_session, monkeypatch):
+    """Above the driver_vocab_max gate the fit must (a) use the
+    distributed top-k selection, (b) never concat the full term table on
+    the driver, and (c) produce the model the driver-sort path produces."""
+    import webval.lm as lm_mod
+
+    rng = np.random.default_rng(7)
+    # ~600 distinct terms with a zipf-ish skew, across 300 docs
+    words = [f"w{i:03d}" for i in range(600)]
+    texts = [" ".join(rng.choice(words, size=rng.integers(3, 30),
+                                 p=None).tolist()) for _ in range(300)]
+    ds = _ds(texts)
+
+    calls = {"distributed": 0}
+    real = lm_mod._collect_topk_distributed
+
+    def spy(counts, k):
+        calls["distributed"] += 1
+        out = real(counts, k)
+        # the pruned collect is bounded by 4k, never the full vocabulary
+        assert out.num_rows <= k
+        return out
+
+    monkeypatch.setattr(lm_mod, "_collect_topk_distributed", spy)
+    # gate of 50 distinct terms forces the distributed path (vocab ~600)
+    got = fit_unigram_lm(ds, "text", vocab_size=40, driver_vocab_max=50)
+    assert calls["distributed"] == 1
+    want = fit_unigram_lm(ds, "text", vocab_size=40)   # driver-sort path
+    assert got.total_tokens == want.total_tokens
+    assert got.oov_logp == want.oov_logp
+    assert got.vocab.column("term").to_pylist() == \
+        want.vocab.column("term").to_pylist()
+    assert got.vocab.column("logp").to_pylist() == \
+        want.vocab.column("logp").to_pylist()
+
+
+def test_fit_default_vocab_bounded_above_gate(ray_session, monkeypatch):
+    """vocab_size=None above the gate must cap at DEFAULT_VOCAB_CAP via
+    the distributed path instead of collecting the open vocabulary."""
+    import webval.lm as lm_mod
+
+    texts = [" ".join(f"t{i}x{j}" for j in range(20)) for i in range(50)]
+    seen = {}
+    real = lm_mod._collect_topk_distributed
+
+    def spy(counts, k):
+        seen["k"] = k
+        return real(counts, k)
+
+    monkeypatch.setattr(lm_mod, "_collect_topk_distributed", spy)
+    lm = fit_unigram_lm(_ds(texts), "text", driver_vocab_max=10)
+    assert seen["k"] == lm_mod.DEFAULT_VOCAB_CAP
+    assert lm.vocab.num_rows == 1000          # full vocab < cap: all kept
+    assert lm.total_tokens == 1000

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 from webval.textclean import (
@@ -323,3 +324,63 @@ def test_normalize_unicode_tiers(ray_session):
     assert got["norm"][2] == ""
     assert got["norm"][3] is None or got["norm"].isna()[3]
     assert got["norm"][4] == "héllo"             # already NFC: unchanged
+
+
+def test_normalize_unicode_suspect_gate_sound_and_equivalent(ray_session):
+    """Property sweep: (a) any string NOT flagged by the suspect-class
+    regex is a fixed point of the form (soundness of the vectorized
+    skip), and (b) normalize_unicode output == a full unicodedata loop
+    on a mixed-script fixture, for all four forms."""
+    import random
+    import unicodedata
+
+    import ray.data as rd
+
+    from webval.textclean import _norm_suspect_pattern, normalize_unicode
+
+    random.seed(42)
+    # mixed scripts: ascii, precomposed latin, decomposed latin, Hangul
+    # jamo (L,V,T), precomposed Hangul, Tamil matras (ccc=0 composition
+    # seconds), compat chars + singletons, CJK/kana
+    pool = (
+        "abc XYZ 012 \t"
+        "\u00e9\u00c5\u00f1"            # precomposed latin
+        "e\u0301A\u030an\u0303"          # decomposed latin
+        "\u1100\u1161\u11a8"            # jamo L V T
+        "\uac00\ud7a3"                  # precomposed syllables
+        "\u0b92\u0bd7\u0bc6\u0bbe"      # tamil au/o pieces
+        "\ufb01\u212b\u2126\u3300"      # compat + singletons
+        "\u4e2d\u6587\u3042"            # CJK / kana
+    )
+    strs = ["".join(random.choice(pool) for _ in range(12))
+            for _ in range(2000)] + ["", "ascii only"]
+    arr = pa.array(strs, pa.string())
+    for form in ("NFC", "NFD", "NFKC", "NFKD"):
+        pat = _norm_suspect_pattern(form)
+        flagged = pc.match_substring_regex(arr, pat).to_pylist()
+        for s, f in zip(strs, flagged):
+            if not f:
+                assert unicodedata.normalize(form, s) == s, (form, s)
+        got = normalize_unicode(
+            rd.from_arrow(pa.table({
+                "id": pa.array(range(len(strs)), pa.int64()),
+                "text": arr})),
+            "text", form=form, out_col="norm",
+        ).to_pandas().sort_values("id")["norm"].tolist()
+        want = [unicodedata.normalize(form, s) for s in strs]
+        assert got == want, form
+
+
+def test_pyarrow_utf8_normalize_kernel_still_broken():
+    """pyarrow 16.1's pc.utf8_normalize does NOT compose: form="NFC"
+    returns NFD output (caf\u00e9 -> cafe + U+0301).  normalize_unicode
+    therefore derives its vectorized gate from unicodedata instead of
+    calling the kernel.  If this test ever FAILS, the kernel has been
+    fixed -- re-evaluate using it directly for the composing forms."""
+    import unicodedata
+
+    composed = "caf\u00e9"
+    decomposed = "cafe\u0301"
+    out = pc.utf8_normalize(pa.array([composed]), form="NFC")[0].as_py()
+    assert out == decomposed                   # kernel: no composition
+    assert unicodedata.normalize("NFC", decomposed) == composed

@@ -110,31 +110,92 @@ class UnigramLM:
                    total_tokens=d["total_tokens"], pattern=d["pattern"])
 
 
+#: largest distinct-term count the driver will collect whole; above it the
+#: fit switches to the distributed top-``vocab_size`` selection (same
+#: auto-gate contract as ``tfidf.BROADCAST_VOCAB_MAX``).
+DRIVER_VOCAB_MAX = 2_000_000
+#: vocabulary cap applied when ``vocab_size=None`` but the corpus
+#: vocabulary exceeds ``DRIVER_VOCAB_MAX`` — CCNet-scale (a few hundred k
+#: types cover >99% of tokens on web text; Wenzek et al. 2020 §3).
+DEFAULT_VOCAB_CAP = 500_000
+
+_EMPTY_COUNTS = pa.table({"term": pa.array([], pa.string()),
+                          "count": pa.array([], pa.int64())})
+
+
+def _topk_counts(t: pa.Table, k: int) -> pa.Table:
+    """Top-k rows of a (term, count) table by (count DESC, term ASC)."""
+    srt = t.sort_by([("count", "descending"), ("term", "ascending")])
+    return srt.slice(0, k) if srt.num_rows > k else srt
+
+
+def _collect_topk_distributed(counts, k: int) -> pa.Table:
+    """Global top-``k`` (count DESC, term ASC) rows of a term-count
+    Dataset WITHOUT collecting the full vocabulary to the driver:
+    per-block top-k prune (dropping a row that is dominated by ≥k rows in
+    its own partition can never drop a global top-k row), a fan-in
+    repartition + prune round while more than 4·k pruned rows remain, then
+    a ≤4·k driver merge.  Exact — proven equal to the driver-sort path in
+    ``tests/test_lm.py``."""
+    import ray
+
+    pruned = counts.map_batches(lambda t: _topk_counts(t, k),
+                                batch_format="pyarrow",
+                                batch_size=None).materialize()
+    # fan-in rounds: each halves-to-16ths the block count, re-pruning
+    while pruned.count() > 4 * k and pruned.num_blocks() > 4:
+        pruned = pruned.repartition(
+            max(4, pruned.num_blocks() // 16)) \
+            .map_batches(lambda t: _topk_counts(t, k),
+                         batch_format="pyarrow",
+                         batch_size=None).materialize()
+    blocks = [ray.get(r) for r in pruned.to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows]
+    if not blocks:
+        return _EMPTY_COUNTS
+    return _topk_counts(
+        pa.concat_tables(blocks, promote_options="permissive")
+        .combine_chunks(), k)
+
+
 def fit_unigram_lm(ds, text_col: str, *, vocab_size: int | None = None,
                    pattern: str = TOKEN_SPLIT_PATTERN,
-                   num_buckets: int | None = None) -> UnigramLM:
+                   num_buckets: int | None = None,
+                   driver_vocab_max: int = DRIVER_VOCAB_MAX) -> UnigramLM:
     """Train on the corpus: exchange-aggregated term counts → add-one
     smoothed log-probs.  ``vocab_size`` keeps the top terms by
-    (count DESC, term ASC); ``total`` still counts every token so the
-    probabilities of a truncated model remain a proper distribution over
-    vocab ∪ {OOV}."""
+    (count DESC, term ASC); ``total`` still counts every token (computed
+    as a per-block scalar sum over the count exchange, never requiring the
+    term table on the driver) so the probabilities of a truncated model
+    remain a proper distribution over vocab ∪ {OOV}.
+
+    Vocabulary bound (tfidf-style auto gate): when the distinct-term count
+    exceeds ``driver_vocab_max`` the fit NEVER concatenates the full term
+    table driver-side — it runs the distributed top-k selection
+    ``_collect_topk_distributed`` with ``k = vocab_size`` (defaulting to
+    ``DEFAULT_VOCAB_CAP`` when ``vocab_size=None``, so the default path is
+    bounded on an open-vocabulary corpus too).  Below the gate the driver
+    sort is used; both paths are proven identical in tests."""
     import ray
+
+    from webval.exchange import sum_block_scalars
 
     counts = term_counts(ds, text_col, pattern=pattern,
                          num_buckets=num_buckets).materialize()
-    blocks = [ray.get(r) for r in counts.to_arrow_refs()]
-    # vocabulary-sized (one row per distinct term), same collect contract
-    # as tfidf's broadcast mode — bounded further by vocab_size truncation
-    vocab = pa.concat_tables([b for b in blocks if b.num_rows],
-                             promote_options="permissive") \
-        if any(b.num_rows for b in blocks) \
-        else pa.table({"term": pa.array([], pa.string()),
-                       "count": pa.array([], pa.int64())})
-    vocab = vocab.combine_chunks()
-    total = int(pc.sum(vocab.column("count")).as_py() or 0)
-    vocab = vocab.sort_by([("count", "descending"), ("term", "ascending")])
-    if vocab_size is not None and vocab.num_rows > vocab_size:
-        vocab = vocab.slice(0, vocab_size)
+    total = sum_block_scalars(counts, ["count"])["count"]
+    n_terms = counts.count()
+    if n_terms > driver_vocab_max:
+        k = vocab_size if vocab_size is not None else DEFAULT_VOCAB_CAP
+        vocab = _collect_topk_distributed(counts, k)
+    else:
+        blocks = [ray.get(r) for r in counts.to_arrow_refs()]
+        vocab = pa.concat_tables([b for b in blocks if b.num_rows],
+                                 promote_options="permissive") \
+            if any(b.num_rows for b in blocks) else _EMPTY_COUNTS
+        vocab = vocab.combine_chunks() \
+            .sort_by([("count", "descending"), ("term", "ascending")])
+        if vocab_size is not None and vocab.num_rows > vocab_size:
+            vocab = vocab.slice(0, vocab_size)
     v = vocab.num_rows
     denom = float(total + v + 1)
     c = vocab.column("count").to_numpy(zero_copy_only=False).astype(np.float64)

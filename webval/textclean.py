@@ -423,16 +423,91 @@ def frequent_ngrams(ds, text_col: str = "text", *, n: int = 2,
                                 partial_fn=partial)
 
 
+#: lazily built, per-process cache: form -> RE2 character-class pattern
+#: matching every "suspect" codepoint (see ``_norm_suspect_pattern``).
+_NORM_SUSPECT_PAT: dict[str, str] = {}
+
+# Hangul jamo V/T ranges — the second characters of the *algorithmic*
+# LV / LVT compositions, which no decomposition-table scan can discover.
+_JAMO_V = (0x1161, 0x1176)
+_JAMO_T = (0x11A8, 0x11C3)
+
+
+def _norm_suspect_pattern(form: str) -> str:
+    """Build (once per process, ~0.7 s, cached) an RE2 character class of
+    every codepoint that could make a string NOT be a fixed point of
+    ``unicodedata.normalize(form, ...)``:
+
+    - codepoints with combining class > 0 (may need canonical reordering,
+      and are the second characters of most primary composites),
+    - codepoints that are not themselves fixed points of ``form``
+      (anything with a relevant decomposition: singletons, composition
+      exclusions, compatibility characters under NFK*),
+    - for the composing forms (NFC/NFKC) additionally the "maybe" set:
+      second characters of recomposing canonical pairs — including the
+      ccc=0 Indic length marks (e.g. U+0BBE) — plus Hangul V/T jamo.
+
+    A string containing NO suspect codepoint is provably already in
+    ``form``: every char is a ccc=0 fixed point, so no reordering, no
+    decomposition, and (for NFC/NFKC) no composition can fire because
+    every composition's second character is in the suspect set.
+    Exhaustively property-tested in ``tests/test_textclean.py``.
+
+    Derived from the stdlib ``unicodedata`` tables so the vectorized
+    fast path can never diverge from the Python-loop semantics (this
+    box's pyarrow 16.1 ``pc.utf8_normalize`` kernel does NOT compose —
+    ``form="NFC"`` returns NFD output — so it is unusable here; see
+    ``test_pyarrow_utf8_normalize_kernel_still_broken``)."""
+    import unicodedata
+
+    pat = _NORM_SUSPECT_PAT.get(form)
+    if pat is not None:
+        return pat
+    sus = set()
+    for cp in range(0x110000):
+        if 0xD800 <= cp <= 0xDFFF:
+            continue
+        ch = chr(cp)
+        if unicodedata.combining(ch) > 0 or \
+                unicodedata.normalize(form, ch) != ch:
+            sus.add(cp)
+    if form in ("NFC", "NFKC"):
+        for cp in range(0x110000):
+            if 0xD800 <= cp <= 0xDFFF:
+                continue
+            d = unicodedata.normalize("NFD", chr(cp))
+            if len(d) == 2 and unicodedata.normalize("NFC", d) == chr(cp):
+                sus.add(ord(d[1]))
+        sus.update(range(*_JAMO_V))
+        sus.update(range(*_JAMO_T))
+    cps = sorted(sus)
+    parts, i = [], 0
+    while i < len(cps):
+        j = i
+        while j + 1 < len(cps) and cps[j + 1] == cps[j] + 1:
+            j += 1
+        a, b = cps[i], cps[j]
+        parts.append(f"\\x{{{a:X}}}" if a == b
+                     else f"\\x{{{a:X}}}-\\x{{{b:X}}}")
+        i = j + 1
+    pat = "[" + "".join(parts) + "]"
+    _NORM_SUSPECT_PAT[form] = pat
+    return pat
+
+
 def normalize_unicode(ds, text_col: str = "text", *, form: str = "NFC",
                       out_col: str | None = None,
                       batch_size: int | None = 8192):
-    """Unicode normalization of a text column (stdlib ``unicodedata``,
-    no external deps).  Tiered like the HTML extractor: pure-ASCII rows —
-    the overwhelming majority of English web text — are provably fixed
-    points of every normalization form and pass through zero-copy
-    (vectorized ASCII detection on the Arrow buffer); only rows with
-    non-ASCII bytes pay the per-row ``unicodedata.normalize`` call.
-    DuckDB twin for NFC: ``nfc_normalize``."""
+    """Unicode normalization of a text column (stdlib ``unicodedata``
+    semantics, no external deps).  Vectorized quick-check: one RE2 scan
+    per batch flags rows containing any "suspect" codepoint
+    (``_norm_suspect_pattern``); unflagged rows — pure ASCII, precomposed
+    Latin/CJK/Hangul, anything already in ``form`` without combining
+    marks — are provably fixed points and pass through zero-copy.  Only
+    flagged rows (genuinely decomposed / reorderable / compat text) are
+    taken out, normalized in Python, and scattered back with a single
+    vectorized ``take`` — the per-row loop is bounded by the non-NFC row
+    count, not the batch.  DuckDB twin for NFC: ``nfc_normalize``."""
     import unicodedata
 
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
@@ -443,19 +518,21 @@ def normalize_unicode(ds, text_col: str = "text", *, form: str = "NFC",
         col = t.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        # a string is ASCII iff its utf8 byte length == its char length
-        ascii_m = pc.fill_null(
-            pc.equal(pc.binary_length(pc.cast(col, pa.large_binary())),
-                     pc.utf8_length(col)), True) \
+        pat = _norm_suspect_pattern(form)
+        work = pc.fill_null(pc.match_substring_regex(col, pat), False) \
             .to_numpy(zero_copy_only=False).astype(bool)
-        if ascii_m.all():
+        if not work.any():
             norm = col
         else:
-            vals = col.to_pylist()
-            norm = pa.array(
-                [v if v is None or ascii_m[i]
-                 else unicodedata.normalize(form, v)
-                 for i, v in enumerate(vals)], col.type)
+            idx = np.nonzero(work)[0]
+            sub = col.take(pa.array(idx, pa.int64()))
+            fixed = pa.array([None if v is None
+                              else unicodedata.normalize(form, v)
+                              for v in sub.to_pylist()], col.type)
+            take_idx = np.arange(len(col), dtype=np.int64)
+            take_idx[idx] = len(col) + np.arange(len(idx), dtype=np.int64)
+            norm = pa.concat_arrays([col, fixed]).take(
+                pa.array(take_idx, pa.int64()))
         if out == text_col:
             return t.set_column(t.column_names.index(text_col), out, norm)
         return t.append_column(out, norm)
