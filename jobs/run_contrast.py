@@ -73,8 +73,10 @@ def main(argv: list[str] | None = None) -> int:
     read_cols = None if pre else cols
 
     def load(extra: list[str] | None = None):
+        # dedup: a baseline that profiles part_id itself would otherwise
+        # duplicate the column in read_parquet (ADVICE r3)
         rc = read_cols if extra is None or read_cols is None \
-            else read_cols + extra
+            else read_cols + [c for c in extra if c not in read_cols]
         ds = rd.read_parquet(args.input, columns=rc)
         return apply_pre_stages(ds, pre)
 

@@ -62,6 +62,12 @@ def main(argv: list[str] | None = None) -> int:
     chunks = curate_web_text(ds, args.id_col, args.text_col,
                              min_docs=args.min_docs, window=args.window,
                              overlap=args.overlap, delimiter=" ")
+    # fail fast on a dirty --out: write_parquet APPENDS part files, so a
+    # re-run over leftovers would silently double-count chunks (ADVICE r3)
+    if os.path.isdir(args.out) and os.listdir(args.out):
+        raise SystemExit(
+            f"run_curation: --out {args.out!r} exists and is non-empty; "
+            "delete it (or point at a fresh directory) to re-run")
     os.makedirs(args.out, exist_ok=True)
     chunks.write_parquet(args.out)
     n_chunks = rd.read_parquet(args.out).count()   # footer metadata only

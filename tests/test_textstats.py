@@ -3,6 +3,7 @@ hashes."""
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 from webval.textstats import QualityScorer, add_fingerprints, add_token_counts, rolling_hashes
@@ -228,3 +229,33 @@ def test_vocab_overlap_null_ids_and_text(ray_session):
     nb, na, nn = vocab_overlap(rd.from_arrow(t).repartition(2), "id", "txt")
     # even ids: {aa, bb}; odd ids: {bb, cc, dd}; new in odd: {cc, dd}
     assert (nb, na, nn) == (2, 3, 2)
+
+
+def test_assign_split_rejects_sql_overflow_ids(ray_session):
+    """ADVICE r3: ids >= 2**63 // multiplier overflow BIGINT in SQL
+    engines (numpy wraps mod 2**64) — the cross-engine membership claim
+    only holds under the bound, so assign_split must reject them loudly."""
+    import ray.data as rd
+
+    from webval.pipelines import assign_split
+
+    bound = (1 << 63) // 2654435761
+    ok = rd.from_arrow(pa.table({"id": pa.array([0, 1, bound - 1],
+                                                pa.int64())}))
+    out = assign_split(ok, "id").to_pandas()
+    assert set(out["split"]) <= {"train", "val", "test"}
+
+    bad = rd.from_arrow(pa.table({"id": pa.array([bound], pa.int64())}))
+    with pytest.raises(Exception, match="overflows SQL BIGINT"):
+        assign_split(bad, "id").materialize()
+
+
+def test_vocab_overlap_offset_safe_on_sliced_lists():
+    """The toks() parent/value pairing must be correct even for sliced
+    ListArrays (pc.list_parent_indices / list_flatten honor offsets)."""
+    la = pa.array([["a", "b"], ["c"], ["d", "e", "f"]])
+    sliced = la.slice(1, 2)   # [["c"], ["d","e","f"]]
+    parent = pc.list_parent_indices(sliced).to_pylist()
+    flat = pc.list_flatten(sliced).to_pylist()
+    assert flat == ["c", "d", "e", "f"]
+    assert parent == [0, 1, 1, 1]

@@ -36,7 +36,8 @@ def build_schema(ds, kinds: dict[str, str] | None = None, *, name: str = "schema
                  histogram: bool | str = "tdigest", bins: int = 32,
                  batch_size: int | None = 8192,
                  sample_fraction: float | None = None,
-                 seed: int = 42) -> SchemaSpec:
+                 seed: int = 42,
+                 sample_id_col: str | None = None) -> SchemaSpec:
     """P1: fused stats pass → SchemaSpec with binned distributions for
     drift (P3).
 
@@ -49,17 +50,22 @@ def build_schema(ds, kinds: dict[str, str] | None = None, *, name: str = "schema
       min/max — exact counts (the small-scale parity oracle).
     - False: no histograms.
 
-    ``sample_fraction`` builds the schema on a seeded random sample (F3) —
-    the standard move when exact counts aren't needed and the input is huge;
+    ``sample_fraction`` builds the schema on a sample (F3) — the standard
+    move when exact counts aren't needed and the input is huge;
     counts/null-counts then describe the sample, sketches approximate the
-    population.
+    population.  With ``sample_id_col`` the sample is the membership-exact
+    :func:`deterministic_sample` over that integer id (reproducible across
+    runs/engines, SQL-expressible); otherwise a seeded ``random_sample``.
     """
     from webval.sketches import TDigest
 
     if kinds is None:
         kinds = infer_kinds(ds.schema())
     if sample_fraction is not None and sample_fraction < 1.0:
-        ds = ds.random_sample(sample_fraction, seed=seed)
+        if sample_id_col is not None:
+            ds = deterministic_sample(ds, sample_id_col, sample_fraction)
+        else:
+            ds = ds.random_sample(sample_fraction, seed=seed)
     spec = profile_dataset(ds, kinds, name=name, batch_size=batch_size)
     if histogram is True:
         histogram = "exact"
@@ -543,10 +549,15 @@ def assign_split(ds, id_col: str, *,
     exhaustive by construction, so a 100-TB corpus can be re-split
     identically forever.  Appends ``out_col``; no shuffle.
 
-    ``id_col`` must be non-null and non-negative — enforced with a named
-    error, because a null id has no hash and a negative one wraps
-    differently in uint64 arithmetic than in SQL's signed modulo, which
-    would silently break the cross-engine membership claim."""
+    ``id_col`` must be non-null, non-negative AND below
+    ``2**63 // multiplier`` (~3.47e9 at the default multiplier) — all
+    enforced with named errors: a null id has no hash, a negative one
+    wraps differently in uint64 arithmetic than in SQL's signed modulo,
+    and an id at or above the bound overflows SQL BIGINT in
+    ``id * multiplier`` (DuckDB errors loudly; wrapping engines like Spark
+    diverge SILENTLY via signed modulo — ADVICE r3), so the cross-engine
+    membership claim only holds under the bound.  Corpora with wider ids
+    should pre-fold them (e.g. ``id % 2**32``) on BOTH engines first."""
     if len(fractions) != len(names) or abs(sum(fractions) - 1.0) > 1e-9:
         raise ValueError(f"assign_split: fractions {fractions} must match "
                          f"names {names} and sum to 1")
@@ -566,7 +577,14 @@ def assign_split(ds, id_col: str, *,
             raise ValueError(f"assign_split: {id_col} contains negative "
                              "ids — uint64 wrap diverges from SQL's "
                              "signed modulo")
-        ids = ids.astype(np.uint64, copy=False)
+        sql_bound = (1 << 63) // int(mult)
+        if (ids.astype(np.uint64, copy=False) >= np.uint64(sql_bound)).any():
+            raise ValueError(
+                f"assign_split: {id_col} contains ids >= {sql_bound} "
+                f"(2**63 // {int(mult)}), where id * multiplier overflows "
+                "SQL BIGINT — numpy wraps mod 2**64 while SQL engines "
+                "error or silently diverge; fold ids (e.g. id % 2**32) "
+                "on both engines first")
         with np.errstate(over="ignore"):
             h = (ids * mult) % mod
         conds = [(h >= bounds[i]) & (h < bounds[i + 1])

@@ -530,15 +530,22 @@ def q_quantiles(sf_dir: str):
     vals = pq.read_table(f"{sf_dir}/lineitem.parquet",
                          columns=["l_extendedprice"]) \
         .column("l_extendedprice").drop_null().to_numpy()
+    # exact rank-band flags ARE the output (VERDICT r3 next-8): a digest
+    # regression flips a boolean and breaks the hash against the trivial
+    # SELECT-true twin, instead of raising where only pytest would see it
+    flags = {}
     for q, v in got.items():
         lo = np.quantile(vals, max(q - 0.015, 0.0))
         hi = np.quantile(vals, min(q + 0.015, 1.0))
-        if not (lo - 1e-9 <= v <= hi + 1e-9):
-            raise AssertionError(
-                f"t-digest p{int(q*100)} ({v}) outside exact rank band "
-                f"[{lo}, {hi}]")
-    return pa.table({"p50": [got[0.5]], "p90": [got[0.9]],
-                     "p99": [got[0.99]]})
+        flags[q] = bool(lo - 1e-9 <= v <= hi + 1e-9)
+    return pa.table({"p50_in_band": pa.array([flags[0.5]], pa.bool_()),
+                     "p90_in_band": pa.array([flags[0.9]], pa.bool_()),
+                     "p99_in_band": pa.array([flags[0.99]], pa.bool_())})
+
+
+SQL_QUANTILES_TDIGEST = """
+SELECT true AS p50_in_band, true AS p90_in_band, true AS p99_in_band
+"""
 
 
 def q_approx_distinct(sf_dir: str):
@@ -629,14 +636,27 @@ def q_contrast(sf_dir: str):
     rows = [{"column": name, "js": round(c.get("js", -1.0), 4),
              "drifted": c["drifted"]}
             for name, c in sorted(rep["columns"].items())]
-    # self-assertions: the planted drift must be detected, and contrasting
-    # a build against ITSELF must stay quiet (drift detector sanity)
-    if not any(r["drifted"] for r in rows):
-        raise AssertionError(f"planted drift not detected: {rows}")
+    # detector-sanity flags ARE the output (VERDICT r3 next-8 pattern):
+    # the planted drift must be detected, contrasting a build against
+    # ITSELF must stay quiet, and every JS divergence must be in [0, 1] —
+    # a regression flips a boolean and breaks the hash against the trivial
+    # SELECT-true twin instead of raising where only pytest would see it
     self_rep = contrast(base, base)
-    if self_rep["drifted"]:
-        raise AssertionError("self-contrast reported drift")
-    return pa.Table.from_pylist(rows)
+    return pa.table({
+        "planted_drift_detected": pa.array(
+            [any(r["drifted"] for r in rows)], pa.bool_()),
+        "self_contrast_quiet": pa.array(
+            [not self_rep["drifted"]], pa.bool_()),
+        "all_js_in_unit_interval": pa.array(
+            [all(0.0 <= r["js"] <= 1.0 for r in rows
+                 if r["js"] >= 0.0)], pa.bool_()),
+        "n_columns_compared": pa.array([len(rows)], pa.int64())})
+
+
+SQL_CONTRAST_DRIFT = """
+SELECT true AS planted_drift_detected, true AS self_contrast_quiet,
+       true AS all_js_in_unit_interval, CAST(2 AS BIGINT) AS n_columns_compared
+"""
 
 
 def q_langid(sf_dir: str):
@@ -1313,9 +1333,16 @@ def q_ann_index_topk(sf_dir: str):
     exact = {r["vec_id"] for r in brute_force_topk(ds, q, k=10).take_all()}
     got = set(t.column("vec_id").to_pylist())
     recall = len(got & exact) / max(len(exact), 1)
-    if recall < 0.9:
-        raise AssertionError(f"index recall {recall} < 0.9 vs brute force")
-    return t
+    # flags ARE the output (VERDICT r3 next-8 pattern): a recall or
+    # result-size regression breaks the hash against the SELECT-true twin
+    return pa.table({
+        "recall_ok": pa.array([recall >= 0.9], pa.bool_()),
+        "k_ok": pa.array([t.num_rows == 10], pa.bool_())})
+
+
+SQL_ANN_INDEX_TOPK = """
+SELECT true AS recall_ok, true AS k_ok
+"""
 
 
 _PII_DECOR_SQL = ("text || ' u' || page_id || '@ex' || (page_id % 7) || "
@@ -1646,54 +1673,88 @@ def q_grouped_quantiles(sf_dir: str):
         ApproxDistinct("doc_id", alias_name="distinct_docs"))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     # exact-rank bound oracle (documents is 500 rows at every sf — this
-    # read is the assertion, not the compute path)
-    exact = (pq.read_table(f"{sf_dir}/documents.parquet",
-                           columns=["lang", "n_chars"])
-             .to_pandas().dropna().groupby("lang")["n_chars"])
+    # read is the assertion, not the compute path).  The flags ARE the
+    # output (VERDICT r3 next-8): a digest/HLL regression flips a boolean
+    # and breaks the hash against the per-lang SELECT-true twin.
+    full = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars", "doc_id"]).to_pandas()
+    exact = full.dropna(subset=["lang", "n_chars"]).groupby("lang")["n_chars"]
     lo = exact.quantile(0.45)
     hi = exact.quantile(0.55)
-    for lang, p50 in zip(t.column("lang").to_pylist(),
-                         t.column("p50_chars").to_pylist()):
+    exact_distinct = full.dropna(subset=["lang"]).groupby("lang")["doc_id"] \
+        .nunique()
+    langs, p50_ok, distinct_ok = [], [], []
+    for lang, p50, dd in zip(t.column("lang").to_pylist(),
+                             t.column("p50_chars").to_pylist(),
+                             t.column("distinct_docs").to_pylist()):
         if lang is None or lang not in lo.index:
             continue  # the pandas oracle dropna'd these groups (review r3)
-        if not (lo[lang] - 1e-9 <= p50 <= hi[lang] + 1e-9):
-            raise AssertionError(
-                f"t-digest p50 for lang={lang!r} ({p50}) outside exact "
-                f"[p45, p55] = [{lo[lang]}, {hi[lang]}]")
-    return _round_cols(t, {"p50_chars": 2, "distinct_docs": 0})
+        langs.append(lang)
+        p50_ok.append(bool(lo[lang] - 1e-9 <= p50 <= hi[lang] + 1e-9))
+        distinct_ok.append(
+            bool(abs(dd - exact_distinct[lang])
+                 <= 0.03 * max(exact_distinct[lang], 1)))
+    return pa.table({"lang": pa.array(langs, pa.string()),
+                     "p50_in_band": pa.array(p50_ok, pa.bool_()),
+                     "distinct_in_band": pa.array(distinct_ok, pa.bool_())})
+
+
+SQL_GROUPED_QUANTILES = """
+SELECT lang, true AS p50_in_band, true AS distinct_in_band
+FROM (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL)
+"""
 
 
 def q_sampled_profile(sf_dir: str):
-    """F3: schema build on a seeded random sample (rows-only; sample stats).
-    Self-asserting: the sample size must be within ±2% (absolute fraction)
-    of the requested 10%, and sample min/max must lie inside the full
-    column's [min, max] (footer-metadata read — no second data pass)."""
-    import pyarrow.parquet as pq
+    """F3: schema build on the membership-exact deterministic sample
+    (VERDICT r3 next-5: upgraded from a seeded random_sample rows-only
+    check to the Knuth-hash sampler, whose membership is the identical
+    ANSI-SQL predicate — the twin reproduces the exact sample, so rows,
+    schema AND value hash are driver-checkable).  Row id = l_orderkey*10 +
+    l_linenumber (linenumber ≤ 7 → injective; far below the 2^63/2654435761
+    SQL-overflow bound).  Self-asserts the fraction stays ~10%."""
     import ray.data as rd
 
     from webval.pipelines import build_schema
 
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    total = ds.count()
+
+    def add_rid(t: pa.Table) -> pa.Table:
+        rid = pc.add(pc.multiply(pc.cast(t.column("l_orderkey"), pa.int64()),
+                                 pa.scalar(10, pa.int64())),
+                     pc.cast(t.column("l_linenumber"), pa.int64()))
+        return t.append_column("rid", rid)
+
+    ds = ds.map_batches(add_rid, batch_format="pyarrow")
     spec = build_schema(ds, {"l_quantity": "numeric"}, histogram=False,
-                        sample_fraction=0.1, seed=7)
+                        sample_fraction=0.1, sample_id_col="rid")
     p = spec.column("l_quantity")
-    pf = pq.ParquetFile(f"{sf_dir}/lineitem.parquet")
-    md = pf.metadata
-    total = md.num_rows
-    qty_idx = pf.schema_arrow.get_field_index("l_quantity")
-    smin, smax = None, None
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(qty_idx).statistics
-        if st is not None and st.has_min_max:
-            smin = st.min if smin is None else min(smin, st.min)
-            smax = st.max if smax is None else max(smax, st.max)
     if abs(p.count / total - 0.1) > 0.02:
         raise AssertionError(f"sample fraction {p.count}/{total} not ~10%")
-    if smin is not None and not (smin <= p.moments["min"]
-                                 and p.moments["max"] <= smax):
-        raise AssertionError("sample min/max outside full-column range")
-    return pa.table({"sampled_rows": pa.array([p.count], pa.int64()),
-                     "min": [p.moments["min"]], "max": [p.moments["max"]]})
+    t = pa.table({
+        "sampled_rows": pa.array([p.count], pa.int64()),
+        "min_qty": pa.array([p.moments["min"]], pa.float64()),
+        "max_qty": pa.array([p.moments["max"]], pa.float64()),
+        "mean_qty": pa.array([p.moments["sum"] / p.moments["count"]],
+                             pa.float64())})
+    return _round_cols(t, {"min_qty": 4, "max_qty": 4, "mean_qty": 4})
+
+
+SQL_SAMPLED_PROFILE = """
+WITH s AS (
+  SELECT l_quantity
+  FROM lineitem
+  WHERE ((l_orderkey * 10 + l_linenumber) * 2654435761) % 4294967296
+        < CAST(0.1 * 4294967296 AS BIGINT)
+)
+SELECT CAST(count(*) AS BIGINT) AS sampled_rows,
+       round(min(l_quantity), 4) AS min_qty,
+       round(max(l_quantity), 4) AS max_qty,
+       round(avg(l_quantity), 4) AS mean_qty
+FROM s
+"""
 
 
 # -- round-3 relational/curation additions ----------------------------------
@@ -1881,25 +1942,28 @@ def q_kmeans_clusters(sf_dir: str):
         return float(d2.min(axis=1).sum())
 
     init_inertia, fit_inertia = inertia(init), inertia(cents)
-    if not fit_inertia < init_inertia:
-        raise AssertionError(
-            f"k-means inertia did not improve: init={init_inertia} "
-            f"fit={fit_inertia}")
     # both sides in vec_id order before comparing
     got = (assigned.sort_by("vec_id").column("cluster")
            .to_numpy(zero_copy_only=False))
     order = np.argsort(full.column("vec_id").to_numpy(zero_copy_only=False))
     want = _assign(x, cents)[order]
-    if not np.array_equal(got, want):
-        raise AssertionError("distributed assignment != exact argmin")
-    sizes = np.bincount(got, minlength=k)
+    # invariant flags ARE the output (VERDICT r3 next-8 pattern): a Lloyd's
+    # or assignment regression flips a boolean and breaks the hash against
+    # the twin (which also contributes the exact row count)
     return pa.table({
         "k": pa.array([k], pa.int64()),
         "n_rows": pa.array([len(got)], pa.int64()),
-        "init_inertia": [float(f"{init_inertia:.2f}")],
-        "fit_inertia": [float(f"{fit_inertia:.2f}")],
-        "largest_cluster": pa.array([int(sizes.max())], pa.int64()),
-        "nonempty_clusters": pa.array([int((sizes > 0).sum())], pa.int64())})
+        "inertia_improved": pa.array(
+            [bool(fit_inertia < init_inertia)], pa.bool_()),
+        "assignment_exact": pa.array(
+            [bool(np.array_equal(got, want))], pa.bool_())})
+
+
+SQL_KMEANS_CLUSTERS = """
+SELECT CAST(8 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_rows,
+       true AS inertia_improved, true AS assignment_exact
+FROM embeddings
+"""
 
 
 def q_orders_by_segment(sf_dir: str):
@@ -4719,10 +4783,15 @@ def q_zipf_fit(sf_dir: str):
     t = ds_to_table(head)
     t = t.sort_by([("cnt", "descending"), ("tok", "ascending")])
     c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
-    x = np.log(np.arange(1, len(c) + 1, dtype=np.float64))
-    y = np.log(c)
-    xm, ym = x.mean(), y.mean()
-    slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
+    # <2 head points ⇒ slope undefined: emit NULL to match regr_slope's
+    # NULL (ADVICE r3: the 0/0 here was a latent parity break on tiny sf)
+    if len(c) < 2:
+        slope = None
+    else:
+        x = np.log(np.arange(1, len(c) + 1, dtype=np.float64))
+        y = np.log(c)
+        xm, ym = x.mean(), y.mean()
+        slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
     return _round_cols(pa.table({
         "n_head_tokens": pa.array([len(c)], pa.int64()),
         "zipf_slope": pa.array([slope], pa.float64()),
@@ -5304,10 +5373,10 @@ QUERIES = {
     "doc_len_by_source": (q_doc_len_by_source, SQL_DOC_LEN_BY_SOURCE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     # rows-only (sketches / model-backed / report-shaped)
-    "quantiles_tdigest": (q_quantiles, None),
+    "quantiles_tdigest": (q_quantiles, SQL_QUANTILES_TDIGEST),
     "approx_distinct_hll": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "schema_build": (q_schema_build, SQL_SCHEMA_BUILD),
-    "contrast_drift": (q_contrast, None),
+    "contrast_drift": (q_contrast, SQL_CONTRAST_DRIFT),
     "langid": (q_langid, SQL_LANGID),
     "quality_scores": (q_quality, SQL_QUALITY),
     "extraction_parity": (q_extraction, SQL_EXTRACTION_PARITY),
@@ -5319,14 +5388,14 @@ QUERIES = {
     "curation_e2e": (q_curation_e2e, SQL_CURATION_E2E),
     "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
-    "grouped_quantiles": (q_grouped_quantiles, None),
-    "sampled_profile": (q_sampled_profile, None),
+    "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
+    "sampled_profile": (q_sampled_profile, SQL_SAMPLED_PROFILE),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "union_shards": (q_union_shards, SQL_UNION_SHARDS),
     "windowed_agg": (q_windowed_agg, SQL_WINDOWED_AGG),
     "normalize_types": (q_normalize_types, SQL_NORMALIZE_TYPES),
     "partition_nulls": (q_partition_nulls, SQL_PARTITION_NULLS),
-    "ann_index_topk": (q_ann_index_topk, None),
+    "ann_index_topk": (q_ann_index_topk, SQL_ANN_INDEX_TOPK),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "c4_quality": (q_c4_quality, SQL_C4_QUALITY),
@@ -5341,7 +5410,7 @@ QUERIES = {
     "top_docs_per_lang": (q_top_docs_per_lang, SQL_TOP_DOCS_PER_LANG),
     "revenue_by_region": (q_revenue_by_region, SQL_REVENUE_BY_REGION),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
-    "kmeans_clusters": (q_kmeans_clusters, None),
+    "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "pca_embeddings": (q_pca_embeddings, SQL_PCA_EMBEDDINGS),
     "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
     "rollup_lineitem": (q_rollup_lineitem, SQL_ROLLUP_LINEITEM),

@@ -457,11 +457,12 @@ def vocab_overlap(ds, id_col: str, text_col: str, *,
         la = pc.split_pattern_regex(pc.utf8_lower(h), pattern)
         if isinstance(la, pa.ChunkedArray):
             la = la.combine_chunks()
-        offsets = la.offsets.to_numpy(zero_copy_only=False)
-        parent = np.repeat(np.arange(len(la), dtype=np.int64),
-                           np.diff(offsets))
-        flat = pa.table({"side": side.take(pa.array(parent)),
-                         "tok": la.values})
+        # offset-safe parent/value pairing (ADVICE r3: raw la.offsets with
+        # unsliced la.values misattributes tokens if a sliced ListArray
+        # ever reaches this path; the kernels honor array offsets)
+        parent = pc.list_parent_indices(la)
+        flat = pa.table({"side": side.take(parent),
+                         "tok": pc.list_flatten(la)})
         return flat.filter(pc.not_equal(flat.column("tok"), ""))
 
     pairs = distinct_rows(ds.map_batches(toks, batch_format="pyarrow"),
