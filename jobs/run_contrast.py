@@ -37,6 +37,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="baseline SchemaSpec JSON (e.g. run_full_check's "
                          "schema.json)")
     ap.add_argument("--out", required=True, help="drift report JSON path")
+    ap.add_argument("--html", default=None,
+                    help="also render the report as a self-contained "
+                         "static HTML file (rdv report-viewer analog)")
     ap.add_argument("--sample-fraction", type=float, default=1.0,
                     help="current-side build sample")
     ap.add_argument("--max-js", type=float, default=0.1)
@@ -103,8 +106,18 @@ def main(argv: list[str] | None = None) -> int:
     with open(tmp, "w") as f:
         json.dump(report, f, sort_keys=True, default=float)
     os.replace(tmp, args.out)
+    if args.html:
+        from webval.report_html import render_contrast_html
+
+        os.makedirs(os.path.dirname(os.path.abspath(args.html)),
+                    exist_ok=True)
+        htmp = f"{args.html}.tmp.{os.getpid()}"
+        with open(htmp, "w") as f:
+            f.write(render_contrast_html(report))
+        os.replace(htmp, args.html)
     print(json.dumps({"job": "run_contrast", "out": args.out,
-                      "drifted": drifted}, sort_keys=True))
+                      "html": args.html, "drifted": drifted},
+                     sort_keys=True))
     return 2 if drifted else 0
 
 

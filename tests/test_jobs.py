@@ -114,9 +114,10 @@ def test_run_contrast_job_detects_planted_drift(tmp_path, capsys):
     assert rep["drifted"] is False
 
     out_bad = tmp_path / "rep_bad.json"
+    html_out = tmp_path / "rep_bad.html"
     rc = main(["--input", str(drifted), "--baseline", str(base_path),
                "--out", str(out_bad), "--per-partition",
-               "--drift-cols", "text,lang"])
+               "--drift-cols", "text,lang", "--html", str(html_out)])
     assert rc == 2
     rep = json.load(open(out_bad))
     assert rep["drifted"] is True and rep["columns"]["text"]["drifted"]
@@ -125,6 +126,14 @@ def test_run_contrast_job_detects_planted_drift(tmp_path, capsys):
     parts = {p["part_id"]: p for p in rep["partitions"]}
     assert parts[2]["drifted"] is True
     assert not parts[0].get("drifted") and not parts[1].get("drifted")
+    # the static-HTML viewer artifact (rdv report-viewer analog): one
+    # self-contained document with the drift badge, every column row and
+    # the per-partition table
+    doc = html_out.read_text()
+    assert doc.startswith("<!doctype html>") and "</html>" in doc
+    assert "DRIFTED" in doc and "Per-partition drift" in doc
+    for col in rep["columns"]:
+        assert f"<td>{col}</td>" in doc
 
 
 @pytest.mark.usefixtures("ray_session")
