@@ -211,3 +211,36 @@ def test_contingency_stats_properties_hypothesis():
         assert (dof2, round(v2, 9)) == (dof, round(v, 9))
 
     check()
+
+
+def test_mutual_information_properties():
+    import numpy as np
+
+    from webval.drift import mutual_information
+
+    # independent joint -> 0 exactly
+    mi, n = mutual_information(np.outer([10, 30], [5, 15]))
+    assert abs(mi) < 1e-12 and n == 800
+    # perfectly dependent 2x2 with equal mass -> ln 2
+    mi2, _ = mutual_information(np.array([[7, 0], [0, 7]]))
+    assert abs(mi2 - np.log(2)) < 1e-12
+    # bounded by min(H(row), H(col)); empty -> (0, 0)
+    assert mutual_information(np.zeros((2, 2))) == (0.0, 0)
+
+
+def test_wasserstein_binned_properties():
+    import numpy as np
+
+    from webval.drift import wasserstein_binned
+
+    assert wasserstein_binned([1, 0, 0], [0, 0, 1]) == 2.0
+    assert wasserstein_binned([3, 3], [3, 3]) == 0.0
+    assert wasserstein_binned([1, 0], [0, 1], width=5.0) == 5.0
+    # symmetry + triangle-ish sanity on random histograms
+    rng = np.random.default_rng(4)
+    p, q = rng.integers(0, 50, 10), rng.integers(0, 50, 10)
+    assert abs(wasserstein_binned(p, q) - wasserstein_binned(q, p)) < 1e-12
+    assert wasserstein_binned(p, p) == 0.0
+    # empty-side conventions mirror js_divergence
+    assert wasserstein_binned([0, 0], [1, 2]) == 1.0
+    assert wasserstein_binned([0], [0]) == 0.0

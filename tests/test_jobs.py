@@ -163,3 +163,55 @@ def test_jobs_compose_full_check_schema_feeds_contrast(tmp_path, capsys):
     # same data vs its own sampled-build schema: nothing drifts
     assert rc == 0
     assert json.load(open(rep))["drifted"] is False
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_run_dedup_job_init_and_increment(tmp_path, capsys):
+    import pyarrow as pa
+
+    from run_dedup import main
+
+    corpus = tmp_path / "corpus.parquet"
+    pq.write_table(pa.table({
+        "doc_id": list(range(6)),
+        "text": ["alpha beta", "gamma", "alpha beta",  # planted dup
+                 "delta", "epsilon", "gamma"],
+    }), corpus)
+    index = tmp_path / "fpindex"
+
+    rc = main(["init", "--input", str(corpus), "--index", str(index)])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["fingerprints"] == 4  # distinct texts only
+
+    # increment: 2 rows repeat corpus content, 2 are new (one duplicated
+    # WITHIN the increment -> min-id row survives once)
+    inc = tmp_path / "inc.parquet"
+    pq.write_table(pa.table({
+        "doc_id": [10, 11, 12, 13],
+        "text": ["alpha beta", "zeta", "zeta", "gamma"],
+    }), inc)
+    out = tmp_path / "new_rows"
+    rc = main(["increment", "--input", str(inc), "--index", str(index),
+               "--out", str(out)])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_in"] == 4 and summary["rows_new"] == 1
+    got = pq.read_table(out).to_pydict()
+    assert got["doc_id"] == [11] and got["text"] == ["zeta"]
+
+    # dirty --out fails fast; re-running against the APPENDED index drops
+    # zeta too (its fingerprint was committed)
+    with pytest.raises(SystemExit, match="non-empty"):
+        main(["increment", "--input", str(inc), "--index", str(index),
+              "--out", str(out)])
+    out2 = tmp_path / "new_rows2"
+    rc = main(["increment", "--input", str(inc), "--index", str(index),
+               "--out", str(out2)])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_new"] == 0
+
+    # init refuses to clobber an existing index
+    with pytest.raises(SystemExit, match="non-empty"):
+        main(["init", "--input", str(corpus), "--index", str(index)])

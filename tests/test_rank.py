@@ -371,3 +371,114 @@ def test_assign_split_disjoint_exhaustive_deterministic(ray_session):
 
     with pytest.raises(ValueError, match="fractions"):
         assign_split(ds, "id", fractions=(0.5, 0.4), names=("a", "b", "c"))
+
+
+# --- round-4 order-statistic / sampler additions -------------------------
+
+
+def test_quantiles_from_histogram_matches_duckdb_semantics():
+    import duckdb
+
+    from webval.rank import quantiles_from_histogram
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 50, 5000).astype(np.float64)
+    uv, cnt = np.unique(vals, return_counts=True)
+    qs = [0.0, 0.05, 0.25, 0.5, 0.75, 0.95, 1.0]
+    con = duckdb.connect()
+    con.register("t", pa.table({"v": vals}))
+    for interp, fn in [(False, "quantile_disc"), (True, "quantile_cont")]:
+        got = quantiles_from_histogram(uv, cnt, qs, interpolate=interp)
+        want = [con.sql(f"SELECT {fn}(v, {q}) FROM t").fetchone()[0]
+                for q in qs]
+        assert np.allclose(got, want), (fn, got, want)
+
+
+def test_equidepth_histogram_counts(ray_session):
+    import ray.data as rd
+
+    from webval.rank import equidepth_histogram
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(1, 51, 9001).astype(np.float64)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(6)
+    k = 4
+    t = equidepth_histogram(ds, "v", k)
+    assert t.column("bin").to_pylist() == [1, 2, 3, 4]
+    edges = t.column("hi_edge").to_pylist()
+    cnts = t.column("cnt").to_pylist()
+    sv = np.sort(vals)
+    want_edges = [sv[max(math.ceil((i + 1) / k * len(sv)), 1) - 1]
+                  for i in range(k)]
+    assert edges == want_edges
+    prev = -np.inf
+    for e, c in zip(edges, cnts):
+        assert c == int(((vals > prev) & (vals <= e)).sum())
+        prev = e
+    assert sum(cnts) == len(vals)
+
+
+def test_global_exact_quantiles_and_empty(ray_session):
+    import ray.data as rd
+
+    from webval.rank import global_exact_quantiles
+
+    vals = np.array([5.0, 1.0, 3.0, 2.0, 4.0])
+    ds = rd.from_arrow(pa.table({"v": vals}))
+    assert global_exact_quantiles(ds, "v", [0.5]) == [3.0]
+    # continuous median of 1..4 = 2.5
+    ds4 = rd.from_arrow(pa.table({"v": vals[vals < 5]}))
+    assert global_exact_quantiles(ds4, "v", [0.5],
+                                  interpolate=True) == [2.5]
+    empty = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    got = global_exact_quantiles(empty, "v", [0.5])
+    assert len(got) == 1 and np.isnan(got[0])
+
+
+def test_grouped_fixed_size_sample_membership(grouped_data):
+    from webval.pipelines import grouped_fixed_size_sample
+
+    df, ds = grouped_data
+    n = 3
+    got = grouped_fixed_size_sample(ds, "id", "k", n).to_pandas()
+    h = (df["id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(2**32)
+    want = (df.assign(h=h).sort_values(["h", "id"]).groupby("k").head(n))
+    assert set(map(tuple, got[["k", "id"]].to_numpy())) \
+        == set(map(tuple, want[["k", "id"]].to_numpy()))
+    assert (got.groupby("k").size() == n).all()
+    assert "__h" not in got.columns
+
+
+def test_grouped_fixed_size_sample_guards(ray_session):
+    import ray.data as rd
+
+    from webval.pipelines import grouped_fixed_size_sample
+
+    bad = rd.from_arrow(pa.table({"id": [1, None], "g": ["a", "a"]}))
+    with pytest.raises(Exception, match="null"):
+        grouped_fixed_size_sample(bad, "id", "g", 1).to_pandas()
+    neg = rd.from_arrow(pa.table({"id": [-1, 2], "g": ["a", "a"]}))
+    with pytest.raises(Exception, match="negative"):
+        grouped_fixed_size_sample(neg, "id", "g", 1).to_pandas()
+
+
+def test_impute_mode_fills_with_modal_value(ray_session):
+    import ray.data as rd
+
+    from webval.pipelines import impute_mode
+
+    t = pa.table({"lang": ["en", "en", "de", None, None, "fr"]})
+    filled, mode = impute_mode(rd.from_arrow(t).repartition(3), "lang")
+    assert mode == "en"
+    vals = sorted(filled.to_pandas()["lang"])
+    assert vals == ["de", "en", "en", "en", "en", "fr"]
+    # tie -> smallest value wins (matches the SQL row_number twin)
+    t2 = pa.table({"lang": ["b", "a", None]})
+    _, mode2 = impute_mode(rd.from_arrow(t2), "lang")
+    assert mode2 == "a"
+    # all-null column: no mode, dataset unchanged
+    t3 = pa.table({"lang": pa.array([None, None], pa.string())})
+    out3, mode3 = impute_mode(rd.from_arrow(t3), "lang")
+    assert mode3 is None
+    assert out3.to_pandas()["lang"].isna().all()

@@ -263,3 +263,47 @@ def test_rolling_distinct_count_brute_force(ray_session):
                       if wd - 6 <= d <= wd})
         assert out.loc[wd, "active"] == active
     assert set(out.index) == set(obs)
+
+
+def test_transition_counts_matches_lag_oracle(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from webval.windows import transition_counts
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 60, n),
+        "ts": rng.integers(0, 500, n).astype("datetime64[us]"),
+        "eid": np.arange(n),
+        "state": rng.choice(["a", "b", "c", None], n, p=[.4, .3, .25, .05]),
+    })
+    # plant a null key and a null ts
+    df.loc[0, "k"] = None
+    df.loc[1, "ts"] = None
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+    got = (transition_counts(ds, "k", "ts", "state", tie_cols=["eid"])
+           .to_pandas().sort_values(["prev_state", "state"])
+           .reset_index(drop=True))
+    d = df.dropna(subset=["k", "ts", "state"]).sort_values(
+        ["k", "ts", "eid"])
+    prev = d.groupby("k")["state"].shift(1)
+    want = (pd.DataFrame({"prev_state": prev, "state": d["state"]})
+            .dropna().groupby(["prev_state", "state"]).size()
+            .reset_index(name="cnt")
+            .sort_values(["prev_state", "state"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_transition_counts_empty_and_single(ray_session):
+    import ray.data as rd
+
+    from webval.windows import transition_counts
+
+    t = pa.table({"k": [1, 2], "ts": pa.array([1, 2], pa.int64()),
+                  "state": ["a", "b"]})
+    # every key has one event -> no pairs
+    out = transition_counts(rd.from_arrow(t), "k", "ts", "state")
+    assert out.count() == 0

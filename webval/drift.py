@@ -177,3 +177,36 @@ def contingency_stats(counts) -> tuple[float, int, float]:
     dof = (r - 1) * (c - 1)
     v = math.sqrt(stat / (n * min(r - 1, c - 1)))
     return stat, dof, v
+
+
+def mutual_information(mat) -> tuple[float, int]:
+    """Mutual information (nats) of the joint categorical distribution
+    given as a contingency-count matrix: MI = Σ (o/n)·ln(o·n / (r·c)) over
+    nonzero cells, with r/c the row/column marginals.  The drift family's
+    dependence measure alongside chi-square/Cramér's V
+    (:func:`contingency_stats`) — 0 iff the columns are independent.
+    Returns (mi_nats, n_total)."""
+    m = np.asarray(mat, dtype=np.float64)
+    n = m.sum()
+    if n <= 0:
+        return 0.0, 0
+    r = m.sum(axis=1, keepdims=True)
+    c = m.sum(axis=0, keepdims=True)
+    nz = m > 0
+    mi = float(np.sum((m[nz] / n) * np.log(m[nz] * n / (r @ c)[nz])))
+    return mi, int(n)
+
+
+def wasserstein_binned(p, q, width: float = 1.0) -> float:
+    """1-D earth-mover (Wasserstein-1) distance between two BINNED
+    distributions sharing ordered equal-width bins: W1 = width · Σ|F_p −
+    F_q| over the bin CDFs.  The drift family's magnitude-aware measure —
+    unlike KS (max gap) it grows with HOW FAR mass moved, in value units.
+    Inputs are counts; normalized internally; empty sides → 0/1 like
+    :func:`js_divergence`."""
+    p = np.asarray(p, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    if p.sum() == 0 or q.sum() == 0:
+        return 0.0 if p.sum() == q.sum() else 1.0
+    return float(width * np.abs(np.cumsum(p / p.sum())
+                                - np.cumsum(q / q.sum())).sum())

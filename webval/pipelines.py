@@ -861,3 +861,81 @@ def weighted_sample(ds, id_col: str, prob_col: str, *,
         return batch.filter(pa.array(m))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_fixed_size_sample(ds, id_col: str, group_col: str, n: int, *,
+                              modulus: int = 2**32,
+                              multiplier: int = 2654435761):
+    """Exactly-n-per-group deterministic sample: the n rows of each group
+    whose Knuth multiplicative hash of ``id_col`` is smallest (ties broken
+    by the id itself) — the per-stratum quota sampler for training-data
+    mixes where proportional sampling (:func:`stratified_sample`) would
+    starve small groups.  Membership is a pure function of the data, equal
+    to SQL's ``row_number() OVER (PARTITION BY group ORDER BY hash, id)
+    <= n`` on any engine, and stable under re-runs / parallelism / cluster
+    size.  Scale shape: rides ``rank.top_k_per_group``'s combiner — at most
+    n rows per group per input batch reach the shuffle."""
+    from webval.rank import top_k_per_group
+
+    if n < 1:
+        raise ValueError(f"grouped_fixed_size_sample: n={n}")
+    mult, mod = np.uint64(multiplier), np.uint64(modulus)
+    sql_bound = (1 << 63) // multiplier
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        col = batch.column(id_col)
+        if col.null_count > 0:
+            raise ValueError(f"grouped_fixed_size_sample: {id_col} "
+                             "contains nulls — a null id has no hash")
+        ids = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(ids.dtype, np.signedinteger) and (ids < 0).any():
+            raise ValueError(f"grouped_fixed_size_sample: {id_col} has "
+                             "negative ids (uint64 wrap diverges from SQL)")
+        u = ids.astype(np.uint64, copy=False)
+        if (u >= np.uint64(sql_bound)).any():
+            raise ValueError(
+                f"grouped_fixed_size_sample: {id_col} has ids >= "
+                f"{sql_bound}, where id * multiplier overflows SQL BIGINT "
+                "— fold ids on both engines first")
+        with np.errstate(over="ignore"):
+            h = (u * mult) % mod
+        return batch.append_column("__h", pa.array(h.astype(np.int64)))
+
+    sampled = top_k_per_group(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        group_col, "__h", n, descending=False, tie_cols=[id_col])
+    return sampled.map_batches(lambda t: t.drop_columns(["__h"]),
+                               batch_format="pyarrow")
+
+
+def impute_mode(ds, col: str, *, num_buckets: int | None = None):
+    """Mode imputation for a categorical column: fill nulls of ``col``
+    with the corpus-wide modal value (ties to the smallest value, matching
+    ``aggregates.grouped_mode`` / the SQL ``row_number()`` idiom).  Returns
+    ``(filled_ds, mode_value)``.  The mode comes from the count exchange
+    (bounded by category cardinality); the fill is a stateless
+    ``pc.fill_null`` map — no shuffle of the data itself."""
+    from webval.exchange import grouped_agg
+
+    proj = ds.map_batches(
+        lambda t: pa.table({col: t.column(col).combine_chunks().filter(
+            pc.is_valid(t.column(col).combine_chunks()))}),
+        batch_format="pyarrow")
+    counts = grouped_agg(proj, [col], [(col, "count")],
+                         rename={f"{col}_count": "cnt"},
+                         num_buckets=num_buckets)
+    best_val, best_cnt = None, -1
+    for b in counts.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for v, c in zip(b.column(col).to_pylist(),
+                        b.column("cnt").to_pylist()):
+            if c > best_cnt or (c == best_cnt and v < best_val):
+                best_val, best_cnt = v, c
+    if best_val is None:
+        return ds, None
+
+    def fill(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index(col)
+        return batch.set_column(
+            i, col, pc.fill_null(batch.column(col), best_val))
+
+    return ds.map_batches(fill, batch_format="pyarrow"), best_val

@@ -5352,6 +5352,534 @@ FROM p WHERE y IS NOT NULL
 """
 
 
+def q_mutual_info(sf_dir: str):
+    """Mutual information (nats) between the documents lang and source
+    columns — the drift family's dependence measure alongside chi-square /
+    Cramér's V, from the same exact contingency-count exchange."""
+    import ray.data as rd
+
+    from webval.drift import mutual_information
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.select(["lang", "source"])
+        return t.filter(pc.and_(
+            pc.is_valid(t.column("lang").combine_chunks()),
+            pc.is_valid(t.column("source").combine_chunks())))
+
+    counts = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                         ["lang", "source"], [("lang", "count")],
+                         rename={"lang_count": "cnt"})
+    t = ds_to_table(counts)
+    langs = t.column("lang").to_numpy(zero_copy_only=False)
+    srcs = t.column("source").to_numpy(zero_copy_only=False)
+    cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+    ul, us = np.unique(langs), np.unique(srcs)
+    mat = np.zeros((len(ul), len(us)), dtype=np.float64)
+    mat[np.searchsorted(ul, langs), np.searchsorted(us, srcs)] = cnt
+    mi, n = mutual_information(mat)
+    return _round_cols(pa.table({
+        "n_cells": pa.array([t.num_rows], pa.int64()),
+        "n": pa.array([n], pa.int64()),
+        "mi_nats": pa.array([mi], pa.float64()),
+    }), {"mi_nats": 6})
+
+
+SQL_MUTUAL_INFO = """
+WITH c AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+           FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+           GROUP BY 1, 2),
+n AS (SELECT sum(o) AS n FROM c),
+rt AS (SELECT lang, sum(o) AS r FROM c GROUP BY 1),
+ct AS (SELECT source, sum(o) AS cl FROM c GROUP BY 1)
+SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_cells,
+       CAST((SELECT n FROM n) AS BIGINT) AS n,
+       round(sum((c.o / n.n) * ln(c.o * n.n / (rt.r * ct.cl))), 6) AS mi_nats
+FROM c JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+"""
+
+
+def q_winsorized_stats(sf_dir: str):
+    """Winsorized (p05/p95-clipped) summary of l_quantity: exact
+    quantile_cont fences and the clipped mean / clip counts, ALL finalized
+    from ONE value-count exchange (rank.value_histogram — bounded by
+    distinct-value cardinality, the right exact path for bounded-domain
+    measures; near-unique columns take the t-digest route instead)."""
+    import ray.data as rd
+
+    from webval.rank import quantiles_from_histogram, value_histogram
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity"])
+    t = ds_to_table(value_histogram(ds, "l_quantity"))
+    v = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(
+        np.float64)
+    c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = quantiles_from_histogram(v, c, [0.05, 0.95], interpolate=True)
+    clipped = np.clip(v, lo, hi)
+    n = int(c.sum())
+    return _round_cols(pa.table({
+        "lo": pa.array([lo], pa.float64()),
+        "hi": pa.array([hi], pa.float64()),
+        "wmean": pa.array([float((clipped * c).sum() / n)], pa.float64()),
+        "n_clipped_lo": pa.array([int(c[v < lo].sum())], pa.int64()),
+        "n_clipped_hi": pa.array([int(c[v > hi].sum())], pa.int64()),
+    }), {"lo": 6, "hi": 6, "wmean": 6})
+
+
+SQL_WINSORIZED_STATS = """
+WITH q AS (SELECT quantile_cont(l_quantity, 0.05) AS lo,
+                  quantile_cont(l_quantity, 0.95) AS hi
+           FROM lineitem WHERE l_quantity IS NOT NULL)
+SELECT round((SELECT lo FROM q), 6) AS lo,
+       round((SELECT hi FROM q), 6) AS hi,
+       round(avg(least(greatest(l_quantity, q.lo), q.hi)), 6) AS wmean,
+       CAST(count(*) FILTER (l_quantity < q.lo) AS BIGINT) AS n_clipped_lo,
+       CAST(count(*) FILTER (l_quantity > q.hi) AS BIGINT) AS n_clipped_hi
+FROM lineitem CROSS JOIN q WHERE l_quantity IS NOT NULL
+"""
+
+
+def q_equidepth_hist(sf_dir: str):
+    """Equi-depth (quantile-binned) histogram of l_quantity, k=5: bucket
+    upper edges are the exact quantile_disc order statistics, counts are
+    the rows in each half-open (prev_edge, edge] bin."""
+    import ray.data as rd
+
+    from webval.rank import equidepth_histogram
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity"])
+    return equidepth_histogram(ds, "l_quantity", 5)
+
+
+SQL_EQUIDEPTH_HIST = """
+WITH q AS (SELECT quantile_disc(l_quantity, 0.2) AS e1,
+                  quantile_disc(l_quantity, 0.4) AS e2,
+                  quantile_disc(l_quantity, 0.6) AS e3,
+                  quantile_disc(l_quantity, 0.8) AS e4,
+                  quantile_disc(l_quantity, 1.0) AS e5
+           FROM lineitem WHERE l_quantity IS NOT NULL),
+l AS (SELECT l_quantity AS v FROM lineitem WHERE l_quantity IS NOT NULL)
+SELECT 1 AS bin, q.e1 AS hi_edge,
+       CAST(count(*) FILTER (v <= q.e1) AS BIGINT) AS cnt FROM l, q GROUP BY 2
+UNION ALL SELECT 2, q.e2,
+       CAST(count(*) FILTER (v > q.e1 AND v <= q.e2) AS BIGINT) FROM l, q GROUP BY 2
+UNION ALL SELECT 3, q.e3,
+       CAST(count(*) FILTER (v > q.e2 AND v <= q.e3) AS BIGINT) FROM l, q GROUP BY 2
+UNION ALL SELECT 4, q.e4,
+       CAST(count(*) FILTER (v > q.e3 AND v <= q.e4) AS BIGINT) FROM l, q GROUP BY 2
+UNION ALL SELECT 5, q.e5,
+       CAST(count(*) FILTER (v > q.e4 AND v <= q.e5) AS BIGINT) FROM l, q GROUP BY 2
+"""
+
+
+def q_group_sample(sf_dir: str):
+    """Exactly-5-per-lang deterministic document sample (the per-stratum
+    quota sampler): membership = the 5 smallest Knuth hashes of doc_id per
+    lang, identical to the SQL row_number() twin on any engine."""
+    import ray.data as rd
+
+    from webval.pipelines import grouped_fixed_size_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    out = grouped_fixed_size_sample(ds, "doc_id", "lang", 5)
+    return ds_to_table(out).select(["lang", "doc_id"]).sort_by(
+        [("lang", "ascending"), ("doc_id", "ascending")])
+
+
+SQL_GROUP_SAMPLE = """
+WITH h AS (SELECT lang, doc_id,
+                  (doc_id * 2654435761) % 4294967296 AS hash
+           FROM documents),
+r AS (SELECT lang, doc_id, row_number() OVER
+          (PARTITION BY lang ORDER BY hash, doc_id) AS rn FROM h)
+SELECT lang, doc_id FROM r WHERE rn <= 5 ORDER BY lang, doc_id
+"""
+
+
+def q_hll_setops(sf_dir: str):
+    """Set-cardinality audit of two event cohorts (click vs purchase
+    user_ids): EXACT |A|, |B|, |A∪B| via the distinct exchange and |A∩B|
+    by inclusion-exclusion — with the grouped-HLL estimates of all three
+    sets (one tripled-stream exchange pass) self-asserted within 3%."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg, grouped_approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").combine_chunks()
+        uid = t.column("user_id").combine_chunks()
+        keep = pc.and_(pc.is_valid(uid),
+                       pc.is_in(et, value_set=pa.array(["click",
+                                                        "purchase"])))
+        et, uid = et.filter(keep), uid.filter(keep)
+        # doubled stream: each row also feeds the "__union__" pseudo-side
+        side = pa.concat_arrays(
+            [et, pa.array(["__union__"] * len(et), pa.string())])
+        return pa.table({"side": side, "user_id": pa.concat_arrays([uid] * 2)})
+
+    tripled = ds.map_batches(proj, batch_format="pyarrow")
+    from webval.exchange import distinct_rows
+
+    exact = ds_to_table(grouped_agg(
+        distinct_rows(tripled, ["side", "user_id"]),
+        ["side"], [("user_id", "count")], rename={"user_id_count": "n"}))
+    ex = {s: n for s, n in zip(exact.column("side").to_pylist(),
+                               exact.column("n").to_pylist())}
+    est_t = ds_to_table(grouped_approx_distinct(tripled, "side", "user_id"))
+    for s, e in zip(est_t.column("side").to_pylist(),
+                    est_t.column("approx_distinct").to_pylist()):
+        if abs(e - ex[s]) > 0.03 * max(ex[s], 1):
+            raise AssertionError(f"HLL {s}: est {e} vs exact {ex[s]}")
+    a, b, u = ex["click"], ex["purchase"], ex["__union__"]
+    return pa.table({
+        "a_distinct": pa.array([a], pa.int64()),
+        "b_distinct": pa.array([b], pa.int64()),
+        "union_distinct": pa.array([u], pa.int64()),
+        "intersect_distinct": pa.array([a + b - u], pa.int64()),
+        "hll_est_ok": pa.array([1], pa.int64()),
+    })
+
+
+SQL_HLL_SETOPS = """
+WITH e AS (SELECT event_type, user_id FROM events
+           WHERE user_id IS NOT NULL
+             AND event_type IN ('click', 'purchase'))
+SELECT CAST(count(DISTINCT user_id) FILTER (event_type = 'click')
+            AS BIGINT) AS a_distinct,
+       CAST(count(DISTINCT user_id) FILTER (event_type = 'purchase')
+            AS BIGINT) AS b_distinct,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS union_distinct,
+       CAST(count(DISTINCT user_id) FILTER (event_type = 'click')
+            + count(DISTINCT user_id) FILTER (event_type = 'purchase')
+            - count(DISTINCT user_id) AS BIGINT) AS intersect_distinct,
+       CAST(1 AS BIGINT) AS hll_est_ok
+FROM e
+"""
+
+
+def q_impute_mode(sf_dir: str):
+    """Mode imputation of the webpages lang column (nulls → corpus modal
+    lang, ties to the smallest): post-fill per-lang counts, so the hash
+    check verifies both the mode selection and the fill."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.pipelines import impute_mode
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["lang"])
+    filled, mode_val = impute_mode(ds, "lang")
+    counts = grouped_agg(filled, ["lang"], [("lang", "count")],
+                         rename={"lang_count": "cnt"})
+    return ds_to_table(counts).sort_by([("lang", "ascending")])
+
+
+SQL_IMPUTE_MODE = f"""
+WITH p AS (SELECT lang FROM
+           read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')),
+m AS (SELECT lang FROM (SELECT lang, count(*) AS c FROM p
+                        WHERE lang IS NOT NULL GROUP BY 1)
+      ORDER BY c DESC, lang LIMIT 1)
+SELECT COALESCE(p.lang, (SELECT lang FROM m)) AS lang,
+       count(*) AS cnt
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_transition_counts(sf_dir: str):
+    """First-order Markov transition counts of event_type along each
+    user's time-ordered sequence (windows.transition_counts: co-bucketed
+    lag pairs → pair-count exchange); the behavioral-drift profile."""
+    import ray.data as rd
+
+    from webval.windows import transition_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    out = transition_counts(ds, "user_id", "ts", "event_type",
+                            tie_cols=["event_id"])
+    return ds_to_table(out).sort_by([("prev_state", "ascending"),
+                                     ("state", "ascending")])
+
+
+SQL_TRANSITION_COUNTS = """
+WITH x AS (SELECT user_id, ts, event_id, event_type FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL),
+l AS (SELECT event_type AS state,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM x)
+SELECT prev_state, state, CAST(count(*) AS BIGINT) AS cnt
+FROM l WHERE prev_state IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_wasserstein_drift(sf_dir: str):
+    """Binned 1-D earth-mover (Wasserstein-1) drift of l_extendedprice
+    between even and odd orderkeys — the magnitude-aware companion of
+    ks_drift over the same shared width-5000 bins (value-unit distance =
+    bin-index W1 × width; SQL twin via the windowed cumulative CDFs)."""
+    from webval.drift import wasserstein_binned
+
+    ub, e, a = _two_side_counts(sf_dir, "lineitem", "l_orderkey",
+                                "l_extendedprice", bin_fn=lambda x:
+                                np.minimum(np.floor(x / 5000.0), 23.0)
+                                .astype(np.int64))
+    return _round_cols(pa.table({
+        "n_bins": pa.array([len(ub)], pa.int64()),
+        "w1": pa.array([wasserstein_binned(e, a, width=5000.0)],
+                       pa.float64()),
+    }), {"w1": 6})
+
+
+SQL_WASSERSTEIN_DRIFT = """
+WITH c AS (SELECT CAST(l_orderkey % 2 AS INT) AS side,
+                  CAST(least(floor(l_extendedprice / 5000), 23.0) AS BIGINT)
+                      AS bin, count(*) AS cnt
+           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+b AS (SELECT DISTINCT bin FROM c),
+m AS (SELECT b.bin,
+             CAST(COALESCE(e.cnt, 0) AS DOUBLE) AS ce,
+             CAST(COALESCE(a.cnt, 0) AS DOUBLE) AS ca
+      FROM b LEFT JOIN c e ON e.bin = b.bin AND e.side = 0
+             LEFT JOIN c a ON a.bin = b.bin AND a.side = 1),
+g AS (SELECT sum(ce) OVER w / (SELECT sum(ce) FROM m) AS fe,
+             sum(ca) OVER w / (SELECT sum(ca) FROM m) AS fa
+      FROM m WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW))
+SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n_bins,
+       round((SELECT 5000.0 * sum(abs(fa - fe)) FROM g), 6) AS w1
+"""
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """PMI-scored frequent bigrams (collocation mining): the ≥25-count
+    bigrams with ln of their pointwise mutual information against the
+    unigram frequencies.  Scale shape: bigram counts via the
+    frequent_ngrams combiner exchange (output bounded by the threshold);
+    unigram counts computed only for the words of those bigrams (filter
+    against the broadcast word set before the count exchange); corpus
+    totals as per-block scalars (exchange.sum_block_scalars)."""
+    import math
+
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg, sum_block_scalars
+    from webval.textclean import _split_lines, frequent_ngrams
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    bg = ds_to_table(frequent_ngrams(ds, "text", n=2, min_count=25))
+    if bg.num_rows == 0:
+        return pa.table({"ngram": pa.array([], pa.large_string()),
+                         "cnt": pa.array([], pa.int64()),
+                         "pmi": pa.array([], pa.float64())})
+    grams = bg.column("ngram").to_pylist()
+    words = sorted({w for g in grams for w in g.split(" ")})
+    word_set = pa.array(words, pa.large_string())
+
+    def uni(t: pa.Table) -> pa.Table:
+        flat, _off = _split_lines(t.column("text"), " ")
+        return pa.table({"w": flat.filter(pc.is_in(flat,
+                                                   value_set=word_set))})
+
+    uc_t = ds_to_table(grouped_agg(
+        ds.map_batches(uni, batch_format="pyarrow"),
+        ["w"], [("w", "count")], rename={"w_count": "c"}))
+    uc = dict(zip(uc_t.column("w").to_pylist(),
+                  uc_t.column("c").to_pylist()))
+
+    def totals(t: pa.Table) -> pa.Table:
+        flat, off = _split_lines(t.column("text"), " ")
+        counts = np.diff(off)
+        return pa.table({
+            "n_tok": pa.array([int(counts.sum())], pa.int64()),
+            "n_bg": pa.array([int(np.maximum(counts - 1, 0).sum())],
+                             pa.int64())})
+
+    tot = sum_block_scalars(
+        ds.map_batches(totals, batch_format="pyarrow").materialize(),
+        ["n_tok", "n_bg"])
+    n_tok, n_bg = tot["n_tok"], tot["n_bg"]
+    cnts = bg.column("cnt").to_pylist()
+    pmi = [math.log((c / n_bg) * (n_tok / uc[g.split(" ")[0]])
+                    * (n_tok / uc[g.split(" ")[1]]))
+           for g, c in zip(grams, cnts)]
+    return _round_cols(pa.table({
+        "ngram": pa.array(grams, pa.large_string()),
+        "cnt": pa.array(cnts, pa.int64()),
+        "pmi": pa.array(pmi, pa.float64()),
+    }).sort_by([("ngram", "ascending")]), {"pmi": 6})
+
+
+SQL_PMI_BIGRAMS = """
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+           WHERE text IS NOT NULL),
+tot AS (SELECT sum(len(ws)) AS n_tok,
+               sum(greatest(len(ws) - 1, 0)) AS n_bg FROM w),
+bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i + 1])) AS b
+       FROM w),
+bc AS (SELECT b, count(*) AS c FROM bg GROUP BY b HAVING count(*) >= 25),
+ug AS (SELECT unnest(ws) AS u FROM w),
+uc AS (SELECT u, count(*) AS c FROM ug GROUP BY u)
+SELECT bc.b AS ngram, CAST(bc.c AS BIGINT) AS cnt,
+       round(ln((bc.c / tot.n_bg) * (tot.n_tok / u1.c)
+                * (tot.n_tok / u2.c)), 6) AS pmi
+FROM bc, tot, uc u1, uc u2
+WHERE u1.u = string_split(bc.b, ' ')[1]
+  AND u2.u = string_split(bc.b, ' ')[2]
+ORDER BY ngram
+"""
+
+
+def q_event_type_lift(sf_dir: str):
+    """Event-type co-occurrence lift (market-basket association over
+    users): for each unordered type pair, n_users·P(a,b)/(P(a)·P(b)) —
+    distinct (user, type) exchange → co-bucketed self equi-join → pair
+    count; singles/user counts from the same distinct stream."""
+    import ray.data as rd
+
+    from webval.exchange import distinct_rows, grouped_agg
+    from webval.joins import equi_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "event_type"])
+        return t.filter(pc.and_(
+            pc.is_valid(t.column("user_id").combine_chunks()),
+            pc.is_valid(t.column("event_type").combine_chunks())))
+
+    d = ds.map_batches(proj, batch_format="pyarrow")
+    dd = distinct_rows(d, ["user_id", "event_type"]).materialize()
+    pairs = equi_join(dd, dd, on="user_id").map_batches(
+        lambda t: t.filter(pc.less(t.column("event_type"),
+                                   t.column("event_type_r"))),
+        batch_format="pyarrow")
+    pc_t = ds_to_table(grouped_agg(
+        pairs, ["event_type", "event_type_r"], [("user_id", "count")],
+        rename={"user_id_count": "n_ab"}))
+    singles = ds_to_table(grouped_agg(
+        dd, ["event_type"], [("user_id", "count")],
+        rename={"user_id_count": "n"}))
+    cs = dict(zip(singles.column("event_type").to_pylist(),
+                  singles.column("n").to_pylist()))
+    n_users = distinct_rows(dd, ["user_id"]).count()
+    t1 = pc_t.column("event_type").to_pylist()
+    t2 = pc_t.column("event_type_r").to_pylist()
+    ab = pc_t.column("n_ab").to_pylist()
+    lift = [(n_users * c) / (cs[a] * cs[b])
+            for a, b, c in zip(t1, t2, ab)]
+    return _round_cols(pa.table({
+        "t1": pa.array(t1), "t2": pa.array(t2),
+        "n_ab": pa.array(ab, pa.int64()),
+        "lift": pa.array(lift, pa.float64()),
+    }).sort_by([("t1", "ascending"), ("t2", "ascending")]), {"lift": 6})
+
+
+SQL_EVENT_TYPE_LIFT = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+p AS (SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_ab
+      FROM d a JOIN d b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+c AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+u AS (SELECT count(DISTINCT user_id) AS n FROM d)
+SELECT p.t1, p.t2, CAST(p.n_ab AS BIGINT) AS n_ab,
+       round((u.n * p.n_ab) / (c1.n * c2.n), 6) AS lift
+FROM p, u, c c1, c c2
+WHERE c1.event_type = p.t1 AND c2.event_type = p.t2
+ORDER BY 1, 2
+"""
+
+
+def q_dup_cluster_sizes(sf_dir: str):
+    """Dedup diagnostics: the distribution of duplicate-url cluster sizes
+    (how much of the crawl is 2×, 3×, … re-fetches) — the url-count
+    exchange re-aggregated by count value; both shuffles combiner-bounded."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["url"])
+    per_url = grouped_agg(ds, ["url"], [("url", "count")],
+                          rename={"url_count": "sz"})
+    dups = per_url.map_batches(
+        lambda t: t.select(["sz"]).filter(
+            pc.greater(t.column("sz"), pa.scalar(1, pa.int64()))),
+        batch_format="pyarrow")
+    out = grouped_agg(dups, ["sz"], [("sz", "count")],
+                      rename={"sz_count": "n_clusters"})
+    return ds_to_table(out).sort_by([("sz", "ascending")])
+
+
+SQL_DUP_CLUSTER_SIZES = f"""
+WITH c AS (SELECT url, count(*) AS sz FROM
+           read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+           GROUP BY url)
+SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+FROM c WHERE sz > 1 GROUP BY sz ORDER BY sz
+"""
+
+
+def q_quality_top_fraction(sf_dir: str):
+    """Quality top-X% selection (the LLM-curation 'keep the best quartile
+    per language' op): per-lang exact p75 length thresholds from the
+    (key, value) quantile exchange, broadcast into a stateless filter,
+    kept-count per lang — data never leaves the stream."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.rank import grouped_exact_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+    thr_t = ds_to_table(grouped_exact_quantiles(
+        ds, "lang", "n_chars", {"thr": 0.75}))
+    thr_langs = thr_t.column("lang").combine_chunks()
+    thr_vals = pc.cast(thr_t.column("thr"), pa.int64()).combine_chunks()
+    thr = dict(zip(thr_langs.to_pylist(), thr_vals.to_pylist()))
+
+    def keep(t: pa.Table) -> pa.Table:
+        lang = t.column("lang").combine_chunks()
+        nc = t.column("n_chars").combine_chunks()
+        lo = thr_vals.take(pc.index_in(lang, value_set=thr_langs))
+        m = pc.and_(pc.is_valid(nc), pc.greater_equal(nc, lo))
+        return t.filter(pc.fill_null(m, False))
+
+    kept = grouped_agg(ds.map_batches(keep, batch_format="pyarrow"),
+                       ["lang"], [("lang", "count")],
+                       rename={"lang_count": "n_kept"})
+    out = ds_to_table(kept)
+    out = out.append_column("thr", pa.array(
+        [thr[v] for v in out.column("lang").to_pylist()], pa.int64()))
+    return out.sort_by([("lang", "ascending")])
+
+
+SQL_QUALITY_TOP_FRACTION = """
+WITH t AS (SELECT lang, quantile_disc(n_chars, 0.75) AS thr
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY lang)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept, t.thr
+FROM documents d JOIN t ON d.lang = t.lang
+WHERE d.n_chars >= t.thr
+GROUP BY d.lang, t.thr ORDER BY d.lang
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -5499,4 +6027,17 @@ QUERIES = {
     "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "lag1_autocorr": (q_lag1_autocorr, SQL_LAG1_AUTOCORR),
+    "mutual_info": (q_mutual_info, SQL_MUTUAL_INFO),
+    "winsorized_stats": (q_winsorized_stats, SQL_WINSORIZED_STATS),
+    "equidepth_hist": (q_equidepth_hist, SQL_EQUIDEPTH_HIST),
+    "group_sample": (q_group_sample, SQL_GROUP_SAMPLE),
+    "hll_setops": (q_hll_setops, SQL_HLL_SETOPS),
+    "impute_mode": (q_impute_mode, SQL_IMPUTE_MODE),
+    "transition_counts": (q_transition_counts, SQL_TRANSITION_COUNTS),
+    "wasserstein_drift": (q_wasserstein_drift, SQL_WASSERSTEIN_DRIFT),
+    "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
+    "event_type_lift": (q_event_type_lift, SQL_EVENT_TYPE_LIFT),
+    "dup_cluster_sizes": (q_dup_cluster_sizes, SQL_DUP_CLUSTER_SIZES),
+    "quality_top_fraction": (q_quality_top_fraction,
+                             SQL_QUALITY_TOP_FRACTION),
 }

@@ -270,3 +270,117 @@ def top_k_per_group(ds, key: str, order_col: str, k: int, *,
 
     return bucketed_group_apply(ds, [key], final, num_buckets=num_buckets,
                                 partial_fn=partial)
+
+
+def value_histogram(ds, col: str, *, num_buckets: int | None = None):
+    """(value, cnt) table of the non-null distinct values of ``col`` via the
+    count-combiner exchange — the shared substrate for exact global order
+    statistics (:func:`global_exact_quantiles`, :func:`equidepth_histogram`,
+    queries' MAD/median finalizers).
+
+    Scale contract: the exchange is bounded by the DISTINCT-value
+    cardinality, not the row count — exact global quantiles of a
+    bounded-domain column (quantities, scores, enum-ish measures) stay
+    driver-cheap at any corpus size.  For near-unique continuous columns
+    (prices, timestamps) this table is row-sized: use the t-digest path
+    (``aggregates.TDigestQuantile``) there instead."""
+    from webval.exchange import grouped_agg
+
+    proj = ds.map_batches(
+        lambda t: pa.table({col: t.column(col).combine_chunks().filter(
+            pc.is_valid(t.column(col).combine_chunks()))}),
+        batch_format="pyarrow")
+    return grouped_agg(proj, [col], [(col, "count")],
+                       rename={f"{col}_count": "cnt"},
+                       num_buckets=num_buckets)
+
+
+def quantiles_from_histogram(vals: np.ndarray, counts: np.ndarray,
+                             qs: list[float], *,
+                             interpolate: bool = False) -> list[float]:
+    """Exact global quantiles from a (distinct value, count) histogram.
+    ``interpolate=False`` = DuckDB ``quantile_disc`` (value at sorted index
+    ceil(q*n) - 1); ``interpolate=True`` = ``quantile_cont`` (linear
+    between the flanking order statistics at rank q*(n-1))."""
+    order = np.argsort(vals)
+    v = np.asarray(vals, dtype=np.float64)[order]
+    cum = np.cumsum(np.asarray(counts, dtype=np.int64)[order])
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        if interpolate:
+            rank = q * (n - 1)            # 0-based fractional rank
+            lo = int(np.floor(rank))
+            frac = rank - lo
+            i = int(np.searchsorted(cum, lo + 1))
+            j = int(np.searchsorted(cum, min(lo + 1, n - 1) + 1))
+            out.append(float(v[i]) * (1.0 - frac) + float(v[j]) * frac)
+        else:
+            k = max(int(np.ceil(q * n)), 1)   # 1-based rank
+            out.append(float(v[int(np.searchsorted(cum, k))]))
+    return out
+
+
+def equidepth_histogram(ds, col: str, k: int, *,
+                        num_buckets: int | None = None) -> pa.Table:
+    """Equi-depth (quantile-binned) histogram: k buckets whose upper edges
+    are the ``quantile_disc(i/k)`` order statistics, with the exact row
+    count falling in each half-open bin (lo_edge, hi_edge] — the binning
+    profilers/drift monitors use when fixed-width bins would starve the
+    tail.  Duplicate edges (heavy values spanning a quantile) keep SQL's
+    first-matching-bin assignment: later duplicate bins count zero.
+
+    One value-count exchange (see :func:`value_histogram` for the scale
+    contract); the per-bin rollup is a cumsum over the distinct-value
+    table on the driver."""
+    if k < 1:
+        raise ValueError(f"equidepth_histogram: k={k}")
+    t = _collect_histogram(ds, col, num_buckets)
+    if t.num_rows == 0:
+        return pa.table({"bin": pa.array([], pa.int64()),
+                         "hi_edge": pa.array([], pa.float64()),
+                         "cnt": pa.array([], pa.int64())})
+    v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+    c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(v)
+    v, c = v[order], c[order]
+    edges = quantiles_from_histogram(
+        v, c, [(i + 1) / k for i in range(k)], interpolate=False)
+    # cumulative count at each edge -> per-bin counts by difference;
+    # searchsorted 'right' = rows with value <= edge
+    cum = np.cumsum(c)
+    cum_at = np.array([cum[np.searchsorted(v, e, side="right") - 1]
+                       if np.searchsorted(v, e, side="right") > 0 else 0
+                       for e in edges], dtype=np.int64)
+    cnts = np.diff(np.concatenate([[0], cum_at]))
+    return pa.table({"bin": pa.array(np.arange(1, k + 1), pa.int64()),
+                     "hi_edge": pa.array(edges, pa.float64()),
+                     "cnt": pa.array(cnts, pa.int64())})
+
+
+def global_exact_quantiles(ds, col: str, qs: list[float], *,
+                           interpolate: bool = False,
+                           num_buckets: int | None = None) -> list[float]:
+    """Exact global quantiles of ``col`` (disc or cont semantics) via the
+    value-count exchange.  Returns one float per q.  See
+    :func:`value_histogram` for when this is the right path vs t-digest."""
+    t = _collect_histogram(ds, col, num_buckets)
+    if t.num_rows == 0:
+        return [float("nan")] * len(qs)
+    return quantiles_from_histogram(
+        t.column("value").to_numpy(zero_copy_only=False),
+        t.column("cnt").to_numpy(zero_copy_only=False),
+        qs, interpolate=interpolate)
+
+
+def _collect_histogram(ds, col: str, num_buckets) -> pa.Table:
+    """Collect the (distinct value, cnt) exchange output to the driver —
+    this read is bounded by distinct-value cardinality, not row count."""
+    hist = value_histogram(ds, col, num_buckets=num_buckets)
+    parts = [b.rename_columns(["value", "cnt"])
+             for b in hist.iter_batches(batch_format="pyarrow",
+                                        batch_size=65536) if b.num_rows]
+    if not parts:
+        return pa.table({"value": pa.array([], pa.float64()),
+                         "cnt": pa.array([], pa.int64())})
+    return pa.concat_tables(parts)

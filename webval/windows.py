@@ -554,3 +554,72 @@ def inter_arrival_stats(ds, key: str, ts_col: str, *,
     return bucketed_group_apply(proj, [key], final,
                                 num_buckets=num_buckets,
                                 max_group_rows=max_group_rows)
+
+
+def transition_counts(ds, key: str, ts_col: str, state_col: str, *,
+                      tie_cols: list[str] | None = None,
+                      num_buckets: int | None = None,
+                      max_group_rows: int | None = 4_000_000):
+    """First-order (Markov) transition counts of ``state_col`` along each
+    key's time-ordered event sequence: one output row per observed
+    (prev_state, state) pair with its corpus-wide count — the behavioral
+    profile funnel/session analyses start from.
+
+    Ordering is (``ts_col``, then ``tie_cols``) within each key, matching
+    the SQL twin ``lag(state) OVER (PARTITION BY key ORDER BY ts, ties)``
+    exactly — pass a unique tie column (e.g. an event id) or tied
+    timestamps make the answer engine-dependent.  Rows with a null key,
+    ts or state are dropped first (SQL WHERE ... IS NOT NULL semantics,
+    so a null never forms or breaks a pair).
+
+    Scale shape: combiner-less co-bucketed exchange on ``key`` (whole
+    sequences are consumed in order; ``max_group_rows`` guards oversized
+    keys) → one vectorized sort + shifted compare per bucket, emitting
+    per-bucket PARTIAL (prev, state, cnt) rows → a count-combiner exchange
+    sums the partials, so the second shuffle is bounded by distinct state
+    pairs, not events."""
+    import numpy as np
+
+    from webval.exchange import bucketed_group_apply
+
+    tie_cols = list(tie_cols or [])
+    cols = [key, ts_col, state_col] + tie_cols
+
+    def proj_fn(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        m = pc.is_valid(t.column(key).combine_chunks())
+        for c in (ts_col, state_col):
+            m = pc.and_(m, pc.is_valid(t.column(c).combine_chunks()))
+        return t.filter(m)
+
+    proj = ds.map_batches(proj_fn, batch_format="pyarrow")
+    st_type = None
+
+    def final(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "prev_state": pa.array([], g.schema.field(state_col).type),
+            "state": pa.array([], g.schema.field(state_col).type),
+            "cnt": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        g = g.sort_by([(key, "ascending"), (ts_col, "ascending")]
+                      + [(c, "ascending") for c in tie_cols])
+        kk = g.column(key).to_numpy(zero_copy_only=False)
+        same_key = kk[1:] == kk[:-1]          # pair (i-1, i) is in-key
+        if not same_key.any():
+            return empty
+        idx = np.flatnonzero(same_key) + 1
+        states = g.column(state_col).combine_chunks()
+        pairs = pa.table({
+            "prev_state": states.take(pa.array(idx - 1, pa.int64())),
+            "state": states.take(pa.array(idx, pa.int64()))})
+        part = pairs.group_by(["prev_state", "state"]).aggregate(
+            [("state", "count")])
+        return part.rename_columns(["prev_state", "state", "cnt"])
+
+    partials = bucketed_group_apply(proj, [key], final,
+                                    num_buckets=num_buckets,
+                                    max_group_rows=max_group_rows)
+    return grouped_agg(partials, ["prev_state", "state"],
+                       [("cnt", "sum")], rename={"cnt_sum": "cnt"},
+                       num_buckets=num_buckets)
