@@ -129,6 +129,10 @@ def main() -> int:
     ap.add_argument("--minhash-rows", type=int, default=0,
                     help="0 = run minhash over the full --rows fixture")
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--object-store-gib", type=float, default=0,
+                    help="cap the plasma store (0 = Ray default ~30%% RAM); "
+                    "a small cap forces the data >> memory regime on inputs "
+                    "that would otherwise fit the default 37.6 GiB store")
     ap.add_argument("--skip-headline", action="store_true")
     ap.add_argument("--skip-minhash", action="store_true")
     args = ap.parse_args()
@@ -136,8 +140,11 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
+        kw = {}
+        if args.object_store_gib:
+            kw["object_store_memory"] = int(args.object_store_gib * 2**30)
         ray.init(address="local", num_cpus=args.cpus,
-                 include_dashboard=False, logging_level="ERROR")
+                 include_dashboard=False, logging_level="ERROR", **kw)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

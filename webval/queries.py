@@ -5522,8 +5522,9 @@ def q_hll_setops(sf_dir: str):
                                                         "purchase"])))
         et, uid = et.filter(keep), uid.filter(keep)
         # doubled stream: each row also feeds the "__union__" pseudo-side
+        # (constant column built vectorized: nulls + fill, no Python list)
         side = pa.concat_arrays(
-            [et, pa.array(["__union__"] * len(et), pa.string())])
+            [et, pa.nulls(len(et), pa.string()).fill_null("__union__")])
         return pa.table({"side": side, "user_id": pa.concat_arrays([uid] * 2)})
 
     tripled = ds.map_batches(proj, batch_format="pyarrow")
@@ -5880,6 +5881,83 @@ GROUP BY d.lang, t.thr ORDER BY d.lang
 """
 
 
+def q_fd_violations(sf_dir: str):
+    """Functional-dependency audit (data-quality classic): does the URL's
+    first host label determine the page language?  Hosts carrying >1
+    distinct lang are FD violations — distinct (host, lang) pairs through
+    the exchange, per-host distinct counts, filtered.  The scale variant
+    fingerprints wide determinant/dependent columns first (dedup.py); here
+    both sides are short strings so the twin is value-exact."""
+    import ray.data as rd
+
+    from webval.exchange import distinct_rows, grouped_agg
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["url", "lang"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        u = t.column("url").combine_chunks()
+        st = pc.extract_regex(u, _HOST_RE)
+        host = pc.struct_field(st, "host")
+        lang = t.column("lang").combine_chunks()
+        keep = pc.and_(pc.is_valid(host), pc.is_valid(lang))
+        return pa.table({"host": host.filter(keep),
+                         "lang": lang.filter(keep)})
+
+    pairs = distinct_rows(ds.map_batches(proj, batch_format="pyarrow"),
+                          ["host", "lang"])
+    per_host = grouped_agg(pairs, ["host"], [("lang", "count")],
+                           rename={"lang_count": "n_langs"})
+    viol = per_host.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_langs"),
+                                      pa.scalar(1, pa.int64()))),
+        batch_format="pyarrow")
+    return ds_to_table(viol).sort_by([("host", "ascending")])
+
+
+SQL_FD_VIOLATIONS = f"""
+WITH p AS (SELECT regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1)
+                      AS host, lang
+           FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+           WHERE regexp_matches(url, '^https?://([a-z0-9-]+)\\.')
+             AND lang IS NOT NULL)
+SELECT host, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM p GROUP BY host HAVING count(DISTINCT lang) > 1 ORDER BY host
+"""
+
+
+def q_category_codes(sf_dir: str):
+    """Stable categorical encoding (the feature-pipeline dictionary
+    build): dense integer codes for the documents source column in sorted
+    value order, with per-category counts — a pure function of the value
+    set, so codes are identical across runs, engines and cluster sizes."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source"])
+    counts = ds_to_table(grouped_agg(
+        ds.map_batches(
+            lambda t: pa.table({"source":
+                                t.column("source").combine_chunks().filter(
+                                    pc.is_valid(t.column("source")
+                                                .combine_chunks()))}),
+            batch_format="pyarrow"),
+        ["source"], [("source", "count")], rename={"source_count": "n"}))
+    counts = counts.sort_by([("source", "ascending")])
+    return counts.append_column(
+        "code", pa.array(np.arange(1, counts.num_rows + 1), pa.int64()))
+
+
+SQL_CATEGORY_CODES = """
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(dense_rank() OVER (ORDER BY source) AS BIGINT) AS code
+FROM documents WHERE source IS NOT NULL
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -6040,4 +6118,6 @@ QUERIES = {
     "dup_cluster_sizes": (q_dup_cluster_sizes, SQL_DUP_CLUSTER_SIZES),
     "quality_top_fraction": (q_quality_top_fraction,
                              SQL_QUALITY_TOP_FRACTION),
+    "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
+    "category_codes": (q_category_codes, SQL_CATEGORY_CODES),
 }
