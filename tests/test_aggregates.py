@@ -210,3 +210,46 @@ def test_median_from_counts_matches_numpy():
         p = rng.permutation(len(vals))
         got = _median_from_counts(vals[p].astype(float), counts[p])
         assert got == pytest.approx(float(np.median(data)))
+
+
+def test_grouped_higher_moments_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from webval.aggregates import grouped_higher_moments
+
+    rng = np.random.default_rng(47)
+    n = 20000
+    k = rng.integers(0, 25, n)
+    x = rng.gamma(2.0, 10.0, n)  # skewed so G1/G2 are far from 0
+    x[rng.random(n) < 0.02] = np.nan
+    t = pa.table({"k": pa.array(k, pa.int64()), "x": x})
+    got = grouped_higher_moments(rd.from_arrow(t).repartition(7), "k", "x",
+                                 num_buckets=8).to_pandas() \
+        .set_index("k").sort_index()
+    df = pd.DataFrame({"k": k, "x": x}).dropna()
+    for kk, grp in df.groupby("k"):
+        # pandas .skew()/.kurt() ARE the bias-corrected G1/G2 that SQL
+        # skewness()/kurtosis() compute (verified vs DuckDB in-query)
+        assert abs(got.loc[kk, "skewness"] - grp["x"].skew()) < 1e-7
+        assert abs(got.loc[kk, "kurtosis"] - grp["x"].kurt()) < 1e-6
+        assert got.loc[kk, "n"] == len(grp)
+
+
+def test_grouped_higher_moments_null_semantics(ray_session):
+    import ray.data as rd
+
+    from webval.aggregates import grouped_higher_moments
+
+    t = pa.table({"k": ["n2", "n2", "n3", "n3", "n3",
+                        "const", "const", "const", "const"],
+                  "x": [1.0, 2.0, 1.0, 2.0, 4.0,
+                        7.0, 7.0, 7.0, 7.0]})
+    got = grouped_higher_moments(rd.from_arrow(t), "k", "x",
+                                 num_buckets=4).to_pandas().set_index("k")
+    assert np.isnan(got.loc["n2", "skewness"])     # n < 3
+    assert np.isnan(got.loc["n2", "kurtosis"])     # n < 4
+    assert not np.isnan(got.loc["n3", "skewness"])
+    assert np.isnan(got.loc["n3", "kurtosis"])     # n < 4
+    assert np.isnan(got.loc["const", "skewness"])  # zero variance
+    assert np.isnan(got.loc["const", "kurtosis"])

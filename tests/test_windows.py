@@ -307,3 +307,59 @@ def test_transition_counts_empty_and_single(ray_session):
     # every key has one event -> no pairs
     out = transition_counts(rd.from_arrow(t), "k", "ts", "state")
     assert out.count() == 0
+
+
+def test_interval_coverage_brute_force(ray_session):
+    import ray.data as rd
+
+    from webval.windows import interval_coverage
+
+    rng = np.random.default_rng(53)
+    n = 5000
+    k = rng.integers(0, 40, n).astype(np.int64)
+    s = rng.integers(0, 10_000, n).astype(np.int64)
+    dur = rng.integers(0, 300, n).astype(np.int64)  # includes zero-length
+    t = pa.table({"k": k, "s": s, "e": s + dur})
+    got = interval_coverage(rd.from_arrow(t).repartition(6), "k", "s", "e",
+                            num_buckets=8).to_pandas().set_index("k")
+
+    def brute(iv):
+        iv = sorted(iv)
+        islands, cur_s, cur_e = [], None, None
+        for a, b in iv:
+            if cur_s is None or a > cur_e:
+                if cur_s is not None:
+                    islands.append(cur_e - cur_s)
+                cur_s, cur_e = a, b
+            else:
+                cur_e = max(cur_e, b)
+        islands.append(cur_e - cur_s)
+        return len(islands), sum(islands)
+
+    for kk in np.unique(k):
+        m = k == kk
+        n_isl, cov = brute(list(zip(s[m], (s + dur)[m])))
+        assert got.loc[kk, "n_intervals"] == int(m.sum())
+        assert got.loc[kk, "n_islands"] == n_isl
+        assert got.loc[kk, "covered"] == cov
+
+
+def test_interval_coverage_edges(ray_session):
+    import ray.data as rd
+
+    from webval.windows import interval_coverage
+
+    # touching intervals merge ([1,3]+[3,5] -> one island, covered 4);
+    # nulls and inverted intervals are dropped; zero-length adds nothing
+    t = pa.table({"k": pa.array(["a", "a", "b", "b", "b", None, "c"]),
+                  "s": pa.array([1, 3, 10, 2, None, 1, 9], pa.int64()),
+                  "e": pa.array([3, 5, 10, 1, 7, 2, 12], pa.int64())})
+    got = interval_coverage(rd.from_arrow(t), "k", "s", "e",
+                            num_buckets=4).to_pandas().set_index("k")
+    assert got.loc["a", "n_islands"] == 1 and got.loc["a", "covered"] == 4
+    # b: [10,10] zero-length kept as its own island; [2,1] inverted dropped;
+    # null start dropped
+    assert got.loc["b", "n_intervals"] == 1
+    assert got.loc["b", "n_islands"] == 1 and got.loc["b", "covered"] == 0
+    assert got.loc["c", "covered"] == 3
+    assert set(got.index) == {"a", "b", "c"}

@@ -725,3 +725,71 @@ def pairwise_corr(ds, cols: list[tuple[str, str]]):
                      "col_y": pa.array(rows["col_y"]),
                      "n": pa.array(rows["n"], pa.int64()),
                      "corr": pa.array(rows["corr"], pa.float64())})
+
+
+def grouped_higher_moments(ds, key: str, val: str, *,
+                           num_buckets: int | None = None):
+    """Per-group sample skewness and excess kurtosis (the distribution-
+    shape diagnostics that complete the moments family above E1-E3):
+    bias-corrected G1 / G2 with the same small-n and zero-variance NULL
+    semantics as SQL ``skewness()`` / ``kurtosis()`` (NULL when n < 3 /
+    n < 4 or the variance is 0).
+
+    Shape: raw power sums (n, Σx, Σx², Σx³, Σx⁴) ride the hash-bucket
+    exchange as per-batch Arrow combiner partials — mergeable by addition
+    at any key cardinality — finalized vectorized per bucket.  Output:
+    (key, n, skewness, kurtosis).
+    """
+    from webval.exchange import bucketed_group_apply
+
+    sums = ("n", "s1", "s2", "s3", "s4")
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(val).to_numpy(zero_copy_only=False).astype(np.float64)
+        m = ~np.isnan(x)
+        x = np.where(m, x, 0.0)
+        x2 = x * x
+        base = pa.table({
+            key: t.column(key),
+            "n": pa.array(m.astype(np.int64)),
+            "s1": pa.array(x),
+            "s2": pa.array(x2),
+            "s3": pa.array(x2 * x),
+            "s4": pa.array(x2 * x2),
+        })
+        out = base.group_by([key]).aggregate([(c, "sum") for c in sums])
+        return out.select([key] + [f"{c}_sum" for c in sums]) \
+                  .rename_columns([key, *sums])
+
+    def final(g: pa.Table) -> pa.Table:
+        agg = g.group_by([key]).aggregate([(c, "sum") for c in sums])
+        agg = agg.select([key] + [f"{c}_sum" for c in sums]) \
+                 .rename_columns([key, *sums])
+        n = agg.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = agg.column("s1").to_numpy(zero_copy_only=False)
+        s2 = agg.column("s2").to_numpy(zero_copy_only=False)
+        s3 = agg.column("s3").to_numpy(zero_copy_only=False)
+        s4 = agg.column("s4").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mu = s1 / n
+            m2 = s2 - n * mu * mu                       # Σ(x-µ)²
+            m3 = s3 - 3 * mu * s2 + 2 * n * mu ** 3     # Σ(x-µ)³
+            m4 = s4 - 4 * mu * s3 + 6 * mu * mu * s2 - 3 * n * mu ** 4
+            g1 = (m3 / n) / (m2 / n) ** 1.5
+            skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+            g2 = n * m4 / (m2 * m2) - 3.0
+            kurt = ((n - 1.0) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6.0)
+        bad_sk = (n < 3) | (m2 <= 0)
+        bad_ku = (n < 4) | (m2 <= 0)
+        return pa.table({
+            key: agg.column(key),
+            "n": pa.array(n.astype(np.int64)),
+            "skewness": pa.array(np.where(bad_sk, np.nan, skew),
+                                 pa.float64(), mask=bad_sk),
+            "kurtosis": pa.array(np.where(bad_ku, np.nan, kurt),
+                                 pa.float64(), mask=bad_ku),
+        })
+
+    return bucketed_group_apply(ds.select_columns([key, val]), [key],
+                                final, num_buckets=num_buckets,
+                                partial_fn=partial)

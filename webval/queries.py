@@ -5958,6 +5958,88 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_grouped_skew_kurt(sf_dir: str):
+    """Per-group distribution-shape diagnostics: bias-corrected sample
+    skewness (G1) and excess kurtosis (G2) of l_quantity by returnflag —
+    the moments family completed past mean/std (aggregates.
+    grouped_higher_moments: additive power-sum partials through the hash
+    exchange, SQL skewness()/kurtosis() NULL semantics at n<3 / n<4 /
+    zero variance)."""
+    import ray.data as rd
+
+    from webval.aggregates import grouped_higher_moments
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+    out = ds_to_table(grouped_higher_moments(ds, "l_returnflag",
+                                             "l_quantity"))
+    return _round_cols(out, {"skewness": 6, "kurtosis": 6}) \
+        .sort_by([("l_returnflag", "ascending")])
+
+
+SQL_GROUPED_SKEW_KURT = """
+SELECT l_returnflag, CAST(count(l_quantity) AS BIGINT) AS n,
+       round(skewness(l_quantity), 6) AS skewness,
+       round(kurtosis(l_quantity), 6) AS kurtosis
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_interval_coverage(sf_dir: str):
+    """Per-user covered active time after merging overlapping spans
+    (interval-union rollup, windows.interval_coverage): each event opens a
+    span of floor(value) minutes; overlaps collapse into islands and only
+    the union counts.  Combiner-less key exchange + one vectorized
+    segmented cummax sweep per bucket; the SQL twin is the classic
+    window-function islands query."""
+    import ray.data as rd
+
+    from webval.windows import interval_coverage
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column("ts").combine_chunks(), pa.int64())
+        v = t.column("value").combine_chunks()
+        dur = pc.cast(pc.floor(pc.multiply(
+            pc.cast(v, pa.float64()),
+            pa.scalar(60_000_000.0))), pa.int64())
+        return pa.table({"user_id": t.column("user_id"),
+                         "s": s, "e": pc.add(s, dur)})
+
+    out = interval_coverage(ds.map_batches(proj, batch_format="pyarrow"),
+                            "user_id", "s", "e")
+    return ds_to_table(out).sort_by([("user_id", "ascending")])
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts)
+                   + CAST(floor(value * 60000000) AS BIGINT) AS e
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND value IS NOT NULL AND value >= 0),
+l AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM iv),
+g AS (SELECT user_id, s, e,
+             sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY s, e) AS isl
+      FROM l),
+isl AS (SELECT user_id, isl, min(s) AS st, max(e) AS en,
+               count(*) AS n_iv
+        FROM g GROUP BY 1, 2)
+SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(en - st) AS BIGINT) AS covered
+FROM isl GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -6120,4 +6202,6 @@ QUERIES = {
                              SQL_QUALITY_TOP_FRACTION),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "category_codes": (q_category_codes, SQL_CATEGORY_CODES),
+    "grouped_skew_kurt": (q_grouped_skew_kurt, SQL_GROUPED_SKEW_KURT),
+    "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
 }

@@ -623,3 +623,87 @@ def transition_counts(ds, key: str, ts_col: str, state_col: str, *,
     return grouped_agg(partials, ["prev_state", "state"],
                        [("cnt", "sum")], rename={"cnt_sum": "cnt"},
                        num_buckets=num_buckets)
+
+
+def interval_coverage(ds, key: str, start_col: str, end_col: str, *,
+                      num_buckets: int | None = None,
+                      max_group_rows: int | None = 4_000_000):
+    """Per-key covered span after merging overlapping intervals (the
+    "total active time" rollup: union of [start, end) intervals, summed) —
+    the interval-union counterpart of sessionize, for data that already
+    carries explicit spans.  Output per key:
+    (key, n_intervals, n_islands, covered) where covered is in the
+    columns' own integer units (µs for timestamps) and islands are the
+    maximal merged runs.
+
+    Rows with a null key or bound, and degenerate intervals with
+    end < start, are dropped (mirror the SQL twin's WHERE).  Combiner-less
+    exchange — a key's intervals are consumed whole: one (key, start, end)
+    sort per bucket, then a vectorized segmented cumulative-max island
+    sweep (no per-row Python); oversized keys raise the named exchange
+    diagnostic.
+    """
+    import numpy as np
+
+    from webval.exchange import bucketed_group_apply
+
+    def proj_fn(t: pa.Table) -> pa.Table:
+        t = t.select([key, start_col, end_col])
+        s = t.column(start_col).combine_chunks()
+        e = t.column(end_col).combine_chunks()
+        if pa.types.is_temporal(s.type):
+            s, e = pc.cast(s, pa.int64()), pc.cast(e, pa.int64())
+            t = pa.table({key: t.column(key), start_col: s, end_col: e})
+        m = pc.and_(pc.and_(pc.is_valid(t.column(key).combine_chunks()),
+                            pc.and_(pc.is_valid(s), pc.is_valid(e))),
+                    pc.less_equal(s, e))
+        return t.filter(m)
+
+    proj = ds.map_batches(proj_fn, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        kt = g.schema.field(key).type
+        empty = pa.table({key: pa.array([], kt),
+                          "n_intervals": pa.array([], pa.int64()),
+                          "n_islands": pa.array([], pa.int64()),
+                          "covered": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        g = g.sort_by([(key, "ascending"), (start_col, "ascending"),
+                       (end_col, "ascending")])
+        kk = g.column(key).to_numpy(zero_copy_only=False)
+        s = g.column(start_col).to_numpy(zero_copy_only=False)
+        e = g.column(end_col).to_numpy(zero_copy_only=False)
+        n = len(kk)
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        seg = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, n]))
+        # segmented cumulative max of `e` (running furthest-end within the
+        # key); pandas' C groupby-cummax — an int64 offset-banding trick
+        # would overflow at segments × span scale
+        import pandas as pd
+
+        cme = pd.Series(e).groupby(seg).cummax().to_numpy()
+        # island opens where the interval starts past every prior end
+        new_island = np.ones(n, dtype=bool)
+        new_island[1:] = (s[1:] > cme[:-1]) | (kk[1:] != kk[:-1])
+        isl = np.cumsum(new_island) - 1
+        isl_start = s[new_island]
+        isl_end = np.maximum.reduceat(cme, np.flatnonzero(new_island))
+        cov = isl_end - isl_start
+        isl_per_key = np.bincount(seg[new_island], minlength=len(starts))
+        cov_per_key = np.bincount(isl[new_island],
+                                  weights=cov.astype(np.float64))
+        # island ids are contiguous per key, so summing island coverage
+        # into keys is a reduceat over the per-key island counts
+        key_cov = np.add.reduceat(
+            cov_per_key, np.r_[0, np.cumsum(isl_per_key)[:-1]])
+        return pa.table({
+            key: g.column(key).take(pa.array(starts, pa.int64())),
+            "n_intervals": pa.array(np.diff(np.r_[starts, n])
+                                    .astype(np.int64)),
+            "n_islands": pa.array(isl_per_key.astype(np.int64)),
+            "covered": pa.array(key_cov.astype(np.int64)),
+        })
+
+    return bucketed_group_apply(proj, [key], final, num_buckets=num_buckets,
+                                max_group_rows=max_group_rows)
