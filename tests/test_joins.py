@@ -150,6 +150,10 @@ def test_equi_join_matches_duckdb():
         "left": "SELECT l.k, l.lv, l.v, r.rv, r.v AS v_r FROM l LEFT JOIN r ON l.k = r.k",
         "semi": "SELECT l.k, l.lv, l.v FROM l SEMI JOIN r ON l.k = r.k",
         "anti": "SELECT l.k, l.lv, l.v FROM l ANTI JOIN r ON l.k = r.k",
+        "right": "SELECT r.k, l.lv, l.v, r.rv, r.v AS v_r "
+                 "FROM l RIGHT JOIN r ON l.k = r.k",
+        "full": "SELECT coalesce(l.k, r.k) AS k, l.lv, l.v, r.rv, "
+                "r.v AS v_r FROM l FULL OUTER JOIN r ON l.k = r.k",
     }
     for how, sql in cases.items():
         got = pa.concat_tables(
@@ -198,7 +202,12 @@ def test_equi_join_rejects_bad_how():
 
     t = rd.from_arrow(pa.table({"k": [1]}))
     with pytest.raises(ValueError, match="how="):
-        equi_join(t, t, on="k", how="full")
+        equi_join(t, t, on="k", how="cross")
+    # replicated right rows would duplicate unmatched-right output
+    with pytest.raises(ValueError, match="hot_keys is incompatible"):
+        equi_join(t, t, on="k", how="full", hot_keys=[1])
+    with pytest.raises(ValueError, match="hot_keys is incompatible"):
+        equi_join(t, t, on="k", how="right", hot_keys=[1])
 
 
 @pytest.mark.usefixtures("ray_session")

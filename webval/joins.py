@@ -304,6 +304,7 @@ def interval_join(points, intervals, *, on: str, lo: str, hi: str, by: str,
 
 
 _ARROW_JOIN_TYPE = {"inner": "inner", "left": "left outer",
+                    "right": "right outer", "full": "full outer",
                     "semi": "left semi", "anti": "left anti"}
 
 
@@ -325,6 +326,8 @@ def equi_join(left, right, *, on, right_on=None, how: str = "inner",
 
     ``on`` / ``right_on``: key column name(s); right keys are renamed to
     the left names in the exchange.  ``how``: "inner", "left" (left outer),
+    "right" (right outer), "full" (full outer — unmatched rows of BOTH
+    sides survive with coalesced keys, the reconciliation shape),
     "semi" (left rows WITH a match, left columns only), "anti" (left rows
     WITHOUT a match — the referential-orphans shape at any right-side
     cardinality).  Non-key right columns colliding with a left name get
@@ -364,6 +367,13 @@ def equi_join(left, right, *, on, right_on=None, how: str = "inner",
 
     if hot_keys is not None and len(keys) != 1:
         raise ValueError("equi_join: hot_keys supports single-key joins")
+    if hot_keys is not None and how in ("right", "full"):
+        # right rows are REPLICATED across salt shards: an unmatched hot
+        # right row would emit a null-left result in every shard
+        raise ValueError(f"equi_join: hot_keys is incompatible with "
+                         f"how={how!r} (replicated right rows would "
+                         "duplicate unmatched-right output); salt the "
+                         "reversed join instead")
     if hot_keys is not None and salt < 2:
         raise ValueError(f"equi_join: salt={salt} must be >= 2")
     if isinstance(hot_keys, str):
@@ -381,6 +391,12 @@ def equi_join(left, right, *, on, right_on=None, how: str = "inner",
     # exactly-answerable cases resolve here; the rest raise a named error
     # instead of an AttributeError deep in the planner.
     if l_schema is None or l_schema.names is None:
+        if how in ("right", "full"):
+            raise ValueError(
+                f"equi_join(how={how!r}): left side is empty with no "
+                "schema (zero blocks), so its column names/types are "
+                "unknowable — guard the caller or materialize a "
+                "schema-bearing empty table")
         return left.limit(0)   # empty in, empty out (semantics-free)
     if r_schema is None or r_schema.names is None:
         if how == "semi":
@@ -458,9 +474,13 @@ def equi_join(left, right, *, on, right_on=None, how: str = "inner",
         ltab = g.filter(lmask).select(keys + ["__salt__"] + l_payload)
         rtab = g.filter(pc.invert(lmask)).select(keys + ["__salt__"]
                                                  + r_payload_out)
-        return ltab.join(rtab, keys=keys + ["__salt__"],
-                         join_type=join_type) \
-                   .drop_columns(["__salt__"]).combine_chunks()
+        out = ltab.join(rtab, keys=keys + ["__salt__"],
+                        join_type=join_type).drop_columns(["__salt__"])
+        # Arrow varies column ORDER by join type (right outer leads with
+        # left payload); blocks must share one schema across buckets
+        order = keys + l_payload if how in ("semi", "anti") \
+            else keys + l_payload + r_payload_out
+        return out.select(order).combine_chunks()
 
     return bucketed_group_apply(lt.union(rt), keys + ["__salt__"],
                                 bucket_join, num_buckets=num_buckets,

@@ -6013,6 +6013,48 @@ def q_interval_coverage(sf_dir: str):
     return ds_to_table(out).sort_by([("user_id", "ascending")])
 
 
+def q_full_outer_join(sf_dir: str):
+    """Full-outer reconciliation via the general large×large equi-join
+    (joins.equi_join how="full"): high-balance customers vs per-customer
+    open-order counts — unmatched rows of BOTH sides survive with the key
+    coalesced (customers with no open orders / open-order customers below
+    the balance cut).  Same co-bucketed exchange as inner/left; Arrow's
+    full-outer bucket join, canonical column order across buckets."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.joins import equi_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"]) \
+        .map_batches(lambda t: t.filter(
+            pc.greater(t.column("c_acctbal"), pa.scalar(9000.0))),
+            batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderstatus"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t.column("o_orderstatus"), pa.scalar("O")))
+            .select(["o_custkey"]), batch_format="pyarrow")
+    per_cust = grouped_agg(orders, ["o_custkey"],
+                           [("o_custkey", "count")],
+                           rename={"o_custkey_count": "n_orders"})
+    out = equi_join(cust, per_cust, on="c_custkey", right_on="o_custkey",
+                    how="full")
+    return ds_to_table(out).sort_by([("c_custkey", "ascending")])
+
+
+SQL_FULL_OUTER_JOIN = """
+WITH l AS (SELECT c_custkey, c_acctbal FROM customer
+           WHERE c_acctbal > 9000),
+r AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+SELECT coalesce(l.c_custkey, r.o_custkey) AS c_custkey, l.c_acctbal,
+       r.n_orders
+FROM l FULL OUTER JOIN r ON l.c_custkey = r.o_custkey
+ORDER BY 1
+"""
+
+
 SQL_INTERVAL_COVERAGE = """
 WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
                    epoch_us(ts)
@@ -6204,4 +6246,5 @@ QUERIES = {
     "category_codes": (q_category_codes, SQL_CATEGORY_CODES),
     "grouped_skew_kurt": (q_grouped_skew_kurt, SQL_GROUPED_SKEW_KURT),
     "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
+    "full_outer_join": (q_full_outer_join, SQL_FULL_OUTER_JOIN),
 }
