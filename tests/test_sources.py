@@ -197,3 +197,53 @@ def test_jsonl_and_csv_roundtrip_vs_parquet(ray_session, tmp_path):
         assert got.column("lang").to_pylist() == t.column("lang").to_pylist()
         assert got.column("n_chars").cast(pa.int64()).to_pylist() \
             == t.column("n_chars").to_pylist()
+
+
+def test_orc_roundtrip_multistripe(ray_session, tmp_path):
+    """Sink → source equality incl. nulls/timestamps; a multi-stripe file
+    must stream one table per stripe (task memory O(stripe) claim)."""
+    import pyarrow.orc as paorc
+    import ray
+    import ray.data as rd
+
+    from webval.sources import read_orc, write_orc
+
+    n = 5000
+    rng = np.random.default_rng(11)
+    vals = rng.random(n)
+    t = pa.table({
+        "k": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(np.where(rng.random(n) < 0.05, None, vals)),
+        "s": pa.array([f"row{i}" if i % 7 else None for i in range(n)]),
+        "ts": pa.array(np.arange(n) * 1_000_003, pa.timestamp("us")),
+    })
+    out = str(tmp_path / "orc_rt")
+    write_orc(rd.from_arrow(t).repartition(4), out)
+    back = pa.concat_tables(
+        [ray.get(r) for r in read_orc(out).to_arrow_refs()])
+    assert back.cast(t.schema).sort_by([("k", "ascending")]).equals(t)
+
+    # stripe streaming: force many small stripes in one file, read it back
+    one = str(tmp_path / "multi.orc")
+    paorc.write_table(t, one, stripe_size=64 * 1024)
+    f = paorc.ORCFile(one)
+    assert f.nstripes > 1
+    got = pa.concat_tables(
+        [ray.get(r) for r in read_orc(one).to_arrow_refs()])
+    assert got.cast(t.schema).sort_by([("k", "ascending")]).equals(t)
+    # column pruning reaches the stripe read
+    pruned = read_orc(one, columns=["s"])
+    assert pruned.schema().names == ["s"]
+
+
+def test_orc_empty_file_keeps_schema(ray_session, tmp_path):
+    import pyarrow.orc as paorc
+
+    from webval.sources import read_orc
+
+    one = str(tmp_path / "empty.orc")
+    paorc.write_table(pa.table({"a": pa.array([], pa.int64()),
+                                "b": pa.array([], pa.string())}), one)
+    ds = read_orc(one)
+    assert ds.count() == 0
+    assert ds.schema().names == ["a", "b"]

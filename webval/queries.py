@@ -4047,6 +4047,9 @@ def _docs_export(sf_dir: str, fmt: str) -> str:
                          columns=["doc_id", "lang", "n_chars"])
     if fmt == "jsonl":
         ds.write_json(tmp)
+    elif fmt == "orc":
+        from webval.sources import write_orc
+        write_orc(ds, tmp)
     else:
         ds.write_csv(tmp)
     try:
@@ -6013,6 +6016,24 @@ def q_interval_coverage(sf_dir: str):
     return ds_to_table(out).sort_by([("user_id", "ascending")])
 
 
+def q_orc_read(sf_dir: str):
+    """A1 source coverage: the documents slice round-tripped through the
+    ORC container (webval.sources read_orc/write_orc — stripe-streamed
+    reader with column pruning, one-file-per-block zstd sink), aggregated
+    per lang against the parquet ground truth; a hash match proves the
+    ORC round-trip lossless."""
+    from webval.exchange import grouped_agg
+    from webval.sources import read_orc
+
+    ds = read_orc(_docs_export(sf_dir, "orc"),
+                  columns=["doc_id", "lang", "n_chars"])
+    agg = grouped_agg(ds, ["lang"],
+                      [("doc_id", "count"), ("n_chars", "sum")],
+                      rename={"doc_id_count": "n_docs",
+                              "n_chars_sum": "chars"})
+    return ds_to_table(agg).sort_by([("lang", "ascending")])
+
+
 def q_full_outer_join(sf_dir: str):
     """Full-outer reconciliation via the general large×large equi-join
     (joins.equi_join how="full"): high-balance customers vs per-customer
@@ -6247,4 +6268,5 @@ QUERIES = {
     "grouped_skew_kurt": (q_grouped_skew_kurt, SQL_GROUPED_SKEW_KURT),
     "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
     "full_outer_join": (q_full_outer_join, SQL_FULL_OUTER_JOIN),
+    "orc_read": (q_orc_read, SQL_DOCS_BY_LANG),
 }
