@@ -482,3 +482,45 @@ def test_impute_mode_fills_with_modal_value(ray_session):
     out3, mode3 = impute_mode(rd.from_arrow(t3), "lang")
     assert mode3 is None
     assert out3.to_pandas()["lang"].isna().all()
+
+
+def test_k_anonymity_audit_brute_force(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from webval.pipelines import k_anonymity_audit
+
+    rng = np.random.default_rng(71)
+    n = 8000
+    t = pa.table({
+        "a": pa.array(rng.integers(0, 12, n), pa.int64()),
+        "b": pa.array([f"g{v}" for v in rng.integers(0, 6, n)]),
+        "s": pa.array(np.where(rng.random(n) < 0.1, None,
+                               rng.integers(0, 4, n).astype(object))),
+    })
+    # one all-null-sensitive class (l-diversity 0) and one null-QI row
+    extra = pa.table({"a": pa.array([99, 99, 99, 7], pa.int64()),
+                      "b": pa.array(["z", "z", "z", None]),
+                      "s": pa.array([None, None, None, 1],
+                                    pa.int64())})
+    t = pa.concat_tables([t.cast(extra.schema), extra])
+    got = k_anonymity_audit(rd.from_arrow(t).repartition(5), ["a", "b"],
+                            k=40, sensitive="s", l_div=3,
+                            num_buckets=8).to_pandas() \
+        .set_index(["a", "b"]).sort_index()
+    df = t.to_pandas().dropna(subset=["a", "b"])
+    want = df.groupby(["a", "b"]).agg(
+        class_size=("a", "size"), n_sensitive=("s", "nunique"))
+    want = want[(want.class_size < 40) | (want.n_sensitive < 3)]
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.sort_index().astype("int64"))
+    assert got.loc[(99, "z"), "n_sensitive"] == 0
+
+    # k-only mode
+    got_k = k_anonymity_audit(rd.from_arrow(t), ["a", "b"], k=40,
+                              num_buckets=4).to_pandas() \
+        .set_index(["a", "b"]).sort_index()
+    want_k = df.groupby(["a", "b"]).agg(class_size=("a", "size"))
+    want_k = want_k[want_k.class_size < 40]
+    pd.testing.assert_frame_equal(
+        got_k.astype("int64"), want_k.sort_index().astype("int64"))

@@ -939,3 +939,72 @@ def impute_mode(ds, col: str, *, num_buckets: int | None = None):
             i, col, pc.fill_null(batch.column(col), best_val))
 
     return ds.map_batches(fill, batch_format="pyarrow"), best_val
+
+
+def k_anonymity_audit(ds, qi_cols: list[str], *, k: int = 5,
+                      sensitive: str | None = None, l_div: int = 2,
+                      num_buckets: int | None = None):
+    """Privacy audit over quasi-identifier columns (k-anonymity, and
+    l-diversity when ``sensitive`` is given): returns the equivalence
+    classes that violate either bar — fewer than ``k`` rows, or fewer
+    than ``l_div`` distinct sensitive values (Sweeney's k-anonymity /
+    Machanavajjhala's l-diversity, both public).
+
+    Scale shape: class sizes ride a count-combiner exchange; the
+    l-diversity side dedups (qi…, sensitive) tuples through a second
+    exchange (per-batch dedup combiner bounds the shuffle) and counts the
+    survivors per class — no raw class materializes anywhere.  The two
+    grouped tables (≤ #classes rows each) meet in a multi-key left
+    equi-join; classes whose sensitive column is entirely null count as
+    l-diversity 0 (SQL count(DISTINCT) semantics).  Rows with a null
+    quasi-identifier are dropped (filter upstream to audit them as their
+    own class).
+
+    Output: (qi…, class_size, n_sensitive when requested) — only the
+    violating classes.
+    """
+    from webval.exchange import distinct_rows, grouped_agg
+    from webval.joins import equi_join
+
+    qi = list(qi_cols)
+
+    def keep_qi(t: pa.Table) -> pa.Table:
+        t = t.select(qi + ([sensitive] if sensitive else []))
+        m = None
+        for c in qi:
+            v = pc.is_valid(t.column(c).combine_chunks())
+            m = v if m is None else pc.and_(m, v)
+        return t.filter(m)
+
+    base = ds.map_batches(keep_qi, batch_format="pyarrow")
+    sizes = grouped_agg(base, qi, [(qi[0], "count")],
+                        rename={f"{qi[0]}_count": "class_size"},
+                        num_buckets=num_buckets)
+    if sensitive is None:
+        return sizes.map_batches(
+            lambda t: t.filter(pc.less(t.column("class_size"),
+                                       pa.scalar(k, pa.int64()))),
+            batch_format="pyarrow")
+
+    pairs = distinct_rows(
+        base.map_batches(lambda t: t.filter(
+            pc.is_valid(t.column(sensitive).combine_chunks())),
+            batch_format="pyarrow"),
+        qi + [sensitive], num_buckets=num_buckets)
+    ldiv = grouped_agg(pairs, qi, [(sensitive, "count")],
+                       rename={f"{sensitive}_count": "n_sensitive"},
+                       num_buckets=num_buckets)
+    joined = equi_join(sizes, ldiv, on=qi, how="left",
+                       num_buckets=num_buckets)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ns = pc.fill_null(t.column("n_sensitive"),
+                          pa.scalar(0, pa.int64()))
+        t = t.set_column(t.column_names.index("n_sensitive"),
+                         "n_sensitive", ns)
+        bad = pc.or_(pc.less(t.column("class_size"),
+                             pa.scalar(k, pa.int64())),
+                     pc.less(ns, pa.scalar(l_div, pa.int64())))
+        return t.filter(bad)
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

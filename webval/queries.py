@@ -6016,6 +6016,36 @@ def q_interval_coverage(sf_dir: str):
     return ds_to_table(out).sort_by([("user_id", "ascending")])
 
 
+def q_k_anonymity(sf_dir: str):
+    """Privacy audit (pipelines.k_anonymity_audit): equivalence classes
+    over the (lang, source) quasi-identifiers that are k-anonymity
+    violations (fewer than 5 rows) or l-diversity violations (fewer than
+    3 distinct n_chars values) — count-combiner exchange for class sizes,
+    dedup-combiner pair exchange for diversity, multi-key left equi-join,
+    nothing raw materializes."""
+    import ray.data as rd
+
+    from webval.pipelines import k_anonymity_audit
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source", "n_chars"])
+    out = k_anonymity_audit(ds, ["lang", "source"], k=5,
+                            sensitive="n_chars", l_div=3)
+    return ds_to_table(out).sort_by([("lang", "ascending"),
+                                     ("source", "ascending")])
+
+
+SQL_K_ANONYMITY = """
+WITH cls AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS class_size,
+                    CAST(count(DISTINCT n_chars) AS BIGINT) AS n_sensitive
+             FROM documents
+             WHERE lang IS NOT NULL AND source IS NOT NULL
+             GROUP BY 1, 2)
+SELECT * FROM cls WHERE class_size < 5 OR n_sensitive < 3
+ORDER BY lang, source
+"""
+
+
 def q_orc_read(sf_dir: str):
     """A1 source coverage: the documents slice round-tripped through the
     ORC container (webval.sources read_orc/write_orc — stripe-streamed
@@ -6269,4 +6299,5 @@ QUERIES = {
     "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
     "full_outer_join": (q_full_outer_join, SQL_FULL_OUTER_JOIN),
     "orc_read": (q_orc_read, SQL_DOCS_BY_LANG),
+    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
 }
