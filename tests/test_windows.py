@@ -363,3 +363,34 @@ def test_interval_coverage_edges(ray_session):
     assert got.loc["b", "n_islands"] == 1 and got.loc["b", "covered"] == 0
     assert got.loc["c", "covered"] == 3
     assert set(got.index) == {"a", "b", "c"}
+
+
+def test_grouped_ewma_matches_recurrence(ray_session):
+    import ray.data as rd
+
+    from webval.windows import grouped_ewma
+
+    rng = np.random.default_rng(61)
+    n = 6000
+    k = rng.integers(0, 30, n).astype(np.int64)
+    ts = rng.integers(0, 10**9, n).astype(np.int64)
+    eid = np.arange(n)
+    x = rng.normal(50, 15, n)
+    x[rng.random(n) < 0.05] = np.nan  # dropped, not smoothed over
+    t = pa.table({"k": k, "ts": ts, "eid": eid, "x": x})
+    got = grouped_ewma(rd.from_arrow(t).repartition(6), "k", "ts", "x",
+                       alpha=0.25, tie_cols=["eid"], num_buckets=8) \
+        .to_pandas().set_index("eid").sort_index()
+    keep = ~np.isnan(x)
+    for kk in np.unique(k):
+        m = (k == kk) & keep
+        order = np.lexsort((eid[m], ts[m]))
+        xs, es = x[m][order], eid[m][order]
+        y = xs[0]
+        for xv, ev in zip(xs, es):
+            y = 0.75 * y + 0.25 * xv if ev != es[0] else xs[0]
+            assert abs(got.loc[ev, "ewma"] - y) < 1e-9
+    assert got.index.size == keep.sum()
+
+    with pytest.raises(ValueError, match="alpha"):
+        grouped_ewma(rd.from_arrow(t), "k", "ts", "x", alpha=0.0)

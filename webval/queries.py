@@ -6016,6 +6016,45 @@ def q_interval_coverage(sf_dir: str):
     return ds_to_table(out).sort_by([("user_id", "ascending")])
 
 
+def q_ewma_smooth(sf_dir: str):
+    """Per-user EWMA smoothing of event values (alpha=0.1, y_0=x_0 —
+    windows.grouped_ewma: combiner-less key exchange + pandas' cython
+    grouped-EWM kernel per bucket); the anomaly-baseline transform.  SQL
+    twin unrolls the recurrence with WITH RECURSIVE (series ≤ ~100 events
+    per user), keyed back by event_id."""
+    import ray.data as rd
+
+    from webval.windows import grouped_ewma
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+    out = grouped_ewma(ds, "user_id", "ts", "value", alpha=0.1,
+                       tie_cols=["event_id"])
+    t = ds_to_table(out.map_batches(
+        lambda t: t.select(["event_id", "ewma"]), batch_format="pyarrow"))
+    # no rounding: both engines run the same double recurrence in the same
+    # order, so the raw values are bit-identical (verified) — rounding
+    # would only ADD half-boundary risk
+    return t.sort_by([("event_id", "ascending")])
+
+
+SQL_EWMA_SMOOTH = """
+WITH RECURSIVE x AS (
+  SELECT event_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS i,
+         user_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+r AS (
+  SELECT user_id, event_id, i, value AS ewma FROM x WHERE i = 1
+  UNION ALL
+  SELECT x.user_id, x.event_id, x.i, 0.9 * r.ewma + 0.1 * x.value
+  FROM x JOIN r ON x.user_id = r.user_id AND x.i = r.i + 1)
+SELECT event_id, ewma FROM r ORDER BY event_id
+"""
+
+
 def q_k_anonymity(sf_dir: str):
     """Privacy audit (pipelines.k_anonymity_audit): equivalence classes
     over the (lang, source) quasi-identifiers that are k-anonymity
@@ -6300,4 +6339,5 @@ QUERIES = {
     "full_outer_join": (q_full_outer_join, SQL_FULL_OUTER_JOIN),
     "orc_read": (q_orc_read, SQL_DOCS_BY_LANG),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
+    "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
 }

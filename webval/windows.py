@@ -707,3 +707,65 @@ def interval_coverage(ds, key: str, start_col: str, end_col: str, *,
 
     return bucketed_group_apply(proj, [key], final, num_buckets=num_buckets,
                                 max_group_rows=max_group_rows)
+
+
+def grouped_ewma(ds, key: str, ts_col: str, val_col: str, *,
+                 alpha: float, tie_cols: list[str] | None = None,
+                 out_col: str = "ewma", num_buckets: int | None = None,
+                 max_group_rows: int | None = None):
+    """Per-key exponentially-weighted moving average along each key's
+    time-ordered value series (``y_0 = x_0``, ``y_i = (1-alpha)·y_{i-1} +
+    alpha·x_i`` — the adjust-free EWMA every anomaly/smoothing pipeline
+    uses).  Appends ``out_col`` to the (key, ts, ties, value) rows.
+
+    Combiner-less key exchange (a series is consumed whole; oversized keys
+    raise the named diagnostic); per bucket one lexsort + pandas' cython
+    grouped-EWM kernel over the whole bucket frame — no per-row or
+    per-group Python.  Null AND NaN values are dropped (mirror the SQL
+    twin's WHERE; the recurrence has no null semantics, and Arrow NaN ≠
+    null would otherwise poison the tail of a series).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from webval.exchange import DEFAULT_MAX_GROUP_ROWS, bucketed_group_apply
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"grouped_ewma: alpha={alpha} not in (0, 1]")
+    if max_group_rows is None:
+        max_group_rows = DEFAULT_MAX_GROUP_ROWS
+    ties = list(tie_cols or [])
+    cols = [key, ts_col, *ties, val_col]
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        v = t.column(val_col).combine_chunks()
+        ok = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            ok = pc.and_(ok, pc.invert(pc.is_nan(v)))
+        m = pc.and_(pc.is_valid(t.column(key).combine_chunks()),
+                    pc.and_(pc.is_valid(t.column(ts_col).combine_chunks()),
+                            ok))
+        return t.filter(m)
+
+    def smooth(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.array([], pa.float64()))
+        sort_keys = [(key, "ascending"), (ts_col, "ascending")] \
+            + [(c, "ascending") for c in ties]
+        g = g.sort_by(sort_keys)
+        kv = g.column(key).to_numpy(zero_copy_only=False)
+        x = g.column(val_col).to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        # groups are contiguous post-sort: integer segment ids feed the
+        # cython grouped-EWM kernel directly
+        n = len(kv)
+        seg = np.cumsum(np.r_[False, kv[1:] != kv[:-1]])
+        y = (pd.Series(x).groupby(seg, sort=False)
+             .ewm(alpha=alpha, adjust=False).mean()
+             .droplevel(0).sort_index().to_numpy())
+        return g.append_column(out_col, pa.array(y, pa.float64()))
+
+    return bucketed_group_apply(
+        ds.map_batches(proj, batch_format="pyarrow"), [key], smooth,
+        num_buckets=num_buckets, max_group_rows=max_group_rows)
