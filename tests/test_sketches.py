@@ -276,3 +276,45 @@ def test_misra_gries_bounds_and_merge_law():
         for v, c in exact.items():
             if c > mg.err:
                 assert v in stored, (trial, v, c, mg.err)
+
+
+def test_cms_guarantee_and_merge_law():
+    import json
+
+    from webval.sketches import CountMinSketch
+
+    rng = np.random.default_rng(17)
+    vals = rng.zipf(1.4, 40000).astype(str)
+    whole = CountMinSketch(eps=1e-3, delta=0.01).add(vals)
+    # merge law: any split + serialization round-trip == single pass
+    cut = rng.integers(1, len(vals) - 1)
+    a = CountMinSketch(eps=1e-3, delta=0.01).add(vals[:cut])
+    b = CountMinSketch(eps=1e-3, delta=0.01).add(vals[cut:])
+    merged = a.merge(CountMinSketch.from_dict(json.loads(
+        json.dumps(b.to_dict()))))
+    assert np.array_equal(merged.table, whole.table)
+    assert merged.n == whole.n == len(vals)
+
+    import collections
+    exact = collections.Counter(vals)
+    keys = np.array(list(exact))
+    est = whole.estimate(keys)
+    want = np.array([exact[k] for k in keys])
+    assert (est >= want).all()                    # never underestimates
+    assert (est <= want + 1e-3 * whole.n).all()   # eps*N bound
+
+
+def test_cms_of_distributed_equals_single_pass(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webval.sketches import CountMinSketch, cms_of
+
+    rng = np.random.default_rng(23)
+    vals = np.array([f"h{v}" for v in rng.zipf(1.6, 30000)])
+    mask = rng.random(len(vals)) < 0.02
+    arr = pa.array(np.where(mask, None, vals).tolist())
+    ds = rd.from_arrow(pa.table({"v": arr})).repartition(9)
+    got = cms_of(ds, "v", eps=1e-3, delta=0.01, batch_size=1024, fan=3)
+    want = CountMinSketch(eps=1e-3, delta=0.01).add(vals[~mask])
+    assert np.array_equal(got.table, want.table) and got.n == want.n

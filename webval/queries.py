@@ -6016,6 +6016,53 @@ def q_interval_coverage(sf_dir: str):
     return ds_to_table(out).sort_by([("user_id", "ascending")])
 
 
+def q_cms_host_freq(sf_dir: str):
+    """Count-min point-frequency sketch (hash-paired like the HLL twin):
+    the top-10 hosts by EXACT count (exchange) with the CMS estimate
+    asserted in-query against its published guarantee — exact ≤ est ≤
+    exact + eps·N (CMS never underestimates).  Sketch built distributed
+    (one per batch, fan-in tree merge — sketches.cms_of); output is the
+    exact counts, so the SQL twin is plain GROUP BY/LIMIT."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.sketches import cms_of
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["url"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        u = t.column("url").combine_chunks()
+        host = pc.struct_field(pc.extract_regex(u, _HOST_RE), "host")
+        return pa.table({"host": host.filter(pc.is_valid(host))})
+
+    hosts = ds.map_batches(proj, batch_format="pyarrow")
+    counts = ds_to_table(grouped_agg(
+        hosts, ["host"], [("host", "count")],
+        rename={"host_count": "cnt"}))
+    top = counts.sort_by([("cnt", "descending"),
+                          ("host", "ascending")]).slice(0, 10)
+    sk = cms_of(hosts, "host", eps=1e-3, delta=0.01)
+    est = sk.estimate(top.column("host").to_numpy(zero_copy_only=False))
+    exact = top.column("cnt").to_numpy(zero_copy_only=False)
+    slack = 1e-3 * sk.n
+    if (est < exact).any() or (est > exact + slack).any():
+        raise AssertionError(
+            f"CMS guarantee violated: exact={exact.tolist()} "
+            f"est={est.tolist()} slack={slack}")
+    return top.append_column(
+        "cms_ok", pa.array(np.ones(top.num_rows, np.int64)))
+
+
+SQL_CMS_HOST_FREQ = f"""
+SELECT regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1) AS host,
+       CAST(count(*) AS BIGINT) AS cnt, CAST(1 AS BIGINT) AS cms_ok
+FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+WHERE regexp_matches(url, '^https?://([a-z0-9-]+)\\.')
+GROUP BY 1 ORDER BY cnt DESC, host LIMIT 10
+"""
+
+
 def q_ewma_smooth(sf_dir: str):
     """Per-user EWMA smoothing of event values (alpha=0.1, y_0=x_0 —
     windows.grouped_ewma: combiner-less key exchange + pandas' cython
@@ -6340,4 +6387,5 @@ QUERIES = {
     "orc_read": (q_orc_read, SQL_DOCS_BY_LANG),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
+    "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
 }

@@ -14,9 +14,12 @@ HyperLogLog distinct counts for the 10^12-doc scale path.
 from __future__ import annotations
 
 import base64
+import json
 import math
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = [
     "Moments",
@@ -631,3 +634,106 @@ class MisraGries:
         mg.err = d["err"]
         mg.total = d["total"]
         return mg
+
+
+class CountMinSketch:
+    """Count-min sketch (Cormode & Muthukrishnan 2005, public): a d×w
+    counter matrix; a point query takes the MIN over the d rows, so it
+    never underestimates and overestimates by ≤ eps·N with probability
+    1−delta (w = ⌈e/eps⌉, d = ⌈ln(1/delta)⌉).  The frequency companion of
+    HLL (distinct) / Misra-Gries (top-k): answers "how often did THIS key
+    occur" from O(d·w) memory at any stream length.  Merge = elementwise
+    add — a mergeable summary (Agarwal et al.), so per-batch partials
+    fan in through the same tree as every other sketch here.
+
+    Row hashes derive from one 64-bit value hash by multiply-shift with
+    fixed odd constants — deterministic across processes/engines.
+    """
+
+    __slots__ = ("w", "d", "table", "n")
+
+    def __init__(self, eps: float = 1e-3, delta: float = 0.01):
+        self.w = int(math.ceil(math.e / eps))
+        self.d = int(math.ceil(math.log(1.0 / delta)))
+        self.table = np.zeros((self.d, self.w), dtype=np.int64)
+        self.n = 0
+
+    _MIX = np.uint64(0x9E3779B97F4A7C15)  # 2^64 / golden ratio, odd
+
+    def _indices(self, h: np.ndarray, row: int) -> np.ndarray:
+        with np.errstate(over="ignore"):  # mod-2^64 wrap is the hash
+            a = self._MIX * np.uint64(2 * row + 1)
+            mixed = (h ^ np.uint64(row)) * a
+        return (mixed >> np.uint64(32)).astype(np.int64) % self.w
+
+    def add(self, values, counts: np.ndarray | None = None) \
+            -> "CountMinSketch":
+        h = hash64(values)
+        if not len(h):
+            return self
+        c = np.ones(len(h), np.int64) if counts is None \
+            else np.asarray(counts, np.int64)
+        for i in range(self.d):
+            np.add.at(self.table[i], self._indices(h, i), c)
+        self.n += int(c.sum())
+        return self
+
+    def estimate(self, values) -> np.ndarray:
+        h = hash64(values)
+        est = np.full(len(h), np.iinfo(np.int64).max, np.int64)
+        for i in range(self.d):
+            np.minimum(est, self.table[i][self._indices(h, i)], out=est)
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.w, self.d) == (other.w, other.d)
+        self.table += other.table
+        self.n += other.n
+        return self
+
+    def to_dict(self) -> dict:
+        return {"w": self.w, "d": self.d, "n": self.n,
+                "table": base64.b64encode(self.table.tobytes()).decode()}
+
+    @classmethod
+    def from_dict(cls, dd: dict) -> "CountMinSketch":
+        s = cls.__new__(cls)
+        s.w, s.d, s.n = dd["w"], dd["d"], dd["n"]
+        s.table = np.frombuffer(base64.b64decode(dd["table"]),
+                                dtype=np.int64).reshape(s.d, s.w).copy()
+        return s
+
+
+def cms_of(ds, col: str, *, eps: float = 1e-3, delta: float = 0.01,
+           batch_size: int | None = 65536, fan: int = 64) -> CountMinSketch:
+    """Distributed count-min build: one sketch per batch, merged through a
+    fan-in tree (the bm25 reduction shape) so the driver only ever decodes
+    ≤ ``fan`` sketches — no O(#batches) driver collect at corpus scale.
+    Null values are not counted."""
+    import math as _m
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).combine_chunks()
+        v = v.filter(pc.is_valid(v))
+        s = CountMinSketch(eps=eps, delta=delta).add(v)
+        return pa.table({"cms": pa.array([json.dumps(s.to_dict())])})
+
+    def merge_rows(t: pa.Table) -> pa.Table:
+        out = None
+        for blob in t.column("cms").to_pylist():
+            s = CountMinSketch.from_dict(json.loads(blob))
+            out = s if out is None else out.merge(s)
+        return pa.table({"cms": pa.array([json.dumps(out.to_dict())])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size).materialize()
+    while parts.num_blocks() > fan:
+        parts = (parts.repartition(max(1, _m.ceil(parts.num_blocks()
+                                                  / fan)))
+                 .map_batches(merge_rows, batch_format="pyarrow",
+                              batch_size=None).materialize())
+    out = None
+    for blob in [r["cms"] for r in parts.take_all()]:
+        s = CountMinSketch.from_dict(json.loads(blob))
+        out = s if out is None else out.merge(s)
+    return out if out is not None else CountMinSketch(eps=eps, delta=delta)
