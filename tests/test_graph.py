@@ -102,3 +102,28 @@ def test_connected_components_matches_union_find():
     want = {x: find(x) for x in parent}
     assert dict(zip(got["id"], got["component"])) == want
     assert list(got.columns) == ["id", "component"]
+
+
+def test_reciprocity_brute_force(ray_session):
+    import ray.data as rd
+
+    from webval.graph import reciprocity
+
+    rng = np.random.default_rng(37)
+    n = 4000
+    a = rng.integers(0, 60, n).astype(np.int64)
+    b = rng.integers(0, 60, n).astype(np.int64)
+    t = pa.table({"s": a, "d": b})
+    got = reciprocity(rd.from_arrow(t).repartition(5), "s", "d",
+                      num_buckets=8).to_pydict()
+    edges = {(x, y) for x, y in zip(a, b) if x != y}
+    rec = sum((y, x) in edges for x, y in edges)
+    assert got["n_edges"][0] == len(edges)
+    assert got["n_reciprocal"][0] == rec
+    assert abs(got["reciprocity"][0] - rec / len(edges)) < 1e-12
+
+    # self-loops / nulls dropped; zero-edge graph -> NaN ratio
+    t2 = pa.table({"s": pa.array([1, None, 2], pa.int64()),
+                   "d": pa.array([1, 2, None], pa.int64())})
+    got2 = reciprocity(rd.from_arrow(t2), "s", "d").to_pydict()
+    assert got2["n_edges"][0] == 0 and np.isnan(got2["reciprocity"][0])

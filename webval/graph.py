@@ -200,3 +200,42 @@ def link_degrees(links, src_col: str = "src_url", dst_col: str = "dst_url", *,
                        num_buckets=num_buckets,
                        rename={"out_deg_sum": "out_deg",
                                "in_deg_sum": "in_deg"})
+
+
+def reciprocity(edges, src_col: str, dst_col: str, *,
+                num_buckets: int | None = None):
+    """Directed-graph edge reciprocity: the fraction of distinct edges
+    (u→v, u≠v, nulls dropped) whose reverse v→u also exists — the classic
+    link-graph health signal (near-0 for crawl/citation graphs, high for
+    social graphs; a jump flags link-farm or mirror contamination).
+
+    Scale shape: one dedup-combiner exchange for the distinct edge set,
+    then a multi-key SEMI equi-join of the edge set against itself with
+    the key order reversed (co-bucketed — a pair's edge and its reverse
+    hash to the same bucket by key symmetry of the join spec); counts
+    reduce per-block, nothing materializes on the driver.  Returns
+    (n_edges, n_reciprocal, reciprocity) as a one-row table.
+    """
+    import ray
+
+    from webval.exchange import distinct_rows
+    from webval.joins import equi_join
+
+    def proj(t: pa.Table) -> pa.Table:
+        a = t.column(src_col).combine_chunks()
+        b = t.column(dst_col).combine_chunks()
+        keep = pc.and_(pc.and_(pc.is_valid(a), pc.is_valid(b)),
+                       pc.invert(pc.equal(a, b)))
+        return pa.table({"a": a.filter(keep), "b": b.filter(keep)})
+
+    e = distinct_rows(edges.map_batches(proj, batch_format="pyarrow"),
+                      ["a", "b"], num_buckets=num_buckets).materialize()
+    recip = equi_join(e, e, on=["a", "b"], right_on=["b", "a"],
+                      how="semi", num_buckets=num_buckets)
+    n_edges = e.count()
+    n_recip = recip.count()
+    ratio = n_recip / n_edges if n_edges else float("nan")
+    return pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_reciprocal": pa.array([n_recip], pa.int64()),
+        "reciprocity": pa.array([ratio], pa.float64())})

@@ -6016,6 +6016,43 @@ def q_interval_coverage(sf_dir: str):
     return ds_to_table(out).sort_by([("user_id", "ascending")])
 
 
+def q_reciprocity(sf_dir: str):
+    """Directed-edge reciprocity (graph.reciprocity) over a dense derived
+    graph (supplier→part mod-200 id space — the real links fixture is a
+    pure crawl tree with reciprocity 0, which exercises nothing): distinct
+    edges via the dedup exchange, reversed-key SEMI self-join for the
+    reciprocal count."""
+    import ray.data as rd
+
+    from webval.graph import reciprocity
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_partkey"])
+    edges = ds.map_batches(
+        lambda t: pa.table({
+            "src": pa.array(t.column("l_suppkey").to_numpy(
+                zero_copy_only=False) % 200, pa.int64()),
+            "dst": pa.array(t.column("l_partkey").to_numpy(
+                zero_copy_only=False) % 200, pa.int64())}),
+        batch_format="pyarrow")
+    out = reciprocity(edges, "src", "dst")
+    return _round_cols(out, {"reciprocity": 6})
+
+
+SQL_RECIPROCITY = """
+WITH e AS (SELECT DISTINCT l_suppkey % 200 AS a, l_partkey % 200 AS b
+           FROM lineitem WHERE l_suppkey % 200 <> l_partkey % 200)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(*) FILTER (EXISTS (SELECT 1 FROM e r
+                                     WHERE r.a = e.b AND r.b = e.a))
+            AS BIGINT) AS n_reciprocal,
+       round(count(*) FILTER (EXISTS (SELECT 1 FROM e r
+                                      WHERE r.a = e.b AND r.b = e.a))
+             * 1.0 / count(*), 6) AS reciprocity
+FROM e
+"""
+
+
 def q_cms_host_freq(sf_dir: str):
     """Count-min point-frequency sketch (hash-paired like the HLL twin):
     the top-10 hosts by EXACT count (exchange) with the CMS estimate
@@ -6388,4 +6425,5 @@ QUERIES = {
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
+    "reciprocity": (q_reciprocity, SQL_RECIPROCITY),
 }
