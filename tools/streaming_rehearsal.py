@@ -133,6 +133,10 @@ def main() -> int:
                     help="cap the plasma store (0 = Ray default ~30%% RAM); "
                     "a small cap forces the data >> memory regime on inputs "
                     "that would otherwise fit the default 37.6 GiB store")
+    ap.add_argument("--num-buckets", type=int, default=0,
+                    help="exchange bucket count for the minhash leg "
+                    "(0 = derived 2xCPUs); raise when per-bucket blocks "
+                    "overflow the store/fallback")
     ap.add_argument("--skip-headline", action="store_true")
     ap.add_argument("--skip-minhash", action="store_true")
     args = ap.parse_args()
@@ -178,7 +182,8 @@ def main() -> int:
         poll.start()
         t0 = time.perf_counter()
         ds = rd.read_parquet(mh_pages, columns=["page_id", "text"])
-        n = (minhash_dedup(ds, "page_id", components="distributed")
+        n = (minhash_dedup(ds, "page_id", components="distributed",
+                           num_buckets=args.num_buckets or None)
              .map_batches(lambda t: pa.table({"n": [t.num_rows]}),
                           batch_format="pyarrow").sum("n"))
         result["minhash"] = {

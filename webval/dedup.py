@@ -704,13 +704,20 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
                   jaccard_threshold: float = 0.8, concurrency=None,
                   verify: bool = True, max_bucket: int = 256,
                   components: str = "auto",
-                  driver_max_pairs: int = DRIVER_MAX_PAIRS):
+                  driver_max_pairs: int = DRIVER_MAX_PAIRS,
+                  num_buckets: int | None = None):
     """Near-duplicate clusters via MinHash-LSH.
 
     Returns a Dataset[{id, cluster_id}] for every doc in a near-dup cluster
     (cluster_id = min id in cluster).  Pipeline: MinHasher actor pool →
     bucket groupby → candidate pairs → (optional) exact-Jaccard verify on the
     pair set via a broadcast signature join → connected components.
+
+    ``num_buckets`` feeds every exchange in the distributed path (pair
+    dedup, verify join, label propagation): raise it above the derived
+    2×CPUs default when per-bucket join OUTPUT blocks are too large for a
+    worker/fallback store (the 40M-doc rehearsal finding — OutOfDiskError
+    from oversized fallback allocations, fixed at 512 buckets).
 
     ``components="auto"`` (default) counts the DEDUPED candidate pairs (one
     cheap .count() on the already-exchanged pair set) and picks: ≤
@@ -748,7 +755,8 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
     if components == "auto":
         # dedupe once here (verify_pairs_by_values skips its own pass) and
         # count — candidate pairs stay distributed either way
-        pairs_ds = distinct_rows(pairs_ds, ["id_a", "id_b"]).materialize()
+        pairs_ds = distinct_rows(pairs_ds, ["id_a", "id_b"],
+                                 num_buckets=num_buckets).materialize()
         pairs_deduped = True
         components = ("driver" if pairs_ds.count() <= driver_max_pairs
                       else "distributed")
@@ -760,12 +768,13 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
         if verify:
             pairs_ds = verify_pairs_distributed(
                 ds, id_col, text_col, pairs_ds, window=shingle_window,
-                threshold=jaccard_threshold, pairs_deduped=pairs_deduped)
+                threshold=jaccard_threshold, pairs_deduped=pairs_deduped,
+                num_buckets=num_buckets)
         pairs_ds = pairs_ds.materialize()
         if pairs_ds.count() == 0:
             return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
                                            "cluster_id": pa.array([], pa.int64())}))
-        out = connected_components_distributed(pairs_ds)
+        out = connected_components_distributed(pairs_ds, num_buckets=num_buckets)
         return out.map_batches(
             lambda t: t.rename_columns([id_col, "cluster_id"]),
             batch_format="pyarrow")
