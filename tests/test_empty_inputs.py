@@ -137,3 +137,29 @@ def test_session5_ops_on_empty():
 
     docs = _empty_docs()
     assert vocab_overlap(docs, "doc_id", "text") == (0, 0, 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_round4_ops_on_empty():
+    import ray.data as rd
+
+    from webval.aggregates import grouped_higher_moments
+    from webval.graph import reciprocity
+    from webval.pipelines import k_anonymity_audit
+    from webval.sketches import cms_of
+    from webval.windows import grouped_ewma, interval_coverage
+
+    ev = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                 "ts": pa.array([], pa.int64()),
+                                 "x": pa.array([], pa.float64())}))
+    assert grouped_higher_moments(ev, "k", "x").count() == 0
+    assert interval_coverage(ev, "k", "ts", "x").count() == 0
+    assert grouped_ewma(ev, "k", "ts", "x", alpha=0.3).count() == 0
+    assert k_anonymity_audit(ev, ["k"], k=5).count() == 0
+    assert k_anonymity_audit(ev, ["k"], k=5, sensitive="x").count() == 0
+    rec = reciprocity(ev.map_batches(
+        lambda t: t.rename_columns(["a", "b", "x"]),
+        batch_format="pyarrow"), "a", "b").to_pydict()
+    assert rec["n_edges"][0] == 0
+    sk = cms_of(ev, "x")
+    assert sk.n == 0
