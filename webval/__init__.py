@@ -12,6 +12,7 @@ extensions (dedup, similarity search, text analysis).
 from webval.api import Schema  # noqa: F401
 from webval.schema import SchemaSpec, ColumnProfile, CheckSpec  # noqa: F401
 from webval.sketches import (  # noqa: F401
+    CountMinSketch,
     Moments,
     TDigest,
     HyperLogLog,
@@ -27,5 +28,5 @@ __version__ = "0.1.0"
 __all__ = [
     "Schema", "SchemaSpec", "ColumnProfile", "CheckSpec",
     "Moments", "TDigest", "HyperLogLog", "CategoricalFreq", "NumericHistogram",
-    "MisraGries",
+    "MisraGries", "CountMinSketch",
 ]
