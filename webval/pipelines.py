@@ -924,12 +924,18 @@ def impute_mode(ds, col: str, *, num_buckets: int | None = None):
     counts = grouped_agg(proj, [col], [(col, "count")],
                          rename={f"{col}_count": "cnt"},
                          num_buckets=num_buckets)
+    # streamed, batch-vectorized argmax: per batch take max(cnt), min value
+    # at that count (tie rule), then fold the ≤#batches candidates — no
+    # per-group Python zip even at high category cardinality
     best_val, best_cnt = None, -1
     for b in counts.iter_batches(batch_format="pyarrow", batch_size=65536):
-        for v, c in zip(b.column(col).to_pylist(),
-                        b.column("cnt").to_pylist()):
-            if c > best_cnt or (c == best_cnt and v < best_val):
-                best_val, best_cnt = v, c
+        if b.num_rows == 0:
+            continue
+        cnt = b.column("cnt").combine_chunks()
+        m = pc.max(cnt).as_py()
+        v = pc.min(b.column(col).filter(pc.equal(cnt, m))).as_py()
+        if m > best_cnt or (m == best_cnt and v < best_val):
+            best_val, best_cnt = v, m
     if best_val is None:
         return ds, None
 

@@ -6256,6 +6256,54 @@ FROM isl GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_fuzzy_part_names(sf_dir: str):
+    """Blocked edit-distance similarity self-join (entity-resolution fuzzy
+    matching): part-name pairs within the same (first word, p_size) block
+    at Levenshtein distance ≤ 3.  Blocking is part of the operator's
+    contract; the DuckDB twin runs the SAME blocked self-join with its
+    built-in levenshtein().  The engine's distances are byte-level DP —
+    exact vs SQL's character levenshtein only for ASCII, so the query
+    asserts byte length == char length like ngram_dup_pairs."""
+    import ray.data as rd
+
+    from webval.fuzzy import fuzzy_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_size"])
+
+    def add_block(b: pa.Table) -> pa.Table:
+        col = b.column("p_name")
+        mism = pc.sum(pc.cast(pc.not_equal(
+            pc.utf8_length(col), pc.binary_length(col)), pa.int64())).as_py()
+        if mism:
+            raise AssertionError(
+                f"{mism} non-ASCII part names: byte-level DP no longer "
+                "matches the SQL twin's character levenshtein")
+        return b.append_column(
+            "w", pc.replace_substring_regex(col, pattern=" .*$",
+                                            replacement=""))
+
+    pairs = fuzzy_pairs(ds.map_batches(add_block, batch_format="pyarrow"),
+                        "p_partkey", "p_name", ["w", "p_size"], max_dist=3)
+    return ds_to_table(
+        pairs, empty_schema=pa.schema([("id_a", pa.int64()),
+                                       ("id_b", pa.int64()),
+                                       ("edit_distance", pa.int64())]))
+
+
+SQL_FUZZY_PART_NAMES = """
+WITH p AS (SELECT p_partkey, p_name, p_size,
+                  split_part(p_name, ' ', 1) AS w
+           FROM part)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       levenshtein(a.p_name, b.p_name) AS edit_distance
+FROM p a JOIN p b
+  ON a.w = b.w AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -6420,6 +6468,7 @@ QUERIES = {
     "category_codes": (q_category_codes, SQL_CATEGORY_CODES),
     "grouped_skew_kurt": (q_grouped_skew_kurt, SQL_GROUPED_SKEW_KURT),
     "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
+    "fuzzy_part_names": (q_fuzzy_part_names, SQL_FUZZY_PART_NAMES),
     "full_outer_join": (q_full_outer_join, SQL_FULL_OUTER_JOIN),
     "orc_read": (q_orc_read, SQL_DOCS_BY_LANG),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
