@@ -163,3 +163,16 @@ def test_round4_ops_on_empty():
     assert rec["n_edges"][0] == 0
     sk = cms_of(ev, "x")
     assert sk.n == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_pairs_on_empty():
+    import ray.data as rd
+
+    from webval.fuzzy import fuzzy_pairs
+
+    ev = rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.string()),
+                                 "blk": pa.array([], pa.string())}))
+    out = fuzzy_pairs(ev, "id", "s", ["blk"], max_dist=2)
+    assert out.count() == 0
