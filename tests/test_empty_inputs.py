@@ -176,3 +176,32 @@ def test_fuzzy_pairs_on_empty():
                                  "blk": pa.array([], pa.string())}))
     out = fuzzy_pairs(ev, "id", "s", ["blk"], max_dist=2)
     assert out.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_round4_session3_ops_on_empty():
+    import ray.data as rd
+
+    from webval.clustering import minmax_scale
+    from webval.dedup import dup_share_by_group
+    from webval.graph import degree_assortativity
+    from webval.rank import grouped_trimmed_mean, rank_auc
+    from webval.textstats import readability_stats
+    from webval.windows import debounce_events, validity_intervals
+
+    ev = rd.from_arrow(pa.table({"k": pa.array([], pa.string()),
+                                 "ts": pa.array([], pa.timestamp("us")),
+                                 "x": pa.array([], pa.float64()),
+                                 "txt": pa.array([], pa.string())}))
+    assert validity_intervals(ev, "k", "ts").count() == 0
+    assert debounce_events(ev, "k", "ts", min_gap_us=1).count() == 0
+    auc = rank_auc(ev, "k", "x", positive="y").to_pydict()
+    assert auc["n_pos"][0] == 0 and auc["auc"][0] is None
+    assert grouped_trimmed_mean(ev, "k", "x").count() == 0
+    assert minmax_scale(ev, "k", "x").count() == 0
+    assert readability_stats(ev, "k", "txt").count() == 0
+    assert dup_share_by_group(ev, "k", "txt").count() == 0
+    a = degree_assortativity(ev.map_batches(
+        lambda t: t.rename_columns(["a", "b", "x", "txt"]),
+        batch_format="pyarrow"), "a", "b").to_pydict()
+    assert a["n_edges"][0] == 0 and a["assortativity"][0] is None

@@ -292,3 +292,54 @@ def standardize_transform(ds, model: dict, *, suffix: str = "_z",
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def minmax_scale(ds, key: str, value_col: str, *, out_col: str = "scaled",
+                 num_buckets: int | None = None):
+    """Per-group min-max feature scaling: append
+    ``(x − min_g) / (max_g − min_g)`` over each row's own ``key`` group —
+    the bounded-range normalizer (standardize_* is the z-score sibling).
+    A constant group (max == min) scales to null, matching SQL
+    ``/ NULLIF(max − min, 0)``; null values stay null.
+
+    Scale shape: per-key min/max via one count-combiner exchange (≤1 row
+    per key per batch), the key-sized extrema table broadcast ONCE via
+    ray.put, then a stateless map — the iqr_outliers/fence idiom.  The
+    subtraction runs in the column's own type (int64 stays exact) and only
+    the final division is float64, so results are bit-identical to the
+    SQL twin without rounding.
+    """
+    import ray
+
+    from webval.exchange import grouped_agg
+
+    extrema_ds = grouped_agg(
+        ds.map_batches(lambda t: t.select([key, value_col]).filter(
+            pc.is_valid(t.column(value_col).combine_chunks())),
+            batch_format="pyarrow"),
+        [key], [(value_col, "min"), (value_col, "max")],
+        rename={f"{value_col}_min": "mn", f"{value_col}_max": "mx"},
+        num_buckets=num_buckets)
+    blocks = [ray.get(r) for r in extrema_ds.materialize().to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows]
+    if not blocks:
+        def add_null(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                out_col, pa.nulls(batch.num_rows, pa.float64()))
+        return ds.map_batches(add_null, batch_format="pyarrow")
+    ext_ref = ray.put(pa.concat_tables(blocks).combine_chunks())
+
+    def scale(batch: pa.Table) -> pa.Table:
+        e = ray.get(ext_ref)
+        pos = pc.index_in(batch.column(key).combine_chunks(),
+                          value_set=e.column(key))
+        mn = pc.take(e.column("mn"), pos)
+        mx = pc.take(e.column("mx"), pos)
+        x = batch.column(value_col).combine_chunks()
+        num = pc.cast(pc.subtract(x, mn), pa.float64())
+        den = pc.cast(pc.subtract(mx, mn), pa.float64())
+        den = pc.if_else(pc.equal(den, 0.0),
+                         pa.scalar(None, pa.float64()), den)
+        return batch.append_column(out_col, pc.divide(num, den))
+
+    return ds.map_batches(scale, batch_format="pyarrow")

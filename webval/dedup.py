@@ -1443,3 +1443,61 @@ def incremental_dedup(ds, id_col: str, index_dir: str, *,
         _write_dedup_meta(index_dir, meta)
     return survivors.map_batches(lambda t: t.drop_columns(["fingerprint"]),
                                  batch_format="pyarrow")
+
+
+def dup_share_by_group(ds, group_col: str, text_col: str = "text", *,
+                       normalize: bool = True,
+                       num_buckets: int | None = None):
+    """Per-group duplication health: for each ``group_col`` value (host,
+    source, crawl shard…), how many of its docs carry a text fingerprint
+    that occurs more than once CORPUS-WIDE — the "which hosts are serving
+    boilerplate/mirrors" diagnostic that aggregates exact-dedup evidence
+    to an auditable surface.  Output per group:
+    (group, n_docs, n_dup_docs, dup_share).
+
+    Scale shape: fingerprint in a stateless map (vectorized hash, the
+    exact_dedup substrate) → ONE count-combiner exchange on
+    (fingerprint, group) → per-fingerprint totals by re-aggregating that
+    (already fingerprint×group-bounded) stream → co-bucketed equi-join of
+    the two count tables on fingerprint → per-group rollup.  Every
+    shuffle after the first is bounded by distinct (fingerprint, group)
+    pairs, and raw text never enters an exchange.  Null texts are skipped
+    (never counted as duplicates of each other).
+    """
+    from webval.exchange import grouped_agg
+    from webval.joins import equi_join
+    from webval.textstats import add_fingerprints
+
+    fp = add_fingerprints(ds, text_col, normalize=normalize)
+    pairs = grouped_agg(
+        fp.map_batches(
+            lambda t: t.select(["fingerprint", group_col]).drop_null(),
+            batch_format="pyarrow"),
+        ["fingerprint", group_col], [(group_col, "count")],
+        rename={f"{group_col}_count": "n_fg"}, num_buckets=num_buckets)
+    totals = grouped_agg(pairs, ["fingerprint"], [("n_fg", "sum")],
+                         rename={"n_fg_sum": "n_total"},
+                         num_buckets=num_buckets)
+    joined = equi_join(pairs, totals, on=["fingerprint"], how="inner",
+                       num_buckets=num_buckets)
+
+    def to_group_partial(t: pa.Table) -> pa.Table:
+        dup = pc.cast(pc.greater(t.column("n_total").combine_chunks(), 1),
+                      pa.int64())
+        n_dup = pc.multiply(t.column("n_fg").combine_chunks(), dup)
+        return pa.table({group_col: t.column(group_col),
+                         "n_docs": t.column("n_fg"),
+                         "n_dup_docs": n_dup})
+
+    per_group = grouped_agg(
+        joined.map_batches(to_group_partial, batch_format="pyarrow"),
+        [group_col], [("n_docs", "sum"), ("n_dup_docs", "sum")],
+        rename={"n_docs_sum": "n_docs", "n_dup_docs_sum": "n_dup_docs"},
+        num_buckets=num_buckets)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        share = pc.divide(pc.cast(t.column("n_dup_docs"), pa.float64()),
+                          pc.cast(t.column("n_docs"), pa.float64()))
+        return t.append_column("dup_share", share)
+
+    return per_group.map_batches(finalize, batch_format="pyarrow")

@@ -239,3 +239,51 @@ def reciprocity(edges, src_col: str, dst_col: str, *,
         "n_edges": pa.array([n_edges], pa.int64()),
         "n_reciprocal": pa.array([n_recip], pa.int64()),
         "reciprocity": pa.array([ratio], pa.float64())})
+
+
+def degree_assortativity(edges, src_col: str, dst_col: str, *,
+                         num_buckets: int | None = None) -> pa.Table:
+    """Out-in degree assortativity of a directed graph: the Pearson
+    correlation, over distinct edges u→v (self-loops and nulls dropped),
+    between out-degree(u) and in-degree(v) — positive when hubs link to
+    hubs (mirror/farm structure), negative for the hub-and-spoke shape
+    natural web graphs show (Newman 2002, assortative mixing; public
+    formula).  Returns one row: (n_edges, assortativity); null when the
+    degree variance on either side is zero (SQL corr() NULL semantics).
+
+    Scale shape: one dedup-combiner exchange builds the distinct edge set;
+    per-endpoint degree tables come from count-combiner exchanges over it;
+    two co-bucketed equi-joins attach degrees back to the edges; the corr
+    reduces via 6-number co-moment partials per block, summed on the
+    driver (KB-sized) — nothing edge- or node-sized ever materializes
+    driver-side.
+    """
+    from webval.aggregates import corr_of
+    from webval.exchange import distinct_rows, grouped_agg
+    from webval.joins import equi_join
+
+    def proj(t: pa.Table) -> pa.Table:
+        a = t.column(src_col).combine_chunks()
+        b = t.column(dst_col).combine_chunks()
+        keep = pc.and_(pc.and_(pc.is_valid(a), pc.is_valid(b)),
+                       pc.invert(pc.equal(a, b)))
+        return pa.table({"a": a.filter(keep), "b": b.filter(keep)})
+
+    e = distinct_rows(edges.map_batches(proj, batch_format="pyarrow"),
+                      ["a", "b"], num_buckets=num_buckets).materialize()
+    outd = grouped_agg(e, ["a"], [("b", "count")],
+                       rename={"b_count": "out_deg"},
+                       num_buckets=num_buckets)
+    ind = grouped_agg(e, ["b"], [("a", "count")],
+                      rename={"a_count": "in_deg"},
+                      num_buckets=num_buckets)
+    # every edge endpoint has a degree row by construction → inner joins
+    with_out = equi_join(e, outd, on=["a"], how="inner",
+                         num_buckets=num_buckets)
+    with_both = equi_join(with_out, ind, on=["b"], how="inner",
+                          num_buckets=num_buckets)
+    n_edges = e.count()
+    r = corr_of(with_both, "out_deg", "in_deg")
+    return pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "assortativity": pa.array([r], pa.float64())})

@@ -6304,6 +6304,267 @@ ORDER BY 1, 2
 """
 
 
+def q_validity_intervals(sf_dir: str):
+    """SCD2 validity intervals over each user's event history
+    (windows.validity_intervals: combiner-less key exchange, one sort +
+    shifted compare per bucket) — valid_to = lead(ts), null for the
+    current row; emitted as epoch-µs ints for exact cross-engine compare."""
+    import ray.data as rd
+
+    from webval.windows import validity_intervals
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    out = validity_intervals(ds, "user_id", "ts",
+                             attr_cols=["event_id"], tie_cols=["event_id"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "valid_from": pc.cast(t.column("valid_from"), pa.int64()),
+            "valid_to": pc.cast(t.column("valid_to"), pa.int64())})
+
+    return ds_to_table(out.map_batches(to_us, batch_format="pyarrow")) \
+        .sort_by([("event_id", "ascending")])
+
+
+SQL_VALIDITY_INTERVALS = """
+SELECT event_id, user_id, epoch_us(ts) AS valid_from,
+       epoch_us(lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id)) AS valid_to
+FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+ORDER BY event_id
+"""
+
+
+def q_event_debounce(sf_dir: str):
+    """Debounce each user's event stream at a 1-hour minimum gap
+    (windows.debounce_events, lag semantics: gap to the previous RAW
+    event — exactly SQL lag(), one vectorized pass per bucket)."""
+    import ray.data as rd
+
+    from webval.windows import debounce_events
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    out = debounce_events(ds, "user_id", "ts",
+                          min_gap_us=3_600_000_000, tie_cols=["event_id"])
+    t = ds_to_table(out.map_batches(
+        lambda t: t.select(["event_id", "gap_us"]), batch_format="pyarrow"))
+    return t.sort_by([("event_id", "ascending")])
+
+
+SQL_EVENT_DEBOUNCE = """
+WITH x AS (
+  SELECT event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+           AS gap_us
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT event_id, gap_us FROM x
+WHERE gap_us IS NULL OR gap_us >= 3600000000
+ORDER BY event_id
+"""
+
+
+def q_rank_auc(sf_dir: str):
+    """ROC-AUC (Mann-Whitney) of l_quantity as a separator of returned
+    lineitems (rank.rank_auc: one count exchange bounded by distinct
+    values, driver cumsum finalize).  The SQL twin reproduces the
+    per-distinct-value formula with a windowed cumulative sum."""
+    import ray.data as rd
+
+    from webval.rank import rank_auc
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+    return _round_cols(rank_auc(ds, "l_returnflag", "l_quantity",
+                                positive="R"), {"auc": 6})
+
+
+SQL_RANK_AUC = """
+WITH c AS (SELECT l_quantity AS v,
+                  CAST(count(*) FILTER (WHERE l_returnflag = 'R')
+                       AS DOUBLE) AS a,
+                  CAST(count(*) FILTER (WHERE l_returnflag <> 'R')
+                       AS DOUBLE) AS b
+           FROM lineitem GROUP BY 1),
+w AS (SELECT v, a, b,
+             COALESCE(SUM(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND 1 PRECEDING), 0) AS bb
+      FROM c)
+SELECT CAST((SELECT SUM(a) FROM c) AS BIGINT) AS n_pos,
+       CAST((SELECT SUM(b) FROM c) AS BIGINT) AS n_neg,
+       round(SUM(a * (bb + 0.5 * b))
+             / ((SELECT SUM(a) FROM c) * (SELECT SUM(b) FROM c)), 6) AS auc
+FROM w
+"""
+
+
+def q_trimmed_mean(sf_dir: str):
+    """Per-returnflag 5–95% trimmed mean of extended price
+    (rank.grouped_trimmed_mean: exact continuous fences via the quantile
+    exchange, broadcast once, count/sum-combiner rollup)."""
+    import ray.data as rd
+
+    from webval.rank import grouped_trimmed_mean
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+    out = grouped_trimmed_mean(ds, "l_returnflag", "l_extendedprice",
+                               lo=0.05, hi=0.95)
+    t = ds_to_table(out).sort_by([("l_returnflag", "ascending")])
+    return _round_cols(t, {"trimmed_mean": 6})
+
+
+SQL_TRIMMED_MEAN = """
+WITH f AS (SELECT l_returnflag AS k,
+                  quantile_cont(l_extendedprice, 0.05) AS flo,
+                  quantile_cont(l_extendedprice, 0.95) AS fhi
+           FROM lineitem GROUP BY 1)
+SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+       round(avg(l.l_extendedprice), 6) AS trimmed_mean
+FROM lineitem l JOIN f ON l.l_returnflag = f.k
+WHERE l.l_extendedprice >= f.flo AND l.l_extendedprice <= f.fhi
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_minmax_scale(sf_dir: str):
+    """Per-language min-max scaling of document lengths
+    (clustering.minmax_scale: key-sized extrema exchange broadcast once,
+    stateless scale map).  Integer subtraction stays exact and only the
+    final division is float64 — same ops in the SQL twin, so the values
+    are bit-identical unrounded."""
+    import ray.data as rd
+
+    from webval.clustering import minmax_scale
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.is_valid(t.column("lang").combine_chunks()),
+            pc.is_valid(t.column("n_chars").combine_chunks()))),
+        batch_format="pyarrow")
+    out = minmax_scale(ds, "lang", "n_chars")
+    t = ds_to_table(out.map_batches(
+        lambda t: t.select(["doc_id", "scaled"]), batch_format="pyarrow"))
+    return t.sort_by([("doc_id", "ascending")])
+
+
+SQL_MINMAX_SCALE = """
+SELECT doc_id,
+       CAST(n_chars - min(n_chars) OVER (PARTITION BY lang) AS DOUBLE)
+       / NULLIF(CAST(max(n_chars) OVER (PARTITION BY lang)
+                     - min(n_chars) OVER (PARTITION BY lang) AS DOUBLE), 0)
+         AS scaled
+FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+ORDER BY doc_id
+"""
+
+
+def q_readability(sf_dir: str):
+    """Per-doc Automated Readability Index from exact RE2 counts
+    (textstats.readability_stats, stateless vectorized map; Senter &
+    Smith 1967 formula).  Counts are integers and the formula is the
+    same IEEE expression on both engines — unrounded parity."""
+    import ray.data as rd
+
+    from webval.textstats import readability_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = readability_stats(ds, "doc_id")
+    return ds_to_table(out).sort_by([("doc_id", "ascending")])
+
+
+SQL_READABILITY = r"""
+WITH c AS (SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]')) AS BIGINT)
+      AS n_alnum,
+    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+      AS n_words,
+    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences
+  FROM documents)
+SELECT doc_id, n_alnum, n_words, n_sentences,
+       4.71 * (CAST(n_alnum AS DOUBLE) / NULLIF(CAST(n_words AS DOUBLE), 0))
+       + 0.5 * (CAST(n_words AS DOUBLE)
+                / NULLIF(CAST(n_sentences AS DOUBLE), 0))
+       - 21.43 AS ari
+FROM c ORDER BY doc_id
+"""
+
+
+def q_dup_share_by_host(sf_dir: str):
+    """Per-host duplicate-content share over the synthetic crawl
+    (dedup.dup_share_by_group: fingerprint map → (fingerprint, host)
+    count exchange → per-fingerprint totals → co-bucketed join → host
+    rollup; raw text never enters a shuffle).  dup_share is the same
+    int/int double division on both engines — unrounded."""
+    import ray.data as rd
+
+    from webval.dedup import dup_share_by_group
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["url", "text"])
+
+    def add_host(t: pa.Table) -> pa.Table:
+        u = t.column("url").combine_chunks()
+        host = pc.struct_field(pc.extract_regex(u, _HOST_RE), "host")
+        return pa.table({"host": host, "text": t.column("text")}).filter(
+            pc.and_(pc.is_valid(host),
+                    pc.is_valid(t.column("text").combine_chunks())))
+
+    out = dup_share_by_group(ds.map_batches(add_host, batch_format="pyarrow"),
+                             "host", "text", normalize=False)
+    return ds_to_table(out).sort_by([("host", "ascending")])
+
+
+SQL_DUP_SHARE_BY_HOST = f"""
+WITH p AS (SELECT regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1)
+                    AS host, text
+           FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+           WHERE regexp_matches(url, '^https?://([a-z0-9-]+)\\.')
+             AND text IS NOT NULL),
+t AS (SELECT text, count(*) AS n_total FROM p GROUP BY 1)
+SELECT p.host, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE t.n_total > 1) AS BIGINT) AS n_dup_docs,
+       CAST(count(*) FILTER (WHERE t.n_total > 1) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_share
+FROM p JOIN t USING (text) GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_assortativity(sf_dir: str):
+    """Out-in degree assortativity of the synthetic link graph
+    (graph.degree_assortativity: distinct-edge exchange, degree count
+    exchanges, two co-bucketed joins, co-moment corr partials — nothing
+    edge-sized on the driver)."""
+    import ray.data as rd
+
+    from webval.graph import degree_assortativity
+
+    _, links_p = ensure_synth(sf_dir)
+    out = degree_assortativity(rd.read_parquet(links_p),
+                               "src_url", "dst_url")
+    return _round_cols(out, {"assortativity": 6})
+
+
+SQL_ASSORTATIVITY = f"""
+WITH e AS (SELECT DISTINCT src_url AS a, dst_url AS b
+           FROM read_parquet('{SYNTH_ROOT}/sf0.01/links.parquet')
+           WHERE src_url IS NOT NULL AND dst_url IS NOT NULL
+             AND src_url <> dst_url),
+od AS (SELECT a, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY 1),
+ind AS (SELECT b, CAST(count(*) AS BIGINT) AS in_deg FROM e GROUP BY 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       round(corr(out_deg, in_deg), 6) AS assortativity
+FROM e JOIN od USING (a) JOIN ind USING (b)
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -6475,4 +6736,12 @@ QUERIES = {
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
     "reciprocity": (q_reciprocity, SQL_RECIPROCITY),
+    "validity_intervals": (q_validity_intervals, SQL_VALIDITY_INTERVALS),
+    "event_debounce": (q_event_debounce, SQL_EVENT_DEBOUNCE),
+    "rank_auc": (q_rank_auc, SQL_RANK_AUC),
+    "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
+    "minmax_scale": (q_minmax_scale, SQL_MINMAX_SCALE),
+    "readability": (q_readability, SQL_READABILITY),
+    "dup_share_by_host": (q_dup_share_by_host, SQL_DUP_SHARE_BY_HOST),
+    "assortativity": (q_assortativity, SQL_ASSORTATIVITY),
 }

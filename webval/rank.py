@@ -384,3 +384,123 @@ def _collect_histogram(ds, col: str, num_buckets) -> pa.Table:
         return pa.table({"value": pa.array([], pa.float64()),
                          "cnt": pa.array([], pa.int64())})
     return pa.concat_tables(parts)
+
+
+def rank_auc(ds, label_col: str, value_col: str, *, positive,
+             num_buckets: int | None = None) -> pa.Table:
+    """ROC-AUC of a numeric score against a binary label via the
+    Mann-Whitney U statistic — the standard "does this quality score
+    separate the classes" evaluation, computed without materializing or
+    globally sorting the rows:
+
+        AUC = P(X_pos > X_neg) + ½·P(X_pos = X_neg)
+            = Σ_v a_v · (B(<v) + ½·b_v) / (n_pos·n_neg)
+
+    where a_v/b_v are per-distinct-value counts of the positive/negative
+    class.  Rows with a null label or value are dropped (SQL WHERE).
+
+    Scale shape: one count-combiner exchange on (value, is_pos) — shuffle
+    and driver load are bounded by DISTINCT score values, not rows (same
+    caveat as value_histogram: pre-bin near-unique continuous scores).
+    The tiny (value, a, b) table is finalized on the driver with one sort
+    + cumsum.  Returns a one-row table (n_pos, n_neg, auc); auc is null
+    when either class is empty (matching SQL NULL division semantics).
+    """
+    from webval.exchange import grouped_agg
+
+    def proj(t: pa.Table) -> pa.Table:
+        lbl = t.column(label_col).combine_chunks()
+        val = t.column(value_col).combine_chunks()
+        m = pc.and_(pc.is_valid(lbl), pc.is_valid(val))
+        is_pos = pc.cast(pc.equal(lbl, positive), pa.int64())
+        return pa.table({"value": val, "is_pos": is_pos}).filter(m)
+
+    counts = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                         ["value", "is_pos"], [("is_pos", "count")],
+                         rename={"is_pos_count": "cnt"},
+                         num_buckets=num_buckets)
+    parts = [b for b in counts.iter_batches(batch_format="pyarrow",
+                                            batch_size=65536) if b.num_rows]
+    if not parts:
+        return pa.table({"n_pos": pa.array([0], pa.int64()),
+                         "n_neg": pa.array([0], pa.int64()),
+                         "auc": pa.array([None], pa.float64())})
+    t = pa.concat_tables(parts).sort_by([("value", "ascending")])
+    v = t.column("value").to_numpy(zero_copy_only=False)
+    pos = t.column("is_pos").to_numpy(zero_copy_only=False)
+    c = t.column("cnt").to_numpy(zero_copy_only=False)
+    a = np.where(pos == 1, c, 0).astype(np.float64)
+    b = np.where(pos == 0, c, 0).astype(np.float64)
+    # collapse the (value, is_pos) rows to per-distinct-value (a, b) pairs
+    uniq_start = np.r_[True, v[1:] != v[:-1]]
+    seg = np.cumsum(uniq_start) - 1
+    n_vals = int(seg[-1]) + 1
+    av = np.zeros(n_vals); bv = np.zeros(n_vals)
+    np.add.at(av, seg, a)
+    np.add.at(bv, seg, b)
+    n_pos, n_neg = av.sum(), bv.sum()
+    if n_pos == 0 or n_neg == 0:
+        auc = None
+    else:
+        b_below = np.r_[0.0, np.cumsum(bv)[:-1]]
+        auc = float((av * (b_below + 0.5 * bv)).sum() / (n_pos * n_neg))
+    return pa.table({"n_pos": pa.array([int(n_pos)], pa.int64()),
+                     "n_neg": pa.array([int(n_neg)], pa.int64()),
+                     "auc": pa.array([auc], pa.float64())})
+
+
+def grouped_trimmed_mean(ds, key: str, value_col: str, *,
+                         lo: float = 0.05, hi: float = 0.95,
+                         num_buckets: int | None = None):
+    """Per-group trimmed mean: the mean of each key's values inside its
+    own [quantile_cont(lo), quantile_cont(hi)] fences (inclusive) — the
+    robust-location aggregate that ignores tail outliers without a global
+    clip threshold.  Output per key: (key, n_kept, trimmed_mean).
+
+    Scale shape: the (key, value)-only quantile exchange computes both
+    fences exactly; the per-key fence table is broadcast ONCE via ray.put
+    into a stateless filter map (iqr_outliers shape), and the kept rows
+    reduce through a count/sum-combiner exchange — no driver pass over
+    data, nothing key-group-sized materializes.  Null values (and keys
+    absent from the fence table) are dropped, mirroring SQL FILTER.
+    """
+    import ray
+
+    from webval.exchange import grouped_agg
+
+    fences_ds = grouped_exact_quantiles(
+        ds, key, value_col, {"f_lo": lo, "f_hi": hi}, interpolate=True,
+        num_buckets=num_buckets)
+    blocks = [ray.get(r) for r in fences_ds.materialize().to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows]
+    if not blocks:
+        return ds.limit(0).map_batches(
+            lambda t: pa.table({key: pa.array([], pa.string()),
+                                "n_kept": pa.array([], pa.int64()),
+                                "trimmed_mean": pa.array([], pa.float64())}),
+            batch_format="pyarrow")
+    fences_ref = ray.put(pa.concat_tables(blocks).combine_chunks())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        f = ray.get(fences_ref)
+        kcol = batch.column(key).combine_chunks()
+        vals = pc.cast(batch.column(value_col).combine_chunks(),
+                       pa.float64())
+        pos = pc.index_in(kcol, value_set=f.column(key))
+        flo = pc.take(f.column("f_lo"), pos)
+        fhi = pc.take(f.column("f_hi"), pos)
+        m = pc.and_(pc.greater_equal(vals, flo), pc.less_equal(vals, fhi))
+        return pa.table({key: kcol, "v": vals}).filter(pc.fill_null(m, False))
+
+    kept = ds.map_batches(keep, batch_format="pyarrow")
+    agg = grouped_agg(kept, [key], [("v", "count"), ("v", "sum")],
+                      rename={"v_count": "n_kept", "v_sum": "v_sum"},
+                      num_buckets=num_buckets)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        mean = pc.divide(t.column("v_sum"),
+                         pc.cast(t.column("n_kept"), pa.float64()))
+        return pa.table({key: t.column(key), "n_kept": t.column("n_kept"),
+                         "trimmed_mean": mean})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -491,3 +491,45 @@ def vocab_overlap(ds, id_col: str, text_col: str, *,
     parts = per_tok.map_batches(partial, batch_format="pyarrow")
     tot = sum_block_scalars(parts.materialize(), ["nb", "na", "nn"])
     return tot["nb"], tot["na"], tot["nn"]
+
+
+def readability_stats(ds, id_col: str, text_col: str = "text", *,
+                      batch_size: int | None = 8192):
+    """Per-document readability: exact counts of alphanumeric characters,
+    alphanumeric word runs and sentence terminator runs (all RE2
+    ``count_substring_regex`` — one pass over the Arrow string buffer, no
+    row loop), plus the Automated Readability Index
+
+        ARI = 4.71·(chars/words) + 0.5·(words/sentences) − 21.43
+
+    (Senter & Smith 1967, public formula — the syllable-free readability
+    score, which makes it computable from exact integer counts alone).
+    ``ari`` is null when the doc has no words or no sentence terminators
+    (SQL NULLIF semantics); null text yields null counts.  Stateless map
+    stage — the counts are exact and engine-independent, so a SQL twin
+    reproduces them with ``regexp_extract_all`` term-for-term.
+
+    Output: (id_col, n_alnum, n_words, n_sentences, ari).
+    """
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).combine_chunks()
+        n_ch = pc.cast(pc.count_substring_regex(s, "[A-Za-z0-9]"),
+                       pa.int64())
+        n_w = pc.cast(pc.count_substring_regex(s, "[A-Za-z0-9]+"),
+                      pa.int64())
+        n_s = pc.cast(pc.count_substring_regex(s, "[.!?]+"), pa.int64())
+        cw = pc.divide(pc.cast(n_ch, pa.float64()),
+                       pc.if_else(pc.equal(n_w, 0),
+                                  pa.scalar(None, pa.float64()),
+                                  pc.cast(n_w, pa.float64())))
+        ws = pc.divide(pc.cast(n_w, pa.float64()),
+                       pc.if_else(pc.equal(n_s, 0),
+                                  pa.scalar(None, pa.float64()),
+                                  pc.cast(n_s, pa.float64())))
+        ari = pc.subtract(pc.add(pc.multiply(cw, 4.71),
+                                 pc.multiply(ws, 0.5)), 21.43)
+        return pa.table({id_col: batch.column(id_col), "n_alnum": n_ch,
+                         "n_words": n_w, "n_sentences": n_s, "ari": ari})
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=batch_size)

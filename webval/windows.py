@@ -769,3 +769,123 @@ def grouped_ewma(ds, key: str, ts_col: str, val_col: str, *,
     return bucketed_group_apply(
         ds.map_batches(proj, batch_format="pyarrow"), [key], smooth,
         num_buckets=num_buckets, max_group_rows=max_group_rows)
+
+
+def validity_intervals(ds, key: str, ts_col: str, *,
+                       attr_cols: list[str] | None = None,
+                       tie_cols: list[str] | None = None,
+                       num_buckets: int | None = None,
+                       max_group_rows: int | None = 4_000_000):
+    """SCD2-style validity intervals: per key, order events by
+    (``ts_col``, ``tie_cols``) and emit one row per event with
+    ``valid_from`` = its timestamp and ``valid_to`` = the NEXT event's
+    timestamp (null for the key's latest event — the "current" row).
+    ``attr_cols`` are carried through — the attribute snapshot that was
+    valid over the interval.  This is the history-table build step of a
+    slowly-changing-dimension load, and exactly SQL's
+    ``lead(ts) OVER (PARTITION BY key ORDER BY ts, ties)``.
+
+    Rows with a null key or timestamp are dropped first (they can neither
+    form nor terminate an interval; mirrors the SQL twin's WHERE).
+
+    Scale shape: combiner-less co-bucketed exchange on ``key`` (each key's
+    history is consumed whole and in order; oversized keys raise the named
+    exchange diagnostic) → one vectorized sort + shifted compare per
+    bucket.  No driver materialization; output is the same size as the
+    input.
+    """
+    import numpy as np
+
+    from webval.exchange import bucketed_group_apply
+
+    attr_cols = list(attr_cols or [])
+    tie_cols = list(tie_cols or [])
+    cols = [key, ts_col]
+    for c in attr_cols + tie_cols:   # dedup: a column may be attr AND tie
+        if c not in cols:
+            cols.append(c)
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        m = pc.and_(pc.is_valid(t.column(key).combine_chunks()),
+                    pc.is_valid(t.column(ts_col).combine_chunks()))
+        return t.filter(m)
+
+    def final(g: pa.Table) -> pa.Table:
+        ts_type = g.schema.field(ts_col).type
+        out_cols = [key] + attr_cols
+        if g.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], g.schema.field(c).type) for c in out_cols}
+                | {"valid_from": pa.array([], ts_type),
+                   "valid_to": pa.array([], ts_type)})
+        g = g.sort_by([(key, "ascending"), (ts_col, "ascending")]
+                      + [(c, "ascending") for c in tie_cols])
+        kk = g.column(key).to_numpy(zero_copy_only=False)
+        ts = g.column(ts_col).combine_chunks()
+        # lead(ts): shift up by one, null where the next row is another key
+        n = len(kk)
+        same_next = np.r_[kk[1:] == kk[:-1], False]   # row i's next is in-key
+        idx = np.arange(n) + 1
+        idx[~same_next] = 0    # in-range placeholder; masked to null below
+        lead = ts.take(pa.array(idx, pa.int64()))
+        lead = pc.if_else(pa.array(same_next), lead, pa.scalar(None, ts_type))
+        res = {c: g.column(c) for c in out_cols}
+        res["valid_from"] = ts
+        res["valid_to"] = lead
+        return pa.table(res)
+
+    return bucketed_group_apply(
+        ds.map_batches(proj, batch_format="pyarrow"), [key], final,
+        num_buckets=num_buckets, max_group_rows=max_group_rows)
+
+
+def debounce_events(ds, key: str, ts_col: str, *, min_gap_us: int,
+                    tie_cols: list[str] | None = None,
+                    num_buckets: int | None = None,
+                    max_group_rows: int | None = 4_000_000):
+    """Debounce a per-key event stream: keep each key's FIRST event and
+    every event at least ``min_gap_us`` after its immediately PRECEDING
+    event (lag semantics — the gap is measured to the previous raw event,
+    not the previous kept one, so the operator is one vectorized pass and
+    exactly SQL's ``lag(ts) OVER w``; greedy rate-limiting to the previous
+    KEPT event is a sequential recurrence, deliberately not this op).
+    Appends ``gap_us`` (null for each key's first event) and filters.
+
+    Ordering is (``ts_col``, ``tie_cols``); pass a unique tie column or
+    tied timestamps make kept-set membership engine-dependent.  Null keys
+    or timestamps are dropped.  Scale shape: combiner-less co-bucketed
+    exchange on ``key``, one sort + shifted subtract per bucket.
+    """
+    import numpy as np
+
+    from webval.exchange import bucketed_group_apply
+
+    tie_cols = list(tie_cols or [])
+
+    def proj(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t.column(key).combine_chunks()),
+                    pc.is_valid(t.column(ts_col).combine_chunks()))
+        return t.filter(m)
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column("gap_us", pa.array([], pa.int64()))
+        g = g.sort_by([(key, "ascending"), (ts_col, "ascending")]
+                      + [(c, "ascending") for c in tie_cols])
+        kk = g.column(key).to_numpy(zero_copy_only=False)
+        ts = g.column(ts_col).combine_chunks()
+        tsi = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(kk)
+        same_prev = np.r_[False, kk[1:] == kk[:-1]]
+        gap = np.empty(n, np.int64)
+        gap[1:] = tsi[1:] - tsi[:-1]
+        keep = ~same_prev | (gap >= min_gap_us)
+        gap_arr = pc.if_else(pa.array(same_prev),
+                             pa.array(gap, pa.int64()),
+                             pa.scalar(None, pa.int64()))
+        return g.append_column("gap_us", gap_arr).filter(pa.array(keep))
+
+    return bucketed_group_apply(
+        ds.map_batches(proj, batch_format="pyarrow"), [key], final,
+        num_buckets=num_buckets, max_group_rows=max_group_rows)
