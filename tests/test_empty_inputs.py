@@ -205,3 +205,24 @@ def test_round4_session3_ops_on_empty():
         lambda t: t.rename_columns(["a", "b", "x", "txt"]),
         batch_format="pyarrow"), "a", "b").to_pydict()
     assert a["n_edges"][0] == 0 and a["assortativity"][0] is None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_round4_session3_wave2_on_empty():
+    import ray.data as rd
+
+    from webval.fuzzy import fuzzy_pairs
+    from webval.multimodal import detect_media_type
+    from webval.pipelines import allocate_budget
+    from webval.rank import quantile_bin
+
+    ev = rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.string()),
+                                 "m": pa.array([], pa.binary()),
+                                 "v": pa.array([], pa.float64())}))
+    assert detect_media_type(ev, "m").count() == 0
+    assert quantile_bin(ev, "v", 4).count() == 0
+    assert fuzzy_pairs(ev, "id", "s", ["s"], metric="jaro_winkler",
+                       min_sim=0.5).count() == 0
+    alloc = allocate_budget(ev, "s", 100)
+    assert alloc.num_rows == 0

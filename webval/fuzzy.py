@@ -98,25 +98,36 @@ def levenshtein_pairs(a_col, b_col) -> np.ndarray:
 
 
 def fuzzy_pairs(ds, id_col: str, str_col: str, block_cols: list[str], *,
-                max_dist: int = 2, out_col: str = "edit_distance",
+                max_dist: int = 2, out_col: str | None = None,
+                metric: str = "levenshtein", min_sim: float = 0.9,
                 num_buckets: int | None = None,
                 max_block_rows: int = 1024):
-    """Blocked edit-distance self-join: every unordered pair of rows that
-    shares all ``block_cols`` and has ``levenshtein(a, b) <= max_dist``.
+    """Blocked string-similarity self-join: every unordered pair of rows
+    that shares all ``block_cols`` and passes the metric's threshold —
+    ``metric="levenshtein"`` keeps ``levenshtein(a, b) <= max_dist``
+    (int64 ``edit_distance``); ``metric="jaro_winkler"`` keeps
+    ``jaro_winkler(a, b) >= min_sim`` (float64 ``similarity``, DuckDB
+    semantics incl. the 0.7 boost threshold).
 
     Returns Dataset[{id_a, id_b, <out_col>}] with ``id_a < id_b`` (int64).
     Pairs never cross blocks — the blocking key IS part of the operator's
     contract (and of the SQL twin), not an approximation being hidden.
     A block larger than ``max_block_rows`` raises the exchange's named
     diagnostic (O(block²) pairs must stay bounded); per-pair work is the
-    vectorized DP above, no per-row python anywhere."""
+    pair-axis-vectorized kernels above, no per-row python anywhere."""
+    if metric not in ("levenshtein", "jaro_winkler"):
+        raise ValueError(f"fuzzy_pairs: unknown metric {metric!r}")
+    jw = metric == "jaro_winkler"
+    if out_col is None:
+        out_col = "similarity" if jw else "edit_distance"
+    out_type = pa.float64() if jw else pa.int64()
     block_cols = list(block_cols)
     proj = ds.map_batches(
         lambda t, cols=[id_col, str_col] + block_cols: t.select(cols),
         batch_format="pyarrow")
 
     empty = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                       (out_col, pa.int64())])
+                       (out_col, out_type)])
 
     def score_block(g: pa.Table) -> pa.Table:
         ids = pc.cast(g.column(id_col), pa.int64()).combine_chunks() \
@@ -132,9 +143,14 @@ def fuzzy_pairs(ds, id_col: str, str_col: str, block_cols: list[str], *,
         out_a, out_b, out_d = [], [], []
         for s in range(0, len(pos_a), _PAIR_CHUNK):
             ca, cb = pos_a[s:s + _PAIR_CHUNK], pos_b[s:s + _PAIR_CHUNK]
-            d = levenshtein_pairs(strs.take(pa.array(ca)),
-                                  strs.take(pa.array(cb)))
-            keep = d <= max_dist
+            if jw:
+                d = jaro_winkler_pairs(strs.take(pa.array(ca)),
+                                       strs.take(pa.array(cb)))
+                keep = d >= min_sim
+            else:
+                d = levenshtein_pairs(strs.take(pa.array(ca)),
+                                      strs.take(pa.array(cb)))
+                keep = d <= max_dist
             out_a.append(ids[ca[keep]])
             out_b.append(ids[cb[keep]])
             out_d.append(d[keep])
@@ -143,8 +159,81 @@ def fuzzy_pairs(ds, id_col: str, str_col: str, block_cols: list[str], *,
         dd = np.concatenate(out_d)
         return pa.table({"id_a": pa.array(np.minimum(ia, ib), pa.int64()),
                          "id_b": pa.array(np.maximum(ia, ib), pa.int64()),
-                         out_col: pa.array(dd, pa.int64())})
+                         out_col: pa.array(dd, out_type)})
 
     return bucketed_group_apply(proj, block_cols, score_block,
                                 num_buckets=num_buckets,
                                 max_group_rows=max_block_rows)
+
+
+def jaro_winkler_pairs(a_col, b_col, *, prefix_weight: float = 0.1,
+                       max_prefix: int = 4) -> np.ndarray:
+    """Jaro-Winkler similarity for P aligned string pairs → float64[P]
+    (Winkler 1990, public formula; byte-level like levenshtein_pairs).
+
+    Same vectorization shape as the DP above: one python step per
+    character POSITION of the a side (≤ Lmax), each step a handful of
+    (P, L)-wide numpy kernels that advance the greedy match assignment
+    for every pair at once — never a python loop over pairs.  The greedy
+    rule is the standard one (each a[i] takes the leftmost unused b[j]
+    with b[j]==a[i] inside the match window), transpositions compare the
+    matched sequences in a-order vs b-order, and the Winkler prefix boost
+    is applied only when jaro exceeds the classic 0.7 boost threshold —
+    with ANY empty string (even both) scoring 0.0.  Both rules are
+    DuckDB's jaro_winkler_similarity semantics, fuzz-verified against it
+    in tests.
+    """
+    A, la = _padded_bytes(a_col)
+    B, lb = _padded_bytes(b_col)
+    p = len(la)
+    if p == 0:
+        return np.empty(0, np.float64)
+    La, Lb = A.shape[1], B.shape[1]
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    jj = np.arange(Lb, dtype=np.int64)[None, :]
+    in_b = jj < lb[:, None]
+    used = np.zeros((p, Lb), dtype=bool)
+    jpick = np.full((p, La), -1, dtype=np.int64)
+    for i in range(La):
+        active = i < la
+        if not active.any():
+            break
+        cand = (B == A[:, i:i + 1]) & ~used & in_b \
+            & (np.abs(jj - i) <= w[:, None]) & active[:, None]
+        has = cand.any(axis=1)
+        j = cand.argmax(axis=1)
+        jpick[has, i] = j[has]
+        used[has, j[has]] = True
+    m = (jpick >= 0).sum(axis=1).astype(np.float64)
+
+    # transpositions: matched chars in a-order vs in b-order
+    rows, ii = np.nonzero(jpick >= 0)          # row-major → i ascending
+    t_half = np.zeros(p, dtype=np.float64)
+    if len(rows):
+        a_chars = A[rows, ii]
+        jv = jpick[rows, ii]
+        order = np.lexsort((jv, rows))          # within row: j ascending
+        b_chars = B[rows[order], jv[order]]
+        mism = a_chars != b_chars
+        np.add.at(t_half, rows[mism], 1.0)
+    t = np.floor(t_half / 2.0)
+
+    la_f = la.astype(np.float64)
+    lb_f = lb.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = np.where(
+            m > 0,
+            (m / la_f + m / lb_f + (m - t) / np.where(m > 0, m, 1)) / 3.0,
+            0.0)
+    # common-prefix length, capped
+    kmax = min(max_prefix, La, Lb)
+    if kmax:
+        eq = A[:, :kmax] == B[:, :kmax]
+        k_ok = np.arange(kmax)[None, :] < np.minimum(la, lb)[:, None]
+        run = np.cumprod(eq & k_ok, axis=1)
+        l = run.sum(axis=1).astype(np.float64)
+    else:
+        l = np.zeros(p, np.float64)
+    boosted = np.where(jaro > 0.7,
+                       jaro + l * prefix_weight * (1.0 - jaro), jaro)
+    return np.where((la == 0) | (lb == 0), 0.0, boosted)

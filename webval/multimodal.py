@@ -407,3 +407,61 @@ def parse_wav_headers(ds, media_col: str, *, out_prefix: str | None = None,
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def detect_media_type(ds, media_col: str, *, out_col: str | None = None,
+                      batch_size: int | None = 1024):
+    """Append ``<media_col>_type``: container sniffed from magic bytes —
+    "png", "gif", "jpeg", "wav" (RIFF/WAVE), "pdf", "gzip", "zip",
+    "webp" (RIFF/WEBP), or "unknown"; null payloads stay null.  The
+    triage stage a multimodal ingest runs BEFORE routing rows to
+    format-specific parser/decoder pools: a cheap vectorized byte test
+    (numpy gathers off the Arrow binary buffers, no per-row Python), so
+    the expensive stages only see payloads of their own kind.
+    """
+    pre = f"{media_col}_type" if out_col is None else out_col
+
+    SIGS = [  # (name, offset, bytes) all-match; first hit wins
+        ("png", 0, b"\x89PNG\r\n\x1a\n"),
+        ("gif", 0, b"GIF8"),
+        ("jpeg", 0, b"\xff\xd8\xff"),
+        ("pdf", 0, b"%PDF"),
+        ("gzip", 0, b"\x1f\x8b"),
+        ("zip", 0, b"PK\x03\x04"),
+    ]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(media_col)
+        n = len(col)
+        starts, lens, data, valid = _binary_buffers(col)
+        out = np.full(n, None, dtype=object)
+        out[valid] = "unknown"
+
+        def match(rows, off, sig):
+            m = np.ones(len(rows), dtype=bool)
+            for k, want in enumerate(sig):
+                m &= data[starts[rows] + off + k] == want
+            return m
+
+        undecided = valid.copy()
+        for name, off, sig in SIGS:
+            rows = np.flatnonzero(undecided & (lens >= off + len(sig)))
+            if not len(rows):
+                continue
+            hit = rows[match(rows, off, sig)]
+            out[hit] = name
+            undecided[hit] = False
+        # RIFF containers: bytes 0-3 "RIFF", format tag at 8-11
+        rows = np.flatnonzero(undecided & (lens >= 12))
+        if len(rows):
+            riff = rows[match(rows, 0, b"RIFF")]
+            if len(riff):
+                wav = riff[match(riff, 8, b"WAVE")]
+                out[wav] = "wav"
+                webp = riff[match(riff, 8, b"WEBP")]
+                out[webp] = "webp"
+
+        return batch.append_column(pre, pa.array(out, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=batch_size)

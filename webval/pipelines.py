@@ -1014,3 +1014,68 @@ def k_anonymity_audit(ds, qi_cols: list[str], *, k: int = 5,
         return t.filter(bad)
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def allocate_budget(ds, key: str, total: int, *, weight_col: str | None = None,
+                    num_buckets: int | None = None) -> pa.Table:
+    """Largest-remainder (Hamilton) apportionment of an integer budget
+    across the values of ``key``: each key's quota is
+    ``total · w_k / W`` (weights = row counts, or ``weight_col`` sums);
+    every key gets ``floor(quota)`` and the leftover units go to the
+    largest fractional remainders (ties broken by key ascending — fully
+    deterministic, budgets sum to exactly ``total``).  The
+    sampling-budget step a data-mixing pipeline runs after choosing
+    mixture weights (e.g. temperature-scaled source weights): "turn these
+    shares into integer per-source token/doc budgets".
+
+    Scale shape: one count/sum-combiner exchange; only the key-sized
+    weight table reaches the driver, where the apportionment is a couple
+    of vectorized passes.  Returns a pa.Table
+    (key, weight, quota, budget) sorted by key.  Null keys (and null
+    weights) are excluded; total must be ≥ 0.
+    """
+    import numpy as np
+
+    from webval.exchange import grouped_agg
+
+    if total < 0:
+        raise ValueError(f"allocate_budget: total={total}")
+    if weight_col is None:
+        proj = ds.map_batches(
+            lambda t: pa.table(
+                {key: t.column(key).combine_chunks().drop_null()}),
+            batch_format="pyarrow")
+        agg = grouped_agg(proj, [key], [(key, "count")],
+                          rename={f"{key}_count": "weight"},
+                          num_buckets=num_buckets)
+    else:
+        proj = ds.map_batches(
+            lambda t: t.select([key, weight_col]).drop_null(),
+            batch_format="pyarrow")
+        agg = grouped_agg(proj, [key], [(weight_col, "sum")],
+                          rename={f"{weight_col}_sum": "weight"},
+                          num_buckets=num_buckets)
+    parts = [b for b in agg.iter_batches(batch_format="pyarrow",
+                                         batch_size=65536) if b.num_rows]
+    if not parts:
+        return pa.table({key: pa.array([], pa.string()),
+                         "weight": pa.array([], pa.int64()),
+                         "quota": pa.array([], pa.float64()),
+                         "budget": pa.array([], pa.int64())})
+    t = pa.concat_tables(parts).sort_by([(key, "ascending")])
+    w = t.column("weight").to_numpy(zero_copy_only=False) \
+         .astype(np.float64)
+    W = float(w.sum())
+    quota = total * w / W
+    fl = np.floor(quota)
+    rem = quota - fl
+    leftover = int(total - fl.sum())
+    # rank remainders desc, ties by key asc (= current position asc)
+    order = np.lexsort((np.arange(len(rem)), -rem))
+    bonus = np.zeros(len(rem), np.int64)
+    bonus[order[:leftover]] = 1
+    budget = fl.astype(np.int64) + bonus
+    return pa.table({key: t.column(key),
+                     "weight": t.column("weight"),
+                     "quota": pa.array(quota, pa.float64()),
+                     "budget": pa.array(budget, pa.int64())})

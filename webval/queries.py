@@ -6565,6 +6565,209 @@ FROM e JOIN od USING (a) JOIN ind USING (b)
 """
 
 
+def q_media_sniff(sf_dir: str):
+    """Magic-byte media-type triage (multimodal.detect_media_type):
+    plant PNG/GIF/JPEG/WAV/PDF/garbage payloads as a pure function of
+    page_id (k = id % 6, null when id % 97 == 0), sniff them back off the
+    binary column with the vectorized byte test, and count per type.
+    The SQL twin recomputes the counts from the id formula — hashes match
+    only if the sniffer classifies every planted payload correctly."""
+    import struct
+
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.multimodal import detect_media_type
+
+    pages_p, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages_p, columns=["page_id"])
+
+    def make_media(t: pa.Table) -> pa.Table:
+        ids = t.column("page_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            if i % 97 == 0:
+                payloads.append(None)
+                continue
+            k = int(i % 6)
+            if k == 0:
+                payloads.append(b"\x89PNG\r\n\x1a\n" + b"\0" * 8)
+            elif k == 1:
+                payloads.append(b"GIF89a" + struct.pack("<HH", 3, 2))
+            elif k == 2:
+                payloads.append(b"\xff\xd8\xff\xe0" + b"\0" * 6)
+            elif k == 3:
+                payloads.append(b"RIFF" + struct.pack("<I", 36) + b"WAVE")
+            elif k == 4:
+                payloads.append(b"%PDF-1.4\n%%EOF")
+            else:
+                payloads.append(b"just some plain bytes")
+        return t.append_column("media", pa.array(payloads, pa.binary()))
+
+    sniffed = detect_media_type(
+        ds.map_batches(make_media, batch_format="pyarrow"), "media")
+    typed = sniffed.map_batches(
+        lambda t: pa.table({"media_type": t.column("media_type")}).filter(
+            pc.is_valid(t.column("media_type").combine_chunks())),
+        batch_format="pyarrow")
+    out = grouped_agg(typed, ["media_type"], [("media_type", "count")],
+                      rename={"media_type_count": "n"})
+    return ds_to_table(out).sort_by([("media_type", "ascending")])
+
+
+SQL_MEDIA_SNIFF = f"""
+SELECT CASE page_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+            WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav' WHEN 4 THEN 'pdf'
+            ELSE 'unknown' END AS media_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+WHERE page_id % 97 <> 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_score_lift(sf_dir: str):
+    """Decile lift table of event value vs the purchase outcome
+    (rank.quantile_bin: exact quantile_disc edges from the value-count
+    exchange, broadcast; stateless searchsorted bin map; count exchange
+    rollup).  rate and lift are exact int-derived double divisions in the
+    same order on both engines — unrounded."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg, sum_block_scalars
+    from webval.rank import quantile_bin
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["value", "event_type"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("value").combine_chunks())),
+        batch_format="pyarrow")
+    binned = quantile_bin(ds, "value", 10)
+
+    def proj(t: pa.Table) -> pa.Table:
+        pos = pc.fill_null(pc.equal(
+            t.column("event_type").combine_chunks(), "purchase"), False)
+        return pa.table({"bin": t.column("bin"),
+                         "pos": pc.cast(pos, pa.int64())})
+
+    counts = grouped_agg(binned.map_batches(proj, batch_format="pyarrow"),
+                         ["bin"], [("pos", "count"), ("pos", "sum")],
+                         rename={"pos_count": "n", "pos_sum": "n_pos"})
+    t = ds_to_table(counts).sort_by([("bin", "ascending")])
+    tot = t.column("n").to_numpy(zero_copy_only=False).sum()
+    tot_pos = t.column("n_pos").to_numpy(zero_copy_only=False).sum()
+    n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_pos = t.column("n_pos").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+    rate = n_pos / n
+    lift = rate / (float(tot_pos) / float(tot))
+    return pa.table({"bin": t.column("bin"), "n": t.column("n"),
+                     "n_pos": t.column("n_pos"),
+                     "rate": pa.array(rate, pa.float64()),
+                     "lift": pa.array(lift, pa.float64())})
+
+
+SQL_SCORE_LIFT = """
+WITH v AS (SELECT value, event_type = 'purchase' AS pos
+           FROM events WHERE value IS NOT NULL),
+e AS (SELECT unnest(quantile_disc(value, [x / 10.0 for x in range(1, 10)]))
+        AS edge FROM v),
+b AS (SELECT 1 + (SELECT count(*) FROM e WHERE e.edge <= v.value) AS bin,
+             pos FROM v)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS n_pos,
+       CAST(count(*) FILTER (WHERE pos) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS rate,
+       (CAST(count(*) FILTER (WHERE pos) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE))
+       / ((SELECT CAST(count(*) FILTER (WHERE pos) AS DOUBLE) FROM v)
+          / (SELECT CAST(count(*) AS DOUBLE) FROM v)) AS lift
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_jw_part_names(sf_dir: str):
+    """Blocked Jaro-Winkler similarity self-join (fuzzy.fuzzy_pairs with
+    metric="jaro_winkler"): part-name pairs within the same
+    (first word, p_size) block at similarity ≥ 0.94.  The pair-axis
+    vectorized kernel is bit-exact vs DuckDB's jaro_winkler_similarity
+    (fuzz-verified incl. the 0.7 boost threshold and empty-string zero),
+    so values are emitted unrounded; byte-level == char-level asserted
+    via the ASCII check like fuzzy_part_names."""
+    import ray.data as rd
+
+    from webval.fuzzy import fuzzy_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_size"])
+
+    def add_block(b: pa.Table) -> pa.Table:
+        col = b.column("p_name")
+        mism = pc.sum(pc.cast(pc.not_equal(
+            pc.utf8_length(col), pc.binary_length(col)), pa.int64())).as_py()
+        if mism:
+            raise AssertionError(
+                f"{mism} non-ASCII part names: byte-level JW no longer "
+                "matches the SQL twin's character jaro_winkler")
+        return b.append_column(
+            "w", pc.replace_substring_regex(col, pattern=" .*$",
+                                            replacement=""))
+
+    pairs = fuzzy_pairs(ds.map_batches(add_block, batch_format="pyarrow"),
+                        "p_partkey", "p_name", ["w", "p_size"],
+                        metric="jaro_winkler", min_sim=0.94)
+    return ds_to_table(
+        pairs, empty_schema=pa.schema([("id_a", pa.int64()),
+                                       ("id_b", pa.int64()),
+                                       ("similarity", pa.float64())]))
+
+
+SQL_JW_PART_NAMES = """
+WITH p AS (SELECT p_partkey, p_name, p_size,
+                  split_part(p_name, ' ', 1) AS w
+           FROM part)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       jaro_winkler_similarity(a.p_name, b.p_name) AS similarity
+FROM p a JOIN p b
+  ON a.w = b.w AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.94
+ORDER BY 1, 2
+"""
+
+
+def q_budget_allocation(sf_dir: str):
+    """Largest-remainder apportionment of a 1M-token budget across
+    document sources (pipelines.allocate_budget: count exchange →
+    key-sized driver table → vectorized Hamilton rounding; budgets sum
+    to exactly the total, ties by key).  quota is the same
+    total·w/W double expression on both engines — unrounded."""
+    import ray.data as rd
+
+    from webval.pipelines import allocate_budget
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source"])
+    return allocate_budget(ds, "source", 1_000_000)
+
+
+SQL_BUDGET_ALLOCATION = """
+WITH w AS (SELECT source, CAST(count(*) AS BIGINT) AS weight
+           FROM documents WHERE source IS NOT NULL GROUP BY 1),
+q AS (SELECT source, weight,
+             1000000 * CAST(weight AS DOUBLE)
+               / (SELECT CAST(sum(weight) AS DOUBLE) FROM w) AS quota
+      FROM w),
+f AS (SELECT source, weight, quota, floor(quota) AS fl,
+             quota - floor(quota) AS rem FROM q),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rn FROM f)
+SELECT source, weight, quota,
+       CAST(fl + CASE WHEN rn <= 1000000 - (SELECT CAST(sum(fl) AS BIGINT)
+                                            FROM f)
+                 THEN 1 ELSE 0 END AS BIGINT) AS budget
+FROM r ORDER BY source
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -6744,4 +6947,8 @@ QUERIES = {
     "readability": (q_readability, SQL_READABILITY),
     "dup_share_by_host": (q_dup_share_by_host, SQL_DUP_SHARE_BY_HOST),
     "assortativity": (q_assortativity, SQL_ASSORTATIVITY),
+    "media_sniff": (q_media_sniff, SQL_MEDIA_SNIFF),
+    "score_lift": (q_score_lift, SQL_SCORE_LIFT),
+    "jw_part_names": (q_jw_part_names, SQL_JW_PART_NAMES),
+    "budget_allocation": (q_budget_allocation, SQL_BUDGET_ALLOCATION),
 }

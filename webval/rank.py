@@ -504,3 +504,37 @@ def grouped_trimmed_mean(ds, key: str, value_col: str, *,
                          "trimmed_mean": mean})
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def quantile_bin(ds, value_col: str, k: int, *, out_col: str = "bin",
+                 num_buckets: int | None = None):
+    """Equal-frequency (quantile) binning featurizer: append ``out_col`` =
+    the row's 1-based bin among ``k`` buckets, where the interior edges
+    are the EXACT discrete quantiles at i/k (quantile_disc semantics) and
+    a value in bin b satisfies  #edges ≤ value == b−1  (ties share a bin —
+    value-deterministic, unlike SQL ntile's row-position split, so the
+    assignment is reproducible across engines and runs).  Null values get
+    a null bin.
+
+    Scale shape: edges from the value-count exchange (bounded by DISTINCT
+    values — pre-bin near-unique continuous columns, same caveat as
+    value_histogram), broadcast in the closure (k−1 floats), then one
+    stateless vectorized searchsorted map.
+    """
+    if k < 2:
+        raise ValueError(f"quantile_bin: k={k}")
+    edges = global_exact_quantiles(
+        ds.map_batches(lambda t: t.select([value_col]),
+                       batch_format="pyarrow"),
+        value_col, [i / k for i in range(1, k)], num_buckets=num_buckets)
+    edges = np.asarray(edges, dtype=np.float64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).combine_chunks()
+        x = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(edges, x, side="right") + 1
+        arr = pc.if_else(pc.is_valid(v), pa.array(b, pa.int64()),
+                         pa.scalar(None, pa.int64()))
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
