@@ -401,3 +401,33 @@ def test_unit_vec_blobs_batch_matches_per_row_oracle():
         want = (u / (nrm or 1.0)).astype(np.float32)
         np.testing.assert_allclose(np.frombuffer(g, np.float32), want,
                                    rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_overlap_detects_containment(docs_table):
+    """metric="overlap": a short doc embedded verbatim in a longer one
+    scores 1.0 even where its Jaccard is diluted far below threshold."""
+    import ray.data as rd
+
+    import numpy as np
+    from webval.dedup import ngram_all_pairs
+    from webval.textstats import rolling_hashes
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long = ("PREFIX PADDING " * 20) + short + (" SUFFIX PADDING" * 20)
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([short, long])})
+    ds = rd.from_arrow(t)
+    ov = {(r["id_a"], r["id_b"]): r["overlap"]
+          for r in ngram_all_pairs(ds, "doc_id", threshold=0.9,
+                                   metric="overlap",
+                                   score_col="overlap").take_all()}
+    assert ov[(1, 2)] == 1.0
+    # the same pair's jaccard is far below 0.9 -> jaccard metric misses it
+    jc = ngram_all_pairs(ds, "doc_id", threshold=0.9).take_all()
+    assert not jc
+    # oracle: overlap == |A∩B| / min sizes computed directly
+    sa = np.unique(rolling_hashes(short, 8))
+    sb = np.unique(rolling_hashes(long, 8))
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    assert inter / min(len(sa), len(sb)) == 1.0

@@ -160,3 +160,69 @@ def test_fit_default_vocab_bounded_above_gate(ray_session, monkeypatch):
     assert seen["k"] == lm_mod.DEFAULT_VOCAB_CAP
     assert lm.vocab.num_rows == 1000          # full vocab < cap: all kept
     assert lm.total_tokens == 1000
+
+
+def _oracle_bigram_nll(texts, lam=0.5):
+    """Pure-python interpolated bigram scores per doc."""
+    from collections import Counter
+    uni = Counter(w for t in texts for w in _tok(t))
+    big = Counter()
+    for t in texts:
+        ws = _tok(t)
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] += 1
+    total = sum(uni.values())
+    v = len(uni)
+    out = []
+    for t in texts:
+        ws = _tok(t)
+        if not ws:
+            out.append((0, None))
+            continue
+        s = [math.log((uni[ws[0]] + 1) / (total + v + 1))]
+        for a, b in zip(ws, ws[1:]):
+            p2 = (big[(a, b)] + 1) / (uni[a] + v + 1)
+            p1 = (uni[b] + 1) / (total + v + 1)
+            s.append(math.log(lam * p2 + (1 - lam) * p1))
+        out.append((len(ws), -sum(s) / len(ws)))
+    return out
+
+
+def test_bigram_fit_and_score_match_oracle(ray_session):
+    from webval.lm import fit_bigram_lm, score_bigram_lm
+
+    blm = fit_bigram_lm(_ds(TEXTS), "text", lam=0.5)
+    got = (score_bigram_lm(_ds(TEXTS), blm, text_col="text")
+           .to_pandas().set_index("doc_id").sort_index())
+    want = _oracle_bigram_nll(TEXTS)
+    for i, (n, nll) in enumerate(want):
+        assert got.loc[i, "n_tokens"] == n
+        if nll is None:
+            assert np.isnan(got.loc[i, "nll"]) or got.loc[i, "nll"] is None
+        else:
+            # engine interpolates with exp(ln(p1)) — 1-ulp tolerance
+            assert got.loc[i, "nll"] == pytest.approx(nll, abs=1e-12)
+    # repeated bigram ("the cat": docs 0, 1 and "THE Cat!") carries
+    # conditional evidence the unigram model cannot express
+    pair_cnt = dict(zip(blm.pairs.column("pair").to_pylist(),
+                        blm.pairs.column("count").to_pylist()))
+    assert pair_cnt["the cat"] == 3
+
+
+def test_bigram_pairs_never_cross_documents(ray_session):
+    from webval.lm import bigram_counts
+
+    ds = _ds(["x y", "y x"])   # "y x"-doc pair but no "y" -> "x" crossing
+    t = bigram_counts(ds, "text").to_pandas().set_index("pair")["count"]
+    assert t.to_dict() == {"x y": 1, "y x": 1}
+
+
+def test_bigram_pair_cap_truncates_deterministically(ray_session):
+    from webval.lm import fit_bigram_lm
+
+    blm = fit_bigram_lm(_ds(TEXTS), "text", pair_cap=3)
+    assert blm.pairs.num_rows == 3
+    # top pairs by (count DESC, pair ASC): "the cat" counts 3
+    pairs = blm.pairs.to_pydict()
+    assert pairs["pair"][0] == "the cat"
+    assert all(c >= 1 for c in pairs["count"])

@@ -227,3 +227,52 @@ def test_assortativity_zero_variance_is_null(ray_session):
                   "d": pa.array(["b", "c", "a"])})
     out = degree_assortativity(rd.from_arrow(t), "s", "d")
     assert out.column("assortativity")[0].as_py() is None
+
+
+def test_interpolate_gaps_matches_pandas(keyed_events):
+    from webval.windows import interpolate_gaps
+
+    df, _ = keyed_events
+    rng = np.random.default_rng(29)
+    d2 = df.dropna(subset=["k", "ts"]).copy()
+    vals = rng.normal(10, 3, len(d2))
+    vals[rng.random(len(d2)) < 0.3] = np.nan   # ~30% holes
+    d2["v"] = vals
+    d2["v"] = d2["v"].astype(float)
+    import pyarrow as pa
+    import ray.data as rd
+    t = pa.Table.from_pandas(d2[["k", "ts", "eid", "v"]],
+                             preserve_index=False)
+    out = (interpolate_gaps(rd.from_arrow(t).repartition(6), "k", "ts", "v",
+                            tie_cols=["eid"])
+           .to_pandas().set_index("eid").sort_index())
+    s = d2.sort_values(["k", "ts", "eid"]).set_index("eid")
+    truth = {}
+    for _, grp in s.groupby("k"):
+        tsv = grp["ts"].astype("int64").to_numpy()
+        v = grp["v"].to_numpy()
+        filled = v.copy()
+        valid = ~np.isnan(v)
+        vi = np.flatnonzero(valid)
+        for pos in np.flatnonzero(~valid):
+            before = vi[vi < pos]
+            after = vi[vi > pos]
+            if len(before) and len(after):
+                p, nx = before[-1], after[0]
+                filled[pos] = v[p] + (v[nx] - v[p]) \
+                    * float(tsv[pos] - tsv[p]) / float(tsv[nx] - tsv[p])
+            else:
+                filled[pos] = np.nan
+        for eid, val in zip(grp.index, filled):
+            truth[eid] = val
+    assert len(out) == len(s)
+    for eid, want in truth.items():
+        got = out.loc[eid, "filled"]
+        if np.isnan(want):
+            assert pd.isna(got)
+        else:
+            assert got == pytest.approx(want, abs=0)
+    # non-null inputs pass through untouched; some holes actually filled
+    n_filled = sum(1 for e, w in truth.items()
+                   if not np.isnan(w) and np.isnan(s.loc[e, "v"]))
+    assert n_filled > 100

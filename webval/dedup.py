@@ -997,7 +997,7 @@ def ngram_jaccard(text_a: str, text_b: str, window: int = 8) -> float:
 
 def ngram_all_pairs(ds, id_col: str, text_col: str = "text", *,
                     window: int = 8, threshold: float = 0.5,
-                    score_col: str = "jaccard",
+                    score_col: str = "jaccard", metric: str = "jaccard",
                     batch_size: int | None = 1024,
                     max_corpus: int = 25_000):
     """All-pairs n-gram Jaccard — G3's candidate-free direct flavor, for
@@ -1013,9 +1013,18 @@ def ngram_all_pairs(ds, id_col: str, text_col: str = "text", *,
     scores its rows against the whole corpus with ONE searchsorted probe
     per row (intersection counts for all docs at once via bincount) — no
     per-pair Python.  Each unordered pair is emitted by its smaller id's
-    task: Dataset[{id_a, id_b, <score_col>}] with jaccard ≥ threshold.
+    task: Dataset[{id_a, id_b, <score_col>}] with score ≥ threshold.
+
+    ``metric``: "jaccard" = |∩|/|∪|, or "overlap" = the
+    Szymkiewicz–Simpson overlap coefficient |∩|/min(|A|,|B|) — the
+    symmetric containment detector (a doc fully embedded in a larger one
+    scores 1.0 where its jaccard can be arbitrarily small), the
+    subset-duplication audit near-dedup misses.
     """
     import ray
+
+    if metric not in ("jaccard", "overlap"):
+        raise ValueError(f"ngram_all_pairs: unknown metric {metric!r}")
 
     from webval.textstats import rolling_hashes_batch
 
@@ -1084,9 +1093,12 @@ def ngram_all_pairs(ds, id_col: str, text_col: str = "text", *,
             else:
                 hits = np.empty(0, np.int64)
             inter = np.bincount(hits, minlength=len(d_ids))
-            union = d_sz + d_sz[k] - inter
+            if metric == "overlap":
+                den = np.minimum(d_sz, d_sz[k])
+            else:
+                den = d_sz + d_sz[k] - inter
             with np.errstate(divide="ignore", invalid="ignore"):
-                j = np.where(union > 0, inter / union, 0.0)
+                j = np.where(den > 0, inter / den, 0.0)
             sel = np.flatnonzero((j >= threshold) & (d_ids > ids[i]))
             out_a.extend([int(ids[i])] * len(sel))
             out_b.extend(d_ids[sel].tolist())

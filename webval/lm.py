@@ -158,24 +158,12 @@ def _collect_topk_distributed(counts, k: int) -> pa.Table:
         .combine_chunks(), k)
 
 
-def fit_unigram_lm(ds, text_col: str, *, vocab_size: int | None = None,
-                   pattern: str = TOKEN_SPLIT_PATTERN,
-                   num_buckets: int | None = None,
-                   driver_vocab_max: int = DRIVER_VOCAB_MAX) -> UnigramLM:
-    """Train on the corpus: exchange-aggregated term counts → add-one
-    smoothed log-probs.  ``vocab_size`` keeps the top terms by
-    (count DESC, term ASC); ``total`` still counts every token (computed
-    as a per-block scalar sum over the count exchange, never requiring the
-    term table on the driver) so the probabilities of a truncated model
-    remain a proper distribution over vocab ∪ {OOV}.
-
-    Vocabulary bound (tfidf-style auto gate): when the distinct-term count
-    exceeds ``driver_vocab_max`` the fit NEVER concatenates the full term
-    table driver-side — it runs the distributed top-k selection
-    ``_collect_topk_distributed`` with ``k = vocab_size`` (defaulting to
-    ``DEFAULT_VOCAB_CAP`` when ``vocab_size=None``, so the default path is
-    bounded on an open-vocabulary corpus too).  Below the gate the driver
-    sort is used; both paths are proven identical in tests."""
+def _fit_vocab_counts(ds, text_col: str, *, vocab_size, pattern,
+                      num_buckets, driver_vocab_max) -> tuple[pa.Table, int]:
+    """Shared fit substrate: the (term, count) vocabulary table (bounded
+    by the tfidf-style auto gate) and the EXACT total token count (per-
+    block scalar sum over the exchange — never the term table driver-side
+    above the gate)."""
     import ray
 
     from webval.exchange import sum_block_scalars
@@ -196,6 +184,35 @@ def fit_unigram_lm(ds, text_col: str, *, vocab_size: int | None = None,
             .sort_by([("count", "descending"), ("term", "ascending")])
         if vocab_size is not None and vocab.num_rows > vocab_size:
             vocab = vocab.slice(0, vocab_size)
+    return vocab, total
+
+
+def fit_unigram_lm(ds, text_col: str, *, vocab_size: int | None = None,
+                   pattern: str = TOKEN_SPLIT_PATTERN,
+                   num_buckets: int | None = None,
+                   driver_vocab_max: int = DRIVER_VOCAB_MAX) -> UnigramLM:
+    """Train on the corpus: exchange-aggregated term counts → add-one
+    smoothed log-probs.  ``vocab_size`` keeps the top terms by
+    (count DESC, term ASC); ``total`` still counts every token (computed
+    as a per-block scalar sum over the count exchange, never requiring the
+    term table on the driver) so the probabilities of a truncated model
+    remain a proper distribution over vocab ∪ {OOV}.
+
+    Vocabulary bound (tfidf-style auto gate): when the distinct-term count
+    exceeds ``driver_vocab_max`` the fit NEVER concatenates the full term
+    table driver-side — it runs the distributed top-k selection
+    ``_collect_topk_distributed`` with ``k = vocab_size`` (defaulting to
+    ``DEFAULT_VOCAB_CAP`` when ``vocab_size=None``, so the default path is
+    bounded on an open-vocabulary corpus too).  Below the gate the driver
+    sort is used; both paths are proven identical in tests."""
+    vocab, total = _fit_vocab_counts(
+        ds, text_col, vocab_size=vocab_size, pattern=pattern,
+        num_buckets=num_buckets, driver_vocab_max=driver_vocab_max)
+    return _unigram_from_counts(vocab, total, pattern)
+
+
+def _unigram_from_counts(vocab: pa.Table, total: int,
+                         pattern: str) -> UnigramLM:
     v = vocab.num_rows
     denom = float(total + v + 1)
     c = vocab.column("count").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -230,6 +247,168 @@ def score_unigram_lm(ds, lm: UnigramLM, *, text_col: str = "text",
         ntok = np.bincount(doc_idx, minlength=n).astype(np.int64)
         with np.errstate(divide="ignore", invalid="ignore"):
             nll = np.where(ntok > 0, -sums / np.maximum(ntok, 1), np.nan)
+        out = batch.append_column("n_tokens", pa.array(ntok))
+        return out.append_column(
+            out_col, pa.array(nll, pa.float64(), from_pandas=True))
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def bigram_counts(ds, text_col: str, *, pattern: str = TOKEN_SPLIT_PATTERN,
+                  num_buckets: int | None = None):
+    """(pair, count) Dataset of adjacent-token bigrams, where ``pair`` is
+    ``prev + ' ' + term`` (tokens are ``[a-z0-9]+`` after the RE2 split,
+    so the space separator is unambiguous).  Pairs never cross document
+    boundaries.  Same two-phase shape as ``term_counts``: per-batch
+    vectorized pairing + value_counts combiner, then the bucketed int64
+    sum — the shuffle carries (string, int64) rows only."""
+    from webval.exchange import bucketed_group_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _tokenize(batch.column(text_col).combine_chunks(),
+                                  pattern)
+        if len(doc_idx) < 2:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "count": pa.array([], pa.int64())})
+        same = doc_idx[1:] == doc_idx[:-1]
+        idx = np.flatnonzero(same) + 1
+        prev = flat.take(pa.array(idx - 1, pa.int64()))
+        cur = flat.take(pa.array(idx, pa.int64()))
+        pairs = pc.binary_join_element_wise(prev, cur, " ")
+        vc = pairs.value_counts()
+        return pa.table({"pair": vc.field("values"),
+                         "count": pc.cast(vc.field("counts"), pa.int64())})
+
+    def final(g: pa.Table) -> pa.Table:
+        agg = g.group_by("pair").aggregate([("count", "sum")])
+        return agg.select(["pair", "count_sum"]) \
+            .rename_columns(["pair", "count"])
+
+    return bucketed_group_apply(ds.select_columns([text_col]), ["pair"],
+                                final, num_buckets=num_buckets,
+                                partial_fn=partial)
+
+
+@dataclass
+class BigramLM:
+    """Interpolated bigram model over the unigram base: a non-initial
+    token w after context v scores
+
+        ln( λ·(c(v,w)+1)/(c(v)+V+1)  +  (1−λ)·(c(w)+1)/(total+V+1) )
+
+    (add-one smoothing on both components, shared vocabulary V from the
+    unigram fit); each document's FIRST token scores its plain unigram
+    log-probability.  An unseen pair contributes c(v,w)=0 and an unseen
+    context c(v)=0 — the estimate degrades smoothly toward the unigram
+    term, the standard fixed-weight interpolation (Jelinek-Mercer with
+    constant λ; Chen & Goodman 1999 is the public reference)."""
+
+    unigram: UnigramLM
+    pairs: pa.Table                     # (pair "v w": string, count: int64)
+    context: pa.Table                   # (term: string, count: int64)
+    lam: float
+    vocab_v: int
+
+
+#: bigram-table cap for the fit (top pairs by count — bounds the broadcast
+#: exactly like the unigram DEFAULT_VOCAB_CAP bounds the vocabulary).
+DEFAULT_PAIR_CAP = 2_000_000
+
+
+def fit_bigram_lm(ds, text_col: str, *, lam: float = 0.5,
+                  vocab_size: int | None = None,
+                  pair_cap: int | None = None,
+                  pattern: str = TOKEN_SPLIT_PATTERN,
+                  num_buckets: int | None = None,
+                  driver_vocab_max: int = DRIVER_VOCAB_MAX) -> BigramLM:
+    """Fit the interpolated bigram model: one unigram fit (same auto-gated
+    vocabulary bound as ``fit_unigram_lm``) plus one bigram-count exchange
+    whose retained table is bounded by ``pair_cap`` via the SAME
+    distributed top-k selection — nothing unbounded reaches the driver on
+    any default path.  Context counts reuse the unigram count table."""
+    import ray
+
+    vocab_counts, total = _fit_vocab_counts(
+        ds, text_col, vocab_size=vocab_size, pattern=pattern,
+        num_buckets=num_buckets, driver_vocab_max=driver_vocab_max)
+    uni = _unigram_from_counts(vocab_counts, total, pattern)
+    ctx = vocab_counts   # context counts ARE the retained vocab counts
+
+    pairs_ds = bigram_counts(ds, text_col, pattern=pattern,
+                             num_buckets=num_buckets).materialize()
+    cap = pair_cap if pair_cap is not None else DEFAULT_PAIR_CAP
+    if pairs_ds.count() > cap:
+        pairs = _collect_topk_distributed(
+            pairs_ds.map_batches(
+                lambda t: t.rename_columns(["term", "count"]),
+                batch_format="pyarrow"), cap) \
+            .rename_columns(["pair", "count"])
+    else:
+        blocks = [ray.get(r) for r in pairs_ds.to_arrow_refs()]
+        pairs = pa.concat_tables([b for b in blocks if b.num_rows],
+                                 promote_options="permissive") \
+            .combine_chunks() if any(b.num_rows for b in blocks) else \
+            pa.table({"pair": pa.array([], pa.string()),
+                      "count": pa.array([], pa.int64())})
+    return BigramLM(unigram=uni, pairs=pairs, context=ctx, lam=lam,
+                    vocab_v=uni.vocab.num_rows)
+
+
+def score_bigram_lm(ds, blm: BigramLM, *, text_col: str = "text",
+                    out_col: str = "nll", batch_size: int | None = 8192):
+    """Append ``n_tokens`` and ``out_col`` = mean negative interpolated
+    log-likelihood per document (null for zero-token docs).  The pair,
+    context and unigram tables are each ``ray.put`` ONCE; scoring is a
+    stateless vectorized map (index_in + bincount, no per-row python)."""
+    import ray
+
+    uni = blm.unigram
+    pairs_ref = ray.put(blm.pairs)
+    ctx_ref = ray.put(blm.context)
+    vocab_ref = ray.put(uni.vocab)
+    lam, v, total = blm.lam, blm.vocab_v, uni.total_tokens
+    oov, pattern = uni.oov_logp, uni.pattern
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat, doc_idx = _tokenize(batch.column(text_col).combine_chunks(),
+                                  pattern)
+        vocab = ray.get(vocab_ref)
+        pairs_t = ray.get(pairs_ref)
+        ctx_t = ray.get(ctx_ref)
+        ntok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        m = len(doc_idx)
+        if m == 0:
+            nll = np.full(n, np.nan)
+        else:
+            # unigram log-prob of every token (used directly for doc-first
+            # tokens, and as the interpolation base for the rest)
+            pos = pc.index_in(flat, value_set=vocab.column("term"))
+            lp1 = pc.fill_null(pc.take(vocab.column("logp"), pos), oov) \
+                .to_numpy(zero_copy_only=False)
+            p1 = np.exp(lp1)
+            is_first = np.r_[True, doc_idx[1:] != doc_idx[:-1]]
+            scores = lp1.copy()
+            rest = np.flatnonzero(~is_first)
+            if len(rest):
+                prev = flat.take(pa.array(rest - 1, pa.int64()))
+                cur = flat.take(pa.array(rest, pa.int64()))
+                key = pc.binary_join_element_wise(prev, cur, " ")
+                ppos = pc.index_in(key, value_set=pairs_t.column("pair"))
+                c2 = pc.fill_null(
+                    pc.take(pairs_t.column("count"), ppos), 0) \
+                    .to_numpy(zero_copy_only=False).astype(np.float64)
+                cpos = pc.index_in(prev, value_set=ctx_t.column("term"))
+                c1 = pc.fill_null(
+                    pc.take(ctx_t.column("count"), cpos), 0) \
+                    .to_numpy(zero_copy_only=False).astype(np.float64)
+                p2 = (c2 + 1.0) / (c1 + v + 1.0)
+                scores[rest] = np.log(lam * p2 + (1.0 - lam) * p1[rest])
+            sums = np.bincount(doc_idx, weights=scores, minlength=n)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nll = np.where(ntok > 0, -sums / np.maximum(ntok, 1),
+                               np.nan)
         out = batch.append_column("n_tokens", pa.array(ntok))
         return out.append_column(
             out_col, pa.array(nll, pa.float64(), from_pandas=True))

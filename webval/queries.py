@@ -6768,6 +6768,168 @@ FROM r ORDER BY source
 """
 
 
+def q_bigram_lm_quality(sf_dir: str):
+    """Interpolated bigram-LM quality scoring (lm.fit_bigram_lm /
+    score_bigram_lm — the conditional-model upgrade of lm_quality's
+    CCNet shape; Jelinek-Mercer λ=0.5): term + bigram count exchanges,
+    pair/context/vocab tables broadcast once, stateless vectorized
+    scoring.  The SQL twin reproduces the exact add-one interpolation
+    term-for-term on the same token stream; per-doc avg rounds to 4 like
+    lm_quality (summation order differs across engines)."""
+    import ray.data as rd
+
+    from webval.lm import fit_bigram_lm, score_bigram_lm
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    blm = fit_bigram_lm(ds, "text", lam=0.5)
+    out = score_bigram_lm(ds, blm, text_col="text")
+    t = ds_to_table(out.map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "nll"]),
+        batch_format="pyarrow"))
+    return _round_cols(t.sort_by([("doc_id", "ascending")]), {"nll": 4})
+
+
+SQL_BIGRAM_LM_QUALITY = """
+WITH ws AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '') AS t
+            FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM ws),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS v FROM cnt),
+pr AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                  i -> struct_pack(p := t[i], w := t[i + 1]))) AS s
+       FROM ws),
+pairs AS (SELECT doc_id, s.p AS p, s.w AS w FROM pr),
+bgc AS (SELECT p, w, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+ft AS (SELECT doc_id, t[1] AS term FROM ws WHERE len(t) >= 1),
+s1 AS (SELECT ft.doc_id, ln((cnt.c + 1) / (tot.total + tot.v + 1)) AS s
+       FROM ft JOIN cnt USING (term) CROSS JOIN tot),
+s2 AS (SELECT pairs.doc_id,
+              ln(0.5 * (bgc.c2 + 1) / (cp.c + tot.v + 1)
+                 + 0.5 * (cw.c + 1) / (tot.total + tot.v + 1)) AS s
+       FROM pairs JOIN bgc USING (p, w)
+            JOIN cnt cp ON cp.term = pairs.p
+            JOIN cnt cw ON cw.term = pairs.w
+            CROSS JOIN tot),
+sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, -avg(s) AS nll
+       FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) GROUP BY 1)
+SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens, round(sc.nll, 4) AS nll
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_interpolate_gaps(sf_dir: str):
+    """Per-user linear time interpolation of missing telemetry values
+    (windows.interpolate_gaps): nulls planted deterministically at
+    event_id % 7 == 0, filled between each user's nearest non-null
+    neighbors; leading/trailing gaps stay null.  The multiply-then-divide
+    order matches the SQL twin exactly → unrounded bit parity."""
+    import ray.data as rd
+
+    from webval.windows import interpolate_gaps
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").combine_chunks()
+        hole = pc.equal(
+            pc.subtract(eid, pc.multiply(pc.divide(eid, 7), 7)), 0)
+        v = pc.if_else(hole, pa.scalar(None, pa.float64()),
+                       t.column("value").combine_chunks())
+        return t.set_column(t.column_names.index("value"), "value", v)
+
+    out = interpolate_gaps(ds.map_batches(plant, batch_format="pyarrow"),
+                           "user_id", "ts", "value",
+                           tie_cols=["event_id"])
+    t = ds_to_table(out.map_batches(
+        lambda t: t.select(["event_id", "filled"]), batch_format="pyarrow"))
+    return t.sort_by([("event_id", "ascending")])
+
+
+SQL_INTERPOLATE_GAPS = """
+WITH v AS (SELECT user_id, ts, event_id,
+                  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS val
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+w AS (SELECT event_id, val, epoch_us(ts) AS t,
+             last_value(val IGNORE NULLS) OVER wd AS pv,
+             last_value(CASE WHEN val IS NOT NULL THEN epoch_us(ts) END
+                        IGNORE NULLS) OVER wd AS pt,
+             first_value(val IGNORE NULLS) OVER wu AS nv,
+             first_value(CASE WHEN val IS NOT NULL THEN epoch_us(ts) END
+                         IGNORE NULLS) OVER wu AS nt
+      FROM v
+      WINDOW wd AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wu AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+SELECT event_id,
+       CASE WHEN val IS NOT NULL THEN val
+            WHEN pv IS NULL OR nv IS NULL THEN NULL
+            ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END AS filled
+FROM w ORDER BY event_id
+"""
+
+
+def q_overlap_dup_pairs(sf_dir: str):
+    """Containment audit: all-pairs Szymkiewicz–Simpson overlap
+    coefficient |∩|/min(|A|,|B|) over the same distinct 8-char shingle
+    sets as ngram_dup_pairs (dedup.ngram_all_pairs metric="overlap") —
+    catches a short doc fully embedded in a longer one, which Jaccard
+    dilutes below any usable threshold.  Same ASCII precondition and
+    DuckDB substr-shingle twin, denominator least()."""
+    import ray.data as rd
+
+    from webval.dedup import ngram_all_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def assert_ascii(b: pa.Table) -> pa.Table:
+        col = b.column("text")
+        mism = pc.sum(pc.cast(pc.not_equal(
+            pc.utf8_length(col), pc.binary_length(col)), pa.int64())).as_py()
+        if mism:
+            raise AssertionError(
+                f"{mism} non-ASCII docs: byte-window shingles no longer "
+                "match the SQL twin's character windows")
+        return b
+
+    ds = ds.map_batches(assert_ascii, batch_format="pyarrow")
+    t = ds_to_table(
+        ngram_all_pairs(ds, "doc_id", "text", window=8, threshold=0.5,
+                        metric="overlap", score_col="overlap"),
+        empty_schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                                ("overlap", pa.float64())]))
+    return _round_cols(t, {"overlap": 4})
+
+
+SQL_OVERLAP_DUP_PAIRS = """
+WITH pos AS (SELECT CAST(i AS INT) AS i FROM range(1, 8192) t(i)),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS g
+  FROM documents, pos
+  WHERE text IS NOT NULL AND length(text) >= 8 AND i <= length(text) - 7
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / least(sa.n, sb.n), 4) AS overlap
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / least(sa.n, sb.n) >= 0.5
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -6951,4 +7113,7 @@ QUERIES = {
     "score_lift": (q_score_lift, SQL_SCORE_LIFT),
     "jw_part_names": (q_jw_part_names, SQL_JW_PART_NAMES),
     "budget_allocation": (q_budget_allocation, SQL_BUDGET_ALLOCATION),
+    "bigram_lm_quality": (q_bigram_lm_quality, SQL_BIGRAM_LM_QUALITY),
+    "interpolate_gaps": (q_interpolate_gaps, SQL_INTERPOLATE_GAPS),
+    "overlap_dup_pairs": (q_overlap_dup_pairs, SQL_OVERLAP_DUP_PAIRS),
 }

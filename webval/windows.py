@@ -889,3 +889,95 @@ def debounce_events(ds, key: str, ts_col: str, *, min_gap_us: int,
     return bucketed_group_apply(
         ds.map_batches(proj, batch_format="pyarrow"), [key], final,
         num_buckets=num_buckets, max_group_rows=max_group_rows)
+
+
+def interpolate_gaps(ds, key: str, ts_col: str, val_col: str, *,
+                     out_col: str = "filled",
+                     tie_cols: list[str] | None = None,
+                     num_buckets: int | None = None,
+                     max_group_rows: int | None = 4_000_000):
+    """Per-key linear time interpolation of missing values: rows whose
+    ``val_col`` is null get
+
+        prev + (next − prev) · (t − t_prev) / (t_next − t_prev)
+
+    between each key's nearest non-null neighbors in (``ts_col``,
+    ``tie_cols``) order — evaluated with the multiply BEFORE the divide,
+    exactly as the SQL twin's ``pv + (nv−pv)*(t−pt)/(nt−pt)`` parses, so
+    values are bit-identical unrounded.  Leading/trailing nulls (no
+    neighbor on one side) stay null; non-null rows pass through as
+    float64.  The standard telemetry gap-fill (SQL: IGNORE NULLS window
+    scans), as an operator.
+
+    Scale shape: combiner-less co-bucketed exchange on ``key``; per
+    bucket one sort + two segmented cummax scans (forward/backward
+    nearest-valid index) — no per-row python.  Null keys/timestamps are
+    dropped.
+    """
+    import numpy as np
+
+    from webval.exchange import bucketed_group_apply
+
+    tie_cols = list(tie_cols or [])
+
+    def proj(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t.column(key).combine_chunks()),
+                    pc.is_valid(t.column(ts_col).combine_chunks()))
+        return t.filter(m)
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.array([], pa.float64()))
+        g = g.sort_by([(key, "ascending"), (ts_col, "ascending")]
+                      + [(c, "ascending") for c in tie_cols])
+        kk = g.column(key).to_numpy(zero_copy_only=False)
+        tsi = pc.cast(g.column(ts_col).combine_chunks(), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        vcol = g.column(val_col).combine_chunks()
+        valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+        v = pc.cast(vcol, pa.float64()).to_numpy(zero_copy_only=False)
+        if pa.types.is_floating(vcol.type):
+            valid &= ~np.isnan(np.where(valid, v, 0.0))
+        n = len(kk)
+        idx = np.arange(n, dtype=np.int64)
+        same = np.r_[False, kk[1:] == kk[:-1]]
+        # segment start per row (cummax of segment-opening positions)
+        seg_start = np.maximum.accumulate(np.where(same, -1, idx))
+        # forward nearest-valid index (may leak across segments; a leaked
+        # index is < this row's segment start, so the mask catches it)
+        ff = np.maximum.accumulate(np.where(valid, idx, -1))
+        # backward nearest-valid index: same cummax trick on the reversed
+        # array (reversed position r = original n-1-r); -1 sentinel maps
+        # to n = invalid.  A backward leak lands in the NEXT key, caught
+        # by the key-equality mask below.
+        r = idx                                  # reversed positions 0..n-1
+        bf = np.maximum.accumulate(np.where(valid[::-1], r, -1))
+        bf = (n - 1 - bf)[::-1]
+        pv_ok = (ff >= seg_start) & (ff >= 0)
+        nv_ok = bf < n
+        nv_ok &= np.where(nv_ok, kk[np.clip(bf, 0, n - 1)] == kk, False)
+        fill = np.full(n, np.nan)
+        can = (~valid) & pv_ok & nv_ok
+        if can.any():
+            pi = ff[can]
+            ni = bf[can]
+            pv = v[pi]
+            nv = v[ni]
+            pt = tsi[pi]
+            nt = tsi[ni]
+            t = tsi[can]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                interp = pv + (nv - pv) * (t - pt).astype(np.float64) \
+                    / (nt - pt).astype(np.float64)
+            fill[can] = interp
+        out = np.where(valid, v, fill)
+        arr = pa.array(out, pa.float64())
+        keep_null = ~(valid | can)
+        if keep_null.any():
+            arr = pc.if_else(pa.array(~keep_null), arr,
+                             pa.scalar(None, pa.float64()))
+        return g.append_column(out_col, arr)
+
+    return bucketed_group_apply(
+        ds.map_batches(proj, batch_format="pyarrow"), [key], final,
+        num_buckets=num_buckets, max_group_rows=max_group_rows)
