@@ -226,3 +226,33 @@ def test_round4_session3_wave2_on_empty():
                        min_sim=0.5).count() == 0
     alloc = allocate_budget(ev, "s", 100)
     assert alloc.num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_round4_session4_ops_on_empty():
+    import ray.data as rd
+
+    from webval.checks import null_cooccurrence
+    from webval.lm import bigram_counts
+    from webval.rank import calibration_bins
+    from webval.similarity import quantization_error
+    from webval.windows import interpolate_gaps, kaplan_meier, path_counts
+
+    ev = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "v": pa.array([], pa.float64()),
+        "s": pa.array([], pa.string()),
+        "emb": pa.array([], pa.list_(pa.float32()))}))
+    assert path_counts(ev, "k", "ts", "s", n=3).count() == 0
+    assert interpolate_gaps(ev, "k", "ts", "v").count() == 0
+    km = kaplan_meier(ev, "k", "ts", censor_gap_us=1)
+    assert km.num_rows == 0
+    assert km.column_names == ["t", "n_risk", "n_events", "survival"]
+    cb = calibration_bins(ev, "v", "v", bins=10)
+    assert cb.num_rows == 0
+    nc = null_cooccurrence(ev, ["k", "v"])
+    assert nc.num_rows in (0, 1)       # zero blocks bypass the map UDF
+    qe = quantization_error(ev, "emb")
+    assert qe.num_rows == 0
+    assert bigram_counts(ev, "s").count() == 0

@@ -1,145 +1,231 @@
-"""Round-4 session-3 wave 2: media-type sniffer, quantile binning,
-Jaro-Winkler kernel/join, largest-remainder budget allocation."""
+"""Round-4 session-4 operators vs brute-force oracles: Cohen's kappa,
+n-step path counts, Kaplan-Meier survival, calibration bins,
+null co-occurrence, embedding quantization audit."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
+US = 1_000_000
 
-def test_detect_media_type_planted(ray_session):
+
+def test_cohens_kappa_known_values():
+    from webval.drift import cohens_kappa
+
+    # classic worked example: po=0.85, pe=0.5 -> kappa 0.7
+    k, po, pe, n = cohens_kappa([[40, 5], [10, 45]])
+    assert (k, po, pe, n) == (pytest.approx(0.7), pytest.approx(0.85),
+                              pytest.approx(0.5), 100)
+    # perfect agreement
+    assert cohens_kappa([[30, 0], [0, 70]])[0] == pytest.approx(1.0)
+    # both raters constant: pe=1 -> kappa 0 by convention
+    assert cohens_kappa([[100, 0], [0, 0]])[0] == 0.0
+    # empty matrix
+    assert cohens_kappa([[0, 0], [0, 0]]) == (0.0, 0.0, 0.0, 0)
+    with pytest.raises(ValueError):
+        cohens_kappa([[1, 2, 3], [4, 5, 6]])
+
+
+@pytest.fixture(scope="module")
+def typed_events(ray_session):
+    rng = np.random.default_rng(47)
+    n = 3000
+    ts = (np.datetime64("2025-04-01", "us")
+          + (rng.integers(0, 3600 * 72, n) * US).astype("timedelta64[us]"))
+    df = pd.DataFrame({
+        "eid": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 25, n).astype(np.int64),
+        "ts": ts,
+        "state": rng.choice(["a", "b", "c", "d"], n)})
+    df.loc[df.index[:5], "k"] = pd.NA
+    df.loc[df.index[5:9], "state"] = None
+    df["k"] = df["k"].astype("Int64")
+    import ray.data as rd
+    return df, rd.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+
+
+@pytest.mark.parametrize("n", [2, 3, 4])
+def test_path_counts_matches_pandas(typed_events, n):
+    from collections import Counter
+
+    from webval.windows import path_counts
+
+    df, ds = typed_events
+    out = path_counts(ds, "k", "ts", "state", n=n,
+                      tie_cols=["eid"]).to_pandas()
+    got = dict(zip(out["path"], out["cnt"]))
+    clean = df.dropna(subset=["k", "ts", "state"]) \
+        .sort_values(["k", "ts", "eid"])
+    want = Counter()
+    for _, grp in clean.groupby("k"):
+        s = grp["state"].tolist()
+        for i in range(len(s) - n + 1):
+            want[">".join(s[i:i + n])] += 1
+    assert got == dict(want)
+    assert sum(got.values()) > 100      # substantive fixture
+
+
+def test_path_counts_never_crosses_keys(ray_session):
     import ray.data as rd
 
-    from webval.multimodal import detect_media_type
+    from webval.windows import path_counts
 
-    payloads = [
-        b"\x89PNG\r\n\x1a\n" + b"\0" * 8,          # png
-        b"GIF89a\x03\x00\x02\x00",                  # gif
-        b"\xff\xd8\xff\xe0junk",                    # jpeg
-        b"RIFF\x24\x00\x00\x00WAVEfmt ",            # wav
-        b"RIFF\x24\x00\x00\x00WEBPVP8 ",            # webp
-        b"%PDF-1.7",                                 # pdf
-        b"\x1f\x8b\x08\x00",                         # gzip
-        b"PK\x03\x04rest",                           # zip
-        b"RIFF\x24\x00\x00\x00AVI LIST",             # riff but not wav/webp
-        b"plain",                                    # unknown
-        b"",                                         # unknown (too short)
-        None,                                        # null stays null
-    ]
-    t = pa.table({"m": pa.array(payloads, pa.binary())})
-    out = detect_media_type(rd.from_arrow(t), "m").to_pandas()["m_type"]
-    assert list(out[:10]) == ["png", "gif", "jpeg", "wav", "webp", "pdf",
-                              "gzip", "zip", "unknown", "unknown"]
-    assert out[10] == "unknown" and out[11] is None
+    t = pa.table({"k": pa.array([1, 1, 2, 2], pa.int64()),
+                  "ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+                  "state": pa.array(["a", "b", "c", "d"])})
+    out = path_counts(rd.from_arrow(t), "k", "ts", "state", n=2) \
+        .to_pandas()
+    assert dict(zip(out["path"], out["cnt"])) == {"a>b": 1, "c>d": 1}
+    # n=3 never spans the key boundary -> zero rows
+    assert path_counts(rd.from_arrow(t), "k", "ts", "state",
+                       n=3).count() == 0
 
 
-def test_quantile_bin_matches_numpy(ray_session):
+def test_kaplan_meier_hand_case(ray_session):
+    """5 users, max ts = day 30: lifetimes/deaths chosen so the curve is
+    hand-checkable.  gap > 2 days from the corpus max marks a death."""
     import ray.data as rd
 
-    from webval.rank import quantile_bin
+    from webval.windows import kaplan_meier
 
-    rng = np.random.default_rng(5)
-    v = rng.integers(0, 200, 3000).astype(np.float64)
-    mask = np.zeros(len(v), bool)
-    mask[::97] = True  # nulls -> null bin
-    t = pa.table({"v": pa.array(v, mask=mask)})
-    out = (quantile_bin(rd.from_arrow(t).repartition(4), "v", 10)
-           .to_pandas())
-    clean = v[~mask]
-    n = len(clean)
-    s = np.sort(clean)
-    edges = [s[int(np.ceil(q * n)) - 1] for q in
-             [i / 10 for i in range(1, 10)]]  # quantile_disc
-    truth = np.searchsorted(edges, out["v"].to_numpy(), side="right") + 1
-    ok = ~out["v"].isna()
-    assert (out.loc[ok, "bin"] == truth[ok.to_numpy()]).all()
-    assert out.loc[~ok, "bin"].isna().all()
-    # equal-frequency: every bin within one tie-run of n/10
-    counts = out.loc[ok, "bin"].value_counts()
-    assert set(counts.index) <= set(range(1, 11))
-
-
-def test_jaro_winkler_matches_duckdb_fuzz():
-    import random
-
-    import duckdb
-
-    from webval.fuzzy import jaro_winkler_pairs
-
-    rng = random.Random(31)
-    pairs = [("martha", "marhta"), ("dwayne", "duane"), ("", ""),
-             ("a", ""), ("abc", "abc"), ("dixon", "dicksonx")]
-    for _ in range(800):
-        n, m = rng.randint(0, 15), rng.randint(0, 15)
-        pairs.append((''.join(rng.choice("abcde ") for _ in range(n)),
-                      ''.join(rng.choice("abcde ") for _ in range(m))))
-    a = pa.array([x for x, _ in pairs])
-    b = pa.array([y for _, y in pairs])
-    got = jaro_winkler_pairs(a, b)
-    con = duckdb.connect()
-    want = [con.execute("SELECT jaro_winkler_similarity(?, ?)",
-                        [x, y]).fetchone()[0] for x, y in pairs]
-    # bit-exact, including boost threshold + empty-string semantics
-    assert got.tolist() == want
+    day = 86_400_000_000
+    # user: (first_day, last_day) -> lifetime, observed(last < 28)
+    spans = {1: (0, 10),    # t=10, observed
+             2: (0, 10),    # t=10, observed
+             3: (5, 15),    # t=10, observed
+             4: (0, 20),    # t=20, observed
+             5: (0, 30)}    # t=30, censored (defines corpus max)
+    rows = [(u, d * day) for u, (f, l) in spans.items() for d in (f, l)]
+    t = pa.table({"u": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows],
+                                 pa.timestamp("us"))})
+    out = kaplan_meier(rd.from_arrow(t).repartition(3), "u", "ts",
+                       censor_gap_us=2 * day).to_pandas()
+    # t=10: n_risk 5, d 3 -> S = 2/5; t=20: n_risk 2, d 1 -> S = 1/5
+    assert out["t"].tolist() == [10, 20]
+    assert out["n_risk"].tolist() == [5, 2]
+    assert out["n_events"].tolist() == [3, 1]
+    assert out["survival"].tolist() == pytest.approx([0.4, 0.2])
 
 
-def test_fuzzy_pairs_jw_metric(ray_session):
+def test_kaplan_meier_all_censored_is_empty(ray_session):
     import ray.data as rd
 
-    from webval.fuzzy import fuzzy_pairs, jaro_winkler_pairs
+    from webval.windows import kaplan_meier
 
-    names = ["green metal box", "green metal bix", "green steel box",
-             "red metal box", "red metal bax", "blue thing"]
-    t = pa.table({"id": pa.array(list(range(6)), pa.int64()),
-                  "s": pa.array(names),
-                  "blk": pa.array(["g", "g", "g", "r", "r", "b"])})
-    out = (fuzzy_pairs(rd.from_arrow(t), "id", "s", ["blk"],
-                       metric="jaro_winkler", min_sim=0.9)
-           .to_pandas().sort_values(["id_a", "id_b"]))
-    # brute force within blocks
-    want = []
-    for i in range(6):
-        for j in range(i + 1, 6):
-            blk_i = "g" if i < 3 else ("r" if i < 5 else "b")
-            blk_j = "g" if j < 3 else ("r" if j < 5 else "b")
-            if blk_i != blk_j:
-                continue
-            sim = jaro_winkler_pairs(pa.array([names[i]]),
-                                     pa.array([names[j]]))[0]
-            if sim >= 0.9:
-                want.append((i, j, sim))
-    assert [tuple(r) for r in out.itertuples(index=False)] == want
-    assert len(want) >= 2  # fixture actually exercises the keep path
+    t = pa.table({"u": pa.array([1, 2], pa.int64()),
+                  "ts": pa.array([0, 1000], pa.timestamp("us"))})
+    out = kaplan_meier(rd.from_arrow(t), "u", "ts",
+                       censor_gap_us=10_000_000)
+    assert out.num_rows == 0
+    assert out.column_names == ["t", "n_risk", "n_events", "survival"]
 
 
-def test_allocate_budget_exact(ray_session):
+def test_calibration_bins_matches_numpy(ray_session):
     import ray.data as rd
 
-    from webval.pipelines import allocate_budget
+    from webval.rank import calibration_bins
 
-    rng = np.random.default_rng(13)
-    keys = rng.choice(["a", "b", "c", "d", "e"], 5000,
-                      p=[0.5, 0.2, 0.15, 0.1, 0.05])
-    t = pa.table({"k": pa.array(keys)})
-    total = 777
-    out = allocate_budget(rd.from_arrow(t).repartition(4), "k", total)
-    b = out.column("budget").to_numpy(zero_copy_only=False)
-    w = out.column("weight").to_numpy(zero_copy_only=False)
-    q = out.column("quota").to_numpy(zero_copy_only=False)
-    assert b.sum() == total                      # exact apportionment
-    assert (np.abs(b - q) < 1.0).all()           # floor or floor+1
-    assert w.sum() == 5000
-    # budgets ordered like weights (Hamilton preserves order up to 1)
-    assert (np.diff(b[np.argsort(w)]) >= -1).all()
+    rng = np.random.default_rng(11)
+    n = 5000
+    p = rng.random(n)
+    y = (rng.random(n) < p).astype(np.float64)   # perfectly calibrated
+    p[0] = 1.0                                   # exercise the top clip
+    t = pa.table({"pred": pa.array(p), "label": pa.array(y)})
+    bt = calibration_bins(rd.from_arrow(t).repartition(5), "pred",
+                          "label", bins=10).to_pandas()
+    b = np.minimum(np.floor(p * 10).astype(np.int64), 9)
+    for _, row in bt.iterrows():
+        m = b == row["bin"]
+        assert row["n"] == int(m.sum())
+        assert row["sum_score"] == pytest.approx(p[m].sum(), rel=1e-12)
+        assert row["sum_label"] == pytest.approx(y[m].sum(), rel=1e-12)
+        assert row["sum_sqerr"] == pytest.approx(((p[m] - y[m]) ** 2).sum(),
+                                                 rel=1e-12)
+    assert bt["n"].sum() == n
+    # calibrated input: per-bin |acc - conf| small
+    acc = bt["sum_label"] / bt["n"]
+    conf = bt["sum_score"] / bt["n"]
+    assert float(np.abs(acc - conf).max()) < 0.1
 
 
-def test_allocate_budget_weight_col(ray_session):
+def test_calibration_bins_drops_nulls_and_empty(ray_session):
     import ray.data as rd
 
-    from webval.pipelines import allocate_budget
+    from webval.rank import calibration_bins
 
-    t = pa.table({"k": pa.array(["x", "x", "y"]),
-                  "n": pa.array([3, 1, 4], pa.int64())})
-    out = allocate_budget(rd.from_arrow(t), "k", 8, weight_col="n")
-    d = {k: v for k, v in zip(out.column("k").to_pylist(),
-                              out.column("budget").to_pylist())}
-    assert d == {"x": 4, "y": 4}
+    t = pa.table({"pred": pa.array([0.5, None, 0.2], pa.float64()),
+                  "label": pa.array([1.0, 1.0, None], pa.float64())})
+    bt = calibration_bins(rd.from_arrow(t), "pred", "label", bins=10)
+    assert bt.column("n").to_pylist() == [1]
+    empty = calibration_bins(
+        rd.from_arrow(t.slice(1, 1)), "pred", "label", bins=10)
+    assert empty.num_rows == 0
+    assert empty.column_names == ["bin", "n", "sum_score", "sum_label",
+                                  "sum_sqerr"]
+
+
+def test_null_cooccurrence_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from webval.checks import null_cooccurrence
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    df = pd.DataFrame({
+        "w": rng.random(n),                      # never null
+        "x": np.where(rng.random(n) < 0.3, np.nan, rng.random(n)),
+        "y": np.where(rng.random(n) < 0.2, np.nan, rng.random(n)),
+        "z": rng.random(n)})                     # never null
+    # structural co-missingness: y null wherever x is, on a slice
+    df.loc[df.index[:500], "y"] = np.where(
+        np.isnan(df["x"][:500]), np.nan, df["y"][:500])
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    out = null_cooccurrence(rd.from_arrow(t).repartition(4),
+                            ["x", "y", "z", "w"]).to_pandas()
+    assert out[["col_a", "col_b"]].values.tolist() == [
+        ["w", "x"], ["w", "y"], ["w", "z"],
+        ["x", "y"], ["x", "z"], ["y", "z"]]
+    idx = out.set_index(["col_a", "col_b"])
+    mx, my = df["x"].isna().values, df["y"].isna().values
+    row = idx.loc[("x", "y")]
+    assert row["null_a"] == int(mx.sum())
+    assert row["null_b"] == int(my.sum())
+    assert row["null_both"] == int((mx & my).sum())
+    assert row["null_jaccard"] == pytest.approx(
+        (mx & my).sum() / (mx | my).sum())
+    # one side never null -> jaccard 0/union = 0.0
+    assert idx.loc[("y", "z"), "null_jaccard"] == 0.0
+    # NEITHER side ever null -> 0/0 -> jaccard null
+    assert pd.isna(idx.loc[("w", "z"), "null_jaccard"])
+    with pytest.raises(ValueError):
+        null_cooccurrence(rd.from_arrow(t), ["x"])
+
+
+def test_quantization_error_bound_and_oracle(ray_session):
+    import ray.data as rd
+
+    from webval.similarity import quantization_error
+
+    rng = np.random.default_rng(31)
+    m = rng.normal(0, 3, (400, 8)).astype(np.float32)
+    m[:, 3] = 1.25                                # constant dimension
+    t = pa.table({"embedding": pa.array(list(m),
+                                        pa.list_(pa.float32()))})
+    out = quantization_error(rd.from_arrow(t).repartition(4),
+                             "embedding", levels=255).to_pandas()
+    assert out["dim"].tolist() == list(range(1, 9))
+    assert bool(out["within_bound"].all())
+    x = m.astype(np.float64)
+    for d in range(8):
+        lo, hi = x[:, d].min(), x[:, d].max()
+        assert out.loc[d, "mn"] == lo and out.loc[d, "mx"] == hi
+        if hi > lo:
+            q = np.floor((x[:, d] - lo) * 255.0 / (hi - lo) + 0.5)
+            err = np.abs(x[:, d] - (lo + q * (hi - lo) / 255.0))
+            assert out.loc[d, "max_err"] == pytest.approx(err.max(),
+                                                          abs=0)
+        else:
+            assert out.loc[d, "max_err"] == 0.0
+    assert out.loc[3, "bound"] == 0.0             # constant dim

@@ -238,3 +238,71 @@ def to_tags(verdicts, *, feature_cols: list[str] | None = None,
     return verdicts.map_batches(
         fn_with_features if feature_cols else fn_err_only,
         batch_format="pyarrow", batch_size=batch_size)
+
+
+def null_cooccurrence(ds, cols: list[str], *,
+                      num_buckets: int | None = None) -> pa.Table:
+    """Co-missingness audit: for every unordered column pair, how often
+    the two are null TOGETHER — the structural-missingness signal (a
+    whole extraction stage failing nulls its outputs jointly; independent
+    sensor dropouts don't).  Output one driver-small row per pair
+    (col_a, col_b lexicographic, n_rows, null_a, null_b, null_both,
+    null_jaccard = both/(a+b−both), null when no nulls on either side).
+
+    Scale shape: stateless vectorized partial — per batch the k null
+    masks and their O(k²) pairwise AND-counts collapse to ≤ k(k−1)/2
+    count rows — then a sum-combiner exchange keyed by the pair name.
+    """
+    from webval.exchange import grouped_agg
+
+    cols = sorted(cols)
+    if len(cols) < 2:
+        raise ValueError("null_cooccurrence needs at least two columns")
+
+    def partial(t: pa.Table) -> pa.Table:
+        masks = {c: pc.is_null(t.column(c).combine_chunks())
+                 .to_numpy(zero_copy_only=False) for c in cols}
+        ca, cb, na, nb, nboth, nn = [], [], [], [], [], []
+        for i, a in enumerate(cols):
+            for b in cols[i + 1:]:
+                ca.append(a)
+                cb.append(b)
+                na.append(int(masks[a].sum()))
+                nb.append(int(masks[b].sum()))
+                nboth.append(int((masks[a] & masks[b]).sum()))
+                nn.append(t.num_rows)
+        return pa.table({"col_a": pa.array(ca, pa.string()),
+                         "col_b": pa.array(cb, pa.string()),
+                         "n_rows": pa.array(nn, pa.int64()),
+                         "null_a": pa.array(na, pa.int64()),
+                         "null_b": pa.array(nb, pa.int64()),
+                         "null_both": pa.array(nboth, pa.int64())})
+
+    out = grouped_agg(
+        ds.select_columns(cols).map_batches(partial, batch_format="pyarrow"),
+        ["col_a", "col_b"],
+        [("n_rows", "sum"), ("null_a", "sum"), ("null_b", "sum"),
+         ("null_both", "sum")],
+        rename={"n_rows_sum": "n_rows", "null_a_sum": "null_a",
+                "null_b_sum": "null_b", "null_both_sum": "null_both"},
+        num_buckets=num_buckets)
+    import ray
+    blocks = [ray.get(r) for r in out.materialize().to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows]
+    empty = pa.table({"col_a": pa.array([], pa.string()),
+                      "col_b": pa.array([], pa.string()),
+                      "n_rows": pa.array([], pa.int64()),
+                      "null_a": pa.array([], pa.int64()),
+                      "null_b": pa.array([], pa.int64()),
+                      "null_both": pa.array([], pa.int64())})
+    t = pa.concat_tables(blocks).combine_chunks() if blocks else empty
+    a = t.column("null_a").to_numpy(zero_copy_only=False).astype(np.float64)
+    b = t.column("null_b").to_numpy(zero_copy_only=False).astype(np.float64)
+    both = t.column("null_both").to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    union = a + b - both
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jac = np.where(union > 0, both / union, np.nan)
+    t = t.append_column("null_jaccard",
+                        pa.array(jac, pa.float64(), from_pandas=True))
+    return t.sort_by([("col_a", "ascending"), ("col_b", "ascending")])

@@ -210,3 +210,28 @@ def wasserstein_binned(p, q, width: float = 1.0) -> float:
         return 0.0 if p.sum() == q.sum() else 1.0
     return float(width * np.abs(np.cumsum(p / p.sum())
                                 - np.cumsum(q / q.sum())).sum())
+
+
+def cohens_kappa(mat) -> tuple[float, float, float, int]:
+    """Cohen's kappa from a SQUARE agreement matrix whose rows and columns
+    index the SAME label set in the same order (mat[i][j] = rows rater A
+    labeled i and rater B labeled j): κ = (p_o − p_e) / (1 − p_e) with
+    p_o the diagonal mass and p_e the chance agreement Σ row_i·col_i / n².
+    The inter-rater reliability measure (Cohen 1960) — the validation
+    question "do two labelers / heuristics agree beyond chance?" that raw
+    accuracy overstates whenever one label dominates.
+
+    Returns (kappa, p_o, p_e, n).  Perfect chance structure (p_e = 1,
+    e.g. both raters constant) returns kappa 0.0 by convention.
+    """
+    m = np.asarray(mat, dtype=np.float64)
+    if m.ndim != 2 or m.shape[0] != m.shape[1]:
+        raise ValueError("cohens_kappa expects a square label-aligned "
+                         f"matrix, got shape {m.shape}")
+    n = m.sum()
+    if n <= 0:
+        return 0.0, 0.0, 0.0, 0
+    po = float(np.trace(m) / n)
+    pe = float((m.sum(axis=1) * m.sum(axis=0)).sum() / (n * n))
+    kappa = 0.0 if pe >= 1.0 else (po - pe) / (1.0 - pe)
+    return float(kappa), po, pe, int(n)

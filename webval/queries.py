@@ -6930,6 +6930,350 @@ WHERE i * 1.0 / least(sa.n, sb.n) >= 0.5
 """
 
 
+def q_kappa_quality(sf_dir: str):
+    """Cohen's kappa agreement between two binary document-quality
+    heuristics — rater A: n_chars ≥ 300, rater B: whitespace-token count
+    ≥ 55 (drift.cohens_kappa over the exact 2×2 contingency exchange).
+    The inter-rater reliability audit raw accuracy overstates when one
+    label dominates; rounding 6 because the SQL twin derives p_e from
+    marginal averages instead of matrix sums."""
+    import ray.data as rd
+
+    from webval.drift import cohens_kappa
+    from webval.exchange import grouped_agg
+    from webval.textstats import add_token_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["n_chars", "text"])
+    ds = add_token_counts(ds)
+
+    def rate(t: pa.Table) -> pa.Table:
+        a = pc.greater_equal(t.column("n_chars").combine_chunks(), 300)
+        b = pc.greater_equal(t.column("ws_tokens").combine_chunks(), 55)
+        out = pa.table({"a": a, "b": b})
+        return out.filter(pc.and_(pc.is_valid(a), pc.is_valid(b)))
+
+    counts = grouped_agg(ds.map_batches(rate, batch_format="pyarrow"),
+                         ["a", "b"], [("a", "count")],
+                         rename={"a_count": "cnt"})
+    t = ds_to_table(counts)
+    mat = np.zeros((2, 2), dtype=np.float64)
+    av = t.column("a").to_numpy(zero_copy_only=False)
+    bv = t.column("b").to_numpy(zero_copy_only=False)
+    cv = t.column("cnt").to_numpy(zero_copy_only=False)
+    mat[av.astype(np.int64), bv.astype(np.int64)] = cv
+    kappa, po, pe, n = cohens_kappa(mat)
+    return _round_cols(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "p_observed": pa.array([po], pa.float64()),
+        "p_expected": pa.array([pe], pa.float64()),
+        "kappa": pa.array([kappa], pa.float64()),
+    }), {"p_observed": 6, "p_expected": 6, "kappa": 6})
+
+
+SQL_KAPPA_QUALITY = r"""
+WITH r AS (SELECT (n_chars >= 300) AS a,
+                  (len(regexp_extract_all(text, '\S+')) >= 55) AS b
+           FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+m AS (SELECT count(*) AS n,
+             avg(CASE WHEN a = b THEN 1.0 ELSE 0.0 END) AS po,
+             avg(CASE WHEN a THEN 1.0 ELSE 0.0 END) AS pa,
+             avg(CASE WHEN b THEN 1.0 ELSE 0.0 END) AS pb
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n, round(po, 6) AS p_observed,
+       round(pa * pb + (1 - pa) * (1 - pb), 6) AS p_expected,
+       round((po - (pa * pb + (1 - pa) * (1 - pb)))
+             / (1 - (pa * pb + (1 - pa) * (1 - pb))), 6) AS kappa
+FROM m
+"""
+
+
+def q_null_cooccurrence(sf_dir: str):
+    """Co-missingness audit (checks.null_cooccurrence): nulls planted
+    deterministically on three event columns (event_type at id%3=0,
+    props at id%5=0, value at id%7=0 — so pairs co-occur exactly at the
+    lcm positions), then per unordered column pair the exact joint-null
+    counts and null-set Jaccard.  Structural missingness (a failed stage
+    nulls its outputs together) shows up as jaccard ≈ 1."""
+    import ray.data as rd
+
+    from webval.checks import null_cooccurrence
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "props",
+                                  "value"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").combine_chunks()
+
+        def hole(k):
+            return pc.equal(
+                pc.subtract(eid, pc.multiply(pc.divide(eid, k), k)), 0)
+
+        et = pc.if_else(hole(3), pa.scalar(None, pa.string()),
+                        pc.cast(t.column("event_type").combine_chunks(),
+                                pa.string()))
+        pr = pc.if_else(hole(5), pa.scalar(None, pa.string()),
+                        pc.cast(t.column("props").combine_chunks(),
+                                pa.string()))
+        vl = pc.if_else(hole(7), pa.scalar(None, pa.float64()),
+                        pc.cast(t.column("value").combine_chunks(),
+                                pa.float64()))
+        return pa.table({"event_type": et, "props": pr, "value": vl})
+
+    t = null_cooccurrence(ds.map_batches(plant, batch_format="pyarrow"),
+                          ["event_type", "props", "value"])
+    return _round_cols(t, {"null_jaccard": 6})
+
+
+SQL_NULL_COOCCURRENCE = """
+WITH p AS (SELECT CASE WHEN event_id % 3 = 0 THEN NULL
+                       ELSE event_type END AS event_type,
+                  CASE WHEN event_id % 5 = 0 THEN NULL ELSE props END
+                      AS props,
+                  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+                      AS value
+           FROM events),
+pairs AS (
+  SELECT 'event_type' AS col_a, 'props' AS col_b, count(*) AS n_rows,
+         count(*) FILTER (WHERE event_type IS NULL) AS null_a,
+         count(*) FILTER (WHERE props IS NULL) AS null_b,
+         count(*) FILTER (WHERE event_type IS NULL AND props IS NULL)
+             AS null_both
+  FROM p
+  UNION ALL
+  SELECT 'event_type', 'value', count(*),
+         count(*) FILTER (WHERE event_type IS NULL),
+         count(*) FILTER (WHERE value IS NULL),
+         count(*) FILTER (WHERE event_type IS NULL AND value IS NULL)
+  FROM p
+  UNION ALL
+  SELECT 'props', 'value', count(*),
+         count(*) FILTER (WHERE props IS NULL),
+         count(*) FILTER (WHERE value IS NULL),
+         count(*) FILTER (WHERE props IS NULL AND value IS NULL)
+  FROM p)
+SELECT col_a, col_b, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(null_a AS BIGINT) AS null_a, CAST(null_b AS BIGINT) AS null_b,
+       CAST(null_both AS BIGINT) AS null_both,
+       round(null_both * 1.0 / nullif(null_a + null_b - null_both, 0), 6)
+           AS null_jaccard
+FROM pairs ORDER BY col_a, col_b
+"""
+
+
+def q_event_paths(sf_dir: str):
+    """Top-20 three-step user journeys (windows.path_counts n=3): runs of
+    consecutive event types along each user's time-ordered sequence,
+    counted corpus-wide; ties broken by path ascending.  The SQL twin is
+    two chained lag() windows.  At scale the top-k would run through
+    rank.top_k_per_group — the fixture's distinct-path table is tiny, so
+    the driver sort IS the assertion, not the compute path."""
+    import ray.data as rd
+
+    from webval.windows import path_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    out = path_counts(ds, "user_id", "ts", "event_type", n=3,
+                      tie_cols=["event_id"])
+    t = ds_to_table(out)
+    return t.sort_by([("cnt", "descending"),
+                      ("path", "ascending")]).slice(0, 20)
+
+
+SQL_EVENT_PATHS = """
+WITH v AS (SELECT user_id, ts, event_id, event_type FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL),
+w AS (SELECT event_type AS t0,
+             lag(event_type, 1) OVER win AS t1,
+             lag(event_type, 2) OVER win AS t2
+      FROM v
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t2 || '>' || t1 || '>' || t0 AS path,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM w WHERE t2 IS NOT NULL
+GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20
+"""
+
+
+def q_calibration_bins(sf_dir: str):
+    """Reliability diagram of l_quantity/50 as a pseudo-probability of a
+    lineitem being returned (rank.calibration_bins: ≤10-row sum-combiner
+    exchange): per equal-width bin the count, mean confidence and
+    observed positive rate.  Rounding 6 — the per-bin means divide sums
+    accumulated in different orders across engines."""
+    import ray.data as rd
+
+    from webval.rank import calibration_bins
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_returnflag"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pred": pc.divide(pc.cast(t.column("l_quantity")
+                                      .combine_chunks(), pa.float64()),
+                              50.0),
+            "label": pc.cast(pc.equal(t.column("l_returnflag")
+                                      .combine_chunks(), "R"),
+                             pa.float64())})
+
+    bt = calibration_bins(ds.map_batches(prep, batch_format="pyarrow"),
+                          "pred", "label", bins=10)
+    n = bt.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    conf = bt.column("sum_score").to_numpy(zero_copy_only=False) / n
+    acc = bt.column("sum_label").to_numpy(zero_copy_only=False) / n
+    return _round_cols(pa.table({
+        "bin": bt.column("bin"),
+        "n": bt.column("n"),
+        "avg_conf": pa.array(conf, pa.float64()),
+        "pos_rate": pa.array(acc, pa.float64()),
+    }), {"avg_conf": 6, "pos_rate": 6})
+
+
+SQL_CALIBRATION_BINS = """
+WITH s AS (SELECT l_quantity / 50.0 AS pred,
+                  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL)
+SELECT CAST(least(floor(pred * 10), 9) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(pred), 6) AS avg_conf,
+       round(avg(y), 6) AS pos_rate
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_brier_ece(sf_dir: str):
+    """Brier score and 10-bin expected calibration error of the same
+    pseudo-probability (one calibration_bins exchange: Brier from the
+    squared-error sums, ECE = Σ nᵢ/N·|pos_rateᵢ − confᵢ|)."""
+    import ray.data as rd
+
+    from webval.rank import calibration_bins
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_returnflag"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pred": pc.divide(pc.cast(t.column("l_quantity")
+                                      .combine_chunks(), pa.float64()),
+                              50.0),
+            "label": pc.cast(pc.equal(t.column("l_returnflag")
+                                      .combine_chunks(), "R"),
+                             pa.float64())})
+
+    bt = calibration_bins(ds.map_batches(prep, batch_format="pyarrow"),
+                          "pred", "label", bins=10)
+    n = bt.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    total = n.sum()
+    conf = bt.column("sum_score").to_numpy(zero_copy_only=False) / n
+    acc = bt.column("sum_label").to_numpy(zero_copy_only=False) / n
+    brier = bt.column("sum_sqerr").to_numpy(zero_copy_only=False).sum() \
+        / total
+    ece = float((n / total * np.abs(acc - conf)).sum())
+    return _round_cols(pa.table({
+        "n": pa.array([int(total)], pa.int64()),
+        "brier": pa.array([brier], pa.float64()),
+        "ece": pa.array([ece], pa.float64()),
+    }), {"brier": 6, "ece": 6})
+
+
+SQL_BRIER_ECE = """
+WITH s AS (SELECT l_quantity / 50.0 AS pred,
+                  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+b AS (SELECT least(floor(pred * 10), 9) AS bin, count(*) AS n,
+             avg(pred) AS conf, avg(y) AS acc
+      FROM s GROUP BY 1)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n,
+       round((SELECT avg((pred - y) * (pred - y)) FROM s), 6) AS brier,
+       round(sum(n * abs(acc - conf)) / (SELECT count(*) FROM s), 6) AS ece
+FROM b
+"""
+
+
+def q_survival_curve(sf_dir: str):
+    """Kaplan-Meier user-retention curve (windows.kaplan_meier): per-user
+    lifetime in days from first to last event, a death observed when the
+    last activity precedes the corpus max timestamp by > 1 day (else
+    right-censored); survival = Π(1 − dᵢ/nᵢ) over death times.  Rounding
+    6 — the SQL twin computes the running product as exp(Σ ln(·))."""
+    import ray.data as rd
+
+    from webval.windows import kaplan_meier
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    t = kaplan_meier(ds, "user_id", "ts", censor_gap_us=86_400_000_000)
+    return _round_cols(t, {"survival": 6})
+
+
+SQL_SURVIVAL_CURVE = """
+WITH s AS (SELECT user_id, epoch_us(min(ts)) AS f, epoch_us(max(ts)) AS l
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+mx AS (SELECT max(l) AS m FROM s),
+d AS (SELECT (l - f) // 86400000000 AS t,
+             (l < m - 86400000000) AS obs
+      FROM s, mx),
+c AS (SELECT t, count(*) FILTER (WHERE obs) AS dd, count(*) AS at_t
+      FROM d GROUP BY t),
+w AS (SELECT t, dd,
+             (SELECT count(*) FROM d)
+             - coalesce(sum(at_t) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM c),
+k AS (SELECT * FROM w WHERE dd > 0)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(dd AS BIGINT) AS n_events,
+       round(exp(sum(ln(1 - dd * 1.0 / n_risk)) OVER (ORDER BY t)), 6)
+           AS survival
+FROM k ORDER BY t
+"""
+
+
+def q_embedding_quantization(sf_dir: str):
+    """Per-dimension int8 quantization audit of the embedding corpus
+    (similarity.quantization_error): exact range, worst-case affine
+    reconstruction error and the half-step bound it must respect —
+    unrounded, because Ray and the SQL twin evaluate the IDENTICAL
+    float64 quantize/reconstruct expression term-for-term (the
+    within_bound flag uses the same ulp-tolerance literal on both
+    sides)."""
+    import ray.data as rd
+
+    from webval.similarity import quantization_error
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    return quantization_error(ds, "embedding", levels=255)
+
+
+SQL_EMBEDDING_QUANTIZATION = """
+WITH e AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+                  CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT)
+                      AS dim
+           FROM embeddings),
+r AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim),
+q AS (SELECT e.dim,
+             abs(x - (mn + floor((x - mn) * 255.0 / (mx - mn) + 0.5)
+                      * (mx - mn) / 255.0)) AS err
+      FROM e JOIN r USING (dim) WHERE mx > mn),
+m AS (SELECT dim, max(err) AS max_err FROM q GROUP BY dim)
+SELECT r.dim, r.mn, r.mx, coalesce(m.max_err, 0.0) AS max_err,
+       (r.mx - r.mn) / 510.0 AS bound,
+       coalesce(m.max_err, 0.0)
+           <= (r.mx - r.mn) / 510.0 * (1.0 + 1e-12) + 1e-15
+           AS within_bound
+FROM r LEFT JOIN m USING (dim) ORDER BY r.dim
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -7116,4 +7460,12 @@ QUERIES = {
     "bigram_lm_quality": (q_bigram_lm_quality, SQL_BIGRAM_LM_QUALITY),
     "interpolate_gaps": (q_interpolate_gaps, SQL_INTERPOLATE_GAPS),
     "overlap_dup_pairs": (q_overlap_dup_pairs, SQL_OVERLAP_DUP_PAIRS),
+    "kappa_quality": (q_kappa_quality, SQL_KAPPA_QUALITY),
+    "null_cooccurrence": (q_null_cooccurrence, SQL_NULL_COOCCURRENCE),
+    "event_paths": (q_event_paths, SQL_EVENT_PATHS),
+    "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
+    "brier_ece": (q_brier_ece, SQL_BRIER_ECE),
+    "survival_curve": (q_survival_curve, SQL_SURVIVAL_CURVE),
+    "embedding_quantization": (q_embedding_quantization,
+                               SQL_EMBEDDING_QUANTIZATION),
 }

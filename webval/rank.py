@@ -538,3 +538,64 @@ def quantile_bin(ds, value_col: str, k: int, *, out_col: str = "bin",
         return batch.append_column(out_col, arr)
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def calibration_bins(ds, score_col: str, label_col: str, *, bins: int = 10,
+                     num_buckets: int | None = None) -> pa.Table:
+    """Reliability-diagram substrate for a probabilistic score in [0, 1]
+    against a binary label: equal-width bin b = min(floor(score·bins),
+    bins−1), and per bin the exact sums a calibration audit needs —
+    (bin, n, sum_score, sum_label, sum_sqerr) with sum_sqerr the Brier
+    numerator Σ(score − label)².  Driver-small output (≤ ``bins`` rows);
+    downstream derives avg confidence, observed positive rate, expected
+    calibration error Σ nᵢ/N·|accᵢ − confᵢ| and the Brier score from it.
+    Null scores/labels are dropped (SQL WHERE semantics).
+
+    Scale shape: stateless vectorized per-batch partial (np.bincount on
+    the bin index) → sum-combiner exchange bounded by ``bins`` keys.
+    """
+    from webval.exchange import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column(score_col).combine_chunks(), pa.float64())
+        y = pc.cast(t.column(label_col).combine_chunks(), pa.float64())
+        m = pc.and_(pc.is_valid(s), pc.is_valid(y))
+        s = s.filter(m).to_numpy(zero_copy_only=False)
+        y = y.filter(m).to_numpy(zero_copy_only=False)
+        if len(s) == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_score": pa.array([], pa.float64()),
+                             "sum_label": pa.array([], pa.float64()),
+                             "sum_sqerr": pa.array([], pa.float64())})
+        b = np.minimum(np.floor(s * bins).astype(np.int64), bins - 1)
+        n = np.bincount(b, minlength=bins)
+        ss = np.bincount(b, weights=s, minlength=bins)
+        sl = np.bincount(b, weights=y, minlength=bins)
+        se = np.bincount(b, weights=(s - y) ** 2, minlength=bins)
+        nz = np.flatnonzero(n)
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "n": pa.array(n[nz], pa.int64()),
+                         "sum_score": pa.array(ss[nz], pa.float64()),
+                         "sum_label": pa.array(sl[nz], pa.float64()),
+                         "sum_sqerr": pa.array(se[nz], pa.float64())})
+
+    out = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), ["bin"],
+        [("n", "sum"), ("sum_score", "sum"), ("sum_label", "sum"),
+         ("sum_sqerr", "sum")],
+        rename={"n_sum": "n", "sum_score_sum": "sum_score",
+                "sum_label_sum": "sum_label",
+                "sum_sqerr_sum": "sum_sqerr"},
+        num_buckets=num_buckets)
+    import ray
+    blocks = [ray.get(r) for r in out.materialize().to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows]
+    if not blocks:
+        return pa.table({"bin": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "sum_score": pa.array([], pa.float64()),
+                         "sum_label": pa.array([], pa.float64()),
+                         "sum_sqerr": pa.array([], pa.float64())})
+    return pa.concat_tables(blocks).combine_chunks() \
+        .sort_by([("bin", "ascending")])

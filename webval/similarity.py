@@ -568,3 +568,90 @@ def ivf_index_topk(index_dir: str, queries: np.ndarray, k: int = 10, *,
     wanted = sorted({c for p in probes for c in p})
     files = _bucket_files(index_dir, [(0, c) for c in wanted])
     return _scan_topk(files, probes, q, meta["id_col"], k, batch_size)
+
+
+def quantization_error(ds, vec_col: str = "embedding", *,
+                       levels: int = 255,
+                       num_buckets: int | None = None) -> pa.Table:
+    """Per-dimension audit of affine int8-style embedding quantization:
+    with per-dimension range [mn, mx] split into ``levels`` steps, code
+    q = floor((x − mn)·levels/(mx − mn) + 0.5) reconstructs to
+    mn + q·(mx − mn)/levels; the output row per dimension is
+    (dim 1-based, mn, mx, max_err, bound, within_bound) where bound is
+    the half-step (mx − mn)/(2·levels) the scheme guarantees (up to one
+    float ulp, folded into the check) — the storage-planning question
+    "can this corpus ship int8 embeddings?" answered with exact extrema
+    and worst-case reconstruction error, not a sample.
+
+    Scale shape: two stateless passes.  Pass 1: per-batch per-dim
+    min/max partial rows → min/max-combiner exchange bounded by the
+    dimensionality.  Pass 2: the (mn, scale) table broadcasts once via
+    ``ray.put``; per-batch vectorized quantize/reconstruct emits per-dim
+    max-error partials → max-combiner exchange, same bound.  Constant
+    dimensions (mx == mn) quantize to code 0 with zero error.
+    """
+    import ray
+
+    from webval.exchange import grouped_agg
+
+    def minmax(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t.column(vec_col)).astype(np.float64)
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        d = m.shape[1]
+        return pa.table({"dim": pa.array(np.arange(1, d + 1), pa.int64()),
+                         "mn": pa.array(m.min(axis=0), pa.float64()),
+                         "mx": pa.array(m.max(axis=0), pa.float64())})
+
+    ranges = grouped_agg(ds.map_batches(minmax, batch_format="pyarrow"),
+                         ["dim"], [("mn", "min"), ("mx", "max")],
+                         rename={"mn_min": "mn", "mx_max": "mx"},
+                         num_buckets=num_buckets)
+    blocks = [ray.get(r) for r in ranges.materialize().to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows]
+    if not blocks:
+        return pa.table({"dim": pa.array([], pa.int64()),
+                         "mn": pa.array([], pa.float64()),
+                         "mx": pa.array([], pa.float64()),
+                         "max_err": pa.array([], pa.float64()),
+                         "bound": pa.array([], pa.float64()),
+                         "within_bound": pa.array([], pa.bool_())})
+    rt = pa.concat_tables(blocks).combine_chunks() \
+        .sort_by([("dim", "ascending")])
+    mn = rt.column("mn").to_numpy(zero_copy_only=False)
+    mx = rt.column("mx").to_numpy(zero_copy_only=False)
+    rng_ref = ray.put((mn, mx))
+
+    def maxerr(t: pa.Table) -> pa.Table:
+        lo, hi = ray.get(rng_ref)
+        m = _as_matrix(t.column(vec_col)).astype(np.float64)
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "max_err": pa.array([], pa.float64())})
+        span = hi - lo
+        safe = np.where(span > 0, span, 1.0)
+        q = np.floor((m - lo) * float(levels) / safe + 0.5)
+        recon = lo + q * span / float(levels)
+        err = np.abs(m - np.where(span > 0, recon, lo))
+        d = m.shape[1]
+        return pa.table({"dim": pa.array(np.arange(1, d + 1), pa.int64()),
+                         "max_err": pa.array(err.max(axis=0), pa.float64())})
+
+    errs = grouped_agg(ds.map_batches(maxerr, batch_format="pyarrow"),
+                       ["dim"], [("max_err", "max")],
+                       rename={"max_err_max": "max_err"},
+                       num_buckets=num_buckets)
+    eb = [ray.get(r) for r in errs.materialize().to_arrow_refs()]
+    eb = [b for b in eb if b.num_rows]
+    et = pa.concat_tables(eb).combine_chunks().sort_by([("dim", "ascending")])
+    me = et.column("max_err").to_numpy(zero_copy_only=False)
+    bound = (mx - mn) / (2.0 * levels)
+    within = me <= bound * (1.0 + 1e-12) + 1e-15
+    return pa.table({"dim": rt.column("dim"),
+                     "mn": pa.array(mn, pa.float64()),
+                     "mx": pa.array(mx, pa.float64()),
+                     "max_err": pa.array(me, pa.float64()),
+                     "bound": pa.array(bound, pa.float64()),
+                     "within_bound": pa.array(within)})

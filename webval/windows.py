@@ -981,3 +981,166 @@ def interpolate_gaps(ds, key: str, ts_col: str, val_col: str, *,
     return bucketed_group_apply(
         ds.map_batches(proj, batch_format="pyarrow"), [key], final,
         num_buckets=num_buckets, max_group_rows=max_group_rows)
+
+
+def path_counts(ds, key: str, ts_col: str, state_col: str, *, n: int = 3,
+                sep: str = ">", tie_cols: list[str] | None = None,
+                num_buckets: int | None = None,
+                max_group_rows: int | None = 4_000_000):
+    """Order-``n`` behavioral path counts: one output row per observed run
+    of ``n`` consecutive ``state_col`` values along a key's time-ordered
+    sequence, joined with ``sep`` — the n-step generalization of
+    :func:`transition_counts` (n=2 ≡ its pairs, pre-joined).  The classic
+    "most common 3-step user journeys" funnel-mining rollup.
+
+    Ordering/null semantics match transition_counts exactly (the SQL twin
+    is ``n−1`` chained lag() windows over (ts, tie_cols)); runs never
+    cross key boundaries.  Scale shape: combiner-less co-bucketed
+    exchange on ``key`` → one sort + ``n−1`` shifted boundary checks per
+    bucket, paths joined with the vectorized Arrow kernel, per-bucket
+    partial (path, cnt) → count-combiner exchange bounded by distinct
+    paths, not events.
+    """
+    import numpy as np
+
+    from webval.exchange import bucketed_group_apply, grouped_agg
+
+    if n < 2:
+        raise ValueError(f"path_counts needs n >= 2, got {n}")
+    tie_cols = list(tie_cols or [])
+    cols = [key, ts_col, state_col] + tie_cols
+
+    def proj_fn(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        m = pc.is_valid(t.column(key).combine_chunks())
+        for c in (ts_col, state_col):
+            m = pc.and_(m, pc.is_valid(t.column(c).combine_chunks()))
+        return t.filter(m)
+
+    def final(g: pa.Table) -> pa.Table:
+        empty = pa.table({"path": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if g.num_rows < n:
+            return empty
+        g = g.sort_by([(key, "ascending"), (ts_col, "ascending")]
+                      + [(c, "ascending") for c in tie_cols])
+        kk = g.column(key).to_numpy(zero_copy_only=False)
+        same = kk[1:] == kk[:-1]               # (i-1, i) share a key
+        # run start i is valid when all n-1 links i..i+n-2 are in-key
+        ok = same.copy()
+        for s in range(1, n - 1):
+            ok[: len(same) - s] &= same[s:]
+        starts = np.flatnonzero(ok[: len(kk) - (n - 1)])
+        if len(starts) == 0:
+            return empty
+        states = pc.cast(g.column(state_col).combine_chunks(), pa.string())
+        steps = [states.take(pa.array(starts + s, pa.int64()))
+                 for s in range(n)]
+        paths = pc.binary_join_element_wise(*steps, sep)
+        vc = paths.value_counts()
+        return pa.table({"path": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = bucketed_group_apply(
+        ds.map_batches(proj_fn, batch_format="pyarrow"), [key], final,
+        num_buckets=num_buckets, max_group_rows=max_group_rows)
+    return grouped_agg(partials, ["path"], [("cnt", "sum")],
+                       rename={"cnt_sum": "cnt"}, num_buckets=num_buckets)
+
+
+def kaplan_meier(ds, key: str, ts_col: str, *, censor_gap_us: int,
+                 unit_us: int = 86_400_000_000,
+                 num_buckets: int | None = None) -> pa.Table:
+    """Kaplan-Meier survival curve of per-key lifetimes with right
+    censoring (Kaplan & Meier 1958): each key's lifetime is
+    ``floor((last_ts − first_ts) / unit_us)`` units; the "death"
+    (churn) is OBSERVED when the key's last activity precedes the
+    corpus-wide max timestamp by more than ``censor_gap_us``, else the
+    lifetime is right-censored (the key may still be alive).  Output:
+    one driver-small row per distinct lifetime with ≥1 observed death —
+    (t, n_risk, n_events, survival) where survival is the running
+    product Π(1 − d_i/n_i) over death times ascending; censored-only
+    lifetimes shrink later risk sets without a row.
+
+    Scale shape: corpus max ts via a one-row-per-block partial +
+    driver max (per-block-scalar pattern); per-key (first, last) via the
+    min/max-combiner exchange; a stateless map folds each key to
+    (lifetime, observed) partial counts, so the final count exchange is
+    bounded by distinct lifetimes × 2, and only THAT tiny table reaches
+    the driver for the cumulative product.
+    """
+    import numpy as np
+    import ray
+
+    from webval.exchange import grouped_agg
+
+    def block_max(t: pa.Table) -> pa.Table:
+        col = pc.cast(t.column(ts_col).combine_chunks(), pa.int64())
+        return pa.table({"mx": pa.array([pc.max(col).as_py()], pa.int64())})
+
+    probe = ds.map_batches(block_max, batch_format="pyarrow").materialize()
+    mx = None
+    for ref in probe.to_arrow_refs():
+        b = ray.get(ref)
+        if b.num_rows and "mx" in b.column_names:
+            v = b.column("mx")[0].as_py()
+            if v is not None and (mx is None or v > mx):
+                mx = v
+    if mx is None:
+        return pa.table({"t": pa.array([], pa.int64()),
+                         "n_risk": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "survival": pa.array([], pa.float64())})
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.select([key, ts_col])
+        v = pc.cast(t.column(ts_col).combine_chunks(), pa.int64())
+        t = pa.table({key: t.column(key), "ts_i": v})
+        return t.filter(pc.and_(pc.is_valid(t.column(key).combine_chunks()),
+                                pc.is_valid(v)))
+
+    spans = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                        [key], [("ts_i", "min"), ("ts_i", "max")],
+                        rename={"ts_i_min": "first", "ts_i_max": "last"},
+                        num_buckets=num_buckets)
+
+    cutoff = mx - censor_gap_us
+
+    def fold(t: pa.Table) -> pa.Table:
+        first = t.column("first").to_numpy(zero_copy_only=False)
+        last = t.column("last").to_numpy(zero_copy_only=False)
+        life = (last - first) // unit_us
+        obs = last < cutoff
+        tt = pa.table({"t": pa.array(life, pa.int64()),
+                       "observed": pa.array(obs)})
+        agg = tt.group_by(["t", "observed"]).aggregate([("t", "count")])
+        return agg.rename_columns(["t", "observed", "cnt"])
+
+    counts = grouped_agg(spans.map_batches(fold, batch_format="pyarrow"),
+                         ["t", "observed"], [("cnt", "sum")],
+                         rename={"cnt_sum": "cnt"}, num_buckets=num_buckets)
+    tab = counts.materialize()
+    blocks = [ray.get(r) for r in tab.to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows]
+    small = pa.concat_tables(blocks).combine_chunks() if blocks else \
+        pa.table({"t": pa.array([], pa.int64()),
+                  "observed": pa.array([], pa.bool_()),
+                  "cnt": pa.array([], pa.int64())})
+    tv = small.column("t").to_numpy(zero_copy_only=False)
+    ov = small.column("observed").to_numpy(zero_copy_only=False)
+    cv = small.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.argsort(tv, kind="stable")
+    tv, ov, cv = tv[order], ov[order], cv[order]
+    uniq = np.unique(tv)
+    total = int(cv.sum())
+    # at-risk before time t = total - (all lifetimes < t)
+    deaths = np.array([cv[(tv == u) & ov].sum() for u in uniq],
+                      dtype=np.int64)
+    at_t = np.array([cv[tv == u].sum() for u in uniq], dtype=np.int64)
+    n_risk = total - np.concatenate(([0], np.cumsum(at_t)[:-1]))
+    keep = deaths > 0
+    surv = np.cumprod(1.0 - deaths[keep] / n_risk[keep])
+    return pa.table({"t": pa.array(uniq[keep], pa.int64()),
+                     "n_risk": pa.array(n_risk[keep], pa.int64()),
+                     "n_events": pa.array(deaths[keep], pa.int64()),
+                     "survival": pa.array(surv, pa.float64())})
