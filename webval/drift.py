@@ -235,3 +235,30 @@ def cohens_kappa(mat) -> tuple[float, float, float, int]:
     pe = float((m.sum(axis=1) * m.sum(axis=0)).sum() / (n * n))
     kappa = 0.0 if pe >= 1.0 else (po - pe) / (1.0 - pe)
     return float(kappa), po, pe, int(n)
+
+
+def bh_select(p_values, q: float = 0.05):
+    """Benjamini-Hochberg step-up FDR selection (Benjamini & Hochberg
+    1995): given m p-values, find the largest k with p_(k) ≤ k·q/m and
+    reject hypotheses 1..k of the ascending order — the multiple-testing
+    control a per-partition drift sweep needs (m partitions × a 5% test
+    each ≈ m/20 false alarms uncorrected).
+
+    Input: array-like of p-values (driver-small — one per test/partition,
+    bounded by the partition count, never by rows).  Returns
+    (selected_mask ndarray aligned with the input, k, threshold) where
+    threshold = k·q/m of the last rejected rank (0.0 when k = 0).
+    """
+    p = np.asarray(p_values, dtype=np.float64)
+    m = len(p)
+    if m == 0:
+        return np.zeros(0, dtype=bool), 0, 0.0
+    order = np.argsort(p, kind="stable")
+    ranks = np.arange(1, m + 1, dtype=np.float64)
+    ok = p[order] <= ranks * q / m
+    if not ok.any():
+        return np.zeros(m, dtype=bool), 0, 0.0
+    k = int(np.flatnonzero(ok)[-1] + 1)
+    mask = np.zeros(m, dtype=bool)
+    mask[order[:k]] = True
+    return mask, k, float(k * q / m)

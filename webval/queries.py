@@ -7274,6 +7274,350 @@ FROM r LEFT JOIN m USING (dim) ORDER BY r.dim
 """
 
 
+def q_ttr_by_lang(sf_dir: str):
+    """Per-language vocabulary richness (textstats.type_token_stats):
+    token/type/hapax counts, type-token ratio and hapax share — template
+    spam collapses TTR, OCR noise explodes the hapax share.  Two bounded
+    exchanges: (lang, term) counts, then the per-lang rollup off final
+    counts (hapax needs exact counts, so the rollup runs strictly after
+    the first exchange)."""
+    import ray.data as rd
+
+    from webval.textstats import type_token_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    t = ds_to_table(type_token_stats(ds, "lang", "text"))
+    return _round_cols(t.sort_by([("lang", "ascending")]),
+                       {"ttr": 6, "hapax_share": 6})
+
+
+SQL_TTR_BY_LANG = """
+WITH tok AS (SELECT lang,
+                    unnest(list_filter(regexp_split_to_array(lower(text),
+                                                             '[^a-z0-9]+'),
+                                       x -> x <> '')) AS term
+             FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+tc AS (SELECT lang, term, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+       round(count(*) * 1.0 / sum(c), 6) AS ttr,
+       round(count(*) FILTER (WHERE c = 1) * 1.0 / count(*), 6)
+           AS hapax_share
+FROM tc GROUP BY lang ORDER BY lang
+"""
+
+
+def q_burstiness_by_user(sf_dir: str):
+    """Per-user inter-arrival burstiness (windows.interarrival_stats):
+    gap moments and the Goh-Barabási coefficient (σ−μ)/(σ+μ) — the
+    bot-vs-human timing signal.  mean_gap_us is UNROUNDED: integer-µs
+    gap sums are exact in float64 on both engines, so sum/count is
+    bit-identical and rounding could only ADD half-boundary mismatches
+    (6 such users at sf0.1).  σ is rounded in seconds instead —
+    two-pass vs Welford differ in final ulps, and at µs magnitudes
+    (~1e10) round(6) cannot absorb that; in seconds it comfortably
+    does."""
+    import ray.data as rd
+
+    from webval.windows import interarrival_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    t = ds_to_table(interarrival_stats(ds, "user_id", "ts",
+                                       tie_cols=["event_id"]))
+    t = pa.table({
+        "user_id": t.column("user_id"),
+        "n_gaps": t.column("n_gaps"),
+        "mean_gap_us": t.column("mean_gap"),
+        "std_gap_s": pc.divide(t.column("std_gap"), 1_000_000.0),
+        "burstiness": t.column("burstiness")})
+    return _round_cols(t.sort_by([("user_id", "ascending")]),
+                       {"std_gap_s": 6, "burstiness": 6})
+
+
+SQL_BURSTINESS_BY_USER = """
+WITH v AS (SELECT user_id, ts, event_id FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+g AS (SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM v),
+a AS (SELECT user_id, count(gap) AS n_gaps, avg(gap) AS mu,
+             stddev_pop(gap) AS sd
+      FROM g WHERE gap IS NOT NULL GROUP BY 1)
+SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+       mu AS mean_gap_us,
+       round(sd / 1000000.0, 6) AS std_gap_s,
+       round((sd - mu) / nullif(sd + mu, 0), 6) AS burstiness
+FROM a ORDER BY user_id
+"""
+
+
+def q_markov_anomaly(sf_dir: str):
+    """Behavioral anomaly scoring (windows.sequence_nll): fit the
+    corpus-wide first-order Markov model over event types
+    (transition_counts), broadcast the add-one-smoothed log-prob tables
+    once, score every user's sequence, report the 10 most anomalous
+    (highest mean NLL, ties by user id).  Rounding 6 — the engines
+    average the per-transition log-probs in different orders."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.windows import sequence_nll, transition_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    trans = ds_to_table(transition_counts(ds, "user_id", "ts",
+                                          "event_type",
+                                          tie_cols=["event_id"]))
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "ts", "event_type"])
+        m = pc.and_(pc.and_(
+            pc.is_valid(t.column("user_id").combine_chunks()),
+            pc.is_valid(t.column("ts").combine_chunks())),
+            pc.is_valid(t.column("event_type").combine_chunks()))
+        return pa.table({"event_type": t.column("event_type")}).filter(m)
+
+    states = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                         ["event_type"], [("event_type", "count")],
+                         rename={"event_type_count": "c"})
+    n_states = ds_to_table(states).num_rows
+    scored = sequence_nll(ds, "user_id", "ts", "event_type", trans,
+                          n_states=n_states, tie_cols=["event_id"])
+    t = ds_to_table(scored)
+    t = _round_cols(t, {"nll": 6})
+    return t.sort_by([("nll", "descending"),
+                      ("user_id", "ascending")]).slice(0, 10)
+
+
+SQL_MARKOV_ANOMALY = """
+WITH v AS (SELECT user_id, ts, event_id, event_type FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL),
+w AS (SELECT user_id, event_type AS s,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS p
+      FROM v),
+pr AS (SELECT user_id, p, s FROM w WHERE p IS NOT NULL),
+tc AS (SELECT p, s, count(*) AS c FROM pr GROUP BY 1, 2),
+cc AS (SELECT p, sum(c) AS cp FROM tc GROUP BY 1),
+st AS (SELECT count(DISTINCT event_type) AS ns FROM v),
+sc AS (SELECT pr.user_id,
+              ln((tc.c + 1.0) / (cc.cp + st.ns + 1.0)) AS lp
+       FROM pr JOIN tc USING (p, s) JOIN cc USING (p) CROSS JOIN st)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_trans,
+       round(-avg(lp), 6) AS nll
+FROM sc GROUP BY 1 ORDER BY nll DESC, user_id LIMIT 10
+"""
+
+
+def q_pareto_customers(sf_dir: str):
+    """Pareto frontier of customers maximizing (largest single order,
+    order count) — rank.pareto_frontier's skyline with a true local
+    combiner (each block collapses to its own frontier before anything
+    moves).  The x coordinate is a MAX (bit-exact across engines, no
+    summation-order hazard in the dominance tests); the SQL twin is the
+    textbook NOT EXISTS dominance predicate."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.rank import pareto_frontier
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"o_custkey": t.column("o_custkey"),
+                       "max_price": t.column("o_totalprice"),
+                       "n_orders": pa.array(
+                           np.ones(t.num_rows, np.int64))})
+        agg = t2.group_by("o_custkey").aggregate(
+            [("max_price", "max"), ("n_orders", "sum")])
+        return agg.rename_columns(["o_custkey", "max_price", "n_orders"])
+
+    per_cust = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["o_custkey"],
+                           [("max_price", "max"), ("n_orders", "sum")],
+                           rename={"max_price_max": "max_price",
+                                   "n_orders_sum": "n_orders"})
+    t = pareto_frontier(per_cust, "max_price", "n_orders")
+    return t.sort_by([("max_price", "descending"),
+                      ("o_custkey", "ascending")])
+
+
+SQL_PARETO_CUSTOMERS = """
+WITH c AS (SELECT o_custkey, max(o_totalprice) AS max_price,
+                  CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1)
+SELECT o_custkey, max_price, n_orders
+FROM c a
+WHERE NOT EXISTS (
+  SELECT 1 FROM c b
+  WHERE b.max_price >= a.max_price AND b.n_orders >= a.n_orders
+    AND (b.max_price > a.max_price OR b.n_orders > a.n_orders))
+ORDER BY max_price DESC, o_custkey
+"""
+
+
+def q_bh_drift(sf_dir: str):
+    """Benjamini-Hochberg FDR selection over per-event-type mean-shift
+    tests (drift.bh_select): shifts planted deterministically (+8 on
+    purchase, +4 on view — both engines plant identically), per-type
+    z = (mean_t − mean)/(s/√n_t) against the planted corpus, surrogate
+    p = exp(−z²/2), BH at q = 0.05 over the m = 5 tests.  The planted
+    types are selected; the untouched ones survive — the corrected
+    drift sweep a per-partition monitor needs.  One 5-key power-sum
+    exchange; z/p round 6 for display, selection uses unrounded values
+    on both sides (planted effects sit far from the thresholds)."""
+    import ray.data as rd
+
+    from webval.drift import bh_select
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").combine_chunks()
+        v = pc.cast(t.column("value").combine_chunks(), pa.float64())
+        m = pc.and_(pc.is_valid(et), pc.is_valid(v))
+        et, v = et.filter(m), v.filter(m)
+        shift = pc.case_when(
+            pc.make_struct(pc.equal(et, "purchase"), pc.equal(et, "view")),
+            8.0, 4.0, 0.0)
+        v = pc.add(v, shift)
+        t2 = pa.table({"event_type": et, "n": pa.array(
+            np.ones(len(v), np.int64)), "s1": v,
+            "s2": pc.multiply(v, v)})
+        agg = t2.group_by("event_type").aggregate(
+            [("n", "sum"), ("s1", "sum"), ("s2", "sum")])
+        return agg.rename_columns(["event_type", "n", "s1", "s2"])
+
+    agg = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["event_type"],
+                      [("n", "sum"), ("s1", "sum"), ("s2", "sum")],
+                      rename={"n_sum": "n", "s1_sum": "s1",
+                              "s2_sum": "s2"})
+    t = ds_to_table(agg).sort_by([("event_type", "ascending")])
+    n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    s1 = t.column("s1").to_numpy(zero_copy_only=False)
+    s2 = t.column("s2").to_numpy(zero_copy_only=False)
+    big_n, big_s1, big_s2 = n.sum(), s1.sum(), s2.sum()
+    gm = big_s1 / big_n
+    gs = np.sqrt(big_s2 / big_n - gm * gm)
+    z = (s1 / n - gm) / (gs / np.sqrt(n))
+    p = np.exp(-z * z / 2.0)
+    mask, k, thresh = bh_select(p, q=0.05)
+    return _round_cols(pa.table({
+        "event_type": t.column("event_type"),
+        "n": t.column("n"),
+        "z": pa.array(z, pa.float64()),
+        "p_surrogate": pa.array(p, pa.float64()),
+        "selected": pa.array(mask),
+    }), {"z": 6, "p_surrogate": 6})
+
+
+SQL_BH_DRIFT = """
+WITH v AS (SELECT event_type,
+                  value + CASE WHEN event_type = 'purchase' THEN 8.0
+                               WHEN event_type = 'view' THEN 4.0
+                               ELSE 0.0 END AS val
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL),
+a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(val) AS s1,
+             sum(val * val) AS s2
+      FROM v GROUP BY 1),
+g AS (SELECT sum(n) AS nn, sum(s1) AS t1, sum(s2) AS t2 FROM a),
+z AS (SELECT event_type, n,
+             (s1 / n - t1 / nn) / (sqrt(t2 / nn - (t1 / nn) * (t1 / nn))
+                                   / sqrt(n)) AS z
+      FROM a CROSS JOIN g),
+p AS (SELECT event_type, n, z, exp(-z * z / 2.0) AS ps FROM z),
+r AS (SELECT *, row_number() OVER (ORDER BY ps, event_type) AS rk,
+             count(*) OVER () AS m
+      FROM p),
+k AS (SELECT coalesce(max(rk), 0) AS kk FROM r
+      WHERE ps <= rk * 0.05 / m)
+SELECT event_type, n, round(z, 6) AS z, round(ps, 6) AS p_surrogate,
+       (rk <= (SELECT kk FROM k)) AS selected
+FROM r ORDER BY event_type
+"""
+
+
+def q_entity_clusters(sf_dir: str):
+    """Entity resolution on part names: the blocked Jaro-Winkler
+    similarity join (≥ 0.94, same first-word + size block — the
+    jw_part_names pair semantics) feeds min-label connected components
+    (graph.connected_components), yielding one cluster id per matched
+    part with its cluster size — dedupe-by-fuzzy-identity as one
+    composed pipeline.  The SQL twin chains DuckDB's native
+    jaro_winkler_similarity into the recursive reachability CTE."""
+    import ray.data as rd
+
+    from webval.fuzzy import fuzzy_pairs
+    from webval.graph import connected_components
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_size"])
+
+    def add_block(b: pa.Table) -> pa.Table:
+        col = b.column("p_name")
+        mism = pc.sum(pc.cast(pc.not_equal(
+            pc.utf8_length(col), pc.binary_length(col)), pa.int64())).as_py()
+        if mism:
+            raise AssertionError(
+                f"{mism} non-ASCII part names: byte-level JW no longer "
+                "matches the SQL twin's character jaro_winkler")
+        return b.append_column(
+            "w", pc.replace_substring_regex(col, pattern=" .*$",
+                                            replacement=""))
+
+    pairs = fuzzy_pairs(ds.map_batches(add_block, batch_format="pyarrow"),
+                        "p_partkey", "p_name", ["w", "p_size"],
+                        metric="jaro_winkler", min_sim=0.94)
+    comp = connected_components(pairs, "id_a", "id_b")
+    t = ds_to_table(comp, empty_schema=pa.schema(
+        [("id", pa.int64()), ("component", pa.int64())]))
+    sizes = t.group_by("component").aggregate([("id", "count")])
+    sz = dict(zip(sizes.column("component").to_pylist(),
+                  sizes.column("id_count").to_pylist()))
+    out = pa.table({
+        "p_partkey": t.column("id"),
+        "cluster": t.column("component"),
+        "cluster_size": pa.array(
+            [sz[c] for c in t.column("component").to_pylist()],
+            pa.int64())})
+    return out.sort_by([("cluster", "ascending"),
+                        ("p_partkey", "ascending")])
+
+
+SQL_ENTITY_CLUSTERS = """
+WITH RECURSIVE
+p AS (SELECT p_partkey, p_name, p_size, split_part(p_name, ' ', 1) AS w
+      FROM part),
+e0 AS (SELECT a.p_partkey AS a, b.p_partkey AS b
+       FROM p a JOIN p b
+         ON a.w = b.w AND a.p_size = b.p_size
+        AND a.p_partkey < b.p_partkey
+       WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.94),
+e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+n AS (SELECT DISTINCT a AS node FROM e),
+reach AS (SELECT node AS id, node AS r FROM n
+          UNION
+          SELECT e.b AS id, reach.r FROM reach JOIN e ON reach.id = e.a),
+lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM lab
+       GROUP BY cluster)
+SELECT lab.id AS p_partkey, lab.cluster, cs.sz AS cluster_size
+FROM lab JOIN cs USING (cluster)
+ORDER BY cluster, p_partkey
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -7468,4 +7812,10 @@ QUERIES = {
     "survival_curve": (q_survival_curve, SQL_SURVIVAL_CURVE),
     "embedding_quantization": (q_embedding_quantization,
                                SQL_EMBEDDING_QUANTIZATION),
+    "ttr_by_lang": (q_ttr_by_lang, SQL_TTR_BY_LANG),
+    "burstiness_by_user": (q_burstiness_by_user, SQL_BURSTINESS_BY_USER),
+    "markov_anomaly": (q_markov_anomaly, SQL_MARKOV_ANOMALY),
+    "pareto_customers": (q_pareto_customers, SQL_PARETO_CUSTOMERS),
+    "bh_drift": (q_bh_drift, SQL_BH_DRIFT),
+    "entity_clusters": (q_entity_clusters, SQL_ENTITY_CLUSTERS),
 }

@@ -599,3 +599,85 @@ def calibration_bins(ds, score_col: str, label_col: str, *, bins: int = 10,
                          "sum_sqerr": pa.array([], pa.float64())})
     return pa.concat_tables(blocks).combine_chunks() \
         .sort_by([("bin", "ascending")])
+
+
+def _skyline_2d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Indices of the 2-D maximal (Pareto-optimal) points: row i survives
+    unless some j has x_j ≥ x_i AND y_j ≥ y_i with at least one strict.
+    Exact duplicates are mutually non-dominating and all survive.
+    O(n log n): sort by (x desc, y desc), keep the max-y rows of each
+    distinct x whose y strictly exceeds every y seen at larger x."""
+    n = len(x)
+    if n == 0:
+        return np.empty(0, np.int64)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    new_x = np.r_[True, xs[1:] != xs[:-1]]
+    # group max y = first y of each distinct-x run (sorted y desc in-run)
+    grp_first = np.maximum.accumulate(np.where(new_x, np.arange(n), 0))
+    grp_max_y = ys[grp_first]
+    is_grp_max = ys == grp_max_y
+    # best y among STRICTLY larger x = running max over previous groups
+    run_max = np.maximum.accumulate(np.where(new_x, ys, -np.inf))
+    starts = np.flatnonzero(new_x)
+    best_before_grp = np.r_[-np.inf, run_max[starts - 1][1:]] \
+        if len(starts) > 1 else np.array([-np.inf])
+    prev_best = best_before_grp[np.cumsum(new_x) - 1]
+    keep = is_grp_max & (ys > prev_best)
+    return np.sort(order[keep])
+
+
+def pareto_frontier(ds, x_col: str, y_col: str, *,
+                    max_frontier: int = 1_000_000):
+    """2-D Pareto frontier (skyline) of a Dataset, maximizing both
+    columns: the rows no other row weakly dominates — the classic
+    "best trade-off set" audit (e.g. newest AND highest-value).  Null
+    coordinates are dropped.  Returns a driver-small pa.Table of the
+    surviving rows in input column order, sorted by (x desc, y asc).
+
+    Scale shape: the skyline has a true COMBINER — a block's local
+    frontier is a superset-free sketch of its contribution, so each
+    batch collapses to its own frontier before anything moves; the
+    global pass runs the same O(n log n) sweep over the concatenated
+    local frontiers (≈ frontier-sized, guarded by ``max_frontier``
+    with a named diagnostic — real frontiers are tiny because
+    domination is transitive)."""
+    import ray
+
+    def local(t: pa.Table) -> pa.Table:
+        xv = pc.cast(t.column(x_col).combine_chunks(), pa.float64())
+        yv = pc.cast(t.column(y_col).combine_chunks(), pa.float64())
+        t = t.filter(pc.and_(pc.is_valid(xv), pc.is_valid(yv)))
+        if t.num_rows == 0:
+            return t
+        x = pc.cast(t.column(x_col).combine_chunks(), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        y = pc.cast(t.column(y_col).combine_chunks(), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = _skyline_2d(x, y)
+        return t.take(pa.array(keep, pa.int64()))
+
+    locals_ds = ds.map_batches(local, batch_format="pyarrow").materialize()
+    blocks = [ray.get(r) for r in locals_ds.to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows]
+    if not blocks:
+        sch = locals_ds.schema()
+        if sch is None or sch.names is None:
+            return pa.table({})
+        return pa.table({n: pa.array([], type=t)
+                         for n, t in zip(sch.names, sch.types)})
+    cand = pa.concat_tables(blocks, promote_options="permissive") \
+        .combine_chunks()
+    if cand.num_rows > max_frontier:
+        raise ValueError(
+            f"pareto_frontier: {cand.num_rows} local-frontier candidates "
+            f"exceed max_frontier={max_frontier}; the coordinate pair is "
+            "likely anti-correlated (near-total frontier) — raise the cap "
+            "or reconsider the objective")
+    x = pc.cast(cand.column(x_col).combine_chunks(), pa.float64()) \
+        .to_numpy(zero_copy_only=False)
+    y = pc.cast(cand.column(y_col).combine_chunks(), pa.float64()) \
+        .to_numpy(zero_copy_only=False)
+    keep = _skyline_2d(x, y)
+    out = cand.take(pa.array(keep, pa.int64()))
+    return out.sort_by([(x_col, "descending"), (y_col, "ascending")])

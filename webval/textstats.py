@@ -533,3 +533,82 @@ def readability_stats(ds, id_col: str, text_col: str = "text", *,
 
     return ds.map_batches(fn, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def type_token_stats(ds, group_col: str, text_col: str, *,
+                     num_buckets: int | None = None):
+    """Per-group vocabulary-richness profile: token count, distinct-term
+    (type) count, hapax-legomenon count (terms occurring exactly once in
+    the group), type-token ratio and hapax share — the corpus-health
+    signals that expose template spam (TTR collapses) and OCR noise
+    (hapax share explodes).  Tokens are the lm tokenizer's ``[a-z0-9]+``
+    pieces of the lowered text; rows with a null group or text are
+    dropped.  Dataset[{group, n_tokens, n_types, n_hapax, ttr,
+    hapax_share}].
+
+    Scale shape: per-batch vectorized (group, term) partial counts →
+    sum-combiner exchange bounded by the per-group vocabulary → a
+    second count/sum-combiner exchange keyed by group computes the
+    rollup off final term counts (hapax needs EXACT counts, so the
+    rollup must run after the first exchange settles — the partial for
+    the second exchange is the first's bucket output, never raw rows).
+    """
+    from webval.exchange import grouped_agg
+    from webval.lm import TOKEN_SPLIT_PATTERN, _tokenize
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.is_valid(t.column(group_col).combine_chunks()),
+            pc.is_valid(t.column(text_col).combine_chunks())))
+        flat, doc_idx = _tokenize(t.column(text_col).combine_chunks(),
+                                  TOKEN_SPLIT_PATTERN)
+        grp = pc.cast(t.column(group_col).combine_chunks(), pa.string()) \
+            .take(pa.array(doc_idx, pa.int64()))
+        pairs = pa.table({"grp": grp, "term": flat})
+        agg = pairs.group_by(["grp", "term"]).aggregate([("term", "count")])
+        return agg.rename_columns(["grp", "term", "cnt"])
+
+    counts = grouped_agg(
+        ds.select_columns([group_col, text_col])
+          .map_batches(partial, batch_format="pyarrow"),
+        ["grp", "term"], [("cnt", "sum")], rename={"cnt_sum": "cnt"},
+        num_buckets=num_buckets)
+
+    def rollup_partial(t: pa.Table) -> pa.Table:
+        ones = pc.cast(pc.equal(t.column("cnt").combine_chunks(), 1),
+                       pa.int64())
+        t2 = pa.table({"grp": t.column("grp"), "n_tokens": t.column("cnt"),
+                       "n_types": pa.array(
+                           np.ones(t.num_rows, np.int64)),
+                       "n_hapax": ones})
+        agg = t2.group_by("grp").aggregate(
+            [("n_tokens", "sum"), ("n_types", "sum"), ("n_hapax", "sum")])
+        return agg.rename_columns(["grp", "n_tokens", "n_types",
+                                   "n_hapax"])
+
+    roll = grouped_agg(
+        counts.map_batches(rollup_partial, batch_format="pyarrow"),
+        ["grp"],
+        [("n_tokens", "sum"), ("n_types", "sum"), ("n_hapax", "sum")],
+        rename={"n_tokens_sum": "n_tokens", "n_types_sum": "n_types",
+                "n_hapax_sum": "n_hapax"}, num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        tok = t.column("n_tokens").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        typ = t.column("n_types").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        hap = t.column("n_hapax").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ttr = np.where(tok > 0, typ / tok, np.nan)
+            hs = np.where(typ > 0, hap / typ, np.nan)
+        t = t.append_column("ttr", pa.array(ttr, pa.float64(),
+                                            from_pandas=True))
+        return t.append_column("hapax_share",
+                               pa.array(hs, pa.float64(),
+                                        from_pandas=True))
+
+    return roll.map_batches(finish, batch_format="pyarrow") \
+        .map_batches(lambda t: t.rename_columns(
+            [group_col] + t.column_names[1:]), batch_format="pyarrow")

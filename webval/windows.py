@@ -1144,3 +1144,192 @@ def kaplan_meier(ds, key: str, ts_col: str, *, censor_gap_us: int,
                      "n_risk": pa.array(n_risk[keep], pa.int64()),
                      "n_events": pa.array(deaths[keep], pa.int64()),
                      "survival": pa.array(surv, pa.float64())})
+
+
+def interarrival_stats(ds, key: str, ts_col: str, *,
+                       tie_cols: list[str] | None = None,
+                       num_buckets: int | None = None,
+                       max_group_rows: int | None = 4_000_000):
+    """Per-key inter-arrival-gap moments and the Goh-Barabási burstiness
+    coefficient B = (σ − μ)/(σ + μ) (Goh & Barabási 2008, EPL 81):
+    B → −1 for a regular (periodic) stream, ≈ 0 for Poisson, → 1 for
+    extreme bursts — the behavioral signal separating schedulers and
+    bots (regular) from humans (bursty).  Output per key with ≥ 1 gap:
+    (key, n_gaps, mean_gap, std_gap, burstiness) in the timestamp's µs
+    units; σ is the population stddev (SQL stddev_pop), keys with a
+    single event have no gap and are dropped, σ + μ = 0 (all gaps zero)
+    yields a null burstiness.
+
+    Scale shape: combiner-less co-bucketed exchange on ``key`` → one
+    sort + segmented diff per bucket, per-key moments via bincount over
+    key run-codes — no per-row python.
+    """
+    import numpy as np
+
+    from webval.exchange import bucketed_group_apply
+
+    tie_cols = list(tie_cols or [])
+    cols = [key, ts_col] + tie_cols
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        return t.filter(pc.and_(
+            pc.is_valid(t.column(key).combine_chunks()),
+            pc.is_valid(t.column(ts_col).combine_chunks())))
+
+    def final(g: pa.Table) -> pa.Table:
+        key_type = g.schema.field(key).type
+        empty = pa.table({key: pa.array([], key_type),
+                          "n_gaps": pa.array([], pa.int64()),
+                          "mean_gap": pa.array([], pa.float64()),
+                          "std_gap": pa.array([], pa.float64()),
+                          "burstiness": pa.array([], pa.float64())})
+        if g.num_rows < 2:
+            return empty
+        g = g.sort_by([(key, "ascending"), (ts_col, "ascending")]
+                      + [(c, "ascending") for c in tie_cols])
+        kk = g.column(key).combine_chunks()
+        kv = kk.to_numpy(zero_copy_only=False)
+        tsv = pc.cast(g.column(ts_col).combine_chunks(), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        same = kv[1:] == kv[:-1]
+        if not same.any():
+            return empty
+        gaps = (tsv[1:] - tsv[:-1])[same]
+        # run-code per row, then per-gap owner code
+        starts = np.r_[True, ~same]
+        code = np.cumsum(starts) - 1
+        owner = code[1:][same]
+        nk = code[-1] + 1
+        n = np.bincount(owner, minlength=nk)
+        s1 = np.bincount(owner, weights=gaps, minlength=nk)
+        keep = np.flatnonzero(n > 0)
+        mu = s1[keep] / n[keep]
+        # two-pass variance: the one-pass power-sum form cancels
+        # catastrophically at µs magnitudes (~1e10), diverging from the
+        # SQL twin's stddev_pop far above any rounding rescue
+        mu_full = np.zeros(nk)
+        mu_full[keep] = mu
+        dev = gaps - mu_full[owner]
+        s2 = np.bincount(owner, weights=dev * dev, minlength=nk)
+        var = np.maximum(s2[keep] / n[keep], 0.0)
+        sd = np.sqrt(var)
+        den = sd + mu
+        with np.errstate(divide="ignore", invalid="ignore"):
+            b = np.where(den > 0, (sd - mu) / den, np.nan)
+        first_rows = np.flatnonzero(starts)[keep]
+        out = pa.table({
+            key: kk.take(pa.array(first_rows, pa.int64())),
+            "n_gaps": pa.array(n[keep], pa.int64()),
+            "mean_gap": pa.array(mu, pa.float64()),
+            "std_gap": pa.array(sd, pa.float64()),
+            "burstiness": pa.array(b, pa.float64(), from_pandas=True)})
+        return out
+
+    return bucketed_group_apply(
+        ds.map_batches(proj, batch_format="pyarrow"), [key], final,
+        num_buckets=num_buckets, max_group_rows=max_group_rows)
+
+
+def sequence_nll(ds, key: str, ts_col: str, state_col: str,
+                 trans: pa.Table, *, n_states: int,
+                 tie_cols: list[str] | None = None,
+                 num_buckets: int | None = None,
+                 max_group_rows: int | None = 4_000_000):
+    """Per-key mean negative log-likelihood of its time-ordered state
+    sequence under a first-order Markov model — the behavioral anomaly
+    score (a key whose transitions are rare under the corpus-wide model
+    scores high).  ``trans`` is the (prev_state, state, cnt) table from
+    :func:`transition_counts` (driver-small: ≤ states²); transition
+    probabilities are add-one smoothed over ``n_states``:
+    P(s|p) = (c(p,s)+1)/(c(p)+n_states+1), unseen contexts degrade to
+    1/(n_states+1).  Output per key with ≥ 1 transition:
+    (key, n_trans, nll).
+
+    Scale shape: the per-pair logp and per-context fallback tables are
+    precomputed driver-side (bounded by distinct states) and broadcast
+    ONCE via ``ray.put``; scoring is the same combiner-less co-bucketed
+    exchange as transition_counts with an index_in join per bucket.
+    """
+    import numpy as np
+    import ray
+
+    from webval.exchange import bucketed_group_apply
+
+    tie_cols = list(tie_cols or [])
+    cols = [key, ts_col, state_col] + tie_cols
+
+    sep = "\x00"
+    pv = pc.cast(trans.column("prev_state").combine_chunks(), pa.string())
+    sv = pc.cast(trans.column("state").combine_chunks(), pa.string())
+    cv = trans.column("cnt").to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    ctx_tab = trans.group_by("prev_state").aggregate([("cnt", "sum")])
+    ctx_names = pc.cast(ctx_tab.column("prev_state").combine_chunks(),
+                        pa.string())
+    ctx_cnt = ctx_tab.column("cnt_sum").to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    # per observed pair: ln((c2+1)/(cp+S+1)); per context: the unseen-pair
+    # fallback ln(1/(cp+S+1)); global fallback ln(1/(S+1))
+    ctx_of_pair = pc.index_in(pv, value_set=ctx_names) \
+        .to_numpy(zero_copy_only=False)
+    pair_lp = np.log((cv + 1.0) / (ctx_cnt[ctx_of_pair]
+                                   + n_states + 1.0))
+    ctx_lp = np.log(1.0 / (ctx_cnt + n_states + 1.0))
+    oov_lp = float(np.log(1.0 / (n_states + 1.0)))
+    pair_keys = pc.binary_join_element_wise(pv, sv, sep)
+    model_ref = ray.put((pair_keys, pa.array(pair_lp, pa.float64()),
+                         ctx_names, pa.array(ctx_lp, pa.float64())))
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        m = pc.is_valid(t.column(key).combine_chunks())
+        for c in (ts_col, state_col):
+            m = pc.and_(m, pc.is_valid(t.column(c).combine_chunks()))
+        return t.filter(m)
+
+    def final(g: pa.Table) -> pa.Table:
+        key_type = g.schema.field(key).type
+        empty = pa.table({key: pa.array([], key_type),
+                          "n_trans": pa.array([], pa.int64()),
+                          "nll": pa.array([], pa.float64())})
+        if g.num_rows < 2:
+            return empty
+        pk, plp, cn, clp = ray.get(model_ref)
+        g = g.sort_by([(key, "ascending"), (ts_col, "ascending")]
+                      + [(c, "ascending") for c in tie_cols])
+        kk = g.column(key).combine_chunks()
+        kv = kk.to_numpy(zero_copy_only=False)
+        same = kv[1:] == kv[:-1]
+        if not same.any():
+            return empty
+        idx = np.flatnonzero(same) + 1
+        states = pc.cast(g.column(state_col).combine_chunks(), pa.string())
+        prev = states.take(pa.array(idx - 1, pa.int64()))
+        cur = states.take(pa.array(idx, pa.int64()))
+        keys2 = pc.binary_join_element_wise(prev, cur, sep)
+        pos = pc.index_in(keys2, value_set=pk)
+        lp = pc.take(plp, pos).to_numpy(zero_copy_only=False)
+        miss = np.isnan(lp) | pc.is_null(pos).to_numpy(zero_copy_only=False)
+        if miss.any():
+            cpos = pc.index_in(prev.filter(pa.array(miss)), value_set=cn)
+            fallback = pc.fill_null(pc.take(clp, cpos), oov_lp) \
+                .to_numpy(zero_copy_only=False)
+            lp = lp.copy()
+            lp[miss] = fallback
+        starts = np.r_[True, ~same]
+        code = np.cumsum(starts) - 1
+        owner = code[idx]
+        nk = code[-1] + 1
+        n = np.bincount(owner, minlength=nk)
+        s = np.bincount(owner, weights=lp, minlength=nk)
+        keep = np.flatnonzero(n > 0)
+        first_rows = np.flatnonzero(starts)[keep]
+        return pa.table({
+            key: kk.take(pa.array(first_rows, pa.int64())),
+            "n_trans": pa.array(n[keep], pa.int64()),
+            "nll": pa.array(-s[keep] / n[keep], pa.float64())})
+
+    return bucketed_group_apply(
+        ds.map_batches(proj, batch_format="pyarrow"), [key], final,
+        num_buckets=num_buckets, max_group_rows=max_group_rows)
