@@ -262,3 +262,70 @@ def bh_select(p_values, q: float = 0.05):
     mask = np.zeros(m, dtype=bool)
     mask[order[:k]] = True
     return mask, k, float(k * q / m)
+
+
+def rank_correlations(mat) -> tuple[float, float, int]:
+    """Spearman ρ and Kendall τ-b from a contingency-count matrix whose
+    rows/columns are the SORTED distinct x/y values — the tie-aware rank
+    dependence pair (textbook formulas: Spearman = Pearson over average
+    ranks; Kendall 1945 τ-b with the tie corrections n₁/n₂).  Exact for
+    discrete-domain columns where the contingency table is small; the
+    monotone-dependence companion to :func:`mutual_information` /
+    :func:`contingency_stats` on the same exchange.  Returns
+    (spearman, tau_b, n); either statistic is NaN when its denominator is
+    zero (a constant margin), matching SQL corr()/NULLIF semantics."""
+    m = np.asarray(mat, dtype=np.float64)
+    n = m.sum()
+    if n <= 0:
+        return float("nan"), float("nan"), 0
+    r = m.sum(axis=1)
+    c = m.sum(axis=0)
+    # average (midrank) per distinct value: ranks before + (count+1)/2
+    rx = np.cumsum(r) - r + (r + 1.0) / 2.0
+    ry = np.cumsum(c) - c + (c + 1.0) / 2.0
+    mx = float((rx * r).sum() / n)
+    my = float((ry * c).sum() / n)
+    cov = float((((rx - mx)[:, None] * (ry - my)[None, :]) * m).sum())
+    vx = float((((rx - mx) ** 2) * r).sum())
+    vy = float((((ry - my) ** 2) * c).sum())
+    rho = cov / math.sqrt(vx * vy) if vx > 0 and vy > 0 else float("nan")
+    # suffix[i, j] = count of cells strictly below-right of (i, j)
+    grid = np.zeros((m.shape[0] + 1, m.shape[1] + 1))
+    grid[:-1, :-1] = m
+    suf = np.flip(np.cumsum(np.cumsum(np.flip(grid), axis=0), axis=1))
+    conc = float((m * suf[1:, 1:]).sum())
+    # discordant: cells strictly below-LEFT: suffix over rows, prefix cols
+    low_left = np.zeros((m.shape[0] + 1, m.shape[1] + 1))
+    low_left[:-1, 1:] = m
+    ll = np.flip(np.cumsum(np.flip(low_left, axis=0), axis=0), axis=0)
+    ll = np.cumsum(ll, axis=1)
+    disc = float((m * ll[1:, :-1]).sum())
+    n0 = n * (n - 1.0) / 2.0
+    n1 = float((r * (r - 1.0)).sum() / 2.0)
+    n2 = float((c * (c - 1.0)).sum() / 2.0)
+    den = (n0 - n1) * (n0 - n2)
+    tau = (conc - disc) / math.sqrt(den) if den > 0 else float("nan")
+    return rho, tau, int(n)
+
+
+def uncertainty_coefficient(mat) -> tuple[float, float, float, int]:
+    """Theil's uncertainty coefficient U(Y|X) from a contingency-count
+    matrix (rows = X, cols = Y): U = (H(Y) − H(Y|X)) / H(Y) in nats
+    (Theil 1970) — the ASYMMETRIC dependence audit ("how much does knowing
+    X reduce uncertainty about Y"), the probabilistic sibling of the
+    functional-dependency check: U = 1 iff X determines Y exactly.
+    Returns (u, h_y, h_y_given_x, n); u is NaN when H(Y) = 0 (constant
+    Y column — nothing to predict)."""
+    m = np.asarray(mat, dtype=np.float64)
+    n = m.sum()
+    if n <= 0:
+        return float("nan"), 0.0, 0.0, 0
+    c = m.sum(axis=0)
+    r = m.sum(axis=1, keepdims=True)
+    cz = c[c > 0]
+    h_y = float(-np.sum((cz / n) * np.log(cz / n)))
+    nz = m > 0
+    h_yx = float(-np.sum((m[nz] / n) * np.log(m[nz] / np.broadcast_to(
+        r, m.shape)[nz])))
+    u = (h_y - h_yx) / h_y if h_y > 0 else float("nan")
+    return u, h_y, h_yx, int(n)

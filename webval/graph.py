@@ -287,3 +287,77 @@ def degree_assortativity(edges, src_col: str, dst_col: str, *,
     return pa.table({
         "n_edges": pa.array([n_edges], pa.int64()),
         "assortativity": pa.array([r], pa.float64())})
+
+
+def kcore(edges, src_col: str, dst_col: str, *, k: int = 3,
+          max_iter: int = 8, num_buckets: int | None = None) -> "object":
+    """k-core of the undirected graph: the maximal subgraph in which
+    every node keeps ≥ k distinct neighbors after iteratively peeling
+    lower-degree nodes (Seidman 1983, network cores) — the link-farm /
+    tight-cluster detector degree alone misses (a high-degree node whose
+    neighbors are all leaves is NOT in the 2-core).  Edges are
+    symmetrized and deduplicated; self-loops and null endpoints drop.
+
+    Runs the peel as a FIXED budget of ``max_iter`` rounds (early-exit
+    when a round removes nothing — the remaining rounds are no-ops, so
+    the result equals the full unroll and an unrolled-CTE SQL twin) and
+    raises a named diagnostic if the peel is still shrinking after the
+    budget, so a fixture change can never silently desync a parity twin.
+    Returns a Dataset[{node, core_degree}] of surviving nodes.
+
+    Scale shape: per iteration, one count-combiner degree exchange over
+    the current edge set plus two co-bucketed semi-joins (edges whose
+    src AND dst survive) — the connected-components iteration template;
+    no node- or edge-sized driver state (counts only)."""
+    from webval.exchange import distinct_rows, grouped_agg
+    from webval.joins import equi_join
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column(src_col).combine_chunks()
+        b = t.column(dst_col).combine_chunks()
+        keep = pc.and_(pc.and_(pc.is_valid(a), pc.is_valid(b)),
+                       pc.invert(pc.equal(a, b)))
+        a, b = a.filter(keep), b.filter(keep)
+        return pa.table({"node": pa.concat_arrays([a, b]),
+                         "nbr": pa.concat_arrays([b, a])})
+
+    e = distinct_rows(edges.map_batches(sym, batch_format="pyarrow"),
+                      ["node", "nbr"], num_buckets=num_buckets) \
+        .materialize()
+    n_edges = e.count()
+    for it in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = grouped_agg(e, ["node"], [("nbr", "count")],
+                          rename={"nbr_count": "deg"},
+                          num_buckets=num_buckets)
+        keep = deg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("deg"), k)),
+            batch_format="pyarrow")
+        e2 = equi_join(e, keep, on=["node"], how="semi",
+                       num_buckets=num_buckets)
+        e2 = equi_join(e2, keep.map_batches(
+            lambda t: t.rename_columns(["nbr"] + t.column_names[1:]),
+            batch_format="pyarrow"), on=["nbr"], how="semi",
+            num_buckets=num_buckets).materialize()
+        n2 = e2.count()
+        e = e2
+        if n2 == n_edges:          # fixpoint: remaining rounds are no-ops
+            break
+        n_edges = n2
+    else:
+        if n_edges:
+            deg = grouped_agg(e, ["node"], [("nbr", "count")],
+                              rename={"nbr_count": "deg"},
+                              num_buckets=num_buckets)
+            under = deg.map_batches(
+                lambda t: t.filter(pc.less(t.column("deg"), k)),
+                batch_format="pyarrow")
+            if under.count():
+                raise RuntimeError(
+                    f"kcore: peel still shrinking after max_iter="
+                    f"{max_iter} rounds (k={k}); raise max_iter (and "
+                    "match any unrolled SQL twin) for this graph")
+    return grouped_agg(e, ["node"], [("nbr", "count")],
+                       rename={"nbr_count": "core_degree"},
+                       num_buckets=num_buckets)

@@ -7618,6 +7618,359 @@ ORDER BY cluster, p_partkey
 """
 
 
+def q_rank_corr(sf_dir: str):
+    """Spearman ρ and Kendall τ-b between l_quantity and l_linenumber
+    (drift.rank_correlations): the tie-aware monotone-dependence pair,
+    exact from ONE contingency-count exchange (the mutual_info/cramers_v
+    substrate — 50×7 cells, never rows).  The SQL twin computes Spearman
+    as corr() over midranks and τ-b by the concordant/discordant
+    contingency self-join with Kendall's tie corrections."""
+    import ray.data as rd
+
+    from webval.drift import rank_correlations
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_linenumber"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        x = t.column("l_quantity").combine_chunks()
+        y = pc.cast(t.column("l_linenumber").combine_chunks(),
+                    pa.float64())
+        m = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        return pa.table({"x": x.filter(m), "y": y.filter(m)})
+
+    counts = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                         ["x", "y"], [("x", "count")],
+                         rename={"x_count": "cnt"})
+    t = ds_to_table(counts)
+    xs = t.column("x").to_numpy(zero_copy_only=False)
+    ys = t.column("y").to_numpy(zero_copy_only=False)
+    cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+    ux, uy = np.unique(xs), np.unique(ys)
+    mat = np.zeros((len(ux), len(uy)), dtype=np.float64)
+    mat[np.searchsorted(ux, xs), np.searchsorted(uy, ys)] = cnt
+    rho, tau, n = rank_correlations(mat)
+    return _round_cols(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "spearman": pa.array([rho], pa.float64()),
+        "kendall_tau_b": pa.array([tau], pa.float64()),
+    }), {"spearman": 6, "kendall_tau_b": 6})
+
+
+SQL_RANK_CORR = """
+WITH v AS (SELECT l_quantity AS x, CAST(l_linenumber AS DOUBLE) AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL),
+r AS (SELECT x, y,
+        rank() OVER (ORDER BY x)
+          + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+        rank() OVER (ORDER BY y)
+          + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+      FROM v),
+c AS (SELECT x, y, CAST(count(*) AS DOUBLE) AS o FROM v GROUP BY 1, 2),
+conc AS (SELECT coalesce(sum(c1.o * c2.o), 0) AS s FROM c c1 JOIN c c2
+         ON c2.x > c1.x AND c2.y > c1.y),
+disc AS (SELECT coalesce(sum(c1.o * c2.o), 0) AS s FROM c c1 JOIN c c2
+         ON c2.x > c1.x AND c2.y < c1.y),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+tx AS (SELECT sum(o * (o - 1)) / 2.0 AS t
+       FROM (SELECT sum(o) AS o FROM c GROUP BY x)),
+ty AS (SELECT sum(o * (o - 1)) / 2.0 AS t
+       FROM (SELECT sum(o) AS o FROM c GROUP BY y))
+SELECT CAST(nn.n AS BIGINT) AS n,
+       round(corr(r.rx, r.ry), 6) AS spearman,
+       round((conc.s - disc.s)
+             / sqrt((nn.n * (nn.n - 1) / 2.0 - tx.t)
+                    * (nn.n * (nn.n - 1) / 2.0 - ty.t)), 6)
+           AS kendall_tau_b
+FROM r CROSS JOIN conc CROSS JOIN disc CROSS JOIN nn
+       CROSS JOIN tx CROSS JOIN ty
+GROUP BY nn.n, conc.s, disc.s, tx.t, ty.t
+"""
+
+
+def q_theils_u(sf_dir: str):
+    """Theil's uncertainty coefficient U(source | lang) on documents
+    (drift.uncertainty_coefficient): the ASYMMETRIC dependence audit —
+    how much knowing the language reduces uncertainty about the source —
+    from the same exact contingency exchange as mutual_info; U = 1 iff
+    lang functionally determines source (the probabilistic FD check)."""
+    import ray.data as rd
+
+    from webval.drift import uncertainty_coefficient
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.select(["lang", "source"])
+        return t.filter(pc.and_(
+            pc.is_valid(t.column("lang").combine_chunks()),
+            pc.is_valid(t.column("source").combine_chunks())))
+
+    counts = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                         ["lang", "source"], [("lang", "count")],
+                         rename={"lang_count": "cnt"})
+    t = ds_to_table(counts)
+    langs = t.column("lang").to_numpy(zero_copy_only=False)
+    srcs = t.column("source").to_numpy(zero_copy_only=False)
+    cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+    ul, us = np.unique(langs), np.unique(srcs)
+    mat = np.zeros((len(ul), len(us)), dtype=np.float64)
+    mat[np.searchsorted(ul, langs), np.searchsorted(us, srcs)] = cnt
+    u, hy, hyx, n = uncertainty_coefficient(mat)
+    return _round_cols(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "h_y": pa.array([hy], pa.float64()),
+        "h_y_given_x": pa.array([hyx], pa.float64()),
+        "theils_u": pa.array([u], pa.float64()),
+    }), {"h_y": 6, "h_y_given_x": 6, "theils_u": 6})
+
+
+SQL_THEILS_U = """
+WITH c AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+           FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL
+           GROUP BY 1, 2),
+n AS (SELECT sum(o) AS n FROM c),
+rt AS (SELECT lang, sum(o) AS r FROM c GROUP BY 1),
+ct AS (SELECT source, sum(o) AS cl FROM c GROUP BY 1),
+hy AS (SELECT -sum((cl / n.n) * ln(cl / n.n)) AS h FROM ct CROSS JOIN n),
+hyx AS (SELECT -sum((c.o / n.n) * ln(c.o / rt.r)) AS h
+        FROM c JOIN rt USING (lang) CROSS JOIN n)
+SELECT CAST(n.n AS BIGINT) AS n, round(hy.h, 6) AS h_y,
+       round(hyx.h, 6) AS h_y_given_x,
+       round((hy.h - hyx.h) / hy.h, 6) AS theils_u
+FROM n CROSS JOIN hy CROSS JOIN hyx
+"""
+
+
+def q_weighted_median(sf_dir: str):
+    """Per-returnflag REVENUE-weighted median quantity
+    (rank.grouped_weighted_median): the smallest quantity at which half
+    the flag's extended-price mass sits — the size-weighted robust
+    center a plain median misses.  One (flag, quantity) sum exchange
+    (150 keys), key-sized finalize.  total_weight rounds at 2 decimals:
+    a ~1e9 sum's last-ulp spread (engine-order summation) sits ~1e-7,
+    comfortably inside."""
+    import ray.data as rd
+
+    from webval.rank import grouped_weighted_median
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+    t = grouped_weighted_median(ds, "l_returnflag", "l_quantity",
+                                "l_extendedprice")
+    return _round_cols(t.sort_by([("l_returnflag", "ascending")]),
+                       {"total_weight": 2})
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH vw AS (SELECT l_returnflag AS f, l_quantity AS v,
+                   sum(l_extendedprice) AS w
+            FROM lineitem
+            WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+              AND l_extendedprice IS NOT NULL
+            GROUP BY 1, 2),
+t AS (SELECT f, v, sum(w) OVER (PARTITION BY f) AS tw,
+             sum(w) OVER (PARTITION BY f ORDER BY v) AS cw
+      FROM vw)
+SELECT f AS l_returnflag,
+       min(v) FILTER (WHERE cw >= 0.5 * tw) AS weighted_median,
+       round(any_value(tw), 2) AS total_weight
+FROM t GROUP BY f ORDER BY f
+"""
+
+
+def q_kcore(sf_dir: str):
+    """28-core of the supplier–part sourcing graph (graph.kcore): nodes
+    keeping ≥ 28 distinct neighbors after iterative peeling — the
+    dense-subgraph audit degree alone misses.  Part nodes are offset by
+    1,000,000 into the shared id space (same arithmetic in the twin).
+    The Ray peel early-exits at the fixpoint and RAISES if still
+    shrinking after 8 rounds; the SQL twin unrolls exactly 8 rounds, so
+    the two can only agree on a true fixpoint (measured: ≤ 3 sweeps at
+    sf0.001/0.01/0.1, empty core at sf0.001 — the zero-row path)."""
+    import ray.data as rd
+
+    from webval.graph import kcore
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_partkey"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column("l_suppkey"),
+            "dst": pc.add(t.column("l_partkey").combine_chunks(),
+                          pa.scalar(1_000_000, pa.int64()))})
+
+    out = kcore(ds.map_batches(proj, batch_format="pyarrow"),
+                "src", "dst", k=28, max_iter=8)
+    t = ds_to_table(out, empty_schema=pa.schema(
+        [("node", pa.int64()), ("core_degree", pa.int64())]))
+    return t.sort_by([("node", "ascending")])
+
+
+def _kcore_sql(k: int, iters: int) -> str:
+    # every e_i is referenced three times downstream (its degree CTE and
+    # both sides of the next semi-filter) — WITHOUT "AS MATERIALIZED",
+    # DuckDB inlines CTEs per reference and the unroll re-expands e0
+    # 3^iters times (measured: the plain form never finished; the
+    # materialized form runs in 0.3 s at sf0.01)
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f"d{i} AS MATERIALIZED (SELECT node, count(*) AS deg "
+            f"FROM e{i} GROUP BY node),\n"
+            f"n{i} AS MATERIALIZED (SELECT node FROM d{i} "
+            f"WHERE deg >= {k}),\n"
+            f"e{i + 1} AS MATERIALIZED (SELECT e{i}.node, e{i}.nbr "
+            f"FROM e{i}\n"
+            f"  JOIN n{i} USING (node)\n"
+            f"  JOIN n{i} m ON e{i}.nbr = m.node)")
+    return (
+        "WITH bp AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s,\n"
+        "                   l_partkey + 1000000 AS p FROM lineitem\n"
+        "            WHERE l_suppkey IS NOT NULL "
+        "AND l_partkey IS NOT NULL),\n"
+        "e0 AS MATERIALIZED (SELECT s AS node, p AS nbr FROM bp\n"
+        "       UNION ALL SELECT p, s FROM bp),\n"
+        + ",\n".join(steps)
+        + f"\nSELECT node, CAST(count(*) AS BIGINT) AS core_degree\n"
+        f"FROM e{iters} GROUP BY node ORDER BY node")
+
+
+SQL_KCORE = _kcore_sql(28, 8)
+
+
+def q_jl_projection(sf_dir: str):
+    """Johnson-Lindenstrauss sign projection of the embedding corpus to
+    16 dims (similarity.jl_project): the index-shrinking scale path that
+    approximately preserves geometry.  Output per vector: the first four
+    projected coordinates plus input/output norms (rounded 6 — both
+    engines sum the same products in different orders).  The SQL twin
+    rebuilds the SAME ±1/√16 matrix cell-by-cell from the xorshift hash
+    and projects via unnest + join."""
+    import ray.data as rd
+
+    from webval.similarity import jl_project
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = jl_project(ds, "embedding", dim_out=16, id_col="vec_id")
+
+    def finish(t: pa.Table) -> pa.Table:
+        y = t.column("y").combine_chunks()
+        flat = y.flatten().to_numpy(zero_copy_only=False)             .reshape(len(y), -1)
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "y0": pa.array(flat[:, 0], pa.float64()),
+            "y1": pa.array(flat[:, 1], pa.float64()),
+            "y2": pa.array(flat[:, 2], pa.float64()),
+            "y3": pa.array(flat[:, 3], pa.float64()),
+            "norm_in": t.column("norm_in"),
+            "norm_out": t.column("norm_out")})
+
+    t = ds_to_table(out.map_batches(finish, batch_format="pyarrow"))
+    return _round_cols(t.sort_by([("vec_id", "ascending")]),
+                       {"y0": 6, "y1": 6, "y2": 6, "y3": 6,
+                        "norm_in": 6, "norm_out": 6})
+
+
+SQL_JL_PROJECTION = """
+WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                  unnest(range(len(embedding))) AS j
+           FROM embeddings),
+m AS (SELECT j.j, k.k,
+             CASE WHEN xor((xor((j.j * 16 + k.k) * 2654435761 % 4294967296,
+                                ((j.j * 16 + k.k) * 2654435761
+                                 % 4294967296) >> 16) * 40503)
+                           % 4294967296,
+                           ((xor((j.j * 16 + k.k) * 2654435761
+                                 % 4294967296,
+                                 ((j.j * 16 + k.k) * 2654435761
+                                  % 4294967296) >> 16) * 40503)
+                            % 4294967296) >> 13) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END / 4.0 AS s
+      FROM (SELECT DISTINCT j FROM x) j
+           CROSS JOIN (SELECT unnest(range(16)) AS k) k),
+p AS (SELECT x.vec_id, m.k, sum(x.v * m.s) AS y
+      FROM x JOIN m ON x.j = m.j GROUP BY 1, 2),
+ni AS (SELECT vec_id, sqrt(sum(v * v)) AS norm_in FROM x GROUP BY 1),
+no AS (SELECT vec_id, sqrt(sum(y * y)) AS norm_out FROM p GROUP BY 1)
+SELECT p.vec_id,
+       round(max(CASE WHEN k = 0 THEN y END), 6) AS y0,
+       round(max(CASE WHEN k = 1 THEN y END), 6) AS y1,
+       round(max(CASE WHEN k = 2 THEN y END), 6) AS y2,
+       round(max(CASE WHEN k = 3 THEN y END), 6) AS y3,
+       round(any_value(ni.norm_in), 6) AS norm_in,
+       round(any_value(no.norm_out), 6) AS norm_out
+FROM p JOIN ni USING (vec_id) JOIN no USING (vec_id)
+GROUP BY p.vec_id ORDER BY p.vec_id
+"""
+
+
+def q_theilsen_slope(sf_dir: str):
+    """Theil-Sen robust slope of mean extended price vs quantity: the
+    median of all pairwise slopes over the 50 per-quantity mean points —
+    outlier-resistant where OLS (grouped_regression) is not.  The point
+    set comes from ONE count/sum exchange bounded by distinct
+    quantities; the O(points²) slope sweep runs on that key-sized table
+    (1225 pairs), never on rows.  Slopes round 6: both engines build
+    them from ulp-identical formulas over engine-order mean sums."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").combine_chunks()
+        p = t.column("l_extendedprice").combine_chunks()
+        m = pc.and_(pc.is_valid(q), pc.is_valid(p))
+        t2 = pa.table({"q": q.filter(m), "s": p.filter(m),
+                       "n": pa.array(np.ones(
+                           int(pc.sum(pc.cast(m, pa.int64())).as_py()
+                               or 0), np.int64))})
+        agg = t2.group_by("q").aggregate([("s", "sum"), ("n", "sum")])
+        return agg.rename_columns(["q", "s", "n"])
+
+    pts = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["q"], [("s", "sum"), ("n", "sum")],
+                      rename={"s_sum": "s", "n_sum": "n"})
+    t = ds_to_table(pts).sort_by([("q", "ascending")])
+    q = t.column("q").to_numpy(zero_copy_only=False)
+    y = (t.column("s").to_numpy(zero_copy_only=False)
+         / t.column("n").to_numpy(zero_copy_only=False))
+    iu, ju = np.triu_indices(len(q), k=1)
+    slopes = (y[ju] - y[iu]) / (q[ju] - q[iu])
+    med = float(np.median(slopes)) if len(slopes) else None
+    return _round_cols(pa.table({
+        "n_points": pa.array([len(q)], pa.int64()),
+        "n_pairs": pa.array([len(slopes)], pa.int64()),
+        "theil_sen_slope": pa.array([med], pa.float64()),
+    }), {"theil_sen_slope": 6})
+
+
+SQL_THEILSEN_SLOPE = """
+WITH p AS (SELECT l_quantity AS q, avg(l_extendedprice) AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+           GROUP BY 1),
+s AS (SELECT (b.y - a.y) / (b.q - a.q) AS slope
+      FROM p a JOIN p b ON b.q > a.q)
+SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_points,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(median(slope), 6) AS theil_sen_slope
+FROM s
+"""
+
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -7818,4 +8171,10 @@ QUERIES = {
     "pareto_customers": (q_pareto_customers, SQL_PARETO_CUSTOMERS),
     "bh_drift": (q_bh_drift, SQL_BH_DRIFT),
     "entity_clusters": (q_entity_clusters, SQL_ENTITY_CLUSTERS),
+    "rank_corr": (q_rank_corr, SQL_RANK_CORR),
+    "theils_u": (q_theils_u, SQL_THEILS_U),
+    "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
+    "kcore": (q_kcore, SQL_KCORE),
+    "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
+    "theilsen_slope": (q_theilsen_slope, SQL_THEILSEN_SLOPE),
 }

@@ -681,3 +681,73 @@ def pareto_frontier(ds, x_col: str, y_col: str, *,
     keep = _skyline_2d(x, y)
     out = cand.take(pa.array(keep, pa.int64()))
     return out.sort_by([(x_col, "descending"), (y_col, "ascending")])
+
+
+def grouped_weighted_median(ds, group_col: str, val_col: str,
+                            weight_col: str, *,
+                            num_buckets: int | None = None) -> pa.Table:
+    """Per-group weighted (lower) median: the smallest value whose
+    cumulative weight reaches half the group's total — e.g. the
+    quantity level at which half the group's REVENUE sits, the
+    size-weighted robust center a plain median (every row equal)
+    misses.  Null group/value/weight rows are dropped.  Returns a
+    driver-small pa.Table (group, weighted_median, total_weight),
+    group-sorted.
+
+    Scale shape: ONE sum-combiner exchange on (group, value) — bounded
+    by distinct (group, value) pairs, never rows (the exact-path
+    precondition shared with value_histogram; near-unique value columns
+    belong on the t-digest route).  The finalize (per-group sort +
+    cumsum + first-crossing pick) runs on that key-sized table."""
+    import numpy as np
+
+    from webval.exchange import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).combine_chunks()
+        v = pc.cast(t.column(val_col).combine_chunks(), pa.float64())
+        w = pc.cast(t.column(weight_col).combine_chunks(), pa.float64())
+        m = pc.and_(pc.and_(pc.is_valid(g), pc.is_valid(v)),
+                    pc.is_valid(w))
+        t2 = pa.table({"g": g.filter(m), "v": v.filter(m),
+                       "w": w.filter(m)})
+        agg = t2.group_by(["g", "v"]).aggregate([("w", "sum")])
+        return agg.rename_columns(["g", "v", "w"])
+
+    vw = grouped_agg(
+        ds.select_columns([group_col, val_col, weight_col])
+          .map_batches(partial, batch_format="pyarrow"),
+        ["g", "v"], [("w", "sum")], rename={"w_sum": "w"},
+        num_buckets=num_buckets)
+    import ray
+    blocks = [ray.get(r) for r in vw.materialize().to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows]
+    if not blocks:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "weighted_median": pa.array([], pa.float64()),
+                         "total_weight": pa.array([], pa.float64())})
+    t = pa.concat_tables(blocks).combine_chunks() \
+        .sort_by([("g", "ascending"), ("v", "ascending")])
+    g = t.column("g").to_numpy(zero_copy_only=False)
+    v = t.column("v").to_numpy(zero_copy_only=False)
+    w = t.column("w").to_numpy(zero_copy_only=False)
+    starts = np.r_[True, g[1:] != g[:-1]]
+    code = np.cumsum(starts) - 1
+    nk = code[-1] + 1
+    tot = np.bincount(code, weights=w, minlength=nk)
+    cum = np.cumsum(w)
+    base = np.zeros(nk)
+    first = np.flatnonzero(starts)
+    base[1:] = cum[first[1:] - 1]
+    cum_in = cum - base[code]                 # per-group running weight
+    crossed = cum_in >= 0.5 * tot[code]
+    # first crossing per group: smallest row index with crossed True
+    # (always exists: the group's last row has cum_in == tot ≥ tot/2)
+    idx = np.full(nk, len(g), np.int64)
+    rows = np.flatnonzero(crossed)
+    np.minimum.at(idx, code[rows], rows)
+    med = v[idx]
+    return pa.table({
+        group_col: t.column("g").take(pa.array(first, pa.int64())),
+        "weighted_median": pa.array(med, pa.float64()),
+        "total_weight": pa.array(tot, pa.float64())})

@@ -655,3 +655,58 @@ def quantization_error(ds, vec_col: str = "embedding", *,
                      "max_err": pa.array(me, pa.float64()),
                      "bound": pa.array(bound, pa.float64()),
                      "within_bound": pa.array(within)})
+
+
+def jl_sign_matrix(dim_in: int, dim_out: int) -> np.ndarray:
+    """Deterministic ±1 Johnson-Lindenstrauss projection matrix
+    (Achlioptas 2003, database-friendly random projections): the sign of
+    entry (j, k) is the parity of a xorshift-multiply integer hash of
+    idx = j·dim_out + k — NONLINEAR mixing matters: a plain LCG parity
+    is linear in idx, which makes adjacent output columns near-exact
+    negations of each other (rank collapse — caught empirically when the
+    first cut produced y₂ = −y₁).  The hash (Knuth multiplier, two
+    xor-shift rounds, all mod 2³²) is replayable cell-by-cell in ANY
+    int64 engine — xor()/>>/% only, no overflow below idx ≈ 7e9 — so a
+    SQL twin rebuilds the SAME matrix.  Columns are scaled by 1/√dim_out
+    so squared norms are preserved in expectation."""
+    idx = (np.arange(dim_in, dtype=np.int64)[:, None] * dim_out
+           + np.arange(dim_out, dtype=np.int64)[None, :])
+    h = (idx * 2654435761) % 4294967296
+    h = h ^ (h >> 16)
+    h = (h * 40503) % 4294967296
+    h = h ^ (h >> 13)
+    return np.where(h % 2 == 0, 1.0, -1.0) / np.sqrt(float(dim_out))
+
+
+def jl_project(ds, vec_col: str = "embedding", *, dim_out: int = 8,
+               id_col: str = "vec_id"):
+    """Random-projection dimensionality reduction: project each
+    embedding onto the deterministic ±1/√k JL matrix — the cheap
+    scale path that shrinks ANN/dedup index footprints dim_in/dim_out×
+    while approximately preserving pairwise geometry (the JL lemma's
+    guarantee; sign matrices per Achlioptas 2003).  Output row per
+    vector: (id, y — the projected list<double>, norm_in, norm_out).
+
+    Scale shape: stateless vectorized map — the (dim_in × dim_out)
+    matrix is built once per task from the closure constants (KB-sized,
+    cheaper than shipping it), each batch is ONE numpy matmul; no
+    shuffle, no driver state."""
+
+    def proj(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        m = _as_matrix(t.column(vec_col)).astype(np.float64)
+        r = jl_sign_matrix(m.shape[1], dim_out)
+        y = m @ r
+        offs = pa.array(np.arange(0, (len(y) + 1) * dim_out, dim_out,
+                                  dtype=np.int32))
+        ylist = pa.ListArray.from_arrays(
+            offs, pa.array(y.ravel(), pa.float64()))
+        return pa.table({
+            id_col: ids,
+            "y": ylist,
+            "norm_in": pa.array(np.sqrt((m * m).sum(axis=1)),
+                                pa.float64()),
+            "norm_out": pa.array(np.sqrt((y * y).sum(axis=1)),
+                                 pa.float64())})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
