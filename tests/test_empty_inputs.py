@@ -256,3 +256,47 @@ def test_round4_session4_ops_on_empty():
     qe = quantization_error(ev, "emb")
     assert qe.num_rows == 0
     assert bigram_counts(ev, "s").count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_session6_ops_on_empty():
+    import ray.data as rd
+
+    from webval.graph import kcore
+    from webval.rank import grouped_weighted_median, pareto_frontier
+    from webval.similarity import jl_project
+    from webval.textstats import type_token_stats
+    from webval.windows import interarrival_stats, sequence_nll
+
+    docs = rd.from_arrow(pa.table({
+        "lang": pa.array([], pa.string()),
+        "text": pa.array([], pa.large_string())}))
+    assert type_token_stats(docs, "lang", "text").count() == 0
+
+    ev = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "state": pa.array([], pa.string())}))
+    assert interarrival_stats(ev, "k", "ts").count() == 0
+    trans = pa.table({"prev_state": pa.array([], pa.string()),
+                      "state": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+    assert sequence_nll(ev, "k", "ts", "state", trans,
+                        n_states=0).count() == 0
+
+    nums = rd.from_arrow(pa.table({
+        "g": pa.array([], pa.string()),
+        "v": pa.array([], pa.float64()),
+        "w": pa.array([], pa.float64())}))
+    assert grouped_weighted_median(nums, "g", "v", "w").num_rows == 0
+    assert pareto_frontier(nums, "v", "w").num_rows == 0
+
+    edges = rd.from_arrow(pa.table({
+        "s": pa.array([], pa.int64()),
+        "d": pa.array([], pa.int64())}))
+    assert kcore(edges, "s", "d", k=2).count() == 0
+
+    vecs = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    assert jl_project(vecs, "embedding", dim_out=4).count() == 0
