@@ -300,3 +300,16 @@ def test_session6_ops_on_empty():
         "vec_id": pa.array([], pa.int64()),
         "embedding": pa.array([], pa.list_(pa.float32()))}))
     assert jl_project(vecs, "embedding", dim_out=4).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_term_enrichment_on_empty():
+    import ray.data as rd
+
+    from webval.textstats import term_enrichment
+
+    docs = rd.from_arrow(pa.table({
+        "lang": pa.array([], pa.string()),
+        "text": pa.array([], pa.large_string())}))
+    out = term_enrichment(docs, "lang", "text")
+    assert out.count() == 0

@@ -259,3 +259,64 @@ def test_vocab_overlap_offset_safe_on_sliced_lists():
     flat = pc.list_flatten(sliced).to_pylist()
     assert flat == ["c", "d", "e", "f"]
     assert parent == [0, 1, 1, 1]
+
+
+def test_term_enrichment_matches_brute_force(ray_session):
+    """One-vs-rest chi-square enrichment vs a plain-Python oracle:
+    counts, chi2 values, enrichment gate and top-k tie order."""
+    import collections
+    import itertools
+
+    import ray.data as rd
+
+    from webval.textstats import term_enrichment
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs, grps = [], []
+    for g, bias in (("a", 0), ("b", 2), ("c", 4)):
+        for _ in range(40):
+            n = int(rng.integers(3, 9))
+            probs = np.ones(5)
+            probs[bias] = 4.0
+            words = rng.choice(vocab, size=n, p=probs / probs.sum())
+            docs.append(" ".join(words))
+            grps.append(g)
+
+    ds = rd.from_arrow(pa.table({"g": pa.array(grps),
+                                 "text": pa.array(docs)}))
+    out = term_enrichment(ds, "g", "text", min_count=5, top_k=3) \
+        .to_pandas().sort_values(["g", "chi2", "term"],
+                                 ascending=[True, False, True]) \
+        .reset_index(drop=True)
+
+    # brute-force oracle
+    gt = collections.Counter()
+    for g, d in zip(grps, docs):
+        for w in d.split():
+            gt[(g, w)] += 1
+    tt = collections.Counter()
+    gtot = collections.Counter()
+    for (g, w), c in gt.items():
+        tt[w] += c
+        gtot[g] += c
+    N = sum(tt.values())
+    rows = []
+    for (g, w), a in gt.items():
+        if tt[w] < 5:
+            continue
+        b, c = tt[w] - a, gtot[g] - a
+        d = N - tt[w] - gtot[g] + a
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        chi2 = N * (a * d - b * c) ** 2 / den if den > 0 else 0.0
+        if a * N > tt[w] * gtot[g]:
+            rows.append((g, w, a, tt[w], chi2))
+    expected = []
+    rows.sort(key=lambda r: (r[0], -r[4], r[1]))
+    for g, grp_rows in itertools.groupby(rows, key=lambda r: r[0]):
+        expected.extend(list(grp_rows)[:3])
+
+    assert len(out) == len(expected)
+    for got, exp in zip(out.itertuples(index=False), expected):
+        assert (got.g, got.term, got.n_in_group, got.n_total) == exp[:4]
+        assert got.chi2 == pytest.approx(exp[4], rel=1e-12)

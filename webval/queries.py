@@ -7956,6 +7956,60 @@ def q_theilsen_slope(sf_dir: str):
     }), {"theil_sen_slope": 6})
 
 
+def q_term_enrichment(sf_dir: str):
+    """Per-language over-represented vocabulary
+    (textstats.term_enrichment): one-vs-rest 2x2 chi-square of each
+    term's in-group vs out-of-group occurrence, top-5 enriched terms
+    per lang with global count >= 20 — the "what vocabulary marks this
+    source" template/boilerplate audit.  chi2 rounds 6: counts are
+    exact int-valued doubles on both engines, and the SQL twin spells
+    the formula with the SAME association (a*d - b*c, four-factor
+    denominator), so only final-ulp products differ."""
+    import ray.data as rd
+
+    from webval.textstats import term_enrichment
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    t = ds_to_table(term_enrichment(ds, "lang", "text",
+                                    min_count=20, top_k=5))
+    t = t.sort_by([("lang", "ascending"), ("chi2", "descending"),
+                   ("term", "ascending")])
+    return _round_cols(t, {"chi2": 6})
+
+
+SQL_TERM_ENRICHMENT = """
+WITH tok AS (SELECT lang,
+                    unnest(list_filter(regexp_split_to_array(lower(text),
+                                                             '[^a-z0-9]+'),
+                                       x -> x <> '')) AS term
+             FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+gt AS (SELECT lang, term, count(*) AS a FROM tok GROUP BY 1, 2),
+tt AS (SELECT term, sum(a) AS term_total FROM gt GROUP BY 1),
+gtot AS (SELECT lang, sum(a) AS grp_total FROM gt GROUP BY 1),
+n AS (SELECT sum(a) AS big_n FROM gt),
+sc AS (SELECT gt.lang, gt.term, gt.a, tt.term_total,
+              (tt.term_total - gt.a) AS b, (gtot.grp_total - gt.a) AS c,
+              (n.big_n - tt.term_total - gtot.grp_total + gt.a) AS d,
+              n.big_n
+       FROM gt JOIN tt USING (term) JOIN gtot USING (lang) CROSS JOIN n
+       WHERE tt.term_total >= 20
+         AND gt.a * n.big_n > tt.term_total * gtot.grp_total),
+chi AS (SELECT lang, term, a AS n_in_group, term_total AS n_total,
+               CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) > 0
+                    THEN big_n * (a*d - b*c)^2
+                         / ((a+b)*(c+d)*(a+c)*(b+d))
+                    ELSE 0 END AS chi2
+        FROM sc),
+rk AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                    ORDER BY chi2 DESC, term) AS rn
+       FROM chi)
+SELECT lang, term, CAST(n_in_group AS BIGINT) AS n_in_group,
+       CAST(n_total AS BIGINT) AS n_total, round(chi2, 6) AS chi2
+FROM rk WHERE rn <= 5 ORDER BY lang, chi2 DESC, term
+"""
+
+
 SQL_THEILSEN_SLOPE = """
 WITH p AS (SELECT l_quantity AS q, avg(l_extendedprice) AS y
            FROM lineitem
@@ -8177,4 +8231,5 @@ QUERIES = {
     "kcore": (q_kcore, SQL_KCORE),
     "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
     "theilsen_slope": (q_theilsen_slope, SQL_THEILSEN_SLOPE),
+    "term_enrichment": (q_term_enrichment, SQL_TERM_ENRICHMENT),
 }

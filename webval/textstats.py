@@ -612,3 +612,117 @@ def type_token_stats(ds, group_col: str, text_col: str, *,
     return roll.map_batches(finish, batch_format="pyarrow") \
         .map_batches(lambda t: t.rename_columns(
             [group_col] + t.column_names[1:]), batch_format="pyarrow")
+
+
+def term_enrichment(ds, group_col: str, text_col: str, *,
+                    min_count: int = 20, top_k: int = 5,
+                    num_buckets: int | None = None):
+    """Per-group over-represented terms: for each (group, term) the
+    one-vs-rest 2×2 chi-square N·(ad − bc)²/((a+b)(c+d)(a+c)(b+d)) of
+    term occurrence inside vs outside the group, keeping the ``top_k``
+    ENRICHED (observed > expected) terms per group with global count
+    ≥ ``min_count`` — the "what vocabulary marks this source" audit
+    that flags template/boilerplate domination.  Tokens are the lm
+    tokenizer's ``[a-z0-9]+`` pieces.  Returns Dataset[{group, term,
+    n_in_group, n_total, chi2}] (top-k per group, chi2-descending,
+    term-ascending ties).
+
+    Scale shape: (group, term) count exchange → term-total rollup off
+    it (count-combiner, term-bounded) → co-bucketed equi-join back on
+    term; group totals and N are a key-sized driver table folded into
+    the closure; the chi-square is one vectorized expression and the
+    per-group selection is rank.top_k_per_group's combiner (≤ k rows
+    per group per batch move)."""
+    import ray
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.joins import equi_join
+    from webval.lm import TOKEN_SPLIT_PATTERN, _tokenize
+    from webval.rank import top_k_per_group
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.is_valid(t.column(group_col).combine_chunks()),
+            pc.is_valid(t.column(text_col).combine_chunks())))
+        flat, doc_idx = _tokenize(t.column(text_col).combine_chunks(),
+                                  TOKEN_SPLIT_PATTERN)
+        grp = pc.cast(t.column(group_col).combine_chunks(), pa.string()) \
+            .take(pa.array(doc_idx, pa.int64()))
+        pairs = pa.table({"grp": grp, "term": flat})
+        agg = pairs.group_by(["grp", "term"]).aggregate([("term", "count")])
+        return agg.rename_columns(["grp", "term", "cnt"])
+
+    gt = grouped_agg(
+        ds.select_columns([group_col, text_col])
+          .map_batches(partial, batch_format="pyarrow"),
+        ["grp", "term"], [("cnt", "sum")], rename={"cnt_sum": "cnt"},
+        num_buckets=num_buckets).materialize()
+
+    tt = grouped_agg(gt, ["term"], [("cnt", "sum")],
+                     rename={"cnt_sum": "term_total"},
+                     num_buckets=num_buckets)
+
+    # group totals: one row per group — driver-small by definition
+    gtot_ds = grouped_agg(gt, ["grp"], [("cnt", "sum")],
+                          rename={"cnt_sum": "grp_total"},
+                          num_buckets=num_buckets)
+    blocks = [ray.get(r) for r in gtot_ds.materialize().to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows]
+    if not blocks:
+        return rd.from_arrow(pa.table({
+            group_col: pa.array([], pa.string()),
+            "term": pa.array([], pa.large_string()),
+            "n_in_group": pa.array([], pa.int64()),
+            "n_total": pa.array([], pa.int64()),
+            "chi2": pa.array([], pa.float64())}))
+    gtot = pa.concat_tables(blocks).combine_chunks()
+    grp_keys = pc.cast(gtot.column("grp").combine_chunks(), pa.string())
+    grp_vals = gtot.column("grp_total").to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    big_n = float(grp_vals.sum())
+
+    joined = equi_join(gt, tt, on=["term"], how="inner",
+                       num_buckets=num_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("term_total"), min_count))
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "term": pa.array(
+                                 [], t.schema.field("term").type
+                                 if "term" in t.column_names
+                                 else pa.large_string()),
+                             "n_in_group": pa.array([], pa.int64()),
+                             "n_total": pa.array([], pa.int64()),
+                             "chi2": pa.array([], pa.float64())})
+        grp = t.column("grp").combine_chunks()
+        a = t.column("cnt").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ct = t.column("term_total").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pos = pc.index_in(pc.cast(grp, pa.string()),
+                          value_set=grp_keys) \
+            .to_numpy(zero_copy_only=False)
+        cg = grp_vals[pos]      # every grp key exists by construction
+        b = ct - a
+        c = cg - a
+        d = big_n - ct - cg + a
+        num = big_n * (a * d - b * c) ** 2
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            chi2 = np.where(den > 0, num / den, 0.0)
+        enriched = a * big_n > ct * cg          # observed > expected
+        out = pa.table({group_col: grp,
+                        "term": t.column("term"),
+                        "n_in_group": pc.cast(t.column("cnt"),
+                                              pa.int64()),
+                        "n_total": pc.cast(t.column("term_total"),
+                                           pa.int64()),
+                        "chi2": pa.array(chi2, pa.float64())})
+        return out.filter(pa.array(enriched))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return top_k_per_group(scored, group_col, "chi2", top_k,
+                           descending=True, tie_cols=["term"],
+                           num_buckets=num_buckets)
