@@ -313,3 +313,30 @@ def test_term_enrichment_on_empty():
         "text": pa.array([], pa.large_string())}))
     out = term_enrichment(docs, "lang", "text")
     assert out.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_session7_ops_on_empty():
+    import ray.data as rd
+
+    from webval.aggregates import simpson_slopes
+    from webval.graph import resolve_pointers
+    from webval.rank import grouped_mad
+    from webval.textstats import chao1_richness
+
+    nums = rd.from_arrow(pa.table({
+        "g": pa.array([], pa.string()),
+        "x": pa.array([], pa.float64()),
+        "y": pa.array([], pa.float64())}))
+    assert simpson_slopes(nums, "g", "x", "y").num_rows == 0
+    assert grouped_mad(nums, "g", "x").count() == 0
+
+    docs = rd.from_arrow(pa.table({
+        "g": pa.array([], pa.string()),
+        "text": pa.array([], pa.large_string())}))
+    assert chao1_richness(docs, "g", "text").count() == 0
+
+    m = rd.from_arrow(pa.table({
+        "s": pa.array([], pa.int64()),
+        "d": pa.array([], pa.int64())}))
+    assert resolve_pointers(m, "s", "d").count() == 0

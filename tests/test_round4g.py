@@ -1,0 +1,154 @@
+"""Round-4 session-7 operators vs brute-force oracles: Simpson's-paradox
+slope audit, Chao1 richness, pointer-doubling chain resolution, grouped
+MAD."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ols_slope(x, y):
+    n = len(x)
+    if n < 2 or np.var(x) == 0:
+        return None
+    return float(np.cov(x, y, bias=True)[0, 1] / np.var(x))
+
+
+def test_simpson_slopes_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from webval.aggregates import simpson_slopes
+
+    rng = np.random.default_rng(7)
+    # classic construction: within each stratum y DECREASES with x, but
+    # strata with larger x also have much larger y -> pooled slope > 0
+    xs, ys, gs = [], [], []
+    for i, g in enumerate("abc"):
+        x = rng.uniform(0, 1, 200) + 2 * i
+        y = -1.0 * x + 10 * i + rng.normal(0, 0.05, 200)
+        xs.append(x)
+        ys.append(y)
+        gs += [g] * 200
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    ds = rd.from_arrow(pa.table({"g": pa.array(gs), "x": pa.array(x),
+                                 "y": pa.array(y)}))
+    out = simpson_slopes(ds, "g", "x", "y").to_pandas()
+    assert list(out["stratum"]) == ["a", "b", "c", "__all__"]
+    pooled = _ols_slope(x, y)
+    assert out["slope"].iloc[3] == pytest.approx(pooled, rel=1e-9)
+    for i, g in enumerate("abc"):
+        m = np.array(gs) == g
+        s = _ols_slope(x[m], y[m])
+        assert out["slope"].iloc[i] == pytest.approx(s, rel=1e-9)
+        assert bool(out["sign_reversed"].iloc[i]) == ((s > 0) != (pooled > 0))
+    assert not out["sign_reversed"].iloc[3]
+    assert out["sign_reversed"].iloc[:3].all()    # the paradox fires
+
+
+def test_simpson_slopes_degenerate_stratum(ray_session):
+    import ray.data as rd
+
+    from webval.aggregates import simpson_slopes
+
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(["a", "a", "b"]),
+        "x": pa.array([1.0, 2.0, 5.0]),
+        "y": pa.array([1.0, 3.0, 2.0])}))
+    out = simpson_slopes(ds, "g", "x", "y").to_pandas()
+    # stratum b has n=1 -> null slope, never flagged
+    row_b = out[out["stratum"] == "b"].iloc[0]
+    assert np.isnan(row_b["slope"]) and not row_b["sign_reversed"]
+    assert out[out["stratum"] == "a"]["slope"].iloc[0] == pytest.approx(2.0)
+
+
+def test_chao1_matches_counter_oracle(ray_session):
+    import ray.data as rd
+
+    from webval.textstats import chao1_richness
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(60)]
+    docs, grps = [], []
+    for g in ("a", "b"):
+        for _ in range(30):
+            n = int(rng.integers(2, 12))
+            docs.append(" ".join(rng.choice(vocab, size=n)))
+            grps.append(g)
+    ds = rd.from_arrow(pa.table({"g": pa.array(grps),
+                                 "text": pa.array(docs)}))
+    out = chao1_richness(ds, "g", "text").to_pandas() \
+        .set_index("g").sort_index()
+    for g in ("a", "b"):
+        cnt = collections.Counter(
+            w for gg, d in zip(grps, docs) if gg == g for w in d.split())
+        V = len(cnt)
+        N = sum(cnt.values())
+        f1 = sum(1 for c in cnt.values() if c == 1)
+        f2 = sum(1 for c in cnt.values() if c == 2)
+        row = out.loc[g]
+        assert row["n_tokens"] == N and row["n_types"] == V
+        assert row["f1"] == f1 and row["f2"] == f2
+        assert row["chao1"] == pytest.approx(
+            V + f1 * (f1 - 1) / (2 * (f2 + 1)), rel=1e-12)
+        assert row["coverage"] == pytest.approx(1 - f1 / N, rel=1e-12)
+        assert row["chao1"] >= V
+
+
+def test_resolve_pointers_chains_and_cycle(ray_session):
+    import ray.data as rd
+
+    from webval.graph import resolve_pointers
+
+    src = list(range(24)) + [100, 101, 102]
+    dst = [s - 1 if s % 8 else s for s in range(24)] + [101, 102, 100]
+    m = rd.from_arrow(pa.table({"s": pa.array(src, pa.int64()),
+                                "d": pa.array(dst, pa.int64())}))
+    out = resolve_pointers(m, "s", "d", max_rounds=6).to_pandas() \
+        .set_index("src").sort_index()
+    for s in range(24):
+        row = out.loc[s]
+        assert row["resolved"]
+        assert row["terminal"] == (s // 8) * 8
+        assert row["hops"] == s % 8
+    for s in (100, 101, 102):           # 3-cycle never resolves
+        assert not out.loc[s]["resolved"]
+
+
+def test_resolve_pointers_dangling_terminal(ray_session):
+    import ray.data as rd
+
+    from webval.graph import resolve_pointers
+
+    # 5 -> 4 -> 9, and 9 has no outgoing edge: terminal by absence
+    m = rd.from_arrow(pa.table({"s": pa.array([5, 4], pa.int64()),
+                                "d": pa.array([4, 9], pa.int64())}))
+    out = resolve_pointers(m, "s", "d").to_pandas().set_index("src")
+    assert out.loc[5]["terminal"] == 9 and out.loc[5]["hops"] == 2
+    assert out.loc[4]["terminal"] == 9 and out.loc[4]["hops"] == 1
+    assert out["resolved"].all()
+
+
+def test_grouped_mad_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from webval.rank import grouped_mad
+
+    rng = np.random.default_rng(13)
+    gs, vs = [], []
+    for g, n in (("a", 101), ("b", 100), ("c", 7)):
+        gs += [g] * n
+        vs += list(rng.normal(10 * len(gs), 5, n))
+    ds = rd.from_arrow(pa.table({"g": pa.array(gs),
+                                 "v": pa.array(vs, pa.float64())}))
+    out = grouped_mad(ds, "g", "v").to_pandas().set_index("g").sort_index()
+    arr = np.array(vs)
+    garr = np.array(gs)
+    for g in "abc":
+        x = arr[garr == g]
+        med = float(np.median(x))     # numpy interpolates like SQL
+        mad = float(np.median(np.abs(x - med)))
+        assert out.loc[g]["median"] == pytest.approx(med, rel=1e-12)
+        assert out.loc[g]["mad"] == pytest.approx(mad, rel=1e-12)

@@ -793,3 +793,86 @@ def grouped_higher_moments(ds, key: str, val: str, *,
     return bucketed_group_apply(ds.select_columns([key, val]), [key],
                                 final, num_buckets=num_buckets,
                                 partial_fn=partial)
+
+
+def simpson_slopes(ds, stratum_col: str, x_col: str, y_col: str, *,
+                   num_buckets: int | None = None,
+                   all_label: str = "__all__") -> pa.Table:
+    """Simpson's-paradox audit: the OLS slope of ``y ~ x`` inside each
+    stratum AND pooled over all rows, from ONE pass of moment sums —
+    flags strata whose slope sign CONTRADICTS the pooled slope (the
+    aggregation-reversal trap that makes per-source conclusions flip
+    when sources are mixed).  Null rows (any of the three columns)
+    are dropped.  Returns a driver-small pa.Table
+    ``(stratum, n, slope, sign_reversed)`` stratum-sorted, with the
+    pooled row labeled ``all_label`` last (``sign_reversed`` false);
+    slope is null when n < 2 or x has zero variance in the stratum.
+
+    Scale shape: the per-batch projection emits (stratum, n, Σx, Σy,
+    Σxx, Σxy) rows and the exchange sum-combines them — the shuffle
+    moves one 6-number row per stratum per batch, never data rows; the
+    pooled sums are the column sums of the stratum table (strata are
+    audit-small by definition)."""
+    import ray
+
+    from webval.exchange import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column(stratum_col).combine_chunks()
+        xa = pc.cast(t.column(x_col).combine_chunks(), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ya = pc.cast(t.column(y_col).combine_chunks(), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        m = pc.and_(pc.is_valid(s),
+                    pa.array(~(np.isnan(xa) | np.isnan(ya))))
+        keep = m.to_numpy(zero_copy_only=False)
+        xa, ya = xa[keep], ya[keep]
+        base = pa.table({
+            "stratum": pc.cast(s.filter(m), pa.string()),
+            "n": pa.array(np.ones(len(xa), np.int64)),
+            "sx": pa.array(xa), "sy": pa.array(ya),
+            "sxx": pa.array(xa * xa), "sxy": pa.array(xa * ya)})
+        sums = ("n", "sx", "sy", "sxx", "sxy")
+        agg = base.group_by(["stratum"]) \
+                  .aggregate([(c, "sum") for c in sums])
+        return agg.select(["stratum"] + [f"{c}_sum" for c in sums]) \
+                  .rename_columns(["stratum", *sums])
+
+    sums = ("n", "sx", "sy", "sxx", "sxy")
+    agg = grouped_agg(
+        ds.select_columns([stratum_col, x_col, y_col])
+          .map_batches(partial, batch_format="pyarrow"),
+        ["stratum"], [(c, "sum") for c in sums],
+        rename={f"{c}_sum": c for c in sums}, num_buckets=num_buckets)
+    blocks = [ray.get(r) for r in agg.materialize().to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows]
+    if not blocks:
+        return pa.table({"stratum": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "slope": pa.array([], pa.float64()),
+                         "sign_reversed": pa.array([], pa.bool_())})
+    t = pa.concat_tables(blocks).combine_chunks() \
+        .sort_by([("stratum", "ascending")])
+
+    def slope_of(n, sx, sy, sxx, sxy):
+        den = n * sxx - sx * sx
+        if n < 2 or den <= 0:
+            return None
+        return (n * sxy - sx * sy) / den
+
+    cols = {c: t.column(c).to_numpy(zero_copy_only=False) for c in sums}
+    slopes = [slope_of(cols["n"][i], cols["sx"][i], cols["sy"][i],
+                       cols["sxx"][i], cols["sxy"][i])
+              for i in range(t.num_rows)]
+    pooled = slope_of(*(float(cols[c].sum()) for c in sums))
+    rev = [s is not None and pooled is not None
+           and (s > 0) != (pooled > 0) and s != 0 and pooled != 0
+           for s in slopes]
+    return pa.table({
+        "stratum": pa.concat_arrays(
+            [t.column("stratum").combine_chunks(),
+             pa.array([all_label], pa.string())]),
+        "n": pa.array(list(cols["n"].astype(np.int64))
+                      + [int(cols["n"].sum())], pa.int64()),
+        "slope": pa.array(slopes + [pooled], pa.float64()),
+        "sign_reversed": pa.array(rev + [False], pa.bool_())})

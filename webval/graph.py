@@ -361,3 +361,102 @@ def kcore(edges, src_col: str, dst_col: str, *, k: int = 3,
     return grouped_agg(e, ["node"], [("nbr", "count")],
                        rename={"nbr_count": "core_degree"},
                        num_buckets=num_buckets)
+
+
+def resolve_pointers(mapping, src_col: str, dst_col: str, *,
+                     max_rounds: int = 16,
+                     num_buckets: int | None = None):
+    """Resolve every source of a FUNCTIONAL pointer graph (redirect
+    chains, alias tables, symlink maps: each ``src_col`` value points to
+    exactly one ``dst_col`` value) to its terminal target by pointer
+    doubling — round k extends every unresolved path to 2^k hops, so a
+    longest chain of L resolves in ceil(log2 L) co-bucketed self-joins
+    instead of L sequential lookups.  A node is terminal when it has no
+    outgoing edge or points to itself.  Nodes trapped on a cycle never
+    terminate and come back flagged ``resolved=false`` after
+    ``max_rounds`` (hops = pointers followed so far) — the redirect-loop
+    audit for free.  Duplicate ``src_col`` values make the graph
+    non-functional and expand multiplicatively through the join; feed
+    deduplicated mappings.  Dataset[{src, terminal, hops, resolved}].
+
+    Scale shape: each round is ONE equi_join of the undone frontier
+    against the full resolution table on the key exchange (joins.py
+    partitioning assumption applies); the frontier only shrinks, done
+    rows are frozen out of the left side, and the driver sees just a
+    per-round undone COUNT (scalar) for early exit."""
+    import ray.data as rd
+
+    from webval.joins import equi_join
+
+    def init(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).combine_chunks()
+        d = t.column(dst_col).combine_chunks()
+        m = pc.and_(pc.is_valid(s), pc.is_valid(d))
+        s, d = s.filter(m), d.filter(m)
+        self_loop = pc.equal(s, d)
+        return pa.table({
+            "node": s, "nxt": d,
+            "hops": pc.if_else(self_loop,
+                               pa.scalar(0, pa.int64()),
+                               pa.scalar(1, pa.int64())),
+            "done": self_loop})
+
+    frontier = mapping.select_columns([src_col, dst_col]) \
+        .map_batches(init, batch_format="pyarrow").materialize()
+    resolution = frontier          # full table: done + active rows
+    done_parts = []
+
+    for _ in range(max_rounds):
+        active = frontier.map_batches(
+            lambda t: t.filter(pc.invert(
+                t.column("done").combine_chunks())),
+            batch_format="pyarrow").materialize()
+        finished = frontier.map_batches(
+            lambda t: t.filter(t.column("done").combine_chunks()),
+            batch_format="pyarrow").materialize()
+        if finished.count():
+            done_parts.append(finished)
+        if active.count() == 0:
+            frontier = None
+            break
+
+        joined = equi_join(
+            active, resolution, on=["nxt"], right_on=["node"],
+            how="left", right_suffix="_r", num_buckets=num_buckets)
+
+        def advance(t: pa.Table) -> pa.Table:
+            hit = pc.is_valid(t.column("nxt_r").combine_chunks())
+            new_nxt = pc.if_else(hit, t.column("nxt_r"),
+                                 t.column("nxt"))
+            new_hops = pc.if_else(
+                hit, pc.add(t.column("hops"),
+                            pc.fill_null(t.column("hops_r"), 0)),
+                t.column("hops"))
+            new_done = pc.if_else(
+                hit, pc.fill_null(t.column("done_r"), True),
+                pa.scalar(True))  # no outgoing edge -> terminal
+            return pa.table({"node": t.column("node"),
+                             "nxt": new_nxt, "hops": new_hops,
+                             "done": new_done})
+
+        frontier = joined.map_batches(
+            advance, batch_format="pyarrow").materialize()
+        parts = done_parts + [frontier]
+        resolution = parts[0] if len(parts) == 1 \
+            else parts[0].union(*parts[1:])
+
+    leftovers = [frontier] if frontier is not None else []
+    parts = done_parts + leftovers
+    if not parts:
+        return rd.from_arrow(pa.table({
+            "src": pa.array([], pa.int64()),
+            "terminal": pa.array([], pa.int64()),
+            "hops": pa.array([], pa.int64()),
+            "resolved": pa.array([], pa.bool_())}))
+    out = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    return out.map_batches(
+        lambda t: pa.table({"src": t.column("node"),
+                            "terminal": t.column("nxt"),
+                            "hops": t.column("hops"),
+                            "resolved": t.column("done")}),
+        batch_format="pyarrow")

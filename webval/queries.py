@@ -7956,6 +7956,160 @@ def q_theilsen_slope(sf_dir: str):
     }), {"theil_sen_slope": 6})
 
 
+def q_grouped_mad(sf_dir: str):
+    """Per-returnflag robust spread (rank.grouped_mad): interpolated
+    median and median-absolute-deviation of extended price — SQL
+    median()/mad() semantics.  Round 6: the two engines pick the same
+    order statistics but interpolate via differently-associated
+    float expressions."""
+    import ray.data as rd
+
+    from webval.rank import grouped_mad
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+    t = ds_to_table(grouped_mad(ds, "l_returnflag", "l_extendedprice"))
+    t = t.rename_columns(["flag", "median", "mad"]) \
+         .sort_by([("flag", "ascending")])
+    return _round_cols(t, {"median": 6, "mad": 6})
+
+
+SQL_GROUPED_MAD = """
+SELECT l_returnflag AS flag,
+       round(median(l_extendedprice), 6) AS median,
+       round(mad(l_extendedprice), 6) AS mad
+FROM lineitem WHERE l_extendedprice IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_redirect_chains(sf_dir: str):
+    """Redirect-chain resolution (graph.resolve_pointers): every doc in
+    a derived alias table (doc_id -> doc_id-1, with every 8th doc a
+    self-loop terminal — deterministic chains of length 0..7) resolves
+    to its terminal with an exact hop count via log-round pointer
+    doubling; the oracle walks the same chains one hop per WITH
+    RECURSIVE step.  Integer/boolean output — no rounding."""
+    import ray.data as rd
+
+    from webval.graph import resolve_pointers
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def mapping(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column("doc_id").combine_chunks(), pa.int64())
+        loop = pc.equal(pc.bit_wise_and(s, 7), 0)
+        d = pc.if_else(loop, s, pc.subtract(s, 1))
+        return pa.table({"s": s, "d": d})
+
+    m = ds.map_batches(mapping, batch_format="pyarrow")
+    t = ds_to_table(resolve_pointers(m, "s", "d"))
+    return t.sort_by([("src", "ascending")])
+
+
+SQL_REDIRECT_CHAINS = """
+WITH RECURSIVE m AS (
+    SELECT doc_id AS s,
+           CASE WHEN doc_id % 8 = 0 THEN doc_id ELSE doc_id - 1 END AS d
+    FROM documents),
+walk AS (
+    SELECT s AS src, d AS cur,
+           CASE WHEN s = d THEN 0 ELSE 1 END AS hops,
+           (s = d) AS fin
+    FROM m
+    UNION ALL
+    SELECT w.src, m.d,
+           w.hops + CASE WHEN m.s = m.d THEN 0 ELSE 1 END,
+           (m.s = m.d)
+    FROM walk w JOIN m ON m.s = w.cur
+    WHERE NOT w.fin)
+SELECT src, cur AS terminal, CAST(hops AS BIGINT) AS hops,
+       true AS resolved
+FROM walk WHERE fin ORDER BY src
+"""
+
+
+def q_chao1_richness(sf_dir: str):
+    """Per-source Chao1 unseen-vocabulary estimate
+    (textstats.chao1_richness): V + f1(f1-1)/(2(f2+1)) plus Good-Turing
+    coverage 1 - f1/N — how much vocabulary the crawl hasn't seen.
+    chao1/coverage are UNROUNDED: both engines evaluate the same
+    two-op expression over exact integer counts, so the doubles are
+    bit-identical (the ewma_smooth convention)."""
+    import ray.data as rd
+
+    from webval.textstats import chao1_richness
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    t = ds_to_table(chao1_richness(ds, "source", "text"))
+    return t.sort_by([("source", "ascending")])
+
+
+SQL_CHAO1_RICHNESS = """
+WITH tok AS (SELECT source,
+                    unnest(list_filter(regexp_split_to_array(lower(text),
+                                                             '[^a-z0-9]+'),
+                                       x -> x <> '')) AS term
+             FROM documents
+             WHERE source IS NOT NULL AND text IS NOT NULL),
+tc AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+roll AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                CAST(count(*) AS BIGINT) AS n_types,
+                CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS f1,
+                CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS f2
+         FROM tc GROUP BY 1)
+SELECT source, n_tokens, n_types, f1, f2,
+       n_types + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)) AS chao1,
+       1.0 - f1 * 1.0 / n_tokens AS coverage
+FROM roll ORDER BY source
+"""
+
+
+def q_simpson_audit(sf_dir: str):
+    """Simpson's-paradox audit (aggregates.simpson_slopes): OLS slope of
+    extended price vs discount inside each returnflag stratum AND pooled,
+    flagging sign reversals — at this fixture the A stratum trends
+    NEGATIVE while the pooled slope is strongly positive, the classic
+    aggregation-reversal trap.  Slopes round 4 like grouped_regression
+    (same moment-sum formula vs regr_slope); the reversal flag compares
+    UNROUNDED signs on both engines."""
+    import ray.data as rd
+
+    from webval.aggregates import simpson_slopes
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_discount", "l_extendedprice"])
+    t = simpson_slopes(ds, "l_returnflag", "l_discount",
+                       "l_extendedprice")
+    return _round_cols(t.rename_columns(
+        ["stratum", "n", "slope", "sign_reversed"]), {"slope": 4})
+
+
+SQL_SIMPSON_AUDIT = """
+WITH base AS (SELECT l_returnflag AS stratum, l_discount AS x,
+                     l_extendedprice AS y
+              FROM lineitem
+              WHERE l_returnflag IS NOT NULL AND l_discount IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+st AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+              regr_slope(y, x) AS slope
+       FROM base GROUP BY 1),
+pooled AS (SELECT CAST(count(*) AS BIGINT) AS n, regr_slope(y, x) AS slope
+           FROM base)
+SELECT stratum, st.n AS n, round(st.slope, 4) AS slope,
+       (st.slope IS NOT NULL AND p.slope IS NOT NULL
+        AND st.slope <> 0 AND p.slope <> 0
+        AND (st.slope > 0) <> (p.slope > 0)) AS sign_reversed
+FROM st CROSS JOIN pooled p
+UNION ALL
+SELECT '__all__', n, round(slope, 4), false FROM pooled
+ORDER BY stratum
+"""
+
+
 def q_term_enrichment(sf_dir: str):
     """Per-language over-represented vocabulary
     (textstats.term_enrichment): one-vs-rest 2x2 chi-square of each
@@ -8232,4 +8386,8 @@ QUERIES = {
     "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
     "theilsen_slope": (q_theilsen_slope, SQL_THEILSEN_SLOPE),
     "term_enrichment": (q_term_enrichment, SQL_TERM_ENRICHMENT),
+    "simpson_audit": (q_simpson_audit, SQL_SIMPSON_AUDIT),
+    "chao1_richness": (q_chao1_richness, SQL_CHAO1_RICHNESS),
+    "redirect_chains": (q_redirect_chains, SQL_REDIRECT_CHAINS),
+    "grouped_mad": (q_grouped_mad, SQL_GROUPED_MAD),
 }

@@ -751,3 +751,45 @@ def grouped_weighted_median(ds, group_col: str, val_col: str,
         group_col: t.column("g").take(pa.array(first, pa.int64())),
         "weighted_median": pa.array(med, pa.float64()),
         "total_weight": pa.array(tot, pa.float64())})
+
+
+def grouped_mad(ds, key: str, value_col: str, *,
+                num_buckets: int | None = None,
+                max_group_rows: int | None = 4_000_000):
+    """Per-group median absolute deviation: median(|x − median_g(x)|)
+    with interpolated (quantile_cont) medians at both levels — the
+    robust spread that ignores the heavy tails wrecking grouped
+    std-dev, SQL ``mad(x)`` semantics.  Null values are ignored; keys
+    whose values are all null are absent.  Dataset[{key, median, mad}].
+
+    Scale shape: grouped_exact_quantiles for the group medians (its
+    per-group-rows bound applies), an equi_join to ship each row its
+    group median on the SAME key exchange (works at any group count —
+    no driver median table), a second grouped_exact_quantiles over the
+    absolute deviations, and a group-sized join to present median and
+    mad side by side."""
+    from webval.joins import equi_join
+
+    med = grouped_exact_quantiles(ds, key, value_col, {"median": 0.5},
+                                  interpolate=True,
+                                  num_buckets=num_buckets,
+                                  max_group_rows=max_group_rows)
+    rows = ds.map_batches(
+        lambda t: t.select([key, value_col]).filter(
+            pc.is_valid(t.column(value_col))),
+        batch_format="pyarrow")
+    withmed = equi_join(rows, med, on=[key], how="inner",
+                        num_buckets=num_buckets)
+
+    def absdev(t: pa.Table) -> pa.Table:
+        x = pc.cast(t.column(value_col).combine_chunks(), pa.float64())
+        return pa.table({
+            key: t.column(key),
+            "absdev": pc.abs(pc.subtract(x, t.column("median")))})
+
+    mad = grouped_exact_quantiles(
+        withmed.map_batches(absdev, batch_format="pyarrow"),
+        key, "absdev", {"mad": 0.5}, interpolate=True,
+        num_buckets=num_buckets, max_group_rows=max_group_rows)
+    return equi_join(med, mad, on=[key], how="inner",
+                     num_buckets=num_buckets)

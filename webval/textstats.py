@@ -726,3 +726,81 @@ def term_enrichment(ds, group_col: str, text_col: str, *,
     return top_k_per_group(scored, group_col, "chi2", top_k,
                            descending=True, tie_cols=["term"],
                            num_buckets=num_buckets)
+
+
+def chao1_richness(ds, group_col: str, text_col: str, *,
+                   num_buckets: int | None = None):
+    """Per-group Chao1 vocabulary-size estimate: V + f1·(f1−1)/(2·(f2+1))
+    (the bias-corrected form, finite when no doubletons exist), where V
+    is the observed type count and f1/f2 the hapax/doubleton counts —
+    estimates how much vocabulary the crawl has NOT seen yet, the
+    coverage-planning companion to type_token_stats (whose outputs
+    describe only what was seen).  Also emits Good-Turing coverage
+    1 − f1/N.  Tokens are the lm tokenizer's ``[a-z0-9]+`` pieces.
+    Dataset[{group, n_tokens, n_types, f1, f2, chao1, coverage}].
+
+    Scale shape: identical to type_token_stats — (group, term)
+    sum-combiner exchange, then a group-keyed rollup off FINAL counts
+    (f1/f2 need exact per-term totals); the estimator itself is a
+    vectorized expression over the group-sized rollup."""
+    from webval.exchange import grouped_agg
+    from webval.lm import TOKEN_SPLIT_PATTERN, _tokenize
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.is_valid(t.column(group_col).combine_chunks()),
+            pc.is_valid(t.column(text_col).combine_chunks())))
+        flat, doc_idx = _tokenize(t.column(text_col).combine_chunks(),
+                                  TOKEN_SPLIT_PATTERN)
+        grp = pc.cast(t.column(group_col).combine_chunks(), pa.string()) \
+            .take(pa.array(doc_idx, pa.int64()))
+        pairs = pa.table({"grp": grp, "term": flat})
+        agg = pairs.group_by(["grp", "term"]).aggregate([("term", "count")])
+        return agg.rename_columns(["grp", "term", "cnt"])
+
+    counts = grouped_agg(
+        ds.select_columns([group_col, text_col])
+          .map_batches(partial, batch_format="pyarrow"),
+        ["grp", "term"], [("cnt", "sum")], rename={"cnt_sum": "cnt"},
+        num_buckets=num_buckets)
+
+    def rollup_partial(t: pa.Table) -> pa.Table:
+        cnt = t.column("cnt").combine_chunks()
+        t2 = pa.table({
+            "grp": t.column("grp"), "n_tokens": cnt,
+            "n_types": pa.array(np.ones(t.num_rows, np.int64)),
+            "f1": pc.cast(pc.equal(cnt, 1), pa.int64()),
+            "f2": pc.cast(pc.equal(cnt, 2), pa.int64())})
+        agg = t2.group_by("grp").aggregate(
+            [("n_tokens", "sum"), ("n_types", "sum"),
+             ("f1", "sum"), ("f2", "sum")])
+        return agg.rename_columns(["grp", "n_tokens", "n_types",
+                                   "f1", "f2"])
+
+    roll = grouped_agg(
+        counts.map_batches(rollup_partial, batch_format="pyarrow"),
+        ["grp"],
+        [("n_tokens", "sum"), ("n_types", "sum"),
+         ("f1", "sum"), ("f2", "sum")],
+        rename={"n_tokens_sum": "n_tokens", "n_types_sum": "n_types",
+                "f1_sum": "f1", "f2_sum": "f2"}, num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        tok = t.column("n_tokens").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        typ = t.column("n_types").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        f1 = t.column("f1").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        f2 = t.column("f2").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        chao1 = typ + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cov = np.where(tok > 0, 1.0 - f1 / tok, np.nan)
+        t = t.append_column("chao1", pa.array(chao1, pa.float64()))
+        return t.append_column("coverage", pa.array(cov, pa.float64(),
+                                                    from_pandas=True))
+
+    return roll.map_batches(finish, batch_format="pyarrow") \
+        .map_batches(lambda t: t.rename_columns(
+            [group_col] + t.column_names[1:]), batch_format="pyarrow")
