@@ -340,3 +340,21 @@ def test_session7_ops_on_empty():
         "s": pa.array([], pa.int64()),
         "d": pa.array([], pa.int64())}))
     assert resolve_pointers(m, "s", "d").count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streak_hindex_on_empty():
+    import ray.data as rd
+
+    from webval.rank import grouped_hindex
+    from webval.windows import longest_streak
+
+    ev = rd.from_arrow(pa.table({
+        "u": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us"))}))
+    assert longest_streak(ev, "u", "ts").count() == 0
+
+    nums = rd.from_arrow(pa.table({
+        "g": pa.array([], pa.string()),
+        "v": pa.array([], pa.float64())}))
+    assert grouped_hindex(nums, "g", "v").count() == 0

@@ -152,3 +152,76 @@ def test_grouped_mad_matches_numpy(ray_session):
         mad = float(np.median(np.abs(x - med)))
         assert out.loc[g]["median"] == pytest.approx(med, rel=1e-12)
         assert out.loc[g]["mad"] == pytest.approx(mad, rel=1e-12)
+
+
+def test_longest_streak_matches_brute_force(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    from webval.windows import longest_streak
+
+    rng = np.random.default_rng(21)
+    base = datetime.datetime(2024, 3, 1)
+    ks, ts = [], []
+    truth = {}
+    for u in range(12):
+        days = sorted(set(rng.integers(0, 40, rng.integers(1, 30))))
+        # repeat some days with multiple events at random times
+        for d in days:
+            for _ in range(int(rng.integers(1, 4))):
+                ks.append(u)
+                ts.append(base + datetime.timedelta(
+                    days=int(d), seconds=int(rng.integers(0, 86400))))
+        best = cur = 1
+        for a, b in zip(days, days[1:]):
+            cur = cur + 1 if b == a + 1 else 1
+            best = max(best, cur)
+        truth[u] = (best, len(days))
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array(ks, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us"))}))
+    out = longest_streak(ds, "u", "ts").to_pandas().set_index("u")
+    assert len(out) == 12
+    for u, (best, nd) in truth.items():
+        assert out.loc[u]["longest_streak"] == best, u
+        assert out.loc[u]["n_active_days"] == nd, u
+
+
+def test_grouped_hindex_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from webval.rank import grouped_hindex
+
+    rng = np.random.default_rng(2)
+    ks, vs = [], []
+    truth = {}
+    for g in range(10):
+        vals = list(rng.integers(0, 20, rng.integers(1, 40)))
+        ks += [g] * len(vals)
+        vs += [float(v) for v in vals]
+        sv = sorted((v for v in vals), reverse=True)
+        truth[g] = max((min(v, i + 1) for i, v in enumerate(sv)),
+                       default=0)
+    ds = rd.from_arrow(pa.table({"g": pa.array(ks, pa.int64()),
+                                 "v": pa.array(vs, pa.float64())}))
+    out = grouped_hindex(ds, "g", "v").to_pandas().set_index("g")
+    for g, h in truth.items():
+        if h == 0:
+            # groups whose values are all < 1 are absent (no value >= 1)
+            assert g not in out.index or out.loc[g]["hindex"] == 0
+        else:
+            assert out.loc[g]["hindex"] == h, g
+
+
+def test_grouped_hindex_floors_floats(ray_session):
+    import ray.data as rd
+
+    from webval.rank import grouped_hindex
+
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(["a"] * 4),
+        "v": pa.array([3.9, 3.2, 2.7, 0.4])}))
+    # floors to [3, 3, 2, 0] -> h = 2 (two values >= 2); 0 ignored
+    out = grouped_hindex(ds, "g", "v").to_pandas()
+    assert out["hindex"].iloc[0] == 2

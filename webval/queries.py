@@ -7956,6 +7956,142 @@ def q_theilsen_slope(sf_dir: str):
     }), {"theil_sen_slope": 6})
 
 
+def q_activity_streaks(sf_dir: str):
+    """Per-user longest consecutive-day activity run
+    (windows.longest_streak): the gaps-and-islands engagement signal —
+    distinct active days ride the exchange, never events.  Integer
+    output, no rounding."""
+    import ray.data as rd
+
+    from webval.windows import longest_streak
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    t = ds_to_table(longest_streak(ds, "user_id", "ts"))
+    return t.sort_by([("user_id", "ascending")])
+
+
+SQL_ACTIVITY_STREAKS = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+r AS (SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM d),
+i AS (SELECT user_id, day - CAST(rn AS INTEGER) AS grp, count(*) AS len
+      FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS n_active_days
+FROM i GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_daily_hindex(sf_dir: str):
+    """Per-user h-index of daily event counts (rank.grouped_hindex over
+    a (user, day) count exchange): h days with >= h events — the
+    sustained-volume signal one burst day cannot inflate.  Integer
+    output, no rounding."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.rank import grouped_hindex
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        k = t.column("user_id").combine_chunks()
+        ts = t.column("ts").combine_chunks()
+        m = pc.and_(pc.is_valid(k), pc.is_valid(ts))
+        day = pc.cast(pc.cast(ts.filter(m), pa.date32()), pa.int32())
+        tt = pa.table({"user_id": k.filter(m), "day": day,
+                       "n": pa.array(np.ones(len(day), np.int64))})
+        return tt.group_by(["user_id", "day"]) \
+                 .aggregate([("n", "sum")]) \
+                 .rename_columns(["user_id", "day", "n"])
+
+    dc = grouped_agg(ds.map_batches(daily, batch_format="pyarrow"),
+                     ["user_id", "day"], [("n", "sum")],
+                     rename={"n_sum": "n"})
+    t = ds_to_table(grouped_hindex(dc, "user_id", "n"))
+    return t.sort_by([("user_id", "ascending")])
+
+
+SQL_DAILY_HINDEX = """
+WITH dc AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2),
+r AS (SELECT user_id, n,
+             row_number() OVER (PARTITION BY user_id ORDER BY n DESC) AS rn
+      FROM dc)
+SELECT user_id,
+       CAST(coalesce(max(CASE WHEN n >= rn THEN rn END), 0) AS BIGINT)
+           AS hindex
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_cell_residuals(sf_dir: str):
+    """Standardized residuals of the lang x source contingency table:
+    (observed - expected)/sqrt(expected) per OBSERVED cell — which
+    cells drive the cramers_v association, the "this source is
+    dumping docs into that language" pointer.  Expected and residual
+    are UNROUNDED: margins are exact integer sums and both engines
+    evaluate the same three-op expression (the ewma_smooth
+    convention).  Cells with zero observed count are absent on both
+    sides (no cross-join spine)."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.select(["lang", "source"])
+        return t.filter(pc.and_(
+            pc.is_valid(t.column("lang").combine_chunks()),
+            pc.is_valid(t.column("source").combine_chunks())))
+
+    counts = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                         ["lang", "source"], [("lang", "count")],
+                         rename={"lang_count": "n"})
+    t = ds_to_table(counts)
+    langs = t.column("lang").to_numpy(zero_copy_only=False)
+    srcs = t.column("source").to_numpy(zero_copy_only=False)
+    n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    ul, us = np.unique(langs), np.unique(srcs)
+    li, si = np.searchsorted(ul, langs), np.searchsorted(us, srcs)
+    rt = np.bincount(li, weights=n, minlength=len(ul))
+    ct = np.bincount(si, weights=n, minlength=len(us))
+    big_n = n.sum()
+    e = rt[li] * ct[si] / big_n
+    resid = (n - e) / np.sqrt(e)
+    out = pa.table({
+        "lang": t.column("lang"), "source": t.column("source"),
+        "n": pc.cast(t.column("n"), pa.int64()),
+        "expected": pa.array(e, pa.float64()),
+        "residual": pa.array(resid, pa.float64()),
+        "outlier": pa.array(np.abs(resid) >= 2.0)})
+    return out.sort_by([("lang", "ascending"), ("source", "ascending")])
+
+
+SQL_CELL_RESIDUALS = """
+WITH c AS (SELECT lang, source, count(*) AS n FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+rt AS (SELECT lang, sum(n) AS rt FROM c GROUP BY 1),
+ct AS (SELECT source, sum(n) AS ct FROM c GROUP BY 1),
+tot AS (SELECT sum(n) AS big_n FROM c)
+SELECT c.lang, c.source, CAST(c.n AS BIGINT) AS n,
+       rt.rt * ct.ct / tot.big_n AS expected,
+       (c.n - rt.rt * ct.ct / tot.big_n)
+           / sqrt(rt.rt * ct.ct / tot.big_n) AS residual,
+       abs((c.n - rt.rt * ct.ct / tot.big_n)
+           / sqrt(rt.rt * ct.ct / tot.big_n)) >= 2.0 AS outlier
+FROM c JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot
+ORDER BY lang, source
+"""
+
+
 def q_grouped_mad(sf_dir: str):
     """Per-returnflag robust spread (rank.grouped_mad): interpolated
     median and median-absolute-deviation of extended price — SQL
@@ -8390,4 +8526,7 @@ QUERIES = {
     "chao1_richness": (q_chao1_richness, SQL_CHAO1_RICHNESS),
     "redirect_chains": (q_redirect_chains, SQL_REDIRECT_CHAINS),
     "grouped_mad": (q_grouped_mad, SQL_GROUPED_MAD),
+    "activity_streaks": (q_activity_streaks, SQL_ACTIVITY_STREAKS),
+    "daily_hindex": (q_daily_hindex, SQL_DAILY_HINDEX),
+    "cell_residuals": (q_cell_residuals, SQL_CELL_RESIDUALS),
 }

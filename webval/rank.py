@@ -793,3 +793,68 @@ def grouped_mad(ds, key: str, value_col: str, *,
         num_buckets=num_buckets, max_group_rows=max_group_rows)
     return equi_join(med, mad, on=[key], how="inner",
                      num_buckets=num_buckets)
+
+
+def grouped_hindex(ds, key: str, value_col: str, *,
+                   num_buckets: int | None = None,
+                   max_group_rows: int | None = 4_000_000):
+    """Per-key h-index: the largest h such that at least h of the key's
+    values are >= h — the single-number "sustained volume" signal
+    (h days with >= h events, h docs with >= h inlinks) that one
+    outlier day cannot inflate, unlike max or sum.  Values are floored
+    to integers; null/negative values are ignored.
+    Dataset[{key, hindex}].
+
+    Scale shape: the per-batch partial collapses to (key, value)
+    COUNTS, so the exchange is bounded by distinct (key, floor(value))
+    pairs; the finalize sorts each key's distinct values descending
+    and takes max(min(value, cumulative_count)) — one vectorized pass
+    per bucket, group sizes bounded by the value range."""
+    import numpy as np
+
+    from webval.exchange import bucketed_group_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key).combine_chunks()
+        v = pc.cast(pc.floor(pc.cast(
+            t.column(value_col).combine_chunks(), pa.float64())),
+            pa.int64())
+        m = pc.and_(pc.and_(pc.is_valid(k), pc.is_valid(v)),
+                    pc.greater_equal(v, 1))
+        pairs = pa.table({key: k.filter(m), "v": v.filter(m),
+                          "n": pa.array(np.ones(
+                              int(pc.sum(pc.cast(m, pa.int64()))
+                                  .as_py() or 0), np.int64))})
+        agg = pairs.group_by([key, "v"]).aggregate([("n", "sum")])
+        return agg.rename_columns([key, "v", "n"])
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                key: pa.array([], g.schema.field(key).type),
+                "hindex": pa.array([], pa.int64())})
+        agg = g.group_by([key, "v"]).aggregate([("n", "sum")]) \
+               .rename_columns([key, "v", "n"]) \
+               .sort_by([(key, "ascending"), ("v", "descending")])
+        kk = agg.column(key).to_numpy(zero_copy_only=False)
+        vv = agg.column("v").to_numpy(zero_copy_only=False)
+        nn = agg.column("n").to_numpy(zero_copy_only=False)
+        new_key = np.r_[True, kk[1:] != kk[:-1]]
+        kcode = np.cumsum(new_key) - 1
+        nk = kcode[-1] + 1
+        cum = np.cumsum(nn)
+        firsts = np.flatnonzero(new_key)
+        base = np.zeros(nk, np.int64)
+        base[1:] = cum[firsts[1:] - 1]
+        cum_in = cum - base[kcode]
+        cand = np.minimum(vv, cum_in)
+        h = np.zeros(nk, np.int64)
+        np.maximum.at(h, kcode, cand)
+        return pa.table({
+            key: agg.column(key).take(pa.array(firsts, pa.int64())),
+            "hindex": pa.array(h, pa.int64())})
+
+    return bucketed_group_apply(
+        ds.select_columns([key, value_col]), [key], final,
+        num_buckets=num_buckets, partial_fn=partial,
+        max_group_rows=max_group_rows)

@@ -1333,3 +1333,62 @@ def sequence_nll(ds, key: str, ts_col: str, state_col: str,
     return bucketed_group_apply(
         ds.map_batches(proj, batch_format="pyarrow"), [key], final,
         num_buckets=num_buckets, max_group_rows=max_group_rows)
+
+
+def longest_streak(ds, key: str, ts_col: str, *,
+                   num_buckets: int | None = None,
+                   max_group_rows: int | None = 4_000_000):
+    """Per-key longest run of CONSECUTIVE CALENDAR DAYS with at least
+    one event — the gaps-and-islands engagement signal (sessionize
+    groups by intra-day gaps; this asks "how many days in a row was
+    the key alive").  Null key/ts rows are dropped.
+    Dataset[{key, longest_streak, n_active_days}].
+
+    Scale shape: the per-batch partial dedups to distinct (key, day)
+    pairs so the exchange is bounded by active key-days, never events;
+    the island scan (sort by key/day, break where the day gap exceeds
+    1, per-island bincount) is one vectorized pass per bucket."""
+    import numpy as np
+
+    from webval.exchange import bucketed_group_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key).combine_chunks()
+        ts = t.column(ts_col).combine_chunks()
+        m = pc.and_(pc.is_valid(k), pc.is_valid(ts))
+        day = pc.cast(pc.cast(ts.filter(m), pa.date32()), pa.int32())
+        pairs = pa.table({key: k.filter(m), "day": day})
+        return pairs.group_by([key, "day"]).aggregate([]) \
+                    .select([key, "day"])
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                key: pa.array([], g.schema.field(key).type),
+                "longest_streak": pa.array([], pa.int64()),
+                "n_active_days": pa.array([], pa.int64())})
+        g = g.group_by([key, "day"]).aggregate([]).select([key, "day"]) \
+             .sort_by([(key, "ascending"), ("day", "ascending")])
+        kk = g.column(key).to_numpy(zero_copy_only=False)
+        dd = g.column("day").to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        new_key = np.r_[True, kk[1:] != kk[:-1]]
+        brk = new_key | np.r_[False, dd[1:] != dd[:-1] + 1]
+        island = np.cumsum(brk) - 1
+        ilen = np.bincount(island)
+        kcode = np.cumsum(new_key) - 1
+        nk = kcode[-1] + 1
+        firsts = np.flatnonzero(new_key)
+        longest = np.zeros(nk, np.int64)
+        np.maximum.at(longest, kcode[np.flatnonzero(brk)],
+                      ilen)
+        active = np.bincount(kcode, minlength=nk)
+        return pa.table({
+            key: g.column(key).take(pa.array(firsts, pa.int64())),
+            "longest_streak": pa.array(longest, pa.int64()),
+            "n_active_days": pa.array(active.astype(np.int64))})
+
+    return bucketed_group_apply(
+        ds.select_columns([key, ts_col]), [key], final,
+        num_buckets=num_buckets, partial_fn=partial,
+        max_group_rows=max_group_rows)
