@@ -358,3 +358,22 @@ def test_streak_hindex_on_empty():
         "g": pa.array([], pa.string()),
         "v": pa.array([], pa.float64())}))
     assert grouped_hindex(nums, "g", "v").count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_concurrency_bigram_on_empty():
+    import ray.data as rd
+
+    from webval.textstats import char_bigram_entropy
+    from webval.windows import max_concurrency
+
+    iv = rd.from_arrow(pa.table({
+        "g": pa.array([], pa.int64()),
+        "s": pa.array([], pa.int64()),
+        "e": pa.array([], pa.int64())}))
+    assert max_concurrency(iv, "g", "s", "e").count() == 0
+
+    docs = rd.from_arrow(pa.table({
+        "g": pa.array([], pa.string()),
+        "text": pa.array([], pa.large_string())}))
+    assert char_bigram_entropy(docs, "g", "text").count() == 0

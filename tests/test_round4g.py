@@ -225,3 +225,93 @@ def test_grouped_hindex_floors_floats(ray_session):
     # floors to [3, 3, 2, 0] -> h = 2 (two values >= 2); 0 ignored
     out = grouped_hindex(ds, "g", "v").to_pandas()
     assert out["hindex"].iloc[0] == 2
+
+
+def test_max_concurrency_matches_sweep_oracle(ray_session):
+    import ray.data as rd
+
+    from webval.windows import max_concurrency
+
+    rng = np.random.default_rng(31)
+    ks, ss, es = [], [], []
+    truth = {}
+    for g in range(8):
+        n = int(rng.integers(1, 60))
+        s = rng.integers(0, 1000, n)
+        dur = rng.integers(0, 50, n)      # some zero-length intervals
+        e = s + dur
+        ks += [g] * n
+        ss += list(s)
+        es += list(e)
+        events = sorted([(t, 1) for t, d in zip(s, dur) if d > 0]
+                        + [(t + d, -1) for t, d in zip(s, dur) if d > 0])
+        # evaluate after all deltas at each distinct time
+        best = cur = 0
+        i = 0
+        while i < len(events):
+            j = i
+            while j < len(events) and events[j][0] == events[i][0]:
+                cur += events[j][1]
+                j += 1
+            best = max(best, cur)
+            i = j
+        truth[g] = (best, int((dur > 0).sum()))
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(ks, pa.int64()),
+        "s": pa.array(ss, pa.int64()),
+        "e": pa.array(es, pa.int64())}))
+    out = max_concurrency(ds, "g", "s", "e").to_pandas().set_index("g")
+    for g, (best, n_iv) in truth.items():
+        if n_iv == 0:
+            assert g not in out.index
+        else:
+            assert out.loc[g]["max_concurrent"] == best, g
+            assert out.loc[g]["n_intervals"] == n_iv, g
+
+
+def test_byte_bigram_codes_oracle():
+    from webval.textstats import _byte_bigram_codes
+
+    col = pa.array(["abc", "", "x", "de"], pa.large_string())
+    codes, parent = _byte_bigram_codes(col)
+    want = [(ord("a") * 256 + ord("b"), 0),
+            (ord("b") * 256 + ord("c"), 0),
+            (ord("d") * 256 + ord("e"), 3)]
+    assert list(zip(codes.tolist(), parent.tolist())) == want
+    # sliced array must honor offsets
+    codes2, parent2 = _byte_bigram_codes(col.slice(2, 2))
+    assert list(zip(codes2.tolist(), parent2.tolist())) == [
+        (ord("d") * 256 + ord("e"), 1)]
+
+
+def test_char_bigram_entropy_matches_counter(ray_session):
+    import collections
+    import math
+
+    import ray.data as rd
+
+    from webval.textstats import char_bigram_entropy
+
+    docs = {"a": ["hello world", "held"], "b": ["zzzz", "zz"]}
+    rows_g, rows_t = [], []
+    for g, ts in docs.items():
+        for t in ts:
+            rows_g.append(g)
+            rows_t.append(t)
+    ds = rd.from_arrow(pa.table({"g": pa.array(rows_g),
+                                 "text": pa.array(rows_t)}))
+    out = char_bigram_entropy(ds, "g", "text").to_pandas().set_index("g")
+    for g, ts in docs.items():
+        cnt = collections.Counter()
+        for t in ts:
+            bs = t.encode()
+            for i in range(len(bs) - 1):
+                cnt[bs[i:i + 2]] += 1
+        n = sum(cnt.values())
+        h = math.log2(n) - sum(c * math.log2(c)
+                               for c in cnt.values()) / n
+        row = out.loc[g]
+        assert row["n_bigrams"] == n
+        assert row["n_distinct"] == len(cnt)
+        assert row["entropy"] == pytest.approx(h, abs=1e-12)
+    assert out.loc["b"]["entropy"] == pytest.approx(0.0, abs=1e-12)

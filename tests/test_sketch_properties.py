@@ -27,7 +27,11 @@ def test_moments_split_invariance(vs):
     merged = Moments().add(v[:k]).merge(Moments().add(v[k:]))
     assert merged.count == whole.count
     assert merged.min == whole.min and merged.max == whole.max
-    assert abs(merged.sum - whole.sum) <= 1e-6 * max(1.0, abs(whole.sum))
+    # summation error scales with the CONDITION of the sum (n·eps·Σ|v|),
+    # not the result: [1e12, -1e12, 6e-5] cancels to ~6e-5 while either
+    # split order carries ~1e-4 of representation error (hypothesis find)
+    assert abs(merged.sum - whole.sum) <= (
+        1e-12 * len(v) * max(1.0, float(np.abs(v).sum())))
 
 
 @settings(max_examples=40, deadline=None)

@@ -8030,6 +8030,104 @@ FROM r GROUP BY 1 ORDER BY 1
 """
 
 
+def q_bigram_entropy(sf_dir: str):
+    """Per-source byte-bigram entropy (textstats.char_bigram_entropy):
+    encoding-damage radar — mojibake / base64 / binary spills shift
+    byte-pair statistics harder than any word-level signal.  Entropy
+    rounds 6 (both engines compute log2(N) − Σ c·log2 c / N but sum in
+    different orders)."""
+    import ray.data as rd
+
+    from webval.textstats import char_bigram_entropy
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    t = ds_to_table(char_bigram_entropy(ds, "source", "text"))
+    return _round_cols(t.sort_by([("source", "ascending")]),
+                       {"entropy": 6})
+
+
+SQL_BIGRAM_ENTROPY = """
+WITH bg AS (SELECT source,
+                   unnest([substr(text, i, 2)
+                           for i in range(1, length(text))]) AS b
+            FROM documents
+            WHERE source IS NOT NULL AND text IS NOT NULL
+              AND length(text) >= 2),
+c AS (SELECT source, b, count(*) AS c FROM bg GROUP BY 1, 2),
+tot AS (SELECT source, sum(c) AS n, sum(c * log2(c)) AS clog,
+               count(*) AS nd
+        FROM c GROUP BY 1)
+SELECT source, CAST(n AS BIGINT) AS n_bigrams,
+       CAST(nd AS BIGINT) AS n_distinct,
+       round(log2(n) - clog / n, 6) AS entropy
+FROM tot ORDER BY source
+"""
+
+
+def q_peak_concurrency(sf_dir: str):
+    """Peak simultaneous user sessions per day
+    (windows.max_concurrency): each (user, day) span [first event,
+    last event + 1 min) is an interval; the sweep-line answers "how
+    many users were live AT ONCE" — the load signal interval-union
+    coverage cannot see.  Integer output, no rounding."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.windows import max_concurrency
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def spans(t: pa.Table) -> pa.Table:
+        k = t.column("user_id").combine_chunks()
+        ts = t.column("ts").combine_chunks()
+        m = pc.and_(pc.is_valid(k), pc.is_valid(ts))
+        k, ts = k.filter(m), ts.filter(m)
+        day = pc.cast(pc.cast(ts, pa.date32()), pa.int32())
+        tt = pa.table({"day": day, "user_id": k,
+                       "us": pc.cast(ts, pa.int64())})
+        agg = tt.group_by(["day", "user_id"]).aggregate(
+            [("us", "min"), ("us", "max")])
+        return agg.rename_columns(["day", "user_id", "s", "e"])
+
+    iv = grouped_agg(ev.map_batches(spans, batch_format="pyarrow"),
+                     ["day", "user_id"],
+                     [("s", "min"), ("e", "max")],
+                     rename={"s_min": "s", "e_max": "e"})
+    iv = iv.map_batches(
+        lambda t: pa.table({"day": t.column("day"),
+                            "s": t.column("s"),
+                            "e": pc.add(t.column("e"), 60_000_000)}),
+        batch_format="pyarrow")
+    t = ds_to_table(max_concurrency(iv, "day", "s", "e"))
+    day_us = pc.multiply(pc.cast(t.column("day"), pa.int64()),
+                         86_400_000_000)
+    t = t.set_column(0, "day", pc.cast(day_us, pa.timestamp("us")))
+    return t.sort_by([("day", "ascending")])
+
+
+SQL_PEAK_CONCURRENCY = """
+WITH iv AS (SELECT date_trunc('day', ts) AS day, user_id,
+                   epoch_us(min(ts)) AS s,
+                   epoch_us(max(ts)) + 60000000 AS e
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2),
+b AS (SELECT day, s AS t, 1 AS delta, 1 AS op FROM iv
+      UNION ALL
+      SELECT day, e, -1, 0 FROM iv),
+n AS (SELECT day, t, sum(delta) AS d, sum(op) AS op FROM b
+      GROUP BY 1, 2),
+r AS (SELECT day, op,
+             sum(d) OVER (PARTITION BY day ORDER BY t) AS conc
+      FROM n)
+SELECT day, CAST(max(conc) AS BIGINT) AS max_concurrent,
+       CAST(sum(op) AS BIGINT) AS n_intervals
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_cell_residuals(sf_dir: str):
     """Standardized residuals of the lang x source contingency table:
     (observed - expected)/sqrt(expected) per OBSERVED cell — which
@@ -8529,4 +8627,6 @@ QUERIES = {
     "activity_streaks": (q_activity_streaks, SQL_ACTIVITY_STREAKS),
     "daily_hindex": (q_daily_hindex, SQL_DAILY_HINDEX),
     "cell_residuals": (q_cell_residuals, SQL_CELL_RESIDUALS),
+    "bigram_entropy": (q_bigram_entropy, SQL_BIGRAM_ENTROPY),
+    "peak_concurrency": (q_peak_concurrency, SQL_PEAK_CONCURRENCY),
 }

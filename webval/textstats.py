@@ -804,3 +804,91 @@ def chao1_richness(ds, group_col: str, text_col: str, *,
     return roll.map_batches(finish, batch_format="pyarrow") \
         .map_batches(lambda t: t.rename_columns(
             [group_col] + t.column_names[1:]), batch_format="pyarrow")
+
+
+def _byte_bigram_codes(col) -> tuple[np.ndarray, np.ndarray]:
+    """All within-string byte bigrams of a string column, vectorized off
+    the Arrow buffers: returns (codes, parent) where codes[i] =
+    first_byte*256 + second_byte and parent[i] is the row index.
+    Cross-string pairs are masked out via the offsets buffer."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = arr.cast(pa.large_string())
+    if len(arr) == 0:
+        return (np.empty(0, np.int32), np.empty(0, np.int64))
+    off = np.frombuffer(arr.buffers()[1], np.int64,
+                        count=len(arr) + 1, offset=8 * arr.offset)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)[off[0]:off[-1]]
+    off = off - off[0]
+    if len(data) < 2:
+        return (np.empty(0, np.int32), np.empty(0, np.int64))
+    codes = data[:-1].astype(np.int32) * 256 + data[1:]
+    pos = np.arange(len(data) - 1)
+    parent = np.searchsorted(off, pos, side="right") - 1
+    # a pair starting at the LAST byte of a string crosses the boundary
+    keep = pos + 1 < off[parent + 1]
+    return codes[keep], parent[keep]
+
+
+def char_bigram_entropy(ds, group_col: str, text_col: str, *,
+                        num_buckets: int | None = None):
+    """Per-group Shannon entropy of the BYTE-bigram distribution of the
+    text — encoding-damage radar: mojibake, base64 blobs and binary
+    spills shift byte-pair statistics far harder than word-level
+    signals; healthy same-language sources cluster tightly.  Entropy is
+    computed as log2(N) − Σ c·log2(c) / N off FINAL counts.
+    Dataset[{group, n_bigrams, n_distinct, entropy}].
+
+    Scale shape: bigrams never leave the batch as strings — the partial
+    emits (group, int16-code) COUNTS (≤ 65k codes per group per batch),
+    the exchange sum-combines them, and the entropy rollup is a second
+    group-keyed exchange over the ≤65k-row-per-group count table."""
+    from webval.exchange import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).combine_chunks()
+        txt = t.column(text_col).combine_chunks()
+        m = pc.and_(pc.is_valid(g), pc.is_valid(txt))
+        g, txt = g.filter(m), txt.filter(m)
+        codes, parent = _byte_bigram_codes(txt)
+        grp = pc.cast(g, pa.string()).take(pa.array(parent, pa.int64()))
+        b = pa.table({"grp": grp, "code": pa.array(codes, pa.int32()),
+                      "cnt": pa.array(np.ones(len(codes), np.int64))})
+        agg = b.group_by(["grp", "code"]).aggregate([("cnt", "sum")])
+        return agg.rename_columns(["grp", "code", "cnt"])
+
+    counts = grouped_agg(
+        ds.select_columns([group_col, text_col])
+          .map_batches(partial, batch_format="pyarrow"),
+        ["grp", "code"], [("cnt", "sum")], rename={"cnt_sum": "cnt"},
+        num_buckets=num_buckets)
+
+    def rollup_partial(t: pa.Table) -> pa.Table:
+        c = t.column("cnt").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        t2 = pa.table({
+            "grp": t.column("grp"), "n": t.column("cnt"),
+            "nd": pa.array(np.ones(t.num_rows, np.int64)),
+            "clog": pa.array(c * np.log2(c))})
+        agg = t2.group_by("grp").aggregate(
+            [("n", "sum"), ("nd", "sum"), ("clog", "sum")])
+        return agg.rename_columns(["grp", "n", "nd", "clog"])
+
+    roll = grouped_agg(
+        counts.map_batches(rollup_partial, batch_format="pyarrow"),
+        ["grp"], [("n", "sum"), ("nd", "sum"), ("clog", "sum")],
+        rename={"n_sum": "n", "nd_sum": "nd", "clog_sum": "clog"},
+        num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        clog = t.column("clog").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            h = np.where(n > 0, np.log2(n) - clog / n, np.nan)
+        return pa.table({
+            group_col: t.column("grp"),
+            "n_bigrams": pc.cast(t.column("n"), pa.int64()),
+            "n_distinct": pc.cast(t.column("nd"), pa.int64()),
+            "entropy": pa.array(h, pa.float64(), from_pandas=True)})
+
+    return roll.map_batches(finish, batch_format="pyarrow")

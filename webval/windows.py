@@ -1392,3 +1392,80 @@ def longest_streak(ds, key: str, ts_col: str, *,
         ds.select_columns([key, ts_col]), [key], final,
         num_buckets=num_buckets, partial_fn=partial,
         max_group_rows=max_group_rows)
+
+
+def max_concurrency(ds, key: str, start_col: str, end_col: str, *,
+                    num_buckets: int | None = None,
+                    max_group_rows: int | None = 4_000_000):
+    """Per-key PEAK number of simultaneously-open intervals
+    ([start, end) half-open) — the "how many fetchers / sessions /
+    users were live at once" load signal that interval_coverage's
+    union length cannot see.  Intervals with end <= start contribute
+    nothing; null rows are dropped.
+    Dataset[{key, max_concurrent, n_intervals}].
+
+    Scale shape: each interval explodes to two (key, t, ±1) boundary
+    rows and the partial SUM-COMBINES deltas per (key, t) — valid
+    because half-open semantics only ever evaluates concurrency on
+    the segments BETWEEN distinct timestamps, so same-instant starts
+    and ends net out exactly like end-before-start ordering; the
+    exchange is bounded by distinct (key, timestamp) pairs and the
+    finalize is one segmented cumsum/max sweep per bucket."""
+    import numpy as np
+
+    from webval.exchange import bucketed_group_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key).combine_chunks()
+        s = t.column(start_col).combine_chunks()
+        e = t.column(end_col).combine_chunks()
+        m = pc.and_(pc.and_(pc.is_valid(k), pc.is_valid(s)),
+                    pc.and_(pc.is_valid(e),
+                            pc.greater(e, s)))
+        k, s, e = k.filter(m), s.filter(m), e.filter(m)
+        n = len(k)
+        starts = pa.table({key: k, "t": pc.cast(s, pa.int64()),
+                           "delta": pa.array(np.ones(n, np.int64)),
+                           "opens": pa.array(np.ones(n, np.int64))})
+        ends = pa.table({key: k, "t": pc.cast(e, pa.int64()),
+                         "delta": pa.array(-np.ones(n, np.int64)),
+                         "opens": pa.array(np.zeros(n, np.int64))})
+        b = pa.concat_tables([starts, ends])
+        agg = b.group_by([key, "t"]).aggregate(
+            [("delta", "sum"), ("opens", "sum")])
+        return agg.rename_columns([key, "t", "delta", "opens"])
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                key: pa.array([], g.schema.field(key).type),
+                "max_concurrent": pa.array([], pa.int64()),
+                "n_intervals": pa.array([], pa.int64())})
+        agg = g.group_by([key, "t"]).aggregate(
+            [("delta", "sum"), ("opens", "sum")]) \
+            .rename_columns([key, "t", "delta", "opens"]) \
+            .sort_by([(key, "ascending"), ("t", "ascending")])
+        kk = agg.column(key).to_numpy(zero_copy_only=False)
+        dd = agg.column("delta").to_numpy(zero_copy_only=False)
+        oo = agg.column("opens").to_numpy(zero_copy_only=False)
+        new_key = np.r_[True, kk[1:] != kk[:-1]]
+        kcode = np.cumsum(new_key) - 1
+        nk = kcode[-1] + 1
+        cum = np.cumsum(dd)
+        firsts = np.flatnonzero(new_key)
+        base = np.zeros(nk, np.int64)
+        base[1:] = cum[firsts[1:] - 1]
+        run = cum - base[kcode]
+        peak = np.zeros(nk, np.int64)
+        np.maximum.at(peak, kcode, run)
+        n_iv = np.bincount(kcode, weights=oo, minlength=nk) \
+            .astype(np.int64)
+        return pa.table({
+            key: agg.column(key).take(pa.array(firsts, pa.int64())),
+            "max_concurrent": pa.array(peak, pa.int64()),
+            "n_intervals": pa.array(n_iv)})
+
+    return bucketed_group_apply(
+        ds.select_columns([key, start_col, end_col]), [key], final,
+        num_buckets=num_buckets, partial_fn=partial,
+        max_group_rows=max_group_rows)
