@@ -377,3 +377,16 @@ def test_concurrency_bigram_on_empty():
         "g": pa.array([], pa.string()),
         "text": pa.array([], pa.large_string())}))
     assert char_bigram_entropy(docs, "g", "text").count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_period_movers_on_empty():
+    import ray.data as rd
+
+    from webval.windows import period_movers
+
+    iv = rd.from_arrow(pa.table({
+        "u": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.int64())}))
+    assert period_movers(iv, "u", "ts",
+                         pa.scalar(0, pa.int64())).count() == 0

@@ -315,3 +315,55 @@ def test_char_bigram_entropy_matches_counter(ray_session):
         assert row["n_distinct"] == len(cnt)
         assert row["entropy"] == pytest.approx(h, abs=1e-12)
     assert out.loc["b"]["entropy"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_period_movers_matches_pandas_oracle(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    from webval.windows import period_movers
+
+    rng = np.random.default_rng(47)
+    n = 4000
+    users = rng.integers(0, 120, n)
+    # second half deliberately skewed so deltas are non-trivial
+    day = np.where(rng.random(n) < 0.4, rng.integers(1, 16, n),
+                   rng.integers(16, 31, n))
+    ts = [datetime.datetime(2024, 1, int(d), int(h))
+          for d, h in zip(day, rng.integers(0, 24, n))]
+    split = datetime.datetime(2024, 1, 16)
+    t = pa.table({"u": pa.array(users, pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    out = period_movers(rd.from_arrow(t), "u", "ts",
+                        pa.scalar(split, pa.timestamp("us")),
+                        k=15).to_pandas()
+
+    before = collections.Counter(
+        int(u) for u, t_ in zip(users, ts) if t_ < split)
+    after = collections.Counter(
+        int(u) for u, t_ in zip(users, ts) if t_ >= split)
+    rows = [(u, before.get(u, 0), after.get(u, 0),
+             after.get(u, 0) - before.get(u, 0))
+            for u in set(before) | set(after)]
+    rows.sort(key=lambda r: (-abs(r[3]), r[0]))
+    exp = rows[:15]
+
+    assert len(out) == 15
+    got = list(out[["u", "before_n", "after_n", "delta"]]
+               .itertuples(index=False, name=None))
+    assert got == exp
+
+
+def test_period_movers_null_keys_dropped(ray_session):
+    import ray.data as rd
+
+    from webval.windows import period_movers
+
+    t = pa.table({"u": pa.array([1, None, 2, 1], pa.int64()),
+                  "ts": pa.array([1, 5, 9, None], pa.int64())})
+    out = period_movers(rd.from_arrow(t), "u", "ts",
+                        pa.scalar(4, pa.int64()), k=10).to_pandas()
+    # null key and null ts rows drop; u=1 before only, u=2 after only
+    assert set(zip(out["u"], out["before_n"], out["after_n"])) == {
+        (1, 1, 0), (2, 0, 1)}

@@ -8030,6 +8030,42 @@ FROM r GROUP BY 1 ORDER BY 1
 """
 
 
+def q_period_movers(sf_dir: str):
+    """Top-20 period-over-period movers (windows.period_movers): users
+    whose event volume changed most between the first and second half
+    of the month — the post-drift-alarm "who did it" query.  Integer
+    output; the |delta| tie at the cut breaks on ascending user_id on
+    both engines."""
+    import ray.data as rd
+
+    from webval.windows import period_movers
+
+    import datetime
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    split = pa.scalar(datetime.datetime(2024, 1, 16),
+                      pa.timestamp("us"))
+    t = ds_to_table(period_movers(ds, "user_id", "ts", split, k=20))
+    return t
+
+
+SQL_PERIOD_MOVERS = """
+WITH c AS (SELECT user_id,
+                  count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16')
+                      AS before_n,
+                  count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16')
+                      AS after_n
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1)
+SELECT user_id, CAST(before_n AS BIGINT) AS before_n,
+       CAST(after_n AS BIGINT) AS after_n,
+       CAST(after_n - before_n AS BIGINT) AS delta
+FROM c ORDER BY abs(after_n - before_n) DESC, user_id LIMIT 20
+"""
+
+
 def q_bigram_entropy(sf_dir: str):
     """Per-source byte-bigram entropy (textstats.char_bigram_entropy):
     encoding-damage radar — mojibake / base64 / binary spills shift
@@ -8627,6 +8663,7 @@ QUERIES = {
     "activity_streaks": (q_activity_streaks, SQL_ACTIVITY_STREAKS),
     "daily_hindex": (q_daily_hindex, SQL_DAILY_HINDEX),
     "cell_residuals": (q_cell_residuals, SQL_CELL_RESIDUALS),
+    "period_movers": (q_period_movers, SQL_PERIOD_MOVERS),
     "bigram_entropy": (q_bigram_entropy, SQL_BIGRAM_ENTROPY),
     "peak_concurrency": (q_peak_concurrency, SQL_PEAK_CONCURRENCY),
 }

@@ -1469,3 +1469,50 @@ def max_concurrency(ds, key: str, start_col: str, end_col: str, *,
         ds.select_columns([key, start_col, end_col]), [key], final,
         num_buckets=num_buckets, partial_fn=partial,
         max_group_rows=max_group_rows)
+
+
+def period_movers(ds, key: str, ts_col: str, split_ts, k: int = 20, *,
+                  num_buckets: int | None = None):
+    """Top-k period-over-period movers: per-key event counts BEFORE vs
+    FROM ``split_ts``, ranked by absolute change — "which hosts/users
+    surged or collapsed between the two crawl windows", the first
+    question after any drift alarm.  Ties at the k boundary break on
+    ascending key, so output is deterministic.
+    Dataset[{key, before_n, after_n, delta}] (k rows, |delta| desc).
+
+    Scale shape: one (key) sum-combiner exchange of two counters; the
+    rank is Dataset.sort + limit over the KEY-sized delta table (never
+    raw rows).  split_ts must be comparable to ``ts_col`` values
+    (pa.scalar timestamp for timestamp columns)."""
+    import numpy as np
+
+    from webval.exchange import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        kcol = t.column(key).combine_chunks()
+        ts = t.column(ts_col).combine_chunks()
+        m = pc.and_(pc.is_valid(kcol), pc.is_valid(ts))
+        kcol, ts = kcol.filter(m), ts.filter(m)
+        before = pc.cast(pc.less(ts, split_ts), pa.int64())
+        after = pc.cast(pc.greater_equal(ts, split_ts), pa.int64())
+        b = pa.table({key: kcol, "before_n": before, "after_n": after})
+        agg = b.group_by([key]).aggregate(
+            [("before_n", "sum"), ("after_n", "sum")])
+        return agg.rename_columns([key, "before_n", "after_n"])
+
+    counts = grouped_agg(
+        ds.select_columns([key, ts_col])
+          .map_batches(partial, batch_format="pyarrow"),
+        [key], [("before_n", "sum"), ("after_n", "sum")],
+        rename={"before_n_sum": "before_n", "after_n_sum": "after_n"},
+        num_buckets=num_buckets)
+
+    def widen(t: pa.Table) -> pa.Table:
+        d = pc.subtract(t.column("after_n"), t.column("before_n"))
+        return t.append_column("delta", d) \
+                .append_column("abs_delta", pc.abs(d))
+
+    ranked = counts.map_batches(widen, batch_format="pyarrow") \
+        .sort(["abs_delta", key], descending=[True, False]).limit(k)
+    return ranked.map_batches(
+        lambda t: t.drop_columns(["abs_delta"]), batch_format="pyarrow")
