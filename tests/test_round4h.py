@@ -1,0 +1,76 @@
+"""Round-4 session-7 operators: Mann-Whitney drift, ANOVA F, hour
+entropy, sorted-neighborhood pairs."""
+
+import math
+import random
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_mann_whitney_matches_brute_force():
+    from webval.drift import mann_whitney_u
+
+    random.seed(11)
+    a = [random.randint(0, 9) for _ in range(120)]
+    b = [random.randint(2, 11) for _ in range(75)]
+    vals = sorted(set(a) | set(b))
+    n1, n2, u1, z = mann_whitney_u([a.count(v) for v in vals],
+                                   [b.count(v) for v in vals])
+    assert (n1, n2) == (120, 75)
+    # U1 = #(a beats b) + half-credit ties, exactly
+    u_brute = sum(1.0 for x in a for y in b if x > y) \
+        + 0.5 * sum(1 for x in a for y in b if x == y)
+    assert u1 == u_brute
+    # b is stochastically larger -> side 1 loses -> negative z
+    assert z < -2
+
+    # symmetric swap: U2 = n1*n2 - U1, z flips sign
+    m1, m2, u2, z2 = mann_whitney_u([b.count(v) for v in vals],
+                                    [a.count(v) for v in vals])
+    assert u2 == n1 * n2 - u1
+    assert z2 == pytest.approx(-z, abs=1e-12)
+
+
+def test_mann_whitney_degenerate():
+    from webval.drift import mann_whitney_u
+
+    # all values tied in one bin -> tie correction zeroes the variance
+    n1, n2, u1, z = mann_whitney_u([5], [7])
+    assert u1 == 5 * 7 / 2.0 and z == 0.0
+    # one side empty
+    assert mann_whitney_u([3, 2], [0, 0]) == (5, 0, 0.0, 0.0)
+    with pytest.raises(ValueError):
+        mann_whitney_u([1, 2], [1, 2, 3])
+
+
+def test_anova_f_matches_direct_ss():
+    from webval.drift import anova_f
+
+    rng = np.random.default_rng(7)
+    groups = [rng.normal(loc, 1.0, size=n)
+              for loc, n in [(0.0, 40), (0.5, 55), (-0.3, 30)]]
+    n = [len(g) for g in groups]
+    s = [g.sum() for g in groups]
+    ss = [(g * g).sum() for g in groups]
+    k, nt, f, eta = anova_f(n, s, ss)
+    assert (k, nt) == (3, 125)
+    allv = np.concatenate(groups)
+    gm = allv.mean()
+    ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    assert f == pytest.approx((ssb / 2) / (ssw / (125 - 3)), rel=1e-9)
+    assert eta == pytest.approx(ssb / (ssb + ssw), rel=1e-9)
+
+
+def test_anova_f_degenerate():
+    from webval.drift import anova_f
+
+    k, nt, f, eta = anova_f([10], [5.0], [3.0])      # one group
+    assert k == 1 and math.isnan(f)
+    k, nt, f, eta = anova_f([1, 1], [1.0, 2.0], [1.0, 4.0])  # nt == k
+    assert math.isnan(f)
+    # zero within-group variance, nonzero between -> F = inf
+    k, nt, f, eta = anova_f([2, 2], [2.0, 4.0], [2.0, 8.0])
+    assert math.isinf(f) and eta == 1.0

@@ -329,3 +329,64 @@ def uncertainty_coefficient(mat) -> tuple[float, float, float, int]:
         r, m.shape)[nz])))
     u = (h_y - h_yx) / h_y if h_y > 0 else float("nan")
     return u, h_y, h_yx, int(n)
+
+
+def mann_whitney_u(a_counts, b_counts):
+    """Tie-corrected Mann-Whitney rank-sum test from per-value counts of
+    the two samples, aligned on the same ASCENDING distinct values — the
+    nonparametric two-sample drift test that sees median/shape shifts the
+    mean-based monitors miss.  Exact on discrete/ordinal columns (status
+    codes, token counts, star ratings); bucket continuous columns first
+    (quantile_bin / fixed-width) like the binned KS variant.
+
+    The rank sum is computed in INTEGER arithmetic (midrank×2 = 2·cum +
+    cnt + 1 is always integral), so U is exact and engine-independent;
+    only the final z normalization is floating point.
+
+    Returns (n1, n2, u1, z): U statistic of sample 1 and the
+    tie-corrected normal approximation z = (U1 - n1·n2/2) / σ.
+    """
+    c1 = np.asarray(a_counts, dtype=np.int64)
+    c2 = np.asarray(b_counts, dtype=np.int64)
+    if c1.shape != c2.shape:
+        raise ValueError(
+            f"mann_whitney_u: shape mismatch {c1.shape} vs {c2.shape}")
+    cnt = c1 + c2
+    keep = cnt > 0
+    c1, c2, cnt = c1[keep], c2[keep], cnt[keep]
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    n = n1 + n2
+    if n1 == 0 or n2 == 0:
+        return n1, n2, 0.0, 0.0
+    cum = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    r1_x2 = int((c1 * (2 * cum + cnt + 1)).sum())   # 2 × rank-sum of side 1
+    u1 = r1_x2 / 2.0 - n1 * (n1 + 1) / 2.0
+    tie = int((cnt ** 3 - cnt).sum())
+    var = n1 * n2 / 12.0 * ((n + 1) - tie / (n * (n - 1.0)))
+    z = 0.0 if var <= 0 else (u1 - n1 * n2 / 2.0) / math.sqrt(var)
+    return n1, n2, u1, z
+
+
+def anova_f(n, s, ss):
+    """One-way ANOVA F from per-group moment triples (count, sum, sum of
+    squares) — "does this numeric column differ across partitions/langs/
+    sources beyond noise", computed from the same mergeable moments the
+    schema profile already collects (no second pass over the data).
+
+    Returns (k, n_total, f, eta_sq): group count, row count, the F
+    statistic on (k-1, n-k) dof and the effect size SSB/SST.
+    """
+    n = np.asarray(n, dtype=np.float64)
+    s = np.asarray(s, dtype=np.float64)
+    ss = np.asarray(ss, dtype=np.float64)
+    keep = n > 0
+    n, s, ss = n[keep], s[keep], ss[keep]
+    k, nt = len(n), float(n.sum())
+    if k < 2 or nt <= k:
+        return k, int(nt), float("nan"), float("nan")
+    grand = s.sum() / nt
+    ssb = float((n * (s / n - grand) ** 2).sum())
+    ssw = float((ss - s * s / n).sum())
+    f = (ssb / (k - 1)) / (ssw / (nt - k)) if ssw > 0 else float("inf")
+    eta = ssb / (ssb + ssw) if ssb + ssw > 0 else float("nan")
+    return k, int(nt), f, eta

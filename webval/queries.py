@@ -8101,6 +8101,105 @@ FROM tot ORDER BY source
 """
 
 
+def q_mw_drift(sf_dir: str):
+    """Tie-corrected Mann-Whitney rank-sum drift test
+    (drift.mann_whitney_u) of l_quantity between even and odd orderkeys
+    — the nonparametric sibling of ks_drift/psi_drift that sees
+    median/shape shifts.  l_quantity is integer-valued (1..50), so the
+    per-value (side, bin) count exchange is exact, the rank sum is
+    integer arithmetic, and U1 is bit-identical to SQL's windowed
+    midrank computation (emitted unrounded); only z gets round(6)."""
+    from webval.drift import mann_whitney_u
+
+    ub, e, a = _two_side_counts(sf_dir, "lineitem", "l_orderkey",
+                                "l_quantity", cast_bin=pa.int64())
+    n1, n2, u1, z = mann_whitney_u(e, a)
+    return _round_cols(pa.table({
+        "n1": pa.array([n1], pa.int64()),
+        "n2": pa.array([n2], pa.int64()),
+        "u1": pa.array([u1], pa.float64()),
+        "z": pa.array([z], pa.float64()),
+    }), {"z": 6})
+
+
+SQL_MW_DRIFT = """
+WITH f AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+                  CAST(l_orderkey % 2 AS INT) AS side
+           FROM lineitem WHERE l_quantity IS NOT NULL),
+c AS (SELECT v, count(*) FILTER (side = 0) AS c1,
+             count(*) FILTER (side = 1) AS c2
+      FROM f GROUP BY 1),
+r AS (SELECT c1, c2, c1 + c2 AS cnt,
+             sum(c1 + c2) OVER (ORDER BY v) - (c1 + c2) AS cum FROM c),
+s AS (SELECT sum(c1) AS n1, sum(c2) AS n2,
+             sum(c1 * (2 * cum + cnt + 1)) AS r1x2,
+             sum(cnt * cnt * cnt - cnt) AS tie FROM r)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       r1x2 / 2.0 - n1 * (n1 + 1) / 2.0 AS u1,
+       round((r1x2 / 2.0 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+             / sqrt(n1 * n2 / 12.0
+                    * ((n1 + n2 + 1)
+                       - tie / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z
+FROM s
+"""
+
+
+def q_anova_f(sf_dir: str):
+    """One-way ANOVA F of l_discount across returnflag groups
+    (drift.anova_f): does the column differ across partitions beyond
+    noise — computed from the SAME per-group (count, sum, sumsq)
+    mergeable moments the schema profile collects, one combiner
+    exchange, no second data pass.  SQL twin recomputes SSB/SSW from
+    per-group avg/moments."""
+    import ray.data as rd
+
+    from webval.drift import anova_f
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_discount"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        v = t.column("l_discount").combine_chunks()
+        m = pc.and_(pc.is_valid(t.column("l_returnflag").combine_chunks()),
+                    pc.is_valid(v))
+        t = t.filter(m)
+        v = t.column("l_discount")
+        return pa.table({"g": t.column("l_returnflag"), "v": v,
+                         "v2": pc.multiply(v, v),
+                         "one": pa.array(np.ones(len(t), np.int64))})
+
+    mom = ds_to_table(grouped_agg(
+        ds.map_batches(proj, batch_format="pyarrow"), ["g"],
+        [("one", "sum"), ("v", "sum"), ("v2", "sum")],
+        rename={"one_sum": "n", "v_sum": "s", "v2_sum": "ss"}))
+    k, nt, f, eta = anova_f(mom.column("n").to_numpy(),
+                            mom.column("s").to_numpy(),
+                            mom.column("ss").to_numpy())
+    return _round_cols(pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n": pa.array([nt], pa.int64()),
+        "f_stat": pa.array([f], pa.float64()),
+        "eta_sq": pa.array([eta], pa.float64()),
+    }), {"f_stat": 6, "eta_sq": 6})
+
+
+SQL_ANOVA_F = """
+WITH g AS (SELECT l_returnflag, count(*) AS n, sum(l_discount) AS s,
+                  sum(l_discount * l_discount) AS ss
+           FROM lineitem WHERE l_discount IS NOT NULL GROUP BY 1),
+tot AS (SELECT sum(s) / sum(n) AS grand FROM g),
+t AS (SELECT count(*) AS k, sum(n) AS nt,
+             sum(n * (s / n - grand) * (s / n - grand)) AS ssb,
+             sum(ss - s * s / n) AS ssw
+      FROM g, tot)
+SELECT CAST(k AS BIGINT) AS k, CAST(nt AS BIGINT) AS n,
+       round((ssb / (k - 1)) / (ssw / (nt - k)), 6) AS f_stat,
+       round(ssb / (ssb + ssw), 6) AS eta_sq
+FROM t
+"""
+
+
 def q_peak_concurrency(sf_dir: str):
     """Peak simultaneous user sessions per day
     (windows.max_concurrency): each (user, day) span [first event,
@@ -8664,6 +8763,8 @@ QUERIES = {
     "daily_hindex": (q_daily_hindex, SQL_DAILY_HINDEX),
     "cell_residuals": (q_cell_residuals, SQL_CELL_RESIDUALS),
     "period_movers": (q_period_movers, SQL_PERIOD_MOVERS),
+    "mw_drift": (q_mw_drift, SQL_MW_DRIFT),
+    "anova_f": (q_anova_f, SQL_ANOVA_F),
     "bigram_entropy": (q_bigram_entropy, SQL_BIGRAM_ENTROPY),
     "peak_concurrency": (q_peak_concurrency, SQL_PEAK_CONCURRENCY),
 }
