@@ -390,3 +390,15 @@ def test_period_movers_on_empty():
         "ts": pa.array([], pa.int64())}))
     assert period_movers(iv, "u", "ts",
                          pa.scalar(0, pa.int64())).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hour_entropy_on_empty():
+    import ray.data as rd
+
+    from webval.windows import hour_of_day_entropy
+
+    ev = rd.from_arrow(pa.table({
+        "u": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us"))}))
+    assert hour_of_day_entropy(ev, "u", "ts").count() == 0

@@ -74,3 +74,46 @@ def test_anova_f_degenerate():
     # zero within-group variance, nonzero between -> F = inf
     k, nt, f, eta = anova_f([2, 2], [2.0, 4.0], [2.0, 8.0])
     assert math.isinf(f) and eta == 1.0
+
+
+def test_hour_entropy_matches_counter_oracle(ray_session):
+    import collections
+    import datetime
+
+    import ray.data as rd
+
+    from webval.windows import hour_of_day_entropy
+
+    rng = np.random.default_rng(13)
+    users, hours = [], []
+    # user 0: cron bot pinned to 03:00; user 1: uniform; others random
+    users += [0] * 50
+    hours += [3] * 50
+    users += [1] * 48
+    hours += list(range(24)) * 2
+    for u in range(2, 10):
+        n = int(rng.integers(5, 40))
+        users += [u] * n
+        hours += list(rng.integers(0, 24, n))
+    ts = [datetime.datetime(2024, 1, 1 + int(rng.integers(0, 20)), h)
+          for h in hours]
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array(users, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us"))}))
+    out = hour_of_day_entropy(ds, "u", "ts").to_pandas().set_index("u")
+
+    per_user = collections.defaultdict(collections.Counter)
+    for u, h in zip(users, hours):
+        per_user[u][h] += 1
+    for u, cnt in per_user.items():
+        n = sum(cnt.values())
+        ent = math.log2(n) - sum(c * math.log2(c)
+                                 for c in cnt.values()) / n
+        row = out.loc[u]
+        assert row["n_events"] == n
+        assert row["n_hours"] == len(cnt)
+        assert row["entropy"] == pytest.approx(ent, abs=1e-10)
+        assert row["peak_share"] == pytest.approx(max(cnt.values()) / n,
+                                                  abs=1e-12)
+    assert out.loc[0]["entropy"] == 0.0 and out.loc[0]["peak_share"] == 1.0
+    assert out.loc[1]["entropy"] == pytest.approx(math.log2(24), abs=1e-10)

@@ -8200,6 +8200,38 @@ FROM t
 """
 
 
+def q_hour_entropy(sf_dir: str):
+    """Per-user hour-of-day activity entropy
+    (windows.hour_of_day_entropy): the bot/scraper radar — cron-pinned
+    accounts read ~0 bits, organic users a waking-hours band.  Top-25
+    most-active users keeps the output stable; entropy/peak rounded 6
+    (≤24-term float sums)."""
+    import ray.data as rd
+
+    from webval.windows import hour_of_day_entropy
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    t = ds_to_table(hour_of_day_entropy(ds, "user_id", "ts"))
+    t = t.sort_by([("n_events", "descending"), ("user_id", "ascending")]) \
+         .slice(0, 25)
+    return _round_cols(t, {"entropy": 6, "peak_share": 6})
+
+
+SQL_HOUR_ENTROPY = """
+WITH c AS (SELECT user_id, CAST(hour(ts) AS INT) AS h, count(*) AS cnt
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+s AS (SELECT user_id, sum(cnt) AS n, count(*) AS nh,
+             sum(cnt * log2(cnt)) AS plogp, max(cnt) AS mx
+      FROM c GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n_events, CAST(nh AS BIGINT) AS n_hours,
+       round(log2(n) - plogp / n, 6) AS entropy,
+       round(mx / CAST(n AS DOUBLE), 6) AS peak_share
+FROM s ORDER BY n DESC, user_id LIMIT 25
+"""
+
+
 def q_peak_concurrency(sf_dir: str):
     """Peak simultaneous user sessions per day
     (windows.max_concurrency): each (user, day) span [first event,
@@ -8765,6 +8797,7 @@ QUERIES = {
     "period_movers": (q_period_movers, SQL_PERIOD_MOVERS),
     "mw_drift": (q_mw_drift, SQL_MW_DRIFT),
     "anova_f": (q_anova_f, SQL_ANOVA_F),
+    "hour_entropy": (q_hour_entropy, SQL_HOUR_ENTROPY),
     "bigram_entropy": (q_bigram_entropy, SQL_BIGRAM_ENTROPY),
     "peak_concurrency": (q_peak_concurrency, SQL_PEAK_CONCURRENCY),
 }

@@ -1516,3 +1516,61 @@ def period_movers(ds, key: str, ts_col: str, split_ts, k: int = 20, *,
         .sort(["abs_delta", key], descending=[True, False]).limit(k)
     return ranked.map_batches(
         lambda t: t.drop_columns(["abs_delta"]), batch_format="pyarrow")
+
+
+def hour_of_day_entropy(ds, key: str, ts_col: str, *,
+                        num_buckets: int | None = None):
+    """Per-key Shannon entropy (bits) of the hour-of-day histogram plus
+    the peak hour's share — the bot/scraper radar: organic users spread
+    activity over a waking-hours band (entropy ~3-4 bits), cron-driven
+    crawlers pin one hour (entropy ~0, peak_share ~1) or spread
+    perfectly uniformly (entropy ~log2(24) = 4.58).
+    Dataset[{key, n_events, n_hours, entropy, peak_share}].
+
+    Scale shape: one (key, hour) count-combiner exchange (≤24 rows per
+    key survive it), then a key-bucketed final that computes entropy
+    vectorized with reduceat — no per-row Python, no driver state."""
+    import numpy as np
+
+    from webval.exchange import bucketed_group_apply, grouped_agg
+
+    def proj(t: pa.Table) -> pa.Table:
+        k = t.column(key).combine_chunks()
+        ts = t.column(ts_col).combine_chunks()
+        m = pc.and_(pc.is_valid(k), pc.is_valid(ts))
+        return pa.table({key: k.filter(m),
+                         "hour": pc.cast(pc.hour(ts.filter(m)),
+                                         pa.int32())})
+
+    counts = grouped_agg(
+        ds.select_columns([key, ts_col])
+          .map_batches(proj, batch_format="pyarrow"),
+        [key, "hour"], [("hour", "count")], rename={"hour_count": "cnt"},
+        num_buckets=num_buckets)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], t.schema.field(key).type),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_hours": pa.array([], pa.int64()),
+                             "entropy": pa.array([], pa.float64()),
+                             "peak_share": pa.array([], pa.float64())})
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        c = t.column("cnt").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        order = np.argsort(k, kind="stable")
+        k, c = k[order], c[order]
+        uk, start = np.unique(k, return_index=True)
+        tot = np.add.reduceat(c, start)
+        plogp = np.add.reduceat(c * np.log2(c), start)
+        return pa.table({
+            key: pa.array(uk, t.schema.field(key).type),
+            "n_events": pa.array(tot.astype(np.int64)),
+            "n_hours": pa.array(
+                np.add.reduceat(np.ones_like(c), start).astype(np.int64)),
+            "entropy": pa.array(np.log2(tot) - plogp / tot),
+            "peak_share": pa.array(np.maximum.reduceat(c, start) / tot),
+        })
+
+    return bucketed_group_apply(counts, [key], final,
+                                num_buckets=num_buckets)
