@@ -402,3 +402,14 @@ def test_hour_entropy_on_empty():
         "u": pa.array([], pa.int64()),
         "ts": pa.array([], pa.timestamp("us"))}))
     assert hour_of_day_entropy(ev, "u", "ts").count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snm_pairs_on_empty():
+    import ray.data as rd
+
+    from webval.fuzzy import sorted_neighborhood_pairs
+
+    ds = rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
+                                 "k": pa.array([], pa.string())}))
+    assert sorted_neighborhood_pairs(ds, "id", "k").count() == 0

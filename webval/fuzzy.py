@@ -237,3 +237,234 @@ def jaro_winkler_pairs(a_col, b_col, *, prefix_weight: float = 0.1,
     boosted = np.where(jaro > 0.7,
                        jaro + l * prefix_weight * (1.0 - jaro), jaro)
     return np.where((la == 0) | (lb == 0), 0.0, boosted)
+
+
+def _score_pairs(a_col, b_col, metric: str, min_sim: float, max_dist: int):
+    """Chunked metric kernel + keep mask over aligned pair columns."""
+    outs, keeps = [], []
+    for s in range(0, len(a_col), _PAIR_CHUNK):
+        ca, cb = a_col.slice(s, _PAIR_CHUNK), b_col.slice(s, _PAIR_CHUNK)
+        if metric == "jaro_winkler":
+            d = jaro_winkler_pairs(ca, cb)
+            keeps.append(d >= min_sim)
+        else:
+            d = levenshtein_pairs(ca, cb)
+            keeps.append(d <= max_dist)
+        outs.append(d)
+    if not outs:
+        return np.empty(0, np.float64), np.empty(0, bool)
+    return np.concatenate(outs), np.concatenate(keeps)
+
+
+def sorted_neighborhood_pairs(ds, id_col: str, str_col: str, *,
+                              window: int = 3,
+                              metric: str = "jaro_winkler",
+                              min_sim: float = 0.9, max_dist: int = 2,
+                              num_parts: int | None = None,
+                              samples_per_block: int = 4,
+                              max_part_rows: int = 2_000_000):
+    """Sorted-neighborhood similarity self-join (Hernández & Stolfo's
+    SNM blocking): sort all rows by ``str_col`` (ties by id), slide a
+    ``window``-row window down the sorted order, score every pair at
+    rank distance ≤ window with the metric, keep matches.  The blocking
+    complement of ``fuzzy_pairs``: no block key needed — near-equal
+    strings land adjacent in sort order even when no prefix/attribute
+    block would group them.
+
+    Returns Dataset[{id_a, id_b, similarity|edit_distance}] with id_a
+    the RANK-earlier row (SQL twin: rns a JOIN rns b ON b.rn BETWEEN
+    a.rn+1 AND a.rn+window).  The pair set is EXACT for the global sort
+    order, independent of partitioning:
+
+    - rows are range-partitioned by sampled key split points (per-block
+      order-statistic samples; splits only affect balance, never the
+      pair set),
+    - within-part pairs are generated vectorized per part (one
+      shifted-comparison pass per rank distance d = 1..window),
+    - pairs that straddle part boundaries are reconstructed exactly
+      from each part's first/last ``window`` rows + part sizes (any
+      pair at rank distance ≤ window that crosses a boundary has BOTH
+      ends and ALL intermediate rows inside that boundary set, so the
+      rank gap a→b = rows_after_a_in_part + sum(sizes of whole parts
+      between) + rows_before_b_in_part + 1 is computable without global
+      row numbers); that set is O(window × num_parts) — driver-small by
+      construction.
+
+    Two passes over (id, key): a per-block order-statistic sampling
+    pass for the split points (standard for range partitioning), then
+    ONE range exchange; the materialize holds only the OUTPUT pairs +
+    the boundary sliver.  A part larger than ``max_part_rows`` raises
+    the exchange's named diagnostic."""
+    import ray.data as rd
+
+    from webval.exchange import resolve_num_buckets
+
+    if metric not in ("levenshtein", "jaro_winkler"):
+        raise ValueError(f"sorted_neighborhood_pairs: unknown metric "
+                         f"{metric!r}")
+    jw = metric == "jaro_winkler"
+    out_col = "similarity" if jw else "edit_distance"
+    out_type = pa.float64() if jw else pa.int64()
+    nparts = resolve_num_buckets(num_parts)
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, str_col])
+        return t.filter(pc.and_(pc.is_valid(t.column(id_col)),
+                                pc.is_valid(t.column(str_col))))
+
+    base = ds.map_batches(clean, batch_format="pyarrow")
+
+    # ---- phase 0: split points from per-block order-statistic samples
+    def samp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.string())})
+        ks = pc.cast(t.column(str_col), pa.string()).combine_chunks()
+        srt = ks.take(pc.array_sort_indices(ks))
+        idx = np.unique(np.linspace(0, len(srt) - 1,
+                                    samples_per_block).astype(np.int64))
+        return pa.table({"k": srt.take(pa.array(idx))})
+
+    sample_batches = list(
+        base.map_batches(samp, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=65536))
+    ks = sorted(pa.concat_tables(sample_batches,
+                                 promote_options="permissive")
+                .column("k").to_pylist()) if sample_batches else []
+    raw = [ks[(i * len(ks)) // nparts] for i in range(1, nparts)] \
+        if ks else []
+    splits = np.array(sorted(set(raw)), dtype="U") if raw \
+        else np.empty(0, dtype="U1")
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("part", pa.array([], pa.int64()))
+        k = t.column(str_col).combine_chunks() \
+             .to_numpy(zero_copy_only=False).astype("U")
+        part = np.searchsorted(splits, k, side="right") \
+            if len(splits) else np.zeros(len(k), np.int64)
+        return t.append_column("part", pa.array(part.astype(np.int64)))
+
+    union_schema = pa.schema([
+        ("kind", pa.int64()), ("id_a", pa.int64()), ("id_b", pa.int64()),
+        (out_col, out_type), ("part", pa.int64()),
+        ("idx_start", pa.int64()), ("idx_end", pa.int64()),
+        ("size", pa.int64()), ("k", pa.string())])
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return union_schema.empty_table()
+        parts_np = g.column("part").combine_chunks() \
+                    .to_numpy(zero_copy_only=False)
+        ids_np = pc.cast(g.column(id_col), pa.int64()).combine_chunks() \
+                   .to_numpy(zero_copy_only=False)
+        keys_arr = pc.cast(g.column(str_col), pa.string()).combine_chunks()
+        keys_np = keys_arr.to_numpy(zero_copy_only=False).astype("U")
+        order = np.lexsort((ids_np, keys_np, parts_np))
+        parts_s, ids_s = parts_np[order], ids_np[order]
+        keys_s = keys_arr.take(pa.array(order))
+        n = len(parts_s)
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = parts_s[1:] != parts_s[:-1]
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, n))
+        pos = np.arange(n) - np.repeat(starts, sizes)
+        idx_end = np.repeat(sizes, sizes) - 1 - pos
+
+        out_a, out_b, out_d = [], [], []
+        for d in range(1, window + 1):
+            if d >= n:
+                break
+            cand = np.nonzero(parts_s[:-d] == parts_s[d:])[0]
+            if len(cand) == 0:
+                continue
+            dd, keep = _score_pairs(keys_s.take(pa.array(cand)),
+                                    keys_s.take(pa.array(cand + d)),
+                                    metric, min_sim, max_dist)
+            out_a.append(ids_s[cand[keep]])
+            out_b.append(ids_s[cand[keep] + d])
+            out_d.append(dd[keep])
+        npairs = sum(len(x) for x in out_a)
+        pairs_t = pa.table({
+            "kind": pa.array(np.zeros(npairs, np.int64)),
+            "id_a": pa.array(np.concatenate(out_a) if out_a
+                             else np.empty(0, np.int64), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b) if out_b
+                             else np.empty(0, np.int64), pa.int64()),
+            out_col: pa.array(np.concatenate(out_d) if out_d
+                              else np.empty(0, np.float64), out_type),
+            "part": pa.nulls(npairs, pa.int64()),
+            "idx_start": pa.nulls(npairs, pa.int64()),
+            "idx_end": pa.nulls(npairs, pa.int64()),
+            "size": pa.nulls(npairs, pa.int64()),
+            "k": pa.nulls(npairs, pa.string())})
+
+        bmask = (pos < window) | (idx_end < window)
+        bidx = np.nonzero(bmask)[0]
+        bound_t = pa.table({
+            "kind": pa.array(np.ones(len(bidx), np.int64)),
+            "id_a": pa.array(ids_s[bidx], pa.int64()),
+            "id_b": pa.nulls(len(bidx), pa.int64()),
+            out_col: pa.nulls(len(bidx), out_type),
+            "part": pa.array(parts_s[bidx], pa.int64()),
+            "idx_start": pa.array(pos[bidx], pa.int64()),
+            "idx_end": pa.array(idx_end[bidx], pa.int64()),
+            "size": pa.array(np.repeat(sizes, sizes)[bidx], pa.int64()),
+            "k": keys_s.take(pa.array(bidx))})
+        return pa.concat_tables([pairs_t, bound_t])
+
+    u = bucketed_group_apply(base.map_batches(assign,
+                                              batch_format="pyarrow"),
+                             ["part"], final, num_buckets=num_parts,
+                             max_group_rows=max_part_rows).materialize()
+
+    pairs_ds = u.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 0))
+                   .select(["id_a", "id_b", out_col]),
+        batch_format="pyarrow")
+
+    bt = pa.concat_tables(
+        [b for b in u.map_batches(
+            lambda t: t.filter(pc.equal(t.column("kind"), 1)),
+            batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=65536)] or
+        [union_schema.empty_table()], promote_options="permissive")
+
+    # ---- phase B: exact cross-boundary pairs from the boundary sliver
+    sizes_by_part: dict[int, int] = {}
+    heads: dict[int, list] = {}
+    tails: dict[int, list] = {}
+    for row in bt.to_pylist():
+        p = row["part"]
+        sizes_by_part[p] = row["size"]
+        if row["idx_start"] < window:
+            heads.setdefault(p, []).append(row)
+        if row["idx_end"] < window:
+            tails.setdefault(p, []).append(row)
+    ca, cb, cka, ckb = [], [], [], []
+    plist = sorted(sizes_by_part)
+    for i, p in enumerate(plist):
+        inter = 0
+        for q in plist[i + 1:]:
+            if inter + 1 > window:
+                break
+            for a in tails.get(p, ()):
+                for b in heads.get(q, ()):
+                    if a["idx_end"] + inter + b["idx_start"] + 1 <= window:
+                        ca.append(a["id_a"])
+                        cb.append(b["id_a"])
+                        cka.append(a["k"])
+                        ckb.append(b["k"])
+            inter += sizes_by_part[q]
+    if ca:
+        dd, keep = _score_pairs(pa.array(cka, pa.string()),
+                                pa.array(ckb, pa.string()),
+                                metric, min_sim, max_dist)
+        cross_t = pa.table({
+            "id_a": pa.array(np.asarray(ca, np.int64)[keep], pa.int64()),
+            "id_b": pa.array(np.asarray(cb, np.int64)[keep], pa.int64()),
+            out_col: pa.array(dd[keep], out_type)})
+    else:
+        cross_t = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                             (out_col, out_type)]).empty_table()
+    return pairs_ds.union(rd.from_arrow(cross_t))

@@ -8200,6 +8200,54 @@ FROM t
 """
 
 
+def q_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood near-duplicate pairs
+    (fuzzy.sorted_neighborhood_pairs): part-name pairs within rank
+    window 3 of the global name sort at Jaro-Winkler ≥ 0.9 — the
+    blocking-free complement of jw_part_names (SNM catches near-equal
+    names that no attribute block groups).  The pair set is exact for
+    the sort order regardless of partitioning (boundary pairs
+    reconstructed from part-edge slivers); JW values are bit-exact vs
+    DuckDB so similarity is emitted unrounded.  ASCII names asserted so
+    byte-level sort == SQL's binary collation."""
+    import ray.data as rd
+
+    from webval.fuzzy import sorted_neighborhood_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+
+    def ascii_check(b: pa.Table) -> pa.Table:
+        col = b.column("p_name")
+        mism = pc.sum(pc.cast(pc.not_equal(
+            pc.utf8_length(col), pc.binary_length(col)), pa.int64())).as_py()
+        if mism:
+            raise AssertionError(
+                f"{mism} non-ASCII part names: byte-level sort/JW no "
+                "longer matches the SQL twin")
+        return b
+
+    pairs = sorted_neighborhood_pairs(
+        ds.map_batches(ascii_check, batch_format="pyarrow"),
+        "p_partkey", "p_name", window=3, min_sim=0.9)
+    t = ds_to_table(pairs, empty_schema=pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()),
+         ("similarity", pa.float64())]))
+    return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+SQL_SNM_PAIRS = """
+WITH r AS (SELECT p_partkey AS id, p_name AS k,
+                  row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+           FROM part WHERE p_name IS NOT NULL AND p_partkey IS NOT NULL)
+SELECT a.id AS id_a, b.id AS id_b,
+       jaro_winkler_similarity(a.k, b.k) AS similarity
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+WHERE jaro_winkler_similarity(a.k, b.k) >= 0.9
+ORDER BY 1, 2
+"""
+
+
 def q_hour_entropy(sf_dir: str):
     """Per-user hour-of-day activity entropy
     (windows.hour_of_day_entropy): the bot/scraper radar — cron-pinned
@@ -8798,6 +8846,7 @@ QUERIES = {
     "mw_drift": (q_mw_drift, SQL_MW_DRIFT),
     "anova_f": (q_anova_f, SQL_ANOVA_F),
     "hour_entropy": (q_hour_entropy, SQL_HOUR_ENTROPY),
+    "snm_pairs": (q_snm_pairs, SQL_SNM_PAIRS),
     "bigram_entropy": (q_bigram_entropy, SQL_BIGRAM_ENTROPY),
     "peak_concurrency": (q_peak_concurrency, SQL_PEAK_CONCURRENCY),
 }
