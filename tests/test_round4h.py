@@ -117,3 +117,101 @@ def test_hour_entropy_matches_counter_oracle(ray_session):
                                                   abs=1e-12)
     assert out.loc[0]["entropy"] == 0.0 and out.loc[0]["peak_share"] == 1.0
     assert out.loc[1]["entropy"] == pytest.approx(math.log2(24), abs=1e-10)
+
+
+def test_hill_tail_index_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from webval.rank import hill_tail_index
+
+    rng = np.random.default_rng(5)
+    # Zipf-ish user activity: user u appears ~ (u+1)**-1.2 scaled
+    users = []
+    counts = [max(1, int(2000 * (u + 1) ** -1.2)) for u in range(60)]
+    for u, c in enumerate(counts):
+        users += [u] * c
+    rng.shuffle(users)
+    ds = rd.from_arrow(pa.table({"u": pa.array(users, pa.int64())}))
+    k_eff, xk1, alpha = hill_tail_index(ds, "u", k=10)
+
+    x = np.sort(np.array(counts, dtype=np.float64))[::-1]
+    assert k_eff == 10
+    assert xk1 == int(x[10])
+    expect = 10 / np.log(x[:10] / x[10]).sum()
+    assert alpha == pytest.approx(expect, rel=1e-12)
+
+
+def test_hill_tail_index_degenerate(ray_session):
+    import ray.data as rd
+
+    from webval.rank import hill_tail_index
+
+    # fewer keys than k -> k_eff shrinks
+    ds = rd.from_arrow(pa.table({"u": pa.array([0, 0, 0, 1], pa.int64())}))
+    k_eff, xk1, alpha = hill_tail_index(ds, "u", k=10)
+    assert k_eff == 1 and xk1 == 1
+    assert alpha == pytest.approx(1.0 / math.log(3.0), rel=1e-12)
+    # single key -> nan
+    ds1 = rd.from_arrow(pa.table({"u": pa.array([7, 7], pa.int64())}))
+    k_eff, xk1, alpha = hill_tail_index(ds1, "u", k=10)
+    assert k_eff == 0 and math.isnan(alpha)
+    # all-null -> nan
+    dsn = rd.from_arrow(pa.table({"u": pa.array([None, None], pa.int64())}))
+    k_eff, xk1, alpha = hill_tail_index(dsn, "u", k=10)
+    assert k_eff == 0 and math.isnan(alpha)
+
+
+def test_weighted_log_odds_matches_counter_oracle(ray_session):
+    import collections
+    import re
+
+    import ray.data as rd
+
+    from webval.textstats import weighted_log_odds
+
+    docs = (["alpha beta gamma common common"] * 30
+            + ["delta beta common common epsilon"] * 25)
+    sides = [0] * 30 + [1] * 25
+    ds = rd.from_arrow(pa.table({
+        "side": pa.array(sides, pa.int64()),
+        "text": pa.array(docs, pa.string())}))
+    out = weighted_log_odds(ds, "side", "text", prior_strength=10.0,
+                            min_count=5, top_k=50).to_pandas() \
+        .set_index("term")
+
+    c0, c1 = collections.Counter(), collections.Counter()
+    for s, d in zip(sides, docs):
+        toks = [t for t in re.split(r"[^a-z0-9]+", d.lower()) if t]
+        (c0 if s == 0 else c1).update(toks)
+    n0, n1 = sum(c0.values()), sum(c1.values())
+    big_n = n0 + n1
+    for term in set(c0) | set(c1):
+        y0, y1 = c0[term], c1[term]
+        if y0 + y1 < 5:
+            assert term not in out.index
+            continue
+        aw = 10.0 * (y0 + y1) / big_n
+        delta = (math.log((y1 + aw) / (n1 + 10.0 - y1 - aw))
+                 - math.log((y0 + aw) / (n0 + 10.0 - y0 - aw)))
+        z = delta / math.sqrt(1 / (y1 + aw) + 1 / (y0 + aw))
+        row = out.loc[term]
+        assert row["c0"] == y0 and row["c1"] == y1
+        assert row["delta"] == pytest.approx(round(delta, 6), abs=2e-6)
+        assert row["z"] == pytest.approx(round(z, 6), abs=2e-6)
+    # direction: alpha/gamma exclusive to side 0 -> negative z;
+    # delta/epsilon exclusive to side 1 -> positive z
+    assert out.loc["alpha"]["z"] < 0 and out.loc["gamma"]["z"] < 0
+    assert out.loc["delta"]["z"] > 0 and out.loc["epsilon"]["z"] > 0
+
+
+def test_weighted_log_odds_empty(ray_session):
+    import ray.data as rd
+
+    from webval.textstats import weighted_log_odds
+
+    ds = rd.from_arrow(pa.table({
+        "side": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    out = weighted_log_odds(ds, "side", "text")
+    assert out.count() == 0
+    assert sorted(out.schema().names) == ["c0", "c1", "delta", "term", "z"]

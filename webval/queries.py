@@ -8200,6 +8200,93 @@ FROM t
 """
 
 
+def q_hill_tail(sf_dir: str):
+    """Hill tail-index of the per-user event-count distribution
+    (rank.hill_tail_index, k = min(10, n-1)): the "how heavy is the
+    head" skew audit that predicts hash-partition hot-spotting.
+    Counts are exact ints on both engines; alpha rounds 6 (10-term ln
+    sum)."""
+    import ray.data as rd
+
+    from webval.rank import hill_tail_index
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    k_eff, xk1, alpha = hill_tail_index(ds, "user_id", k=10)
+    return _round_cols(pa.table({
+        "k": pa.array([k_eff], pa.int64()),
+        "x_k1": pa.array([xk1], pa.int64()),
+        "alpha": pa.array([alpha], pa.float64()),
+    }), {"alpha": 6})
+
+
+SQL_HILL_TAIL = """
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+           WHERE user_id IS NOT NULL GROUP BY 1),
+kk AS (SELECT least(10, count(*) - 1) AS ke FROM c),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC) AS rn FROM c),
+xk AS (SELECT cnt AS xkv FROM r, kk WHERE rn = ke + 1)
+SELECT (SELECT ke FROM kk) AS k, CAST((SELECT xkv FROM xk) AS BIGINT) AS x_k1,
+       round((SELECT ke FROM kk)
+             / sum(ln(cnt / CAST((SELECT xkv FROM xk) AS DOUBLE))), 6)
+           AS alpha
+FROM r, kk WHERE rn <= ke
+"""
+
+
+def q_log_odds_terms(sf_dir: str):
+    """Monroe "Fightin' Words" weighted log-odds term movers
+    (textstats.weighted_log_odds): top-20 terms most enriched on
+    either side of the doc_id-parity corpus split, Dirichlet-prior
+    shrunk so rare terms don't dominate — the direction-aware "what
+    vocabulary changed" audit.  Rank key is round(|z|, 6) with
+    term-ascending ties so the cut is deterministic on both engines."""
+    import ray.data as rd
+
+    from webval.textstats import weighted_log_odds
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def add_side(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "side", pc.cast(pc.bit_wise_and(
+                t.column("doc_id").combine_chunks(),
+                pa.scalar(1, pa.int64())), pa.int64()))
+
+    t = ds_to_table(weighted_log_odds(
+        ds.map_batches(add_side, batch_format="pyarrow"), "side", "text",
+        prior_strength=100.0, min_count=10, top_k=20))
+    t = t.set_column(t.column_names.index("term"), "term",
+                     pc.cast(t.column("term"), pa.string()))
+    return _round_cols(t, {"delta": 6, "z": 6})
+
+
+SQL_LOG_ODDS_TERMS = """
+WITH tok AS (SELECT CAST(doc_id % 2 AS INT) AS side,
+                    unnest(list_filter(regexp_split_to_array(lower(text),
+                                                             '[^a-z0-9]+'),
+                                       x -> x <> '')) AS term
+             FROM documents
+             WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+c AS (SELECT term, count(*) FILTER (side = 0) AS y0,
+             count(*) FILTER (side = 1) AS y1
+      FROM tok GROUP BY 1),
+tot AS (SELECT sum(y0) AS n0, sum(y1) AS n1,
+               CAST(sum(y0 + y1) AS DOUBLE) AS nn FROM c),
+sc AS (SELECT term, y0, y1,
+              ln((y1 + 100.0 * (y0 + y1) / nn)
+                 / (n1 + 100.0 - y1 - 100.0 * (y0 + y1) / nn))
+            - ln((y0 + 100.0 * (y0 + y1) / nn)
+                 / (n0 + 100.0 - y0 - 100.0 * (y0 + y1) / nn)) AS delta,
+              1.0 / (y1 + 100.0 * (y0 + y1) / nn)
+            + 1.0 / (y0 + 100.0 * (y0 + y1) / nn) AS var
+      FROM c, tot WHERE y0 + y1 >= 10)
+SELECT term, CAST(y0 AS BIGINT) AS c0, CAST(y1 AS BIGINT) AS c1,
+       round(delta, 6) AS delta, round(delta / sqrt(var), 6) AS z
+FROM sc ORDER BY round(abs(delta / sqrt(var)), 6) DESC, term LIMIT 20
+"""
+
+
 def q_snm_pairs(sf_dir: str):
     """Sorted-neighborhood near-duplicate pairs
     (fuzzy.sorted_neighborhood_pairs): part-name pairs within rank
@@ -8847,6 +8934,8 @@ QUERIES = {
     "anova_f": (q_anova_f, SQL_ANOVA_F),
     "hour_entropy": (q_hour_entropy, SQL_HOUR_ENTROPY),
     "snm_pairs": (q_snm_pairs, SQL_SNM_PAIRS),
+    "hill_tail": (q_hill_tail, SQL_HILL_TAIL),
+    "log_odds_terms": (q_log_odds_terms, SQL_LOG_ODDS_TERMS),
     "bigram_entropy": (q_bigram_entropy, SQL_BIGRAM_ENTROPY),
     "peak_concurrency": (q_peak_concurrency, SQL_PEAK_CONCURRENCY),
 }

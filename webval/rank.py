@@ -858,3 +858,48 @@ def grouped_hindex(ds, key: str, value_col: str, *,
         ds.select_columns([key, value_col]), [key], final,
         num_buckets=num_buckets, partial_fn=partial,
         max_group_rows=max_group_rows)
+
+
+def hill_tail_index(ds, key: str, *, k: int = 100,
+                    num_buckets: int | None = None):
+    """Hill estimator of the power-law tail index of a frequency
+    distribution (Hill 1975): over the k+1 largest per-key counts,
+    alpha = k / sum_i ln(x_(i) / x_(k+1)) — the "how heavy is the head"
+    audit for host/user/term frequency skew (alpha near 1 = Zipf-like
+    head that will hot-spot any hash partition; large alpha = benign).
+
+    Scale shape: one count-combiner exchange builds the per-key counts;
+    each count block contributes only its local top-(k+1) rows to the
+    driver merge, so the driver sees O(k × blocks) ints, never the key
+    table.  Returns (k_eff, x_kplus1, alpha) with k_eff = min(k,
+    n_keys - 1); alpha = nan when fewer than 2 keys."""
+    import numpy as np
+
+    from webval.exchange import grouped_agg
+
+    counts = grouped_agg(
+        ds.map_batches(lambda t: t.select([key]).filter(
+            pc.is_valid(t.column(key))), batch_format="pyarrow"),
+        [key], [(key, "count")], rename={f"{key}_count": "cnt"},
+        num_buckets=num_buckets)
+
+    def local_top(t: pa.Table) -> pa.Table:
+        c = t.column("cnt").combine_chunks()
+        idx = pc.array_sort_indices(c, order="descending")
+        return pa.table({"cnt": c.take(idx.slice(0, k + 1))})
+
+    parts = [b for b in counts.map_batches(
+        local_top, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=65536)]
+    if not parts:
+        return 0, 0, float("nan")
+    x = np.sort(pa.concat_tables(parts).column("cnt")
+                .to_numpy(zero_copy_only=False))[::-1][:k + 1] \
+        .astype(np.float64)
+    k_eff = min(k, len(x) - 1)
+    if k_eff < 1:
+        return 0, 0, float("nan")
+    xk1 = x[k_eff]
+    s = float(np.log(x[:k_eff] / xk1).sum())
+    alpha = k_eff / s if s > 0 else float("inf")
+    return k_eff, int(xk1), alpha

@@ -892,3 +892,97 @@ def char_bigram_entropy(ds, group_col: str, text_col: str, *,
             "entropy": pa.array(h, pa.float64(), from_pandas=True)})
 
     return roll.map_batches(finish, batch_format="pyarrow")
+
+
+def weighted_log_odds(ds, side_col: str, text_col: str, *,
+                      prior_strength: float = 100.0, min_count: int = 10,
+                      top_k: int = 20, num_buckets: int | None = None):
+    """Monroe et al. 2008 "Fightin' Words" weighted log-odds with an
+    informative Dirichlet prior: which terms moved most between two
+    corpus sides (old/new crawl, kept/dropped docs) — the
+    direction-aware companion of vocab_drift (which only counts
+    new/lost tokens) and term_enrichment (chi-square, no shrinkage).
+    For each term with total count ≥ ``min_count``:
+
+        α_w = prior_strength · (y0+y1) / N            (corpus prior)
+        δ   = ln((y1+α_w)/(n1+prior−y1−α_w))
+            − ln((y0+α_w)/(n0+prior−y0−α_w))
+        z   = δ / sqrt(1/(y1+α_w) + 1/(y0+α_w))
+
+    Positive z = enriched on side 1.  Returns the ``top_k`` terms by
+    round(|z|, 6) (term-ascending ties — the rounding makes the cut
+    deterministic across engines), as Dataset[{term, c0, c1, delta,
+    z}] with delta/z rounded to 6.
+
+    Scale shape: ONE (term, side-flag) count exchange (tokens combined
+    per batch before the shuffle); side totals are per-block scalar
+    partials summed on the driver; the z expression is vectorized over
+    the term table and the final rank is a term-table-sized sort."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.lm import TOKEN_SPLIT_PATTERN, _tokenize
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.is_valid(t.column(side_col).combine_chunks()),
+            pc.is_valid(t.column(text_col).combine_chunks())))
+        flat, doc_idx = _tokenize(t.column(text_col).combine_chunks(),
+                                  TOKEN_SPLIT_PATTERN)
+        side = pc.cast(t.column(side_col).combine_chunks(), pa.int64()) \
+            .take(pa.array(doc_idx, pa.int64())) \
+            .to_numpy(zero_copy_only=False)
+        tab = pa.table({"term": flat,
+                        "c0": pa.array((side == 0).astype(np.int64)),
+                        "c1": pa.array((side == 1).astype(np.int64))})
+        agg = tab.group_by(["term"]).aggregate([("c0", "sum"),
+                                                ("c1", "sum")])
+        return agg.rename_columns(["term", "c0", "c1"])
+
+    counts = grouped_agg(
+        ds.select_columns([side_col, text_col])
+          .map_batches(partial, batch_format="pyarrow"),
+        ["term"], [("c0", "sum"), ("c1", "sum")],
+        rename={"c0_sum": "c0", "c1_sum": "c1"},
+        num_buckets=num_buckets).materialize()
+
+    # side totals: per-block scalar partials, summed driver-side
+    tot = [b for b in counts.map_batches(
+        lambda t: pa.table({"n0": pa.array([pc.sum(t.column("c0")).as_py()
+                                            or 0], pa.int64()),
+                            "n1": pa.array([pc.sum(t.column("c1")).as_py()
+                                            or 0], pa.int64())}),
+        batch_format="pyarrow").iter_batches(batch_format="pyarrow",
+                                             batch_size=65536)]
+    n0 = sum(b.column("n0").to_pylist()[0] for b in tot) if tot else 0
+    n1 = sum(b.column("n1").to_pylist()[0] for b in tot) if tot else 0
+    big_n = float(n0 + n1)
+    empty = pa.schema([("term", pa.large_string()), ("c0", pa.int64()),
+                       ("c1", pa.int64()), ("delta", pa.float64()),
+                       ("z", pa.float64()), ("az", pa.float64())])
+    if big_n == 0:
+        return rd.from_arrow(empty.empty_table()
+                             .drop_columns(["az"]))
+
+    def zmap(t: pa.Table) -> pa.Table:
+        y0 = t.column("c0").to_numpy(zero_copy_only=False) \
+              .astype(np.float64)
+        y1 = t.column("c1").to_numpy(zero_copy_only=False) \
+              .astype(np.float64)
+        keep = y0 + y1 >= min_count
+        t = t.filter(pa.array(keep))
+        y0, y1 = y0[keep], y1[keep]
+        aw = prior_strength * (y0 + y1) / big_n
+        delta = np.log((y1 + aw) / (n1 + prior_strength - y1 - aw)) \
+            - np.log((y0 + aw) / (n0 + prior_strength - y0 - aw))
+        z = delta / np.sqrt(1.0 / (y1 + aw) + 1.0 / (y0 + aw))
+        return pa.table({"term": t.column("term"),
+                         "c0": t.column("c0"), "c1": t.column("c1"),
+                         "delta": pa.array(delta),
+                         "z": pa.array(z),
+                         "az": pa.array(np.abs(z).round(6))})
+
+    ranked = counts.map_batches(zmap, batch_format="pyarrow") \
+        .sort(["az", "term"], descending=[True, False]).limit(top_k)
+    return ranked.map_batches(lambda t: t.drop_columns(["az"]),
+                              batch_format="pyarrow")
