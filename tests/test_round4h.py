@@ -215,3 +215,90 @@ def test_weighted_log_odds_empty(ray_session):
     out = weighted_log_odds(ds, "side", "text")
     assert out.count() == 0
     assert sorted(out.schema().names) == ["c0", "c1", "delta", "term", "z"]
+
+
+def test_welch_t_matches_scipy_formula():
+    from webval.drift import welch_t
+
+    rng = np.random.default_rng(13)
+    a = rng.normal(5.0, 2.0, 200)
+    b = rng.normal(5.5, 0.7, 80)
+    n, s, ss = ([len(a), len(b)], [a.sum(), b.sum()],
+                [(a * a).sum(), (b * b).sum()])
+    n0, n1, t, dof = welch_t(n, s, ss)
+
+    v0, v1 = a.var(ddof=1), b.var(ddof=1)
+    se0, se1 = v0 / len(a), v1 / len(b)
+    expect_t = (b.mean() - a.mean()) / math.sqrt(se0 + se1)
+    expect_dof = (se0 + se1) ** 2 / (se0 ** 2 / (len(a) - 1)
+                                     + se1 ** 2 / (len(b) - 1))
+    assert n0 == 200 and n1 == 80
+    assert t == pytest.approx(expect_t, rel=1e-9)
+    assert dof == pytest.approx(expect_dof, rel=1e-9)
+
+
+def test_welch_t_degenerate():
+    from webval.drift import welch_t
+
+    # a side with < 2 rows -> nan
+    n0, n1, t, dof = welch_t([1, 5], [3.0, 10.0], [9.0, 30.0])
+    assert math.isnan(t) and math.isnan(dof)
+    # both sides constant -> zero variance -> nan
+    n0, n1, t, dof = welch_t([3, 3], [6.0, 9.0], [12.0, 27.0])
+    assert math.isnan(t) and math.isnan(dof)
+    with pytest.raises(ValueError):
+        welch_t([1, 2, 3], [0, 0, 0], [0, 0, 0])
+
+
+def test_fd_strength_matches_counter_oracle(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from webval.relational import fd_strength
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 20, 500)
+    y = x // 3                       # exact FD x -> y
+    z = rng.integers(0, 4, 500)      # dirty FD x -> z
+    ds = rd.from_arrow(pa.table({
+        "x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64()),
+        "z": pa.array(z, pa.int64())}))
+    out = fd_strength(ds, [("x", "y"), ("x", "z"), ("y", "x")])
+    assert isinstance(out, pa.Table)
+    rows = {(r["lhs"], r["rhs"]): r for r in out.to_pylist()}
+
+    def g3(ls, rs):
+        c = collections.Counter(zip(ls, rs))
+        best = collections.defaultdict(int)
+        for (l, _), cnt in c.items():
+            best[l] = max(best[l], cnt)
+        return sum(best.values()), len(ls)
+
+    for lhs, rhs, ls, rs in [("x", "y", x, y), ("x", "z", x, z),
+                             ("y", "x", y, x)]:
+        keep, n = g3(ls.tolist(), rs.tolist())
+        r = rows[(lhs, rhs)]
+        assert r["n"] == n and r["keep"] == keep
+        assert r["strength"] == pytest.approx(keep / n, rel=1e-12)
+    assert rows[("x", "y")]["strength"] == 1.0
+    assert rows[("x", "z")]["strength"] < 1.0
+
+
+def test_fd_strength_nulls_and_empty(ray_session):
+    import ray.data as rd
+
+    from webval.relational import fd_strength
+
+    # null on either side of a pair drops the row for that pair only
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([1, 1, None, 2], pa.int64()),
+        "b": pa.array([10, 10, 10, None], pa.int64())}))
+    out = fd_strength(ds, [("a", "b")]).to_pylist()[0]
+    assert out["n"] == 2 and out["keep"] == 2 and out["strength"] == 1.0
+
+    empty = rd.from_arrow(pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
+    out = fd_strength(empty, [("a", "b")]).to_pylist()[0]
+    assert out["n"] == 0 and out["keep"] == 0
+    assert out["strength"] is None

@@ -390,3 +390,36 @@ def anova_f(n, s, ss):
     f = (ssb / (k - 1)) / (ssw / (nt - k)) if ssw > 0 else float("inf")
     eta = ssb / (ssb + ssw) if ssb + ssw > 0 else float("nan")
     return k, int(nt), f, eta
+
+
+def welch_t(n, s, ss):
+    """Welch's unequal-variance two-sample t from per-side moment
+    triples (count, sum, sum of squares) — the parametric mean-shift
+    companion of :func:`mann_whitney_u` (rank shift) and
+    :func:`anova_f` (k-group pooled variance): unlike ANOVA's pooled
+    SSW it does NOT assume the two sides share a variance, which is the
+    realistic case when comparing a fresh crawl slice against a
+    baseline (Welch 1947, Satterthwaite 1946 dof).
+
+    ``n``/``s``/``ss`` are length-2 arrays (side 0, side 1).  Returns
+    (n0, n1, t, dof) with t signed positive when side 1's mean is
+    larger; nan when either side has < 2 rows or both variances are 0.
+    """
+    n = np.asarray(n, dtype=np.float64)
+    s = np.asarray(s, dtype=np.float64)
+    ss = np.asarray(ss, dtype=np.float64)
+    if len(n) != 2:
+        raise ValueError(f"welch_t: expected 2 sides, got {len(n)}")
+    n0, n1 = n
+    if n0 < 2 or n1 < 2:
+        return int(n0), int(n1), float("nan"), float("nan")
+    m = s / n
+    v = (ss - s * s / n) / (n - 1.0)          # sample variance per side
+    se0, se1 = v[0] / n0, v[1] / n1
+    se2 = se0 + se1
+    if se2 <= 0:
+        return int(n0), int(n1), float("nan"), float("nan")
+    t = float((m[1] - m[0]) / math.sqrt(se2))
+    dof = float(se2 * se2 / (se0 * se0 / (n0 - 1.0)
+                             + se1 * se1 / (n1 - 1.0)))
+    return int(n0), int(n1), t, dof

@@ -8287,6 +8287,118 @@ FROM sc ORDER BY round(abs(delta / sqrt(var)), 6) DESC, term LIMIT 20
 """
 
 
+def q_welch_drift(sf_dir: str):
+    """Welch unequal-variance t-test (drift.welch_t) of l_extendedprice
+    between even and odd orderkeys — the parametric mean-shift drift
+    test that, unlike anova_f's pooled SSW, stays honest when the two
+    slices have different spreads.  Built from the same one-exchange
+    (count, sum, sumsq) moments as anova_f; t and the Satterthwaite dof
+    round 6."""
+    import ray.data as rd
+
+    from webval.drift import welch_t
+    from webval.exchange import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        v = t.column("l_extendedprice").combine_chunks()
+        m = pc.and_(pc.is_valid(t.column("l_orderkey").combine_chunks()),
+                    pc.is_valid(v))
+        t = t.filter(m)
+        v = t.column("l_extendedprice")
+        side = pc.cast(pc.bit_wise_and(
+            t.column("l_orderkey").combine_chunks(),
+            pa.scalar(1, pa.int64())), pa.int64())
+        return pa.table({"side": side, "v": v,
+                         "v2": pc.multiply(v, v),
+                         "one": pa.array(np.ones(len(t), np.int64))})
+
+    mom = ds_to_table(grouped_agg(
+        ds.map_batches(proj, batch_format="pyarrow"), ["side"],
+        [("one", "sum"), ("v", "sum"), ("v2", "sum")],
+        rename={"one_sum": "n", "v_sum": "s", "v2_sum": "ss"}))
+    mom = mom.sort_by("side")
+    n0, n1, t_stat, dof = welch_t(mom.column("n").to_numpy(),
+                                  mom.column("s").to_numpy(),
+                                  mom.column("ss").to_numpy())
+    return _round_cols(pa.table({
+        "n0": pa.array([n0], pa.int64()),
+        "n1": pa.array([n1], pa.int64()),
+        "t_stat": pa.array([t_stat], pa.float64()),
+        "dof": pa.array([dof], pa.float64()),
+    }), {"t_stat": 6, "dof": 6})
+
+
+SQL_WELCH_DRIFT = """
+WITH g AS (SELECT CAST(l_orderkey % 2 AS INT) AS side, count(*) AS n,
+                  sum(l_extendedprice) AS s,
+                  sum(l_extendedprice * l_extendedprice) AS ss
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_orderkey IS NOT NULL
+           GROUP BY 1),
+m AS (SELECT side, n, s / n AS mean,
+             (ss - s * s / n) / (n - 1.0) / n AS se
+      FROM g),
+t AS (SELECT max(n) FILTER (side = 0) AS n0, max(n) FILTER (side = 1) AS n1,
+             max(mean) FILTER (side = 1) - max(mean) FILTER (side = 0)
+                 AS dm,
+             max(se) FILTER (side = 0) AS se0,
+             max(se) FILTER (side = 1) AS se1
+      FROM m)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       round(dm / sqrt(se0 + se1), 6) AS t_stat,
+       round((se0 + se1) * (se0 + se1)
+             / (se0 * se0 / (n0 - 1.0) + se1 * se1 / (n1 - 1.0)), 6)
+           AS dof
+FROM t
+"""
+
+
+def q_fd_strength(sf_dir: str):
+    """Approximate functional-dependency strength mining
+    (relational.fd_strength, g3 measure): score candidate FDs over the
+    part table — p_partkey→p_brand holds exactly (key lhs, strength
+    1.0; also exercises the high-cardinality-lhs exchange path), while
+    p_brand→p_type and p_type→p_brand are dirty — the "which columns
+    are derivable/normalizable" profiling audit.  Counts exact on both
+    engines; strength rounds 6."""
+    import ray.data as rd
+
+    from webval.relational import fd_strength
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type"])
+    out = fd_strength(ds, [("p_partkey", "p_brand"),
+                           ("p_brand", "p_type"), ("p_type", "p_brand")])
+    return _round_cols(out, {"strength": 6})
+
+
+SQL_FD_STRENGTH = """
+WITH s AS (
+  SELECT 'p_partkey' AS lhs, 'p_brand' AS rhs,
+         CAST(p_partkey AS VARCHAR) AS l, CAST(p_brand AS VARCHAR) AS r
+  FROM part WHERE p_partkey IS NOT NULL AND p_brand IS NOT NULL
+  UNION ALL
+  SELECT 'p_brand', 'p_type', CAST(p_brand AS VARCHAR),
+         CAST(p_type AS VARCHAR)
+  FROM part WHERE p_brand IS NOT NULL AND p_type IS NOT NULL
+  UNION ALL
+  SELECT 'p_type', 'p_brand', CAST(p_type AS VARCHAR),
+         CAST(p_brand AS VARCHAR)
+  FROM part WHERE p_type IS NOT NULL AND p_brand IS NOT NULL),
+c AS (SELECT lhs, rhs, l, r, count(*) AS cnt FROM s GROUP BY 1, 2, 3, 4),
+m AS (SELECT lhs, rhs, l, max(cnt) AS mx, sum(cnt) AS tot
+      FROM c GROUP BY 1, 2, 3)
+SELECT lhs, rhs, CAST(sum(tot) AS BIGINT) AS n,
+       CAST(sum(mx) AS BIGINT) AS keep,
+       round(sum(mx) / CAST(sum(tot) AS DOUBLE), 6) AS strength
+FROM m GROUP BY 1, 2
+"""
+
+
 def q_snm_pairs(sf_dir: str):
     """Sorted-neighborhood near-duplicate pairs
     (fuzzy.sorted_neighborhood_pairs): part-name pairs within rank
@@ -8936,6 +9048,8 @@ QUERIES = {
     "snm_pairs": (q_snm_pairs, SQL_SNM_PAIRS),
     "hill_tail": (q_hill_tail, SQL_HILL_TAIL),
     "log_odds_terms": (q_log_odds_terms, SQL_LOG_ODDS_TERMS),
+    "welch_drift": (q_welch_drift, SQL_WELCH_DRIFT),
+    "fd_strength": (q_fd_strength, SQL_FD_STRENGTH),
     "bigram_entropy": (q_bigram_entropy, SQL_BIGRAM_ENTROPY),
     "peak_concurrency": (q_peak_concurrency, SQL_PEAK_CONCURRENCY),
 }

@@ -431,3 +431,60 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str], *,
         return pa.concat_tables(parts)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def fd_strength(ds, pairs: list[tuple[str, str]], *,
+                num_buckets: int | None = None):
+    """Approximate functional-dependency strength mining: for each
+    candidate pair (lhs → rhs), the g3-style strength = (max rows
+    keepable while making the FD hold exactly) / (total rows) =
+    Σ_x max_y count(x, y) / N (Kivinen & Mannila 1995's g3 error is
+    1 − strength).  1.0 means the FD holds exactly (rhs is derivable
+    from lhs — a dedup/normalization opportunity); values below 1 rank
+    how dirty the dependency is, the profiling complement of
+    ``fd_violations`` (which emits the offending rows for ONE declared
+    FD instead of scoring many candidates).
+
+    Scale shape, per pair: one (lhs, rhs) count exchange, one per-lhs
+    max+sum re-aggregation of the (already tiny) count table, then a
+    per-block scalar rollup — raw rows shuffle once per pair and only
+    as (value, value, count) triples.  Returns a driver-small pyarrow
+    Table [{lhs, rhs, n, keep, strength}] with one row per pair.
+    """
+    rows = []
+    for lhs, rhs in pairs:
+        def proj(t: pa.Table, lhs=lhs, rhs=rhs) -> pa.Table:
+            t = t.filter(pc.and_(
+                pc.is_valid(t.column(lhs).combine_chunks()),
+                pc.is_valid(t.column(rhs).combine_chunks())))
+            return t.select([lhs, rhs])
+
+        counts = grouped_agg(
+            ds.select_columns([lhs, rhs])
+              .map_batches(proj, batch_format="pyarrow"),
+            [lhs, rhs], [(rhs, "count")], rename={f"{rhs}_count": "cnt"},
+            num_buckets=num_buckets)
+        per_lhs = grouped_agg(counts, [lhs],
+                              [("cnt", "max"), ("cnt", "sum")],
+                              rename={"cnt_max": "mx", "cnt_sum": "tot"},
+                              num_buckets=num_buckets)
+        keep = n = 0
+        for b in per_lhs.map_batches(
+                lambda t: pa.table({
+                    "keep": pa.array([pc.sum(t.column("mx")).as_py() or 0],
+                                     pa.int64()),
+                    "n": pa.array([pc.sum(t.column("tot")).as_py() or 0],
+                                  pa.int64())}),
+                batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow", batch_size=65536):
+            keep += b.column("keep").to_pylist()[0]
+            n += b.column("n").to_pylist()[0]
+        rows.append({"lhs": lhs, "rhs": rhs, "n": n, "keep": keep,
+                     "strength": (keep / n) if n else None})
+    return pa.table({
+        "lhs": pa.array([r["lhs"] for r in rows], pa.string()),
+        "rhs": pa.array([r["rhs"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "keep": pa.array([r["keep"] for r in rows], pa.int64()),
+        "strength": pa.array([r["strength"] for r in rows], pa.float64()),
+    })
