@@ -302,3 +302,78 @@ def test_fd_strength_nulls_and_empty(ray_session):
     out = fd_strength(empty, [("a", "b")]).to_pylist()[0]
     assert out["n"] == 0 and out["keep"] == 0
     assert out["strength"] is None
+
+
+def test_correlated_keys_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from webval.windows import correlated_keys
+
+    rng = np.random.default_rng(3)
+    hour = 3_600_000_000
+    rows_k, rows_t = [], []
+    base = rng.integers(1, 9, 48)
+    series = {"a": base, "b": base + rng.integers(0, 2, 48),  # ~copy of a
+              "c": rng.integers(1, 9, 48),                    # independent
+              "d": np.ones(48, np.int64)}                     # low volume
+    for k, s in series.items():
+        for h, cnt in enumerate(s):
+            rows_k += [k] * int(cnt)
+            rows_t += [h * hour + 5] * int(cnt)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(rows_k, pa.string()),
+        "ts": pa.array(rows_t, pa.int64()).cast(pa.timestamp("us"))}))
+    out = correlated_keys(ds, "k", "ts", top_n=3).to_pylist()
+    # top-3 by volume excludes d
+    got = {(r["key_a"], r["key_b"]): r for r in out}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (x, y), r in got.items():
+        assert r["buckets"] == 48
+        expect = np.corrcoef(series[x].astype(float),
+                             series[y].astype(float))[0, 1]
+        assert r["corr"] == pytest.approx(expect, abs=1e-12)
+    assert got[("a", "b")]["corr"] > 0.9
+
+
+def test_correlated_keys_constant_and_gaps(ray_session):
+    import ray.data as rd
+
+    from webval.windows import correlated_keys
+
+    hour = 3_600_000_000
+    # key "c" constant 1/hour over hours 0..3; key "v" active hours 0,3
+    # only -> zero-filled gap hours 1,2 matter for the correlation
+    k = ["c"] * 4 + ["v", "v", "v"]
+    t = [0, hour, 2 * hour, 3 * hour, 0, 0, 3 * hour]
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(k), "ts": pa.array(t, pa.int64())
+        .cast(pa.timestamp("us"))}))
+    out = correlated_keys(ds, "k", "ts", top_n=5).to_pylist()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["key_a"], r["key_b"]) == ("c", "v") and r["buckets"] == 4
+    assert r["corr"] is None          # constant side -> NULL like SQL corr
+
+    # fewer than 2 keys and fully-empty input -> empty result
+    one = rd.from_arrow(pa.table({
+        "k": pa.array(["x", "x"]),
+        "ts": pa.array([0, hour], pa.int64()).cast(pa.timestamp("us"))}))
+    assert correlated_keys(one, "k", "ts").num_rows == 0
+    empty = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.string()),
+        "ts": pa.array([], pa.timestamp("us"))}))
+    assert correlated_keys(empty, "k", "ts").num_rows == 0
+
+
+def test_correlated_keys_max_cells_diagnostic(ray_session):
+    import ray.data as rd
+
+    from webval.windows import correlated_keys
+
+    hour = 3_600_000_000
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "b", "a", "b"]),
+        "ts": pa.array([0, 0, 100 * hour, 100 * hour], pa.int64())
+        .cast(pa.timestamp("us"))}))
+    with pytest.raises(ValueError, match="max_cells"):
+        correlated_keys(ds, "k", "ts", top_n=2, max_cells=10)

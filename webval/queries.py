@@ -8399,6 +8399,58 @@ FROM m GROUP BY 1, 2
 """
 
 
+def q_correlated_hosts(sf_dir: str):
+    """Synchronized-traffic radar (windows.correlated_keys): pairwise
+    Pearson correlation of the zero-filled hourly fetch-count series of
+    the top-6 hosts by volume — hosts that move together are mirrors or
+    scraper fleets.  Counts/buckets exact; corr rounds 6 and is NULL
+    for a constant series on both engines."""
+    import ray.data as rd
+
+    from webval.windows import correlated_keys
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["url", "warc_ts"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        u = t.column("url").combine_chunks()
+        st = pc.extract_regex(u, _HOST_RE)
+        host = pc.struct_field(st, "host")
+        keep = pc.is_valid(host)
+        return pa.table({"host": host.filter(keep),
+                         "warc_ts": t.column("warc_ts").filter(keep)})
+
+    out = correlated_keys(ds.map_batches(proj, batch_format="pyarrow"),
+                          "host", "warc_ts", top_n=6)
+    return _round_cols(out, {"corr": 6})
+
+
+SQL_CORRELATED_HOSTS = f"""
+WITH RECURSIVE
+p AS (SELECT regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1) AS host,
+             epoch_us(date_trunc('hour', warc_ts)) AS h
+      FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+      WHERE regexp_matches(url, '^https?://([a-z0-9-]+)\\.')
+        AND warc_ts IS NOT NULL),
+c AS (SELECT host, h, count(*) AS cnt FROM p GROUP BY 1, 2),
+top AS (SELECT host FROM c GROUP BY host
+        ORDER BY sum(cnt) DESC, host LIMIT 6),
+b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+spine(h) AS (SELECT lo FROM b
+             UNION ALL
+             SELECT h + 3600000000 FROM spine, b
+             WHERE h + 3600000000 <= hi),
+grid AS (SELECT t.host, s.h, CAST(COALESCE(c.cnt, 0) AS DOUBLE) AS cnt
+         FROM top t CROSS JOIN spine s
+         LEFT JOIN c ON c.host = t.host AND c.h = s.h)
+SELECT a.host AS key_a, b2.host AS key_b,
+       CAST(count(*) AS BIGINT) AS buckets,
+       round(corr(a.cnt, b2.cnt), 6) AS corr
+FROM grid a JOIN grid b2 ON a.h = b2.h AND a.host < b2.host
+GROUP BY 1, 2
+"""
+
+
 def q_snm_pairs(sf_dir: str):
     """Sorted-neighborhood near-duplicate pairs
     (fuzzy.sorted_neighborhood_pairs): part-name pairs within rank
@@ -9050,6 +9102,7 @@ QUERIES = {
     "log_odds_terms": (q_log_odds_terms, SQL_LOG_ODDS_TERMS),
     "welch_drift": (q_welch_drift, SQL_WELCH_DRIFT),
     "fd_strength": (q_fd_strength, SQL_FD_STRENGTH),
+    "correlated_hosts": (q_correlated_hosts, SQL_CORRELATED_HOSTS),
     "bigram_entropy": (q_bigram_entropy, SQL_BIGRAM_ENTROPY),
     "peak_concurrency": (q_peak_concurrency, SQL_PEAK_CONCURRENCY),
 }

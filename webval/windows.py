@@ -1574,3 +1574,120 @@ def hour_of_day_entropy(ds, key: str, ts_col: str, *,
 
     return bucketed_group_apply(counts, [key], final,
                                 num_buckets=num_buckets)
+
+
+def correlated_keys(ds, key_col: str, ts_col: str, *,
+                    top_n: int = 10, freq_us: int = 3_600_000_000,
+                    num_buckets: int | None = None,
+                    max_cells: int = 50_000_000):
+    """Pairwise Pearson correlation of per-key activity time series —
+    the synchronized-traffic radar: keys (hosts, users, API tokens)
+    whose zero-filled per-``freq_us``-bucket event counts move together
+    are mirrors, scraper fleets, or coordinated bots; anti-correlated
+    pairs are failover/load-shifted capacity.
+
+    Considers only the ``top_n`` keys by total volume (pairs over the
+    full key set are quadratic and meaningless for cold keys); series
+    are zero-filled over the GLOBAL activity window [min bucket, max
+    bucket] so absence is signal, not a dropped join row.
+
+    Scale shape: one (key, bucket) count exchange over the raw rows; a
+    second key-totals exchange whose blocks each surrender only their
+    local top-``top_n`` rows to the driver merge; bounds are per-block
+    min/max scalars.  Only the top keys' series rows reach the driver —
+    a ``top_n × spine`` matrix, guarded by ``max_cells`` (named
+    diagnostic, not OOM).  Returns a driver-small pyarrow Table
+    [{key_a, key_b, buckets, corr}] over all top-key pairs with
+    key_a < key_b; ``corr`` is NULL when either series is constant
+    (matching SQL ``corr()``).
+    """
+    import numpy as np
+
+    def proj(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).combine_chunks()
+        ts = t.column(ts_col).combine_chunks()
+        m = pc.and_(pc.is_valid(k), pc.is_valid(ts))
+        t = t.filter(m)
+        h = pc.cast(t.column(ts_col).combine_chunks(), pa.int64())
+        h = pc.multiply(pc.divide(h, freq_us), pa.scalar(freq_us, pa.int64()))
+        return pa.table({"k": t.column(key_col), "h_us": h})
+
+    counts = grouped_agg(
+        ds.select_columns([key_col, ts_col])
+          .map_batches(proj, batch_format="pyarrow"),
+        ["k", "h_us"], [("h_us", "count")], rename={"h_us_count": "cnt"},
+        num_buckets=num_buckets).materialize()
+
+    totals = grouped_agg(counts, ["k"], [("cnt", "sum")],
+                         rename={"cnt_sum": "tot"}, num_buckets=num_buckets)
+
+    def local_top(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("tot", "descending"),
+                                            ("k", "ascending")])
+        return t.take(idx.slice(0, top_n))
+
+    tops = [b for b in totals.map_batches(
+        local_top, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=65536)]
+
+    def bounds(t: pa.Table) -> pa.Table:
+        h = t.column("h_us")
+        return pa.table({"lo": pa.array([pc.min(h).as_py()], pa.int64()),
+                         "hi": pa.array([pc.max(h).as_py()], pa.int64())})
+
+    bnd = [b for b in counts.map_batches(
+        bounds, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=65536)]
+    empty = pa.table({"key_a": pa.array([], pa.string()),
+                      "key_b": pa.array([], pa.string()),
+                      "buckets": pa.array([], pa.int64()),
+                      "corr": pa.array([], pa.float64())})
+    los = [b.column("lo").to_pylist()[0] for b in bnd
+           if b.column("lo").to_pylist()[0] is not None]
+    if not tops or not los:
+        return empty
+    merged = pa.concat_tables(tops)
+    merged = merged.take(pc.sort_indices(
+        merged, sort_keys=[("tot", "descending"),
+                           ("k", "ascending")]).slice(0, top_n))
+    keys = sorted(merged.column("k").to_pylist())
+    if len(keys) < 2:
+        return empty
+    lo = min(los)
+    hi = max(b.column("hi").to_pylist()[0] for b in bnd
+             if b.column("hi").to_pylist()[0] is not None)
+    spine_len = (hi - lo) // freq_us + 1
+    if len(keys) * spine_len > max_cells:
+        raise ValueError(
+            f"correlated_keys: top_n={len(keys)} keys x {spine_len} "
+            f"buckets = {len(keys) * spine_len} cells exceeds max_cells="
+            f"{max_cells}; coarsen freq_us or lower top_n")
+
+    key_set = set(keys)
+    series = counts.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("k").combine_chunks(),
+                                    pa.array(sorted(key_set)))),
+        batch_format="pyarrow")
+    mat = np.zeros((len(keys), int(spine_len)), dtype=np.float64)
+    pos = {k: i for i, k in enumerate(keys)}
+    for b in series.iter_batches(batch_format="pyarrow", batch_size=65536):
+        ki = np.array([pos[k] for k in b.column("k").to_pylist()], np.int64)
+        hj = (b.column("h_us").to_numpy(zero_copy_only=False) - lo) // freq_us
+        mat[ki, hj] = b.column("cnt").to_numpy(zero_copy_only=False)
+
+    sd = mat.std(axis=1)
+    cen = mat - mat.mean(axis=1, keepdims=True)
+    ka, kb, cors = [], [], []
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            ka.append(keys[i])
+            kb.append(keys[j])
+            if sd[i] == 0 or sd[j] == 0:
+                cors.append(None)
+            else:
+                cors.append(float((cen[i] * cen[j]).mean()
+                                  / (sd[i] * sd[j])))
+    return pa.table({
+        "key_a": pa.array(ka), "key_b": pa.array(kb),
+        "buckets": pa.array([int(spine_len)] * len(ka), pa.int64()),
+        "corr": pa.array(cors, pa.float64())})
