@@ -377,3 +377,48 @@ def test_correlated_keys_max_cells_diagnostic(ray_session):
         .cast(pa.timestamp("us"))}))
     with pytest.raises(ValueError, match="max_cells"):
         correlated_keys(ds, "k", "ts", top_n=2, max_cells=10)
+
+
+def test_hits_matches_reference_on_random_graph(ray_session):
+    import ray.data as rd
+
+    from webval.graph import hits, hits_reference
+
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = rd.from_arrow(pa.table({"s": pa.array(src, pa.int64()),
+                                 "d": pa.array(dst, pa.int64())}))
+    got = hits(ds, "s", "d", n_iter=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    nodes, a, h = hits_reference(src, dst, n_iter=3)
+    assert np.array_equal(got["node"].to_numpy(), nodes)
+    assert np.abs(got["auth"].to_numpy() - a).max() < 1e-12
+    assert np.abs(got["hub"].to_numpy() - h).max() < 1e-12
+    assert got["auth"].sum() == pytest.approx(1.0, abs=1e-9)
+    assert got["hub"].sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_separates_hubs_from_authorities(ray_session):
+    import ray.data as rd
+
+    from webval.graph import hits
+
+    # hub nodes 100..102 all point at authority nodes 0..1; a stray
+    # chain 5->6 exists so scores aren't trivially uniform
+    src = [100, 100, 101, 101, 102, 102, 5]
+    dst = [0, 1, 0, 1, 0, 1, 6]
+    ds = rd.from_arrow(pa.table({"s": pa.array(src, pa.int64()),
+                                 "d": pa.array(dst, pa.int64())}))
+    out = hits(ds, "s", "d", n_iter=4).to_pandas().set_index("node")
+    assert out.loc[0]["auth"] > out.loc[100]["auth"]
+    assert out.loc[100]["hub"] > out.loc[0]["hub"]
+    assert out.loc[0]["auth"] > out.loc[6]["auth"]
+
+    empty = rd.from_arrow(pa.table({"s": pa.array([], pa.int64()),
+                                    "d": pa.array([], pa.int64())}))
+    res = hits(empty, "s", "d")
+    assert res.count() == 0
+    assert sorted(res.schema().names) == ["auth", "hub", "node"]

@@ -8399,6 +8399,134 @@ FROM m GROUP BY 1, 2
 """
 
 
+def q_hits_links(sf_dir: str):
+    """Kleinberg HITS over the synthetic link graph (graph.hits, 4
+    iterations, L1-normalized): hubs point at good authorities,
+    authorities are pointed at by good hubs — the link-farm lens
+    PageRank's single score misses.  Twice-checked like pagerank: the
+    distributed scores must match the exact in-memory power method
+    (graph.hits_reference) to 1e-10 AND the driver hashes the top-10
+    authorities against a DuckDB twin that unrolls the 4 iterations as
+    chained CTEs."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from webval.graph import hits, hits_reference
+
+    _pages, links_p = ensure_synth(sf_dir)
+    edges = rd.read_parquet(links_p)
+    scores = ds_to_table(hits(edges, "src_url", "dst_url", n_iter=4))
+
+    full = pq.read_table(links_p)
+    nodes, want_a, want_h = hits_reference(
+        full.column("src_url").to_numpy(zero_copy_only=False),
+        full.column("dst_url").to_numpy(zero_copy_only=False), n_iter=4)
+    got = scores.sort_by([("node", "ascending")])
+    if not np.array_equal(
+            got.column("node").to_numpy(zero_copy_only=False), nodes):
+        raise AssertionError("hits node set != reference")
+    da = np.abs(got.column("auth").to_numpy() - want_a).max()
+    dh = np.abs(got.column("hub").to_numpy() - want_h).max()
+    if max(da, dh) > 1e-10:
+        raise AssertionError(f"hits diverged from reference by "
+                             f"{max(da, dh)}")
+    top = scores.sort_by([("auth", "descending"),
+                          ("node", "ascending")]).slice(0, 10)
+    return _round_cols(pa.table({
+        "node": top.column("node"),
+        "auth_e6": pc.multiply(top.column("auth"), 1e6),
+        "hub_e6": pc.multiply(top.column("hub"), 1e6),
+    }), {"auth_e6": 3, "hub_e6": 3})
+
+
+def _sql_hits(n_iter: int = 4) -> str:
+    """HITS unrolled as chained CTEs — per iteration one gather+L1
+    normalize for authorities, one for hubs, reproducing graph.hits."""
+    links = f"read_parquet('{SYNTH_ROOT}/sf0.01/links.parquet')"
+    layers = [f"""
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src_url AS node FROM {links}
+  UNION ALL SELECT dst_url FROM {links})),
+h0 AS (SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS hub
+       FROM nodes)"""]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        layers.append(f"""
+a{k} AS (SELECT n.node,
+                coalesce(s.w, 0) / sum(coalesce(s.w, 0)) OVER () AS auth
+         FROM nodes n
+         LEFT JOIN (SELECT l.dst_url AS node, sum(h.hub) AS w
+                    FROM {links} l JOIN h{p} h ON l.src_url = h.node
+                    GROUP BY 1) s ON n.node = s.node),
+h{k} AS (SELECT n.node,
+                coalesce(s.w, 0) / sum(coalesce(s.w, 0)) OVER () AS hub
+         FROM nodes n
+         LEFT JOIN (SELECT l.src_url AS node, sum(a.auth) AS w
+                    FROM {links} l JOIN a{k} a ON l.dst_url = a.node
+                    GROUP BY 1) s ON n.node = s.node)""")
+    return ("WITH " + ",".join(layers) + f"""
+SELECT a{n_iter}.node, round(auth * 1e6, 3) AS auth_e6,
+       round(hub * 1e6, 3) AS hub_e6
+FROM a{n_iter} JOIN h{n_iter} USING (node)
+ORDER BY auth DESC, a{n_iter}.node LIMIT 10
+""")
+
+
+SQL_HITS_LINKS = _sql_hits()
+
+
+def q_embedding_clusters(sf_dir: str):
+    """Embedding near-dup CLUSTER extraction: the LSH cosine pair
+    pipeline (dedup.embedding_dup_pairs, threshold 0.4 — 59 true pairs
+    on the fixture, n_planes=2 × n_tables=24 sized so per-pair miss
+    probability ≈ 5e-6) feeds min-label connected components
+    (graph.connected_components) — semantic dedup's "keep one per
+    cluster" unit, the embedding sibling of entity_clusters.  The SQL
+    twin chains the exact all-pairs cosine join into the recursive
+    reachability CTE, so a recall miss breaks row count, not just
+    values."""
+    import ray.data as rd
+
+    from webval.dedup import embedding_dup_pairs
+    from webval.graph import connected_components
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_dup_pairs(ds, "vec_id", cosine_threshold=0.4,
+                                n_planes=2, n_tables=24)
+    comp = connected_components(pairs, "id_a", "id_b")
+    t = ds_to_table(comp, empty_schema=pa.schema(
+        [("id", pa.int64()), ("component", pa.int64())]))
+    sizes = t.group_by("component").aggregate([("id", "count")])
+    sz = dict(zip(sizes.column("component").to_pylist(),
+                  sizes.column("id_count").to_pylist()))
+    return pa.table({
+        "vec_id": t.column("id"),
+        "cluster": t.column("component"),
+        "cluster_size": pa.array(
+            [sz[c] for c in t.column("component").to_pylist()],
+            pa.int64())}).sort_by([("cluster", "ascending"),
+                                   ("vec_id", "ascending")])
+
+
+SQL_EMBEDDING_CLUSTERS = """
+WITH RECURSIVE
+e0 AS (SELECT a.vec_id AS a, b.vec_id AS b
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+n AS (SELECT DISTINCT a AS node FROM e),
+reach AS (SELECT node AS id, node AS r FROM n
+          UNION
+          SELECT e.b AS id, reach.r FROM reach JOIN e ON reach.id = e.a),
+lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM lab
+       GROUP BY cluster)
+SELECT lab.id AS vec_id, lab.cluster, cs.sz AS cluster_size
+FROM lab JOIN cs USING (cluster)
+ORDER BY cluster, vec_id
+"""
+
+
 def q_correlated_hosts(sf_dir: str):
     """Synchronized-traffic radar (windows.correlated_keys): pairwise
     Pearson correlation of the zero-filled hourly fetch-count series of
@@ -9103,6 +9231,8 @@ QUERIES = {
     "welch_drift": (q_welch_drift, SQL_WELCH_DRIFT),
     "fd_strength": (q_fd_strength, SQL_FD_STRENGTH),
     "correlated_hosts": (q_correlated_hosts, SQL_CORRELATED_HOSTS),
+    "embedding_clusters": (q_embedding_clusters, SQL_EMBEDDING_CLUSTERS),
+    "hits_links": (q_hits_links, SQL_HITS_LINKS),
     "bigram_entropy": (q_bigram_entropy, SQL_BIGRAM_ENTROPY),
     "peak_concurrency": (q_peak_concurrency, SQL_PEAK_CONCURRENCY),
 }
