@@ -422,3 +422,35 @@ def test_hits_separates_hubs_from_authorities(ray_session):
     res = hits(empty, "s", "d")
     assert res.count() == 0
     assert sorted(res.schema().names) == ["auth", "hub", "node"]
+
+
+def test_first_seen_counts_matches_counter_oracle(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from webval.windows import first_seen_counts
+
+    day = 86_400_000_000
+    rng = np.random.default_rng(23)
+    keys = rng.integers(0, 30, 400)
+    ts = rng.integers(0, 10 * day, 400)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us"))}))
+    out = first_seen_counts(ds, "k", "ts").to_pandas() \
+        .set_index("bucket_us")["new_keys"]
+
+    first = {}
+    for k, t in zip(keys.tolist(), ts.tolist()):
+        b = (t // day) * day
+        first[k] = min(first.get(k, b), b)
+    expect = collections.Counter(first.values())
+    assert dict(out) == dict(expect)
+    assert out.sum() == len(set(keys.tolist()))
+
+    # nulls dropped; empty input -> zero rows
+    ds2 = rd.from_arrow(pa.table({
+        "k": pa.array([None, 1], pa.int64()),
+        "ts": pa.array([0, None], pa.int64()).cast(pa.timestamp("us"))}))
+    assert first_seen_counts(ds2, "k", "ts").count() == 0

@@ -8399,6 +8399,46 @@ FROM m GROUP BY 1, 2
 """
 
 
+def q_novelty_hosts(sf_dir: str):
+    """Crawl discovery curve (windows.first_seen_counts): per UTC day,
+    how many hosts are fetched for the first time — a stalling frontier
+    shows a decaying curve, a new sitemap a spike.  Exact int counts on
+    both engines (min is mergeable, so the exchange pre-combines)."""
+    import ray.data as rd
+
+    from webval.windows import first_seen_counts
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["url", "warc_ts"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        u = t.column("url").combine_chunks()
+        st = pc.extract_regex(u, _HOST_RE)
+        host = pc.struct_field(st, "host")
+        keep = pc.is_valid(host)
+        return pa.table({"host": host.filter(keep),
+                         "warc_ts": t.column("warc_ts").filter(keep)})
+
+    out = ds_to_table(first_seen_counts(
+        ds.map_batches(proj, batch_format="pyarrow"), "host", "warc_ts"))
+    return pa.table({
+        "day": out.column("bucket_us").cast(pa.timestamp("us")),
+        "new_hosts": out.column("new_keys")}).sort_by("day")
+
+
+SQL_NOVELTY_HOSTS = f"""
+WITH f AS (SELECT regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1)
+               AS host,
+           min(date_trunc('day', warc_ts)) AS day
+           FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+           WHERE regexp_matches(url, '^https?://([a-z0-9-]+)\\.')
+             AND warc_ts IS NOT NULL
+           GROUP BY 1)
+SELECT day, CAST(count(*) AS BIGINT) AS new_hosts
+FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_hits_links(sf_dir: str):
     """Kleinberg HITS over the synthetic link graph (graph.hits, 4
     iterations, L1-normalized): hubs point at good authorities,
@@ -9233,6 +9273,7 @@ QUERIES = {
     "correlated_hosts": (q_correlated_hosts, SQL_CORRELATED_HOSTS),
     "embedding_clusters": (q_embedding_clusters, SQL_EMBEDDING_CLUSTERS),
     "hits_links": (q_hits_links, SQL_HITS_LINKS),
+    "novelty_hosts": (q_novelty_hosts, SQL_NOVELTY_HOSTS),
     "bigram_entropy": (q_bigram_entropy, SQL_BIGRAM_ENTROPY),
     "peak_concurrency": (q_peak_concurrency, SQL_PEAK_CONCURRENCY),
 }

@@ -1691,3 +1691,40 @@ def correlated_keys(ds, key_col: str, ts_col: str, *,
         "key_a": pa.array(ka), "key_b": pa.array(kb),
         "buckets": pa.array([int(spine_len)] * len(ka), pa.int64()),
         "corr": pa.array(cors, pa.float64())})
+
+
+def first_seen_counts(ds, key_col: str, ts_col: str, *,
+                      freq_us: int = 86_400_000_000,
+                      num_buckets: int | None = None):
+    """Discovery/novelty curve: how many DISTINCT keys (hosts, users,
+    vocab terms) are seen for the FIRST time in each ``freq_us`` bucket
+    — flat means the crawl frontier is stalling on known ground,
+    a spike means a new shard/sitemap opened up.  The per-bucket "new
+    keys" series is also the increment form of the cumulative-distinct
+    curve.
+
+    Scale shape: one (key → min bucket) combiner exchange (min is
+    mergeable, so raw rows pre-combine per batch), then a tiny
+    (bucket → count) exchange over one row per key.  Returns a Dataset
+    of (bucket_us: int64, new_keys: int64) — driver never sees the key
+    table."""
+    from webval.exchange import grouped_agg
+
+    def proj(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).combine_chunks()
+        ts = t.column(ts_col).combine_chunks()
+        t = t.filter(pc.and_(pc.is_valid(k), pc.is_valid(ts)))
+        h = pc.cast(t.column(ts_col).combine_chunks(), pa.int64())
+        h = pc.multiply(pc.divide(h, freq_us), pa.scalar(freq_us, pa.int64()))
+        return pa.table({"k": t.column(key_col), "b": h})
+
+    first = grouped_agg(
+        ds.select_columns([key_col, ts_col])
+          .map_batches(proj, batch_format="pyarrow"),
+        ["k"], [("b", "min")], rename={"b_min": "b"},
+        num_buckets=num_buckets)
+    return grouped_agg(first, ["b"], [("b", "count")],
+                       rename={"b_count": "new_keys"},
+                       num_buckets=num_buckets).map_batches(
+        lambda t: t.rename_columns(["bucket_us", "new_keys"]),
+        batch_format="pyarrow")
