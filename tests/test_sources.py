@@ -247,3 +247,52 @@ def test_orc_empty_file_keeps_schema(ray_session, tmp_path):
     ds = read_orc(one)
     assert ds.count() == 0
     assert ds.schema().names == ["a", "b"]
+
+
+def test_ipc_roundtrip_multibatch(ray_session, tmp_path):
+    """Sink → source equality incl. nulls/timestamps; a multi-batch IPC
+    file must stream one table per record batch (task memory O(batch))."""
+    import ray
+    import ray.data as rd
+
+    from webval.sources import read_ipc, write_ipc
+
+    n = 5000
+    rng = np.random.default_rng(12)
+    vals = rng.random(n)
+    t = pa.table({
+        "k": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(np.where(rng.random(n) < 0.05, None, vals)),
+        "s": pa.array([f"row{i}" if i % 7 else None for i in range(n)]),
+        "ts": pa.array(np.arange(n) * 1_000_003, pa.timestamp("us")),
+    })
+    out = str(tmp_path / "ipc_rt")
+    write_ipc(rd.from_arrow(t).repartition(4), out)
+    back = pa.concat_tables(
+        [ray.get(r) for r in read_ipc(out).to_arrow_refs()])
+    assert back.cast(t.schema).sort_by([("k", "ascending")]).equals(t)
+
+    # batch streaming: many small record batches in ONE file
+    one = str(tmp_path / "multi.arrow")
+    with pa.ipc.new_file(one, t.schema) as w:
+        for b in t.to_batches(max_chunksize=512):
+            w.write_batch(b)
+    assert pa.ipc.open_file(one).num_record_batches > 1
+    got = pa.concat_tables(
+        [ray.get(r) for r in read_ipc(one).to_arrow_refs()])
+    assert got.cast(t.schema).sort_by([("k", "ascending")]).equals(t)
+    # column pruning reaches the batch read
+    pruned = read_ipc(one, columns=["s"])
+    assert pruned.schema().names == ["s"]
+
+
+def test_ipc_empty_file_keeps_schema(ray_session, tmp_path):
+    from webval.sources import read_ipc
+
+    one = str(tmp_path / "empty.arrow")
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    with pa.ipc.new_file(one, schema):
+        pass
+    ds = read_ipc(one)
+    assert ds.count() == 0
+    assert ds.schema().names == ["a", "b"]

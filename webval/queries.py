@@ -4050,6 +4050,9 @@ def _docs_export(sf_dir: str, fmt: str) -> str:
     elif fmt == "orc":
         from webval.sources import write_orc
         write_orc(ds, tmp)
+    elif fmt == "ipc":
+        from webval.sources import write_ipc
+        write_ipc(ds, tmp)
     else:
         ds.write_csv(tmp)
     try:
@@ -6179,6 +6182,24 @@ def q_orc_read(sf_dir: str):
     from webval.sources import read_orc
 
     ds = read_orc(_docs_export(sf_dir, "orc"),
+                  columns=["doc_id", "lang", "n_chars"])
+    agg = grouped_agg(ds, ["lang"],
+                      [("doc_id", "count"), ("n_chars", "sum")],
+                      rename={"doc_id_count": "n_docs",
+                              "n_chars_sum": "chars"})
+    return ds_to_table(agg).sort_by([("lang", "ascending")])
+
+
+def q_ipc_read(sf_dir: str):
+    """A1 source coverage: the documents slice round-tripped through the
+    Arrow IPC / Feather-v2 container (webval.sources read_ipc/write_ipc —
+    record-batch-streamed reader with column pruning, one-file-per-block
+    zstd sink), aggregated per lang against the parquet ground truth; a
+    hash match proves the IPC round-trip lossless."""
+    from webval.exchange import grouped_agg
+    from webval.sources import read_ipc
+
+    ds = read_ipc(_docs_export(sf_dir, "ipc"),
                   columns=["doc_id", "lang", "n_chars"])
     agg = grouped_agg(ds, ["lang"],
                       [("doc_id", "count"), ("n_chars", "sum")],
@@ -9214,6 +9235,7 @@ QUERIES = {
     "fuzzy_part_names": (q_fuzzy_part_names, SQL_FUZZY_PART_NAMES),
     "full_outer_join": (q_full_outer_join, SQL_FULL_OUTER_JOIN),
     "orc_read": (q_orc_read, SQL_DOCS_BY_LANG),
+    "ipc_read": (q_ipc_read, SQL_DOCS_BY_LANG),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

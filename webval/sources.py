@@ -377,3 +377,72 @@ try:
 
 except ImportError:  # pragma: no cover - ray present in sandbox
     OrcDatasource = OrcDatasink = read_orc = write_orc = None
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC (Feather v2) container: the zero-parse interchange format —
+# what a sibling Arrow/Flight/polars pipeline hands over without a parquet
+# re-encode.  The reader streams RECORD BATCHES (task memory is O(batch),
+# not O(file)) with column pruning; the sink is one .arrow file per block.
+
+try:
+    from ray.data.datasource import BlockBasedFileDatasink as _Sink
+
+    class IpcDatasource(FileBasedDatasource):
+        """Record-batch-streaming Arrow IPC file reader with column
+        pruning.  The IPC file format keeps its footer last, so — like
+        ORC — the default sequential stream is overridden with a
+        seekable input file."""
+
+        _FILE_EXTENSIONS = ["arrow", "feather", "ipc"]
+
+        def __init__(self, paths, *, columns=None, **kwargs):
+            super().__init__(paths, **kwargs)
+            self._columns = list(columns) if columns else None
+
+        def _open_input_source(self, filesystem, path, **open_args):
+            return filesystem.open_input_file(path)
+
+        def _read_stream(self, f, path: str):
+            reader = pa.ipc.open_file(f)
+            sel = self._columns
+            if reader.num_record_batches == 0:
+                t = reader.schema.empty_table()
+                yield t.select(sel) if sel else t     # schema-bearing
+                return
+            for i in range(reader.num_record_batches):
+                t = pa.Table.from_batches([reader.get_batch(i)])
+                yield t.select(sel) if sel else t
+
+    class IpcDatasink(_Sink):
+        """One Arrow IPC file per output block (resumable-partition
+        layout), zstd-compressed record batches by default."""
+
+        def __init__(self, path, *, compression: str | None = "zstd",
+                     **kwargs):
+            super().__init__(path, file_format="arrow", **kwargs)
+            self._compression = compression
+
+        def write_block_to_file(self, block, file):
+            t = block.to_arrow()
+            opts = pa.ipc.IpcWriteOptions(compression=self._compression)
+            with pa.ipc.new_file(file, t.schema, options=opts) as w:
+                w.write_table(t)
+
+    def read_ipc(paths, *, columns=None, **kwargs):
+        """Dataset from Arrow IPC (Feather v2) files; ``columns=`` prunes
+        each record batch before it enters the block."""
+        import ray.data as rd
+
+        return rd.read_datasource(
+            IpcDatasource(paths, columns=columns, **kwargs))
+
+    def write_ipc(ds, path: str, *, compression: str | None = "zstd",
+                  **kwargs):
+        """Write a Dataset as a directory of Arrow IPC files (one per
+        block)."""
+        ds.write_datasink(IpcDatasink(path, compression=compression,
+                                      **kwargs))
+
+except ImportError:  # pragma: no cover - ray present in sandbox
+    IpcDatasource = IpcDatasink = read_ipc = write_ipc = None
