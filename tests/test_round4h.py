@@ -454,3 +454,41 @@ def test_first_seen_counts_matches_counter_oracle(ray_session):
         "k": pa.array([None, 1], pa.int64()),
         "ts": pa.array([0, None], pa.int64()).cast(pa.timestamp("us"))}))
     assert first_seen_counts(ds2, "k", "ts").count() == 0
+
+
+def test_duplication_weights_matches_counter_oracle(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from webval.dedup import duplication_weights
+
+    rng = np.random.default_rng(31)
+    texts = [f"doc {i % 12}" for i in range(200)]     # 12 distinct texts
+    groups = [f"g{int(x)}" for x in rng.integers(0, 4, 200)]
+    ds = rd.from_arrow(pa.table({"g": pa.array(groups),
+                                 "text": pa.array(texts)}))
+    out = duplication_weights(ds, "g", "text", normalize=False) \
+        .to_pandas().set_index("g")
+
+    total = collections.Counter(texts)
+    per = collections.defaultdict(lambda: collections.Counter())
+    for g, t in zip(groups, texts):
+        per[g][t] += 1
+    for g, c in per.items():
+        eff = sum(nf / total[t] for t, nf in c.items())
+        n = sum(c.values())
+        row = out.loc[g]
+        assert row["n_docs"] == n
+        assert row["effective_docs"] == pytest.approx(eff, rel=1e-12)
+        assert row["effective_ratio"] == pytest.approx(eff / n, rel=1e-12)
+    # every distinct text contributes exactly 1 effective doc in total
+    assert out["effective_docs"].sum() == pytest.approx(12.0, abs=1e-9)
+
+    # all-unique corpus -> effective == raw
+    uniq = rd.from_arrow(pa.table({
+        "g": pa.array(["a", "a", "b"]),
+        "text": pa.array(["x1", "x2", "x3"])}))
+    u = duplication_weights(uniq, "g", "text").to_pandas().set_index("g")
+    assert u.loc["a"]["effective_ratio"] == 1.0
+    assert u.loc["b"]["n_docs"] == 1

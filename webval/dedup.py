@@ -1513,3 +1513,61 @@ def dup_share_by_group(ds, group_col: str, text_col: str = "text", *,
         return t.append_column("dup_share", share)
 
     return per_group.map_batches(finalize, batch_format="pyarrow")
+
+
+def duplication_weights(ds, group_col: str, text_col: str = "text", *,
+                        normalize: bool = True,
+                        num_buckets: int | None = None):
+    """Duplication-aware sampling weights, aggregated per group: every
+    doc is worth 1/k where k is its text fingerprint's CORPUS-WIDE
+    occurrence count, so a page mirrored 40× contributes one doc of
+    signal, not forty.  The per-group sum of weights is the EFFECTIVE
+    dataset size — the number that should drive sampling/mixture
+    decisions instead of raw counts (the soft-dedup counterpart of
+    dropping duplicates outright; cf. Lee et al. 2022 on dup-induced
+    over-weighting).  Output per group: (group, n_docs, effective_docs,
+    effective_ratio).
+
+    Scale shape: identical to :func:`dup_share_by_group` — fingerprint
+    map → ONE (fingerprint, group) count exchange → per-fingerprint
+    totals → co-bucketed join → per-group rollup; raw text never enters
+    an exchange and each doc's weight is computed from the joined count
+    pair, never per row.
+    """
+    from webval.exchange import grouped_agg
+    from webval.joins import equi_join
+    from webval.textstats import add_fingerprints
+
+    fp = add_fingerprints(ds, text_col, normalize=normalize)
+    pairs = grouped_agg(
+        fp.map_batches(
+            lambda t: t.select(["fingerprint", group_col]).drop_null(),
+            batch_format="pyarrow"),
+        ["fingerprint", group_col], [(group_col, "count")],
+        rename={f"{group_col}_count": "n_fg"}, num_buckets=num_buckets)
+    totals = grouped_agg(pairs, ["fingerprint"], [("n_fg", "sum")],
+                         rename={"n_fg_sum": "n_total"},
+                         num_buckets=num_buckets)
+    joined = equi_join(pairs, totals, on=["fingerprint"], how="inner",
+                       num_buckets=num_buckets)
+
+    def to_group_partial(t: pa.Table) -> pa.Table:
+        w = pc.divide(pc.cast(t.column("n_fg"), pa.float64()),
+                      pc.cast(t.column("n_total"), pa.float64()))
+        return pa.table({group_col: t.column(group_col),
+                         "n_docs": t.column("n_fg"),
+                         "effective_docs": w})
+
+    per_group = grouped_agg(
+        joined.map_batches(to_group_partial, batch_format="pyarrow"),
+        [group_col], [("n_docs", "sum"), ("effective_docs", "sum")],
+        rename={"n_docs_sum": "n_docs",
+                "effective_docs_sum": "effective_docs"},
+        num_buckets=num_buckets)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ratio = pc.divide(t.column("effective_docs"),
+                          pc.cast(t.column("n_docs"), pa.float64()))
+        return t.append_column("effective_ratio", ratio)
+
+    return per_group.map_batches(finalize, batch_format="pyarrow")

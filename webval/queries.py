@@ -6558,6 +6558,50 @@ FROM p JOIN t USING (text) GROUP BY 1 ORDER BY 1
 """
 
 
+def q_dedup_weights(sf_dir: str):
+    """Soft-dedup effective corpus size per host
+    (dedup.duplication_weights): each doc weighted 1/k by its text's
+    corpus-wide duplicate count, summed per host — the sampling-weight
+    view of dup_share_by_host (a host serving one page 40× has 40 docs
+    but ~1 effective doc).  Counts exact; the reciprocal sums round 6."""
+    import ray.data as rd
+
+    from webval.dedup import duplication_weights
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["url", "text"])
+
+    def add_host(t: pa.Table) -> pa.Table:
+        u = t.column("url").combine_chunks()
+        host = pc.struct_field(pc.extract_regex(u, _HOST_RE), "host")
+        return pa.table({"host": host, "text": t.column("text")}).filter(
+            pc.and_(pc.is_valid(host),
+                    pc.is_valid(t.column("text").combine_chunks())))
+
+    out = duplication_weights(
+        ds.map_batches(add_host, batch_format="pyarrow"),
+        "host", "text", normalize=False)
+    return _round_cols(ds_to_table(out).sort_by([("host", "ascending")]),
+                       {"effective_docs": 6, "effective_ratio": 6})
+
+
+SQL_DEDUP_WEIGHTS = f"""
+WITH p AS (SELECT regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1)
+                    AS host, text
+           FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+           WHERE regexp_matches(url, '^https?://([a-z0-9-]+)\\.')
+             AND text IS NOT NULL),
+pr AS (SELECT host, text, count(*) AS n_fg FROM p GROUP BY 1, 2),
+t AS (SELECT text, sum(n_fg) AS n_total FROM pr GROUP BY 1)
+SELECT pr.host, CAST(sum(pr.n_fg) AS BIGINT) AS n_docs,
+       round(sum(CAST(pr.n_fg AS DOUBLE) / t.n_total), 6)
+           AS effective_docs,
+       round(sum(CAST(pr.n_fg AS DOUBLE) / t.n_total) / sum(pr.n_fg), 6)
+           AS effective_ratio
+FROM pr JOIN t USING (text) GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -9236,6 +9280,7 @@ QUERIES = {
     "full_outer_join": (q_full_outer_join, SQL_FULL_OUTER_JOIN),
     "orc_read": (q_orc_read, SQL_DOCS_BY_LANG),
     "ipc_read": (q_ipc_read, SQL_DOCS_BY_LANG),
+    "dedup_weights": (q_dedup_weights, SQL_DEDUP_WEIGHTS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
