@@ -492,3 +492,62 @@ def test_duplication_weights_matches_counter_oracle(ray_session):
     u = duplication_weights(uniq, "g", "text").to_pandas().set_index("g")
     assert u.loc["a"]["effective_ratio"] == 1.0
     assert u.loc["b"]["n_docs"] == 1
+
+
+def test_pmi_collocations_matches_counter_oracle(ray_session):
+    import collections
+    import math
+    import re
+
+    import ray.data as rd
+
+    from webval.textstats import pmi_collocations
+
+    docs = [
+        "the cat sat on the mat",
+        "the cat ran, the cat sat!",   # punctuation splits -> adjacency
+        "cat sat cat sat cat sat",
+        None,
+        "",
+        "solo",                        # single token -> no pairs
+        "the mat the cat sat down",
+    ]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
+    out = pmi_collocations(ds, "text", min_count=2, top_k=50).to_pandas()
+
+    uni = collections.Counter()
+    pairs = collections.Counter()
+    n_pairs = 0
+    for d in docs:
+        if d is None:
+            continue
+        toks = [t for t in re.split(r"[^a-z0-9]+", d.lower()) if t]
+        uni.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            pairs[(a, b)] += 1
+            n_pairs += 1
+    n_tok = sum(uni.values())
+    expect = {}
+    for (a, b), c12 in pairs.items():
+        if c12 >= 2:
+            expect[(a, b)] = math.log((c12 / n_pairs)
+                                      / ((uni[a] / n_tok)
+                                         * (uni[b] / n_tok)))
+    got = {(r.w1, r.w2): r for r in out.itertuples()}
+    assert set(got) == set(expect)
+    for k, r in got.items():
+        assert r.pmi == pytest.approx(expect[k], rel=1e-12)
+        assert r.c12 == pairs[k]
+        assert (r.c1, r.c2) == (uni[k[0]], uni[k[1]])
+    # ranking: pmi non-increasing down the result
+    assert list(out["pmi"]) == sorted(out["pmi"], reverse=True)
+
+    # top_k cut respected
+    top2 = pmi_collocations(ds, "text", min_count=2, top_k=2).to_pandas()
+    assert len(top2) == 2
+
+    # all-null / pairless corpus -> empty with full schema
+    e = pmi_collocations(rd.from_arrow(pa.table({
+        "text": pa.array([None, "one"], pa.string())})), "text")
+    assert e.count() == 0
+    assert e.schema().names == ["w1", "w2", "c12", "c1", "c2", "pmi"]

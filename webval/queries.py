@@ -6602,6 +6602,50 @@ FROM pr JOIN t USING (text) GROUP BY 1 ORDER BY 1
 """
 
 
+def q_pmi_collocations(sf_dir: str):
+    """Top-20 PMI collocations (textstats.pmi_collocations): adjacent
+    word pairs co-occurring most above chance — the phrase-mining /
+    boilerplate-template signal.  Pair and unigram counts are exact
+    (one exchange each); pmi rounds 6 and the rank key round(pmi, 6)
+    with (w1, w2)-ascending ties is deterministic on both engines."""
+    import ray.data as rd
+
+    from webval.textstats import pmi_collocations
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    t = ds_to_table(pmi_collocations(ds, "text", min_count=5, top_k=20))
+    for c in ("w1", "w2"):
+        t = t.set_column(t.column_names.index(c), c,
+                         pc.cast(t.column(c), pa.string()))
+    return _round_cols(t, {"pmi": 6})
+
+
+SQL_PMI_COLLOCATIONS = """
+WITH tok AS (SELECT list_filter(regexp_split_to_array(lower(text),
+                                                      '[^a-z0-9]+'),
+                                x -> x <> '') AS ts
+             FROM documents WHERE text IS NOT NULL),
+uc AS (SELECT term, count(*) AS cnt
+       FROM (SELECT unnest(ts) AS term FROM tok) GROUP BY 1),
+pp AS (SELECT p[1] AS w1, p[2] AS w2
+       FROM (SELECT unnest(list_zip(ts, ts[2:])) AS p FROM tok)
+       WHERE p[2] IS NOT NULL),
+pcnt AS (SELECT w1, w2, count(*) AS c12 FROM pp
+         GROUP BY 1, 2 HAVING count(*) >= 5),
+tot AS (SELECT (SELECT CAST(sum(cnt) AS DOUBLE) FROM uc) AS n,
+               (SELECT CAST(count(*) AS DOUBLE) FROM pp) AS p)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       CAST(u1.cnt AS BIGINT) AS c1, CAST(u2.cnt AS BIGINT) AS c2,
+       round(ln((c12 / tot.p) / ((u1.cnt / tot.n) * (u2.cnt / tot.n))), 6)
+           AS pmi
+FROM pcnt JOIN uc u1 ON pcnt.w1 = u1.term
+          JOIN uc u2 ON pcnt.w2 = u2.term, tot
+ORDER BY round(ln((c12 / tot.p) / ((u1.cnt / tot.n) * (u2.cnt / tot.n))), 6)
+             DESC, w1, w2
+LIMIT 20
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -9281,6 +9325,7 @@ QUERIES = {
     "orc_read": (q_orc_read, SQL_DOCS_BY_LANG),
     "ipc_read": (q_ipc_read, SQL_DOCS_BY_LANG),
     "dedup_weights": (q_dedup_weights, SQL_DEDUP_WEIGHTS),
+    "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

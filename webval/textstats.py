@@ -986,3 +986,105 @@ def weighted_log_odds(ds, side_col: str, text_col: str, *,
         .sort(["az", "term"], descending=[True, False]).limit(top_k)
     return ranked.map_batches(lambda t: t.drop_columns(["az"]),
                               batch_format="pyarrow")
+
+
+def pmi_collocations(ds, text_col: str, *, min_count: int = 10,
+                     top_k: int = 20, num_buckets: int | None = None):
+    """Pointwise-mutual-information collocations: the ``top_k`` adjacent
+    word pairs whose co-occurrence most exceeds chance,
+
+        pmi(w1, w2) = ln( (c12 / P) / ((c1 / N) · (c2 / N)) )
+
+    with c12 the adjacent-pair count (P pairs total), c1/c2 the unigram
+    counts (N tokens total).  The classic phrase-mining signal (Church &
+    Hanks 1990) — on web text the top pairs are boilerplate phrases
+    ("all rights [reserved]"), which makes this a template detector as
+    much as a phrase miner.  ``min_count`` applies to c12 so hapax pairs
+    (pmi → max) don't dominate.  Rank key is round(pmi, 6) descending
+    with (w1, w2)-ascending ties, deterministic across engines.  Returns
+    Dataset[{w1, w2, c12, c1, c2, pmi}].
+
+    Scale shape: tokens pair up batch-locally (adjacency is positions
+    i, i+1 of the same doc — never crosses batches because each doc's
+    tokens stay in its row's batch); ONE (w1, w2) pair-count exchange +
+    ONE unigram-count exchange; N and P come off those tables as
+    per-block scalar partials; unigram counts attach via two co-bucketed
+    equi-joins (the vocabulary is unbounded at corpus scale, so no
+    broadcast side); final rank is a pair-table sort + limit."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg, sum_block_scalars
+    from webval.joins import equi_join
+    from webval.lm import TOKEN_SPLIT_PATTERN, _tokenize
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        flat, doc_idx = _tokenize(t.column(text_col).combine_chunks(),
+                                  TOKEN_SPLIT_PATTERN)
+        n = len(flat)
+        if n < 2:
+            return pa.table({"w1": pa.array([], pa.large_string()),
+                             "w2": pa.array([], pa.large_string()),
+                             "c12": pa.array([], pa.int64())})
+        same = pa.array(doc_idx[1:] == doc_idx[:-1])
+        tab = pa.table({"w1": flat.slice(0, n - 1).filter(same),
+                        "w2": flat.slice(1).filter(same)})
+        agg = tab.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["w1", "w2", "c12"]) \
+            .set_column(2, "c12", pc.cast(agg.column(2), pa.int64()))
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _tokenize(t.column(text_col).combine_chunks(),
+                            TOKEN_SPLIT_PATTERN)
+        vc = flat.value_counts()
+        return pa.table({"term": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    src = ds.select_columns([text_col])
+    pairs = grouped_agg(
+        src.map_batches(pair_partial, batch_format="pyarrow"),
+        ["w1", "w2"], [("c12", "sum")], rename={"c12_sum": "c12"},
+        num_buckets=num_buckets).materialize()
+    unis = grouped_agg(
+        src.map_batches(uni_partial, batch_format="pyarrow"),
+        ["term"], [("cnt", "sum")], rename={"cnt_sum": "cnt"},
+        num_buckets=num_buckets).materialize()
+
+    big_n = float(sum_block_scalars(unis, ["cnt"])["cnt"])
+    big_p = float(sum_block_scalars(pairs, ["c12"])["c12"])
+    empty = pa.schema([("w1", pa.large_string()), ("w2", pa.large_string()),
+                       ("c12", pa.int64()), ("c1", pa.int64()),
+                       ("c2", pa.int64()), ("pmi", pa.float64())])
+    if big_p == 0:
+        return rd.from_arrow(empty.empty_table())
+
+    frequent = pairs.filter(
+        expr=f"c12 >= {int(min_count)}") if min_count > 1 else pairs
+    j1 = equi_join(frequent, unis, on=["w1"], right_on=["term"],
+                   how="inner", num_buckets=num_buckets)
+    j1 = j1.map_batches(lambda t: t.rename_columns(
+        ["c1" if c == "cnt" else c for c in t.column_names]),
+        batch_format="pyarrow")
+    j2 = equi_join(j1, unis, on=["w2"], right_on=["term"],
+                   how="inner", num_buckets=num_buckets)
+    j2 = j2.map_batches(lambda t: t.rename_columns(
+        ["c2" if c == "cnt" else c for c in t.column_names]),
+        batch_format="pyarrow")
+
+    def score(t: pa.Table) -> pa.Table:
+        c12 = t.column("c12").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c1 = t.column("c1").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c2 = t.column("c2").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pmi = np.log((c12 / big_p) / ((c1 / big_n) * (c2 / big_n)))
+        return pa.table({"w1": t.column("w1"), "w2": t.column("w2"),
+                         "c12": t.column("c12"), "c1": t.column("c1"),
+                         "c2": t.column("c2"), "pmi": pa.array(pmi),
+                         "rpmi": pa.array(pmi.round(6))})
+
+    ranked = j2.map_batches(score, batch_format="pyarrow") \
+        .sort(["rpmi", "w1", "w2"], descending=[True, False, False]) \
+        .limit(top_k)
+    return ranked.map_batches(lambda t: t.drop_columns(["rpmi"]),
+                              batch_format="pyarrow")
