@@ -551,3 +551,47 @@ def test_pmi_collocations_matches_counter_oracle(ray_session):
         "text": pa.array([None, "one"], pa.string())})), "text")
     assert e.count() == 0
     assert e.schema().names == ["w1", "w2", "c12", "c1", "c2", "pmi"]
+
+
+def test_benford_audit_matches_counter_oracle(ray_session):
+    import collections
+    import math
+
+    import ray.data as rd
+
+    from webval.drift import benford_audit
+
+    rng = np.random.default_rng(17)
+    # log-uniform over 4 decades -> near-perfect Benford
+    vals = np.power(10.0, rng.uniform(0, 4, 5000)).tolist()
+    vals += [None, 0.0, -5.0, 0.3]          # skipped rows
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())}))
+    out = benford_audit(ds, "x").to_pandas().set_index("digit")
+
+    cnt = collections.Counter(int(str(int(v))[0]) for v in vals
+                              if v is not None and v >= 1)
+    total = sum(cnt.values())
+    assert total == 5000
+    for d in range(1, 10):
+        e = math.log10(1 + 1 / d)
+        row = out.loc[d]
+        assert row["n"] == cnt[d]
+        assert row["share"] == pytest.approx(cnt[d] / total, rel=1e-12)
+        assert row["expected"] == pytest.approx(e, rel=1e-12)
+        assert row["resid"] == pytest.approx(
+            (cnt[d] - total * e) / math.sqrt(total * e * (1 - e)),
+            rel=1e-12)
+    # log-uniform data conforms: every standardized residual small
+    assert out["resid"].abs().max() < 4
+
+    # a constant column (all first-digit 7) is flagged hard
+    flat = rd.from_arrow(pa.table({"x": pa.array([700.0] * 500)}))
+    f = benford_audit(flat, "x").to_pandas().set_index("digit")
+    assert list(f.index) == [7] and f.loc[7]["share"] == 1.0
+    assert f.loc[7]["resid"] > 50
+
+    # empty after filtering -> empty with schema
+    e = benford_audit(rd.from_arrow(pa.table({
+        "x": pa.array([None, 0.5], pa.float64())})), "x")
+    assert e.count() == 0
+    assert e.schema().names == ["digit", "n", "share", "expected", "resid"]

@@ -13,6 +13,8 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def js_divergence(p, q, base: float = 2.0) -> float:
@@ -423,3 +425,64 @@ def welch_t(n, s, ss):
     dof = float(se2 * se2 / (se0 * se0 / (n0 - 1.0)
                              + se1 * se1 / (n1 - 1.0)))
     return int(n0), int(n1), t, dof
+
+
+def benford_audit(ds, col: str, *, num_buckets: int | None = None):
+    """Benford's-law first-digit audit of a positive numeric column —
+    the classic fabricated-/synthetic-data smell test (Benford 1938;
+    Nigrini's forensic-accounting use is the canonical application).
+    For every row with ``col`` ≥ 1, the first significant digit is
+    extracted INTEGER-exactly (floor → int64 → first decimal character,
+    never floor(log10(x)) — libm log10 may differ in the last ulp
+    across engines, which would flip boundary values like 999.999…).
+    Returns Dataset[{digit, n, share, expected, resid}] with one row per
+    observed digit 1-9: ``share`` the observed fraction, ``expected``
+    the Benford mass log10(1 + 1/d), ``resid`` the standardized
+    binomial residual (n_d − N·e_d) / sqrt(N·e_d·(1−e_d)) — |resid| ≳ 3
+    flags a digit.  Values in (0, 1) are excluded by design (their
+    first significant digit needs log10); rows ≤ 0 / null are skipped.
+
+    Scale shape: per-batch digit value_counts (≤ 9 partial rows per
+    batch) → one 9-key exchange → driver finalize over ≤ 9 rows."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg, sum_block_scalars
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pc.cast(t.column(col).combine_chunks(), pa.float64())
+        c = c.filter(pc.and_(pc.is_valid(c),
+                             pc.greater_equal(c, pa.scalar(1.0))))
+        ints = pc.cast(pc.floor(c), pa.int64())
+        digit = pc.cast(pc.utf8_slice_codeunits(
+            pc.cast(ints, pa.string()), 0, 1), pa.int64())
+        vc = digit.value_counts()
+        return pa.table({"digit": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = grouped_agg(
+        ds.select_columns([col]).map_batches(partial,
+                                             batch_format="pyarrow"),
+        ["digit"], [("n", "sum")], rename={"n_sum": "n"},
+        num_buckets=num_buckets).materialize()
+    total = sum_block_scalars(counts, ["n"])["n"]
+    schema = pa.schema([("digit", pa.int64()), ("n", pa.int64()),
+                        ("share", pa.float64()),
+                        ("expected", pa.float64()),
+                        ("resid", pa.float64())])
+    if total == 0:
+        return rd.from_arrow(schema.empty_table())
+
+    def finalize(t: pa.Table) -> pa.Table:
+        d = t.column("digit").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = t.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        e = np.log10(1.0 + 1.0 / d)
+        resid = (n - total * e) / np.sqrt(total * e * (1.0 - e))
+        return pa.table({"digit": t.column("digit"), "n": t.column("n"),
+                         "share": pa.array(n / total),
+                         "expected": pa.array(e),
+                         "resid": pa.array(resid)})
+
+    return counts.map_batches(finalize, batch_format="pyarrow") \
+        .sort("digit")

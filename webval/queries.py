@@ -6646,6 +6646,37 @@ LIMIT 20
 """
 
 
+def q_benford_audit(sf_dir: str):
+    """Benford first-digit audit (drift.benford_audit) of
+    l_extendedprice: observed vs log10(1+1/d) digit shares with
+    standardized residuals — the fabricated-data smell test.  Digits
+    are extracted integer-exactly (floor → int64 → first character) on
+    both engines so no libm log10 boundary can flip a row."""
+    import ray.data as rd
+
+    from webval.drift import benford_audit
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    return _round_cols(ds_to_table(benford_audit(ds, "l_extendedprice")),
+                       {"share": 6, "expected": 6, "resid": 6})
+
+
+SQL_BENFORD_AUDIT = """
+WITH c AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                  count(*) AS n
+           FROM lineitem WHERE l_extendedprice >= 1 GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n, round(n / total, 6) AS share,
+       round(log10(1 + 1.0 / digit), 6) AS expected,
+       round((n - total * log10(1 + 1.0 / digit))
+             / sqrt(total * log10(1 + 1.0 / digit)
+                    * (1 - log10(1 + 1.0 / digit))), 6) AS resid
+FROM c, t ORDER BY digit
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -9326,6 +9357,7 @@ QUERIES = {
     "ipc_read": (q_ipc_read, SQL_DOCS_BY_LANG),
     "dedup_weights": (q_dedup_weights, SQL_DEDUP_WEIGHTS),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
+    "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
