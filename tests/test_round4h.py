@@ -595,3 +595,48 @@ def test_benford_audit_matches_counter_oracle(ray_session):
         "x": pa.array([None, 0.5], pa.float64())})), "x")
     assert e.count() == 0
     assert e.schema().names == ["digit", "n", "share", "expected", "resid"]
+
+
+def test_json_key_profile_matches_counter_oracle(ray_session):
+    import ray.data as rd
+
+    from webval.textstats import json_key_profile
+
+    docs = [
+        '{"a": 1, "b": "s", "c": {"x": 1.5, "y": {"deep": 1}}}',
+        '{"a": true, "c": {"x": null}, "d": [1, 2]}',
+        '{"a": -3}',
+        None,
+        '[1, 2]',          # non-object top level: counts in denominator only
+        '{}',
+    ]
+    ds = rd.from_arrow(pa.table({"js": pa.array(docs, pa.string())}))
+    out = json_key_profile(ds, "js", max_depth=2).to_pandas()
+    got = {(r.path, r.jtype): (r.n, r.share) for r in out.itertuples()}
+    # 5 parsed docs (null skipped)
+    expect = {
+        ("a", "INTEGER"): 2, ("a", "BOOLEAN"): 1,
+        ("b", "VARCHAR"): 1,
+        ("c", "OBJECT"): 2,
+        ("c.x", "DOUBLE"): 1, ("c.x", "NULL"): 1,
+        ("c.y", "OBJECT"): 1,       # depth 2 stops here: no c.y.deep
+        ("d", "ARRAY"): 1,
+    }
+    assert {k: v[0] for k, v in got.items()} == expect
+    for k, (n, share) in got.items():
+        assert share == pytest.approx(n / 5, rel=1e-12)
+    assert ("c.y.deep", "INTEGER") not in got
+
+    # depth 3 descends one more level
+    d3 = json_key_profile(ds, "js", max_depth=3).to_pandas()
+    keys3 = set(zip(d3["path"], d3["jtype"]))
+    assert ("c.y.deep", "INTEGER") in keys3
+
+    # sorted output
+    assert list(out["path"]) == sorted(out["path"])
+
+    # all-null -> empty with schema
+    e = json_key_profile(rd.from_arrow(pa.table({
+        "js": pa.array([None], pa.string())})), "js")
+    assert e.count() == 0
+    assert e.schema().names == ["path", "jtype", "n", "share"]

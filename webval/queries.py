@@ -6677,6 +6677,86 @@ FROM c, t ORDER BY digit
 """
 
 
+def q_json_key_profile(sf_dir: str):
+    """JSON schema inference (textstats.json_key_profile): key-path ×
+    value-type document counts over a semi-structured payload column.
+    The payload is built deterministically from events fields with
+    identical string concatenation on both engines (optional nested
+    geo object, array, null and double fields keyed off user_id
+    divisibility), so the profile exercises every JSON type and a
+    depth-2 descent; counts exact, share rounds 6."""
+    import ray.data as rd
+
+    from webval.textstats import json_key_profile
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.is_valid(t.column("user_id").combine_chunks()),
+            pc.is_valid(t.column("event_type").combine_chunks())))
+        uid = t.column("user_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+
+        def opt(mod: int, lit: str):
+            return pc.if_else(pa.array(uid % mod == 0),
+                              pa.scalar(lit), pa.scalar(""))
+
+        js = pc.binary_join_element_wise(
+            pa.scalar('{"et":"'), t.column("event_type"),
+            pa.scalar('","uid":'),
+            pc.cast(t.column("user_id"), pa.string()),
+            opt(3, ',"geo":{"lat":1,"lon":2}'),
+            opt(5, ',"tags":["a","b"]'),
+            opt(7, ',"opt":null'),
+            opt(11, ',"score":1.5'),
+            pa.scalar('}'), pa.scalar(""))
+        return pa.table({"js": js})
+
+    out = json_key_profile(ds.map_batches(build, batch_format="pyarrow"),
+                           "js", max_depth=2)
+    t = ds_to_table(out)
+    for c in ("path", "jtype"):
+        t = t.set_column(t.column_names.index(c), c,
+                         pc.cast(t.column(c), pa.string()))
+    return _round_cols(t, {"share": 6})
+
+
+SQL_JSON_KEY_PROFILE = """
+WITH j AS (SELECT '{"et":"' || event_type || '","uid":'
+                  || CAST(user_id AS VARCHAR)
+                  || CASE WHEN user_id % 3 = 0
+                          THEN ',"geo":{"lat":1,"lon":2}' ELSE '' END
+                  || CASE WHEN user_id % 5 = 0
+                          THEN ',"tags":["a","b"]' ELSE '' END
+                  || CASE WHEN user_id % 7 = 0
+                          THEN ',"opt":null' ELSE '' END
+                  || CASE WHEN user_id % 11 = 0
+                          THEN ',"score":1.5' ELSE '' END
+                  || '}' AS js
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM j),
+l1 AS (SELECT js, unnest(json_keys(js)) AS path FROM j),
+t1 AS (SELECT path, coalesce(json_type(js, '$.' || path), 'NULL')
+           AS rt, js FROM l1),
+l2 AS (SELECT t1.path || '.'
+                || unnest(json_keys(t1.js, '$.' || t1.path)) AS path,
+              t1.path AS parent, t1.js AS js
+       FROM t1 WHERE t1.rt = 'OBJECT'),
+t2 AS (SELECT path, coalesce(json_type(js, '$.' || path), 'NULL')
+           AS rt FROM l2),
+allp AS (SELECT path, rt FROM t1 UNION ALL SELECT path, rt FROM t2)
+SELECT path,
+       CASE WHEN rt IN ('BIGINT', 'UBIGINT') THEN 'INTEGER' ELSE rt END
+           AS jtype,
+       CAST(count(*) AS BIGINT) AS n,
+       round(count(*) / tot.n_docs, 6) AS share
+FROM allp, tot GROUP BY 1, 2, tot.n_docs ORDER BY 1, 2
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -9358,6 +9438,7 @@ QUERIES = {
     "dedup_weights": (q_dedup_weights, SQL_DEDUP_WEIGHTS),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
+    "json_key_profile": (q_json_key_profile, SQL_JSON_KEY_PROFILE),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
