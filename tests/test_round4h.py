@@ -640,3 +640,48 @@ def test_json_key_profile_matches_counter_oracle(ray_session):
         "js": pa.array([None], pa.string())})), "js")
     assert e.count() == 0
     assert e.schema().names == ["path", "jtype", "n", "share"]
+
+
+def test_mahalanobis_outliers_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from webval.clustering import mahalanobis_outliers
+
+    rng = np.random.default_rng(23)
+    n = 400
+    x = rng.normal(0, 1, n)
+    y = 2.0 * x + rng.normal(0, 0.3, n)      # strongly correlated
+    # a point normal per-axis but off the correlation ridge
+    x[0], y[0] = 1.0, -2.0
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "x": pa.array(x), "y": pa.array(y), "rid": pa.array(ids)}))
+    out = mahalanobis_outliers(ds, ["x", "y"], top_k=5, id_col="rid") \
+        .to_pandas()
+
+    xy = np.column_stack([x, y])
+    mu = xy.mean(axis=0)
+    cov = np.cov(xy, rowvar=False)            # sample covariance
+    sinv = np.linalg.inv(cov)
+    c = xy - mu
+    d2 = np.einsum("ij,ij->i", c @ sinv, c)
+    order = np.lexsort((ids, -d2.round(6)))[:5]
+    assert list(out["rid"]) == list(ids[order])
+    assert out["d2"].to_numpy() == pytest.approx(d2[order], rel=1e-9)
+    # the off-ridge point must be the top outlier
+    assert out["rid"].iloc[0] == 0
+
+    # null coordinates are excluded, not scored
+    ds2 = rd.from_arrow(pa.table({
+        "x": pa.array([0.0, 1.0, None, 5.0, 0.5, -1.0, 2.0]),
+        "y": pa.array([0.0, 1.1, 2.0, None, 0.4, -0.9, 2.2]),
+        "rid": pa.array(np.arange(7, dtype=np.int64))}))
+    o2 = mahalanobis_outliers(ds2, ["x", "y"], top_k=10, id_col="rid") \
+        .to_pandas()
+    assert set(o2["rid"]) == {0, 1, 4, 5, 6}
+
+    # too few complete rows -> named diagnostic
+    tiny = rd.from_arrow(pa.table({"x": pa.array([1.0, 2.0]),
+                                   "y": pa.array([1.0, None])}))
+    with pytest.raises(ValueError, match="mahalanobis"):
+        mahalanobis_outliers(tiny, ["x", "y"])

@@ -343,3 +343,89 @@ def minmax_scale(ds, key: str, value_col: str, *, out_col: str = "scaled",
         return batch.append_column(out_col, pc.divide(num, den))
 
     return ds.map_batches(scale, batch_format="pyarrow")
+
+
+def mahalanobis_outliers(ds, cols: list[str], *, top_k: int = 20,
+                         id_col: str | None = None, ridge: float = 0.0,
+                         batch_size: int | None = 8192):
+    """Multivariate outlier detection: the ``top_k`` rows with the
+    largest squared Mahalanobis distance d² = (x−μ)ᵀ Σ⁻¹ (x−μ) to the
+    column-vector mean under the SAMPLE covariance — the cross-column
+    anomaly test that catches rows each of whose coordinates looks
+    normal in isolation (a 1-quantity/80k-price line item) where
+    per-column z-scores see nothing.  Rows with any null coordinate are
+    excluded from both the fit and the scoring.  ``ridge`` adds λI
+    before inversion for near-singular covariances.  Rank key is
+    round(d², 6) descending with ``id_col``-ascending ties
+    (deterministic across engines); returns Dataset[{*cols, id_col?,
+    d2}].
+
+    Scale shape: pass 1 streams mergeable (n, Σx, XᵀX) partials (d
+    small — a d-vector + d×d matrix per batch) and the driver inverts
+    the d×d covariance once; pass 2 re-streams the input scoring each
+    batch with one matmul against the broadcast (μ, Σ⁻¹); the final
+    rank is a sort + limit, never a driver gather."""
+    d = len(cols)
+    if d < 1:
+        raise ValueError("mahalanobis_outliers: need >= 1 column")
+
+    def stack(t: pa.Table):
+        arrs = [pc.cast(t.column(c).combine_chunks(), pa.float64())
+                for c in cols]
+        valid = arrs[0].is_valid()
+        for a in arrs[1:]:
+            valid = pc.and_(valid, a.is_valid())
+        t = t.filter(valid)
+        x = np.column_stack([
+            pc.cast(t.column(c).combine_chunks(), pa.float64())
+            .to_numpy(zero_copy_only=False) for c in cols]) \
+            if t.num_rows else np.zeros((0, d))
+        return t, x
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, x = stack(t)
+        return pa.table({
+            "n": pa.array([x.shape[0]], pa.int64()),
+            "s": pa.array([x.sum(axis=0).tolist()], pa.list_(pa.float64())),
+            "xtx": pa.array([(x.T @ x).ravel().tolist()],
+                            pa.list_(pa.float64()))})
+
+    import ray
+
+    parts = ds.select_columns(cols) \
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=batch_size).materialize()
+    n, s, xtx = 0, np.zeros(d), np.zeros((d, d))
+    for ref in parts.to_arrow_refs():
+        b = ray.get(ref)
+        if b.num_rows == 0:
+            continue
+        for row in b.to_pylist():
+            n += row["n"]
+            s += np.asarray(row["s"])
+            xtx += np.asarray(row["xtx"]).reshape(d, d)
+    if n < d + 1:
+        raise ValueError(f"mahalanobis_outliers: need >= {d + 1} complete "
+                         f"rows to fit a {d}-dim covariance, got {n}")
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    sinv = np.linalg.inv(cov + ridge * np.eye(d))
+
+    keep = list(cols) + ([id_col] if id_col and id_col not in cols else [])
+
+    def score(t: pa.Table) -> pa.Table:
+        t, x = stack(t)
+        c = x - mean
+        d2 = np.einsum("ij,ij->i", c @ sinv, c)
+        out = {k: t.column(k) for k in keep}
+        out["d2"] = pa.array(d2)
+        out["rd2"] = pa.array(d2.round(6))
+        return pa.table(out)
+
+    ranked = ds.select_columns(keep) \
+        .map_batches(score, batch_format="pyarrow") \
+        .sort(["rd2"] + ([id_col] if id_col else []),
+              descending=[True] + ([False] if id_col else [])) \
+        .limit(top_k)
+    return ranked.map_batches(lambda t: t.drop_columns(["rd2"]),
+                              batch_format="pyarrow")

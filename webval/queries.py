@@ -6757,6 +6757,52 @@ FROM allp, tot GROUP BY 1, 2, tot.n_docs ORDER BY 1, 2
 """
 
 
+def q_mahalanobis_outliers(sf_dir: str):
+    """Cross-column anomaly top-20 (clustering.mahalanobis_outliers):
+    largest squared Mahalanobis distance over (l_quantity,
+    l_extendedprice) — catches jointly-implausible rows per-column
+    z-scores miss.  Sample covariance fit in one mergeable-partial
+    pass; rank key round(d², 6) with unique-line-id ties."""
+    import ray.data as rd
+
+    from webval.clustering import mahalanobis_outliers
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_quantity", "l_extendedprice"])
+
+    def add_lid(t: pa.Table) -> pa.Table:
+        lid = pc.add(pc.multiply(t.column("l_orderkey"),
+                                 pa.scalar(10, pa.int64())),
+                     pc.cast(t.column("l_linenumber"), pa.int64()))
+        return pa.table({"l_quantity": t.column("l_quantity"),
+                         "l_extendedprice": t.column("l_extendedprice"),
+                         "lid": lid})
+
+    out = mahalanobis_outliers(
+        ds.map_batches(add_lid, batch_format="pyarrow"),
+        ["l_quantity", "l_extendedprice"], top_k=20, id_col="lid")
+    return _round_cols(ds_to_table(out), {"d2": 6})
+
+
+SQL_MAHALANOBIS_OUTLIERS = """
+WITH v AS (SELECT l_orderkey * 10 + l_linenumber AS lid,
+                  l_quantity AS x, l_extendedprice AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+s AS (SELECT avg(x) AS mx, avg(y) AS my, var_samp(x) AS vxx,
+             var_samp(y) AS vyy, covar_samp(x, y) AS vxy FROM v),
+d AS (SELECT v.x, v.y, v.lid,
+             (s.vyy * (v.x - s.mx) * (v.x - s.mx)
+              - 2 * s.vxy * (v.x - s.mx) * (v.y - s.my)
+              + s.vxx * (v.y - s.my) * (v.y - s.my))
+             / (s.vxx * s.vyy - s.vxy * s.vxy) AS d2
+      FROM v, s)
+SELECT x AS l_quantity, y AS l_extendedprice, lid, round(d2, 6) AS d2
+FROM d ORDER BY round(d2, 6) DESC, lid LIMIT 20
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -9439,6 +9485,8 @@ QUERIES = {
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "json_key_profile": (q_json_key_profile, SQL_JSON_KEY_PROFILE),
+    "mahalanobis_outliers": (q_mahalanobis_outliers,
+                             SQL_MAHALANOBIS_OUTLIERS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
