@@ -685,3 +685,45 @@ def test_mahalanobis_outliers_matches_numpy(ray_session):
                                    "y": pa.array([1.0, None])}))
     with pytest.raises(ValueError, match="mahalanobis"):
         mahalanobis_outliers(tiny, ["x", "y"])
+
+
+def test_cluster_canonicals_and_drop_near_duplicates(ray_session):
+    import ray.data as rd
+
+    from webval.dedup import cluster_canonicals, drop_near_duplicates
+
+    # clusters: {1,2,3} (c10), {5,6} (c5); docs 4, 7 unclustered
+    clusters = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 5, 6], pa.int64()),
+        "cluster_id": pa.array([10, 10, 10, 5, 5], pa.int64())}))
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "q": pa.array([0.9, 0.9, 0.1, 0.5, 0.2, 0.8, 0.3]),
+        "text": pa.array([f"t{i}" for i in range(7)])}))
+
+    canon = cluster_canonicals(
+        clusters, corpus.select_columns(["doc_id", "q"]), "doc_id",
+        score_col="q").to_pandas().set_index("cluster_id")
+    # cluster 10: q ties at 0.9 between ids 1 and 2 -> smallest id wins
+    assert canon.loc[10]["kept_id"] == 1 and canon.loc[10]["n_docs"] == 3
+    assert canon.loc[5]["kept_id"] == 6 and canon.loc[5]["n_docs"] == 2
+
+    kept = drop_near_duplicates(corpus, clusters, "doc_id",
+                                score_col="q").to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 4, 6, 7]
+    assert set(kept.columns) == {"doc_id", "q", "text"}  # full rows kept
+
+    # lower-is-better selection (e.g. perplexity)
+    canon_lo = cluster_canonicals(
+        clusters, corpus.select_columns(["doc_id", "q"]), "doc_id",
+        score_col="q", higher_is_better=False).to_pandas() \
+        .set_index("cluster_id")
+    assert canon_lo.loc[10]["kept_id"] == 3
+    assert canon_lo.loc[5]["kept_id"] == 5
+
+    # no clusters -> corpus unchanged
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "cluster_id": pa.array([], pa.int64())}))
+    assert drop_near_duplicates(corpus, empty, "doc_id",
+                                score_col="q").count() == 7

@@ -1571,3 +1571,68 @@ def duplication_weights(ds, group_col: str, text_col: str = "text", *,
         return t.append_column("effective_ratio", ratio)
 
     return per_group.map_batches(finalize, batch_format="pyarrow")
+
+
+def cluster_canonicals(clusters, scored, id_col: str, *, score_col: str,
+                       higher_is_better: bool = True,
+                       num_buckets: int | None = None):
+    """Canonical-document selection per near-dup cluster: for every
+    cluster in ``clusters`` (Dataset[{id_col, cluster_id}] from
+    :func:`minhash_dedup` / :func:`embedding_dup_pairs`+components),
+    pick the member with the best ``score_col`` from ``scored``
+    (Dataset[{id_col, score_col}] — quality score, length, freshness)
+    — ties to the smallest id, deterministic.  Returns
+    Dataset[{cluster_id, kept_id, score, n_docs}].  This is the "keep
+    the best copy, not an arbitrary one" half of near-dedup curation
+    (cf. the keep-first convention in Lee et al. 2022 §3).
+
+    Scale shape: one co-bucketed equi-join attaches scores to cluster
+    members (both sides cluster-member-sized, not corpus-sized); the
+    winner is a per-batch-combined top-1-per-key exchange; n_docs rides
+    a count exchange joined on cluster_id."""
+    from webval.exchange import grouped_agg
+    from webval.joins import equi_join
+    from webval.rank import top_k_per_group
+
+    members = equi_join(clusters, scored, on=[id_col], how="inner",
+                        num_buckets=num_buckets)
+    sizes = grouped_agg(members, ["cluster_id"], [(id_col, "count")],
+                        rename={f"{id_col}_count": "n_docs"},
+                        num_buckets=num_buckets)
+    winners = top_k_per_group(members, "cluster_id", score_col, 1,
+                              descending=higher_is_better,
+                              tie_cols=[id_col], num_buckets=num_buckets)
+    out = equi_join(winners, sizes, on=["cluster_id"],
+                    num_buckets=num_buckets)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"cluster_id": t.column("cluster_id"),
+                         "kept_id": t.column(id_col),
+                         "score": t.column(score_col),
+                         "n_docs": t.column("n_docs")})
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+def drop_near_duplicates(ds, clusters, id_col: str, *, score_col: str,
+                         higher_is_better: bool = True,
+                         num_buckets: int | None = None):
+    """Near-dedup curation filter: keep every doc that is in NO cluster,
+    plus the best-scoring member of each cluster (ties to smallest id).
+    ``ds`` must carry ``id_col`` and ``score_col``; full rows stream
+    through.  Composes :func:`cluster_canonicals`; the corpus is touched
+    only by one anti semi-join on ids (losers are cluster-member-sized).
+    """
+    from webval.joins import equi_join
+
+    canon = cluster_canonicals(
+        clusters, ds.select_columns([id_col, score_col]), id_col,
+        score_col=score_col, higher_is_better=higher_is_better,
+        num_buckets=num_buckets)
+    losers = equi_join(
+        clusters.select_columns([id_col]),
+        canon.map_batches(lambda t: pa.table({id_col: t.column("kept_id")}),
+                          batch_format="pyarrow"),
+        on=[id_col], how="anti", num_buckets=num_buckets)
+    return equi_join(ds, losers, on=[id_col], how="anti",
+                     num_buckets=num_buckets)

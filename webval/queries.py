@@ -6803,6 +6803,48 @@ FROM d ORDER BY round(d2, 6) DESC, lid LIMIT 20
 """
 
 
+def q_cluster_canonicals(sf_dir: str):
+    """Keep-best near-dedup curation (dedup.cluster_canonicals over
+    minhash_dedup clusters): per near-dup cluster, the member with the
+    longest url (ties to smallest page_id) — "keep the best copy, not
+    an arbitrary one".  Planted dups are exact text copies, so the SQL
+    twin clusters by same-text windows and picks with row_number."""
+    import ray.data as rd
+
+    from webval.dedup import cluster_canonicals, minhash_dedup
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["page_id", "url", "text"])
+    clusters = minhash_dedup(ds, "page_id", "text",
+                             jaccard_threshold=0.95)
+    scored = ds.map_batches(
+        lambda t: pa.table({
+            "page_id": t.column("page_id"),
+            "score": pc.cast(pc.utf8_length(
+                t.column("url").combine_chunks()), pa.int64())}),
+        batch_format="pyarrow")
+    return ds_to_table(cluster_canonicals(
+        clusters, scored, "page_id", score_col="score")) \
+        .sort_by([("cluster_id", "ascending")])
+
+
+SQL_CLUSTER_CANONICALS = f"""
+WITH w AS (SELECT page_id, length(url) AS score,
+                  min(page_id) OVER (PARTITION BY text) AS cluster_id,
+                  count(*) OVER (PARTITION BY text) AS c
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+           WHERE text IS NOT NULL),
+r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY score DESC, page_id) AS rn
+      FROM w WHERE c > 1)
+SELECT cluster_id, page_id AS kept_id, CAST(score AS BIGINT) AS score,
+       CAST(c AS BIGINT) AS n_docs
+FROM r WHERE rn = 1 ORDER BY cluster_id
+"""
+SQL_CLUSTER_CANONICALS = SQL_CLUSTER_CANONICALS.replace("{SYNTH_ROOT}",
+                                                        SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -9487,6 +9529,7 @@ QUERIES = {
     "json_key_profile": (q_json_key_profile, SQL_JSON_KEY_PROFILE),
     "mahalanobis_outliers": (q_mahalanobis_outliers,
                              SQL_MAHALANOBIS_OUTLIERS),
+    "cluster_canonicals": (q_cluster_canonicals, SQL_CLUSTER_CANONICALS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
