@@ -727,3 +727,53 @@ def test_cluster_canonicals_and_drop_near_duplicates(ray_session):
         "cluster_id": pa.array([], pa.int64())}))
     assert drop_near_duplicates(corpus, empty, "doc_id",
                                 score_col="q").count() == 7
+
+
+def test_concat_packing_matches_scan_oracle(ray_session):
+    import ray.data as rd
+
+    from webval.pipelines import concat_packing
+
+    rng = np.random.default_rng(41)
+    n = 300
+    toks = rng.integers(0, 700, n).astype(np.int64)
+    toks[5] = 0
+    ids = rng.permutation(n).astype(np.int64)   # unsorted input
+    tok_by_id = {int(i): int(t) for i, t in zip(ids, toks)}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "tk": pa.array(toks)})) \
+        .repartition(7)
+    out = concat_packing(ds, "doc_id", "tk", 512).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # serial oracle in id order
+    pos = 0
+    for i in range(n):
+        t = tok_by_id[i]
+        row = out.iloc[i]
+        assert row["doc_id"] == i and row["tk"] == t
+        assert row["offset"] == pos
+        assert row["bin"] == pos // 512
+        end = pos + t
+        assert bool(row["straddles"]) == (t > 0
+                                          and (end - 1) // 512 > pos // 512)
+        pos = end
+
+    # packing invariants: offsets strictly partition the token stream
+    assert out["offset"].iloc[0] == 0
+    assert (out["offset"].to_numpy()[1:]
+            == (out["offset"] + out["tk"]).to_numpy()[:-1]).all()
+    # bins are non-decreasing in pack order
+    assert (np.diff(out["bin"].to_numpy()) >= 0).all()
+
+    # nulls and negatives occupy zero tokens but keep their slot
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "tk": pa.array([600, None, -5], pa.int64())}))
+    o2 = concat_packing(ds2, "doc_id", "tk", 512).to_pandas() \
+        .sort_values("doc_id")
+    assert list(o2["offset"]) == [0, 600, 600]
+    assert list(o2["straddles"]) == [True, False, False]
+
+    with pytest.raises(ValueError, match="context_len"):
+        concat_packing(ds2, "doc_id", "tk", 0)

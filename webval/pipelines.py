@@ -1079,3 +1079,68 @@ def allocate_budget(ds, key: str, total: int, *, weight_col: str | None = None,
                      "weight": t.column("weight"),
                      "quota": pa.array(quota, pa.float64()),
                      "budget": pa.array(budget, pa.int64())})
+
+
+def concat_packing(ds, id_col: str, token_col: str, context_len: int, *,
+                   batch_size: int | None = 65536):
+    """GPT-style concatenation packing plan: documents are laid end to
+    end in ``id_col`` order and cut into fixed ``context_len``-token
+    training sequences; each doc gets its global token offset, the
+    sequence (bin) its first token lands in, and whether it straddles a
+    sequence boundary (is split across training examples — the
+    attention-contamination / truncation-loss signal packing-efficiency
+    studies track).  Null/negative token counts are treated as 0-length
+    (they occupy no tokens but keep their position).  Returns
+    Dataset[{id_col, token_col, offset, bin, straddles}] in pack order.
+
+    Scale shape: ONE global sort by id (the pack order must be total),
+    then a two-pass scan — per-block token sums (block-count-sized, a
+    few thousand scalars at any corpus size) come to the driver to form
+    exclusive block offsets, and a second vectorized pass cumsums
+    inside each block against its offset.  The blocks never leave the
+    object store; this is the documented raw-task escape hatch for the
+    one semantics Dataset ops can't express (a global ordered scan).
+    """
+    import ray
+    import ray.data as rd
+
+    if context_len <= 0:
+        raise ValueError(f"concat_packing: context_len must be > 0, "
+                         f"got {context_len}")
+
+    mat = ds.select_columns([id_col, token_col]) \
+        .sort(id_col).materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def block_sum(b: pa.Table) -> int:
+        if b.num_rows == 0:
+            return 0
+        v = pc.cast(b.column(token_col), pa.int64())
+        v = pc.max_element_wise(pc.fill_null(v, 0), pa.scalar(0, pa.int64()))
+        return int(pc.sum(v).as_py() or 0)
+
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    offsets = np.zeros(len(sums), dtype=np.int64)
+    if len(sums) > 1:
+        offsets[1:] = np.cumsum(sums[:-1])
+
+    @ray.remote
+    def pack(b: pa.Table, base: int) -> pa.Table:
+        ids = b.column(id_col)
+        v = pc.cast(b.column(token_col), pa.int64())
+        tok = pc.max_element_wise(pc.fill_null(v, 0),
+                                  pa.scalar(0, pa.int64())) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        end = base + np.cumsum(tok)
+        off = end - tok
+        bins = off // context_len
+        straddles = (end - 1) // context_len > bins
+        straddles &= tok > 0
+        return pa.table({id_col: ids, token_col: b.column(token_col),
+                         "offset": pa.array(off),
+                         "bin": pa.array(bins),
+                         "straddles": pa.array(straddles)})
+
+    out = [pack.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out)

@@ -6845,6 +6845,44 @@ SQL_CLUSTER_CANONICALS = SQL_CLUSTER_CANONICALS.replace("{SYNTH_ROOT}",
                                                         SYNTH_ROOT)
 
 
+def q_concat_packing(sf_dir: str):
+    """Concatenation-packing plan (pipelines.concat_packing): documents
+    laid end to end in doc_id order and cut into 512-token training
+    sequences — per doc its global token offset, first sequence index,
+    and whether it straddles a boundary.  The SQL twin is one running
+    sum window; integer-exact on both engines."""
+    import ray.data as rd
+
+    from webval.pipelines import concat_packing
+    from webval.textstats import add_token_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = add_token_counts(ds).map_batches(
+        lambda t: t.select(["doc_id", "ws_tokens"]).filter(
+            pc.is_valid(t.column("doc_id").combine_chunks())),
+        batch_format="pyarrow")
+    return ds_to_table(concat_packing(ds, "doc_id", "ws_tokens", 512)) \
+        .sort_by([("doc_id", "ascending")])
+
+
+SQL_CONCAT_PACKING = r"""
+WITH d AS (SELECT doc_id,
+                  CASE WHEN text IS NULL THEN 0
+                       ELSE len(regexp_extract_all(text, '\S+')) END AS tk
+           FROM documents WHERE doc_id IS NOT NULL),
+s AS (SELECT doc_id, tk,
+             sum(tk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                 AS cend
+      FROM d)
+SELECT doc_id, CAST(tk AS BIGINT) AS ws_tokens,
+       CAST(cend - tk AS BIGINT) AS "offset",
+       CAST((cend - tk) // 512 AS BIGINT) AS bin,
+       (tk > 0 AND (cend - 1) // 512 > (cend - tk) // 512) AS straddles
+FROM s ORDER BY doc_id
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -9530,6 +9568,7 @@ QUERIES = {
     "mahalanobis_outliers": (q_mahalanobis_outliers,
                              SQL_MAHALANOBIS_OUTLIERS),
     "cluster_canonicals": (q_cluster_canonicals, SQL_CLUSTER_CANONICALS),
+    "concat_packing": (q_concat_packing, SQL_CONCAT_PACKING),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
