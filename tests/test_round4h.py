@@ -777,3 +777,42 @@ def test_concat_packing_matches_scan_oracle(ray_session):
 
     with pytest.raises(ValueError, match="context_len"):
         concat_packing(ds2, "doc_id", "tk", 0)
+
+
+def test_path_prefix_rollup_matches_counter_oracle(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from webval.textstats import path_prefix_rollup
+
+    paths = ["a/b/c", "a/b/c/d", "a/b", "a", "a/x", "z", None,
+             "/lead/abs", "a/b/c"]
+    ds = rd.from_arrow(pa.table({"p": pa.array(paths, pa.string())}))
+    out = path_prefix_rollup(ds, "p", max_depth=3).to_pandas()
+    got = {(r.depth, r.prefix): r.n for r in out.itertuples()}
+
+    expect = collections.Counter()
+    for p in paths:
+        if p is None:
+            continue
+        segs = p.split("/")
+        for d in range(1, 4):
+            if len(segs) >= d:
+                expect[(d, "/".join(segs[:d]))] += 1
+    assert got == dict(expect)
+    # absolute path counts under the empty root segment
+    assert got[(1, "")] == 1 and got[(2, "/lead")] == 1
+    # deeper-than-max_depth rows still count at every depth <= 3
+    assert got[(3, "a/b/c")] == 3
+    # sorted output
+    assert list(out.itertuples(index=False, name=None)) == sorted(
+        out.itertuples(index=False, name=None))
+
+    with pytest.raises(ValueError, match="max_depth"):
+        path_prefix_rollup(ds, "p", max_depth=0)
+
+    # all-null -> empty, schema kept
+    e = path_prefix_rollup(rd.from_arrow(pa.table({
+        "p": pa.array([None], pa.string())})), "p")
+    assert e.count() == 0

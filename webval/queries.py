@@ -6883,6 +6883,68 @@ FROM s ORDER BY doc_id
 """
 
 
+def q_path_prefix_rollup(sf_dir: str):
+    """Site-section hierarchy counts (textstats.path_prefix_rollup):
+    rows per path prefix at depths 1-3 over a deterministic
+    section/category/page path built identically on both engines from
+    page_id — the "which subtrees dominate the crawl" rollup."""
+    import ray.data as rd
+
+    from webval.textstats import path_prefix_rollup
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["page_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        pid = t.column("page_id").combine_chunks()
+        pid = pid.filter(pc.is_valid(pid))
+        path = pc.binary_join_element_wise(
+            pa.scalar("s"),
+            pc.cast(pc.bit_wise_and(pid, pa.scalar(3, pa.int64())),
+                    pa.string()),
+            pa.scalar("/c"), pc.cast(_pc_mod(pid, 7), pa.string()),
+            pa.scalar("/p"), pc.cast(pid, pa.string()), pa.scalar(""))
+        return pa.table({"path": path})
+
+    out = path_prefix_rollup(ds.map_batches(build, batch_format="pyarrow"),
+                             "path", max_depth=3)
+    t = ds_to_table(out)
+    return t.set_column(t.column_names.index("prefix"), "prefix",
+                        pc.cast(t.column("prefix"), pa.string()))
+
+
+def _pc_mod(arr, m: int):
+    """Nonnegative int64 modulo via Arrow arithmetic (no pc.mod kernel in
+    Arrow 16): a - (a // m) * m with integer division."""
+    import pyarrow.compute as _pc
+
+    q = _pc.divide(arr, pa.scalar(m, pa.int64()))
+    return _pc.subtract(arr, _pc.multiply(q, pa.scalar(m, pa.int64())))
+
+
+SQL_PATH_PREFIX_ROLLUP = f"""
+WITH p AS (SELECT 's' || CAST(page_id % 4 AS VARCHAR)
+                  || '/c' || CAST(page_id % 7 AS VARCHAR)
+                  || '/p' || CAST(page_id AS VARCHAR) AS path
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+           WHERE page_id IS NOT NULL),
+seg AS (SELECT string_split(path, '/') AS s FROM p),
+d AS (SELECT 1 AS depth, array_to_string(list_slice(s, 1, 1), '/')
+             AS prefix FROM seg WHERE len(s) >= 1
+      UNION ALL
+      SELECT 2, array_to_string(list_slice(s, 1, 2), '/')
+      FROM seg WHERE len(s) >= 2
+      UNION ALL
+      SELECT 3, array_to_string(list_slice(s, 1, 3), '/')
+      FROM seg WHERE len(s) >= 3)
+SELECT CAST(depth AS BIGINT) AS depth, prefix,
+       CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
+"""
+SQL_PATH_PREFIX_ROLLUP = SQL_PATH_PREFIX_ROLLUP.replace("{SYNTH_ROOT}",
+                                                        SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -9569,6 +9631,7 @@ QUERIES = {
                              SQL_MAHALANOBIS_OUTLIERS),
     "cluster_canonicals": (q_cluster_canonicals, SQL_CLUSTER_CANONICALS),
     "concat_packing": (q_concat_packing, SQL_CONCAT_PACKING),
+    "path_prefix_rollup": (q_path_prefix_rollup, SQL_PATH_PREFIX_ROLLUP),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

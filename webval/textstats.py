@@ -1174,3 +1174,55 @@ def json_key_profile(ds, col: str, *, max_depth: int = 2,
 
     return counts.map_batches(finalize, batch_format="pyarrow") \
         .sort(["path", "jtype"])
+
+
+def path_prefix_rollup(ds, path_col: str, *, max_depth: int = 3,
+                       sep: str = "/", num_buckets: int | None = None):
+    """Hierarchical prefix counts over a path-like column: for every
+    depth 1..``max_depth``, how many rows fall under each ``sep``-joined
+    prefix — the "which site sections / directory subtrees dominate the
+    crawl" rollup (a URL-path analog of GROUP BY ROLLUP that counts
+    every ancestor, not just the leaf).  A row contributes to a depth-d
+    prefix only if its path has ≥ d segments; leading separators yield
+    an empty first segment, so absolute paths ("/a/b") count under
+    prefixes "", "/a", "/a/b" — strip the leading separator upstream if
+    root should be depth 1.  Null paths are skipped.  Returns
+    Dataset[{depth, prefix, n}] sorted by (depth, prefix).
+
+    Scale shape: per batch, ``max_depth`` vectorized slice+join passes
+    build the prefix columns (Arrow list kernels, no Python rows) and a
+    local count combiner collapses them; ONE (depth, prefix) exchange
+    whose cardinality is the distinct-prefix count, not the corpus."""
+    from webval.exchange import grouped_agg
+
+    if max_depth < 1:
+        raise ValueError(f"path_prefix_rollup: max_depth must be >= 1, "
+                         f"got {max_depth}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(path_col).combine_chunks()
+        col = col.filter(pc.is_valid(col))
+        segs = pc.split_pattern(col, sep)
+        nseg = pc.list_value_length(segs)
+        depths, prefixes = [], []
+        for d in range(1, max_depth + 1):
+            keep = pc.greater_equal(nseg, d)
+            p = pc.binary_join(pc.list_slice(segs.filter(keep), 0, d), sep)
+            prefixes.append(p)
+            depths.append(pa.nulls(len(p), pa.int64()).fill_null(d))
+        tab = pa.table({
+            "depth": pa.concat_arrays(depths) if depths
+            else pa.array([], pa.int64()),
+            "prefix": pa.concat_arrays([p.cast(pa.large_string())
+                                        for p in prefixes]) if prefixes
+            else pa.array([], pa.large_string())})
+        agg = tab.group_by(["depth", "prefix"]).aggregate([([],
+                                                            "count_all")])
+        agg = agg.rename_columns(["depth", "prefix", "n"])
+        return agg.set_column(2, "n", pc.cast(agg.column(2), pa.int64()))
+
+    return grouped_agg(
+        ds.select_columns([path_col]).map_batches(partial,
+                                                  batch_format="pyarrow"),
+        ["depth", "prefix"], [("n", "sum")], rename={"n_sum": "n"},
+        num_buckets=num_buckets).sort(["depth", "prefix"])
