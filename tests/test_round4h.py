@@ -816,3 +816,55 @@ def test_path_prefix_rollup_matches_counter_oracle(ray_session):
     e = path_prefix_rollup(rd.from_arrow(pa.table({
         "p": pa.array([None], pa.string())})), "p")
     assert e.count() == 0
+
+
+def test_cocitation_pairs_matches_counter_oracle(ray_session):
+    import collections
+    import itertools
+
+    import ray.data as rd
+
+    from webval.graph import cocitation_pairs
+
+    edges = [
+        ("s1", "a"), ("s1", "b"), ("s1", "c"),
+        ("s2", "a"), ("s2", "b"),
+        ("s3", "a"), ("s3", "b"), ("s3", "b"),   # duplicate edge: once
+        ("s4", "c"), ("s4", "a"),
+        ("s5", "x"), (None, "y"), ("s6", None),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.string()),
+        "dst": pa.array([e[1] for e in edges], pa.string())}))
+    out = cocitation_pairs(ds, "src", "dst", min_cocite=1, top_k=50) \
+        .to_pandas()
+    got = {(r.d1, r.d2): r.n for r in out.itertuples()}
+
+    per_src = collections.defaultdict(set)
+    for s, d in edges:
+        if s is not None and d is not None:
+            per_src[s].add(d)
+    expect = collections.Counter()
+    for s, ds_ in per_src.items():
+        for d1, d2 in itertools.combinations(sorted(ds_), 2):
+            expect[(d1, d2)] += 1
+    assert got == dict(expect)
+    assert got[("a", "b")] == 3 and got[("a", "c")] == 2
+
+    # min_cocite filters singletons; rank is count desc then lexicographic
+    top = cocitation_pairs(ds, "src", "dst", min_cocite=2, top_k=50) \
+        .to_pandas()
+    assert list(zip(top["d1"], top["d2"])) == [("a", "b"), ("a", "c")]
+
+    # max_out cap keeps only the lexicographically smallest targets
+    capped = cocitation_pairs(ds, "src", "dst", max_out=2, min_cocite=1,
+                              top_k=50).to_pandas()
+    gc = {(r.d1, r.d2): r.n for r in capped.itertuples()}
+    # s1 {a,b,c} capped to {a,b}; s4 {a,c} kept
+    assert gc[("a", "b")] == 3 and gc[("a", "c")] == 1
+    assert ("b", "c") not in gc
+
+    # no co-citations at all
+    lone = rd.from_arrow(pa.table({
+        "src": pa.array(["p", "q"]), "dst": pa.array(["u", "v"])}))
+    assert cocitation_pairs(lone, "src", "dst", min_cocite=1).count() == 0

@@ -562,3 +562,74 @@ def hits_reference(src: np.ndarray, dst: np.ndarray, *, n_iter: int = 4):
         if h.sum() > 0:
             h = h / h.sum()
     return nodes, a, h
+
+
+def cocitation_pairs(edges, src_col: str, dst_col: str, *,
+                     max_out: int = 64, min_cocite: int = 2,
+                     top_k: int = 20, num_buckets: int | None = None):
+    """Co-citation similarity (Small 1973): the ``top_k`` target pairs
+    most often linked by the SAME source — pages co-cited by many
+    sources are topically related even with no direct link between
+    them (the link-graph analog of "users who bought both").  Each
+    source contributes C(outdeg, 2) pairs, so out-degree is capped
+    DETERMINISTICALLY at ``max_out``: only a source's lexicographically
+    smallest ``max_out`` distinct targets participate (a mirrorable
+    rule, unlike random sampling — hub pages with giant blogrolls are
+    exactly the sources whose co-citations are least informative).
+    Pairs are ordered d1 < d2; rank is (count desc, d1, d2).  Returns
+    Dataset[{d1, d2, n}] with n ≥ ``min_cocite``.
+
+    Scale shape: distinct-edge exchange → per-source top-``max_out``
+    selection (batch-combined top-k exchange) → co-bucketed per-source
+    pair fan-out (vectorized ragged-range construction, ≤ C(max_out,2)
+    pairs per source, counts combined per bucket before they move) →
+    ONE (d1, d2) count exchange → pair-table sort + limit."""
+    from webval.exchange import bucketed_group_apply, distinct_rows, grouped_agg
+    from webval.rank import top_k_per_group
+
+    e = distinct_rows(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            lambda t: t.drop_null(), batch_format="pyarrow"),
+        [src_col, dst_col], num_buckets=num_buckets)
+    capped = top_k_per_group(e, src_col, dst_col, max_out,
+                             descending=False, num_buckets=num_buckets)
+
+    def gen_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"d1": pa.array([], pa.large_string()),
+                          "d2": pa.array([], pa.large_string()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows < 2:
+            return empty
+        g = g.sort_by([(src_col, "ascending"), (dst_col, "ascending")])
+        src = g.column(src_col).combine_chunks()
+        v = g.column(dst_col).combine_chunks().cast(pa.large_string())
+        n = len(src)
+        # group starts: positions where src changes
+        change = np.ones(n, dtype=bool)
+        eq = pc.equal(src.slice(1), src.slice(0, n - 1))
+        change[1:] = ~eq.to_numpy(zero_copy_only=False)
+        starts = np.where(change)[0]
+        start_of = np.repeat(starts, np.diff(np.append(starts, n)))
+        counts = np.arange(n, dtype=np.int64) - start_of  # pairs ending at j
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        right = np.repeat(np.arange(n, dtype=np.int64), counts)
+        cum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        left = (np.arange(total, dtype=np.int64)
+                - np.repeat(cum, counts) + np.repeat(start_of, counts))
+        tab = pa.table({"d1": v.take(pa.array(left)),
+                        "d2": v.take(pa.array(right))})
+        agg = tab.group_by(["d1", "d2"]).aggregate([([], "count_all")])
+        agg = agg.rename_columns(["d1", "d2", "n"])
+        return agg.set_column(2, "n", pc.cast(agg.column(2), pa.int64()))
+
+    pair_counts = grouped_agg(
+        bucketed_group_apply(capped, [src_col], gen_pairs,
+                             num_buckets=num_buckets),
+        ["d1", "d2"], [("n", "sum")], rename={"n_sum": "n"},
+        num_buckets=num_buckets)
+    if min_cocite > 1:
+        pair_counts = pair_counts.filter(expr=f"n >= {int(min_cocite)}")
+    return pair_counts.sort(["n", "d1", "d2"],
+                            descending=[True, False, False]).limit(top_k)

@@ -6945,6 +6945,55 @@ SQL_PATH_PREFIX_ROLLUP = SQL_PATH_PREFIX_ROLLUP.replace("{SYNTH_ROOT}",
                                                         SYNTH_ROOT)
 
 
+def q_cocitation(sf_dir: str):
+    """Top-20 co-cited host pairs (graph.cocitation_pairs): hosts most
+    often linked by the SAME source page — topical relatedness with no
+    direct edge (Small 1973).  Distinct (src, host) edges, deterministic
+    per-source out-degree cap (smallest 64 targets — non-binding here),
+    pair counts exact; rank (n desc, d1, d2)."""
+    import ray.data as rd
+
+    from webval.graph import cocitation_pairs
+
+    _, links = ensure_synth(sf_dir)
+    ds = rd.read_parquet(links, columns=["src_url", "dst_url"])
+
+    def to_host(t: pa.Table) -> pa.Table:
+        u = t.column("dst_url").combine_chunks()
+        host = pc.struct_field(pc.extract_regex(u, _HOST_RE), "host")
+        return pa.table({"src_url": t.column("src_url"),
+                         "dst_host": host}).filter(pc.is_valid(host))
+
+    out = cocitation_pairs(ds.map_batches(to_host, batch_format="pyarrow"),
+                           "src_url", "dst_host", max_out=64,
+                           min_cocite=2, top_k=20)
+    t = ds_to_table(out)
+    for c in ("d1", "d2"):
+        t = t.set_column(t.column_names.index(c), c,
+                         pc.cast(t.column(c), pa.string()))
+    return t
+
+
+SQL_COCITATION = f"""
+WITH e AS (SELECT DISTINCT src_url,
+                  regexp_extract(dst_url, '^https?://([a-z0-9-]+)\\.', 1)
+                      AS h
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/links.parquet')
+           WHERE src_url IS NOT NULL AND dst_url IS NOT NULL
+             AND regexp_matches(dst_url, '^https?://([a-z0-9-]+)\\.')),
+c AS (SELECT src_url, h FROM
+      (SELECT *, row_number() OVER (PARTITION BY src_url ORDER BY h)
+           AS rn FROM e)
+      WHERE rn <= 64),
+p AS (SELECT a.h AS d1, b.h AS d2 FROM c a JOIN c b
+      ON a.src_url = b.src_url AND a.h < b.h)
+SELECT d1, d2, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY 3 DESC, 1, 2 LIMIT 20
+"""
+SQL_COCITATION = SQL_COCITATION.replace("{SYNTH_ROOT}", SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -9632,6 +9681,7 @@ QUERIES = {
     "cluster_canonicals": (q_cluster_canonicals, SQL_CLUSTER_CANONICALS),
     "concat_packing": (q_concat_packing, SQL_CONCAT_PACKING),
     "path_prefix_rollup": (q_path_prefix_rollup, SQL_PATH_PREFIX_ROLLUP),
+    "cocitation": (q_cocitation, SQL_COCITATION),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
