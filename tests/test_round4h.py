@@ -868,3 +868,57 @@ def test_cocitation_pairs_matches_counter_oracle(ray_session):
     lone = rd.from_arrow(pa.table({
         "src": pa.array(["p", "q"]), "dst": pa.array(["u", "v"])}))
     assert cocitation_pairs(lone, "src", "dst", min_cocite=1).count() == 0
+
+
+def test_plan_shards_matches_greedy_oracle(ray_session):
+    import heapq
+
+    import ray.data as rd
+
+    from webval.pipelines import plan_shards
+
+    rng = np.random.default_rng(29)
+    keys = [f"h{i}" for i in range(40)]
+    rows_k, rows_w = [], []
+    truth = {}
+    for k in keys:
+        parts = rng.integers(1, 9, size=int(rng.integers(1, 6)))
+        truth[k] = int(parts.sum())
+        rows_k += [k] * len(parts)
+        rows_w += parts.tolist()
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(rows_k), "w": pa.array(rows_w, pa.int64())}))
+    out = plan_shards(ds, "k", "w", 3).to_pandas()
+
+    # oracle: LPT over (weight desc, key asc), ties to lowest shard id
+    order = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))
+    heap = [(0.0, s) for s in range(3)]
+    heapq.heapify(heap)
+    expect = {}
+    loads = {}
+    for k, w in order:
+        load, s = heapq.heappop(heap)
+        expect[k] = s
+        heapq.heappush(heap, (load + w, s))
+    got = out.set_index("k")
+    assert {k: int(got.loc[k]["shard"]) for k in truth} == expect
+    assert {k: int(got.loc[k]["weight"]) for k in truth} == truth
+
+    # balance sanity: makespan <= 4/3 OPT lower bound (total/3, max item)
+    per_shard = out.groupby("shard")["weight"].sum()
+    lb = max(sum(truth.values()) / 3, max(truth.values()))
+    assert per_shard.max() <= 4 / 3 * lb + 1e-9
+
+    # top_n limits the planned set to the heaviest keys
+    top = plan_shards(ds, "k", "w", 3, top_n=5).to_pandas()
+    assert len(top) == 5
+    assert set(top["k"]) == set(k for k, _ in order[:5])
+
+    # empty input -> empty plan
+    e = plan_shards(rd.from_arrow(pa.table({
+        "k": pa.array([], pa.string()), "w": pa.array([], pa.int64())})),
+        "k", "w", 3)
+    assert e.count() == 0
+
+    with pytest.raises(ValueError, match="n_shards"):
+        plan_shards(ds, "k", "w", 0)

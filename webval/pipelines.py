@@ -1144,3 +1144,65 @@ def concat_packing(ds, id_col: str, token_col: str, context_len: int, *,
 
     out = [pack.remote(r, int(o)) for r, o in zip(refs, offsets)]
     return rd.from_arrow_refs(out)
+
+
+def plan_shards(ds, key_col: str, weight_col: str, n_shards: int, *,
+                top_n: int | None = None, num_buckets: int | None = None):
+    """Shard-balance planner: greedy LPT (longest-processing-time) bin
+    packing of per-key total weights onto ``n_shards`` shards — the
+    "which hosts go to which output partition so no shard is hot"
+    layout decision ahead of a partitioned write.  Keys are taken in
+    (weight desc, key asc) order and each goes to the currently
+    lightest shard (ties to the lowest shard id) — LPT's makespan is ≤
+    4/3·OPT (Graham 1969).  Returns Dataset[{key_col, weight, shard}].
+
+    Scale shape: per-key weights come from ONE count/sum exchange;
+    the greedy scan is inherently sequential, so it runs driver-side
+    over the KEY table — bounded by ``top_n`` (sort + limit, the
+    heaviest keys — the only ones load balancing can get wrong; the
+    unplanned tail should be hash-assigned by the caller, e.g.
+    ``assign_split``).  ``top_n=None`` plans every key: only for
+    key-bounded domains (hosts, languages), not open ones (urls)."""
+    import heapq
+
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    if n_shards < 1:
+        raise ValueError(f"plan_shards: n_shards must be >= 1, "
+                         f"got {n_shards}")
+    weights = grouped_agg(
+        ds.select_columns([key_col, weight_col]).map_batches(
+            lambda t: t.drop_null(), batch_format="pyarrow"),
+        [key_col], [(weight_col, "sum")],
+        rename={f"{weight_col}_sum": "weight"}, num_buckets=num_buckets)
+    ranked = weights.sort(["weight", key_col], descending=[True, False])
+    if top_n is not None:
+        ranked = ranked.limit(top_n)
+    # this read is the planner input, not the compute path: ≤ top_n rows
+    import ray
+
+    # zero-row blocks bypass map UDFs and keep the INPUT schema (r3s4
+    # finding) — drop them before concat
+    blocks = [b for b in (ray.get(r) for r in ranked.to_arrow_refs())
+              if b.num_rows > 0]
+    if not blocks:
+        return rd.from_arrow(pa.schema(
+            [(key_col, pa.large_string()), ("weight", pa.float64()),
+             ("shard", pa.int64())]).empty_table())
+    t = pa.concat_tables(blocks, promote_options="default")
+    keys = t.column(key_col).to_pylist()
+    wts = pc.cast(t.column("weight"), pa.float64()) \
+        .to_numpy(zero_copy_only=False)
+    heap = [(0.0, s) for s in range(n_shards)]
+    heapq.heapify(heap)
+    shards = np.empty(len(keys), dtype=np.int64)
+    for i, w in enumerate(wts):
+        load, s = heapq.heappop(heap)
+        shards[i] = s
+        heapq.heappush(heap, (load + float(w), s))
+    out = pa.table({key_col: pa.array(keys, t.schema.field(key_col).type),
+                    "weight": pa.array(wts),
+                    "shard": pa.array(shards)})
+    return rd.from_arrow(out)

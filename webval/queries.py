@@ -6994,6 +6994,65 @@ ORDER BY 3 DESC, 1, 2 LIMIT 20
 SQL_COCITATION = SQL_COCITATION.replace("{SYNTH_ROOT}", SYNTH_ROOT)
 
 
+def q_plan_shards(sf_dir: str):
+    """LPT shard planning (pipelines.plan_shards): hosts packed onto 4
+    shards by page count, heaviest first, each to the lightest shard
+    (ties to the lowest id).  The SQL twin replays the greedy scan as
+    a recursive CTE carrying the shard-load list; loads are
+    integer-valued doubles, so the argmin comparisons are exact on
+    both engines."""
+    import ray.data as rd
+
+    from webval.pipelines import plan_shards
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["url"])
+
+    def add_host(t: pa.Table) -> pa.Table:
+        u = t.column("url").combine_chunks()
+        host = pc.struct_field(pc.extract_regex(u, _HOST_RE), "host")
+        ones = pa.nulls(len(host), pa.int64()).fill_null(1)
+        return pa.table({"host": host, "w": ones}).filter(
+            pc.is_valid(host))
+
+    out = plan_shards(ds.map_batches(add_host, batch_format="pyarrow"),
+                      "host", "w", 4)
+    t = ds_to_table(out).sort_by([("host", "ascending")])
+    t = t.set_column(t.column_names.index("host"), "host",
+                     pc.cast(t.column("host"), pa.string()))
+    return t.set_column(t.column_names.index("weight"), "weight",
+                        pc.cast(t.column("weight"), pa.int64()))
+
+
+SQL_PLAN_SHARDS = f"""
+WITH RECURSIVE
+w AS (SELECT regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1) AS host,
+             CAST(count(*) AS DOUBLE) AS wt
+      FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+      WHERE regexp_matches(url, '^https?://([a-z0-9-]+)\\.')
+      GROUP BY 1),
+ranked AS (SELECT host, wt,
+                  row_number() OVER (ORDER BY wt DESC, host) AS rn
+           FROM w),
+asg AS (
+  SELECT 0 AS rn, CAST(NULL AS VARCHAR) AS host,
+         CAST(NULL AS DOUBLE) AS wt, CAST(NULL AS BIGINT) AS shard,
+         CAST([0.0, 0.0, 0.0, 0.0] AS DOUBLE[]) AS loads
+  UNION ALL
+  SELECT r.rn, r.host, r.wt,
+         CAST(list_position(a.loads, list_aggregate(a.loads, 'min')) - 1
+              AS BIGINT),
+         list_transform(a.loads, (x, i) ->
+             CASE WHEN i = list_position(a.loads,
+                                         list_aggregate(a.loads, 'min'))
+                  THEN CAST(x + r.wt AS DOUBLE) ELSE x END)
+  FROM asg a JOIN ranked r ON r.rn = a.rn + 1)
+SELECT host, CAST(wt AS BIGINT) AS weight, shard
+FROM asg WHERE rn > 0 ORDER BY host
+"""
+SQL_PLAN_SHARDS = SQL_PLAN_SHARDS.replace("{SYNTH_ROOT}", SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -9682,6 +9741,7 @@ QUERIES = {
     "concat_packing": (q_concat_packing, SQL_CONCAT_PACKING),
     "path_prefix_rollup": (q_path_prefix_rollup, SQL_PATH_PREFIX_ROLLUP),
     "cocitation": (q_cocitation, SQL_COCITATION),
+    "plan_shards": (q_plan_shards, SQL_PLAN_SHARDS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
