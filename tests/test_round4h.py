@@ -965,3 +965,38 @@ def test_shrunk_group_means_matches_formula(ray_session):
         "v": pa.array([], pa.float64())})), "k", "v")
     assert e.count() == 0
     assert e.schema().names == ["k", "n", "mean", "shrunk_mean"]
+
+
+def test_blocklist_ops_match_counter_oracle(ray_session):
+    import ray.data as rd
+
+    from webval.textclean import blocklist_counts, tag_blocklist
+
+    docs = ["Buy CHEAP pills now", "nice article about pills",
+            "cheap flights", "totally clean doc", None,
+            "CheapPillsInOneWord"]
+    phrases = ["cheap", "pills", "never matches"]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
+
+    out = blocklist_counts(ds, "text", phrases).to_pandas() \
+        .set_index("phrase")
+    # case-insensitive substring, embedded forms count
+    assert out.loc["cheap"]["n_docs"] == 3
+    assert out.loc["pills"]["n_docs"] == 3
+    assert out.loc["never matches"]["n_docs"] == 0
+    assert out.loc["__any__"]["n_docs"] == 4     # union, overlap not double
+    assert out.loc["cheap"]["share"] == pytest.approx(3 / 5)  # 5 non-null
+
+    tagged = tag_blocklist(ds, "text", phrases).to_pandas()
+    assert list(tagged["blocked"]) == [True, True, True, False, False,
+                                       True]
+
+    with pytest.raises(ValueError, match="empty phrase"):
+        blocklist_counts(ds, "text", [])
+    with pytest.raises(ValueError, match="empty phrase"):
+        tag_blocklist(ds, "text", [])
+
+    # all-null corpus -> empty summary with schema
+    e = blocklist_counts(rd.from_arrow(pa.table({
+        "text": pa.array([None], pa.string())})), "text", ["x"])
+    assert e.count() == 0

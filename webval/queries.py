@@ -7100,6 +7100,50 @@ SQL_SHRUNK_HOST_QUALITY = SQL_SHRUNK_HOST_QUALITY.replace("{SYNTH_ROOT}",
                                                           SYNTH_ROOT)
 
 
+def q_blocklist_counts(sf_dir: str):
+    """Blocklist audit (textclean.blocklist_counts): per-phrase document
+    hit counts + the __any__ union row over a 5-phrase case-insensitive
+    substring blocklist (Latin, obfuscated-profanity and Cyrillic
+    entries, one multi-word).  Counts exact; share is the same n/total
+    division on both engines, emitted unrounded."""
+    import ray.data as rd
+
+    from webval.textclean import blocklist_counts
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["text"])
+    out = blocklist_counts(
+        ds, "text", ["video", "photo", "f—g", "музыка", "data page"])
+    t = ds_to_table(out)
+    return t.set_column(t.column_names.index("phrase"), "phrase",
+                        pc.cast(t.column("phrase"), pa.string()))
+
+
+SQL_BLOCKLIST_COUNTS = f"""
+WITH p AS (SELECT lower(text) AS t
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+           WHERE text IS NOT NULL),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM p),
+c AS (
+  SELECT 'video' AS phrase,
+         count(*) FILTER (contains(t, 'video')) AS n FROM p
+  UNION ALL SELECT 'photo', count(*) FILTER (contains(t, 'photo')) FROM p
+  UNION ALL SELECT 'f—g', count(*) FILTER (contains(t, 'f—g')) FROM p
+  UNION ALL SELECT 'музыка',
+         count(*) FILTER (contains(t, 'музыка')) FROM p
+  UNION ALL SELECT 'data page',
+         count(*) FILTER (contains(t, 'data page')) FROM p
+  UNION ALL SELECT '__any__',
+         count(*) FILTER (contains(t, 'video') OR contains(t, 'photo')
+                          OR contains(t, 'f—g') OR contains(t, 'музыка')
+                          OR contains(t, 'data page')) FROM p)
+SELECT phrase, CAST(c.n AS BIGINT) AS n_docs, c.n / tot.n AS share
+FROM c, tot ORDER BY phrase
+"""
+SQL_BLOCKLIST_COUNTS = SQL_BLOCKLIST_COUNTS.replace("{SYNTH_ROOT}",
+                                                    SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -9791,6 +9835,7 @@ QUERIES = {
     "plan_shards": (q_plan_shards, SQL_PLAN_SHARDS),
     "shrunk_host_quality": (q_shrunk_host_quality,
                             SQL_SHRUNK_HOST_QUALITY),
+    "blocklist_counts": (q_blocklist_counts, SQL_BLOCKLIST_COUNTS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

@@ -538,3 +538,91 @@ def normalize_unicode(ds, text_col: str = "text", *, form: str = "NFC",
         return t.append_column(out, norm)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def tag_blocklist(ds, text_col: str, phrases: list[str], *,
+                  out_col: str = "blocked"):
+    """Row-level blocklist tagger: appends a boolean ``out_col`` true
+    when the lowercased text contains ANY of the (lowercase) phrases
+    as a substring — the safety-filter stage of a curation pipeline.
+    Substring (not word-boundary) semantics: "f—g" matches obfuscated
+    and embedded forms alike; anchor with spaces in the phrase itself
+    if word-ish behavior is wanted.  Null text tags false.
+
+    Scale shape: stateless map; one vectorized RE2-free
+    ``match_substring`` kernel pass per phrase per batch (phrase lists
+    are policy-sized — tens to low thousands; for very large lists
+    compile one alternation upstream)."""
+    if not phrases:
+        raise ValueError("tag_blocklist: empty phrase list")
+    phrases = [p.lower() for p in phrases]
+
+    def tag(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(
+            t.column(text_col).combine_chunks().cast(pa.large_string()),
+            ""))
+        m = pc.match_substring(low, phrases[0])
+        for p in phrases[1:]:
+            m = pc.or_(m, pc.match_substring(low, p))
+        return t.append_column(out_col, m)
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def blocklist_counts(ds, text_col: str, phrases: list[str], *,
+                     num_buckets: int | None = None):
+    """Blocklist audit summary: per phrase, how many documents contain
+    it (case-insensitive substring), plus an ``__any__`` row counting
+    documents hit by at least one phrase (not derivable from the
+    per-phrase counts — phrases overlap).  ``share`` is over non-null
+    documents.  Returns Dataset[{phrase, n_docs, share}] sorted by
+    phrase; phrases that match nothing still appear with n_docs = 0.
+
+    Scale shape: one vectorized substring kernel per phrase per batch,
+    collapsed to a ≤ (len(phrases)+2)-row partial before ONE tiny
+    exchange; the doc total rides the exchange as a sentinel row."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    if not phrases:
+        raise ValueError("blocklist_counts: empty phrase list")
+    plist = [p.lower() for p in phrases]
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(text_col).combine_chunks()
+        col = col.filter(pc.is_valid(col))
+        low = pc.utf8_lower(col.cast(pa.large_string()))
+        names = list(plist) + ["__any__", ""]
+        counts = []
+        any_mask = None
+        for p in plist:
+            m = pc.match_substring(low, p)
+            counts.append(pc.sum(m).as_py() or 0)
+            any_mask = m if any_mask is None else pc.or_(any_mask, m)
+        counts.append(pc.sum(any_mask).as_py() or 0)
+        counts.append(len(low))
+        return pa.table({"phrase": pa.array(names, pa.large_string()),
+                         "n_docs": pa.array(counts, pa.int64())})
+
+    agg = grouped_agg(
+        ds.select_columns([text_col]).map_batches(partial,
+                                                  batch_format="pyarrow"),
+        ["phrase"], [("n_docs", "sum")], rename={"n_docs_sum": "n_docs"},
+        num_buckets=num_buckets).materialize()
+    sent = agg.filter(expr="phrase == ''").take_all()
+    total = sent[0]["n_docs"] if sent else 0
+    if total == 0:
+        return rd.from_arrow(pa.schema(
+            [("phrase", pa.large_string()), ("n_docs", pa.int64()),
+             ("share", pa.float64())]).empty_table())
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t.column("phrase"), "")))
+        share = pc.divide(pc.cast(t.column("n_docs"), pa.float64()),
+                          pa.scalar(float(total)))
+        return pa.table({"phrase": t.column("phrase"),
+                         "n_docs": t.column("n_docs"), "share": share})
+
+    return agg.map_batches(finalize, batch_format="pyarrow") \
+        .sort("phrase")
