@@ -1000,3 +1000,45 @@ def test_blocklist_ops_match_counter_oracle(ray_session):
     e = blocklist_counts(rd.from_arrow(pa.table({
         "text": pa.array([None], pa.string())})), "text", ["x"])
     assert e.count() == 0
+
+
+def test_gini_coefficient_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from webval.rank import gini_coefficient
+
+    def brute(vals):
+        x = np.sort(np.asarray(vals, dtype=np.float64))
+        n = len(x)
+        return (2 * np.sum(np.arange(1, n + 1) * x) / (n * x.sum())
+                - (n + 1) / n)
+
+    rng = np.random.default_rng(43)
+    vals = np.concatenate([rng.integers(1, 50, 500),
+                           rng.integers(1000, 5000, 10)]).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)}))
+    assert gini_coefficient(ds, "v") == pytest.approx(brute(vals),
+                                                      rel=1e-12)
+
+    # perfectly equal -> 0
+    eq = rd.from_arrow(pa.table({"v": pa.array([7] * 100, pa.int64())}))
+    assert gini_coefficient(eq, "v") == pytest.approx(0.0, abs=1e-12)
+
+    # one key owns everything -> (n-1)/n
+    mono = rd.from_arrow(pa.table({
+        "v": pa.array([0] * 9 + [100], pa.int64())}))
+    assert gini_coefficient(mono, "v") == pytest.approx(0.9, abs=1e-12)
+
+    # nulls skipped; empty / all-zero -> None
+    withnull = rd.from_arrow(pa.table({
+        "v": pa.array([1, None, 3], pa.int64())}))
+    assert gini_coefficient(withnull, "v") == pytest.approx(
+        brute([1, 3]), rel=1e-12)
+    assert gini_coefficient(rd.from_arrow(pa.table({
+        "v": pa.array([], pa.int64())})), "v") is None
+    assert gini_coefficient(rd.from_arrow(pa.table({
+        "v": pa.array([0, 0], pa.int64())})), "v") is None
+
+    with pytest.raises(ValueError, match="negative"):
+        gini_coefficient(rd.from_arrow(pa.table({
+            "v": pa.array([-1, 2], pa.int64())})), "v")

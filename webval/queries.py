@@ -7144,6 +7144,57 @@ SQL_BLOCKLIST_COUNTS = SQL_BLOCKLIST_COUNTS.replace("{SYNTH_ROOT}",
                                                     SYNTH_ROOT)
 
 
+def q_host_gini(sf_dir: str):
+    """Corpus-concentration audit (rank.gini_coefficient): exact Gini
+    of per-host page counts — how much of the crawl a few megahosts
+    own.  Rank formula is tie-permutation-invariant, so no ordering
+    subtlety; gini rounds 6 (different accumulation order)."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.rank import gini_coefficient
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["url"])
+
+    def add_host(t: pa.Table) -> pa.Table:
+        u = t.column("url").combine_chunks()
+        host = pc.struct_field(pc.extract_regex(u, _HOST_RE), "host")
+        return pa.table({"host": host}).filter(pc.is_valid(host))
+
+    counts = grouped_agg(
+        ds.map_batches(add_host, batch_format="pyarrow"),
+        ["host"], [("host", "count")], rename={"host_count": "c"})
+    g = gini_coefficient(counts, "c")
+    stats = ds_to_table(grouped_agg(
+        counts.map_batches(lambda t: pa.table({
+            "k": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+            "n_hosts": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "total_pages": t.column("c")}), batch_format="pyarrow"),
+        ["k"], [("n_hosts", "sum"), ("total_pages", "sum")],
+        rename={"n_hosts_sum": "n_hosts", "total_pages_sum":
+                "total_pages"}))
+    return pa.table({
+        "n_hosts": stats.column("n_hosts"),
+        "total_pages": stats.column("total_pages"),
+        "gini": pa.array([round(g, 6)], pa.float64())})
+
+
+SQL_HOST_GINI = f"""
+WITH w AS (SELECT count(*) AS c
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+           WHERE regexp_matches(url, '^https?://([a-z0-9-]+)\\.')
+           GROUP BY regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1)),
+r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM w)
+SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+       CAST(sum(c) AS BIGINT) AS total_pages,
+       round(2.0 * sum(rn * c) / (count(*) * sum(c))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM r
+"""
+SQL_HOST_GINI = SQL_HOST_GINI.replace("{SYNTH_ROOT}", SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -9836,6 +9887,7 @@ QUERIES = {
     "shrunk_host_quality": (q_shrunk_host_quality,
                             SQL_SHRUNK_HOST_QUALITY),
     "blocklist_counts": (q_blocklist_counts, SQL_BLOCKLIST_COUNTS),
+    "host_gini": (q_host_gini, SQL_HOST_GINI),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

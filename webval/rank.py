@@ -903,3 +903,59 @@ def hill_tail_index(ds, key: str, *, k: int = 100,
     s = float(np.log(x[:k_eff] / xk1).sum())
     alpha = k_eff / s if s > 0 else float("inf")
     return k_eff, int(xk1), alpha
+
+
+def gini_coefficient(ds, col: str, *, num_buckets: int | None = None):
+    """Exact Gini coefficient of a nonnegative value column — the
+    corpus-concentration audit ("what fraction of the crawl is a handful
+    of megahosts").  Uses the rank formula over ascending values
+
+        G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n
+
+    which is permutation-invariant within tied values, so no tiebreak
+    can flip the result across engines.  Nulls are skipped; negative
+    values raise (Gini is undefined); an all-zero or empty column
+    yields None.  Returns the float, computed exactly.
+
+    Scale shape: ONE distinct-value count exchange (bounded by the
+    distinct-value cardinality, not the row count — per-key counts and
+    scores are narrow domains); each (value, count) block of c tied
+    keys starting at rank r contributes x·(c·r + c·(c−1)/2) in closed
+    form, accumulated over the sorted distinct-value table driver-side
+    (value-histogram-sized, the documented exact-order-statistics
+    substrate)."""
+    t = _collect_value_histogram(ds, col, num_buckets=num_buckets)
+    if t.num_rows == 0:
+        return None
+    v = pc.cast(t.column("value"), pa.float64()) \
+        .to_numpy(zero_copy_only=False)
+    c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+    if (v < 0).any():
+        raise ValueError("gini_coefficient: negative values are undefined")
+    order = np.argsort(v)
+    v, c = v[order], c[order]
+    n = c.sum()
+    total = (v * c).sum()
+    if n == 0 or total == 0:
+        return None
+    start = np.concatenate(([1.0], 1.0 + np.cumsum(c)[:-1]))  # rank of
+    # first element of each tie block (ascending, 1-based)
+    s_iw = (v * (c * start + c * (c - 1.0) / 2.0)).sum()
+    return float(2.0 * s_iw / (n * total) - (n + 1.0) / n)
+
+
+def _collect_value_histogram(ds, col: str, *, num_buckets=None) -> pa.Table:
+    """Driver-side (value, cnt) table off :func:`value_histogram` — the
+    read IS the finisher (distinct-value-bounded), not the compute path.
+    Zero-row blocks are skipped (r3s4: they keep the input schema)."""
+    import ray
+
+    mat = value_histogram(ds, col, num_buckets=num_buckets).materialize()
+    blocks = [b for b in (ray.get(r) for r in mat.to_arrow_refs())
+              if b.num_rows > 0]
+    if not blocks:
+        return pa.table({"value": pa.array([], pa.float64()),
+                         "cnt": pa.array([], pa.int64())})
+    t = pa.concat_tables(blocks, promote_options="default")
+    return t.rename_columns(["value", "cnt"]) \
+        if t.column_names != ["value", "cnt"] else t
