@@ -1042,3 +1042,59 @@ def test_gini_coefficient_matches_brute_force(ray_session):
     with pytest.raises(ValueError, match="negative"):
         gini_coefficient(rd.from_arrow(pa.table({
             "v": pa.array([-1, 2], pa.int64())})), "v")
+
+
+def test_cusum_scores_matches_recurrence_oracle(ray_session):
+    import ray.data as rd
+
+    from webval.windows import cusum_scores
+
+    rng = np.random.default_rng(47)
+    keys, ts, vals = [], [], []
+    series = {}
+    for k in ("a", "b", "c"):
+        n = int(rng.integers(10, 30))
+        x = rng.normal(10, 1, n)
+        if k == "b":
+            x[n // 2:] += 3.0        # persistent upward shift
+        series[k] = x
+        keys += [k] * n
+        ts += list(range(n))
+        vals += list(x)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys), "t": pa.array(ts, pa.int64()),
+        "v": pa.array(vals, pa.float64())}))
+    out = cusum_scores(ds, "k", "t", "v", target=10.0, slack=0.5,
+                       threshold=5.0).to_pandas() \
+        .sort_values(["k", "t"]).reset_index(drop=True)
+
+    i = 0
+    for k in ("a", "b", "c"):
+        s = 0.0
+        for j, x in enumerate(series[k]):
+            s = max(0.0, s + x - 10.0 - 0.5)
+            row = out.iloc[i]
+            assert (row["k"], row["t"]) == (k, j)
+            assert row["cusum"] == pytest.approx(s, abs=1e-9)
+            assert bool(row["alarm"]) == (round(s, 6) > 5.0)
+            i += 1
+    # the shifted key must alarm, the stable ones must not
+    byk = out.groupby("k")["alarm"].any()
+    assert byk["b"] and not byk["a"] and not byk["c"]
+
+    # per-row target column
+    ds2 = rd.from_arrow(pa.table({
+        "k": pa.array(["x"] * 4), "t": pa.array([0, 1, 2, 3], pa.int64()),
+        "v": pa.array([5.0, 5.0, 9.0, 9.0]),
+        "base": pa.array([5.0, 5.0, 5.0, 5.0])}))
+    o2 = cusum_scores(ds2, "k", "t", "v", target_col="base") \
+        .to_pandas().sort_values("t")
+    assert list(o2["cusum"]) == pytest.approx([0.0, 0.0, 4.0, 8.0])
+
+    # null value rows are dropped, series continues across them
+    ds3 = rd.from_arrow(pa.table({
+        "k": pa.array(["x"] * 3), "t": pa.array([0, 1, 2], pa.int64()),
+        "v": pa.array([3.0, None, 4.0])}))
+    o3 = cusum_scores(ds3, "k", "t", "v", target=0.0).to_pandas() \
+        .sort_values("t")
+    assert list(o3["t"]) == [0, 2] and list(o3["cusum"]) == [3.0, 7.0]

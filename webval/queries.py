@@ -7195,6 +7195,91 @@ FROM r
 SQL_HOST_GINI = SQL_HOST_GINI.replace("{SYNTH_ROOT}", SYNTH_ROOT)
 
 
+def q_cusum_drift(sf_dir: str):
+    """CUSUM change-point scores (windows.cusum_scores): per event type,
+    the one-sided Page statistic of daily event counts against that
+    type's own mean daily count (slack k=1, alarm h=5).  The Ray side
+    evaluates the reflected-walk closed form, the twin the recurrence —
+    mathematically equal, so cusum rounds 6 and the alarm compares the
+    rounded value on both engines."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.joins import equi_join
+    from webval.windows import cusum_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").combine_chunks()
+        ts = t.column("ts").combine_chunks()
+        m = pc.and_(pc.is_valid(et), pc.is_valid(ts))
+        return pa.table({"event_type": et.filter(m),
+                         "day": pc.floor_temporal(ts.filter(m),
+                                                  unit="day")})
+
+    counts = grouped_agg(
+        ds.map_batches(daily, batch_format="pyarrow"),
+        ["event_type", "day"], [("day", "count")],
+        rename={"day_count": "n"})
+    means = grouped_agg(
+        counts.map_batches(lambda t: pa.table({
+            "event_type": t.column("event_type"),
+            "s": pc.cast(t.column("n"), pa.float64()),
+            "c": pa.nulls(t.num_rows, pa.int64()).fill_null(1)}),
+            batch_format="pyarrow"),
+        ["event_type"], [("s", "sum"), ("c", "sum")],
+        rename={"s_sum": "s", "c_sum": "c"})
+    means = means.map_batches(
+        lambda t: pa.table({"event_type": t.column("event_type"),
+                            "base": pc.divide(t.column("s"),
+                                              pc.cast(t.column("c"),
+                                                      pa.float64()))}),
+        batch_format="pyarrow")
+    joined = equi_join(counts.map_batches(
+        lambda t: t.set_column(t.column_names.index("n"), "n",
+                               pc.cast(t.column("n"), pa.float64())),
+        batch_format="pyarrow"), means, on=["event_type"])
+    out = cusum_scores(joined, "event_type", "day", "n",
+                       target_col="base", slack=1.0, threshold=5.0)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "day": t.column("day"),
+                         "n": pc.cast(t.column("n"), pa.int64()),
+                         "base": t.column("base"),
+                         "cusum": pc.round(t.column("cusum"), 6),
+                         "alarm": t.column("alarm")})
+
+    return ds_to_table(out.map_batches(shape, batch_format="pyarrow")) \
+        .sort_by([("event_type", "ascending"), ("day", "ascending")])
+
+
+SQL_CUSUM_DRIFT = """
+WITH RECURSIVE
+d AS (SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+b AS (SELECT event_type, sum(n) / count(n) AS base FROM d GROUP BY 1),
+r AS (SELECT d.event_type, d.day, d.n, b.base,
+             row_number() OVER (PARTITION BY d.event_type
+                                ORDER BY d.day) AS rn
+      FROM d JOIN b USING (event_type)),
+c AS (SELECT event_type, day, n, base, rn,
+             greatest(0.0, n - base - 1.0) AS s
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.event_type, r.day, r.n, r.base, r.rn,
+             greatest(0.0, c.s + r.n - r.base - 1.0)
+      FROM c JOIN r ON r.event_type = c.event_type AND r.rn = c.rn + 1)
+SELECT event_type, day, CAST(n AS BIGINT) AS n, base,
+       round(s, 6) AS cusum, round(s, 6) > 5.0 AS alarm
+FROM c ORDER BY event_type, day
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -9888,6 +9973,7 @@ QUERIES = {
                             SQL_SHRUNK_HOST_QUALITY),
     "blocklist_counts": (q_blocklist_counts, SQL_BLOCKLIST_COUNTS),
     "host_gini": (q_host_gini, SQL_HOST_GINI),
+    "cusum_drift": (q_cusum_drift, SQL_CUSUM_DRIFT),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
