@@ -1098,3 +1098,45 @@ def test_cusum_scores_matches_recurrence_oracle(ray_session):
     o3 = cusum_scores(ds3, "k", "t", "v", target=0.0).to_pandas() \
         .sort_values("t")
     assert list(o3["t"]) == [0, 2] and list(o3["cusum"]) == [3.0, 7.0]
+
+
+def test_vocab_growth_matches_stream_oracle(ray_session):
+    import re
+
+    import ray.data as rd
+
+    from webval.textstats import vocab_growth
+
+    rng = np.random.default_rng(53)
+    vocab = [f"w{i}" for i in range(80)]
+    docs, ids = [], []
+    for i in range(60):
+        # Zipf-ish draws so late checkpoints still find new words
+        idx = np.minimum((rng.pareto(1.2, int(rng.integers(3, 25)))
+                          * 4).astype(int), 79)
+        docs.append(" ".join(vocab[j] for j in idx))
+        ids.append(i)
+    docs[7] = None                      # zero-token doc keeps its slot
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(docs, pa.string())})).repartition(5)
+    cps = [5, 20, 50, 100, 1000]
+    out = vocab_growth(ds, "doc_id", "text", checkpoints=cps) \
+        .to_pandas().set_index("checkpoint")
+
+    stream = []
+    for i in sorted(ids):
+        d = docs[i]
+        if d is None:
+            continue
+        stream += [t for t in re.split(r"[^a-z0-9]+", d.lower()) if t]
+    for c in cps:
+        assert out.loc[c]["vocab"] == len(set(stream[:c])), c
+    # curve is non-decreasing and ends at the full vocabulary
+    assert list(out["vocab"]) == sorted(out["vocab"])
+    assert out.loc[1000]["vocab"] == len(set(stream))
+
+    with pytest.raises(ValueError, match="checkpoints"):
+        vocab_growth(ds, "doc_id", "text", checkpoints=[])
+    with pytest.raises(ValueError, match="checkpoints"):
+        vocab_growth(ds, "doc_id", "text", checkpoints=[0])

@@ -7280,6 +7280,48 @@ FROM c ORDER BY event_type, day
 """
 
 
+def q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth (textstats.vocab_growth): distinct
+    terms seen before token position N for six checkpoints, documents
+    concatenated in doc_id order — the "is more crawl still buying new
+    vocabulary" saturation curve.  Positions and counts are integers;
+    exact on both engines."""
+    import ray.data as rd
+
+    from webval.textstats import vocab_growth
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds_to_table(vocab_growth(
+        ds, "doc_id", "text",
+        checkpoints=[1000, 2000, 5000, 10000, 20000, 50000]))
+
+
+SQL_VOCAB_GROWTH = """
+WITH d AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text),
+                                                    '[^a-z0-9]+'),
+                              x -> x <> '') AS ts
+           FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+o AS (SELECT doc_id, ts,
+             sum(len(ts)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                 - len(ts) AS off
+      FROM d),
+tok AS (SELECT off + s['idx'] - 1 AS pos, s['term'] AS term
+        FROM (SELECT off,
+                     unnest(list_transform(ts, (x, i) ->
+                                           {'term': x, 'idx': i})) AS s
+              FROM o)),
+f AS (SELECT term, min(pos) AS p FROM tok GROUP BY 1),
+cp AS (SELECT unnest([1000, 2000, 5000, 10000, 20000, 50000])
+           AS checkpoint)
+SELECT CAST(cp.checkpoint AS BIGINT) AS checkpoint,
+       CAST(count(*) FILTER (f.p < cp.checkpoint) AS BIGINT) AS vocab
+FROM f, cp GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -9974,6 +10016,7 @@ QUERIES = {
     "blocklist_counts": (q_blocklist_counts, SQL_BLOCKLIST_COUNTS),
     "host_gini": (q_host_gini, SQL_HOST_GINI),
     "cusum_drift": (q_cusum_drift, SQL_CUSUM_DRIFT),
+    "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

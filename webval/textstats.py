@@ -1226,3 +1226,89 @@ def path_prefix_rollup(ds, path_col: str, *, max_depth: int = 3,
                                                   batch_format="pyarrow"),
         ["depth", "prefix"], [("n", "sum")], rename={"n_sum": "n"},
         num_buckets=num_buckets).sort(["depth", "prefix"])
+
+
+def vocab_growth(ds, id_col: str, text_col: str, *,
+                 checkpoints: list[int],
+                 num_buckets: int | None = None):
+    """Vocabulary-growth (Heaps'-law) curve: documents are concatenated
+    in ``id_col`` order into one token stream and, for each checkpoint
+    N in ``checkpoints``, the curve reports how many DISTINCT terms
+    have first occurrence before token position N — the V(N) whose
+    log-log slope is Heaps' β, and the "is more crawl still buying new
+    vocabulary" saturation diagnostic.  Null ids are dropped; null
+    text packs as a zero-token doc.  Returns
+    Dataset[{checkpoint, vocab}] sorted by checkpoint.
+
+    Scale shape: pass 1 computes per-doc token counts (vectorized
+    split) and :func:`webval.pipelines.concat_packing` turns them into
+    global doc offsets (block-count-sized driver merge only); a
+    co-bucketed join ships each doc its offset; pass 2 re-tokenizes,
+    stamps every token offset+within-doc-index, and combines to ONE
+    (term, min position) exchange — vocabulary-sized, never
+    stream-sized; the checkpoint counts are ≤ len(checkpoints)-row
+    partials summed on a tiny final exchange."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.joins import equi_join
+    from webval.lm import TOKEN_SPLIT_PATTERN, _tokenize
+    from webval.pipelines import concat_packing
+
+    if not checkpoints or any(c <= 0 for c in checkpoints):
+        raise ValueError("vocab_growth: checkpoints must be positive")
+    cps = sorted(set(int(c) for c in checkpoints))
+
+    src = ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column(id_col).combine_chunks())),
+        batch_format="pyarrow")
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        _, doc_idx = _tokenize(t.column(text_col).combine_chunks(),
+                               TOKEN_SPLIT_PATTERN)
+        tk = np.bincount(doc_idx, minlength=t.num_rows).astype(np.int64)
+        return pa.table({id_col: t.column(id_col),
+                         "tk": pa.array(tk)})
+
+    offsets = concat_packing(src.map_batches(count_tokens,
+                                             batch_format="pyarrow"),
+                             id_col, "tk", 1 << 62) \
+        .select_columns([id_col, "offset"])
+    docs = equi_join(src, offsets, on=[id_col], num_buckets=num_buckets)
+
+    def first_pos_partial(t: pa.Table) -> pa.Table:
+        flat, doc_idx = _tokenize(t.column(text_col).combine_chunks(),
+                                  TOKEN_SPLIT_PATTERN)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], pa.large_string()),
+                             "pos": pa.array([], pa.int64())})
+        off = t.column("offset").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        lengths = np.bincount(doc_idx, minlength=t.num_rows)
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        within = np.arange(len(flat), dtype=np.int64) \
+            - np.repeat(starts, lengths)
+        pos = off[doc_idx] + within
+        tab = pa.table({"term": flat.cast(pa.large_string()),
+                        "pos": pa.array(pos)})
+        agg = tab.group_by(["term"]).aggregate([("pos", "min")])
+        return agg.rename_columns(["term", "pos"])
+
+    first = grouped_agg(docs.map_batches(first_pos_partial,
+                                         batch_format="pyarrow"),
+                        ["term"], [("pos", "min")],
+                        rename={"pos_min": "pos"},
+                        num_buckets=num_buckets)
+
+    def cp_partial(t: pa.Table) -> pa.Table:
+        p = t.column("pos").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "checkpoint": pa.array(cps, pa.int64()),
+            "vocab": pa.array([int((p < c).sum()) for c in cps],
+                              pa.int64())})
+
+    return grouped_agg(first.map_batches(cp_partial,
+                                         batch_format="pyarrow"),
+                       ["checkpoint"], [("vocab", "sum")],
+                       rename={"vocab_sum": "vocab"},
+                       num_buckets=num_buckets).sort("checkpoint")
