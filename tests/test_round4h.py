@@ -1140,3 +1140,37 @@ def test_vocab_growth_matches_stream_oracle(ray_session):
         vocab_growth(ds, "doc_id", "text", checkpoints=[])
     with pytest.raises(ValueError, match="checkpoints"):
         vocab_growth(ds, "doc_id", "text", checkpoints=[0])
+
+
+def test_decayed_counts_matches_formula(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    from webval.windows import decayed_counts
+
+    as_of = datetime.datetime(2024, 2, 1)
+    rows = [
+        ("a", as_of),                                   # weight 1
+        ("a", as_of - datetime.timedelta(days=7)),      # weight 1/2
+        ("a", as_of - datetime.timedelta(days=14)),     # weight 1/4
+        ("b", as_of - datetime.timedelta(days=70)),     # ~2^-10
+        ("b", as_of + datetime.timedelta(days=7)),      # future: weight 2
+        (None, as_of), ("c", None),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us"))}))
+    out = decayed_counts(ds, "k", "ts", half_life_days=7.0,
+                         as_of="2024-02-01").to_pandas().set_index("k")
+
+    assert set(out.index) == {"a", "b"}
+    assert out.loc["a"]["n_events"] == 2 + 1
+    assert out.loc["a"]["freshness"] == pytest.approx(1 + 0.5 + 0.25,
+                                                      rel=1e-12)
+    assert out.loc["b"]["n_events"] == 2
+    assert out.loc["b"]["freshness"] == pytest.approx(2 ** -10 + 2.0,
+                                                      rel=1e-12)
+
+    with pytest.raises(ValueError, match="half_life"):
+        decayed_counts(ds, "k", "ts", half_life_days=0, as_of="2024-02-01")

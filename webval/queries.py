@@ -7322,6 +7322,34 @@ FROM f, cp GROUP BY 1 ORDER BY 1
 """
 
 
+def q_user_freshness(sf_dir: str):
+    """Time-decayed activity (windows.decayed_counts): per user, events
+    weighted 2^(−age/7d) against a fixed 2024-02-01 cutoff — recency-
+    weighted volume a plain count can't see.  freshness rounds 6 (sum
+    order + libm pow differ across engines)."""
+    import ray.data as rd
+
+    from webval.windows import decayed_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    out = decayed_counts(ds, "user_id", "ts", half_life_days=7.0,
+                         as_of="2024-02-01")
+    return _round_cols(ds_to_table(out).sort_by([("user_id",
+                                                  "ascending")]),
+                       {"freshness": 6})
+
+
+SQL_USER_FRESHNESS = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(pow(2.0, -(epoch_us(TIMESTAMP '2024-02-01')
+                            - epoch_us(ts))
+                           / (7.0 * 86400.0 * 1e6))), 6) AS freshness
+FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10017,6 +10045,7 @@ QUERIES = {
     "host_gini": (q_host_gini, SQL_HOST_GINI),
     "cusum_drift": (q_cusum_drift, SQL_CUSUM_DRIFT),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
+    "user_freshness": (q_user_freshness, SQL_USER_FRESHNESS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

@@ -1800,3 +1800,55 @@ def cusum_scores(ds, key: str, ts_col: str, val_col: str, *,
     return bucketed_group_apply(
         ds.map_batches(proj, batch_format="pyarrow"), [key], scan,
         num_buckets=num_buckets, max_group_rows=max_group_rows)
+
+
+def decayed_counts(ds, key: str, ts_col: str, *, half_life_days: float,
+                   as_of, num_buckets: int | None = None):
+    """Exponentially time-decayed activity score per key:
+
+        freshness = Σ_events 2^(−(as_of − ts) / half_life)
+
+    — the recency-weighted volume ("is this host still alive or a
+    graveyard of 2019 pages") that a plain count can't see.  An event
+    ``half_life_days`` old counts half an event; events after ``as_of``
+    weigh > 1 (pass the crawl cutoff as ``as_of`` — it must be an
+    explicit timestamp so reruns are reproducible, never "now").
+    Null keys/timestamps are dropped.  Returns
+    Dataset[{key, n_events, freshness}].
+
+    Scale shape: the decay weight is a vectorized elementwise kernel
+    and each batch collapses to per-key (count, Σweight) partials
+    before ONE exchange — identical movement to a grouped count."""
+    import datetime as _dt
+
+    import numpy as np
+
+    from webval.exchange import grouped_agg
+
+    if half_life_days <= 0:
+        raise ValueError(f"decayed_counts: half_life_days must be > 0, "
+                         f"got {half_life_days}")
+    if isinstance(as_of, str):
+        as_of = _dt.datetime.fromisoformat(as_of)
+    as_of_us = int(pa.scalar(as_of, pa.timestamp("us")).value)
+    hl_us = float(half_life_days) * 86400.0 * 1e6
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key).combine_chunks()
+        ts = t.column(ts_col).combine_chunks()
+        m = pc.and_(pc.is_valid(k), pc.is_valid(ts))
+        k, ts = k.filter(m), ts.filter(m)
+        age = as_of_us - pc.cast(ts, pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = np.exp2(-age / hl_us)
+        tab = pa.table({key: k, "w": pa.array(w),
+                        "n": pa.nulls(len(k), pa.int64()).fill_null(1)})
+        agg = tab.group_by([key]).aggregate([("n", "sum"), ("w", "sum")])
+        return agg.rename_columns([key, "n_events", "freshness"])
+
+    return grouped_agg(
+        ds.select_columns([key, ts_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        [key], [("n_events", "sum"), ("freshness", "sum")],
+        rename={"n_events_sum": "n_events", "freshness_sum": "freshness"},
+        num_buckets=num_buckets)
