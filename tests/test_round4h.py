@@ -1174,3 +1174,33 @@ def test_decayed_counts_matches_formula(ray_session):
 
     with pytest.raises(ValueError, match="half_life"):
         decayed_counts(ds, "k", "ts", half_life_days=0, as_of="2024-02-01")
+
+
+def test_key_candidate_audit_matches_counter_oracle(ray_session):
+    import ray.data as rd
+
+    from webval.schema import key_candidate_audit
+
+    ds = rd.from_arrow(pa.table({
+        "pk": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "dup": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "with_null": pa.array([1, 2, 3, None, 5], pa.int64()),
+        "allnull": pa.array([None] * 5, pa.int64())}))
+    out = key_candidate_audit(
+        ds, ["pk", "dup", "with_null", "allnull"]).to_pandas() \
+        .set_index("column")
+
+    assert bool(out.loc["pk"]["is_key"]) is True
+    assert out.loc["pk"]["uniqueness"] == 1.0
+    assert out.loc["dup"]["n_distinct"] == 3
+    assert bool(out.loc["dup"]["is_key"]) is False
+    # unique among non-nulls but nullable -> NOT a key
+    assert out.loc["with_null"]["uniqueness"] == 1.0
+    assert bool(out.loc["with_null"]["is_key"]) is False
+    assert out.loc["allnull"]["n_distinct"] == 0
+    assert np.isnan(out.loc["allnull"]["uniqueness"])
+    assert bool(out.loc["allnull"]["is_key"]) is False
+    assert list(out.index) == sorted(out.index)
+
+    with pytest.raises(ValueError, match="empty column"):
+        key_candidate_audit(ds, [])

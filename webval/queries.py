@@ -7350,6 +7350,45 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_key_candidates(sf_dir: str):
+    """Primary-key candidate audit (schema.key_candidate_audit) over
+    four orders columns: exact distinct/null counts, uniqueness ratio,
+    is_key verdict — the "what can I join on" profile.  o_orderkey is
+    the planted true key; o_custkey/o_orderstatus are not."""
+    import ray.data as rd
+
+    from webval.schema import key_candidate_audit
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+    out = ds_to_table(key_candidate_audit(ds, cols))
+    return _round_cols(out, {"uniqueness": 6})
+
+
+SQL_KEY_CANDIDATES = """
+WITH a AS (
+  SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+         count(*) - count(o_orderkey) AS n_nulls,
+         count(DISTINCT o_orderkey) AS n_distinct FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+         count(DISTINCT o_custkey) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+         count(DISTINCT o_orderstatus) FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+         count(DISTINCT o_totalprice) FROM orders)
+SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_nulls AS BIGINT) AS n_nulls,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(CAST(n_distinct AS DOUBLE) / (n_rows - n_nulls), 6)
+           AS uniqueness,
+       (n_nulls = 0 AND n_distinct = n_rows AND n_rows > 0) AS is_key
+FROM a ORDER BY "column"
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10046,6 +10085,7 @@ QUERIES = {
     "cusum_drift": (q_cusum_drift, SQL_CUSUM_DRIFT),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "user_freshness": (q_user_freshness, SQL_USER_FRESHNESS),
+    "key_candidates": (q_key_candidates, SQL_KEY_CANDIDATES),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

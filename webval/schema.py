@@ -234,3 +234,74 @@ def diff_specs(old: SchemaSpec, new: SchemaSpec, *,
     report["compatible"] = not (removed or kind_changed or null_shifts
                                 or distinct_shifts or report["checks_removed"])
     return report
+
+
+def key_candidate_audit(ds, cols: list[str], *,
+                        num_buckets: int | None = None):
+    """Primary-key candidate audit: for each column, its exact distinct
+    count, null count, row count, the uniqueness ratio
+    distinct/non-null, and an ``is_key`` verdict (every non-null value
+    unique AND no nulls) — the "which column can I join/dedup on"
+    profile a validation run answers before any constraint is written.
+    Returns Dataset[{column, n_rows, n_nulls, n_distinct, uniqueness,
+    is_key}] sorted by column name.
+
+    Scale shape: per column, ONE value-count exchange bounded by that
+    column's distinct cardinality (the same substrate as exact
+    uniqueness checks); null/row totals ride per-block partials.  A
+    near-unique 100-TB column makes its exchange row-sized — the same
+    cost every exact-distinct engine pays; use the HLL profile
+    (schema_build) when approximate answers suffice."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg, sum_block_scalars
+
+    if not cols:
+        raise ValueError("key_candidate_audit: empty column list")
+    rows = []
+    for c in cols:
+        def proj(t: pa.Table, _c=c) -> pa.Table:
+            v = t.column(_c).combine_chunks()
+            return pa.table({
+                "n_rows": pa.array([len(v)], pa.int64()),
+                "n_nulls": pa.array([v.null_count], pa.int64())})
+
+        totals = sum_block_scalars(
+            ds.select_columns([c]).map_batches(
+                proj, batch_format="pyarrow").materialize(),
+            ["n_rows", "n_nulls"])
+
+        def vals(t: pa.Table, _c=c) -> pa.Table:
+            v = t.column(_c).combine_chunks()
+            vc = v.filter(pc.is_valid(v)).value_counts()
+            return pa.table({"v": vc.field("values"),
+                             "n": pc.cast(vc.field("counts"), pa.int64())})
+
+        per_val = grouped_agg(
+            ds.select_columns([c]).map_batches(vals,
+                                               batch_format="pyarrow"),
+            ["v"], [("n", "sum")], rename={"n_sum": "n"},
+            num_buckets=num_buckets).materialize()
+        dist = sum_block_scalars(
+            per_val.map_batches(lambda t: pa.table({
+                "d": pa.nulls(t.num_rows, pa.int64()).fill_null(1)}),
+                batch_format="pyarrow").materialize(), ["d"])["d"]
+        nn = totals["n_rows"] - totals["n_nulls"]
+        rows.append({
+            "column": c, "n_rows": totals["n_rows"],
+            "n_nulls": totals["n_nulls"], "n_distinct": dist,
+            "uniqueness": (dist / nn) if nn else None,
+            "is_key": bool(nn == totals["n_rows"] and dist == nn
+                           and nn > 0)})
+    rows.sort(key=lambda r: r["column"])
+    return rd.from_arrow(pa.table({
+        "column": pa.array([r["column"] for r in rows], pa.string()),
+        "n_rows": pa.array([r["n_rows"] for r in rows], pa.int64()),
+        "n_nulls": pa.array([r["n_nulls"] for r in rows], pa.int64()),
+        "n_distinct": pa.array([r["n_distinct"] for r in rows],
+                               pa.int64()),
+        "uniqueness": pa.array([r["uniqueness"] for r in rows],
+                               pa.float64()),
+        "is_key": pa.array([r["is_key"] for r in rows], pa.bool_())}))
