@@ -1204,3 +1204,43 @@ def test_key_candidate_audit_matches_counter_oracle(ray_session):
 
     with pytest.raises(ValueError, match="empty column"):
         key_candidate_audit(ds, [])
+
+
+def test_format_inference_matches_counter_oracle(ray_session):
+    import ray.data as rd
+
+    from webval.schema import format_inference
+
+    vals = ["42", "-7", "3.14", "1e5", "2024-01-31",
+            "2024-01-31T12:00:00", "2024-01-31 12:00:00.5",
+            "550e8400-e29b-41d4-a716-446655440000",
+            "a@b.com", "user.name+tag@example.co.uk",
+            "https://x.org/p?q=1", "http://y.io",
+            "TRUE", "false", "n/a", "", None, "12abc"]
+    ds = rd.from_arrow(pa.table({"s": pa.array(vals, pa.string())}))
+    out = format_inference(ds, "s").to_pandas().set_index("format")
+
+    assert out.loc["int"]["n_match"] == 2
+    assert out.loc["float"]["n_match"] == 1        # "1e5" has no dot
+    assert out.loc["iso_date"]["n_match"] == 1     # full match only
+    assert out.loc["iso_timestamp"]["n_match"] == 2
+    assert out.loc["uuid"]["n_match"] == 1
+    assert out.loc["email"]["n_match"] == 2
+    assert out.loc["url"]["n_match"] == 2
+    assert out.loc["bool"]["n_match"] == 2
+    # 17 non-null values (None excluded, "" counted in denominator)
+    assert out.loc["int"]["share"] == pytest.approx(2 / 17)
+    assert list(out.index) == sorted(out.index)
+
+    # custom pattern set
+    custom = format_inference(ds, "s",
+                              patterns={"na": r"n/a"}).to_pandas()
+    assert custom.iloc[0]["n_match"] == 1
+
+    with pytest.raises(ValueError, match="empty pattern"):
+        format_inference(ds, "s", patterns={})
+
+    # all-null -> empty with schema
+    e = format_inference(rd.from_arrow(pa.table({
+        "s": pa.array([None], pa.string())})), "s")
+    assert e.count() == 0

@@ -7389,6 +7389,86 @@ FROM a ORDER BY "column"
 """
 
 
+def q_format_inference(sf_dir: str):
+    """String-format inference (schema.format_inference): anchored-RE2
+    match shares over a mixed VARCHAR column built deterministically
+    from orders (ints, ISO dates, urls, emails, and an unparseable
+    'n/a' arm, keyed off o_orderkey % 5) — the B8 type-normalization
+    advisor.  Both engines are RE2-backed, so matches are exact;
+    share is the same division, emitted unrounded."""
+    import ray.data as rd
+
+    from webval.schema import format_inference
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_orderdate"])
+
+    def build(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        k = t.column("o_orderkey").combine_chunks()
+        m = _pc_mod(k, 5)
+        cust = pc.cast(t.column("o_custkey"), pa.string())
+        date = pc.cast(t.column("o_orderdate"), pa.string())
+        url = pc.binary_join_element_wise(
+            pa.scalar("https://example.com/o/"),
+            pc.cast(k, pa.string()), pa.scalar(""))
+        email = pc.binary_join_element_wise(
+            pa.scalar("user"), cust, pa.scalar("@example.com"),
+            pa.scalar(""))
+        v = pc.if_else(pc.equal(m, 0), cust,
+                       pc.if_else(pc.equal(m, 1), date,
+                                  pc.if_else(pc.equal(m, 2), url,
+                                             pc.if_else(pc.equal(m, 3),
+                                                        email,
+                                                        pa.scalar("n/a")))))
+        return pa.table({"v": v})
+
+    out = format_inference(ds.map_batches(build, batch_format="pyarrow"),
+                           "v")
+    t = ds_to_table(out)
+    return t.set_column(t.column_names.index("format"), "format",
+                        pc.cast(t.column("format"), pa.string()))
+
+
+SQL_FORMAT_INFERENCE = """
+WITH v AS (SELECT CASE o_orderkey % 5
+                  WHEN 0 THEN CAST(o_custkey AS VARCHAR)
+                  WHEN 1 THEN CAST(o_orderdate AS VARCHAR)
+                  WHEN 2 THEN 'https://example.com/o/'
+                              || CAST(o_orderkey AS VARCHAR)
+                  WHEN 3 THEN 'user' || CAST(o_custkey AS VARCHAR)
+                              || '@example.com'
+                  ELSE 'n/a' END AS s
+           FROM orders
+           WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+             AND o_orderdate IS NOT NULL),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+c AS (
+  SELECT 'int' AS fmt, count(*) FILTER
+         (regexp_full_match(s, '[+-]?[0-9]+')) AS n FROM v
+  UNION ALL SELECT 'float', count(*) FILTER (regexp_full_match(s,
+         '[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?')) FROM v
+  UNION ALL SELECT 'iso_date', count(*) FILTER (regexp_full_match(s,
+         '[0-9]{4}-[0-9]{2}-[0-9]{2}')) FROM v
+  UNION ALL SELECT 'iso_timestamp', count(*) FILTER (regexp_full_match(s,
+         '[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}(\\.[0-9]+)?'))
+         FROM v
+  UNION ALL SELECT 'uuid', count(*) FILTER (regexp_full_match(s,
+         '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}'))
+         FROM v
+  UNION ALL SELECT 'email', count(*) FILTER (regexp_full_match(s,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) FROM v
+  UNION ALL SELECT 'url', count(*) FILTER (regexp_full_match(s,
+         'https?://[^\\s]+')) FROM v
+  UNION ALL SELECT 'bool', count(*) FILTER (regexp_full_match(s,
+         '(?i)(true|false)')) FROM v)
+SELECT fmt AS format, CAST(c.n AS BIGINT) AS n_match,
+       c.n / tot.n AS share
+FROM c, tot ORDER BY fmt
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10086,6 +10166,7 @@ QUERIES = {
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "user_freshness": (q_user_freshness, SQL_USER_FRESHNESS),
     "key_candidates": (q_key_candidates, SQL_KEY_CANDIDATES),
+    "format_inference": (q_format_inference, SQL_FORMAT_INFERENCE),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

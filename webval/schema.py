@@ -305,3 +305,83 @@ def key_candidate_audit(ds, cols: list[str], *,
         "uniqueness": pa.array([r["uniqueness"] for r in rows],
                                pa.float64()),
         "is_key": pa.array([r["is_key"] for r in rows], pa.bool_())}))
+
+
+#: anchored RE2 patterns for format inference — DuckDB's regexp_full_match
+#: is also RE2-backed, so twins match byte-for-byte.
+FORMAT_PATTERNS: dict[str, str] = {
+    "int": r"[+-]?[0-9]+",
+    "float": r"[+-]?([0-9]+\.[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?",
+    "iso_date": r"[0-9]{4}-[0-9]{2}-[0-9]{2}",
+    "iso_timestamp": r"[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}"
+                     r":[0-9]{2}(\.[0-9]+)?",
+    "uuid": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+            r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "bool": r"(?i)(true|false)",
+}
+
+
+def format_inference(ds, col: str, *,
+                     patterns: dict[str, str] | None = None,
+                     num_buckets: int | None = None):
+    """String-format inference over a text column: for each candidate
+    format (anchored RE2 full-match; default :data:`FORMAT_PATTERNS` —
+    int/float/iso date & timestamp/uuid/email/url/bool), how many
+    non-null values match and the share — the "this VARCHAR column is
+    actually 99.4% integers" signal that drives type-normalization
+    decisions (B8) and catches the 0.6% of rows that would break the
+    cast.  Formats overlap by design (every int also matches float's
+    sibling domain): report, don't arbitrate.  Returns
+    Dataset[{format, n_match, share}] sorted by format name; formats
+    matching nothing still appear with 0.
+
+    Scale shape: one vectorized anchored-regex kernel per format per
+    batch, collapsed to ≤ len(patterns)+1 partial rows before ONE tiny
+    exchange (the non-null total rides as a sentinel row)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+
+    pats = dict(patterns if patterns is not None else FORMAT_PATTERNS)
+    if not pats:
+        raise ValueError("format_inference: empty pattern dict")
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).combine_chunks()
+        v = v.filter(pc.is_valid(v)).cast(pa.large_string())
+        names, counts = [], []
+        for name, p in pats.items():
+            m = pc.match_substring_regex(v, f"^(?:{p})$")
+            names.append(name)
+            counts.append(pc.sum(m).as_py() or 0)
+        names.append("")
+        counts.append(len(v))
+        return pa.table({"format": pa.array(names, pa.large_string()),
+                         "n_match": pa.array(counts, pa.int64())})
+
+    agg = grouped_agg(
+        ds.select_columns([col]).map_batches(partial,
+                                             batch_format="pyarrow"),
+        ["format"], [("n_match", "sum")], rename={"n_match_sum":
+                                                  "n_match"},
+        num_buckets=num_buckets).materialize()
+    sent = agg.filter(expr="format == ''").take_all()
+    total = sent[0]["n_match"] if sent else 0
+    if total == 0:
+        return rd.from_arrow(pa.schema(
+            [("format", pa.large_string()), ("n_match", pa.int64()),
+             ("share", pa.float64())]).empty_table())
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t.column("format"), "")))
+        share = pc.divide(pc.cast(t.column("n_match"), pa.float64()),
+                          pa.scalar(float(total)))
+        return pa.table({"format": t.column("format"),
+                         "n_match": t.column("n_match"), "share": share})
+
+    return agg.map_batches(finalize, batch_format="pyarrow") \
+        .sort("format")
