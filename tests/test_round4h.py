@@ -1244,3 +1244,48 @@ def test_format_inference_matches_counter_oracle(ray_session):
     e = format_inference(rd.from_arrow(pa.table({
         "s": pa.array([None], pa.string())})), "s")
     assert e.count() == 0
+
+
+def test_script_mix_stats_matches_counter_oracle(ray_session):
+    import ray.data as rd
+
+    from webval.textstats import script_mix_stats
+
+    docs = [
+        ("en", "pure latin text only"),               # mix 0
+        ("en", "latin with кириллица inside"),        # mixed
+        ("ru", "чисто русский текст"),                # mix 0
+        ("zh", "汉字 only 中文"),                      # han majority + latin
+        ("en", "1234 !!! ???"),                       # no scripted chars
+        ("en", None), (None, "x"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "lang": pa.array([d[0] for d in docs], pa.string()),
+        "text": pa.array([d[1] for d in docs], pa.string())}))
+    out = script_mix_stats(ds, "lang", "text", mix_threshold=0.1) \
+        .to_pandas().set_index("lang")
+
+    def mix(s):
+        import unicodedata
+        lat = sum(1 for c in s if 'LATIN' in unicodedata.name(c, ''))
+        cyr = sum(1 for c in s if 'CYRILLIC' in unicodedata.name(c, ''))
+        han = sum(1 for c in s if 'CJK' in unicodedata.name(c, ''))
+        tot = lat + cyr + han
+        return (1 - max(lat, cyr, han) / tot) if tot else None
+
+    # null text / null lang rows are dropped: 3 en docs remain
+    en_mixes = [mix(d[1]) for d in docs
+                if d[0] == "en" and d[1] is not None]
+    scripted = [x for x in en_mixes if x is not None]
+    assert out.loc["en"]["n_docs"] == len(en_mixes)
+    assert out.loc["en"]["n_mixed"] == sum(1 for x in scripted if x > 0.1)
+    assert out.loc["en"]["avg_mix"] == pytest.approx(
+        round(sum(scripted) / len(scripted), 12), abs=1e-6)
+    assert out.loc["ru"]["n_mixed"] == 0 and out.loc["ru"]["avg_mix"] == 0
+    assert out.loc["zh"]["n_mixed"] == 1
+
+    # group with no scripted docs -> null avg_mix
+    ds2 = rd.from_arrow(pa.table({
+        "lang": pa.array(["xx"]), "text": pa.array(["123 !!!"])}))
+    o2 = script_mix_stats(ds2, "lang", "text").to_pandas()
+    assert o2.iloc[0]["n_docs"] == 1 and np.isnan(o2.iloc[0]["avg_mix"])

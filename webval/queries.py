@@ -7469,6 +7469,52 @@ FROM c, tot ORDER BY fmt
 """
 
 
+def q_script_mix(sf_dir: str):
+    """Mixed-script audit per claimed lang (textstats.script_mix_stats):
+    Latin/Cyrillic/Han char counts per doc, mix ratio = 1 − majority
+    share, mixed when > 0.1 — language-label hygiene.  The per-doc mix
+    is the same expression over the same integer counts on both
+    engines, so the mixed flag is exact; avg_mix rounds 6 (sum
+    order)."""
+    import ray.data as rd
+
+    from webval.textstats import script_mix_stats
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["lang", "text"])
+    out = script_mix_stats(ds, "lang", "text", mix_threshold=0.1)
+    t = ds_to_table(out).sort_by([("lang", "ascending")])
+    t = t.set_column(t.column_names.index("lang"), "lang",
+                     pc.cast(t.column("lang"), pa.string()))
+    return _round_cols(t, {"avg_mix": 6})
+
+
+SQL_SCRIPT_MIX = f"""
+WITH d AS (SELECT lang,
+                  CAST(len(regexp_extract_all(text, '\\p{{Latin}}'))
+                       AS DOUBLE) AS lat,
+                  CAST(len(regexp_extract_all(text, '\\p{{Cyrillic}}'))
+                       AS DOUBLE) AS cyr,
+                  CAST(len(regexp_extract_all(text, '\\p{{Han}}'))
+                       AS DOUBLE) AS han
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+           WHERE lang IS NOT NULL AND text IS NOT NULL),
+m AS (SELECT lang, lat + cyr + han AS total,
+             CASE WHEN lat + cyr + han > 0
+                  THEN 1.0 - greatest(lat, cyr, han) / (lat + cyr + han)
+                  ELSE 0.0 END AS mix,
+             (lat + cyr + han > 0) AS scripted
+      FROM d)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (scripted AND mix > 0.1) AS BIGINT)
+           AS n_mixed,
+       round(sum(mix) FILTER (scripted)
+             / count(*) FILTER (scripted), 6) AS avg_mix
+FROM m GROUP BY lang ORDER BY lang
+"""
+SQL_SCRIPT_MIX = SQL_SCRIPT_MIX.replace("{SYNTH_ROOT}", SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10167,6 +10213,7 @@ QUERIES = {
     "user_freshness": (q_user_freshness, SQL_USER_FRESHNESS),
     "key_candidates": (q_key_candidates, SQL_KEY_CANDIDATES),
     "format_inference": (q_format_inference, SQL_FORMAT_INFERENCE),
+    "script_mix": (q_script_mix, SQL_SCRIPT_MIX),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

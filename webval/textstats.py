@@ -1312,3 +1312,81 @@ def vocab_growth(ds, id_col: str, text_col: str, *,
                        ["checkpoint"], [("vocab", "sum")],
                        rename={"vocab_sum": "vocab"},
                        num_buckets=num_buckets).sort("checkpoint")
+
+
+#: script classes for mix auditing — RE2 \p{...} names, identical in
+#: DuckDB's RE2-backed regexp functions.
+SCRIPT_CLASSES = ("Latin", "Cyrillic", "Han")
+
+
+def script_mix_stats(ds, group_col: str, text_col: str, *,
+                     mix_threshold: float = 0.1,
+                     num_buckets: int | None = None):
+    """Mixed-script audit per group (typically per claimed language):
+    every doc's characters are counted into Latin / Cyrillic / Han
+    script classes (RE2 ``\\p{Script}``, vectorized) and its mix ratio
+    is 1 − majority-script share of scripted characters; a doc is
+    "mixed" when the ratio exceeds ``mix_threshold`` — the
+    language-label hygiene check that catches boilerplate-injected or
+    misrouted documents a whole-doc language ID averages away.  Docs
+    with zero scripted characters count in n_docs only.  Returns
+    Dataset[{group, n_docs, n_mixed, avg_mix}] (avg over scripted docs;
+    null when a group has none).
+
+    Scale shape: one counting-regex kernel per script class per batch,
+    per-doc arithmetic in numpy, collapsed to per-group (n, mixed,
+    Σmix, scripted) partials before ONE exchange."""
+    from webval.exchange import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).combine_chunks()
+        txt = t.column(text_col).combine_chunks()
+        m = pc.and_(pc.is_valid(g), pc.is_valid(txt))
+        g, txt = g.filter(m), txt.filter(m)
+        txt = txt.cast(pa.large_string())
+        counts = np.column_stack([
+            pc.count_substring_regex(txt, f"\\p{{{s}}}")
+            .to_numpy(zero_copy_only=False)
+            for s in SCRIPT_CLASSES]).astype(np.float64) \
+            if len(txt) else np.zeros((0, len(SCRIPT_CLASSES)))
+        total = counts.sum(axis=1)
+        scripted = total > 0
+        mix = np.zeros(len(txt))
+        mix[scripted] = 1.0 - (counts[scripted].max(axis=1)
+                               / total[scripted])
+        tab = pa.table({
+            group_col: g,
+            "n": pa.nulls(len(g), pa.int64()).fill_null(1),
+            "scripted": pa.array(scripted.astype(np.int64)),
+            "mixed": pa.array((scripted
+                               & (mix > mix_threshold)).astype(np.int64)),
+            "mix_sum": pa.array(mix)})
+        agg = tab.group_by([group_col]).aggregate(
+            [("n", "sum"), ("scripted", "sum"), ("mixed", "sum"),
+             ("mix_sum", "sum")])
+        return agg.rename_columns([group_col, "n", "scripted", "mixed",
+                                   "mix_sum"])
+
+    groups = grouped_agg(
+        ds.select_columns([group_col, text_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        [group_col], [("n", "sum"), ("scripted", "sum"),
+                      ("mixed", "sum"), ("mix_sum", "sum")],
+        rename={"n_sum": "n", "scripted_sum": "scripted",
+                "mixed_sum": "mixed", "mix_sum_sum": "mix_sum"},
+        num_buckets=num_buckets)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        sc = t.column("scripted").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ms = t.column("mix_sum").to_numpy(zero_copy_only=False)
+        avg = np.where(sc > 0, ms / np.where(sc > 0, sc, 1.0), np.nan)
+        avg_arr = pa.array(avg)
+        avg_arr = pc.if_else(pa.array(sc > 0), avg_arr,
+                             pa.scalar(None, pa.float64()))
+        return pa.table({group_col: t.column(group_col),
+                         "n_docs": t.column("n"),
+                         "n_mixed": t.column("mixed"),
+                         "avg_mix": avg_arr})
+
+    return groups.map_batches(finalize, batch_format="pyarrow")
