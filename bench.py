@@ -418,6 +418,61 @@ def run_ops(sf_dir: str, ncpu: int, pages_dir: str) -> dict[str, float]:
                                key="user_id", ts_col="ts",
                                window=7).count()
 
+    with timed("pmi_collocations_400k"):
+        from webval.textstats import pmi_collocations
+
+        top = pmi_collocations(
+            rd.read_parquet(pages_dir, columns=["text"]),
+            "text", min_count=50, top_k=20).take_all()
+        # asserts against the bench fixture itself: synth vocabulary
+        # repeats heavily, so pairs above min_count=50 must exist and
+        # every returned pair must satisfy the cut
+        assert 1 <= len(top) <= 20
+        assert all(r["c12"] >= 50 for r in top)
+
+    with timed("cusum_1m"):
+        import pyarrow.compute as _pc
+
+        from webval.exchange import grouped_agg
+        from webval.windows import cusum_scores
+
+        daily = grouped_agg(
+            rd.read_parquet(ev_paths).map_batches(
+                lambda t: pa.table({
+                    "user_id": t.column("user_id"),
+                    "day": _pc.floor_temporal(t.column("ts"),
+                                              unit="day")}),
+                batch_format="pyarrow"),
+            ["user_id", "day"], [("day", "count")],
+            rename={"day_count": "n"})
+        daily = daily.map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("n"), "n",
+                _pc.cast(t.column("n"), pa.float64())),
+            batch_format="pyarrow")
+        n_out = cusum_scores(daily, "user_id", "day", "n",
+                             target=1.0, slack=0.1).count()
+        # one score per (user, active-day): 1M events over 200k users ×
+        # 60 days -> between 0.9M (collisions) and 1M pairs
+        assert 800_000 <= n_out <= 1_000_000
+
+    with timed("cocitation_1m"):
+        from webval.graph import cocitation_pairs
+
+        pairs = cocitation_pairs(
+            rd.read_parquet(ev_paths).map_batches(
+                lambda t: pa.table({
+                    "src": t.column("user_id"),
+                    "dst": _pc.cast(_pc.floor_temporal(t.column("ts"),
+                                                       unit="day"),
+                                    pa.int64())}),
+                batch_format="pyarrow"),
+            "src", "dst", max_out=8, min_cocite=2, top_k=20).take_all()
+        # 200k users × ≤C(8,2) day pairs over only 60 distinct days:
+        # the hottest day pairs are co-cited by thousands of users
+        assert len(pairs) == 20
+        assert all(p["n"] >= 1000 for p in pairs)
+
     return timings
 
 
