@@ -1289,3 +1289,47 @@ def test_script_mix_stats_matches_counter_oracle(ray_session):
         "lang": pa.array(["xx"]), "text": pa.array(["123 !!!"])}))
     o2 = script_mix_stats(ds2, "lang", "text").to_pandas()
     assert o2.iloc[0]["n_docs"] == 1 and np.isnan(o2.iloc[0]["avg_mix"])
+
+
+def test_fit_linear_matches_lstsq_oracle(ray_session):
+    import ray.data as rd
+
+    from webval.clustering import fit_linear
+
+    rng = np.random.default_rng(59)
+    n = 500
+    x1 = rng.normal(0, 2, n)
+    x2 = rng.uniform(-1, 1, n)
+    x3 = rng.normal(5, 1, n)
+    y = 3.0 * x1 - 1.5 * x2 + 0.25 * x3 + 7.0 + rng.normal(0, 0.5, n)
+    ds = rd.from_arrow(pa.table({
+        "x1": pa.array(x1), "x2": pa.array(x2), "x3": pa.array(x3),
+        "y": pa.array(y)})).repartition(6)
+    m = fit_linear(ds, ["x1", "x2", "x3"], "y")
+
+    a = np.column_stack([x1, x2, x3, np.ones(n)])
+    beta, *_ = np.linalg.lstsq(a, y, rcond=None)
+    assert m["coef"]["x1"] == pytest.approx(beta[0], rel=1e-9)
+    assert m["coef"]["x2"] == pytest.approx(beta[1], rel=1e-9)
+    assert m["coef"]["x3"] == pytest.approx(beta[2], rel=1e-9)
+    assert m["intercept"] == pytest.approx(beta[3], rel=1e-9)
+    assert m["n"] == n
+
+    resid = y - a @ beta
+    r2 = 1 - (resid ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert m["r2"] == pytest.approx(r2, rel=1e-9)
+
+    # nulls excluded row-wise
+    ds2 = rd.from_arrow(pa.table({
+        "x1": pa.array([1.0, 2.0, None, 4.0, 5.0, 6.0]),
+        "y": pa.array([2.0, 4.0, 9.0, 8.0, 10.0, 12.0])}))
+    m2 = fit_linear(ds2, ["x1"], "y")
+    assert m2["n"] == 5
+    assert m2["coef"]["x1"] == pytest.approx(2.0, rel=1e-12)
+    assert m2["intercept"] == pytest.approx(0.0, abs=1e-9)
+    assert m2["r2"] == pytest.approx(1.0, rel=1e-12)
+
+    with pytest.raises(ValueError, match="fit_linear"):
+        fit_linear(rd.from_arrow(pa.table({
+            "x1": pa.array([1.0, 2.0]), "y": pa.array([1.0, 2.0])})),
+            ["x1"], "y")

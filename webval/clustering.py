@@ -429,3 +429,72 @@ def mahalanobis_outliers(ds, cols: list[str], *, top_k: int = 20,
         .limit(top_k)
     return ranked.map_batches(lambda t: t.drop_columns(["rd2"]),
                               batch_format="pyarrow")
+
+
+def fit_linear(ds, x_cols: list[str], y_col: str, *, ridge: float = 0.0,
+               batch_size: int | None = 8192) -> dict:
+    """Distributed ordinary least squares: fit y = b·x + b0 over any
+    number of feature columns in ONE streaming pass of mergeable
+    normal-equation partials (n, Σz, ZᵀZ for z = [x…, y]) — the
+    multi-feature companion of the per-group simple regressions
+    (aggregates.grouped_corr / simpson_slopes).  The driver solves the
+    (d+1)-dim system from CENTERED sample covariances (numerically the
+    same quantities SQL's covar_samp/var_samp expose, so twins can
+    reproduce coefficients via Cramer's rule).  ``ridge`` adds λI to
+    the covariance before solving.  Rows with any null are excluded.
+
+    Returns {"coef": {x: b}, "intercept", "n", "r2"} — r2 is the
+    in-sample coefficient of determination b·Cov(x,y) / Var(y).
+
+    Scale shape: per batch one matmul emits a (d+1)² partial; the
+    driver merges block partials by addition and solves a d×d system —
+    nothing row-sized ever leaves the workers."""
+    import ray
+
+    d = len(x_cols)
+    if d < 1:
+        raise ValueError("fit_linear: need >= 1 feature column")
+    cols = list(x_cols) + [y_col]
+
+    def partial(t: pa.Table) -> pa.Table:
+        arrs = [pc.cast(t.column(c).combine_chunks(), pa.float64())
+                for c in cols]
+        valid = arrs[0].is_valid()
+        for a in arrs[1:]:
+            valid = pc.and_(valid, a.is_valid())
+        t = t.filter(valid)
+        z = np.column_stack([
+            pc.cast(t.column(c).combine_chunks(), pa.float64())
+            .to_numpy(zero_copy_only=False) for c in cols]) \
+            if t.num_rows else np.zeros((0, d + 1))
+        return pa.table({
+            "n": pa.array([z.shape[0]], pa.int64()),
+            "s": pa.array([z.sum(axis=0).tolist()], pa.list_(pa.float64())),
+            "ztz": pa.array([(z.T @ z).ravel().tolist()],
+                            pa.list_(pa.float64()))})
+
+    parts = ds.select_columns(cols) \
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=batch_size).materialize()
+    n, s, ztz = 0, np.zeros(d + 1), np.zeros((d + 1, d + 1))
+    for ref in parts.to_arrow_refs():
+        b = ray.get(ref)
+        if b.num_rows == 0:
+            continue
+        for row in b.to_pylist():
+            n += row["n"]
+            s += np.asarray(row["s"])
+            ztz += np.asarray(row["ztz"]).reshape(d + 1, d + 1)
+    if n < d + 2:
+        raise ValueError(f"fit_linear: need >= {d + 2} complete rows "
+                         f"for {d} features, got {n}")
+    mean = s / n
+    cov = (ztz - n * np.outer(mean, mean)) / (n - 1)
+    cxx = cov[:d, :d] + ridge * np.eye(d)
+    cxy = cov[:d, d]
+    coef = np.linalg.solve(cxx, cxy)
+    intercept = float(mean[d] - coef @ mean[:d])
+    vy = cov[d, d]
+    r2 = float(coef @ cxy / vy) if vy > 0 else float("nan")
+    return {"coef": {c: float(b) for c, b in zip(x_cols, coef)},
+            "intercept": intercept, "n": int(n), "r2": r2}

@@ -7515,6 +7515,61 @@ FROM m GROUP BY lang ORDER BY lang
 SQL_SCRIPT_MIX = SQL_SCRIPT_MIX.replace("{SYNTH_ROOT}", SYNTH_ROOT)
 
 
+def q_ols_fit(sf_dir: str):
+    """Distributed two-feature OLS (clustering.fit_linear): price (in
+    k$) regressed on quantity and discount over lineitem, solved from
+    mergeable normal-equation partials.  The twin solves the same
+    centered-covariance system via Cramer's rule; coefficients round 6
+    (same covariances, different solve order)."""
+    import ray.data as rd
+
+    from webval.clustering import fit_linear
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_discount",
+                                  "l_extendedprice"])
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "l_quantity": t.column("l_quantity"),
+            "l_discount": t.column("l_discount"),
+            "price_k": pc.divide(t.column("l_extendedprice"),
+                                 pa.scalar(1000.0))}),
+        batch_format="pyarrow")
+    m = fit_linear(ds, ["l_quantity", "l_discount"], "price_k")
+    return pa.table({
+        "n": pa.array([m["n"]], pa.int64()),
+        "coef_quantity": pa.array([round(m["coef"]["l_quantity"], 6)]),
+        "coef_discount": pa.array([round(m["coef"]["l_discount"], 6)]),
+        "intercept": pa.array([round(m["intercept"], 6)]),
+        "r2": pa.array([round(m["r2"], 6)])})
+
+
+SQL_OLS_FIT = """
+WITH v AS (SELECT l_quantity AS x1, l_discount AS x2,
+                  l_extendedprice / 1000.0 AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+             AND l_extendedprice IS NOT NULL),
+s AS (SELECT count(*) AS n, avg(x1) AS m1, avg(x2) AS m2, avg(y) AS my,
+             var_samp(x1) AS v11, var_samp(x2) AS v22,
+             covar_samp(x1, x2) AS v12, covar_samp(x1, y) AS c1,
+             covar_samp(x2, y) AS c2, var_samp(y) AS vy
+      FROM v)
+SELECT CAST(n AS BIGINT) AS n,
+       round((c1 * v22 - c2 * v12) / (v11 * v22 - v12 * v12), 6)
+           AS coef_quantity,
+       round((c2 * v11 - c1 * v12) / (v11 * v22 - v12 * v12), 6)
+           AS coef_discount,
+       round(my - (c1 * v22 - c2 * v12) / (v11 * v22 - v12 * v12) * m1
+                - (c2 * v11 - c1 * v12) / (v11 * v22 - v12 * v12) * m2, 6)
+           AS intercept,
+       round(((c1 * v22 - c2 * v12) / (v11 * v22 - v12 * v12) * c1
+              + (c2 * v11 - c1 * v12) / (v11 * v22 - v12 * v12) * c2)
+             / vy, 6) AS r2
+FROM s
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10214,6 +10269,7 @@ QUERIES = {
     "key_candidates": (q_key_candidates, SQL_KEY_CANDIDATES),
     "format_inference": (q_format_inference, SQL_FORMAT_INFERENCE),
     "script_mix": (q_script_mix, SQL_SCRIPT_MIX),
+    "ols_fit": (q_ols_fit, SQL_OLS_FIT),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
