@@ -1333,3 +1333,41 @@ def test_fit_linear_matches_lstsq_oracle(ray_session):
         fit_linear(rd.from_arrow(pa.table({
             "x1": pa.array([1.0, 2.0]), "y": pa.array([1.0, 2.0])})),
             ["x1"], "y")
+
+
+def test_rrf_fuse_matches_formula(ray_session):
+    import ray.data as rd
+
+    from webval.search import rrf_fuse
+
+    r1 = rd.from_arrow(pa.table({
+        "id": pa.array(["a", "b", "c", "d"]),
+        "rank": pa.array([1, 2, 3, 4], pa.int64())}))
+    r2 = rd.from_arrow(pa.table({
+        "id": pa.array(["c", "a", "e"]),
+        "rank": pa.array([1, 2, 3], pa.int64())}))
+    out = rrf_fuse([r1, r2], "id", k=60.0, top_k=10).to_pandas() \
+        .set_index("id")
+
+    def rrf(*ranks):
+        return sum(1.0 / (60.0 + r) for r in ranks)
+
+    assert out.loc["a"]["rrf"] == pytest.approx(rrf(1, 2), rel=1e-12)
+    assert out.loc["c"]["rrf"] == pytest.approx(rrf(3, 1), rel=1e-12)
+    assert out.loc["e"]["rrf"] == pytest.approx(rrf(3), rel=1e-12)
+    assert out.loc["a"]["n_lists"] == 2 and out.loc["e"]["n_lists"] == 1
+    # consensus ids beat single-list ids; output ordered by score
+    assert list(out.index[:2]) == ["a", "c"]
+    vals = list(out["rrf"])
+    assert vals == sorted(vals, reverse=True)
+
+    # weights scale contributions
+    w = rrf_fuse([r1, r2], "id", k=60.0, weights=[2.0, 0.0],
+                 top_k=10).to_pandas().set_index("id")
+    assert w.loc["a"]["rrf"] == pytest.approx(2.0 / 61.0, rel=1e-12)
+    assert w.loc["e"]["rrf"] == 0.0
+
+    with pytest.raises(ValueError, match="rrf_fuse"):
+        rrf_fuse([], "id")
+    with pytest.raises(ValueError, match="weights"):
+        rrf_fuse([r1, r2], "id", weights=[1.0])

@@ -7570,6 +7570,84 @@ FROM s
 """
 
 
+def q_rrf_hosts(sf_dir: str):
+    """Reciprocal-rank fusion (search.rrf_fuse, k=60): the top-50
+    hosts by page count fused with the top-50 by mean text length into
+    one top-20 — the lexical+dense retrieval-merge pattern on host
+    rankings.  Ranks use (metric desc, host asc) tiebreaks on both
+    engines; rrf rounds 9."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.search import rrf_fuse
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["url", "text"])
+
+    def add_host(t: pa.Table) -> pa.Table:
+        u = t.column("url").combine_chunks()
+        host = pc.struct_field(pc.extract_regex(u, _HOST_RE), "host")
+        ln = pc.utf8_length(t.column("text").combine_chunks())
+        return pa.table({"host": host, "len": ln}).filter(
+            pc.is_valid(host))
+
+    hosted = ds.map_batches(add_host, batch_format="pyarrow")
+    stats = grouped_agg(
+        hosted.map_batches(lambda t: pa.table({
+            "host": t.column("host"),
+            "n": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "s": pc.cast(pc.fill_null(t.column("len"), 0), pa.int64()),
+            "c": pc.cast(pc.is_valid(t.column("len").combine_chunks()),
+                         pa.int64())}), batch_format="pyarrow"),
+        ["host"], [("n", "sum"), ("s", "sum"), ("c", "sum")],
+        rename={"n_sum": "n", "s_sum": "s", "c_sum": "c"})
+
+    def rank_by(tbl: pa.Table, keys) -> "pa.Table":
+        tbl = tbl.sort_by(keys).slice(0, 50)
+        return tbl.append_column(
+            "rank", pa.array(np.arange(1, tbl.num_rows + 1), pa.int64()))
+
+    # the two 50-row rank lists are driver-small by construction
+    full = ds_to_table(stats)
+    full = full.append_column(
+        "mean_len", pc.divide(pc.cast(full.column("s"), pa.float64()),
+                              pc.cast(full.column("c"), pa.float64())))
+    r1 = rank_by(full, [("n", "descending"), ("host", "ascending")])
+    r2 = rank_by(full, [("mean_len", "descending"),
+                        ("host", "ascending")])
+    fused = rrf_fuse([rd.from_arrow(r1.select(["host", "rank"])),
+                      rd.from_arrow(r2.select(["host", "rank"]))],
+                     "host", k=60.0, top_k=20)
+    t = ds_to_table(fused)
+    t = t.set_column(t.column_names.index("host"), "host",
+                     pc.cast(t.column("host"), pa.string()))
+    return _round_cols(t, {"rrf": 9})
+
+
+SQL_RRF_HOSTS = f"""
+WITH h AS (SELECT regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1)
+                      AS host,
+                  count(*) AS n,
+                  CAST(sum(coalesce(length(text), 0)) AS DOUBLE)
+                      / count(text) AS mean_len
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+           WHERE regexp_matches(url, '^https?://([a-z0-9-]+)\\.')
+           GROUP BY 1),
+r1 AS (SELECT host, rn AS rank FROM
+       (SELECT host, row_number() OVER (ORDER BY n DESC, host) AS rn
+        FROM h) WHERE rn <= 50),
+r2 AS (SELECT host, rn AS rank FROM
+       (SELECT host, row_number() OVER (ORDER BY mean_len DESC, host)
+            AS rn FROM h) WHERE rn <= 50),
+u AS (SELECT host, rank FROM r1 UNION ALL SELECT host, rank FROM r2)
+SELECT host, round(sum(1.0 / (60.0 + rank)), 9) AS rrf,
+       CAST(count(*) AS BIGINT) AS n_lists
+FROM u GROUP BY host
+ORDER BY round(sum(1.0 / (60.0 + rank)), 9) DESC, host LIMIT 20
+"""
+SQL_RRF_HOSTS = SQL_RRF_HOSTS.replace("{SYNTH_ROOT}", SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10270,6 +10348,7 @@ QUERIES = {
     "format_inference": (q_format_inference, SQL_FORMAT_INFERENCE),
     "script_mix": (q_script_mix, SQL_SCRIPT_MIX),
     "ols_fit": (q_ols_fit, SQL_OLS_FIT),
+    "rrf_hosts": (q_rrf_hosts, SQL_RRF_HOSTS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

@@ -129,3 +129,64 @@ def bm25_search(ds, id_col: str, text_col: str, query: str, k: int = 10, *,
                    .slice(0, k), batch_format="pyarrow", batch_size=None)
                .materialize())
     return out
+
+
+def rrf_fuse(rankings, id_col: str, *, rank_col: str = "rank",
+             k: float = 60.0, weights: list[float] | None = None,
+             top_k: int = 20, num_buckets: int | None = None):
+    """Reciprocal-rank fusion (Cormack et al. 2009): merge N rankings
+    of the same id space into one by
+
+        score(id) = Σ_r  w_r / (k + rank_r(id))
+
+    summing only over rankings where the id appears — the standard
+    zero-tuning way to fuse lexical (BM25) and dense (ANN) retrieval,
+    or any ensemble of orderings.  ``rankings`` are Datasets carrying
+    (``id_col``, ``rank_col``) with 1-based ranks (compute them with a
+    deterministic tiebreak — rankings must be reproducible before
+    fusion can be).  k=60 is the canonical constant.  Returns
+    Dataset[{id_col, rrf, n_lists}] of the ``top_k`` ids by
+    (round(rrf, 9) desc, id asc).
+
+    Scale shape: each ranking maps rank → w/(k+rank) vectorized, the
+    tagged union feeds ONE per-id sum exchange, and the result sorts +
+    limits; per-ranking inputs are typically already top-k lists, so
+    nothing here exceeds the fused candidate set."""
+    if not rankings:
+        raise ValueError("rrf_fuse: no rankings given")
+    w = list(weights) if weights is not None else [1.0] * len(rankings)
+    if len(w) != len(rankings):
+        raise ValueError(f"rrf_fuse: {len(rankings)} rankings but "
+                         f"{len(w)} weights")
+
+    from webval.exchange import grouped_agg
+
+    tagged = None
+    for r, wt in zip(rankings, w):
+        def to_contrib(t: pa.Table, _w=float(wt)) -> pa.Table:
+            i = t.column(id_col).combine_chunks()
+            rk = pc.cast(t.column(rank_col).combine_chunks(),
+                         pa.float64())
+            m = pc.and_(pc.is_valid(i), pc.is_valid(rk))
+            i, rk = i.filter(m), rk.filter(m)
+            contrib = pc.divide(pa.scalar(_w),
+                                pc.add(rk, pa.scalar(float(k))))
+            return pa.table({id_col: i, "rrf": contrib,
+                             "n_lists": pa.nulls(len(i), pa.int64())
+                             .fill_null(1)})
+
+        part = r.map_batches(to_contrib, batch_format="pyarrow")
+        tagged = part if tagged is None else tagged.union(part)
+
+    fused = grouped_agg(tagged, [id_col],
+                        [("rrf", "sum"), ("n_lists", "sum")],
+                        rename={"rrf_sum": "rrf",
+                                "n_lists_sum": "n_lists"},
+                        num_buckets=num_buckets)
+    ranked = fused.map_batches(
+        lambda t: t.append_column("r9", pc.round(t.column("rrf"),
+                                                 ndigits=9)),
+        batch_format="pyarrow") \
+        .sort(["r9", id_col], descending=[True, False]).limit(top_k)
+    return ranked.map_batches(lambda t: t.drop_columns(["r9"]),
+                              batch_format="pyarrow")
