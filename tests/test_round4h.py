@@ -1371,3 +1371,29 @@ def test_rrf_fuse_matches_formula(ray_session):
         rrf_fuse([], "id")
     with pytest.raises(ValueError, match="weights"):
         rrf_fuse([r1, r2], "id", weights=[1.0])
+
+
+def test_rank_biased_overlap_properties():
+    from webval.drift import rank_biased_overlap as rbo
+
+    # identical lists at depth k -> (1-p)·Σ p^(d-1) = 1 - p^k
+    a = ["a", "b", "c", "d"]
+    assert rbo(a, a, p=0.9) == pytest.approx(1 - 0.9 ** 4, rel=1e-12)
+    # disjoint -> 0
+    assert rbo(a, ["x", "y", "z", "w"], p=0.9) == 0.0
+    # hand-computed small case: A=[a,b], B=[b,a]
+    # d=1: 0 overlap; d=2: 2 overlap -> (1-p)(0 + p·1) = p(1-p)
+    assert rbo(["a", "b"], ["b", "a"], p=0.9) == pytest.approx(
+        0.9 * 0.1, rel=1e-12)
+    # top-weighting: agreement at rank 1 beats agreement at the tail
+    top = rbo(["a", "x", "y"], ["a", "p", "q"], p=0.9)
+    tail = rbo(["x", "y", "a"], ["p", "q", "a"], p=0.9)
+    assert top > tail > 0
+    # unequal lengths allowed; empty -> 0
+    assert rbo([], [], p=0.9) == 0.0
+    assert 0 < rbo(["a"], ["a", "b", "c"], p=0.9) < 1
+
+    with pytest.raises(ValueError, match="duplicate"):
+        rbo(["a", "a"], ["b"], p=0.9)
+    with pytest.raises(ValueError, match="p="):
+        rbo(["a"], ["a"], p=1.0)

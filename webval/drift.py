@@ -486,3 +486,40 @@ def benford_audit(ds, col: str, *, num_buckets: int | None = None):
 
     return counts.map_batches(finalize, batch_format="pyarrow") \
         .sort("digit")
+
+
+def rank_biased_overlap(list_a, list_b, *, p: float = 0.9) -> float:
+    """Truncated rank-biased overlap RBO@k (Webber et al. 2010):
+
+        RBO = (1 − p) · Σ_{d=1..k} p^{d−1} · |A_d ∩ B_d| / d
+
+    with A_d/B_d the depth-d prefixes and k = max(len(A), len(B)) —
+    the top-weighted similarity of two rankings (1 = identical order,
+    0 = disjoint), the right "did today's top-100 hosts change" metric
+    where Kendall/Spearman need both lists to rank everything.  This is
+    the minimal (uninterpolated) form: it is a LOWER bound that two
+    finite prefixes can certify, monotonically approaching the full
+    RBO as k grows.  Duplicate ids within one list raise.
+
+    Driver-side by design: rankings are top-k lists (the distributed
+    part is producing them); k is policy-sized."""
+    a = list(list_a)
+    b = list(list_b)
+    if len(set(a)) != len(a) or len(set(b)) != len(b):
+        raise ValueError("rank_biased_overlap: duplicate ids in a list")
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"rank_biased_overlap: p={p} not in (0, 1)")
+    k = max(len(a), len(b))
+    if k == 0:
+        return 0.0
+    pos_a = {x: i + 1 for i, x in enumerate(a)}
+    pos_b = {x: i + 1 for i, x in enumerate(b)}
+    depth_of = sorted(max(pos_a[x], pos_b[x]) for x in pos_a
+                      if x in pos_b)
+    total, seen, j = 0.0, 0, 0
+    for d in range(1, k + 1):
+        while j < len(depth_of) and depth_of[j] <= d:
+            seen += 1
+            j += 1
+        total += p ** (d - 1) * seen / d
+    return float((1.0 - p) * total)

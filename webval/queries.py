@@ -7648,6 +7648,73 @@ ORDER BY round(sum(1.0 / (60.0 + rank)), 9) DESC, host LIMIT 20
 SQL_RRF_HOSTS = SQL_RRF_HOSTS.replace("{SYNTH_ROOT}", SYNTH_ROOT)
 
 
+def q_rbo_stability(sf_dir: str):
+    """Rank-biased overlap (drift.rank_biased_overlap, p=0.9) between
+    the top-30 host lists of the even- and odd-page_id halves of the
+    crawl — "did the leaderboard change" list drift that correlation
+    coefficients can't answer on partial lists.  Counts are exact;
+    rbo rounds 6 (pow/series accumulation)."""
+    import ray.data as rd
+
+    from webval.drift import rank_biased_overlap
+    from webval.exchange import grouped_agg
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["url", "page_id"])
+
+    def add_host(t: pa.Table) -> pa.Table:
+        u = t.column("url").combine_chunks()
+        host = pc.struct_field(pc.extract_regex(u, _HOST_RE), "host")
+        side = _pc_mod(t.column("page_id").combine_chunks(), 2)
+        return pa.table({"host": host, "side": side}).filter(
+            pc.is_valid(host))
+
+    counts = grouped_agg(
+        ds.map_batches(add_host, batch_format="pyarrow"),
+        ["side", "host"], [("host", "count")],
+        rename={"host_count": "n"})
+    t = ds_to_table(counts)          # host×2 rows, driver-small
+
+    def top30(side: int) -> list:
+        s = t.filter(pc.equal(t.column("side"), side)) \
+            .sort_by([("n", "descending"), ("host", "ascending")]) \
+            .slice(0, 30)
+        return s.column("host").to_pylist()
+
+    a, b = top30(0), top30(1)
+    rbo = rank_biased_overlap(a, b, p=0.9)
+    return pa.table({
+        "k": pa.array([30], pa.int64()),
+        "n_common": pa.array([len(set(a) & set(b))], pa.int64()),
+        "rbo": pa.array([round(rbo, 6)], pa.float64())})
+
+
+SQL_RBO_STABILITY = f"""
+WITH h AS (SELECT regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1)
+                      AS host,
+                  page_id % 2 AS side
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+           WHERE regexp_matches(url, '^https?://([a-z0-9-]+)\\.')),
+ra AS (SELECT host, rn FROM
+       (SELECT host, row_number() OVER (ORDER BY count(*) DESC, host)
+            AS rn FROM h WHERE side = 0 GROUP BY host)
+       WHERE rn <= 30),
+rb AS (SELECT host, rn FROM
+       (SELECT host, row_number() OVER (ORDER BY count(*) DESC, host)
+            AS rn FROM h WHERE side = 1 GROUP BY host)
+       WHERE rn <= 30),
+j AS (SELECT greatest(ra.rn, rb.rn) AS d FROM ra JOIN rb USING (host)),
+ds AS (SELECT unnest(generate_series(1, 30)) AS d),
+o AS (SELECT ds.d, (SELECT count(*) FROM j WHERE j.d <= ds.d) AS ov
+      FROM ds)
+SELECT CAST(30 AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM j) AS n_common,
+       round(0.1 * sum(pow(0.9, d - 1) * ov / d), 6) AS rbo
+FROM o
+"""
+SQL_RBO_STABILITY = SQL_RBO_STABILITY.replace("{SYNTH_ROOT}", SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10349,6 +10416,7 @@ QUERIES = {
     "script_mix": (q_script_mix, SQL_SCRIPT_MIX),
     "ols_fit": (q_ols_fit, SQL_OLS_FIT),
     "rrf_hosts": (q_rrf_hosts, SQL_RRF_HOSTS),
+    "rbo_stability": (q_rbo_stability, SQL_RBO_STABILITY),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
