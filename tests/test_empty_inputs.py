@@ -413,3 +413,61 @@ def test_snm_pairs_on_empty():
     ds = rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
                                  "k": pa.array([], pa.string())}))
     assert sorted_neighborhood_pairs(ds, "id", "k").count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_session9_ops_on_empty():
+    import numpy as np
+    import ray.data as rd
+
+    from webval.dedup import cluster_canonicals, duplication_weights
+    from webval.graph import cocitation_pairs
+    from webval.pipelines import concat_packing
+    from webval.schema import key_candidate_audit
+    from webval.search import rrf_fuse
+    from webval.textstats import (
+        pmi_collocations,
+        script_mix_stats,
+        vocab_growth,
+    )
+    from webval.windows import cusum_scores, decayed_counts
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.large_string())}))
+    ev = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.string()),
+        "t": pa.array([], pa.int64()),
+        "v": pa.array([], pa.float64()),
+        "ts": pa.array([], pa.timestamp("us"))}))
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([], pa.string()),
+        "dst": pa.array([], pa.string())}))
+
+    assert pmi_collocations(docs, "text").count() == 0
+    assert vocab_growth(docs, "doc_id", "text",
+                        checkpoints=[10]).count() == 0
+    assert script_mix_stats(docs, "doc_id", "text").count() == 0
+    assert duplication_weights(docs, "doc_id", "text").count() == 0
+    assert cusum_scores(ev, "k", "t", "v").count() == 0
+    assert decayed_counts(ev, "k", "ts", half_life_days=1.0,
+                          as_of="2024-01-01").count() == 0
+    assert cocitation_pairs(edges, "src", "dst", min_cocite=1).count() == 0
+    assert concat_packing(docs.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "tk": pa.array(np.zeros(t.num_rows,
+                                                    np.int64))}),
+        batch_format="pyarrow"), "doc_id", "tk", 16).count() == 0
+    assert rrf_fuse([rd.from_arrow(pa.table({
+        "id": pa.array([], pa.string()),
+        "rank": pa.array([], pa.int64())}))], "id").count() == 0
+    canon = cluster_canonicals(
+        rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                "cluster_id": pa.array([], pa.int64())})),
+        rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                "q": pa.array([], pa.float64())})),
+        "doc_id", score_col="q")
+    assert canon.count() == 0
+    audit = key_candidate_audit(docs, ["doc_id", "text"]).to_pandas()
+    assert list(audit["n_rows"]) == [0, 0]
+    assert list(audit["is_key"]) == [False, False]

@@ -1113,14 +1113,23 @@ def concat_packing(ds, id_col: str, token_col: str, context_len: int, *,
     refs = mat.to_arrow_refs()
 
     @ray.remote
-    def block_sum(b: pa.Table) -> int:
+    def block_sum(b: pa.Table) -> tuple[int, int]:
+        # zero-row blocks bypass upstream map UDFs and may carry a stale
+        # or empty schema (r3s4 finding) — report rows so they're skipped
         if b.num_rows == 0:
-            return 0
+            return 0, 0
         v = pc.cast(b.column(token_col), pa.int64())
         v = pc.max_element_wise(pc.fill_null(v, 0), pa.scalar(0, pa.int64()))
-        return int(pc.sum(v).as_py() or 0)
+        return b.num_rows, int(pc.sum(v).as_py() or 0)
 
-    sums = ray.get([block_sum.remote(r) for r in refs])
+    stats = ray.get([block_sum.remote(r) for r in refs])
+    refs = [r for r, (rows, _) in zip(refs, stats) if rows > 0]
+    sums = [s for rows, s in stats if rows > 0]
+    if not refs:
+        return rd.from_arrow(pa.schema(
+            [(id_col, pa.int64()), (token_col, pa.int64()),
+             ("offset", pa.int64()), ("bin", pa.int64()),
+             ("straddles", pa.bool_())]).empty_table())
     offsets = np.zeros(len(sums), dtype=np.int64)
     if len(sums) > 1:
         offsets[1:] = np.cumsum(sums[:-1])
