@@ -1397,3 +1397,41 @@ def test_rank_biased_overlap_properties():
         rbo(["a", "a"], ["b"], p=0.9)
     with pytest.raises(ValueError, match="p="):
         rbo(["a"], ["a"], p=1.0)
+
+
+def test_peak_rate_matches_brute_force(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    from webval.windows import peak_rate
+
+    base = datetime.datetime(2024, 1, 1)
+    rng = np.random.default_rng(61)
+    keys, ts = [], []
+    truth = {}
+    for k in ("a", "b", "c"):
+        n = int(rng.integers(5, 60))
+        offs = np.sort(rng.integers(0, 7200 * 1_000_000, n))  # 2h span, µs
+        if k == "b":
+            offs[10:20] = offs[10]        # burst: 10 identical timestamps
+            offs = np.sort(offs)
+        keys += [k] * n
+        ts += [base + datetime.timedelta(microseconds=int(o))
+               for o in offs]
+        w = 600 * 1_000_000               # 10-minute window
+        peak = max(int(((offs >= t - w) & (offs <= t)).sum())
+                   for t in offs)
+        truth[k] = (n, peak)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us"))})).repartition(4)
+    out = peak_rate(ds, "k", "ts", window_seconds=600).to_pandas() \
+        .set_index("k")
+    for k, (n, peak) in truth.items():
+        assert out.loc[k]["n_events"] == n
+        assert out.loc[k]["peak_rate"] == peak
+    assert out.loc["b"]["peak_rate"] >= 10   # the planted burst
+
+    with pytest.raises(ValueError, match="window_seconds"):
+        peak_rate(ds, "k", "ts", window_seconds=0)

@@ -7715,6 +7715,34 @@ FROM o
 SQL_RBO_STABILITY = SQL_RBO_STABILITY.replace("{SYNTH_ROOT}", SYNTH_ROOT)
 
 
+def q_peak_rate(sf_dir: str):
+    """Burst detection (windows.peak_rate): per user, the max number of
+    events in any sliding 1-hour window — the scraper/rate-limit audit
+    hourly buckets smear.  Semantics are exactly SQL's RANGE 1-hour
+    window count (timestamp peers included); integers, exact."""
+    import ray.data as rd
+
+    from webval.windows import peak_rate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return ds_to_table(peak_rate(ds, "user_id", "ts",
+                                 window_seconds=3600)) \
+        .sort_by([("user_id", "ascending")])
+
+
+SQL_PEAK_RATE = """
+WITH w AS (SELECT user_id,
+                  count(*) OVER (PARTITION BY user_id ORDER BY ts
+                                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                 AND CURRENT ROW) AS c
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(c) AS BIGINT) AS peak_rate
+FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10417,6 +10445,7 @@ QUERIES = {
     "ols_fit": (q_ols_fit, SQL_OLS_FIT),
     "rrf_hosts": (q_rrf_hosts, SQL_RRF_HOSTS),
     "rbo_stability": (q_rbo_stability, SQL_RBO_STABILITY),
+    "peak_rate": (q_peak_rate, SQL_PEAK_RATE),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

@@ -1852,3 +1852,74 @@ def decayed_counts(ds, key: str, ts_col: str, *, half_life_days: float,
         [key], [("n_events", "sum"), ("freshness", "sum")],
         rename={"n_events_sum": "n_events", "freshness_sum": "freshness"},
         num_buckets=num_buckets)
+
+
+def peak_rate(ds, key: str, ts_col: str, *, window_seconds: float,
+              num_buckets: int | None = None,
+              max_group_rows: int | None = None):
+    """Burst detection: per key, the MAXIMUM number of events inside any
+    sliding ``window_seconds`` window — the rate-limit / scraper-burst
+    audit that hourly buckets smear away.  Window semantics match SQL's
+    ``RANGE BETWEEN <w> PRECEDING AND CURRENT ROW``: for each event,
+    events with ts in [t − w, t] count, timestamp peers included, and
+    the per-key peak is the max over events.  Null keys/timestamps are
+    dropped.  Returns Dataset[{key, n_events, peak_rate}].
+
+    Scale shape: combiner-less key exchange (a key's event series is
+    scanned whole; oversized keys raise the named diagnostic); per
+    bucket one lexsort, then per key two vectorized searchsorted
+    sweeps — Python loops only over KEYS, never rows."""
+    import numpy as np
+
+    from webval.exchange import DEFAULT_MAX_GROUP_ROWS, bucketed_group_apply
+
+    if window_seconds <= 0:
+        raise ValueError(f"peak_rate: window_seconds must be > 0, "
+                         f"got {window_seconds}")
+    w_us = int(round(float(window_seconds) * 1e6))
+
+    def proj(t: pa.Table) -> pa.Table:
+        k = t.column(key).combine_chunks()
+        ts = t.column(ts_col).combine_chunks()
+        m = pc.and_(pc.is_valid(k), pc.is_valid(ts))
+        return pa.table({key: k.filter(m),
+                         "ts_us": pc.cast(pc.cast(ts.filter(m),
+                                                  pa.timestamp("us")),
+                                          pa.int64())})
+
+    def scan(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                key: pa.array([], g.schema.field(key).type),
+                "n_events": pa.array([], pa.int64()),
+                "peak_rate": pa.array([], pa.int64())})
+        g = g.sort_by([(key, "ascending"), ("ts_us", "ascending")])
+        kv = g.column(key).combine_chunks()
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        n = len(ts)
+        change = np.ones(n, dtype=bool)
+        change[1:] = ~pc.equal(kv.slice(1), kv.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+        starts = np.where(change)[0]
+        ends = np.append(starts[1:], n)
+        keys_out, n_out, peak_out = [], [], []
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            lo = np.searchsorted(seg, seg - w_us, side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            keys_out.append(kv[int(s)])
+            n_out.append(int(e - s))
+            peak_out.append(int((hi - lo).max()))
+        return pa.table({
+            key: pa.array([x.as_py() for x in keys_out],
+                          g.schema.field(key).type),
+            "n_events": pa.array(n_out, pa.int64()),
+            "peak_rate": pa.array(peak_out, pa.int64())})
+
+    if max_group_rows is None:
+        max_group_rows = DEFAULT_MAX_GROUP_ROWS
+    return bucketed_group_apply(
+        ds.select_columns([key, ts_col]).map_batches(
+            proj, batch_format="pyarrow"),
+        [key], scan, num_buckets=num_buckets,
+        max_group_rows=max_group_rows)
