@@ -215,3 +215,50 @@ def test_run_dedup_job_init_and_increment(tmp_path, capsys):
     # init refuses to clobber an existing index
     with pytest.raises(SystemExit, match="non-empty"):
         main(["init", "--input", str(corpus), "--index", str(index)])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_run_training_prep_job(tmp_path, capsys):
+    import pyarrow as pa
+
+    from run_training_prep import main
+
+    inp = tmp_path / "docs"
+    inp.mkdir()
+    texts, ids = [], []
+    for i in range(120):
+        ids.append(i)
+        if i % 10 == 7:
+            texts.append("buy cheap pills now " * 5)       # blocklisted
+        elif i % 10 in (8, 9):
+            texts.append("identical near dup body text here " * 6)
+        else:
+            texts.append(f"unique document body {i} with words " * 4)
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts)}),
+                   inp / "d.parquet")
+    out = tmp_path / "prep"
+
+    rc = main(["--input", str(inp), "--out", str(out),
+               "--context-len", "64", "--block", "cheap pills",
+               "--jaccard", "0.9"])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["rows_in"] == 120
+    assert s["rows_clean"] == 108                 # 12 blocklisted dropped
+    # 24 exact near-dups collapse to 1 kept doc
+    assert s["rows_kept"] == 108 - 24 + 1
+    assert sum(s["splits"].values()) == s["rows_kept"]
+    assert s["splits"]["train"] > s["splits"]["val"] >= 0
+
+    # the pack plan is loadable, offsets partition each split's stream
+    import ray.data as rd
+    plan = rd.read_parquet(str(out / "split=train")).to_pandas() \
+        .sort_values("offset")
+    assert (plan["offset"] + plan["n_tokens"]).iloc[:-1].tolist() \
+        == plan["offset"].iloc[1:].tolist()
+    assert (plan["bin"] == plan["offset"] // 64).all()
+
+    # dirty --out fails fast
+    with pytest.raises(SystemExit, match="non-empty"):
+        main(["--input", str(inp), "--out", str(out)])
