@@ -1435,3 +1435,38 @@ def test_peak_rate_matches_brute_force(ray_session):
 
     with pytest.raises(ValueError, match="window_seconds"):
         peak_rate(ds, "k", "ts", window_seconds=0)
+
+
+def test_match_distribution_sample(ray_session):
+    import ray.data as rd
+
+    from webval.pipelines import match_distribution_sample
+
+    rng = np.random.default_rng(67)
+    langs = ["en"] * 7000 + ["de"] * 2000 + ["ru"] * 1000
+    rng.shuffle(langs)
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(np.arange(len(langs)), pa.int64()),
+        "lang": pa.array(langs, pa.string())}))
+    kept = match_distribution_sample(
+        ds, "lang", "id", {"en": 1 / 3, "de": 1 / 3, "ru": 1 / 3}) \
+        .to_pandas()
+    by = kept.groupby("lang").size()
+    # binding key (ru: 1000/(1/3)=3000 smallest) keeps EVERYTHING
+    assert by["ru"] == 1000
+    # others land near 1000 in expectation (hash is uniform, not exact-k)
+    assert 850 <= by["en"] <= 1150 and 850 <= by["de"] <= 1150
+    # membership is deterministic: second run identical
+    again = match_distribution_sample(
+        ds, "lang", "id", {"en": 1 / 3, "de": 1 / 3, "ru": 1 / 3}) \
+        .to_pandas()
+    assert sorted(again["id"]) == sorted(kept["id"])
+    # untargeted keys are dropped entirely
+    k2 = match_distribution_sample(ds, "lang", "id",
+                                   {"ru": 1.0}).to_pandas()
+    assert set(k2["lang"]) == {"ru"} and len(k2) == 1000
+
+    with pytest.raises(ValueError, match="no rows"):
+        match_distribution_sample(ds, "lang", "id", {"xx": 1.0})
+    with pytest.raises(ValueError, match="target"):
+        match_distribution_sample(ds, "lang", "id", {})

@@ -1215,3 +1215,75 @@ def plan_shards(ds, key_col: str, weight_col: str, n_shards: int, *,
                     "weight": pa.array(wts),
                     "shard": pa.array(shards)})
     return rd.from_arrow(out)
+
+
+def match_distribution_sample(ds, key_col: str, id_col: str,
+                              target: dict[str, float], *,
+                              modulus: int = 2**32,
+                              multiplier: int = 2654435761,
+                              num_buckets: int | None = None):
+    """Distribution-matching downsampler: keep a deterministic subset
+    whose ``key_col`` composition matches the ``target`` shares (e.g.
+    rebalance a 70%-English crawl to uniform across languages) at the
+    LARGEST achievable size — no key can be oversampled, so the total
+    is min_k(n_k / share_k) and the binding key keeps everything.
+    Keys absent from ``target`` (or with share 0) are dropped.
+    Membership is the same Knuth-hash predicate as
+    :func:`deterministic_sample`, per-key thresholded — identical
+    membership across runs, engines and cluster sizes (expected counts
+    are hit only in expectation: the hash is uniform, not exact-k).
+    Rows with null key/id are dropped.  Returns the sampled rows.
+
+    Scale shape: ONE per-key count exchange (key domain is
+    policy-sized: languages, sources); thresholds broadcast in the
+    closure; the sample itself is a stateless vectorized hash filter —
+    no shuffle of the data."""
+    import ray
+
+    from webval.exchange import grouped_agg
+
+    if not target or any(s < 0 for s in target.values()):
+        raise ValueError("match_distribution_sample: target must be "
+                         "non-empty with nonnegative shares")
+    keys = [k for k, s in target.items() if s > 0]
+    counts_ds = grouped_agg(
+        ds.select_columns([key_col]).map_batches(
+            lambda t: t.drop_null(), batch_format="pyarrow"),
+        [key_col], [(key_col, "count")],
+        rename={f"{key_col}_count": "n"}, num_buckets=num_buckets)
+    # the count table is target-key-sized — this read is the planner
+    blocks = [b for b in (ray.get(r)
+                          for r in counts_ds.materialize().to_arrow_refs())
+              if b.num_rows > 0]
+    n_of = {}
+    for b in blocks:
+        for k, n in zip(b.column(key_col).to_pylist(),
+                        b.column("n").to_pylist()):
+            n_of[k] = n
+    missing = [k for k in keys if not n_of.get(k)]
+    if missing:
+        raise ValueError(f"match_distribution_sample: target keys with "
+                         f"no rows: {missing}")
+    n_total = min(n_of[k] / target[k] for k in keys)
+    thr = {k: int(np.floor(target[k] * n_total / n_of[k] * modulus))
+           for k in keys}
+    key_arr = pa.array(keys)
+    thr_np = np.array([thr[k] for k in keys] + [0], dtype=np.uint64)
+    mult = np.uint64(multiplier)
+    mod = np.uint64(modulus)
+
+    def keep(t: pa.Table) -> pa.Table:
+        kc = t.column(key_col).combine_chunks()
+        ic = t.column(id_col).combine_chunks()
+        m = pc.and_(pc.is_valid(kc), pc.is_valid(ic))
+        t = t.filter(m)
+        kc, ic = kc.filter(m), ic.filter(m)
+        idx = pc.fill_null(pc.index_in(kc, value_set=key_arr),
+                           len(keys)).to_numpy(zero_copy_only=False)
+        ids = ic.to_numpy(zero_copy_only=False).astype(np.uint64,
+                                                       copy=False)
+        with np.errstate(over="ignore"):
+            h = (ids * mult) % mod
+        return t.filter(pa.array(h < thr_np[idx]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -7743,6 +7743,49 @@ FROM w GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_rebalance_sample(sf_dir: str):
+    """Distribution-matching downsample
+    (pipelines.match_distribution_sample): rebalance the en-heavy crawl
+    to uniform shares over {en, de, ru, zh} at the largest achievable
+    size — per-lang Knuth-hash thresholds, membership-exact on both
+    engines, verified by per-lang kept counts."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.pipelines import match_distribution_sample
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["page_id", "lang"])
+    kept = match_distribution_sample(
+        ds, "lang", "page_id",
+        {"en": 0.25, "de": 0.25, "ru": 0.25, "zh": 0.25})
+    counts = grouped_agg(kept, ["lang"], [("lang", "count")],
+                         rename={"lang_count": "kept"})
+    t = ds_to_table(counts).sort_by([("lang", "ascending")])
+    return t.set_column(t.column_names.index("lang"), "lang",
+                        pc.cast(t.column("lang"), pa.string()))
+
+
+SQL_REBALANCE_SAMPLE = f"""
+WITH p AS (SELECT page_id, lang
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+           WHERE lang IN ('en', 'de', 'ru', 'zh')
+             AND page_id IS NOT NULL),
+c AS (SELECT lang, count(*) AS n FROM p GROUP BY 1),
+nt AS (SELECT min(n / 0.25) AS t FROM c),
+r AS (SELECT lang,
+             CAST(floor(0.25 * nt.t / c.n * 4294967296.0) AS BIGINT)
+                 AS thr
+      FROM c, nt)
+SELECT p.lang, CAST(count(*) AS BIGINT) AS kept
+FROM p JOIN r USING (lang)
+WHERE (p.page_id * 2654435761) % 4294967296 < r.thr
+GROUP BY p.lang ORDER BY p.lang
+"""
+SQL_REBALANCE_SAMPLE = SQL_REBALANCE_SAMPLE.replace("{SYNTH_ROOT}",
+                                                    SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10446,6 +10489,7 @@ QUERIES = {
     "rrf_hosts": (q_rrf_hosts, SQL_RRF_HOSTS),
     "rbo_stability": (q_rbo_stability, SQL_RBO_STABILITY),
     "peak_rate": (q_peak_rate, SQL_PEAK_RATE),
+    "rebalance_sample": (q_rebalance_sample, SQL_REBALANCE_SAMPLE),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
