@@ -1470,3 +1470,56 @@ def test_match_distribution_sample(ray_session):
         match_distribution_sample(ds, "lang", "id", {"xx": 1.0})
     with pytest.raises(ValueError, match="target"):
         match_distribution_sample(ds, "lang", "id", {})
+
+
+def test_association_rules_matches_counter_oracle(ray_session):
+    import collections
+    import itertools
+
+    import ray.data as rd
+
+    from webval.relational import association_rules
+
+    baskets = {
+        1: {"milk", "bread", "eggs"},
+        2: {"milk", "bread"},
+        3: {"milk", "eggs"},
+        4: {"bread"},
+        5: {"milk", "bread", "butter"},
+        6: {"butter"},
+    }
+    rows_b, rows_i = [], []
+    for b, items in baskets.items():
+        for i in items:
+            rows_b.append(b)
+            rows_i.append(i)
+            rows_b.append(b)            # duplicate rows count once
+            rows_i.append(i)
+    ds = rd.from_arrow(pa.table({
+        "b": pa.array(rows_b, pa.int64()),
+        "i": pa.array(rows_i, pa.string())}))
+    out = association_rules(ds, "b", "i", min_pair=1, top_k=50) \
+        .to_pandas().set_index(["a", "b"])
+
+    n = len(baskets)
+    item_n = collections.Counter(i for s in baskets.values() for i in s)
+    pair_n = collections.Counter()
+    for s in baskets.values():
+        for a, b in itertools.combinations(sorted(s), 2):
+            pair_n[(a, b)] += 1
+    assert set(out.index) == set(pair_n)
+    for (a, b), nab in pair_n.items():
+        r = out.loc[(a, b)]
+        assert r["n_ab"] == nab
+        assert (r["n_a"], r["n_b"]) == (item_n[a], item_n[b])
+        assert r["support"] == pytest.approx(nab / n, rel=1e-12)
+        assert r["conf_a_b"] == pytest.approx(nab / item_n[a], rel=1e-12)
+        assert r["lift"] == pytest.approx(
+            n * nab / (item_n[a] * item_n[b]), rel=1e-12)
+    # lift non-increasing down the ranking
+    lifts = list(out["lift"])
+    assert lifts == sorted(lifts, reverse=True)
+    # min_pair filters
+    o2 = association_rules(ds, "b", "i", min_pair=3,
+                           top_k=50).to_pandas()
+    assert set(zip(o2["a"], o2["b"])) == {("bread", "milk")}

@@ -7786,6 +7786,50 @@ SQL_REBALANCE_SAMPLE = SQL_REBALANCE_SAMPLE.replace("{SYNTH_ROOT}",
                                                     SYNTH_ROOT)
 
 
+def q_event_rules(sf_dir: str):
+    """Association rules (relational.association_rules): event-type
+    pairs co-triggered by the same users, ranked by lift — presence-
+    based market-basket mining.  All ratios are the same integer-fed
+    expressions on both engines, emitted unrounded; rank key is
+    round(lift, 6) with (a, b) ties."""
+    import ray.data as rd
+
+    from webval.relational import association_rules
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    out = association_rules(ds, "user_id", "event_type", min_pair=5,
+                            top_k=20)
+    t = ds_to_table(out)
+    for c in ("a", "b"):
+        t = t.set_column(t.column_names.index(c), c,
+                         pc.cast(t.column(c), pa.string()))
+    return t
+
+
+SQL_EVENT_RULES = """
+WITH e AS (SELECT DISTINCT user_id, event_type FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+nb AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n FROM e),
+ic AS (SELECT event_type, count(*) AS c FROM e GROUP BY 1),
+pr AS (SELECT a.event_type AS a, b.event_type AS b, count(*) AS n_ab
+       FROM e a JOIN e b
+         ON a.user_id = b.user_id AND a.event_type < b.event_type
+       GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT pr.a, pr.b, CAST(pr.n_ab AS BIGINT) AS n_ab,
+       CAST(ia.c AS BIGINT) AS n_a, CAST(ib.c AS BIGINT) AS n_b,
+       pr.n_ab / nb.n AS support,
+       CAST(pr.n_ab AS DOUBLE) / ia.c AS conf_a_b,
+       CAST(pr.n_ab AS DOUBLE) / ib.c AS conf_b_a,
+       (nb.n * pr.n_ab) / (CAST(ia.c AS DOUBLE) * ib.c) AS lift
+FROM pr JOIN ic ia ON pr.a = ia.event_type
+        JOIN ic ib ON pr.b = ib.event_type, nb
+ORDER BY round((nb.n * pr.n_ab) / (CAST(ia.c AS DOUBLE) * ib.c), 6)
+             DESC, pr.a, pr.b
+LIMIT 20
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10490,6 +10534,7 @@ QUERIES = {
     "rbo_stability": (q_rbo_stability, SQL_RBO_STABILITY),
     "peak_rate": (q_peak_rate, SQL_PEAK_RATE),
     "rebalance_sample": (q_rebalance_sample, SQL_REBALANCE_SAMPLE),
+    "event_rules": (q_event_rules, SQL_EVENT_RULES),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

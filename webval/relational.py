@@ -488,3 +488,103 @@ def fd_strength(ds, pairs: list[tuple[str, str]], *,
         "keep": pa.array([r["keep"] for r in rows], pa.int64()),
         "strength": pa.array([r["strength"] for r in rows], pa.float64()),
     })
+
+
+def association_rules(ds, basket_col: str, item_col: str, *,
+                      min_pair: int = 2, max_items: int = 64,
+                      top_k: int = 20, num_buckets: int | None = None):
+    """Market-basket association mining (Agrawal & Srikant 1994 style,
+    pairs): for item pairs co-occurring in ≥ ``min_pair`` baskets,
+
+        support = n_ab / N     confidence(a→b) = n_ab / n_a
+        lift = N · n_ab / (n_a · n_b)
+
+    — "users who trigger event A also trigger B" / tag co-occurrence.
+    Baskets are the distinct ``basket_col`` values; items are presence-
+    based (duplicates in a basket count once).  Baskets larger than
+    ``max_items`` participate with their lexicographically smallest
+    ``max_items`` items (deterministic, mirrorable — same rule as
+    :func:`webval.graph.cocitation_pairs`, which provides the pair
+    counts).  Returns the ``top_k`` pairs by (round(lift, 6) desc,
+    a, b) as Dataset[{a, b, n_ab, n_a, n_b, support, conf_a_b,
+    conf_b_a, lift}].
+
+    Scale shape: ONE distinct (basket, item) exchange feeds both the
+    pair fan-out (bounded by C(max_items, 2) per basket) and the
+    per-item basket counts; N rides as block partials; two co-bucketed
+    joins attach marginals; final rank is a pair-table sort."""
+    from webval.exchange import distinct_rows, grouped_agg, sum_block_scalars
+    from webval.graph import cocitation_pairs
+    from webval.joins import equi_join
+
+    e = distinct_rows(
+        ds.select_columns([basket_col, item_col]).map_batches(
+            lambda t: t.drop_null(), batch_format="pyarrow"),
+        [basket_col, item_col], num_buckets=num_buckets).materialize()
+
+    pairs = cocitation_pairs(e, basket_col, item_col,
+                             max_out=max_items, min_cocite=min_pair,
+                             top_k=1 << 40, num_buckets=num_buckets)
+    pairs = pairs.map_batches(
+        lambda t: t.rename_columns(["a", "b", "n_ab"]),
+        batch_format="pyarrow")
+
+    items = grouped_agg(
+        e.map_batches(lambda t: pa.table({
+            "item": t.column(item_col).combine_chunks()
+            .cast(pa.large_string()),
+            "nb": pa.nulls(t.num_rows, pa.int64()).fill_null(1)}),
+            batch_format="pyarrow"),
+        ["item"], [("nb", "sum")], rename={"nb_sum": "nb"},
+        num_buckets=num_buckets)
+    n_baskets = sum_block_scalars(
+        distinct_rows(e.select_columns([basket_col]), [basket_col],
+                      num_buckets=num_buckets)
+        .map_batches(lambda t: pa.table({
+            "n": pa.array([t.num_rows], pa.int64())}),
+            batch_format="pyarrow").materialize(), ["n"])["n"]
+    if n_baskets == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.schema(
+            [("a", pa.large_string()), ("b", pa.large_string()),
+             ("n_ab", pa.int64()), ("n_a", pa.int64()),
+             ("n_b", pa.int64()), ("support", pa.float64()),
+             ("conf_a_b", pa.float64()), ("conf_b_a", pa.float64()),
+             ("lift", pa.float64())]).empty_table())
+
+    j1 = equi_join(pairs, items, on=["a"], right_on=["item"],
+                   num_buckets=num_buckets)
+    j1 = j1.map_batches(lambda t: t.rename_columns(
+        ["n_a" if c == "nb" else c for c in t.column_names]),
+        batch_format="pyarrow")
+    j2 = equi_join(j1, items, on=["b"], right_on=["item"],
+                   num_buckets=num_buckets)
+    j2 = j2.map_batches(lambda t: t.rename_columns(
+        ["n_b" if c == "nb" else c for c in t.column_names]),
+        batch_format="pyarrow")
+
+    big_n = float(n_baskets)
+
+    def score(t: pa.Table) -> pa.Table:
+        ab = t.column("n_ab").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        na = t.column("n_a").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        nb = t.column("n_b").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        lift = big_n * ab / (na * nb)
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "n_ab": t.column("n_ab"),
+                         "n_a": t.column("n_a"), "n_b": t.column("n_b"),
+                         "support": pa.array(ab / big_n),
+                         "conf_a_b": pa.array(ab / na),
+                         "conf_b_a": pa.array(ab / nb),
+                         "lift": pa.array(lift),
+                         "rl": pa.array(lift.round(6))})
+
+    ranked = j2.map_batches(score, batch_format="pyarrow") \
+        .sort(["rl", "a", "b"], descending=[True, False, False]) \
+        .limit(top_k)
+    return ranked.map_batches(lambda t: t.drop_columns(["rl"]),
+                              batch_format="pyarrow")
