@@ -1523,3 +1523,47 @@ def test_association_rules_matches_counter_oracle(ray_session):
     o2 = association_rules(ds, "b", "i", min_pair=3,
                            top_k=50).to_pandas()
     assert set(zip(o2["a"], o2["b"])) == {("bread", "milk")}
+
+
+def test_personalized_pagerank_matches_dense_reference(ray_session):
+    import ray.data as rd
+
+    from webval.graph import personalized_pagerank
+
+    rng = np.random.default_rng(71)
+    n = 25
+    src = rng.integers(0, n, 120)
+    dst = rng.integers(0, n, 120)
+    seeds = [0, 1]
+    ds = rd.from_arrow(pa.table({"s": pa.array(src, pa.int64()),
+                                 "d": pa.array(dst, pa.int64())}))
+    out = personalized_pagerank(ds, "s", "d", seeds, damping=0.85,
+                                n_iter=8).to_pandas().set_index("node")
+
+    # dense reference with multiplicity, dangling -> seeds
+    a = np.zeros((n, n))
+    for s, d in zip(src, dst):
+        a[s, d] += 1
+    deg = a.sum(axis=1)
+    v = np.zeros(n)
+    v[seeds] = 1 / len(seeds)
+    r = v.copy()
+    for _ in range(8):
+        contrib = np.zeros(n)
+        nz = deg > 0
+        contrib += (r[nz] / deg[nz]) @ a[nz]
+        dangling = r[~nz].sum()
+        r = 0.85 * (contrib + dangling * v) + 0.15 * v
+    for i in range(n):
+        assert out.loc[i]["rank"] == pytest.approx(r[i], abs=1e-12)
+    assert out["rank"].sum() == pytest.approx(1.0, abs=1e-9)
+    # proximity: seeds rank above the global minimum
+    assert out.loc[0]["rank"] > out["rank"].min()
+
+    # seed not present in the graph still gets teleport mass
+    out2 = personalized_pagerank(ds, "s", "d", [999], n_iter=3) \
+        .to_pandas().set_index("node")
+    assert 999 in out2.index and out2.loc[999]["rank"] > 0.14
+
+    with pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(ds, "s", "d", [])

@@ -7830,6 +7830,85 @@ LIMIT 20
 """
 
 
+def q_ppr_hosts(sf_dir: str):
+    """Personalized PageRank (graph.personalized_pagerank) from seeds
+    {d0, d1} over the host link graph, 3 iterations — "hosts related
+    to the seeds" proximity.  The twin unrolls the same update as
+    chained CTEs (teleport+dangling mass to seeds only); ranks round 6
+    (different contribution-sum order)."""
+    import ray.data as rd
+
+    from webval.graph import personalized_pagerank
+
+    _, links = ensure_synth(sf_dir)
+    ds = rd.read_parquet(links, columns=["src_url", "dst_url"])
+
+    def hosts(t: pa.Table) -> pa.Table:
+        s = pc.struct_field(pc.extract_regex(
+            t.column("src_url").combine_chunks(), _HOST_RE), "host")
+        d = pc.struct_field(pc.extract_regex(
+            t.column("dst_url").combine_chunks(), _HOST_RE), "host")
+        return pa.table({"s": s, "d": d}).filter(
+            pc.and_(pc.is_valid(s), pc.is_valid(d)))
+
+    out = personalized_pagerank(
+        ds.map_batches(hosts, batch_format="pyarrow"), "s", "d",
+        ["d0", "d1"], damping=0.85, n_iter=3)
+    t = ds_to_table(out).sort_by([("node", "ascending")])
+    t = t.set_column(t.column_names.index("node"), "node",
+                     pc.cast(t.column("node"), pa.string()))
+    return _round_cols(t, {"rank": 6})
+
+
+SQL_PPR_HOSTS = f"""
+WITH e AS (SELECT regexp_extract(src_url, '^https?://([a-z0-9-]+)\\.', 1)
+                      AS s,
+                  regexp_extract(dst_url, '^https?://([a-z0-9-]+)\\.', 1)
+                      AS d
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/links.parquet')
+           WHERE regexp_matches(src_url, '^https?://([a-z0-9-]+)\\.')
+             AND regexp_matches(dst_url, '^https?://([a-z0-9-]+)\\.')),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT s AS node FROM e UNION ALL SELECT d FROM e
+           UNION ALL SELECT unnest(['d0', 'd1']))),
+dg AS (SELECT s AS node, count(*) AS deg FROM e GROUP BY 1),
+nd AS (SELECT n.node, coalesce(dg.deg, 0) AS deg,
+              n.node IN ('d0', 'd1') AS seed
+       FROM nodes n LEFT JOIN dg USING (node)),
+r0 AS (SELECT node, deg, seed,
+              CASE WHEN seed THEN 0.5 ELSE 0.0 END AS r FROM nd),
+r1 AS (SELECT nd.node, nd.deg, nd.seed,
+              0.85 * coalesce(c.w, 0.0) + CASE WHEN nd.seed THEN
+                  (0.15 + 0.85 * dang.dm) / 2.0 ELSE 0.0 END AS r
+       FROM nd
+       LEFT JOIN (SELECT e.d AS node, sum(p.r / p.deg) AS w
+                  FROM e JOIN r0 p ON e.s = p.node GROUP BY 1) c
+           USING (node)
+       CROSS JOIN (SELECT coalesce(sum(CASE WHEN deg = 0 THEN r END),
+                                   0.0) AS dm FROM r0) dang),
+r2 AS (SELECT nd.node, nd.deg, nd.seed,
+              0.85 * coalesce(c.w, 0.0) + CASE WHEN nd.seed THEN
+                  (0.15 + 0.85 * dang.dm) / 2.0 ELSE 0.0 END AS r
+       FROM nd
+       LEFT JOIN (SELECT e.d AS node, sum(p.r / p.deg) AS w
+                  FROM e JOIN r1 p ON e.s = p.node GROUP BY 1) c
+           USING (node)
+       CROSS JOIN (SELECT coalesce(sum(CASE WHEN deg = 0 THEN r END),
+                                   0.0) AS dm FROM r1) dang),
+r3 AS (SELECT nd.node, nd.deg, nd.seed,
+              0.85 * coalesce(c.w, 0.0) + CASE WHEN nd.seed THEN
+                  (0.15 + 0.85 * dang.dm) / 2.0 ELSE 0.0 END AS r
+       FROM nd
+       LEFT JOIN (SELECT e.d AS node, sum(p.r / p.deg) AS w
+                  FROM e JOIN r2 p ON e.s = p.node GROUP BY 1) c
+           USING (node)
+       CROSS JOIN (SELECT coalesce(sum(CASE WHEN deg = 0 THEN r END),
+                                   0.0) AS dm FROM r2) dang)
+SELECT node, round(r, 6) AS rank FROM r3 ORDER BY node
+"""
+SQL_PPR_HOSTS = SQL_PPR_HOSTS.replace("{SYNTH_ROOT}", SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10535,6 +10614,7 @@ QUERIES = {
     "peak_rate": (q_peak_rate, SQL_PEAK_RATE),
     "rebalance_sample": (q_rebalance_sample, SQL_REBALANCE_SAMPLE),
     "event_rules": (q_event_rules, SQL_EVENT_RULES),
+    "ppr_hosts": (q_ppr_hosts, SQL_PPR_HOSTS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
