@@ -1567,3 +1567,38 @@ def test_personalized_pagerank_matches_dense_reference(ray_session):
 
     with pytest.raises(ValueError, match="seed"):
         personalized_pagerank(ds, "s", "d", [])
+
+
+def test_tukey_outlier_audit_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from webval.rank import tukey_outlier_audit
+
+    rng = np.random.default_rng(73)
+    keys, vals = [], []
+    truth = {}
+    for k in ("a", "b"):
+        x = rng.normal(0, 1, 400)
+        x[:5] = 40.0          # planted high outliers
+        x[5] = -40.0          # one low
+        keys += [k] * len(x)
+        vals += list(x)
+        q1, q3 = np.quantile(x, [0.25, 0.75])  # linear interp = cont
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        truth[k] = (len(x), q1, q3, int((x < lo).sum()),
+                    int((x > hi).sum()))
+    keys.append("a")
+    vals.append(None)          # nulls ignored
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.string()),
+        "v": pa.array(vals, pa.float64())})).repartition(5)
+    out = tukey_outlier_audit(ds, "k", "v", k=1.5).to_pandas() \
+        .set_index("k")
+    for k, (n, q1, q3, nl, nh) in truth.items():
+        r = out.loc[k]
+        assert r["n"] == n
+        assert r["q1"] == pytest.approx(q1, rel=1e-12)
+        assert r["q3"] == pytest.approx(q3, rel=1e-12)
+        assert (r["n_low"], r["n_high"]) == (nl, nh)
+        assert r["out_rate"] == pytest.approx((nl + nh) / n, rel=1e-12)
+    assert out.loc["a"]["n_high"] >= 5 and out.loc["a"]["n_low"] >= 1

@@ -7909,6 +7909,44 @@ SELECT node, round(r, 6) AS rank FROM r3 ORDER BY node
 SQL_PPR_HOSTS = SQL_PPR_HOSTS.replace("{SYNTH_ROOT}", SYNTH_ROOT)
 
 
+def q_tukey_outliers(sf_dir: str):
+    """Tukey-fence outlier audit (rank.tukey_outlier_audit, k=1.5):
+    per event type, exact interpolated Q1/Q3 and counts outside the
+    boxplot fences.  Fences are the same arithmetic over the same
+    interpolated quantiles on both engines, so flags are exact;
+    quantiles and out_rate round 6."""
+    import ray.data as rd
+
+    from webval.rank import tukey_outlier_audit
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    out = tukey_outlier_audit(ds, "event_type", "value", k=1.5)
+    t = ds_to_table(out).sort_by([("event_type", "ascending")])
+    return _round_cols(t, {"q1": 6, "q3": 6, "out_rate": 6})
+
+
+SQL_TUKEY_OUTLIERS = """
+WITH v AS (SELECT event_type, value FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+f AS (SELECT event_type, quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM v GROUP BY 1)
+SELECT v.event_type, CAST(count(*) AS BIGINT) AS n,
+       round(f.q1, 6) AS q1, round(f.q3, 6) AS q3,
+       CAST(count(*) FILTER (v.value < f.q1 - 1.5 * (f.q3 - f.q1))
+            AS BIGINT) AS n_low,
+       CAST(count(*) FILTER (v.value > f.q3 + 1.5 * (f.q3 - f.q1))
+            AS BIGINT) AS n_high,
+       round(CAST(count(*) FILTER (v.value < f.q1 - 1.5 * (f.q3 - f.q1)
+                                   OR v.value > f.q3
+                                      + 1.5 * (f.q3 - f.q1))
+                  AS DOUBLE) / count(*), 6) AS out_rate
+FROM v JOIN f USING (event_type)
+GROUP BY v.event_type, f.q1, f.q3 ORDER BY v.event_type
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10615,6 +10653,7 @@ QUERIES = {
     "rebalance_sample": (q_rebalance_sample, SQL_REBALANCE_SAMPLE),
     "event_rules": (q_event_rules, SQL_EVENT_RULES),
     "ppr_hosts": (q_ppr_hosts, SQL_PPR_HOSTS),
+    "tukey_outliers": (q_tukey_outliers, SQL_TUKEY_OUTLIERS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

@@ -959,3 +959,76 @@ def _collect_value_histogram(ds, col: str, *, num_buckets=None) -> pa.Table:
     t = pa.concat_tables(blocks, promote_options="default")
     return t.rename_columns(["value", "cnt"]) \
         if t.column_names != ["value", "cnt"] else t
+
+
+def tukey_outlier_audit(ds, key: str, value_col: str, *, k: float = 1.5,
+                        num_buckets: int | None = None):
+    """Tukey-fence outlier audit per group: exact interpolated Q1/Q3
+    per key, fences Q1 − k·IQR / Q3 + k·IQR, and the count of values
+    outside them — the boxplot rule every data-quality report uses,
+    robust where z-scores are wrecked by the outliers they hunt.
+    Nulls are ignored; k=1.5 is Tukey's inner fence (3.0 = "far out").
+    Returns Dataset[{key, n, q1, q3, n_low, n_high, out_rate}].
+
+    Scale shape: one exact-quantile pass (value-count exchange per
+    key), fences broadcast back via a co-bucketed join keyed the same
+    way, one (count, low, high) combiner exchange — the fence compare
+    is bit-identical across engines because both sides evaluate the
+    same arithmetic on the same interpolated quantiles."""
+    from webval.exchange import grouped_agg
+    from webval.joins import equi_join
+
+    q = grouped_exact_quantiles(ds, key, value_col,
+                                {"q1": 0.25, "q3": 0.75},
+                                interpolate=True,
+                                num_buckets=num_buckets)
+
+    def fences(t: pa.Table) -> pa.Table:
+        iqr = pc.subtract(t.column("q3"), t.column("q1"))
+        lo = pc.subtract(t.column("q1"),
+                         pc.multiply(iqr, pa.scalar(float(k))))
+        hi = pc.add(t.column("q3"), pc.multiply(iqr, pa.scalar(float(k))))
+        return pa.table({key: t.column(key), "q1": t.column("q1"),
+                         "q3": t.column("q3"), "lo": lo, "hi": hi})
+
+    f = q.map_batches(fences, batch_format="pyarrow")
+    proj = ds.map_batches(
+        lambda t: t.select([key, value_col]).filter(
+            pc.is_valid(t.column(value_col))),
+        batch_format="pyarrow")
+    joined = equi_join(proj, f, on=[key], num_buckets=num_buckets)
+
+    def flag(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(value_col), pa.float64())
+        low = pc.less(v, t.column("lo"))
+        high = pc.greater(v, t.column("hi"))
+        tab = pa.table({
+            key: t.column(key), "q1": t.column("q1"),
+            "q3": t.column("q3"),
+            "n": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "n_low": pc.cast(low, pa.int64()),
+            "n_high": pc.cast(high, pa.int64())})
+        agg = tab.group_by([key, "q1", "q3"]).aggregate(
+            [("n", "sum"), ("n_low", "sum"), ("n_high", "sum")])
+        return agg.rename_columns([key, "q1", "q3", "n", "n_low",
+                                   "n_high"])
+
+    out = grouped_agg(joined.map_batches(flag, batch_format="pyarrow"),
+                      [key, "q1", "q3"],
+                      [("n", "sum"), ("n_low", "sum"), ("n_high", "sum")],
+                      rename={"n_sum": "n", "n_low_sum": "n_low",
+                              "n_high_sum": "n_high"},
+                      num_buckets=num_buckets)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rate = pc.divide(
+            pc.cast(pc.add(t.column("n_low"), t.column("n_high")),
+                    pa.float64()),
+            pc.cast(t.column("n"), pa.float64()))
+        return pa.table({key: t.column(key), "n": t.column("n"),
+                         "q1": t.column("q1"), "q3": t.column("q3"),
+                         "n_low": t.column("n_low"),
+                         "n_high": t.column("n_high"),
+                         "out_rate": rate})
+
+    return out.map_batches(finalize, batch_format="pyarrow")
