@@ -1602,3 +1602,49 @@ def test_tukey_outlier_audit_matches_numpy(ray_session):
         assert (r["n_low"], r["n_high"]) == (nl, nh)
         assert r["out_rate"] == pytest.approx((nl + nh) / n, rel=1e-12)
     assert out.loc["a"]["n_high"] >= 5 and out.loc["a"]["n_low"] >= 1
+
+
+def test_cluster_pair_quality_matches_brute_force(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from webval.dedup import cluster_pair_quality
+
+    rng = np.random.default_rng(79)
+    n = 200
+    truth = rng.integers(0, 30, n)
+    pred = truth.copy()
+    pred[rng.choice(n, 40, replace=False)] = rng.integers(30, 45, 40)
+    ds = rd.from_arrow(pa.table({
+        "pred": pa.array(pred, pa.int64()),
+        "truth": pa.array(truth, pa.int64())}))
+    m = cluster_pair_quality(ds, "pred", "truth")
+
+    pairs_pred = {(i, j) for i, j in itertools.combinations(range(n), 2)
+                  if pred[i] == pred[j]}
+    pairs_true = {(i, j) for i, j in itertools.combinations(range(n), 2)
+                  if truth[i] == truth[j]}
+    common = pairs_pred & pairs_true
+    assert m["pred_pairs"] == len(pairs_pred)
+    assert m["true_pairs"] == len(pairs_true)
+    assert m["common_pairs"] == len(common)
+    assert m["precision"] == pytest.approx(len(common) / len(pairs_pred),
+                                           rel=1e-12)
+    assert m["recall"] == pytest.approx(len(common) / len(pairs_true),
+                                        rel=1e-12)
+    p, r = m["precision"], m["recall"]
+    assert m["f1"] == pytest.approx(2 * p * r / (p + r), rel=1e-12)
+
+    # perfect agreement
+    perfect = cluster_pair_quality(rd.from_arrow(pa.table({
+        "pred": pa.array(truth, pa.int64()),
+        "truth": pa.array(truth, pa.int64())})), "pred", "truth")
+    assert perfect["precision"] == perfect["recall"] == perfect["f1"] == 1.0
+
+    # all-singleton prediction: no pred pairs -> precision undefined
+    sing = cluster_pair_quality(rd.from_arrow(pa.table({
+        "pred": pa.array(np.arange(n), pa.int64()),
+        "truth": pa.array(truth, pa.int64())})), "pred", "truth")
+    assert sing["pred_pairs"] == 0 and sing["precision"] is None
+    assert sing["recall"] == 0.0

@@ -1636,3 +1636,50 @@ def drop_near_duplicates(ds, clusters, id_col: str, *, score_col: str,
         on=[id_col], how="anti", num_buckets=num_buckets)
     return equi_join(ds, losers, on=[id_col], how="anti",
                      num_buckets=num_buckets)
+
+
+def cluster_pair_quality(ds, pred_col: str, truth_col: str, *,
+                         num_buckets: int | None = None) -> dict:
+    """Pairwise clustering quality: treating every same-cluster pair as
+    a retrieved/relevant item, compute pair precision, recall and F1 of
+    the ``pred_col`` assignment against the ``truth_col`` assignment —
+    the standard dedup/blocking evaluation (how much does cheap
+    prefix/LSH blocking over-merge, what does it miss).  Rows with a
+    null in either column are excluded.  Pair counts use the
+    contingency identity — |pred pairs| = Σ_c C(n_c, 2) over pred
+    clusters, |true pairs| likewise, |agreeing pairs| = Σ over the
+    JOINT (pred, truth) cells — so no pair set is ever materialized.
+    Returns {"pred_pairs", "true_pairs", "common_pairs", "precision",
+    "recall", "f1"} (metrics None when undefined).
+
+    Scale shape: three count exchanges (pred, truth, joint cell), each
+    bounded by cluster counts, then per-block C(n,2) partial sums —
+    nothing pair-sized anywhere."""
+    from webval.exchange import grouped_agg, sum_block_scalars
+
+    proj = ds.select_columns([pred_col, truth_col]).map_batches(
+        lambda t: t.drop_null(), batch_format="pyarrow")
+
+    def pair_sum(counts, cols) -> int:
+        def partial(t: pa.Table) -> pa.Table:
+            n = t.column("n").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({"p": pa.array([int((n * (n - 1) // 2).sum())],
+                                           pa.int64())})
+
+        mat = grouped_agg(counts, cols, [(cols[0], "count")],
+                          rename={f"{cols[0]}_count": "n"},
+                          num_buckets=num_buckets) \
+            .map_batches(partial, batch_format="pyarrow").materialize()
+        return sum_block_scalars(mat, ["p"])["p"]
+
+    p = pair_sum(proj, [pred_col])
+    t = pair_sum(proj, [truth_col])
+    c = pair_sum(proj, [pred_col, truth_col])
+    precision = c / p if p else None
+    recall = c / t if t else None
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision and recall and precision + recall > 0 else
+          (0.0 if precision is not None and recall is not None else None))
+    return {"pred_pairs": p, "true_pairs": t, "common_pairs": c,
+            "precision": precision, "recall": recall, "f1": f1}

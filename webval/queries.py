@@ -7947,6 +7947,58 @@ GROUP BY v.event_type, f.q1, f.q3 ORDER BY v.event_type
 """
 
 
+def q_blocking_quality(sf_dir: str):
+    """Pairwise blocking evaluation (dedup.cluster_pair_quality):
+    16-char-prefix blocking scored against exact-text truth — pair
+    precision (over-merge), recall (misses) and F1, computed via the
+    contingency identity with no pair set materialized.  Counts exact;
+    ratios are the same divisions on both engines, unrounded."""
+    import ray.data as rd
+
+    from webval.dedup import cluster_pair_quality
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["text"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        txt = t.column("text").combine_chunks()
+        txt = txt.filter(pc.is_valid(txt)).cast(pa.large_string())
+        return pa.table({"pred": pc.utf8_slice_codeunits(txt, 0, 16),
+                         "truth": txt})
+
+    m = cluster_pair_quality(
+        ds.map_batches(assign, batch_format="pyarrow"), "pred", "truth")
+    return pa.table({
+        "pred_pairs": pa.array([m["pred_pairs"]], pa.int64()),
+        "true_pairs": pa.array([m["true_pairs"]], pa.int64()),
+        "common_pairs": pa.array([m["common_pairs"]], pa.int64()),
+        "precision": pa.array([m["precision"]], pa.float64()),
+        "recall": pa.array([m["recall"]], pa.float64()),
+        "f1": pa.array([m["f1"]], pa.float64())})
+
+
+SQL_BLOCKING_QUALITY = f"""
+WITH a AS (SELECT substr(text, 1, 16) AS pred, text AS truth
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+           WHERE text IS NOT NULL),
+pp AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS p FROM
+       (SELECT count(*) AS n FROM a GROUP BY pred)),
+tp AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS t FROM
+       (SELECT count(*) AS n FROM a GROUP BY truth)),
+cp AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS c FROM
+       (SELECT count(*) AS n FROM a GROUP BY pred, truth))
+SELECT pp.p AS pred_pairs, tp.t AS true_pairs, cp.c AS common_pairs,
+       CAST(cp.c AS DOUBLE) / pp.p AS precision,
+       CAST(cp.c AS DOUBLE) / tp.t AS recall,
+       2 * (CAST(cp.c AS DOUBLE) / pp.p) * (CAST(cp.c AS DOUBLE) / tp.t)
+           / (CAST(cp.c AS DOUBLE) / pp.p + CAST(cp.c AS DOUBLE) / tp.t)
+           AS f1
+FROM pp, tp, cp
+"""
+SQL_BLOCKING_QUALITY = SQL_BLOCKING_QUALITY.replace("{SYNTH_ROOT}",
+                                                    SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10654,6 +10706,7 @@ QUERIES = {
     "event_rules": (q_event_rules, SQL_EVENT_RULES),
     "ppr_hosts": (q_ppr_hosts, SQL_PPR_HOSTS),
     "tukey_outliers": (q_tukey_outliers, SQL_TUKEY_OUTLIERS),
+    "blocking_quality": (q_blocking_quality, SQL_BLOCKING_QUALITY),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
