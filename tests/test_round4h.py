@@ -1648,3 +1648,42 @@ def test_cluster_pair_quality_matches_brute_force(ray_session):
         "truth": pa.array(truth, pa.int64())})), "pred", "truth")
     assert sing["pred_pairs"] == 0 and sing["precision"] is None
     assert sing["recall"] == 0.0
+
+
+def test_grouped_pythagorean_means_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from webval.aggregates import grouped_pythagorean_means
+
+    rng = np.random.default_rng(83)
+    keys = ["a"] * 300 + ["b"] * 200
+    vals = list(rng.lognormal(0, 1, 500))
+    vals[0] = 0.0          # excluded
+    vals[1] = -3.0         # excluded
+    vals[2] = None         # dropped silently (null)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.string()),
+        "v": pa.array(vals, pa.float64())})).repartition(4)
+    out = grouped_pythagorean_means(ds, "k", "v").to_pandas() \
+        .set_index("k")
+
+    for k in ("a", "b"):
+        x = np.array([v for kk, v in zip(keys, vals)
+                      if kk == k and v is not None and v > 0])
+        r = out.loc[k]
+        assert r["n"] == len(x)
+        assert r["arith_mean"] == pytest.approx(x.mean(), rel=1e-12)
+        assert r["geo_mean"] == pytest.approx(
+            np.exp(np.log(x).mean()), rel=1e-12)
+        assert r["harm_mean"] == pytest.approx(
+            len(x) / (1.0 / x).sum(), rel=1e-12)
+        # AM >= GM >= HM
+        assert r["arith_mean"] >= r["geo_mean"] >= r["harm_mean"]
+    assert out.loc["a"]["n_excluded"] == 2
+
+    # all-excluded group -> null means, counted exclusions
+    z = grouped_pythagorean_means(rd.from_arrow(pa.table({
+        "k": pa.array(["z", "z"]), "v": pa.array([0.0, -1.0])})),
+        "k", "v").to_pandas().set_index("k")
+    assert z.loc["z"]["n"] == 0 and z.loc["z"]["n_excluded"] == 2
+    assert np.isnan(z.loc["z"]["arith_mean"])

@@ -950,3 +950,76 @@ def shrunk_group_means(ds, key: str, val: str, *,
                                                  / (n + k))})
 
     return groups.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_pythagorean_means(ds, key: str, val: str, *,
+                              num_buckets: int | None = None):
+    """Arithmetic, geometric and harmonic means per group over the
+    STRICTLY POSITIVE values of ``val`` (ln and 1/x demand it; zeros,
+    negatives and nulls are excluded and counted) — the
+    rate-vs-ratio-vs-level triple: harmonic for averaging rates
+    (docs/sec across shards), geometric for multiplicative factors
+    (compression ratios), arithmetic for levels.  AM ≥ GM ≥ HM always;
+    a wide spread between them is itself a skew signal.  Returns
+    Dataset[{key, n, n_excluded, arith_mean, geo_mean, harm_mean}].
+
+    Scale shape: ONE (n, Σx, Σln x, Σ1/x) combiner exchange per key;
+    the means are vectorized divisions over the group table."""
+    from webval.exchange import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key).combine_chunks()
+        v = pc.cast(t.column(val).combine_chunks(), pa.float64())
+        base = pc.and_(pc.is_valid(k), pc.is_valid(v))
+        k, v = k.filter(base), v.filter(base)
+        pos = pc.greater(v, pa.scalar(0.0)) \
+            .to_numpy(zero_copy_only=False)
+        vn = v.to_numpy(zero_copy_only=False)
+        vp = np.where(pos, vn, 1.0)         # neutral fill for ln / 1/x
+        tab = pa.table({
+            key: k,
+            "n": pa.array(pos.astype(np.int64)),
+            "nx": pa.array((~pos).astype(np.int64)),
+            "s": pa.array(np.where(pos, vn, 0.0)),
+            "sl": pa.array(np.where(pos, np.log(vp), 0.0)),
+            "si": pa.array(np.where(pos, 1.0 / vp, 0.0))})
+        agg = tab.group_by([key]).aggregate(
+            [("n", "sum"), ("nx", "sum"), ("s", "sum"), ("sl", "sum"),
+             ("si", "sum")])
+        return agg.rename_columns([key, "n", "nx", "s", "sl", "si"])
+
+    groups = grouped_agg(
+        ds.select_columns([key, val]).map_batches(partial,
+                                                  batch_format="pyarrow"),
+        [key], [("n", "sum"), ("nx", "sum"), ("s", "sum"),
+                ("sl", "sum"), ("si", "sum")],
+        rename={"n_sum": "n", "nx_sum": "nx", "s_sum": "s",
+                "sl_sum": "sl", "si_sum": "si"},
+        num_buckets=num_buckets)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        sl = t.column("sl").to_numpy(zero_copy_only=False)
+        si = t.column("si").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            am = np.where(n > 0, s / n, np.nan)
+            gm = np.where(n > 0, np.exp(sl / np.where(n > 0, n, 1.0)),
+                          np.nan)
+            hm = np.where(n > 0, n / si, np.nan)
+        out = pa.table({key: t.column(key), "n": t.column("n"),
+                        "n_excluded": t.column("nx"),
+                        "arith_mean": pa.array(am),
+                        "geo_mean": pa.array(gm),
+                        "harm_mean": pa.array(hm)})
+        for c in ("arith_mean", "geo_mean", "harm_mean"):
+            col = out.column(c)
+            out = out.set_column(
+                out.column_names.index(c), c,
+                pc.if_else(pc.greater(t.column("n"),
+                                      pa.scalar(0, pa.int64())),
+                           col, pa.scalar(None, pa.float64())))
+        return out
+
+    return groups.map_batches(finalize, batch_format="pyarrow")

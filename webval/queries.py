@@ -7999,6 +7999,40 @@ SQL_BLOCKING_QUALITY = SQL_BLOCKING_QUALITY.replace("{SYNTH_ROOT}",
                                                     SYNTH_ROOT)
 
 
+def q_pythagorean_means(sf_dir: str):
+    """Grouped AM/GM/HM (aggregates.grouped_pythagorean_means) of
+    event values per type — harmonic for rates, geometric for factors,
+    arithmetic for levels; AM ≥ GM ≥ HM is asserted by construction.
+    Zero/negative/null values are excluded and counted.  Means round 6
+    (sum order differs)."""
+    import ray.data as rd
+
+    from webval.aggregates import grouped_pythagorean_means
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    out = grouped_pythagorean_means(ds, "event_type", "value")
+    t = ds_to_table(out).sort_by([("event_type", "ascending")])
+    return _round_cols(t, {"arith_mean": 6, "geo_mean": 6,
+                           "harm_mean": 6})
+
+
+SQL_PYTHAGOREAN_MEANS = """
+WITH v AS (SELECT event_type, value FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL)
+SELECT event_type,
+       CAST(count(*) FILTER (value > 0) AS BIGINT) AS n,
+       CAST(count(*) FILTER (value <= 0) AS BIGINT) AS n_excluded,
+       round(sum(value) FILTER (value > 0)
+             / count(*) FILTER (value > 0), 6) AS arith_mean,
+       round(exp(sum(ln(value)) FILTER (value > 0)
+                 / count(*) FILTER (value > 0)), 6) AS geo_mean,
+       round(count(*) FILTER (value > 0)
+             / sum(1.0 / value) FILTER (value > 0), 6) AS harm_mean
+FROM v GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10707,6 +10741,7 @@ QUERIES = {
     "ppr_hosts": (q_ppr_hosts, SQL_PPR_HOSTS),
     "tukey_outliers": (q_tukey_outliers, SQL_TUKEY_OUTLIERS),
     "blocking_quality": (q_blocking_quality, SQL_BLOCKING_QUALITY),
+    "pythagorean_means": (q_pythagorean_means, SQL_PYTHAGOREAN_MEANS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
