@@ -1687,3 +1687,28 @@ def test_grouped_pythagorean_means_matches_numpy(ray_session):
         "k", "v").to_pandas().set_index("k")
     assert z.loc["z"]["n"] == 0 and z.loc["z"]["n_excluded"] == 2
     assert np.isnan(z.loc["z"]["arith_mean"])
+
+
+def test_round_cols_matches_duckdb_half_semantics():
+    import duckdb
+    import pyarrow as pa
+
+    from webval.queries import _round_cols
+
+    # exact binary halves (x·10^nd == k.5 in IEEE) round AWAY like
+    # DuckDB, everything else keeps the format-parse path (r4s9 sf0.1
+    # finding: 17/32 at 4 decimals broke overlap_dup_pairs)
+    # (values with x*10^nd >= 2^52 are outside the guard — binary
+    # scaling itself is lossy there and no query rounds such magnitudes)
+    cases = [17 / 32, -17 / 32, 60.879999999999995, 2.675, 0.5312499999,
+             1.0, 0.123456789, None, 0.0]
+    for nd in (2, 4, 6):
+        t = pa.table({"x": pa.array(cases, pa.float64())})
+        got = _round_cols(t, {"x": nd}).column("x").to_pylist()
+        for v, g in zip(cases, got):
+            if v is None:
+                assert g is None
+                continue
+            w = duckdb.sql(
+                f"SELECT round(CAST({v!r} AS DOUBLE), {nd})").fetchone()[0]
+            assert g == w, (v, nd, g, w)

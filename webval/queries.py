@@ -58,11 +58,29 @@ def ensure_synth(sf_dir: str) -> tuple[str, str]:
 def _round_cols(t: pa.Table, cols: dict[str, int]) -> pa.Table:
     """Decimal-correct rounding: pc.round computes x*10^n/10^n in binary and
     can land on the OTHER double neighbor than DuckDB's decimal round (e.g.
-    60.879999999999995 vs 60.88) — format-then-parse matches SQL exactly."""
+    60.879999999999995 vs 60.88) — format-then-parse matches SQL exactly,
+    EXCEPT when x·10^n is an exact binary half (17/32 = 0.53125 at 4
+    decimals, r4s9 sf0.1 finding): Python's formatter rounds half-to-even
+    (…5312) while DuckDB rounds half away from zero (…5313).  Exact halves
+    are detected in binary and nudged DuckDB's way; every non-half value
+    keeps the proven format-parse path byte-identically."""
+    import math
+
     for c, nd in cols.items():
         i = t.column_names.index(c)
-        vals = [None if v is None else float(f"{v:.{nd}f}")
-                for v in t.column(c).to_pylist()]
+        scale = 10.0 ** nd
+
+        def r1(v):
+            if v is None:
+                return None
+            scaled = v * scale
+            if math.isfinite(scaled) and abs(scaled) < 2**52 \
+                    and scaled - math.floor(scaled) == 0.5:
+                return math.floor(scaled + 0.5) / scale if v >= 0 \
+                    else math.ceil(scaled - 0.5) / scale
+            return float(f"{v:.{nd}f}")
+
+        vals = [r1(v) for v in t.column(c).to_pylist()]
         t = t.set_column(i, c, pa.array(vals, type=pa.float64()))
     return t
 
@@ -3384,6 +3402,30 @@ sc AS (SELECT tf.doc_id,
 SELECT doc_id, round(score, 6) AS score
 FROM sc ORDER BY score DESC, doc_id LIMIT 10
 """
+
+
+def q_index_search(sf_dir: str):
+    """BM25 via the PERSISTED inverted index (search.build_text_index +
+    index_search): postings parquet partitioned by term-hash shard,
+    query reads only its terms' shards, doc lengths joined co-bucketed
+    — same formula, same twin as bm25_search, proving the scan and
+    index paths interchangeable.  Scores round 6 (exchange sum
+    order)."""
+    import os
+
+    import ray.data as rd
+
+    from webval.search import build_text_index, index_search
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/webval_textidx_v1/{name}"
+    build_text_index(ds, "doc_id", "text", idx_dir, n_shards=16)
+    out = index_search(idx_dir, "fast vector scan", k=10)
+    t = ds_to_table(out).sort_by([("score", "descending"),
+                                  ("doc_id", "ascending")])
+    return _round_cols(t, {"score": 6})
 
 
 def q_funnel(sf_dir: str):
@@ -10742,6 +10784,7 @@ QUERIES = {
     "tukey_outliers": (q_tukey_outliers, SQL_TUKEY_OUTLIERS),
     "blocking_quality": (q_blocking_quality, SQL_BLOCKING_QUALITY),
     "pythagorean_means": (q_pythagorean_means, SQL_PYTHAGOREAN_MEANS),
+    "index_search": (q_index_search, SQL_BM25_SEARCH),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
