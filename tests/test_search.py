@@ -5,6 +5,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 
 TEXTS = [
@@ -83,3 +84,44 @@ def test_bm25_no_match_and_small_blocks(ray_session):
 
     out = bm25_search(ds, "doc_id", "text", "zzz-not-present", k=5)
     assert out.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_text_index_matches_scan_bm25(tmp_path):
+    import numpy as np
+    import ray.data as rd
+
+    from webval.search import bm25_search, build_text_index, index_search
+
+    rng = np.random.default_rng(89)
+    vocab = ["fast", "vector", "scan", "slow", "table", "index", "query",
+             "data", "page", "merge"]
+    docs = [" ".join(rng.choice(vocab, size=int(rng.integers(4, 30))))
+            for _ in range(300)]
+    docs[5] = None                      # null text -> dl 0, never scored
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(300), pa.int64()),
+        "text": pa.array(docs, pa.string())})).repartition(6)
+
+    idx = str(tmp_path / "tidx")
+    build_text_index(ds, "doc_id", "text", idx, n_shards=8)
+    # idempotent rebuild: _DONE short-circuits (no duplicate postings)
+    build_text_index(ds, "doc_id", "text", idx, n_shards=8)
+
+    for q in ("fast vector scan", "slow", "query data merge"):
+        scan = bm25_search(ds, "doc_id", "text", q, k=15).to_pandas()
+        via_idx = index_search(idx, q, k=15).to_pandas()
+        assert list(scan["doc_id"]) == list(via_idx["doc_id"])
+        assert via_idx["score"].to_numpy() == pytest.approx(
+            scan["score"].to_numpy(), rel=1e-9)
+
+    # unseen term alone -> no hits
+    assert index_search(idx, "zzzunseen", k=5).count() == 0
+    with pytest.raises(ValueError, match="no terms"):
+        index_search(idx, "...", k=5)
+
+    # pruning: only the queried term's shards are read (structural
+    # check: shard dirs exist and are a partition of the postings)
+    import os
+    shard_dirs = [d for d in os.listdir(idx) if d.startswith("shard=")]
+    assert 1 <= len(shard_dirs) <= 8

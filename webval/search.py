@@ -190,3 +190,195 @@ def rrf_fuse(rankings, id_col: str, *, rank_col: str = "rank",
         .sort(["r9", id_col], descending=[True, False]).limit(top_k)
     return ranked.map_batches(lambda t: t.drop_columns(["r9"]),
                               batch_format="pyarrow")
+
+
+def build_text_index(ds, id_col: str, text_col: str, index_dir: str, *,
+                     n_shards: int = 64,
+                     pattern: str = TOKEN_SPLIT_PATTERN,
+                     num_buckets: int | None = None):
+    """Persist an inverted text index: postings (term, id, tf) written
+    as parquet PARTITIONED BY TERM-HASH SHARD (``shard=<s>/``) so a
+    query later reads only its own terms' shards, plus a doc-length
+    table and a meta.json with corpus totals — the on-disk BM25 layout
+    (the text sibling of similarity.build_ann_index).  A ``_DONE``
+    marker makes the build idempotent; delete ``index_dir`` to rebuild.
+
+    Scale shape: tokenize + per-doc tf is batch-local (each doc's text
+    lives in one row); postings co-locate per shard through ONE
+    hash-bucket exchange whose bucket task writes its own files (the
+    data never concentrates); doc lengths stream to their own dir;
+    totals are per-block scalar partials."""
+    import json
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from webval.exchange import bucketed_group_apply, sum_block_scalars
+    from webval.lm import _tokenize
+
+    if os.path.exists(os.path.join(index_dir, "_DONE")):
+        return index_dir
+    os.makedirs(index_dir, exist_ok=True)
+
+    def postings(t: pa.Table) -> pa.Table:
+        flat, doc_idx = _tokenize(t.column(text_col).combine_chunks(),
+                                  pattern)
+        ids = t.column(id_col).combine_chunks()
+        if len(flat) == 0:
+            return pa.table({
+                "term": pa.array([], pa.large_string()),
+                id_col: pa.array([], ids.type),
+                "tf": pa.array([], pa.int64()),
+                "shard": pa.array([], pa.int64())})
+        tab = pa.table({"term": flat.cast(pa.large_string()),
+                        "doc": pa.array(doc_idx)})
+        agg = tab.group_by(["term", "doc"]).aggregate([([],
+                                                        "count_all")])
+        from webval.sketches import hash64
+        terms = agg.column("term").combine_chunks()
+        shard = (hash64(terms.to_numpy(zero_copy_only=False))
+                 % np.uint64(n_shards)).astype(np.int64)
+        return pa.table({
+            "term": terms,
+            id_col: ids.take(agg.column("doc")),
+            "tf": pc.cast(agg.column("count_all"), pa.int64()),
+            "shard": pa.array(shard)})
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"rows": pa.array([], pa.int64())})
+        out_rows = 0
+        for s in pc.unique(g.column("shard")).to_pylist():
+            part = g.filter(pc.equal(g.column("shard"), s)) \
+                .drop_columns(["shard"])
+            d = os.path.join(index_dir, f"shard={int(s)}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(part,
+                           os.path.join(d,
+                                        f"part-{uuid.uuid4().hex}.parquet"))
+            out_rows += part.num_rows
+        return pa.table({"rows": pa.array([out_rows], pa.int64())})
+
+    post = ds.select_columns([id_col, text_col]) \
+        .map_batches(postings, batch_format="pyarrow")
+    bucketed_group_apply(post, ["shard"], write_shard,
+                         num_buckets=num_buckets).materialize()
+
+    def doclen(t: pa.Table) -> pa.Table:
+        _, doc_idx = _tokenize(t.column(text_col).combine_chunks(),
+                               pattern)
+        dl = np.bincount(doc_idx, minlength=t.num_rows).astype(np.int64)
+        return pa.table({id_col: t.column(id_col),
+                         "dl": pa.array(dl)})
+
+    dl_dir = os.path.join(index_dir, "doclen")
+    os.makedirs(dl_dir, exist_ok=True)
+    lens = ds.select_columns([id_col, text_col]) \
+        .map_batches(doclen, batch_format="pyarrow")
+    lens.write_parquet(dl_dir)
+
+    import ray.data as rd
+
+    totals = sum_block_scalars(
+        rd.read_parquet(dl_dir).map_batches(
+            lambda t: pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "toks": pa.array([int(pc.sum(t.column("dl")).as_py()
+                                      or 0)], pa.int64())}),
+            batch_format="pyarrow").materialize(), ["n", "toks"])
+    meta = {"n_docs": totals["n"], "total_tokens": totals["toks"],
+            "n_shards": n_shards, "id_col": id_col, "pattern": pattern}
+    tmp = os.path.join(index_dir, f"meta.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "meta.json"))
+    open(os.path.join(index_dir, "_DONE"), "w").write("ok")
+    return index_dir
+
+
+def index_search(index_dir: str, query: str, k: int = 10, *,
+                 k1: float = 1.2, b: float = 0.75,
+                 num_buckets: int | None = None):
+    """BM25 top-k against a :func:`build_text_index` directory: reads
+    ONLY the term-hash shards the query terms live in (partition
+    pruning at the read — the rest of the postings never leave
+    storage), joins doc lengths co-bucketed, and scores with the exact
+    :func:`bm25_search` formula — same (id, score) output, same
+    (score desc, id) order, so the two paths are interchangeable and
+    cross-checkable.  Empty shards / unseen terms contribute idf only
+    through df=0, like the scan path."""
+    import json
+    import math
+    import os
+
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg, sum_block_scalars
+    from webval.joins import equi_join
+    from webval.sketches import hash64
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    terms = query_terms(query, meta["pattern"])
+    if not terms:
+        raise ValueError(f"index_search: no terms in query {query!r}")
+    nq = len(terms)
+    terms_arr = pa.array(terms, pa.large_string())
+    shards = sorted({int(h % np.uint64(meta["n_shards"]))
+                     for h in hash64(np.asarray(terms, dtype=object))})
+    files = []
+    for s in shards:
+        d = os.path.join(index_dir, f"shard={s}")
+        if os.path.isdir(d):
+            files.extend(os.path.join(d, fn)
+                         for fn in sorted(os.listdir(d))
+                         if fn.endswith(".parquet"))
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if not files:
+        return rd.from_arrow(empty)
+
+    post = rd.read_parquet(files).map_batches(
+        lambda t: t.filter(pc.is_valid(pc.index_in(
+            t.column("term").combine_chunks().cast(pa.large_string()),
+            value_set=terms_arr))),
+        batch_format="pyarrow").materialize()
+
+    # df per term off the pruned postings ((term, doc) rows are unique)
+    dfs = {r["term"]: r["df"] for r in grouped_agg(
+        post, ["term"], [("tf", "count")], rename={"tf_count": "df"},
+        num_buckets=num_buckets).take_all()}
+    n_docs = meta["n_docs"]
+    avgdl = meta["total_tokens"] / n_docs if n_docs else 0.0
+    idf = {t: math.log((n_docs - dfs.get(t, 0) + 0.5)
+                       / (dfs.get(t, 0) + 0.5) + 1.0) for t in terms}
+    idf_arr = np.array([idf[t] for t in terms])
+
+    hits = equi_join(post, rd.read_parquet(os.path.join(index_dir,
+                                                        "doclen")),
+                     on=[id_col], num_buckets=num_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        pos = pc.index_in(t.column("term").combine_chunks()
+                          .cast(pa.large_string()),
+                          value_set=terms_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = t.column("tf").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        dl = t.column("dl").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * dl / avgdl)
+        contrib = tf * (k1 + 1.0) / denom * idf_arr[pos]
+        return pa.table({id_col: t.column(id_col),
+                         "score": pa.array(contrib)})
+
+    per_doc = grouped_agg(
+        hits.map_batches(score, batch_format="pyarrow"),
+        [id_col], [("score", "sum")], rename={"score_sum": "score"},
+        num_buckets=num_buckets)
+    return per_doc.map_batches(
+        lambda t: t.filter(pc.greater(t.column("score"), 0.0)),
+        batch_format="pyarrow") \
+        .sort(["score", id_col], descending=[True, False]).limit(k)
