@@ -226,3 +226,51 @@ def test_bigram_pair_cap_truncates_deterministically(ray_session):
     pairs = blm.pairs.to_pydict()
     assert pairs["pair"][0] == "the cat"
     assert all(c >= 1 for c in pairs["count"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_train_matches_hand_reference():
+    import ray.data as rd
+
+    from webval.lm import bpe_apply, bpe_train
+
+    # classic Sennrich toy corpus: low/lower/newest/widest with counts
+    docs = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)}))
+    m = bpe_train(ds, "text", n_merges=4, vocab_size=None)
+
+    # hand-derived: counts over word freqs {low:5, lower:2, newest:6,
+    # widest:3}; e+s</w>? no — last char carries </w>: low -> l o w</w>
+    # pair counts round 1: (e,s)=9? newest: n e w e s t</w>; widest:
+    # w i d e s t</w> -> (e,s) = 6+3 = 9 is the max -> merge ('e','s')
+    assert m["merges"][0] == ("e", "s")
+    # round 2: (es, t</w>) = 9 -> merge
+    assert m["merges"][1] == ("es", "t</w>")
+    # round 3: (l, o) = 7 from low+lower
+    assert m["merges"][2] == ("l", "o")
+    # round 4: three pairs tie at 6 ((n,e), (e,w), (w,est</w>));
+    # the documented lexicographic tiebreak picks ('e','w')
+    assert m["merges"][3] == ("e", "w")
+    # vocab ranks: chars first, merges appended in order
+    assert m["vocab"]["es"] < m["vocab"]["est</w>"] < m["vocab"]["lo"]
+
+    # apply: newest -> [n, ew, est</w>] = 3 tokens;
+    # low -> [lo, w</w>] = 2; lower -> [lo, w, e, r</w>] = 4
+    counted = bpe_apply(
+        rd.from_arrow(pa.table({"text": pa.array(
+            ["newest", "low", "lower", "newest low", None, ""])})),
+        "text", m["merges"]).to_pandas()
+    assert list(counted["bpe_tokens"]) == [3, 2, 4, 5, 0, 0]
+
+    # deterministic across reruns / parallelism
+    m2 = bpe_train(ds.repartition(4), "text", n_merges=4,
+                   vocab_size=None)
+    assert m2["merges"] == m["merges"]
+
+    # vocab_size cap drops rare words from the statistics
+    capped = bpe_train(ds, "text", n_merges=2, vocab_size=1)
+    # only 'newest' (count 6) survives -> first merge from it
+    assert capped["merges"][0] == ("e", "s")
+
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train(ds, "text", n_merges=-1)
