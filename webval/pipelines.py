@@ -1246,9 +1246,13 @@ def match_distribution_sample(ds, key_col: str, id_col: str,
         raise ValueError("match_distribution_sample: target must be "
                          "non-empty with nonnegative shares")
     keys = [k for k, s in target.items() if s > 0]
+    key_set = pa.array(keys)
     counts_ds = grouped_agg(
         ds.select_columns([key_col]).map_batches(
-            lambda t: t.drop_null(), batch_format="pyarrow"),
+            lambda t: t.filter(pc.is_in(
+                t.column(key_col).combine_chunks().cast(key_set.type),
+                value_set=key_set)),
+            batch_format="pyarrow"),
         [key_col], [(key_col, "count")],
         rename={f"{key_col}_count": "n"}, num_buckets=num_buckets)
     # the count table is target-key-sized — this read is the planner

@@ -7644,19 +7644,22 @@ def q_rrf_hosts(sf_dir: str):
         ["host"], [("n", "sum"), ("s", "sum"), ("c", "sum")],
         rename={"n_sum": "n", "s_sum": "s", "c_sum": "c"})
 
-    def rank_by(tbl: pa.Table, keys) -> "pa.Table":
-        tbl = tbl.sort_by(keys).slice(0, 50)
-        return tbl.append_column(
-            "rank", pa.array(np.arange(1, tbl.num_rows + 1), pa.int64()))
+    stats = stats.map_batches(
+        lambda t: t.append_column(
+            "mean_len", pc.divide(pc.cast(t.column("s"), pa.float64()),
+                                  pc.cast(t.column("c"), pa.float64()))),
+        batch_format="pyarrow")
 
-    # the two 50-row rank lists are driver-small by construction
-    full = ds_to_table(stats)
-    full = full.append_column(
-        "mean_len", pc.divide(pc.cast(full.column("s"), pa.float64()),
-                              pc.cast(full.column("c"), pa.float64())))
-    r1 = rank_by(full, [("n", "descending"), ("host", "ascending")])
-    r2 = rank_by(full, [("mean_len", "descending"),
-                        ("host", "ascending")])
+    def rank_by(col: str) -> "pa.Table":
+        # distributed sort + limit; only the 50-row list reaches the
+        # driver (the host table itself never does)
+        top = ds_to_table(stats.sort([col, "host"],
+                                     descending=[True, False]).limit(50))
+        return top.append_column(
+            "rank", pa.array(np.arange(1, top.num_rows + 1), pa.int64()))
+
+    r1 = rank_by("n")
+    r2 = rank_by("mean_len")
     fused = rrf_fuse([rd.from_arrow(r1.select(["host", "rank"])),
                       rd.from_arrow(r2.select(["host", "rank"]))],
                      "host", k=60.0, top_k=20)
@@ -7714,13 +7717,13 @@ def q_rbo_stability(sf_dir: str):
     counts = grouped_agg(
         ds.map_batches(add_host, batch_format="pyarrow"),
         ["side", "host"], [("host", "count")],
-        rename={"host_count": "n"})
-    t = ds_to_table(counts)          # host×2 rows, driver-small
+        rename={"host_count": "n"}).materialize()
 
     def top30(side: int) -> list:
-        s = t.filter(pc.equal(t.column("side"), side)) \
-            .sort_by([("n", "descending"), ("host", "ascending")]) \
-            .slice(0, 30)
+        # distributed filter + sort + limit; only 30 rows land driver-side
+        s = ds_to_table(counts.filter(expr=f"side == {side}")
+                        .sort(["n", "host"], descending=[True, False])
+                        .limit(30))
         return s.column("host").to_pylist()
 
     a, b = top30(0), top30(1)
