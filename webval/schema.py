@@ -262,39 +262,51 @@ def key_candidate_audit(ds, cols: list[str], *,
         raise ValueError("key_candidate_audit: empty column list")
     rows = []
     for c in cols:
-        def proj(t: pa.Table, _c=c) -> pa.Table:
-            v = t.column(_c).combine_chunks()
-            return pa.table({
-                "n_rows": pa.array([len(v)], pa.int64()),
-                "n_nulls": pa.array([v.null_count], pa.int64())})
-
-        totals = sum_block_scalars(
-            ds.select_columns([c]).map_batches(
-                proj, batch_format="pyarrow").materialize(),
-            ["n_rows", "n_nulls"])
-
+        # ONE pass per column: the null count rides the value-count
+        # exchange as a null-key row (Arrow group_by groups nulls), so
+        # non-null total = Σ counts over non-null keys, distinct = row
+        # count minus the null row, and n_rows = non-null + nulls
         def vals(t: pa.Table, _c=c) -> pa.Table:
             v = t.column(_c).combine_chunks()
             vc = v.filter(pc.is_valid(v)).value_counts()
-            return pa.table({"v": vc.field("values"),
-                             "n": pc.cast(vc.field("counts"), pa.int64())})
+            tab = pa.table({"v": vc.field("values"),
+                            "n": pc.cast(vc.field("counts"), pa.int64())})
+            if v.null_count:
+                tab = pa.concat_tables([tab, pa.table({
+                    "v": pa.array([None], vc.field("values").type),
+                    "n": pa.array([v.null_count], pa.int64())})])
+            return tab
 
         per_val = grouped_agg(
             ds.select_columns([c]).map_batches(vals,
                                                batch_format="pyarrow"),
             ["v"], [("n", "sum")], rename={"n_sum": "n"},
             num_buckets=num_buckets).materialize()
-        dist = sum_block_scalars(
-            per_val.map_batches(lambda t: pa.table({
-                "d": pa.nulls(t.num_rows, pa.int64()).fill_null(1)}),
-                batch_format="pyarrow").materialize(), ["d"])["d"]
-        nn = totals["n_rows"] - totals["n_nulls"]
+
+        def reduce_block(t: pa.Table) -> pa.Table:
+            isnull = pc.is_null(t.column("v"))
+            n = t.column("n")
+            return pa.table({
+                "nn": pa.array([pc.sum(pc.if_else(
+                    isnull, pa.scalar(0, pa.int64()), n)).as_py() or 0],
+                    pa.int64()),
+                "nulls": pa.array([pc.sum(pc.if_else(
+                    isnull, n, pa.scalar(0, pa.int64()))).as_py() or 0],
+                    pa.int64()),
+                "dist": pa.array([int(pc.sum(pc.cast(pc.invert(isnull),
+                                                     pa.int64()))
+                                      .as_py() or 0)], pa.int64())})
+
+        tot = sum_block_scalars(
+            per_val.map_batches(reduce_block,
+                                batch_format="pyarrow").materialize(),
+            ["nn", "nulls", "dist"])
+        nn, nulls, dist = tot["nn"], tot["nulls"], tot["dist"]
         rows.append({
-            "column": c, "n_rows": totals["n_rows"],
-            "n_nulls": totals["n_nulls"], "n_distinct": dist,
+            "column": c, "n_rows": nn + nulls,
+            "n_nulls": nulls, "n_distinct": dist,
             "uniqueness": (dist / nn) if nn else None,
-            "is_key": bool(nn == totals["n_rows"] and dist == nn
-                           and nn > 0)})
+            "is_key": bool(nulls == 0 and dist == nn and nn > 0)})
     rows.sort(key=lambda r: r["column"])
     return rd.from_arrow(pa.table({
         "column": pa.array([r["column"] for r in rows], pa.string()),
