@@ -8070,7 +8070,7 @@ SELECT event_type,
        CAST(count(*) FILTER (value <= 0) AS BIGINT) AS n_excluded,
        round(sum(value) FILTER (value > 0)
              / count(*) FILTER (value > 0), 6) AS arith_mean,
-       round(exp(sum(ln(value)) FILTER (value > 0)
+       round(exp(sum(CASE WHEN value > 0 THEN ln(value) END)
                  / count(*) FILTER (value > 0)), 6) AS geo_mean,
        round(count(*) FILTER (value > 0)
              / sum(1.0 / value) FILTER (value > 0), 6) AS harm_mean
