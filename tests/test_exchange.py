@@ -202,3 +202,43 @@ def test_exchange_results_invariant_to_bucket_count(ray_session):
                   ["cohort_us", "day_offset"])
             for b in (3, 8, 64)]
     assert rets[0] == rets[1] == rets[2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_skew_report_matches_counter_oracle():
+    import collections
+
+    import numpy as np
+    import ray.data as rd
+
+    from webval.exchange import _bucket_of, skew_report
+
+    rng = np.random.default_rng(97)
+    keys = [f"k{int(x)}" for x in rng.integers(0, 50, 2000)]
+    keys += ["hot"] * 3000                       # one dominating key
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.string()),
+                                 "x": pa.array(range(len(keys)))})) \
+        .repartition(4)
+    rep = skew_report(ds, ["k"], num_buckets=16, top_k=3)
+
+    cnt = collections.Counter(keys)
+    assert rep["n_rows"] == len(keys)
+    assert rep["num_buckets"] == 16
+    assert rep["top_keys"][0] == ({"k": "hot"}, 3000)
+    # bucket sizes recomputed with the REAL exchange hash
+    kt = pa.table({"k": pa.array(list(cnt), pa.string())})
+    b = _bucket_of(kt, ["k"], 16).to_numpy(zero_copy_only=False)
+    sizes = np.zeros(16, dtype=np.int64)
+    for key, bi in zip(cnt, b):
+        sizes[bi] += cnt[key]
+    assert rep["bucket_max"] == sizes.max()
+    assert rep["skew_ratio"] == pytest.approx(
+        sizes.max() / (len(keys) / 16), rel=1e-12)
+    # the hot key forces visible skew
+    assert rep["skew_ratio"] > 2.0
+
+    # null keys are excluded
+    dsn = rd.from_arrow(pa.table({
+        "k": pa.array(["a", None, "a"], pa.string()),
+        "x": pa.array([1, 2, 3])}))
+    assert skew_report(dsn, ["k"], num_buckets=4)["n_rows"] == 2

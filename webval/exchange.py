@@ -346,3 +346,64 @@ def grouped_approx_distinct(ds, key: str, val: str, *, p: int = 12,
 
     return bucketed_group_apply(ds, [key], final, num_buckets=num_buckets,
                                 partial_fn=partial, batch_size=batch_size)
+
+
+def skew_report(ds, key_cols: list[str], *, num_buckets: int | None = None,
+                top_k: int = 10) -> dict:
+    """Pre-shuffle skew diagnosis: how evenly would ``key_cols`` hash
+    over the exchange's buckets, and which keys are hot — the question
+    to ask BEFORE a join/groupby on a new key at full scale (a 10×
+    max/mean bucket ratio means one straggler task; a single key owning
+    a bucket means salting is required, cf. equi_join's ``hot_keys``).
+
+    Returns {"n_rows", "num_buckets", "bucket_max", "bucket_mean",
+    "skew_ratio", "top_keys": [(key-dict, count), ...]} — top keys by
+    row count (exact, via the same count-combiner exchange the real
+    shuffle would use).
+
+    Scale shape: ONE (key → count) exchange (combiner-bounded); bucket
+    sizes derive from the key counts by hashing the KEY TABLE, not the
+    rows; only ``top_k`` keys and ``num_buckets`` integers reach the
+    driver."""
+    import ray
+
+    key_cols = list(key_cols)
+    nb = resolve_num_buckets(num_buckets)
+    counts = grouped_agg(
+        ds.select_columns(key_cols).map_batches(
+            lambda t: t.drop_null(), batch_format="pyarrow"),
+        key_cols, [(key_cols[0], "count")],
+        rename={f"{key_cols[0]}_count": "n"},
+        num_buckets=num_buckets).materialize()
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        b = _bucket_of(t, key_cols, nb).to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        sums = np.bincount(b, weights=n.astype(np.float64),
+                           minlength=nb).astype(np.int64)
+        return pa.table({"bucket": pa.array(np.arange(nb, dtype=np.int64)),
+                         "rows": pa.array(sums)})
+
+    per_bucket = grouped_agg(
+        counts.map_batches(bucket_partial, batch_format="pyarrow"),
+        ["bucket"], [("rows", "sum")], rename={"rows_sum": "rows"},
+        num_buckets=num_buckets).materialize()
+    sizes = np.zeros(nb, dtype=np.int64)
+    for ref in per_bucket.to_arrow_refs():
+        blk = ray.get(ref)
+        if blk.num_rows == 0:
+            continue
+        sizes[blk.column("bucket").to_numpy(zero_copy_only=False)] += \
+            blk.column("rows").to_numpy(zero_copy_only=False)
+    total = int(sizes.sum())
+    top = counts.sort(["n"] + key_cols,
+                      descending=[True] + [False] * len(key_cols)) \
+        .limit(top_k).take_all()
+    mean = total / nb if nb else 0.0
+    return {
+        "n_rows": total, "num_buckets": nb,
+        "bucket_max": int(sizes.max()) if nb else 0,
+        "bucket_mean": mean,
+        "skew_ratio": (float(sizes.max()) / mean) if mean else 0.0,
+        "top_keys": [({c: r[c] for c in key_cols}, r["n"]) for r in top],
+    }
