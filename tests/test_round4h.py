@@ -1712,3 +1712,46 @@ def test_round_cols_matches_duckdb_half_semantics():
             w = duckdb.sql(
                 f"SELECT round(CAST({v!r} AS DOUBLE), {nd})").fetchone()[0]
             assert g == w, (v, nd, g, w)
+
+
+def test_rolling_zscore_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from webval.windows import rolling_zscore
+
+    rng = np.random.default_rng(101)
+    keys, ts, vals = [], [], []
+    series = {}
+    for k in ("a", "b"):
+        x = rng.normal(10, 1, 30)
+        x[20] = 30.0            # planted spike
+        series[k] = x
+        keys += [k] * 30
+        ts += list(range(30))
+        vals += list(x)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys), "t": pa.array(ts, pa.int64()),
+        "v": pa.array(vals)})).repartition(3)
+    out = rolling_zscore(ds, "k", "t", "v", window=5, min_periods=3) \
+        .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+
+    i = 0
+    for k in ("a", "b"):
+        x = series[k]
+        for t in range(30):
+            lo = max(0, t - 5)
+            prev = x[lo:t]
+            row = out.iloc[i]
+            assert (row["k"], row["t"]) == (k, t)
+            if len(prev) < 3 or np.std(prev, ddof=1) == 0:
+                assert row["zscore"] is None or np.isnan(row["zscore"])
+            else:
+                expect = (x[t] - prev.mean()) / prev.std(ddof=1)
+                assert row["zscore"] == pytest.approx(expect, rel=1e-9)
+            i += 1
+    # the spike is flagged hard and does not mask itself
+    spike = out[(out["k"] == "a") & (out["t"] == 20)]["zscore"].iloc[0]
+    assert spike > 8
+
+    with pytest.raises(ValueError, match="window"):
+        rolling_zscore(ds, "k", "t", "v", window=0)

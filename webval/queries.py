@@ -8078,6 +8078,68 @@ FROM v GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_rolling_zscore(sf_dir: str):
+    """Trailing-window anomaly scores (windows.rolling_zscore, w=7,
+    min_periods=3): each event type's daily volume judged against the
+    previous week only — the self-masking-proof monitoring score.
+    (type, day) keys are unique, so ordering is tie-free; z rounds 6
+    (pandas rolling vs SQL window accumulation order)."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.windows import rolling_zscore
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").combine_chunks()
+        ts = t.column("ts").combine_chunks()
+        m = pc.and_(pc.is_valid(et), pc.is_valid(ts))
+        return pa.table({"event_type": et.filter(m),
+                         "day": pc.floor_temporal(ts.filter(m),
+                                                  unit="day")})
+
+    counts = grouped_agg(ds.map_batches(daily, batch_format="pyarrow"),
+                         ["event_type", "day"], [("day", "count")],
+                         rename={"day_count": "n"})
+    counts = counts.map_batches(
+        lambda t: t.set_column(t.column_names.index("n"), "n",
+                               pc.cast(t.column("n"), pa.float64())),
+        batch_format="pyarrow")
+    out = rolling_zscore(counts, "event_type", "day", "n", window=7,
+                         min_periods=3)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "day": t.column("day"),
+                         "n": pc.cast(t.column("n"), pa.int64()),
+                         "zscore": t.column("zscore")})
+
+    return _round_cols(
+        ds_to_table(out.map_batches(shape, batch_format="pyarrow"))
+        .sort_by([("event_type", "ascending"), ("day", "ascending")]),
+        {"zscore": 6})
+
+
+SQL_ROLLING_ZSCORE = """
+WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(count(*) AS DOUBLE) AS n
+           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+w AS (SELECT event_type, day, n,
+             avg(n) OVER win AS m, stddev_samp(n) OVER win AS s,
+             count(*) OVER win AS c
+      FROM d
+      WINDOW win AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN c >= 3 AND s > 0 THEN (n - m) / s END, 6)
+           AS zscore
+FROM w ORDER BY event_type, day
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10788,6 +10850,7 @@ QUERIES = {
     "blocking_quality": (q_blocking_quality, SQL_BLOCKING_QUALITY),
     "pythagorean_means": (q_pythagorean_means, SQL_PYTHAGOREAN_MEANS),
     "index_search": (q_index_search, SQL_BM25_SEARCH),
+    "rolling_zscore": (q_rolling_zscore, SQL_ROLLING_ZSCORE),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

@@ -1923,3 +1923,66 @@ def peak_rate(ds, key: str, ts_col: str, *, window_seconds: float,
             proj, batch_format="pyarrow"),
         [key], scan, num_buckets=num_buckets,
         max_group_rows=max_group_rows)
+
+
+def rolling_zscore(ds, key: str, ts_col: str, val_col: str, *,
+                   window: int, min_periods: int = 2,
+                   out_col: str = "zscore",
+                   num_buckets: int | None = None,
+                   max_group_rows: int | None = None):
+    """Trailing-window anomaly score along each key's time-ordered
+    series: z = (x_t − mean(x_{t−w..t−1})) / std(x_{t−w..t−1}) — the
+    current value judged against the PREVIOUS ``window`` observations
+    only (never itself, so a spike can't mask itself), sample std.
+    Rows with fewer than ``min_periods`` predecessors in the window, or
+    zero predecessor variance, get a null score.  Null
+    keys/timestamps/values are dropped.  Appends ``out_col``.
+
+    Scale shape: combiner-less key exchange; per bucket one lexsort +
+    pandas' cython grouped shift/rolling kernels — no per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    from webval.exchange import DEFAULT_MAX_GROUP_ROWS, bucketed_group_apply
+
+    if window < 1:
+        raise ValueError(f"rolling_zscore: window must be >= 1, "
+                         f"got {window}")
+    if max_group_rows is None:
+        max_group_rows = DEFAULT_MAX_GROUP_ROWS
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.select([key, ts_col, val_col])
+        m = pc.is_valid(t.column(key).combine_chunks())
+        for c in (ts_col, val_col):
+            v = t.column(c).combine_chunks()
+            ok = pc.is_valid(v)
+            if pa.types.is_floating(v.type):
+                ok = pc.and_(ok, pc.invert(pc.is_nan(v)))
+            m = pc.and_(m, ok)
+        return t.filter(m)
+
+    def scan(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.array([], pa.float64()))
+        g = g.sort_by([(key, "ascending"), (ts_col, "ascending")])
+        kv = g.column(key).to_numpy(zero_copy_only=False)
+        x = pd.Series(g.column(val_col).to_numpy(zero_copy_only=False)
+                      .astype(np.float64))
+        seg = np.cumsum(np.r_[False, kv[1:] != kv[:-1]])
+        grp = x.groupby(seg, sort=False)
+        roll = grp.rolling(window, min_periods=min_periods)
+        mean_prev = roll.mean().droplevel(0).sort_index() \
+            .groupby(seg, sort=False).shift(1)
+        std_prev = roll.std(ddof=1).droplevel(0).sort_index() \
+            .groupby(seg, sort=False).shift(1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (x - mean_prev) / std_prev
+        z = z.mask(~np.isfinite(z)).to_numpy()
+        return g.append_column(out_col,
+                               pa.array(z, pa.float64(),
+                                        from_pandas=True))
+
+    return bucketed_group_apply(
+        ds.map_batches(proj, batch_format="pyarrow"), [key], scan,
+        num_buckets=num_buckets, max_group_rows=max_group_rows)
