@@ -1755,3 +1755,40 @@ def test_rolling_zscore_matches_numpy(ray_session):
 
     with pytest.raises(ValueError, match="window"):
         rolling_zscore(ds, "k", "t", "v", window=0)
+
+
+def test_winsorized_mean_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from webval.rank import winsorized_mean
+
+    rng = np.random.default_rng(103)
+    keys, vals = [], []
+    truth = {}
+    for k in ("a", "b"):
+        x = rng.lognormal(0, 1.5, 500)
+        keys += [k] * len(x)
+        vals += list(x)
+        q_lo, q_hi = np.quantile(x, [0.05, 0.95])
+        truth[k] = (len(x), q_lo, q_hi,
+                    np.clip(x, q_lo, q_hi).mean())
+    keys.append("a")
+    vals.append(None)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.string()),
+        "v": pa.array(vals, pa.float64())})).repartition(4)
+    out = winsorized_mean(ds, "k", "v", lo=0.05, hi=0.95).to_pandas() \
+        .set_index("k")
+    for k, (n, ql, qh, wm) in truth.items():
+        r = out.loc[k]
+        assert r["n"] == n
+        assert r["q_lo"] == pytest.approx(ql, rel=1e-12)
+        assert r["q_hi"] == pytest.approx(qh, rel=1e-12)
+        assert r["winsorized_mean"] == pytest.approx(wm, rel=1e-12)
+        # robustness: winsorized < raw mean for a right-skewed dist
+        raw = np.array([v for kk, v in zip(keys, vals)
+                        if kk == k and v is not None]).mean()
+        assert r["winsorized_mean"] < raw
+
+    with pytest.raises(ValueError, match="quantile range"):
+        winsorized_mean(ds, "k", "v", lo=0.9, hi=0.1)

@@ -8140,6 +8140,39 @@ FROM w ORDER BY event_type, day
 """
 
 
+def q_winsorized_mean(sf_dir: str):
+    """Winsorized mean of l_extendedprice per return flag
+    (rank.winsorized_mean, 5%/95%): tails clamped to exact interpolated
+    quantiles, every row still votes — the robust location companion
+    of trimmed_mean.  Clamp is bit-identical; mean rounds 6 (sum
+    order)."""
+    import ray.data as rd
+
+    from webval.rank import winsorized_mean
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+    out = winsorized_mean(ds, "l_returnflag", "l_extendedprice",
+                          lo=0.05, hi=0.95)
+    t = ds_to_table(out).sort_by([("l_returnflag", "ascending")])
+    return _round_cols(t, {"q_lo": 6, "q_hi": 6, "winsorized_mean": 6})
+
+
+SQL_WINSORIZED_MEAN = """
+WITH v AS (SELECT l_returnflag AS k, l_extendedprice AS x FROM lineitem
+           WHERE l_extendedprice IS NOT NULL
+             AND l_returnflag IS NOT NULL),
+q AS (SELECT k, quantile_cont(x, 0.05) AS q_lo,
+             quantile_cont(x, 0.95) AS q_hi
+      FROM v GROUP BY 1)
+SELECT v.k AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(q.q_lo, 6) AS q_lo, round(q.q_hi, 6) AS q_hi,
+       round(sum(least(greatest(v.x, q.q_lo), q.q_hi)) / count(*), 6)
+           AS winsorized_mean
+FROM v JOIN q USING (k) GROUP BY v.k, q.q_lo, q.q_hi ORDER BY v.k
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10851,6 +10884,7 @@ QUERIES = {
     "pythagorean_means": (q_pythagorean_means, SQL_PYTHAGOREAN_MEANS),
     "index_search": (q_index_search, SQL_BM25_SEARCH),
     "rolling_zscore": (q_rolling_zscore, SQL_ROLLING_ZSCORE),
+    "winsorized_mean": (q_winsorized_mean, SQL_WINSORIZED_MEAN),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

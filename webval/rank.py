@@ -1032,3 +1032,58 @@ def tukey_outlier_audit(ds, key: str, value_col: str, *, k: float = 1.5,
                          "out_rate": rate})
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def winsorized_mean(ds, key: str, value_col: str, *, lo: float = 0.05,
+                    hi: float = 0.95, num_buckets: int | None = None):
+    """Winsorized per-group mean: values are CLAMPED to the group's
+    exact interpolated [lo, hi] quantiles before averaging — unlike the
+    trimmed mean (which drops the tails) every row still votes, just
+    with bounded influence; the robust location estimate for heavy-
+    tailed metrics where dropping rows biases small groups.  Nulls are
+    ignored.  Returns Dataset[{key, n, q_lo, q_hi, winsorized_mean}].
+
+    Scale shape: one exact-quantile pass per key, quantile bounds join
+    back co-bucketed, one (count, Σclamped) combiner exchange — the
+    clamp is bit-identical across engines (same quantiles, same
+    least/greatest)."""
+    from webval.exchange import grouped_agg
+    from webval.joins import equi_join
+
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"winsorized_mean: bad quantile range "
+                         f"[{lo}, {hi}]")
+    q = grouped_exact_quantiles(ds, key, value_col,
+                                {"q_lo": lo, "q_hi": hi},
+                                interpolate=True,
+                                num_buckets=num_buckets)
+    proj = ds.map_batches(
+        lambda t: t.select([key, value_col]).filter(
+            pc.is_valid(t.column(value_col))),
+        batch_format="pyarrow")
+    joined = equi_join(proj, q, on=[key], num_buckets=num_buckets)
+
+    def clamp(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(value_col), pa.float64())
+        w = pc.min_element_wise(pc.max_element_wise(v, t.column("q_lo")),
+                                t.column("q_hi"))
+        tab = pa.table({key: t.column(key), "q_lo": t.column("q_lo"),
+                        "q_hi": t.column("q_hi"),
+                        "n": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+                        "s": w})
+        agg = tab.group_by([key, "q_lo", "q_hi"]).aggregate(
+            [("n", "sum"), ("s", "sum")])
+        return agg.rename_columns([key, "q_lo", "q_hi", "n", "s"])
+
+    out = grouped_agg(joined.map_batches(clamp, batch_format="pyarrow"),
+                      [key, "q_lo", "q_hi"],
+                      [("n", "sum"), ("s", "sum")],
+                      rename={"n_sum": "n", "s_sum": "s"},
+                      num_buckets=num_buckets)
+    return out.map_batches(
+        lambda t: pa.table({
+            key: t.column(key), "n": t.column("n"),
+            "q_lo": t.column("q_lo"), "q_hi": t.column("q_hi"),
+            "winsorized_mean": pc.divide(
+                t.column("s"), pc.cast(t.column("n"), pa.float64()))}),
+        batch_format="pyarrow")
