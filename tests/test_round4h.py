@@ -1792,3 +1792,40 @@ def test_winsorized_mean_matches_numpy(ray_session):
 
     with pytest.raises(ValueError, match="quantile range"):
         winsorized_mean(ds, "k", "v", lo=0.9, hi=0.1)
+
+
+def test_negative_edge_samples_matches_formula(ray_session):
+    import ray.data as rd
+
+    from webval.graph import negative_edge_samples
+
+    edges = [("s1", "a"), ("s1", "b"), ("s2", "a"), ("s3", "c"),
+             ("s1", "a"), (None, "x"), ("s4", None)]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.string()),
+        "dst": pa.array([e[1] for e in edges], pa.string())}))
+    k = 3
+    out = negative_edge_samples(ds, "src", "dst", k).to_pandas()
+
+    # oracle: same hash scheme
+    real = {("s1", "a"), ("s1", "b"), ("s2", "a"), ("s3", "c")}
+    dsts = sorted({d for _, d in real})
+    srcs = sorted({s for s, _ in real})
+    expect = set()
+    for sr, s in enumerate(srcs):
+        for slot in range(k):
+            h = ((sr * k + slot) * 2654435761) % 2**32
+            cand = dsts[h % len(dsts)]
+            if (s, cand) not in real:
+                expect.add((s, cand, slot))
+    got = set(zip(out["src"], out["dst"], out["slot"]))
+    assert got == expect
+    # no sampled pair is a real edge
+    assert not any((s, d) in real for s, d, _ in got)
+    # deterministic across reruns
+    again = negative_edge_samples(ds.repartition(3), "src", "dst", k) \
+        .to_pandas()
+    assert set(zip(again["src"], again["dst"], again["slot"])) == got
+
+    with pytest.raises(ValueError, match="k must"):
+        negative_edge_samples(ds, "src", "dst", 0)

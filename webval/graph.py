@@ -737,3 +737,83 @@ def personalized_pagerank(edges, src_col: str, dst_col: str,
 
     return ranks.map_batches(lambda t: t.select(["node", "rank"]),
                              batch_format="pyarrow")
+
+
+def negative_edge_samples(edges, src_col: str, dst_col: str, k: int, *,
+                          multiplier: int = 2654435761,
+                          modulus: int = 2**32,
+                          num_buckets: int | None = None):
+    """Deterministic negative sampling for link prediction: for every
+    distinct source, ``k`` pseudo-random candidate targets drawn by the
+    Knuth multiplicative hash over (source-rank · k + i), mapped into
+    the lexicographically-ranked target vocabulary, then TRUE edges are
+    anti-joined away — reproducible contrastive pairs (same negatives
+    every run, every engine — the property that makes a train set
+    auditable; cf. the membership-exact samplers).  A source may get
+    fewer than k negatives when candidates collide or hit real edges —
+    collisions are skipped, not resampled (deterministic-set semantics).
+    Returns Dataset[{src, dst, slot}] with slot the candidate index.
+
+    Scale shape: the TARGET vocabulary is ranked driver-side (node
+    domains — hosts, items — are policy-bounded; the edge set is not),
+    broadcast as one array; candidate generation is a stateless
+    vectorized map over the distinct-source exchange; the final
+    anti-join is co-bucketed."""
+    from webval.exchange import distinct_rows
+    from webval.joins import equi_join
+
+    if k < 1:
+        raise ValueError(f"negative_edge_samples: k must be >= 1, got {k}")
+    e = distinct_rows(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            lambda t: t.drop_null(), batch_format="pyarrow"),
+        [src_col, dst_col], num_buckets=num_buckets).materialize()
+
+    import ray
+
+    # target vocabulary: bounded node domain, sorted for a stable rank
+    dst_vals = sorted({v for r in (ray.get(x) for x in distinct_rows(
+        e.select_columns([dst_col]), [dst_col],
+        num_buckets=num_buckets).materialize().to_arrow_refs())
+        if r.num_rows for v in r.column(dst_col).to_pylist()})
+    m = len(dst_vals)
+    if m == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            src_col: pa.array([], pa.large_string()),
+            dst_col: pa.array([], pa.large_string()),
+            "slot": pa.array([], pa.int64())}))
+    dst_arr = pa.array(dst_vals).cast(pa.large_string())
+    srcs = distinct_rows(e.select_columns([src_col]), [src_col],
+                         num_buckets=num_buckets)
+    src_ranked = sorted({v for r in (ray.get(x) for x in
+                         srcs.materialize().to_arrow_refs())
+                         if r.num_rows
+                         for v in r.column(src_col).to_pylist()})
+    rank_of = {s: i for i, s in enumerate(src_ranked)}
+    mult, mod = np.uint64(multiplier), np.uint64(modulus)
+
+    def gen(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).combine_chunks()
+        ranks = np.array([rank_of[v] for v in s.to_pylist()],
+                         dtype=np.uint64)
+        n = len(ranks)
+        slot = np.tile(np.arange(k, dtype=np.uint64), n)
+        base = np.repeat(ranks, k) * np.uint64(k) + slot
+        with np.errstate(over="ignore"):
+            h = (base * mult) % mod
+        idx = (h % np.uint64(m)).astype(np.int64)
+        return pa.table({
+            src_col: s.take(pa.array(np.repeat(np.arange(n), k))),
+            dst_col: dst_arr.take(pa.array(idx)),
+            "slot": pa.array(slot.astype(np.int64))})
+
+    cands = srcs.map_batches(gen, batch_format="pyarrow")
+    cands = distinct_rows(cands, [src_col, dst_col, "slot"],
+                          num_buckets=num_buckets)
+    return equi_join(cands,
+                     e.map_batches(lambda t: t.rename_columns(
+                         [src_col, dst_col]), batch_format="pyarrow"),
+                     on=[src_col, dst_col], how="anti",
+                     num_buckets=num_buckets)

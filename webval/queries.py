@@ -8173,6 +8173,66 @@ FROM v JOIN q USING (k) GROUP BY v.k, q.q_lo, q.q_hi ORDER BY v.k
 """
 
 
+def q_negative_edges(sf_dir: str):
+    """Deterministic negative sampling (graph.negative_edge_samples,
+    k=2) over the host link graph: Knuth-hash candidates into the
+    ranked target vocabulary, true edges anti-joined away —
+    reproducible contrastive pairs for link prediction.  Membership is
+    integer-exact on both engines."""
+    import ray.data as rd
+
+    from webval.graph import negative_edge_samples
+
+    _, links = ensure_synth(sf_dir)
+    ds = rd.read_parquet(links, columns=["src_url", "dst_url"])
+
+    def hosts(t: pa.Table) -> pa.Table:
+        s = pc.struct_field(pc.extract_regex(
+            t.column("src_url").combine_chunks(), _HOST_RE), "host")
+        d = pc.struct_field(pc.extract_regex(
+            t.column("dst_url").combine_chunks(), _HOST_RE), "host")
+        return pa.table({"s": s, "d": d}).filter(
+            pc.and_(pc.is_valid(s), pc.is_valid(d)))
+
+    out = negative_edge_samples(
+        ds.map_batches(hosts, batch_format="pyarrow"), "s", "d", 2)
+    t = ds_to_table(out).sort_by([("s", "ascending"),
+                                  ("slot", "ascending")])
+    for c in ("s", "d"):
+        t = t.set_column(t.column_names.index(c), c,
+                         pc.cast(t.column(c), pa.string()))
+    return t
+
+
+SQL_NEGATIVE_EDGES = f"""
+WITH e AS (SELECT DISTINCT
+                  regexp_extract(src_url, '^https?://([a-z0-9-]+)\\.', 1)
+                      AS s,
+                  regexp_extract(dst_url, '^https?://([a-z0-9-]+)\\.', 1)
+                      AS d
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/links.parquet')
+           WHERE regexp_matches(src_url, '^https?://([a-z0-9-]+)\\.')
+             AND regexp_matches(dst_url, '^https?://([a-z0-9-]+)\\.')),
+dsts AS (SELECT d, row_number() OVER (ORDER BY d) - 1 AS r
+         FROM (SELECT DISTINCT d FROM e)),
+m AS (SELECT count(*) AS c FROM dsts),
+srcs AS (SELECT s, row_number() OVER (ORDER BY s) - 1 AS sr
+         FROM (SELECT DISTINCT s FROM e)),
+cand AS (SELECT DISTINCT srcs.s, dsts.d, sl.slot
+         FROM srcs
+         CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS slot) sl
+         CROSS JOIN m
+         JOIN dsts ON dsts.r = ((srcs.sr * 2 + sl.slot) * 2654435761)
+                               % 4294967296 % m.c)
+SELECT cand.s, cand.d, CAST(cand.slot AS BIGINT) AS slot
+FROM cand
+WHERE NOT EXISTS (SELECT 1 FROM e
+                  WHERE e.s = cand.s AND e.d = cand.d)
+ORDER BY cand.s, cand.slot
+"""
+SQL_NEGATIVE_EDGES = SQL_NEGATIVE_EDGES.replace("{SYNTH_ROOT}", SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10885,6 +10945,7 @@ QUERIES = {
     "index_search": (q_index_search, SQL_BM25_SEARCH),
     "rolling_zscore": (q_rolling_zscore, SQL_ROLLING_ZSCORE),
     "winsorized_mean": (q_winsorized_mean, SQL_WINSORIZED_MEAN),
+    "negative_edges": (q_negative_edges, SQL_NEGATIVE_EDGES),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
