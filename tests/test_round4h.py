@@ -1829,3 +1829,42 @@ def test_negative_edge_samples_matches_formula(ray_session):
 
     with pytest.raises(ValueError, match="k must"):
         negative_edge_samples(ds, "src", "dst", 0)
+
+
+def test_cap_per_group_matches_rank_oracle(ray_session):
+    import ray.data as rd
+
+    from webval.pipelines import cap_per_group
+
+    rng = np.random.default_rng(107)
+    keys = [f"h{int(x)}" for x in rng.integers(0, 8, 500)]
+    ids = rng.permutation(500).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.string()), "id": pa.array(ids),
+        "payload": pa.array(np.arange(500))})).repartition(5)
+    cap = 7
+    kept = cap_per_group(ds, "k", "id", cap).to_pandas()
+
+    # oracle: per key, smallest (knuth-hash, id) wins
+    def h(i):
+        return (int(i) * 2654435761) % 2**32
+
+    import collections
+    per = collections.defaultdict(list)
+    for k, i in zip(keys, ids):
+        per[k].append(i)
+    expect = set()
+    for k, lst in per.items():
+        for i in sorted(lst, key=lambda x: (h(x), x))[:cap]:
+            expect.add((k, i))
+    assert set(zip(kept["k"], kept["id"])) == expect
+    assert kept.groupby("k").size().max() <= cap
+    # groups under the cap keep everything
+    small = {k for k, lst in per.items() if len(lst) <= cap}
+    for k in small:
+        assert (kept["k"] == k).sum() == len(per[k])
+    # full rows survive
+    assert set(kept.columns) == {"k", "id", "payload"}
+
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_group(ds, "k", "id", 0)

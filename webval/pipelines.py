@@ -1291,3 +1291,43 @@ def match_distribution_sample(ds, key_col: str, id_col: str,
         return t.filter(pa.array(h < thr_np[idx]))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def cap_per_group(ds, key_col: str, id_col: str, cap: int, *,
+                  modulus: int = 2**32, multiplier: int = 2654435761,
+                  num_buckets: int | None = None):
+    """Frequency-capped sampling: keep at most ``cap`` rows per key —
+    "no more than N pages per domain", the crawl-balancing rule that
+    stops megahosts from dominating a training mix without touching
+    small hosts at all.  WHICH rows survive is deterministic: each
+    key's rows are ranked by (Knuth hash of ``id_col``, id) and the
+    first ``cap`` win — identical membership across runs, engines and
+    cluster sizes, so the capped corpus is auditable (same property as
+    :func:`deterministic_sample`).  Null keys/ids are dropped.
+
+    Scale shape: the per-batch combiner already keeps ≤ cap rows per
+    key per batch, so the exchange moves at most cap · #batches rows
+    per key — a hot host never concentrates anywhere (the
+    top_k_per_group contract)."""
+    from webval.rank import top_k_per_group
+
+    if cap < 1:
+        raise ValueError(f"cap_per_group: cap must be >= 1, got {cap}")
+    mult, mod = np.uint64(multiplier), np.uint64(modulus)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.is_valid(t.column(key_col).combine_chunks()),
+            pc.is_valid(t.column(id_col).combine_chunks())))
+        ids = t.column(id_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        with np.errstate(over="ignore"):
+            h = (ids * mult) % mod
+        return t.append_column("__h__", pa.array(h.astype(np.int64)))
+
+    capped = top_k_per_group(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        key_col, "__h__", cap, descending=False, tie_cols=[id_col],
+        num_buckets=num_buckets)
+    return capped.map_batches(lambda t: t.drop_columns(["__h__"]),
+                              batch_format="pyarrow")

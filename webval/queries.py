@@ -8233,6 +8233,56 @@ ORDER BY cand.s, cand.slot
 SQL_NEGATIVE_EDGES = SQL_NEGATIVE_EDGES.replace("{SYNTH_ROOT}", SYNTH_ROOT)
 
 
+def q_cap_per_host(sf_dir: str):
+    """Frequency-capped sampling (pipelines.cap_per_group, cap=10):
+    at most 10 pages per host, survivors chosen by (Knuth hash,
+    page_id) rank — crawl balancing with auditable membership.
+    Verified by per-host kept counts plus a checksum of kept page_ids
+    (membership-exact on both engines)."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.pipelines import cap_per_group
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["page_id", "url"])
+
+    def add_host(t: pa.Table) -> pa.Table:
+        u = t.column("url").combine_chunks()
+        host = pc.struct_field(pc.extract_regex(u, _HOST_RE), "host")
+        return pa.table({"host": host,
+                         "page_id": t.column("page_id")}).filter(
+            pc.is_valid(host))
+
+    kept = cap_per_group(ds.map_batches(add_host, batch_format="pyarrow"),
+                         "host", "page_id", 10)
+    out = grouped_agg(kept, ["host"],
+                      [("host", "count"), ("page_id", "sum")],
+                      rename={"host_count": "kept",
+                              "page_id_sum": "id_sum"})
+    t = ds_to_table(out).sort_by([("host", "ascending")])
+    return t.set_column(t.column_names.index("host"), "host",
+                        pc.cast(t.column("host"), pa.string()))
+
+
+SQL_CAP_PER_HOST = f"""
+WITH p AS (SELECT regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1)
+                      AS host, page_id
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+           WHERE regexp_matches(url, '^https?://([a-z0-9-]+)\\.')
+             AND page_id IS NOT NULL),
+r AS (SELECT host, page_id,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY (page_id * 2654435761)
+                                         % 4294967296, page_id) AS rn
+      FROM p)
+SELECT host, CAST(count(*) AS BIGINT) AS kept,
+       CAST(sum(page_id) AS BIGINT) AS id_sum
+FROM r WHERE rn <= 10 GROUP BY host ORDER BY host
+"""
+SQL_CAP_PER_HOST = SQL_CAP_PER_HOST.replace("{SYNTH_ROOT}", SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10946,6 +10996,7 @@ QUERIES = {
     "rolling_zscore": (q_rolling_zscore, SQL_ROLLING_ZSCORE),
     "winsorized_mean": (q_winsorized_mean, SQL_WINSORIZED_MEAN),
     "negative_edges": (q_negative_edges, SQL_NEGATIVE_EDGES),
+    "cap_per_host": (q_cap_per_host, SQL_CAP_PER_HOST),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
