@@ -1868,3 +1868,55 @@ def test_cap_per_group_matches_rank_oracle(ray_session):
 
     with pytest.raises(ValueError, match="cap"):
         cap_per_group(ds, "k", "id", 0)
+
+
+def test_group_vocab_cosine_matches_numpy(ray_session):
+    import collections
+    import re
+
+    import ray.data as rd
+
+    from webval.textstats import group_vocab_cosine
+
+    docs = [
+        ("en", "the cat sat on the mat"),
+        ("en", "the dog sat"),
+        ("de", "der hund sitzt the mat"),   # shares "the", "mat"
+        ("fr", "le chat"),
+        ("en", None), (None, "x y z"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array([d[0] for d in docs], pa.string()),
+        "text": pa.array([d[1] for d in docs], pa.string())})) \
+        .repartition(3)
+    out = group_vocab_cosine(ds, "g", "text", min_count=1).to_pandas() \
+        .set_index(["g1", "g2"])
+
+    vecs = collections.defaultdict(collections.Counter)
+    for g, t in docs:
+        if g is None or t is None:
+            continue
+        vecs[g].update(x for x in re.split(r"[^a-z0-9]+", t.lower())
+                       if x)
+    vocab = sorted({w for v in vecs.values() for w in v})
+
+    def vec(g):
+        return np.array([vecs[g][w] for w in vocab], dtype=float)
+
+    import itertools
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vec(a), vec(b)
+        expect = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert out.loc[(a, b)]["cosine"] == pytest.approx(expect,
+                                                          rel=1e-12)
+    # en-de share tokens; en-fr are disjoint -> cosine 0 still emitted
+    assert out.loc[("de", "en")]["cosine"] > 0
+    assert out.loc[("en", "fr")]["cosine"] == 0.0
+
+    # min_count cut removes hapax-only overlap
+    strict = group_vocab_cosine(ds, "g", "text", min_count=3) \
+        .to_pandas().set_index(["g1", "g2"])
+    # only "the" (count 4) and "sat" (2 < 3) survive; de-en overlap
+    # persists through "the", fr vector empties -> fr pairs dropped
+    assert ("en", "fr") not in strict.index
+    assert strict.loc[("de", "en")]["cosine"] > 0

@@ -8283,6 +8283,50 @@ FROM r WHERE rn <= 10 GROUP BY host ORDER BY host
 SQL_CAP_PER_HOST = SQL_CAP_PER_HOST.replace("{SYNTH_ROOT}", SYNTH_ROOT)
 
 
+def q_lang_vocab_cosine(sf_dir: str):
+    """Inter-language vocabulary cosine (textstats.group_vocab_cosine,
+    min_count=2): term-frequency-vector similarity for every lang pair
+    — the slice-confusion audit (shared boilerplate tokens give every
+    pair a floor; same-script langs sit far above it).  cosine rounds 6
+    (sum order)."""
+    import ray.data as rd
+
+    from webval.textstats import group_vocab_cosine
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["lang", "text"])
+    out = group_vocab_cosine(ds, "lang", "text", min_count=2)
+    t = ds_to_table(out).sort_by([("g1", "ascending"),
+                                  ("g2", "ascending")])
+    return _round_cols(t, {"cosine": 6})
+
+
+SQL_LANG_VOCAB_COSINE = f"""
+WITH tok AS (SELECT lang AS grp,
+                    unnest(list_filter(regexp_split_to_array(lower(text),
+                                                             '[^a-z0-9]+'),
+                                       x -> x <> '')) AS term
+             FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+             WHERE lang IS NOT NULL AND text IS NOT NULL),
+c AS (SELECT term, grp, CAST(count(*) AS DOUBLE) AS n
+      FROM tok GROUP BY 1, 2),
+keep AS (SELECT term FROM c GROUP BY term HAVING sum(n) >= 2),
+v AS (SELECT c.term, c.grp, c.n FROM c JOIN keep USING (term)),
+norms AS (SELECT grp, sum(n * n) AS sq FROM v GROUP BY 1),
+dots AS (SELECT a.grp AS g1, b.grp AS g2, sum(a.n * b.n) AS dot
+         FROM v a JOIN v b ON a.term = b.term AND a.grp < b.grp
+         GROUP BY 1, 2)
+SELECT na.grp AS g1, nb.grp AS g2,
+       round(coalesce(d.dot, 0.0) / (sqrt(na.sq) * sqrt(nb.sq)), 6)
+           AS cosine
+FROM norms na JOIN norms nb ON na.grp < nb.grp
+LEFT JOIN dots d ON d.g1 = na.grp AND d.g2 = nb.grp
+ORDER BY 1, 2
+"""
+SQL_LANG_VOCAB_COSINE = SQL_LANG_VOCAB_COSINE.replace("{SYNTH_ROOT}",
+                                                      SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -10997,6 +11041,7 @@ QUERIES = {
     "winsorized_mean": (q_winsorized_mean, SQL_WINSORIZED_MEAN),
     "negative_edges": (q_negative_edges, SQL_NEGATIVE_EDGES),
     "cap_per_host": (q_cap_per_host, SQL_CAP_PER_HOST),
+    "lang_vocab_cosine": (q_lang_vocab_cosine, SQL_LANG_VOCAB_COSINE),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

@@ -1390,3 +1390,111 @@ def script_mix_stats(ds, group_col: str, text_col: str, *,
                          "avg_mix": avg_arr})
 
     return groups.map_batches(finalize, batch_format="pyarrow")
+
+
+def group_vocab_cosine(ds, group_col: str, text_col: str, *,
+                       min_count: int = 2,
+                       num_buckets: int | None = None):
+    """Pairwise cosine similarity between the term-frequency vectors of
+    every pair of groups (languages, sources, crawls) — "which slices
+    speak the same vocabulary", the confusion audit behind mixture and
+    contamination decisions.  Terms with corpus count < ``min_count``
+    are dropped from every vector (hapax noise).  Returns
+    Dataset[{g1, g2, cosine}] for g1 < g2, cosine over RAW counts.
+
+    Scale shape: ONE (term, group) count exchange; per-term partials
+    reduce to the G×G dot-product matrix and G norms as a per-block
+    (G²+G)-scalar accumulation (G = #groups, policy-sized — the term
+    table itself never concentrates)."""
+    import itertools
+
+    import ray
+
+    from webval.exchange import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).combine_chunks()
+        txt = t.column(text_col).combine_chunks()
+        m = pc.and_(pc.is_valid(g), pc.is_valid(txt))
+        g, txt = g.filter(m), txt.filter(m)
+        from webval.lm import TOKEN_SPLIT_PATTERN, _tokenize
+        flat, doc_idx = _tokenize(txt, TOKEN_SPLIT_PATTERN)
+        if len(flat) == 0:
+            return pa.table({
+                "term": pa.array([], pa.large_string()),
+                "grp": pa.array([], pa.large_string()),
+                "n": pa.array([], pa.int64())})
+        grp = g.cast(pa.large_string()).take(pa.array(doc_idx))
+        tab = pa.table({"term": flat.cast(pa.large_string()),
+                        "grp": grp})
+        agg = tab.group_by(["term", "grp"]).aggregate([([],
+                                                        "count_all")])
+        agg = agg.rename_columns(["term", "grp", "n"])
+        return agg.set_column(2, "n", pc.cast(agg.column(2), pa.int64()))
+
+    counts = grouped_agg(
+        ds.select_columns([group_col, text_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["term", "grp"], [("n", "sum")], rename={"n_sum": "n"},
+        num_buckets=num_buckets)
+    # re-key by term so each term's group vector lands whole in a task
+    from webval.exchange import bucketed_group_apply
+
+    def per_term_products(g: pa.Table) -> pa.Table:
+        empty = pa.table({"g1": pa.array([], pa.large_string()),
+                          "g2": pa.array([], pa.large_string()),
+                          "dot": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        # dense term×group matrix (both factorized bucket-locally),
+        # min_count cut on row sums, then ONE GxG matmul — vectorized
+        terms = g.column("term").combine_chunks()
+        grps = g.column("grp").combine_chunks()
+        ns = g.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        t_uniq = pc.unique(terms)
+        g_uniq = pc.unique(grps)
+        ti = pc.index_in(terms, value_set=t_uniq) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        gi = pc.index_in(grps, value_set=g_uniq) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        mat_tg = np.zeros((len(t_uniq), len(g_uniq)))
+        mat_tg[ti, gi] = ns
+        keep = mat_tg.sum(axis=1) >= min_count
+        mat_tg = mat_tg[keep]
+        if not mat_tg.size:
+            return empty
+        d = mat_tg.T @ mat_tg
+        names = [str(x) for x in g_uniq.to_pylist()]
+        iu = np.triu_indices(len(names))
+        return pa.table({
+            "g1": pa.array([names[i] for i in iu[0]], pa.large_string()),
+            "g2": pa.array([names[j] for j in iu[1]], pa.large_string()),
+            "dot": pa.array(d[iu], pa.float64())})
+
+    mat = grouped_agg(
+        bucketed_group_apply(counts, ["term"], per_term_products,
+                             num_buckets=num_buckets),
+        ["g1", "g2"], [("dot", "sum")], rename={"dot_sum": "dot"},
+        num_buckets=num_buckets).materialize()
+    cells = {}
+    for ref in mat.to_arrow_refs():
+        b = ray.get(ref)
+        for a, c, d in zip(b.column("g1").to_pylist(),
+                           b.column("g2").to_pylist(),
+                           b.column("dot").to_pylist()):
+            cells[(a, c)] = cells.get((a, c), 0.0) + d
+    groups = sorted({a for a, _ in cells} | {b for _, b in cells})
+    import ray.data as rd
+
+    rows = []
+    for a, b in itertools.combinations(groups, 2):
+        dot = cells.get((a, b), 0.0) + cells.get((b, a), 0.0)
+        na = cells.get((a, a), 0.0)
+        nb = cells.get((b, b), 0.0)
+        if na > 0 and nb > 0:
+            rows.append((a, b, dot / (np.sqrt(na) * np.sqrt(nb))))
+    return rd.from_arrow(pa.table({
+        "g1": pa.array([r[0] for r in rows], pa.string()),
+        "g2": pa.array([r[1] for r in rows], pa.string()),
+        "cosine": pa.array([r[2] for r in rows], pa.float64())}))
