@@ -1920,3 +1920,52 @@ def test_group_vocab_cosine_matches_numpy(ray_session):
     # persists through "the", fr vector empties -> fr pairs dropped
     assert ("en", "fr") not in strict.index
     assert strict.loc[("de", "en")]["cosine"] > 0
+
+
+def test_lag_autocorr_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from webval.windows import lag_autocorr
+
+    rng = np.random.default_rng(109)
+    keys, ts, vals = [], [], []
+    series = {}
+    # trending, white-noise and oscillating series
+    series["trend"] = np.cumsum(rng.normal(1, 0.1, 40))
+    series["noise"] = rng.normal(0, 1, 40)
+    series["osc"] = np.array([(-1.0) ** i + rng.normal(0, 0.05)
+                              for i in range(40)])
+    for k, x in series.items():
+        keys += [k] * len(x)
+        ts += list(range(len(x)))
+        vals += list(x)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys), "t": pa.array(ts, pa.int64()),
+        "v": pa.array(vals)})).repartition(4)
+    out = lag_autocorr(ds, "k", "t", "v", lag=1).to_pandas() \
+        .set_index("k")
+
+    for k, x in series.items():
+        expect = np.corrcoef(x[:-1], x[1:])[0, 1]
+        r = out.loc[k]
+        assert r["n"] == len(x) - 1
+        assert r["corr"] == pytest.approx(expect, rel=1e-9)
+    assert out.loc["trend"]["corr"] > 0.9
+    assert abs(out.loc["noise"]["corr"]) < 0.5
+    assert out.loc["osc"]["corr"] < -0.9
+
+    # lag 2 flips the oscillator positive
+    l2 = lag_autocorr(ds, "k", "t", "v", lag=2).to_pandas() \
+        .set_index("k")
+    assert l2.loc["osc"]["corr"] > 0.9
+    assert l2.loc["osc"]["n"] == 38
+
+    # short series -> null corr
+    tiny = rd.from_arrow(pa.table({
+        "k": pa.array(["z", "z"]), "t": pa.array([0, 1], pa.int64()),
+        "v": pa.array([1.0, 2.0])}))
+    tz = lag_autocorr(tiny, "k", "t", "v").to_pandas()
+    assert tz.iloc[0]["n"] == 1 and np.isnan(tz.iloc[0]["corr"])
+
+    with pytest.raises(ValueError, match="lag"):
+        lag_autocorr(ds, "k", "t", "v", lag=0)

@@ -8327,6 +8327,53 @@ SQL_LANG_VOCAB_COSINE = SQL_LANG_VOCAB_COSINE.replace("{SYNTH_ROOT}",
                                                       SYNTH_ROOT)
 
 
+def q_daily_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of daily event volume per type
+    (windows.lag_autocorr): does yesterday's volume predict today's —
+    the persistence/seasonality audit.  (type, day) series are
+    tie-free; corr rounds 6."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.windows import lag_autocorr
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").combine_chunks()
+        ts = t.column("ts").combine_chunks()
+        m = pc.and_(pc.is_valid(et), pc.is_valid(ts))
+        return pa.table({"event_type": et.filter(m),
+                         "day": pc.floor_temporal(ts.filter(m),
+                                                  unit="day")})
+
+    counts = grouped_agg(ds.map_batches(daily, batch_format="pyarrow"),
+                         ["event_type", "day"], [("day", "count")],
+                         rename={"day_count": "n"})
+    counts = counts.map_batches(
+        lambda t: t.set_column(t.column_names.index("n"), "n",
+                               pc.cast(t.column("n"), pa.float64())),
+        batch_format="pyarrow")
+    out = lag_autocorr(counts, "event_type", "day", "n", lag=1)
+    t = ds_to_table(out).sort_by([("event_type", "ascending")])
+    return _round_cols(t, {"corr": 6})
+
+
+SQL_DAILY_AUTOCORR = """
+WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(count(*) AS DOUBLE) AS n
+           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+p AS (SELECT event_type, n AS x,
+             lead(n) OVER (PARTITION BY event_type ORDER BY day) AS y
+      FROM d)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(corr(x, y), 6) AS corr
+FROM p WHERE y IS NOT NULL GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -11042,6 +11089,7 @@ QUERIES = {
     "negative_edges": (q_negative_edges, SQL_NEGATIVE_EDGES),
     "cap_per_host": (q_cap_per_host, SQL_CAP_PER_HOST),
     "lang_vocab_cosine": (q_lang_vocab_cosine, SQL_LANG_VOCAB_COSINE),
+    "daily_autocorr": (q_daily_autocorr, SQL_DAILY_AUTOCORR),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

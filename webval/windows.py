@@ -1986,3 +1986,67 @@ def rolling_zscore(ds, key: str, ts_col: str, val_col: str, *,
     return bucketed_group_apply(
         ds.map_batches(proj, batch_format="pyarrow"), [key], scan,
         num_buckets=num_buckets, max_group_rows=max_group_rows)
+
+
+def lag_autocorr(ds, key: str, ts_col: str, val_col: str, *,
+                 lag: int = 1, num_buckets: int | None = None,
+                 max_group_rows: int | None = None):
+    """Per-key lag-``lag`` autocorrelation along the time-ordered value
+    series: Pearson corr(x_t, x_{t+lag}) over CONSECUTIVE positions in
+    each key's sorted series — near +1 means yesterday predicts today
+    (trend/persistence), near 0 white noise, negative oscillation; the
+    seasonality-persistence audit for per-key volume series.  Null
+    keys/timestamps/values are dropped; keys with < lag+2 observations
+    yield a null.  Returns Dataset[{key, n, corr}] with n the PAIR
+    count.
+
+    Scale shape: combiner-less key exchange builds (x_t, x_{t+lag})
+    pairs per key with one lexsort + a slice (no per-row Python); the
+    correlation itself rides :func:`webval.aggregates.grouped_corr`'s
+    co-moment exchange."""
+    import numpy as np
+
+    from webval.aggregates import grouped_corr
+    from webval.exchange import DEFAULT_MAX_GROUP_ROWS, bucketed_group_apply
+
+    if lag < 1:
+        raise ValueError(f"lag_autocorr: lag must be >= 1, got {lag}")
+    if max_group_rows is None:
+        max_group_rows = DEFAULT_MAX_GROUP_ROWS
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.select([key, ts_col, val_col])
+        m = pc.is_valid(t.column(key).combine_chunks())
+        for c in (ts_col, val_col):
+            v = t.column(c).combine_chunks()
+            ok = pc.is_valid(v)
+            if pa.types.is_floating(v.type):
+                ok = pc.and_(ok, pc.invert(pc.is_nan(v)))
+            m = pc.and_(m, ok)
+        return t.filter(m)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({key: pa.array([], g.schema.field(key).type),
+                             "x": pa.array([], pa.float64()),
+                             "y": pa.array([], pa.float64())})
+        g = g.sort_by([(key, "ascending"), (ts_col, "ascending")])
+        kv = g.column(key).combine_chunks()
+        x = g.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = len(x)
+        if n <= lag:
+            return pa.table({key: pa.array([], kv.type),
+                             "x": pa.array([], pa.float64()),
+                             "y": pa.array([], pa.float64())})
+        same = pc.equal(kv.slice(lag), kv.slice(0, n - lag)) \
+            .to_numpy(zero_copy_only=False)
+        keep = pa.array(same)
+        return pa.table({key: kv.slice(0, n - lag).filter(keep),
+                         "x": pa.array(x[:n - lag][same]),
+                         "y": pa.array(x[lag:][same])})
+
+    paired = bucketed_group_apply(
+        ds.map_batches(proj, batch_format="pyarrow"), [key], pairs,
+        num_buckets=num_buckets, max_group_rows=max_group_rows)
+    return grouped_corr(paired, key, "x", "y", num_buckets=num_buckets)
