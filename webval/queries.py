@@ -8374,6 +8374,80 @@ FROM p WHERE y IS NOT NULL GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_curation_funnel(sf_dir: str):
+    """Curation-funnel audit: survivor counts through the cleaning
+    stages every training-data pipeline chains — total → non-null text
+    → known lang → blocklist pass (tag_blocklist) → length ≥ 40 →
+    distinct text (exact dedup) — the "where did my corpus go" report.
+    Each stage reuses the engine's real operators; counts exact."""
+    import ray.data as rd
+
+    from webval.exchange import distinct_rows, sum_block_scalars
+    from webval.textclean import tag_blocklist
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["page_id", "lang", "text"])
+
+    def count_of(d) -> int:
+        return sum_block_scalars(
+            d.map_batches(lambda t: pa.table({
+                "n": pa.array([t.num_rows], pa.int64())}),
+                batch_format="pyarrow").materialize(), ["n"])["n"]
+
+    stages = []
+    stages.append(("00_total", count_of(ds)))
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("text").combine_chunks())),
+        batch_format="pyarrow")
+    stages.append(("01_text_present", count_of(ds)))
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.is_valid(t.column("lang").combine_chunks()),
+            pc.invert(pc.equal(t.column("lang").combine_chunks(),
+                               "__unk__")))),
+        batch_format="pyarrow")
+    stages.append(("02_lang_known", count_of(ds)))
+    ds = tag_blocklist(ds, "text", ["f—g", "музыка"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.invert(t.column("blocked")))
+        .drop_columns(["blocked"]),
+        batch_format="pyarrow")
+    stages.append(("03_blocklist_pass", count_of(ds)))
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            pc.utf8_length(t.column("text").combine_chunks()),
+            pa.scalar(40))),
+        batch_format="pyarrow")
+    stages.append(("04_len_ok", count_of(ds)))
+    stages.append(("05_distinct_text",
+                   count_of(distinct_rows(ds.select_columns(["text"]),
+                                          ["text"]))))
+    return pa.table({
+        "stage": pa.array([s for s, _ in stages], pa.string()),
+        "rows": pa.array([n for _, n in stages], pa.int64())})
+
+
+SQL_CURATION_FUNNEL = f"""
+WITH p AS (SELECT lang, text
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')),
+s1 AS (SELECT * FROM p WHERE text IS NOT NULL),
+s2 AS (SELECT * FROM s1 WHERE lang IS NOT NULL AND lang <> '__unk__'),
+s3 AS (SELECT * FROM s2 WHERE NOT (contains(lower(text), 'f—g')
+                                   OR contains(lower(text), 'музыка'))),
+s4 AS (SELECT * FROM s3 WHERE length(text) >= 40)
+SELECT * FROM (
+  SELECT '00_total' AS stage, CAST(count(*) AS BIGINT) AS rows FROM p
+  UNION ALL SELECT '01_text_present', count(*) FROM s1
+  UNION ALL SELECT '02_lang_known', count(*) FROM s2
+  UNION ALL SELECT '03_blocklist_pass', count(*) FROM s3
+  UNION ALL SELECT '04_len_ok', count(*) FROM s4
+  UNION ALL SELECT '05_distinct_text', count(DISTINCT text) FROM s4)
+ORDER BY stage
+"""
+SQL_CURATION_FUNNEL = SQL_CURATION_FUNNEL.replace("{SYNTH_ROOT}",
+                                                  SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -11090,6 +11164,7 @@ QUERIES = {
     "cap_per_host": (q_cap_per_host, SQL_CAP_PER_HOST),
     "lang_vocab_cosine": (q_lang_vocab_cosine, SQL_LANG_VOCAB_COSINE),
     "daily_autocorr": (q_daily_autocorr, SQL_DAILY_AUTOCORR),
+    "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
