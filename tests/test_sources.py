@@ -296,3 +296,34 @@ def test_ipc_empty_file_keeps_schema(ray_session, tmp_path):
     ds = read_ipc(one)
     assert ds.count() == 0
     assert ds.schema().names == ["a", "b"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_parquet_layout_report(tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from webval.sources import parquet_layout_report
+
+    t = pa.table({"a": pa.array(np.arange(1000), pa.int64()),
+                  "b": pa.array([f"s{i}" for i in range(1000)])})
+    p1 = tmp_path / "multi.parquet"
+    pq.write_table(t, p1, row_group_size=300)      # 4 row groups
+    p2 = tmp_path / "single.parquet"
+    pq.write_table(t.select(["a"]), p2)
+
+    out = parquet_layout_report([str(p2), str(p1)]).to_pandas()
+    assert list(out["file"])[:4] == ["multi.parquet"] * 4   # sorted
+    multi = out[out["file"] == "multi.parquet"]
+    assert list(multi["n_rows"]) == [300, 300, 300, 100]
+    assert (multi["n_cols"] == 2).all()
+    assert (multi["compressed_bytes"] > 0).all()
+    single = out[out["file"] == "single.parquet"]
+    assert len(single) == 1 and single.iloc[0]["n_rows"] == 1000
+    assert single.iloc[0]["n_cols"] == 1
+
+    # footer numbers match pyarrow's own metadata
+    md = pq.ParquetFile(p1).metadata
+    assert multi["compressed_bytes"].iloc[0] == sum(
+        md.row_group(0).column(i).total_compressed_size
+        for i in range(md.row_group(0).num_columns))

@@ -80,6 +80,9 @@ def main():
         sfname = os.path.basename(os.path.normpath(sf_dir))
         sql = sqls[name].replace(f"{SYNTH_ROOT}/sf0.01",
                                  f"{SYNTH_ROOT}/{sfname}")
+        # same retarget for twins that read testdata files directly
+        # (e.g. parquet_metadata footer audits)
+        sql = sql.replace("/root/testdata/sf0.01", sf_dir.rstrip("/"))
         want = con.execute(sql).df()
         ok_rows = len(got) == len(want)
         ok_cols = sorted(got.columns) == sorted(want.columns)

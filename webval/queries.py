@@ -8448,6 +8448,39 @@ SQL_CURATION_FUNNEL = SQL_CURATION_FUNNEL.replace("{SYNTH_ROOT}",
                                                   SYNTH_ROOT)
 
 
+def q_parquet_layout(sf_dir: str):
+    """Parquet layout audit (sources.parquet_layout_report): per
+    row group of lineitem+orders, rows / columns / compressed bytes
+    read from FOOTERS only — the scan-throughput health check.  The
+    twin reads the same footers via DuckDB's parquet_metadata();
+    integers, exact."""
+    from webval.sources import parquet_layout_report
+
+    return ds_to_table(parquet_layout_report(
+        [f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"]))
+
+
+SQL_PARQUET_LAYOUT = """
+SELECT * FROM (
+  SELECT 'lineitem.parquet' AS file,
+         CAST(row_group_id AS BIGINT) AS row_group,
+         CAST(row_group_num_rows AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_cols,
+         CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes
+  FROM parquet_metadata('{SF_DIR}/lineitem.parquet')
+  GROUP BY row_group_id, row_group_num_rows
+  UNION ALL
+  SELECT 'orders.parquet', CAST(row_group_id AS BIGINT),
+         CAST(row_group_num_rows AS BIGINT), CAST(count(*) AS BIGINT),
+         CAST(sum(total_compressed_size) AS BIGINT)
+  FROM parquet_metadata('{SF_DIR}/orders.parquet')
+  GROUP BY row_group_id, row_group_num_rows)
+ORDER BY file, row_group
+"""
+SQL_PARQUET_LAYOUT = SQL_PARQUET_LAYOUT.replace("{SF_DIR}",
+                                                "/root/testdata/sf0.01")
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -11165,6 +11198,7 @@ QUERIES = {
     "lang_vocab_cosine": (q_lang_vocab_cosine, SQL_LANG_VOCAB_COSINE),
     "daily_autocorr": (q_daily_autocorr, SQL_DAILY_AUTOCORR),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
+    "parquet_layout": (q_parquet_layout, SQL_PARQUET_LAYOUT),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
