@@ -8481,6 +8481,71 @@ SQL_PARQUET_LAYOUT = SQL_PARQUET_LAYOUT.replace("{SF_DIR}",
                                                 "/root/testdata/sf0.01")
 
 
+def q_split_balance(sf_dir: str):
+    """Split-balance audit: lang composition per assign_split bucket +
+    the Pearson chi-square statistic of the split×lang contingency —
+    "did the hash split accidentally stratify" (it must not; a large
+    chi2 flags id↔lang correlation leaking into the split).  Counts
+    exact; chi2 rounds 6 (expected-count arithmetic)."""
+    import ray.data as rd
+
+    from webval.drift import contingency_stats
+    from webval.exchange import grouped_agg
+    from webval.pipelines import assign_split
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["page_id", "lang"])
+    ds = ds.map_batches(lambda t: t.drop_null(), batch_format="pyarrow")
+    split = assign_split(ds, "page_id")
+    counts = grouped_agg(split, ["split", "lang"], [("lang", "count")],
+                         rename={"lang_count": "n"})
+    t = ds_to_table(counts).sort_by([("split", "ascending"),
+                                     ("lang", "ascending")])
+    # contingency chi2 over the (split × lang) cell matrix
+    splits = sorted(set(t.column("split").to_pylist()))
+    langs = sorted(set(t.column("lang").to_pylist()))
+    mat = np.zeros((len(splits), len(langs)))
+    for s, l, n in zip(t.column("split").to_pylist(),
+                       t.column("lang").to_pylist(),
+                       t.column("n").to_pylist()):
+        mat[splits.index(s), langs.index(l)] = n
+    stat, dof, _ = contingency_stats(mat)
+    t = t.set_column(t.column_names.index("split"), "split",
+                     pc.cast(t.column("split"), pa.string()))
+    t = t.set_column(t.column_names.index("lang"), "lang",
+                     pc.cast(t.column("lang"), pa.string()))
+    return t.append_column(
+        "chi2", pa.array([round(stat, 6)] * t.num_rows, pa.float64()))
+
+
+SQL_SPLIT_BALANCE = f"""
+WITH p AS (SELECT CASE
+                  WHEN (page_id * 2654435761) % 4294967296
+                       < 3865470566 THEN 'train'
+                  WHEN (page_id * 2654435761) % 4294967296
+                       < 4080218931 THEN 'val'
+                  ELSE 'test' END AS split,
+                  lang
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+           WHERE page_id IS NOT NULL AND lang IS NOT NULL),
+c AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM c),
+chi AS (SELECT round(sum((coalesce(c.n, 0) - rs.rn * cs.cn / tot.nn)
+                         * (coalesce(c.n, 0) - rs.rn * cs.cn / tot.nn)
+                         / (rs.rn * cs.cn / tot.nn)), 6) AS chi2
+        FROM (SELECT split, CAST(sum(n) AS DOUBLE) AS rn FROM c
+              GROUP BY 1) rs
+        CROSS JOIN (SELECT lang, CAST(sum(n) AS DOUBLE) AS cn FROM c
+                    GROUP BY 1) cs
+        CROSS JOIN tot
+        LEFT JOIN c ON c.split = rs.split AND c.lang = cs.lang)
+SELECT c.split, c.lang, c.n, chi.chi2 FROM c, chi
+ORDER BY c.split, c.lang
+"""
+SQL_SPLIT_BALANCE = SQL_SPLIT_BALANCE.replace("{SYNTH_ROOT}", SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -11199,6 +11264,7 @@ QUERIES = {
     "daily_autocorr": (q_daily_autocorr, SQL_DAILY_AUTOCORR),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "parquet_layout": (q_parquet_layout, SQL_PARQUET_LAYOUT),
+    "split_balance": (q_split_balance, SQL_SPLIT_BALANCE),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
