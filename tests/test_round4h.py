@@ -1969,3 +1969,39 @@ def test_lag_autocorr_matches_numpy(ray_session):
 
     with pytest.raises(ValueError, match="lag"):
         lag_autocorr(ds, "k", "t", "v", lag=0)
+
+
+def test_value_pattern_profile_matches_counter_oracle(ray_session):
+    import collections
+    import re
+
+    import ray.data as rd
+
+    from webval.schema import value_pattern_profile
+
+    vals = ["555-1234", "555-9876", "abcDEF", "1999-01-01", "a1B2",
+            "n/a", "n/a", None, ""]
+    ds = rd.from_arrow(pa.table({"s": pa.array(vals, pa.string())}))
+    out = value_pattern_profile(ds, "s", top_k=10).to_pandas()
+    got = {r.pattern: (r.n, r.share) for r in out.itertuples()}
+
+    def mask(s):
+        return re.sub(r"[A-Z]", "A",
+                      re.sub(r"[a-z]", "a", re.sub(r"[0-9]", "9", s)))
+
+    expect = collections.Counter(mask(v) for v in vals if v is not None)
+    assert {k: v[0] for k, v in got.items()} == dict(expect)
+    assert got["999-9999"][0] == 2 and got["a/a"][0] == 2
+    assert got[""][0] == 1                      # empty string kept
+    for k, (n, share) in got.items():
+        assert share == pytest.approx(n / 8, rel=1e-12)   # 8 non-null
+    # ranked by count desc then pattern
+    ns = list(out["n"])
+    assert ns == sorted(ns, reverse=True)
+
+    # top_k cut
+    assert len(value_pattern_profile(ds, "s", top_k=2).to_pandas()) == 2
+    # all-null -> empty with schema
+    e = value_pattern_profile(rd.from_arrow(pa.table({
+        "s": pa.array([None], pa.string())})), "s")
+    assert e.count() == 0

@@ -8546,6 +8546,73 @@ ORDER BY c.split, c.lang
 SQL_SPLIT_BALANCE = SQL_SPLIT_BALANCE.replace("{SYNTH_ROOT}", SYNTH_ROOT)
 
 
+def q_value_patterns(sf_dir: str):
+    """Value-shape discovery (schema.value_pattern_profile): top-20
+    character-mask patterns (digits→9, lower→a, upper→A) of the same
+    mixed VARCHAR column format_inference tests — shape DISCOVERY vs
+    format TESTING.  Counts exact; share is the same division,
+    unrounded."""
+    import ray.data as rd
+
+    from webval.schema import value_pattern_profile
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_orderdate"])
+
+    def build(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        k = t.column("o_orderkey").combine_chunks()
+        m = _pc_mod(k, 5)
+        cust = pc.cast(t.column("o_custkey"), pa.string())
+        # strftime on BOTH engines: o_orderdate is a timestamp and the
+        # engines' default stringifications differ (.000000 suffix)
+        date = pc.strftime(t.column("o_orderdate"), format="%Y-%m-%d")
+        url = pc.binary_join_element_wise(
+            pa.scalar("https://example.com/o/"),
+            pc.cast(k, pa.string()), pa.scalar(""))
+        email = pc.binary_join_element_wise(
+            pa.scalar("user"), cust, pa.scalar("@example.com"),
+            pa.scalar(""))
+        v = pc.if_else(pc.equal(m, 0), cust,
+                       pc.if_else(pc.equal(m, 1), date,
+                                  pc.if_else(pc.equal(m, 2), url,
+                                             pc.if_else(pc.equal(m, 3),
+                                                        email,
+                                                        pa.scalar("n/a")))))
+        return pa.table({"v": v})
+
+    out = value_pattern_profile(
+        ds.map_batches(build, batch_format="pyarrow"), "v", top_k=20)
+    t = ds_to_table(out)
+    return t.set_column(t.column_names.index("pattern"), "pattern",
+                        pc.cast(t.column("pattern"), pa.string()))
+
+
+SQL_VALUE_PATTERNS = """
+WITH v AS (SELECT CASE o_orderkey % 5
+                  WHEN 0 THEN CAST(o_custkey AS VARCHAR)
+                  WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                  WHEN 2 THEN 'https://example.com/o/'
+                              || CAST(o_orderkey AS VARCHAR)
+                  WHEN 3 THEN 'user' || CAST(o_custkey AS VARCHAR)
+                              || '@example.com'
+                  ELSE 'n/a' END AS s
+           FROM orders
+           WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+             AND o_orderdate IS NOT NULL),
+m AS (SELECT regexp_replace(regexp_replace(regexp_replace(s,
+                 '[0-9]', '9', 'g'), '[a-z]', 'a', 'g'),
+                 '[A-Z]', 'A', 'g') AS pattern
+      FROM v),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM m)
+SELECT pattern, CAST(count(*) AS BIGINT) AS n,
+       count(*) / tot.n AS share
+FROM m, tot GROUP BY pattern, tot.n
+ORDER BY count(*) DESC, pattern LIMIT 20
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -11265,6 +11332,7 @@ QUERIES = {
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "parquet_layout": (q_parquet_layout, SQL_PARQUET_LAYOUT),
     "split_balance": (q_split_balance, SQL_SPLIT_BALANCE),
+    "value_patterns": (q_value_patterns, SQL_VALUE_PATTERNS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
