@@ -7451,7 +7451,9 @@ def q_format_inference(sf_dir: str):
         k = t.column("o_orderkey").combine_chunks()
         m = _pc_mod(k, 5)
         cust = pc.cast(t.column("o_custkey"), pa.string())
-        date = pc.cast(t.column("o_orderdate"), pa.string())
+        # strftime on BOTH engines (o_orderdate is a timestamp; engine
+        # default stringifications differ by the .000000 suffix)
+        date = pc.strftime(t.column("o_orderdate"), format="%Y-%m-%d")
         url = pc.binary_join_element_wise(
             pa.scalar("https://example.com/o/"),
             pc.cast(k, pa.string()), pa.scalar(""))
@@ -7476,7 +7478,7 @@ def q_format_inference(sf_dir: str):
 SQL_FORMAT_INFERENCE = """
 WITH v AS (SELECT CASE o_orderkey % 5
                   WHEN 0 THEN CAST(o_custkey AS VARCHAR)
-                  WHEN 1 THEN CAST(o_orderdate AS VARCHAR)
+                  WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
                   WHEN 2 THEN 'https://example.com/o/'
                               || CAST(o_orderkey AS VARCHAR)
                   WHEN 3 THEN 'user' || CAST(o_custkey AS VARCHAR)
