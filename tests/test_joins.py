@@ -292,3 +292,37 @@ def test_equi_join_auto_hot_keys():
         want[cols].sort_values(cols).reset_index(drop=True))
     with pytest.raises(ValueError, match="hot_keys"):
         equi_join(left, right, on="k", hot_keys="bogus")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_join_size_estimate_matches_real_join():
+    import numpy as np
+    import ray.data as rd
+
+    from webval.joins import equi_join, join_size_estimate
+
+    rng = np.random.default_rng(113)
+    lk = rng.integers(0, 40, 300)
+    rk = rng.integers(20, 60, 500)          # partial key overlap
+    left = rd.from_arrow(pa.table({"k": pa.array(lk, pa.int64()),
+                                   "a": pa.array(range(300))}))
+    right = rd.from_arrow(pa.table({"j": pa.array(rk, pa.int64()),
+                                    "b": pa.array(range(500))}))
+    m = join_size_estimate(left, right, on=["k"], right_on=["j"])
+
+    real = equi_join(left, right, on=["k"], right_on=["j"]).count()
+    assert m["inner_rows"] == real
+    assert m["left_rows"] == 300 and m["right_rows"] == 500
+    assert m["left_keys"] == len(set(lk))
+    assert m["right_keys"] == len(set(rk))
+    assert m["matching_keys"] == len(set(lk) & set(rk))
+    import collections
+    ca, cb = collections.Counter(lk), collections.Counter(rk)
+    assert m["max_key_multiplicity"] == max(
+        ca[k] * cb[k] for k in set(lk) & set(rk))
+
+    # null keys never match
+    ln = rd.from_arrow(pa.table({"k": pa.array([1, None], pa.int64())}))
+    rn = rd.from_arrow(pa.table({"k": pa.array([None, 1], pa.int64())}))
+    mn = join_size_estimate(ln, rn, on=["k"])
+    assert mn["inner_rows"] == 1 and mn["left_rows"] == 1

@@ -485,3 +485,73 @@ def equi_join(left, right, *, on, right_on=None, how: str = "inner",
     return bucketed_group_apply(lt.union(rt), keys + ["__salt__"],
                                 bucket_join, num_buckets=num_buckets,
                                 max_group_rows=max_group_rows)
+
+
+def join_size_estimate(left, right, *, on, right_on=None,
+                       num_buckets: int | None = None) -> dict:
+    """Join-output cardinality WITHOUT running the join: the inner
+    equi-join size is exactly Σ_k cL(k)·cR(k) over matching keys, so
+    two key-count exchanges and one count-table join answer "how big
+    will this join be / is it about to explode" at distinct-key cost —
+    the planning probe to run before committing a full-scale join
+    (a multiplicity blowup shows up here as a cheap scalar instead of
+    an OOM).  Null keys never match (SQL semantics).  Returns
+    {"inner_rows", "left_rows", "right_rows", "left_keys",
+    "right_keys", "matching_keys", "max_key_multiplicity"} — the last
+    being the largest cL·cR of any single key (the straggler bound).
+
+    Scale shape: two count-combiner exchanges + one co-bucketed join of
+    the COUNT tables (distinct-key-sized); per-block scalar partials
+    finish on the driver."""
+    from webval.exchange import grouped_agg, sum_block_scalars
+
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+
+    def counts(ds, keys):
+        return grouped_agg(
+            ds.select_columns(keys).map_batches(
+                lambda t: t.drop_null(), batch_format="pyarrow"),
+            keys, [(keys[0], "count")],
+            rename={f"{keys[0]}_count": "c"}, num_buckets=num_buckets)
+
+    lc = counts(left, on).materialize()
+    rc = counts(right, right_on)
+    if right_on != on:
+        rc = rc.map_batches(
+            lambda t: t.rename_columns(on + ["c"]),
+            batch_format="pyarrow")
+    rc = rc.map_batches(
+        lambda t: t.rename_columns(on + ["cr"]),
+        batch_format="pyarrow").materialize()
+
+    def totals_of(mat, col):
+        return sum_block_scalars(mat.map_batches(
+            lambda t: pa.table({
+                "rows": pa.array([int(pc.sum(t.column(col)).as_py()
+                                      or 0)], pa.int64()),
+                "keys": pa.array([t.num_rows], pa.int64())}),
+            batch_format="pyarrow").materialize(), ["rows", "keys"])
+
+    lt = totals_of(lc, "c")
+    rt = totals_of(rc, "cr")
+    joined = equi_join(lc, rc, on=on, num_buckets=num_buckets) \
+        .materialize()
+
+    import ray
+
+    inner, matching, max_mult = 0, 0, 0
+    for ref in joined.to_arrow_refs():
+        b = ray.get(ref)
+        if b.num_rows == 0:
+            continue
+        prod = pc.multiply(pc.cast(b.column("c"), pa.int64()),
+                           pc.cast(b.column("cr"), pa.int64()))
+        inner += int(pc.sum(prod).as_py() or 0)
+        matching += b.num_rows
+        max_mult = max(max_mult, int(pc.max(prod).as_py() or 0))
+    return {"inner_rows": inner, "left_rows": lt["rows"],
+            "right_rows": rt["rows"], "left_keys": lt["keys"],
+            "right_keys": rt["keys"], "matching_keys": matching,
+            "max_key_multiplicity": max_mult}

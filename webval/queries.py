@@ -8615,6 +8615,42 @@ ORDER BY count(*) DESC, pattern LIMIT 20
 """
 
 
+def q_join_size(sf_dir: str):
+    """Join-size probe (joins.join_size_estimate): exact
+    orders⋈lineitem output cardinality from two key-count exchanges —
+    the pre-join explosion check.  The asserted truth: inner_rows
+    equals the real join's row count, computed by the twin both ways."""
+    import ray.data as rd
+
+    from webval.joins import join_size_estimate
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    m = join_size_estimate(orders, li, on=["o_orderkey"],
+                           right_on=["l_orderkey"])
+    return pa.table({k: pa.array([v], pa.int64())
+                     for k, v in sorted(m.items())})
+
+
+SQL_JOIN_SIZE = """
+WITH lc AS (SELECT o_orderkey AS k, count(*) AS c FROM orders
+            WHERE o_orderkey IS NOT NULL GROUP BY 1),
+rc AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem
+       WHERE l_orderkey IS NOT NULL GROUP BY 1),
+j AS (SELECT lc.c AS cl, rc.c AS cr FROM lc JOIN rc USING (k))
+SELECT CAST(sum(cl * cr) AS BIGINT) AS inner_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM lc) AS left_keys,
+       (SELECT CAST(sum(c) AS BIGINT) FROM lc) AS left_rows,
+       CAST(count(*) AS BIGINT) AS matching_keys,
+       CAST(max(cl * cr) AS BIGINT) AS max_key_multiplicity,
+       (SELECT CAST(count(*) AS BIGINT) FROM rc) AS right_keys,
+       (SELECT CAST(sum(c) AS BIGINT) FROM rc) AS right_rows
+FROM j
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -11335,6 +11371,7 @@ QUERIES = {
     "parquet_layout": (q_parquet_layout, SQL_PARQUET_LAYOUT),
     "split_balance": (q_split_balance, SQL_SPLIT_BALANCE),
     "value_patterns": (q_value_patterns, SQL_VALUE_PATTERNS),
+    "join_size": (q_join_size, SQL_JOIN_SIZE),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
