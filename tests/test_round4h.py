@@ -2005,3 +2005,30 @@ def test_value_pattern_profile_matches_counter_oracle(ray_session):
     e = value_pattern_profile(rd.from_arrow(pa.table({
         "s": pa.array([None], pa.string())})), "s")
     assert e.count() == 0
+
+
+def test_fd_violations_matches_counter_oracle(ray_session):
+    import ray.data as rd
+
+    from webval.relational import fd_violations
+
+    rows = [("us", "en")] * 10 + [("us", "es")] * 2 + \
+           [("de", "de")] * 5 + [("de", "en")] * 5 + \
+           [("fr", "fr")] * 3 + [(None, "x"), ("xx", None)]
+    ds = rd.from_arrow(pa.table({
+        "h": pa.array([r[0] for r in rows], pa.string()),
+        "l": pa.array([r[1] for r in rows], pa.string())})) \
+        .repartition(3)
+    out = fd_violations(ds, "h", "l").to_pandas() \
+        .sort_values(["h", "l"]).reset_index(drop=True)
+
+    # us: majority en -> es violates (n=2); de: 5/5 TIE -> smallest
+    # lang ('de') wins -> 'en' violates; fr: clean
+    assert list(zip(out["h"], out["l"], out["n"],
+                    out["expected_rhs"])) == [
+        ("de", "en", 5, "de"), ("us", "es", 2, "en")]
+
+    # perfectly functional input -> empty
+    clean = rd.from_arrow(pa.table({
+        "h": pa.array(["a", "a", "b"]), "l": pa.array(["x", "x", "y"])}))
+    assert fd_violations(clean, "h", "l").count() == 0

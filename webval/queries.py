@@ -8651,6 +8651,53 @@ FROM j
 """
 
 
+def q_fd_violations(sf_dir: str):
+    """FD-violation extraction (relational.fd_violations): host→lang
+    value pairs contradicting each host's majority language (ties to
+    the smallest lang) — the row-level repair list fd_strength only
+    scores.  Counts exact, tiebreaks deterministic."""
+    import ray.data as rd
+
+    from webval.relational import fd_violations
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["url", "lang"])
+
+    def add_host(t: pa.Table) -> pa.Table:
+        u = t.column("url").combine_chunks()
+        host = pc.struct_field(pc.extract_regex(u, _HOST_RE), "host")
+        return pa.table({"host": host, "lang": t.column("lang")}).filter(
+            pc.is_valid(host))
+
+    out = fd_violations(ds.map_batches(add_host, batch_format="pyarrow"),
+                        "host", "lang")
+    t = ds_to_table(out).sort_by([("host", "ascending"),
+                                  ("lang", "ascending")])
+    for c in ("host", "lang", "expected_rhs"):
+        t = t.set_column(t.column_names.index(c), c,
+                         pc.cast(t.column(c), pa.string()))
+    return t
+
+
+SQL_FD_VIOLATIONS = f"""
+WITH p AS (SELECT regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1)
+                      AS host, lang
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+           WHERE lang IS NOT NULL
+             AND regexp_matches(url, '^https?://([a-z0-9-]+)\\.')),
+c AS (SELECT host, lang, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2),
+w AS (SELECT host, lang AS expected_rhs FROM
+      (SELECT *, row_number() OVER (PARTITION BY host
+                                    ORDER BY n DESC, lang) AS rn
+       FROM c) WHERE rn = 1)
+SELECT c.host, c.lang, c.n, w.expected_rhs
+FROM c JOIN w USING (host) WHERE c.lang <> w.expected_rhs
+ORDER BY c.host, c.lang
+"""
+SQL_FD_VIOLATIONS = SQL_FD_VIOLATIONS.replace("{SYNTH_ROOT}", SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -11372,6 +11419,7 @@ QUERIES = {
     "split_balance": (q_split_balance, SQL_SPLIT_BALANCE),
     "value_patterns": (q_value_patterns, SQL_VALUE_PATTERNS),
     "join_size": (q_join_size, SQL_JOIN_SIZE),
+    "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

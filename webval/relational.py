@@ -588,3 +588,41 @@ def association_rules(ds, basket_col: str, item_col: str, *,
         .limit(top_k)
     return ranked.map_batches(lambda t: t.drop_columns(["rl"]),
                               batch_format="pyarrow")
+
+
+def fd_violations(ds, lhs: str, rhs: str, *,
+                  num_buckets: int | None = None):
+    """Functional-dependency violation extraction: for lhs→rhs, each
+    lhs group's MAJORITY rhs (ties to the smallest rhs) is the repair
+    candidate, and every row carrying a different rhs is a violation —
+    the row-level companion of :func:`fd_strength` (which only scores;
+    this names the offenders a cleaning pass would fix).  Null lhs/rhs
+    rows are ignored.  Returns Dataset[{lhs, rhs, n, expected_rhs}]
+    with one row per VIOLATING (lhs, rhs) value pair and n its count.
+
+    Scale shape: ONE (lhs, rhs) count exchange; the majority is a
+    top-1-per-key selection over that count table (batch-combined);
+    violations come from a co-bucketed join of the same count table
+    against the winners — the raw rows never move."""
+    from webval.exchange import grouped_agg
+    from webval.joins import equi_join
+    from webval.rank import top_k_per_group
+
+    pairs = grouped_agg(
+        ds.select_columns([lhs, rhs]).map_batches(
+            lambda t: t.drop_null(), batch_format="pyarrow"),
+        [lhs, rhs], [(rhs, "count")], rename={f"{rhs}_count": "n"},
+        num_buckets=num_buckets).materialize()
+    winners = top_k_per_group(pairs, lhs, "n", 1, descending=True,
+                              tie_cols=[rhs], num_buckets=num_buckets)
+    winners = winners.map_batches(
+        lambda t: pa.table({lhs: t.column(lhs),
+                            "expected_rhs": t.column(rhs)}),
+        batch_format="pyarrow")
+    joined = equi_join(pairs, winners, on=[lhs],
+                       num_buckets=num_buckets)
+    return joined.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(
+            t.column(rhs).combine_chunks(),
+            t.column("expected_rhs").combine_chunks()))),
+        batch_format="pyarrow")
