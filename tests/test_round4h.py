@@ -2032,3 +2032,48 @@ def test_fd_violations_matches_counter_oracle(ray_session):
     clean = rd.from_arrow(pa.table({
         "h": pa.array(["a", "a", "b"]), "l": pa.array(["x", "x", "y"])}))
     assert fd_violations(clean, "h", "l").count() == 0
+
+
+def test_grouped_js_drift_matches_reference(ray_session):
+    import ray.data as rd
+
+    from webval.drift import grouped_js_drift, js_divergence
+
+    rng = np.random.default_rng(127)
+    rows = []
+    # slice "same": identical distributions; "shifted": side 1 moved
+    for _ in range(400):
+        rows.append(("same", 0, float(rng.normal(50, 10))))
+        rows.append(("same", 1, float(rng.normal(50, 10))))
+        rows.append(("shifted", 0, float(rng.normal(30, 5))))
+        rows.append(("shifted", 1, float(rng.normal(70, 5))))
+    rows.append(("lonely", 0, 10.0))       # one side only
+    rows.append(("same", None, 1.0))       # null side dropped
+    ds = rd.from_arrow(pa.table({
+        "s": pa.array([r[0] for r in rows], pa.string()),
+        "side": pa.array([r[1] for r in rows], pa.int64()),
+        "v": pa.array([r[2] for r in rows], pa.float64())})) \
+        .repartition(4)
+    edges = list(range(0, 101, 10))
+    out = grouped_js_drift(ds, "s", "side", "v", edges).to_pandas() \
+        .set_index("s")
+
+    # reference: bin exactly the same way
+    def hist(vals):
+        e = np.asarray(edges, dtype=float)
+        b = np.clip(np.searchsorted(e, vals, side="right") - 1, 0,
+                    len(e) - 2)
+        return np.bincount(b, minlength=len(e) - 1)
+
+    for s in ("same", "shifted"):
+        v0 = [r[2] for r in rows if r[0] == s and r[1] == 0]
+        v1 = [r[2] for r in rows if r[0] == s and r[1] == 1]
+        expect = js_divergence(hist(np.array(v0)), hist(np.array(v1)))
+        r = out.loc[s]
+        assert (r["n0"], r["n1"]) == (len(v0), len(v1))
+        assert r["js"] == pytest.approx(expect, abs=1e-12)
+    assert out.loc["shifted"]["js"] > 0.5 > out.loc["same"]["js"]
+    assert out.loc["lonely"]["js"] == 1.0      # missing side = maximal
+
+    with pytest.raises(ValueError, match="edges"):
+        grouped_js_drift(ds, "s", "side", "v", [1])

@@ -523,3 +523,87 @@ def rank_biased_overlap(list_a, list_b, *, p: float = 0.9) -> float:
             j += 1
         total += p ** (d - 1) * seen / d
     return float((1.0 - p) * total)
+
+
+def grouped_js_drift(ds, slice_col: str, side_col: str, value_col: str,
+                     edges: list, *, num_buckets: int | None = None):
+    """Per-slice distribution drift: within every ``slice_col`` group,
+    the Jensen-Shannon divergence (base 2) between side 0 and side 1's
+    histograms of ``value_col`` over the SHARED ``edges`` binning —
+    "which language/source actually drifted" when the global drift
+    score only says "something did".  Values outside the edges clamp
+    into the end bins; nulls drop; a slice missing a side reports
+    js = 1.0 (maximal, by :func:`js_divergence`'s empty-side rule).
+    Returns Dataset[{slice, n0, n1, js}].
+
+    Scale shape: ONE (slice, side, bin) count exchange (bins are
+    policy-sized); per-slice finalize is a vectorized pass over the
+    bin table co-bucketed by slice."""
+    from webval.exchange import bucketed_group_apply
+
+    e = np.asarray(list(edges), dtype=np.float64)
+    if len(e) < 2 or not (np.diff(e) > 0).all():
+        raise ValueError("grouped_js_drift: edges must be increasing, "
+                         "length >= 2")
+    nb = len(e) - 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column(slice_col).combine_chunks()
+        side = t.column(side_col).combine_chunks()
+        v = pc.cast(t.column(value_col).combine_chunks(), pa.float64())
+        m = pc.and_(pc.and_(pc.is_valid(s), pc.is_valid(side)),
+                    pc.is_valid(v))
+        s, side, v = s.filter(m), side.filter(m), v.filter(m)
+        vn = v.to_numpy(zero_copy_only=False)
+        b = np.clip(np.searchsorted(e, vn, side="right") - 1, 0, nb - 1)
+        tab = pa.table({
+            slice_col: s,
+            "side": pc.cast(side, pa.int64()),
+            "bin": pa.array(b.astype(np.int64)),
+            "n": pa.nulls(len(b), pa.int64()).fill_null(1)})
+        agg = tab.group_by([slice_col, "side", "bin"]).aggregate(
+            [("n", "sum")])
+        return agg.rename_columns([slice_col, "side", "bin", "n"])
+
+    def finalize(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                slice_col: pa.array([], g.schema.field(slice_col).type),
+                "n0": pa.array([], pa.int64()),
+                "n1": pa.array([], pa.int64()),
+                "js": pa.array([], pa.float64())})
+        g = g.sort_by([(slice_col, "ascending")])
+        sv = g.column(slice_col).combine_chunks()
+        rows_out, n0s, n1s, jss = [], [], [], []
+        n = g.num_rows
+        change = np.ones(n, dtype=bool)
+        change[1:] = ~pc.equal(sv.slice(1), sv.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+        starts = np.where(change)[0]
+        ends = np.append(starts[1:], n)
+        sides = g.column("side").to_numpy(zero_copy_only=False)
+        bins = g.column("bin").to_numpy(zero_copy_only=False)
+        ns = g.column("n").to_numpy(zero_copy_only=False)
+        for st, en in zip(starts, ends):
+            p = np.zeros(nb)
+            q = np.zeros(nb)
+            sl = slice(st, en)
+            s0 = sides[sl] == 0
+            np.add.at(p, bins[sl][s0], ns[sl][s0])
+            np.add.at(q, bins[sl][~s0], ns[sl][~s0])
+            rows_out.append(sv[int(st)].as_py())
+            n0s.append(int(p.sum()))
+            n1s.append(int(q.sum()))
+            jss.append(js_divergence(p, q))
+        return pa.table({
+            slice_col: pa.array(rows_out, sv.type),
+            "n0": pa.array(n0s, pa.int64()),
+            "n1": pa.array(n1s, pa.int64()),
+            "js": pa.array(jss, pa.float64())})
+
+    counts = bucketed_group_apply(
+        ds.select_columns([slice_col, side_col, value_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        [slice_col], finalize, num_buckets=num_buckets,
+        partial_fn=None)
+    return counts

@@ -8698,6 +8698,73 @@ ORDER BY c.host, c.lang
 SQL_FD_VIOLATIONS = SQL_FD_VIOLATIONS.replace("{SYNTH_ROOT}", SYNTH_ROOT)
 
 
+def q_sliced_drift(sf_dir: str):
+    """Per-slice drift (drift.grouped_js_drift): JS divergence of the
+    text-length histogram (8 bins of 50 chars) between the even- and
+    odd-page_id crawl halves, PER LANGUAGE — which slice drifted, not
+    just whether something did.  Counts exact; js rounds 6."""
+    import ray.data as rd
+
+    from webval.drift import grouped_js_drift
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["page_id", "lang", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(
+            pc.is_valid(t.column("lang").combine_chunks()),
+            pc.is_valid(t.column("text").combine_chunks())),
+            pc.is_valid(t.column("page_id").combine_chunks()))
+        t = t.filter(m)
+        return pa.table({
+            "lang": t.column("lang"),
+            "side": _pc_mod(t.column("page_id").combine_chunks(), 2),
+            "len": pc.cast(pc.utf8_length(
+                t.column("text").combine_chunks()), pa.float64())})
+
+    edges = [0, 50, 100, 150, 200, 250, 300, 350, 400]
+    out = grouped_js_drift(ds.map_batches(prep, batch_format="pyarrow"),
+                           "lang", "side", "len", edges)
+    t = ds_to_table(out).sort_by([("lang", "ascending")])
+    t = t.set_column(t.column_names.index("lang"), "lang",
+                     pc.cast(t.column("lang"), pa.string()))
+    return _round_cols(t, {"js": 6})
+
+
+SQL_SLICED_DRIFT = f"""
+WITH p AS (SELECT lang, page_id % 2 AS side,
+                  least(length(text) // 50, 7) AS bin
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+           WHERE lang IS NOT NULL AND text IS NOT NULL
+             AND page_id IS NOT NULL),
+c AS (SELECT lang, side, bin, CAST(count(*) AS DOUBLE) AS n
+      FROM p GROUP BY 1, 2, 3),
+tot AS (SELECT lang, CAST(sum(CASE WHEN side = 0 THEN n END) AS DOUBLE)
+                   AS n0,
+               CAST(sum(CASE WHEN side = 1 THEN n END) AS DOUBLE) AS n1
+        FROM c GROUP BY 1),
+pq AS (SELECT c.lang, c.bin,
+              coalesce(sum(CASE WHEN side = 0 THEN n END), 0)
+                  / tot.n0 AS pp,
+              coalesce(sum(CASE WHEN side = 1 THEN n END), 0)
+                  / tot.n1 AS qq
+       FROM c JOIN tot USING (lang) GROUP BY c.lang, c.bin,
+            tot.n0, tot.n1),
+js AS (SELECT lang,
+              (0.5 * sum(CASE WHEN pp > 0
+                              THEN pp * ln(pp / ((pp + qq) / 2))
+                              ELSE 0 END)
+               + 0.5 * sum(CASE WHEN qq > 0
+                                THEN qq * ln(qq / ((pp + qq) / 2))
+                                ELSE 0 END)) / ln(2) AS js
+       FROM pq GROUP BY 1)
+SELECT tot.lang, CAST(tot.n0 AS BIGINT) AS n0,
+       CAST(tot.n1 AS BIGINT) AS n1, round(js.js, 6) AS js
+FROM tot JOIN js USING (lang) ORDER BY tot.lang
+"""
+SQL_SLICED_DRIFT = SQL_SLICED_DRIFT.replace("{SYNTH_ROOT}", SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -11369,6 +11436,7 @@ QUERIES = {
     "quality_top_fraction": (q_quality_top_fraction,
                              SQL_QUALITY_TOP_FRACTION),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
+    "sliced_drift": (q_sliced_drift, SQL_SLICED_DRIFT),
     "category_codes": (q_category_codes, SQL_CATEGORY_CODES),
     "grouped_skew_kurt": (q_grouped_skew_kurt, SQL_GROUPED_SKEW_KURT),
     "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
@@ -11420,6 +11488,7 @@ QUERIES = {
     "value_patterns": (q_value_patterns, SQL_VALUE_PATTERNS),
     "join_size": (q_join_size, SQL_JOIN_SIZE),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
+    "sliced_drift": (q_sliced_drift, SQL_SLICED_DRIFT),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
