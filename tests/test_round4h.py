@@ -2077,3 +2077,31 @@ def test_grouped_js_drift_matches_reference(ray_session):
 
     with pytest.raises(ValueError, match="edges"):
         grouped_js_drift(ds, "s", "side", "v", [1])
+
+
+def test_sum_reconciliation_matches_counter_oracle(ray_session):
+    import ray.data as rd
+
+    from webval.relational import sum_reconciliation
+
+    parent = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "total": pa.array([30.0, 10.0, 5.0, 0.0])}))
+    child = rd.from_arrow(pa.table({
+        "ck": pa.array([1, 1, 1, 2, 5, 5], pa.int64()),
+        "amt": pa.array([10.0, 10.0, 10.0, 9.0, 4.0, 4.0])}))
+    out = sum_reconciliation(parent, child, key="k", child_key="ck",
+                             parent_col="total", child_col="amt",
+                             tolerance=0.5).to_pandas().set_index("k")
+
+    assert bool(out.loc[1]["ok"]) is True        # 30 == 10+10+10
+    assert out.loc[1]["n_children"] == 3
+    assert bool(out.loc[2]["ok"]) is False       # 10 vs 9
+    assert out.loc[2]["diff"] == pytest.approx(1.0)
+    # childless parents: reconcile vs 0 (4 passes only because total 0)
+    assert bool(out.loc[3]["ok"]) is False and out.loc[3]["n_children"] == 0
+    assert bool(out.loc[4]["ok"]) is True
+    # orphan child group: null parent, never ok
+    assert np.isnan(out.loc[5]["parent_total"])
+    assert bool(out.loc[5]["ok"]) is False
+    assert out.loc[5]["child_total"] == pytest.approx(8.0)

@@ -8765,6 +8765,55 @@ FROM tot JOIN js USING (lang) ORDER BY tot.lang
 SQL_SLICED_DRIFT = SQL_SLICED_DRIFT.replace("{SYNTH_ROOT}", SYNTH_ROOT)
 
 
+def q_order_reconciliation(sf_dir: str):
+    """Ledger reconciliation (relational.sum_reconciliation): each
+    order's recorded o_totalprice vs the sum of its line items'
+    l_extendedprice, tolerance 0.5 — the header-equals-details
+    integrity check.  diff rounds 6; the ok flag sits far from the
+    tolerance boundary by construction (mismatches are dollars)."""
+    import ray.data as rd
+
+    from webval.relational import sum_reconciliation
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice"])
+    out = sum_reconciliation(orders, li, key="o_orderkey",
+                             child_key="l_orderkey",
+                             parent_col="o_totalprice",
+                             child_col="l_extendedprice",
+                             tolerance=0.5)
+    t = ds_to_table(out).sort_by([("o_orderkey", "ascending")])
+    return _round_cols(t, {"parent_total": 6, "child_total": 6,
+                           "diff": 6})
+
+
+SQL_ORDER_RECONCILIATION = """
+WITH s AS (SELECT l_orderkey AS o_orderkey,
+                  sum(l_extendedprice) AS child_total,
+                  CAST(count(*) AS BIGINT) AS n_children
+           FROM lineitem
+           WHERE l_orderkey IS NOT NULL
+             AND l_extendedprice IS NOT NULL
+           GROUP BY 1),
+p AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS parent_total
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL)
+SELECT coalesce(p.o_orderkey, s.o_orderkey) AS o_orderkey,
+       round(p.parent_total, 6) AS parent_total,
+       round(coalesce(s.child_total, 0.0), 6) AS child_total,
+       coalesce(s.n_children, 0) AS n_children,
+       round(coalesce(p.parent_total, 0.0)
+             - coalesce(s.child_total, 0.0), 6) AS diff,
+       (p.parent_total IS NOT NULL
+        AND abs(coalesce(p.parent_total, 0.0)
+                - coalesce(s.child_total, 0.0)) <= 0.5) AS ok
+FROM p FULL JOIN s USING (o_orderkey)
+ORDER BY 1
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -11437,6 +11486,8 @@ QUERIES = {
                              SQL_QUALITY_TOP_FRACTION),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "sliced_drift": (q_sliced_drift, SQL_SLICED_DRIFT),
+    "order_reconciliation": (q_order_reconciliation,
+                             SQL_ORDER_RECONCILIATION),
     "category_codes": (q_category_codes, SQL_CATEGORY_CODES),
     "grouped_skew_kurt": (q_grouped_skew_kurt, SQL_GROUPED_SKEW_KURT),
     "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
@@ -11489,6 +11540,8 @@ QUERIES = {
     "join_size": (q_join_size, SQL_JOIN_SIZE),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "sliced_drift": (q_sliced_drift, SQL_SLICED_DRIFT),
+    "order_reconciliation": (q_order_reconciliation,
+                             SQL_ORDER_RECONCILIATION),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

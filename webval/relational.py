@@ -626,3 +626,60 @@ def fd_violations(ds, lhs: str, rhs: str, *,
             t.column(rhs).combine_chunks(),
             t.column("expected_rhs").combine_chunks()))),
         batch_format="pyarrow")
+
+
+def sum_reconciliation(parent, child, *, key: str, child_key: str,
+                       parent_col: str, child_col: str,
+                       tolerance: float = 0.0,
+                       num_buckets: int | None = None):
+    """Parent↔child sum reconciliation: per key, the parent's recorded
+    total vs the sum of its child rows, with the difference and a
+    within-``tolerance`` verdict — the "does the order header equal its
+    line items" / ledger-integrity check.  Parents with NO child rows
+    reconcile against 0 (they fail unless their total is ≤ tolerance);
+    child groups with no parent are reported with a null parent total
+    (orphan mass).  Returns Dataset[{key, parent_total, child_total,
+    n_children, diff, ok}].
+
+    Scale shape: ONE child (count, sum) exchange; a co-bucketed FULL
+    join against the parent keyed column; everything after is
+    vectorized arithmetic on the key table."""
+    from webval.exchange import grouped_agg
+    from webval.joins import equi_join
+
+    sums = grouped_agg(
+        child.select_columns([child_key, child_col]).map_batches(
+            lambda t: pa.table({
+                key: t.column(child_key),
+                "s": pc.cast(t.column(child_col), pa.float64()),
+                "c": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
+            .drop_null(),
+            batch_format="pyarrow"),
+        [key], [("s", "sum"), ("c", "sum")],
+        rename={"s_sum": "child_total", "c_sum": "n_children"},
+        num_buckets=num_buckets)
+    par = parent.select_columns([key, parent_col]).map_batches(
+        lambda t: t.drop_null().rename_columns([key, "parent_total"]),
+        batch_format="pyarrow")
+    par = par.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("parent_total"), "parent_total",
+            pc.cast(t.column("parent_total"), pa.float64())),
+        batch_format="pyarrow")
+    joined = equi_join(par, sums, on=[key], how="full",
+                       num_buckets=num_buckets)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ct = pc.fill_null(t.column("child_total"), 0.0)
+        nc = pc.fill_null(t.column("n_children"),
+                          pa.scalar(0, pa.int64()))
+        pt = t.column("parent_total")
+        diff = pc.subtract(pc.fill_null(pt, 0.0), ct)
+        ok = pc.and_(pc.is_valid(pt.combine_chunks()),
+                     pc.less_equal(pc.abs(diff),
+                                   pa.scalar(float(tolerance))))
+        return pa.table({key: t.column(key), "parent_total": pt,
+                         "child_total": ct, "n_children": nc,
+                         "diff": diff, "ok": ok})
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
