@@ -8814,6 +8814,71 @@ ORDER BY 1
 """
 
 
+def q_revenue_by_segment(sf_dir: str):
+    """TPC-H-Q3-style 3-table pipeline: customer ⋈ orders ⋈ lineitem
+    through two co-bucketed equi-joins, revenue Σ price·(1−discount)
+    rolled up per market segment — the canonical multi-join relational
+    shape.  Revenue rounds 2 (sum order differs across engines)."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg
+    from webval.joins import equi_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+    co = equi_join(orders.map_batches(lambda t: t.drop_null(),
+                                      batch_format="pyarrow"),
+                   cust.map_batches(lambda t: t.drop_null(),
+                                    batch_format="pyarrow"),
+                   on=["o_custkey"], right_on=["c_custkey"])
+    col = equi_join(li.map_batches(lambda t: t.drop_null(),
+                                   batch_format="pyarrow"),
+                    co.select_columns(["o_orderkey", "c_mktsegment"]),
+                    on=["l_orderkey"], right_on=["o_orderkey"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    t.column("l_discount")))
+        tab = pa.table({"c_mktsegment": t.column("c_mktsegment"),
+                        "revenue": r,
+                        "n_items": pa.nulls(t.num_rows,
+                                            pa.int64()).fill_null(1)})
+        agg = tab.group_by(["c_mktsegment"]).aggregate(
+            [("revenue", "sum"), ("n_items", "sum")])
+        return agg.rename_columns(["c_mktsegment", "revenue",
+                                   "n_items"])
+
+    out = grouped_agg(col.map_batches(rev, batch_format="pyarrow"),
+                      ["c_mktsegment"],
+                      [("revenue", "sum"), ("n_items", "sum")],
+                      rename={"revenue_sum": "revenue",
+                              "n_items_sum": "n_items"})
+    t = ds_to_table(out).sort_by([("c_mktsegment", "ascending")])
+    return _round_cols(t, {"revenue": 2})
+
+
+SQL_REVENUE_BY_SEGMENT = """
+SELECT c.c_mktsegment,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+           AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_orderkey IS NOT NULL AND l.l_extendedprice IS NOT NULL
+  AND l.l_discount IS NOT NULL AND o.o_orderkey IS NOT NULL
+  AND o.o_custkey IS NOT NULL AND c.c_custkey IS NOT NULL
+  AND c.c_mktsegment IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -11488,6 +11553,8 @@ QUERIES = {
     "sliced_drift": (q_sliced_drift, SQL_SLICED_DRIFT),
     "order_reconciliation": (q_order_reconciliation,
                              SQL_ORDER_RECONCILIATION),
+    "revenue_by_segment": (q_revenue_by_segment,
+                           SQL_REVENUE_BY_SEGMENT),
     "category_codes": (q_category_codes, SQL_CATEGORY_CODES),
     "grouped_skew_kurt": (q_grouped_skew_kurt, SQL_GROUPED_SKEW_KURT),
     "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
@@ -11542,6 +11609,8 @@ QUERIES = {
     "sliced_drift": (q_sliced_drift, SQL_SLICED_DRIFT),
     "order_reconciliation": (q_order_reconciliation,
                              SQL_ORDER_RECONCILIATION),
+    "revenue_by_segment": (q_revenue_by_segment,
+                           SQL_REVENUE_BY_SEGMENT),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),
