@@ -2141,3 +2141,30 @@ def test_transition_counts_matches_counter_oracle(ray_session):
     # per-from rows sum to 1
     sums = out.groupby(level=0)["prob"].sum()
     assert all(abs(s - 1.0) < 1e-12 for s in sums)
+
+
+def test_id_continuity_audit_matches_counter_oracle(ray_session):
+    import ray.data as rd
+
+    from webval.relational import id_continuity_audit
+
+    ids = [5, 6, 7, 7, 10, 11, None, 11]      # dupes, gaps, a null
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(ids, pa.int64())})).repartition(3)
+    m = id_continuity_audit(ds, "id")
+    assert m["n_rows"] == 8 and m["n_nulls"] == 1
+    assert (m["min"], m["max"]) == (5, 10 + 1)
+    assert m["n_distinct"] == 5                   # {5,6,7,10,11}
+    assert m["n_missing"] == (11 - 5 + 1) - 5     # {8, 9}
+    assert m["n_duplicate_rows"] == 7 - 5         # 7 non-null, 5 distinct
+
+    # dense range: nothing missing, nothing duplicated
+    dense = id_continuity_audit(rd.from_arrow(pa.table({
+        "id": pa.array(range(100), pa.int64())})), "id")
+    assert dense["n_missing"] == 0 and dense["n_duplicate_rows"] == 0
+
+    # all-null / empty: None min/max/missing
+    e = id_continuity_audit(rd.from_arrow(pa.table({
+        "id": pa.array([None, None], pa.int64())})), "id")
+    assert e["min"] is None and e["n_missing"] is None
+    assert e["n_distinct"] == 0

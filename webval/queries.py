@@ -8921,6 +8921,40 @@ ORDER BY c.from_state, c.to_state
 """
 
 
+def q_id_continuity(sf_dir: str):
+    """Id-continuity audit (relational.id_continuity_audit) of
+    webpages.page_id: span vs exact distinct count gives missing ids
+    and duplicate mass WITHOUT a global sort — the exporter-integrity
+    check.  Integers, exact."""
+    import ray.data as rd
+
+    from webval.relational import id_continuity_audit
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["page_id"])
+    m = id_continuity_audit(ds, "page_id")
+    return pa.table({k: pa.array([m[k]], pa.int64())
+                     for k in sorted(m)})
+
+
+SQL_ID_CONTINUITY = f"""
+WITH p AS (SELECT page_id FROM
+           read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet'))
+SELECT CAST(max(page_id) AS BIGINT) AS max,
+       CAST(min(page_id) AS BIGINT) AS min,
+       CAST(count(DISTINCT page_id) AS BIGINT) AS n_distinct,
+       CAST(count(page_id) - count(DISTINCT page_id) AS BIGINT)
+           AS n_duplicate_rows,
+       CAST(max(page_id) - min(page_id) + 1 - count(DISTINCT page_id)
+            AS BIGINT) AS n_missing,
+       (SELECT CAST(count(*) - count(page_id) AS BIGINT) FROM p)
+           AS n_nulls,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_rows
+FROM p
+"""
+SQL_ID_CONTINUITY = SQL_ID_CONTINUITY.replace("{SYNTH_ROOT}", SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -11599,6 +11633,7 @@ QUERIES = {
                            SQL_REVENUE_BY_SEGMENT),
     "event_transitions": (q_event_transitions,
                           SQL_EVENT_TRANSITIONS),
+    "id_continuity": (q_id_continuity, SQL_ID_CONTINUITY),
     "category_codes": (q_category_codes, SQL_CATEGORY_CODES),
     "grouped_skew_kurt": (q_grouped_skew_kurt, SQL_GROUPED_SKEW_KURT),
     "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
@@ -11657,6 +11692,7 @@ QUERIES = {
                            SQL_REVENUE_BY_SEGMENT),
     "event_transitions": (q_event_transitions,
                           SQL_EVENT_TRANSITIONS),
+    "id_continuity": (q_id_continuity, SQL_ID_CONTINUITY),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

@@ -683,3 +683,68 @@ def sum_reconciliation(parent, child, *, key: str, child_key: str,
                          "diff": diff, "ok": ok})
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def id_continuity_audit(ds, id_col: str, *,
+                        num_buckets: int | None = None) -> dict:
+    """Ingestion-continuity audit of a supposedly dense integer id
+    column: from ONE pass — row count, min/max, exact distinct count —
+    derive the missing-id count (span − distinct) and the duplicate
+    mass (rows − distinct) without ever sorting the ids globally; the
+    "did the exporter skip or double-ship a chunk" check run before
+    anything downstream trusts the ids.  Nulls are counted separately.
+    Returns {"n_rows", "n_nulls", "min", "max", "n_distinct",
+    "n_missing", "n_duplicate_rows"} (min/max/missing None on empty).
+
+    Scale shape: min/max/counts are per-block scalar partials; the
+    distinct count is the value-count exchange (id-cardinality bounded,
+    the same cost exact uniqueness pays)."""
+    from webval.exchange import grouped_agg, sum_block_scalars
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(id_col).combine_chunks()
+        nn = v.filter(pc.is_valid(v))
+        return pa.table({
+            "n": pa.array([len(v)], pa.int64()),
+            "nulls": pa.array([v.null_count], pa.int64()),
+            "mn": pa.array([pc.min(nn).as_py() if len(nn) else None],
+                           pa.int64()),
+            "mx": pa.array([pc.max(nn).as_py() if len(nn) else None],
+                           pa.int64())})
+
+    import ray
+
+    n, nulls, mn, mx = 0, 0, None, None
+    mat = ds.select_columns([id_col]).map_batches(
+        partial, batch_format="pyarrow").materialize()
+    for ref in mat.to_arrow_refs():
+        b = ray.get(ref)
+        if b.num_rows == 0:
+            continue
+        n += int(pc.sum(b.column("n")).as_py() or 0)
+        nulls += int(pc.sum(b.column("nulls")).as_py() or 0)
+        bm = pc.min(b.column("mn")).as_py()
+        bx = pc.max(b.column("mx")).as_py()
+        mn = bm if mn is None else (mn if bm is None else min(mn, bm))
+        mx = bx if mx is None else (mx if bx is None else max(mx, bx))
+
+    def vals(t: pa.Table) -> pa.Table:
+        v = t.column(id_col).combine_chunks()
+        vc = v.filter(pc.is_valid(v)).value_counts()
+        return pa.table({"v": vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    dist = sum_block_scalars(
+        grouped_agg(ds.select_columns([id_col]).map_batches(
+            vals, batch_format="pyarrow"),
+            ["v"], [("c", "sum")], rename={"c_sum": "c"},
+            num_buckets=num_buckets)
+        .map_batches(lambda t: pa.table({
+            "d": pa.nulls(t.num_rows, pa.int64()).fill_null(1)}),
+            batch_format="pyarrow").materialize(), ["d"])["d"]
+    nn_rows = n - nulls
+    return {
+        "n_rows": n, "n_nulls": nulls, "min": mn, "max": mx,
+        "n_distinct": dist,
+        "n_missing": (mx - mn + 1 - dist) if mn is not None else None,
+        "n_duplicate_rows": nn_rows - dist}
