@@ -2107,42 +2107,6 @@ def test_sum_reconciliation_matches_counter_oracle(ray_session):
     assert out.loc[5]["child_total"] == pytest.approx(8.0)
 
 
-def test_transition_counts_matches_counter_oracle(ray_session):
-    import collections
-
-    import ray.data as rd
-
-    from webval.windows import transition_counts
-
-    rows = [
-        ("u1", 1, "a", 10), ("u1", 2, "b", 11), ("u1", 3, "a", 12),
-        ("u2", 1, "a", 20), ("u2", 1, "c", 21),   # ts tie: id orders
-        ("u2", 2, "a", 22),
-        ("u3", 5, "z", 30),                       # singleton: no pairs
-        (None, 1, "a", 40), ("u4", None, "a", 41), ("u5", 1, None, 42),
-    ]
-    ds = rd.from_arrow(pa.table({
-        "u": pa.array([r[0] for r in rows], pa.string()),
-        "ts": pa.array([r[1] for r in rows], pa.int64()),
-        "e": pa.array([r[2] for r in rows], pa.string()),
-        "id": pa.array([r[3] for r in rows], pa.int64())})) \
-        .repartition(3)
-    out = transition_counts(ds, "u", "ts", "e", tie_col="id") \
-        .to_pandas().set_index(["from_state", "to_state"])
-
-    expect = collections.Counter(
-        [("a", "b"), ("b", "a"),          # u1
-         ("a", "c"), ("c", "a")])         # u2 (tie ordered by id)
-    assert {k: v for k, v in out["n"].items()} == dict(expect)
-    # probabilities row-normalize: from 'a' -> b 0.5, c 0.5
-    assert out.loc[("a", "b")]["prob"] == pytest.approx(0.5)
-    assert out.loc[("a", "c")]["prob"] == pytest.approx(0.5)
-    assert out.loc[("b", "a")]["prob"] == 1.0
-    # per-from rows sum to 1
-    sums = out.groupby(level=0)["prob"].sum()
-    assert all(abs(s - 1.0) < 1e-12 for s in sums)
-
-
 def test_id_continuity_audit_matches_counter_oracle(ray_session):
     import ray.data as rd
 

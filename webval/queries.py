@@ -8879,48 +8879,6 @@ GROUP BY 1 ORDER BY 1
 """
 
 
-def q_event_transitions(sf_dir: str):
-    """First-order event-flow matrix (windows.transition_counts): per
-    (from, to) event-type step across user timelines, counts + row
-    probabilities — the behavior map behind the Markov anomaly scorer.
-    event_id breaks timestamp ties deterministically; prob is the same
-    n/row_total division on both engines, unrounded."""
-    import ray.data as rd
-
-    from webval.windows import transition_counts
-
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "event_type",
-                                  "event_id"])
-    out = transition_counts(ds, "user_id", "ts", "event_type",
-                            tie_col="event_id")
-    t = ds_to_table(out).sort_by([("from_state", "ascending"),
-                                  ("to_state", "ascending")])
-    for c in ("from_state", "to_state"):
-        t = t.set_column(t.column_names.index(c), c,
-                         pc.cast(t.column(c), pa.string()))
-    return t
-
-
-SQL_EVENT_TRANSITIONS = """
-WITH s AS (SELECT user_id, event_type,
-                  lead(event_type) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id)
-                      AS next_type
-           FROM events
-           WHERE user_id IS NOT NULL AND ts IS NOT NULL
-             AND event_type IS NOT NULL),
-c AS (SELECT event_type AS from_state, next_type AS to_state,
-             CAST(count(*) AS BIGINT) AS n
-      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
-r AS (SELECT from_state, CAST(sum(n) AS DOUBLE) AS row_n FROM c
-      GROUP BY 1)
-SELECT c.from_state, c.to_state, c.n, c.n / r.row_n AS prob
-FROM c JOIN r USING (from_state)
-ORDER BY c.from_state, c.to_state
-"""
-
-
 def q_id_continuity(sf_dir: str):
     """Id-continuity audit (relational.id_continuity_audit) of
     webpages.page_id: span vs exact distinct count gives missing ids
@@ -11631,8 +11589,6 @@ QUERIES = {
                              SQL_ORDER_RECONCILIATION),
     "revenue_by_segment": (q_revenue_by_segment,
                            SQL_REVENUE_BY_SEGMENT),
-    "event_transitions": (q_event_transitions,
-                          SQL_EVENT_TRANSITIONS),
     "id_continuity": (q_id_continuity, SQL_ID_CONTINUITY),
     "category_codes": (q_category_codes, SQL_CATEGORY_CODES),
     "grouped_skew_kurt": (q_grouped_skew_kurt, SQL_GROUPED_SKEW_KURT),
@@ -11690,8 +11646,6 @@ QUERIES = {
                              SQL_ORDER_RECONCILIATION),
     "revenue_by_segment": (q_revenue_by_segment,
                            SQL_REVENUE_BY_SEGMENT),
-    "event_transitions": (q_event_transitions,
-                          SQL_EVENT_TRANSITIONS),
     "id_continuity": (q_id_continuity, SQL_ID_CONTINUITY),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),

@@ -2051,80 +2051,3 @@ def lag_autocorr(ds, key: str, ts_col: str, val_col: str, *,
         num_buckets=num_buckets, max_group_rows=max_group_rows)
     return grouped_corr(paired, key, "x", "y", num_buckets=num_buckets)
 
-
-def transition_counts(ds, key: str, ts_col: str, state_col: str, *,
-                      tie_col: str | None = None,
-                      num_buckets: int | None = None,
-                      max_group_rows: int | None = None):
-    """First-order transition matrix of per-key state sequences: counts
-    and row-normalized probabilities of consecutive (state → next
-    state) steps along each key's time-ordered events — the user-flow /
-    crawler-behavior map whose per-sequence NLL the Markov anomaly
-    scorer consumes.  Pass ``tie_col`` (an id) so duplicate timestamps
-    order deterministically.  Null keys/timestamps/states drop.
-    Returns Dataset[{from_state, to_state, n, prob}].
-
-    Scale shape: combiner-less key exchange; per bucket one lexsort +
-    sliced adjacency (no per-row Python); transitions collapse to ONE
-    (from, to) count exchange (state alphabets are tiny); row
-    normalization joins nothing — it divides by the from-state sums
-    carried on the same table."""
-    import numpy as np
-
-    from webval.exchange import DEFAULT_MAX_GROUP_ROWS, bucketed_group_apply, grouped_agg
-
-    if max_group_rows is None:
-        max_group_rows = DEFAULT_MAX_GROUP_ROWS
-    cols = [key, ts_col, state_col] + ([tie_col] if tie_col else [])
-
-    def proj(t: pa.Table) -> pa.Table:
-        t = t.select(cols)
-        m = None
-        for c in (key, ts_col, state_col):
-            ok = pc.is_valid(t.column(c).combine_chunks())
-            m = ok if m is None else pc.and_(m, ok)
-        return t.filter(m)
-
-    def pairs(g: pa.Table) -> pa.Table:
-        empty = pa.table({"from_state": pa.array([], pa.large_string()),
-                          "to_state": pa.array([], pa.large_string()),
-                          "n": pa.array([], pa.int64())})
-        if g.num_rows < 2:
-            return empty
-        sort_keys = [(key, "ascending"), (ts_col, "ascending")] \
-            + ([(tie_col, "ascending")] if tie_col else [])
-        g = g.sort_by(sort_keys)
-        kv = g.column(key).combine_chunks()
-        sv = g.column(state_col).combine_chunks().cast(pa.large_string())
-        n = g.num_rows
-        same = pc.equal(kv.slice(1), kv.slice(0, n - 1))
-        tab = pa.table({
-            "from_state": sv.slice(0, n - 1).filter(same),
-            "to_state": sv.slice(1).filter(same)})
-        agg = tab.group_by(["from_state", "to_state"]).aggregate(
-            [([], "count_all")])
-        agg = agg.rename_columns(["from_state", "to_state", "n"])
-        return agg.set_column(2, "n", pc.cast(agg.column(2), pa.int64()))
-
-    trans = grouped_agg(
-        bucketed_group_apply(
-            ds.map_batches(proj, batch_format="pyarrow"), [key], pairs,
-            num_buckets=num_buckets, max_group_rows=max_group_rows),
-        ["from_state", "to_state"], [("n", "sum")],
-        rename={"n_sum": "n"}, num_buckets=num_buckets)
-    # from-state totals ride a second tiny exchange, joined co-bucketed
-    totals = grouped_agg(trans, ["from_state"], [("n", "sum")],
-                         rename={"n_sum": "row_n"},
-                         num_buckets=num_buckets)
-    from webval.joins import equi_join
-
-    out = equi_join(trans, totals, on=["from_state"],
-                    num_buckets=num_buckets)
-    return out.map_batches(
-        lambda t: pa.table({
-            "from_state": t.column("from_state"),
-            "to_state": t.column("to_state"), "n": t.column("n"),
-            "prob": pc.divide(pc.cast(t.column("n"), pa.float64()),
-                              pc.cast(t.column("row_n"),
-                                      pa.float64()))}),
-        batch_format="pyarrow")
