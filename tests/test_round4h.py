@@ -2132,3 +2132,27 @@ def test_id_continuity_audit_matches_counter_oracle(ray_session):
         "id": pa.array([None, None], pa.int64())})), "id")
     assert e["min"] is None and e["n_missing"] is None
     assert e["n_distinct"] == 0
+
+
+def test_truncation_audit_matches_counter_oracle(ray_session):
+    import ray.data as rd
+
+    from webval.schema import truncation_audit
+
+    # pileup at 20 chars (the truncation smell) + a natural tail
+    vals = ["x" * 20] * 50 + ["y" * 19] * 3 + ["z" * 15] * 10 \
+        + ["w" * 5] * 37 + [None]
+    ds = rd.from_arrow(pa.table({"s": pa.array(vals, pa.string())})) \
+        .repartition(4)
+    out = truncation_audit(ds, "s", top_k=3).to_pandas()
+
+    assert list(out["length"]) == [20, 19, 15]
+    assert list(out["n"]) == [50, 3, 10]
+    assert out.iloc[0]["share"] == pytest.approx(0.5)   # 50/100 non-null
+    assert list(out["at_max"]) == [True, False, False]
+
+    # all-null -> empty with schema
+    e = truncation_audit(rd.from_arrow(pa.table({
+        "s": pa.array([None], pa.string())})), "s")
+    assert e.count() == 0
+    assert e.schema().names == ["length", "n", "share", "at_max"]

@@ -8913,6 +8913,34 @@ FROM p
 SQL_ID_CONTINUITY = SQL_ID_CONTINUITY.replace("{SYNTH_ROOT}", SYNTH_ROOT)
 
 
+def q_truncation_audit(sf_dir: str):
+    """VARCHAR-truncation smell test (schema.truncation_audit): the 5
+    longest text lengths with counts and the at-max flag — a pileup at
+    the max length means an upstream fixed-width cut.  Integers exact;
+    share is the same division, unrounded."""
+    import ray.data as rd
+
+    from webval.schema import truncation_audit
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["text"])
+    return ds_to_table(truncation_audit(ds, "text", top_k=5))
+
+
+SQL_TRUNCATION_AUDIT = f"""
+WITH c AS (SELECT length(text) AS length, CAST(count(*) AS BIGINT) AS n
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+           WHERE text IS NOT NULL GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM c),
+top AS (SELECT * FROM c ORDER BY length DESC LIMIT 5)
+SELECT top.length, top.n, top.n / tot.t AS share,
+       top.length = (SELECT max(length) FROM top) AS at_max
+FROM top, tot ORDER BY top.length DESC
+"""
+SQL_TRUNCATION_AUDIT = SQL_TRUNCATION_AUDIT.replace("{SYNTH_ROOT}",
+                                                    SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -11590,6 +11618,7 @@ QUERIES = {
     "revenue_by_segment": (q_revenue_by_segment,
                            SQL_REVENUE_BY_SEGMENT),
     "id_continuity": (q_id_continuity, SQL_ID_CONTINUITY),
+    "truncation_audit": (q_truncation_audit, SQL_TRUNCATION_AUDIT),
     "category_codes": (q_category_codes, SQL_CATEGORY_CODES),
     "grouped_skew_kurt": (q_grouped_skew_kurt, SQL_GROUPED_SKEW_KURT),
     "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
@@ -11647,6 +11676,7 @@ QUERIES = {
     "revenue_by_segment": (q_revenue_by_segment,
                            SQL_REVENUE_BY_SEGMENT),
     "id_continuity": (q_id_continuity, SQL_ID_CONTINUITY),
+    "truncation_audit": (q_truncation_audit, SQL_TRUNCATION_AUDIT),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

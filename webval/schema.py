@@ -464,3 +464,60 @@ def value_pattern_profile(ds, col: str, *, top_k: int = 20,
 
     return agg.map_batches(finalize, batch_format="pyarrow") \
         .sort(["n", "pattern"], descending=[True, False]).limit(top_k)
+
+
+def truncation_audit(ds, col: str, *, top_k: int = 5,
+                     num_buckets: int | None = None):
+    """VARCHAR-truncation detection: the length distribution's tail —
+    when a suspicious share of values piles up at EXACTLY the maximum
+    observed length, an upstream system was almost certainly cutting at
+    a fixed column width (the classic silent-corruption smell; a
+    natural length distribution decays toward its max).  Reports the
+    ``top_k`` longest observed lengths with counts and share, plus an
+    ``at_max`` flag on the maximal row.  Nulls are skipped.  Returns
+    Dataset[{length, n, share, at_max}] sorted by length desc.
+
+    Scale shape: per-batch length value_counts combiner → ONE
+    length-keyed exchange (bounded by the distinct-length count);
+    the top-k cut is a sort+limit over that tiny table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg, sum_block_scalars
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).combine_chunks()
+        v = v.filter(pc.is_valid(v)).cast(pa.large_string())
+        vc = pc.utf8_length(v).value_counts()
+        return pa.table({
+            "length": pc.cast(vc.field("values"), pa.int64()),
+            "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = grouped_agg(
+        ds.select_columns([col]).map_batches(partial,
+                                             batch_format="pyarrow"),
+        ["length"], [("n", "sum")], rename={"n_sum": "n"},
+        num_buckets=num_buckets).materialize()
+    total = sum_block_scalars(counts, ["n"])["n"]
+    if total == 0:
+        return rd.from_arrow(pa.schema(
+            [("length", pa.int64()), ("n", pa.int64()),
+             ("share", pa.float64()),
+             ("at_max", pa.bool_())]).empty_table())
+    top = counts.sort("length", descending=True).limit(top_k)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        share = pc.divide(pc.cast(t.column("n"), pa.float64()),
+                          pa.scalar(float(total)))
+        return pa.table({"length": t.column("length"),
+                         "n": t.column("n"), "share": share})
+
+    shaped = top.map_batches(finalize,
+                             batch_format="pyarrow").materialize()
+    mx = max(r["length"] for r in shaped.take_all())  # ≤ top_k rows
+    return shaped.map_batches(
+        lambda t: t.append_column(
+            "at_max", pc.equal(t.column("length"),
+                               pa.scalar(mx, pa.int64()))),
+        batch_format="pyarrow").sort("length", descending=True)
