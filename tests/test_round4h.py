@@ -2156,3 +2156,34 @@ def test_truncation_audit_matches_counter_oracle(ray_session):
         "s": pa.array([None], pa.string())})), "s")
     assert e.count() == 0
     assert e.schema().names == ["length", "n", "share", "at_max"]
+
+
+def test_schema_to_sql_ddl_enforces_contract(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from webval.pipelines import build_schema
+    from webval.schema import schema_to_sql_ddl
+
+    ds = rd.from_arrow(pa.table({
+        "score": pa.array([1.0, 5.0, 3.0, 2.5] * 25, pa.float64()),
+        "lang": pa.array(["en", "de", "en", "fr"] * 25, pa.string())}))
+    spec = build_schema(ds, kinds={"score": "numeric",
+                                   "lang": "categorical"},
+                        histogram=False).infer_default_checks()
+    ddl = schema_to_sql_ddl(spec, table="contract")
+
+    con = duckdb.connect()
+    con.execute(ddl)                                  # valid ANSI DDL
+    # a row inside the built ranges/domain inserts cleanly
+    con.execute("INSERT INTO contract VALUES (2.0, 'de')")
+    # out-of-range score rejected BY THE DATABASE
+    import pytest as _pt
+    with _pt.raises(duckdb.ConstraintException):
+        con.execute("INSERT INTO contract VALUES (99.0, 'en')")
+    # out-of-domain lang rejected
+    with _pt.raises(duckdb.ConstraintException):
+        con.execute("INSERT INTO contract VALUES (2.0, 'zz')")
+    # zero observed nulls -> NOT NULL enforced
+    with _pt.raises(duckdb.ConstraintException):
+        con.execute("INSERT INTO contract VALUES (NULL, 'en')")

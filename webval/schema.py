@@ -521,3 +521,66 @@ def truncation_audit(ds, col: str, *, top_k: int = 5,
             "at_max", pc.equal(t.column("length"),
                                pa.scalar(mx, pa.int64()))),
         batch_format="pyarrow").sort("length", descending=True)
+
+
+#: profile kind → ANSI column type for DDL export
+_DDL_TYPES = {"numeric": "DOUBLE", "timestamp": "TIMESTAMP",
+              "categorical": "VARCHAR", "text": "VARCHAR",
+              "binary": "BLOB"}
+
+
+def schema_to_sql_ddl(spec, *, table: str = "validated") -> str:
+    """Export a BUILT SchemaSpec as portable ANSI DDL: a CREATE TABLE
+    with one column per profile and the row-level CheckSpecs rendered
+    as named CHECK constraints (range, domain, and NOT-NULL for
+    null_rate 0) — the "hand the data contract to a warehouse" bridge;
+    a row that passes the engine's row-level checks inserts cleanly
+    into the exported table and a violating row is rejected by the
+    database itself.  Dataset-level kinds (null_rate > 0, unique,
+    referential, drift, regex — RE2 is not portable SQL) are emitted
+    as ``-- unenforced:`` comments so the contract stays visible.
+    """
+    cols: list[str] = []
+    checks: list[str] = []
+    notes: list[str] = []
+
+    def q(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(float(v)) if isinstance(v, float) else str(v)
+
+    by_col = {}
+    for c in spec.checks:
+        by_col.setdefault(c.column, []).append(c)
+    for p in spec.columns:
+        t = _DDL_TYPES.get(p.kind, "VARCHAR")
+        not_null = any(c.kind == "null_rate"
+                       and c.params.get("max_rate", 1.0) == 0.0
+                       for c in by_col.get(p.name, []))
+        cols.append(f'  "{p.name}" {t}'
+                    + (" NOT NULL" if not_null else ""))
+        for c in by_col.get(p.name, []):
+            if c.kind == "range":
+                lo, hi = c.params.get("min"), c.params.get("max")
+                if lo is not None and hi is not None:
+                    checks.append(
+                        f'  CONSTRAINT "{c.name}" CHECK ("{p.name}" '
+                        f'BETWEEN {q(lo)} AND {q(hi)})')
+            elif c.kind == "domain":
+                vals = c.params.get("values") or []
+                if vals:
+                    inlist = ", ".join(q(v) for v in vals)
+                    checks.append(
+                        f'  CONSTRAINT "{c.name}" CHECK ("{p.name}" '
+                        f'IN ({inlist}))')
+            elif c.kind == "null_rate":
+                if c.params.get("max_rate", 1.0) > 0.0:
+                    notes.append(f"-- unenforced: {c.name} "
+                                 f"(max_rate={c.params['max_rate']})")
+            else:
+                notes.append(f"-- unenforced: {c.name} ({c.kind})")
+    body = ",\n".join(cols + checks)
+    ddl = f'CREATE TABLE "{table}" (\n{body}\n);'
+    if notes:
+        ddl += "\n" + "\n".join(sorted(set(notes)))
+    return ddl
