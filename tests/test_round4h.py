@@ -2187,3 +2187,37 @@ def test_schema_to_sql_ddl_enforces_contract(ray_session):
     # zero observed nulls -> NOT NULL enforced
     with _pt.raises(duckdb.ConstraintException):
         con.execute("INSERT INTO contract VALUES (NULL, 'en')")
+
+
+def test_null_block_scan_matches_counter_oracle(ray_session):
+    import ray.data as rd
+
+    from webval.schema import null_block_scan
+
+    rng = np.random.default_rng(131)
+    ids = np.arange(5000, dtype=np.int64)
+    vals = np.array(["v"] * 5000, dtype=object)
+    # organic 1% sprinkle everywhere
+    vals[rng.choice(5000, 50, replace=False)] = None
+    # planted outage: ids 2000-2499 fully null
+    vals[2000:2500] = None
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(ids),
+        "v": pa.array(list(vals), pa.string())})).repartition(5)
+    out = null_block_scan(ds, "id", "v", block=500,
+                          min_rate=0.5).to_pandas()
+
+    assert list(out["block_start"]) == [2000]
+    assert out.iloc[0]["n_rows"] == 500
+    assert out.iloc[0]["null_rate"] == 1.0
+    # sprinkle alone never flags
+    clean = null_block_scan(ds, "id", "v", block=500,
+                            min_rate=0.5).to_pandas()
+    assert (clean["block_start"] == 2000).all()
+    # lower threshold exposes the sprinkle blocks too
+    low = null_block_scan(ds, "id", "v", block=500,
+                          min_rate=0.005).to_pandas()
+    assert len(low) >= 2 and 2000 in set(low["block_start"])
+
+    with pytest.raises(ValueError, match="block"):
+        null_block_scan(ds, "id", "v", block=0)

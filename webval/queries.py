@@ -8941,6 +8941,51 @@ SQL_TRUNCATION_AUDIT = SQL_TRUNCATION_AUDIT.replace("{SYNTH_ROOT}",
                                                     SYNTH_ROOT)
 
 
+def q_null_blocks(sf_dir: str):
+    """Null-burst localization (schema.null_block_scan, block=500,
+    rate ≥ 0.5): a planted export outage (lang nulled for page_ids
+    3000-3999, built identically on both engines) is pinpointed to its
+    two id blocks, while the organic 1%-sprinkled null_text never
+    flags.  Integers exact; null_rate is the same division,
+    unrounded."""
+    import ray.data as rd
+
+    from webval.schema import null_block_scan
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["page_id", "lang"])
+
+    def outage(t: pa.Table) -> pa.Table:
+        pid = t.column("page_id").combine_chunks()
+        hit = pc.and_(pc.greater_equal(pid, pa.scalar(3000, pa.int64())),
+                      pc.less_equal(pid, pa.scalar(3999, pa.int64())))
+        lang = pc.if_else(hit, pa.scalar(None, pa.string()),
+                          pc.cast(t.column("lang"), pa.string()))
+        return pa.table({"page_id": pid, "lang2": lang})
+
+    out = null_block_scan(ds.map_batches(outage, batch_format="pyarrow"),
+                          "page_id", "lang2", block=500, min_rate=0.5)
+    return ds_to_table(out)
+
+
+SQL_NULL_BLOCKS = f"""
+WITH p AS (SELECT page_id,
+                  CASE WHEN page_id BETWEEN 3000 AND 3999 THEN NULL
+                       ELSE lang END AS lang2
+           FROM read_parquet('{{SYNTH_ROOT}}/sf0.01/webpages.parquet')
+           WHERE page_id IS NOT NULL),
+b AS (SELECT (page_id // 500) * 500 AS block_start,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(lang2) AS BIGINT) AS n_nulls
+      FROM p GROUP BY 1)
+SELECT block_start, n_rows, n_nulls,
+       CAST(n_nulls AS DOUBLE) / n_rows AS null_rate
+FROM b WHERE n_rows >= 10 AND CAST(n_nulls AS DOUBLE) / n_rows >= 0.5
+ORDER BY block_start
+"""
+SQL_NULL_BLOCKS = SQL_NULL_BLOCKS.replace("{SYNTH_ROOT}", SYNTH_ROOT)
+
+
 def q_assortativity(sf_dir: str):
     """Out-in degree assortativity of the synthetic link graph
     (graph.degree_assortativity: distinct-edge exchange, degree count
@@ -11619,6 +11664,7 @@ QUERIES = {
                            SQL_REVENUE_BY_SEGMENT),
     "id_continuity": (q_id_continuity, SQL_ID_CONTINUITY),
     "truncation_audit": (q_truncation_audit, SQL_TRUNCATION_AUDIT),
+    "null_blocks": (q_null_blocks, SQL_NULL_BLOCKS),
     "category_codes": (q_category_codes, SQL_CATEGORY_CODES),
     "grouped_skew_kurt": (q_grouped_skew_kurt, SQL_GROUPED_SKEW_KURT),
     "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
@@ -11677,6 +11723,7 @@ QUERIES = {
                            SQL_REVENUE_BY_SEGMENT),
     "id_continuity": (q_id_continuity, SQL_ID_CONTINUITY),
     "truncation_audit": (q_truncation_audit, SQL_TRUNCATION_AUDIT),
+    "null_blocks": (q_null_blocks, SQL_NULL_BLOCKS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "cms_host_freq": (q_cms_host_freq, SQL_CMS_HOST_FREQ),

@@ -584,3 +584,69 @@ def schema_to_sql_ddl(spec, *, table: str = "validated") -> str:
     if notes:
         ddl += "\n" + "\n".join(sorted(set(notes)))
     return ddl
+
+
+def null_block_scan(ds, id_col: str, col: str, *, block: int = 10_000,
+                    min_rate: float = 0.5, min_rows: int = 10,
+                    num_buckets: int | None = None):
+    """Null-burst localization: bucket rows into contiguous ``id_col``
+    blocks of ``block`` ids and flag blocks whose null rate of ``col``
+    is ≥ ``min_rate`` — a uniform sprinkle of nulls is organic, but
+    nulls CONCENTRATED in one id range mean a broken export window /
+    upstream outage, and this names the range to re-fetch.  Blocks with
+    fewer than ``min_rows`` rows are ignored (noise).  Returns
+    Dataset[{block_start, n_rows, n_nulls, null_rate}] for the flagged
+    blocks, sorted by block_start.
+
+    Scale shape: stateless block tagging + per-batch (block, n, nulls)
+    combiner → ONE block-keyed exchange (id-span/block bounded);
+    thresholding is vectorized on the block table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from webval.exchange import grouped_agg
+
+    if block < 1:
+        raise ValueError(f"null_block_scan: block must be >= 1, "
+                         f"got {block}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks()
+        ok = pc.is_valid(ids)
+        t = t.filter(ok)
+        ids = ids.filter(ok)
+        blk = pc.multiply(pc.divide(ids, pa.scalar(block, pa.int64())),
+                          pa.scalar(block, pa.int64()))
+        isnull = pc.cast(pc.is_null(t.column(col).combine_chunks()),
+                         pa.int64())
+        tab = pa.table({"block_start": pc.cast(blk, pa.int64()),
+                        "n": pa.nulls(t.num_rows,
+                                      pa.int64()).fill_null(1),
+                        "nulls": isnull})
+        agg = tab.group_by(["block_start"]).aggregate(
+            [("n", "sum"), ("nulls", "sum")])
+        return agg.rename_columns(["block_start", "n", "nulls"])
+
+    blocks = grouped_agg(
+        ds.select_columns([id_col, col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["block_start"], [("n", "sum"), ("nulls", "sum")],
+        rename={"n_sum": "n", "nulls_sum": "nulls"},
+        num_buckets=num_buckets)
+
+    def flag(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n"), pa.float64())
+        rate = pc.divide(pc.cast(t.column("nulls"), pa.float64()), n)
+        keep = pc.and_(pc.greater_equal(t.column("n"),
+                                        pa.scalar(min_rows, pa.int64())),
+                       pc.greater_equal(rate, pa.scalar(float(min_rate))))
+        t = t.filter(keep)
+        rate = pc.divide(pc.cast(t.column("nulls"), pa.float64()),
+                         pc.cast(t.column("n"), pa.float64()))
+        return pa.table({"block_start": t.column("block_start"),
+                         "n_rows": t.column("n"),
+                         "n_nulls": t.column("nulls"),
+                         "null_rate": rate})
+
+    return blocks.map_batches(flag, batch_format="pyarrow") \
+        .sort("block_start")
