@@ -238,6 +238,50 @@ def test_minhash_task_mode_equals_actor_mode(docs_table):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_minhash_band_chunked_equals_single_pass(docs_table):
+    """bands_per_pass chunking (the 100-TB shuffle-volume shape) must emit
+    byte-identical clusters: sliced permutation params + global band salt
+    make each chunk's band hashes equal the unchunked run's slice, and the
+    pair set is a union over bands."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(docs_table).repartition(4)
+    single = sorted((r["doc_id"], r["cluster_id"]) for r in minhash_dedup(
+        ds, "doc_id", jaccard_threshold=0.6).take_all())
+    for bpp in (4, 5, 16):  # even split, uneven tail, degenerate = single
+        chunked = sorted((r["doc_id"], r["cluster_id"]) for r in minhash_dedup(
+            ds, "doc_id", jaccard_threshold=0.6,
+            bands_per_pass=bpp).take_all())
+        assert chunked == single and len(single) > 0, bpp
+    # distributed-components path with chunking (the rehearsal shape)
+    dist = sorted((r["doc_id"], r["cluster_id"]) for r in minhash_dedup(
+        ds, "doc_id", jaccard_threshold=0.6, bands_per_pass=4,
+        components="distributed").take_all())
+    assert dist == single
+
+
+def test_minhasher_band_slice_matches_full():
+    """A MinHasher built for bands [off, off+n) of a 16-band space must emit
+    the same (id, band_hash) rows as the corresponding slice of the full
+    16-band hasher — pure-python check, no Ray."""
+    from webval.dedup import MinHasher
+
+    texts = [_doc(i, seed=77) for i in range(8)]
+    t = pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                  "text": pa.array(texts, pa.large_string())})
+    full = MinHasher("doc_id", bands=16, rows_per_band=8)(t)
+    got_rows = set()
+    for off, n in ((0, 4), (4, 4), (8, 4), (12, 4)):
+        part = MinHasher("doc_id", bands=n, rows_per_band=8,
+                         band_offset=off, total_bands=16)(t)
+        got_rows.update(zip(part.column("doc_id").to_pylist(),
+                            part.column("band_hash").to_pylist()))
+    want_rows = set(zip(full.column("doc_id").to_pylist(),
+                        full.column("band_hash").to_pylist()))
+    assert got_rows == want_rows and len(want_rows) == 8 * 16
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ngram_all_pairs_matches_pairwise(docs_table):
     """Inverted-index all-pairs scores must equal direct per-pair
     ngram_jaccard, and the O(n²) guard must fire above max_corpus."""

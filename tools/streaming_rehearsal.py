@@ -137,6 +137,11 @@ def main() -> int:
                     help="exchange bucket count for the minhash leg "
                     "(0 = derived 2xCPUs); raise when per-bucket blocks "
                     "overflow the store/fallback")
+    ap.add_argument("--bands-per-pass", type=int, default=0,
+                    help="0 = all 16 bands in one LSH exchange; e.g. 4 runs "
+                    "four sequential band-group passes, cutting inflight "
+                    "shuffle volume 4x (the fix for the r4 56 GB spill-budget "
+                    "overrun at 160M docs)")
     ap.add_argument("--skip-headline", action="store_true")
     ap.add_argument("--skip-minhash", action="store_true")
     args = ap.parse_args()
@@ -183,11 +188,12 @@ def main() -> int:
         t0 = time.perf_counter()
         ds = rd.read_parquet(mh_pages, columns=["page_id", "text"])
         n = (minhash_dedup(ds, "page_id", components="distributed",
-                           num_buckets=args.num_buckets or None)
+                           num_buckets=args.num_buckets or None,
+                           bands_per_pass=args.bands_per_pass or None)
              .map_batches(lambda t: pa.table({"n": [t.num_rows]}),
                           batch_format="pyarrow").sum("n"))
         result["minhash"] = {
-            "rows": mh_rows,
+            "rows": mh_rows, "bands_per_pass": args.bands_per_pass or 16,
             "wall_sec": round(time.perf_counter() - t0, 1),
             "docs_per_sec": round(mh_rows / (time.perf_counter() - t0), 0),
             "dup_cluster_rows": int(n), **poll.stop()}

@@ -146,13 +146,24 @@ class MinHasher:
     """
 
     def __init__(self, id_col: str, text_col: str = "text", *, bands: int = 16,
-                 rows_per_band: int = 8, shingle_window: int = 8):
+                 rows_per_band: int = 8, shingle_window: int = 8,
+                 band_offset: int = 0, total_bands: int | None = None):
+        """``band_offset``/``total_bands`` support band-CHUNKED passes
+        (minhash_dedup bands_per_pass): params are generated for the FULL
+        total_bands*r permutation set and sliced, and the band salt uses the
+        GLOBAL band index, so a chunked run emits byte-identical band hashes
+        to the corresponding slice of an unchunked run."""
         self.id_col = id_col
         self.text_col = text_col
         self.bands = bands
         self.r = rows_per_band
         self.window = shingle_window
-        self.a, self.b = _minhash_params(bands * rows_per_band)
+        self.band_offset = band_offset
+        total = total_bands if total_bands is not None else band_offset + bands
+        a_full, b_full = _minhash_params(total * rows_per_band)
+        lo = band_offset * rows_per_band
+        hi = (band_offset + bands) * rows_per_band
+        self.a, self.b = a_full[lo:hi], b_full[lo:hi]
 
     def signature(self, text: str) -> np.ndarray:
         return minhash_signature(
@@ -207,7 +218,9 @@ class MinHasher:
                              "band_hash": pa.array([], pa.int64())})
         with np.errstate(over="ignore"):
             band_sums = (sigs.reshape(n, self.bands, self.r).sum(axis=2)
-                         + np.arange(self.bands, dtype=np.uint64)[None, :])
+                         + np.arange(self.band_offset,
+                                     self.band_offset + self.bands,
+                                     dtype=np.uint64)[None, :])
         bh = hash64(band_sums.ravel()).astype(np.int64)
         out_ids = np.repeat(ids[keep].astype(np.int64), self.bands)
         return pa.table({
@@ -705,7 +718,8 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
                   verify: bool = True, max_bucket: int = 256,
                   components: str = "auto",
                   driver_max_pairs: int = DRIVER_MAX_PAIRS,
-                  num_buckets: int | None = None):
+                  num_buckets: int | None = None,
+                  bands_per_pass: int | None = None):
     """Near-duplicate clusters via MinHash-LSH.
 
     Returns a Dataset[{id, cluster_id}] for every doc in a near-dup cluster
@@ -737,26 +751,62 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
     this stage (measured 13.7s pool vs 6.3s tasks at 1M docs, 32 cpus —
     BENCH/BASELINE.md finding 3).  Pass a concurrency to force the
     actor-pool shape.
+
+    ``bands_per_pass`` (None = all bands in one pass) chunks the LSH
+    exchange BY BAND GROUP: each pass re-reads the text, computes only that
+    chunk's bands' hashes (total hash compute is unchanged — the permutation
+    params are sliced per chunk), shuffles only that chunk's (id, band_hash)
+    stream, and MATERIALIZES its (small) candidate-pair set before the next
+    pass starts.  Inflight shuffle volume drops bands/bands_per_pass×; the
+    union of per-chunk pairs is exactly the unchunked pair set (LSH
+    candidates are a union over bands, and per-bucket max_bucket truncation
+    is order-deterministic within one band either way).  This is the 100-TB
+    shape: the r4 160M-doc rehearsal blew the 56 GB spill budget on the
+    single-pass band stream; 4 bands/pass fits it.
     """
     from webval.exchange import distinct_rows
 
-    kw = {"id_col": id_col, "text_col": text_col, "bands": bands,
+    kw = {"id_col": id_col, "text_col": text_col,
           "rows_per_band": rows_per_band, "shingle_window": shingle_window}
-    if concurrency is None:
-        hasher = MinHasher(**kw)  # tiny param arrays ship in the closure
-        buckets = ds.map_batches(lambda t: hasher(t), batch_format="pyarrow",
-                                 batch_size=4096)
-    else:
-        buckets = ds.map_batches(
+
+    def bucket_stream(n_bands: int, band_offset: int):
+        ckw = dict(kw, bands=n_bands, band_offset=band_offset,
+                   total_bands=bands)
+        if concurrency is None:
+            hasher = MinHasher(**ckw)  # tiny param arrays ship in the closure
+            return ds.map_batches(lambda t: hasher(t), batch_format="pyarrow",
+                                  batch_size=4096)
+        return ds.map_batches(
             MinHasher, batch_format="pyarrow", batch_size=1024,
-            concurrency=concurrency, fn_constructor_kwargs=kw)
-    pairs_ds = _pairs_from_buckets(buckets, id_col, max_bucket=max_bucket)
+            concurrency=concurrency, fn_constructor_kwargs=ckw)
+
     pairs_deduped = False
+    if bands_per_pass is None or bands_per_pass >= bands:
+        pairs_ds = _pairs_from_buckets(bucket_stream(bands, 0), id_col,
+                                       max_bucket=max_bucket)
+    else:
+        # sequential band-group passes: .materialize() per chunk is the
+        # point — it bounds inflight shuffle data to ONE chunk's band stream
+        chunk_pairs = []
+        for off in range(0, bands, bands_per_pass):
+            chunk = _pairs_from_buckets(
+                bucket_stream(min(bands_per_pass, bands - off), off), id_col,
+                max_bucket=max_bucket).materialize()
+            chunk_pairs.append(chunk)
+        pairs_ds = chunk_pairs[0]
+        if len(chunk_pairs) > 1:
+            pairs_ds = pairs_ds.union(*chunk_pairs[1:])
+            # the same pair can surface in several chunks; dedupe once here
+            pairs_ds = distinct_rows(pairs_ds, ["id_a", "id_b"],
+                                     num_buckets=num_buckets)
+            pairs_deduped = True
     if components == "auto":
         # dedupe once here (verify_pairs_by_values skips its own pass) and
         # count — candidate pairs stay distributed either way
-        pairs_ds = distinct_rows(pairs_ds, ["id_a", "id_b"],
-                                 num_buckets=num_buckets).materialize()
+        if not pairs_deduped:
+            pairs_ds = distinct_rows(pairs_ds, ["id_a", "id_b"],
+                                     num_buckets=num_buckets)
+        pairs_ds = pairs_ds.materialize()
         pairs_deduped = True
         components = ("driver" if pairs_ds.count() <= driver_max_pairs
                       else "distributed")
