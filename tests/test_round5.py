@@ -1,0 +1,67 @@
+"""Round-5 items: the exact-oracle gate (VERDICT r4 wrong-1) — fused
+driver-side oracles must be SKIPPED above EXACT_ORACLE_MAX_ROWS, with the
+distributed production path alone producing the (identical) output."""
+
+import pyarrow as pa
+import pytest
+
+import webval.queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(t: pa.Table) -> list:
+    return sorted(map(tuple, zip(*(t.column(c).to_pylist()
+                                   for c in sorted(t.column_names)))))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_quantiles_oracle_gated(monkeypatch):
+    want = _rows(q.q_grouped_quantiles(SF))
+    # gate forced closed: the pandas exact-rank oracle must never read
+    monkeypatch.setattr(q, "EXACT_ORACLE_MAX_ROWS", -1)
+    import pyarrow.parquet as pq_mod
+
+    def boom(*a, **k):
+        raise AssertionError("exact oracle ran despite the gate")
+
+    monkeypatch.setattr(pq_mod, "read_table", boom)
+    got = _rows(q.q_grouped_quantiles(SF))
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pca_oracle_gated(monkeypatch):
+    want = _rows(q.q_pca_embeddings(SF))
+    monkeypatch.setattr(q, "EXACT_ORACLE_MAX_ROWS", -1)
+    import webval.clustering as cl
+
+    def boom(*a, **k):
+        raise AssertionError("pca exact oracle ran despite the gate")
+
+    # the oracle branch (and only it) projects the full table + stacks on
+    # the driver; production output is the streaming-fit model covariance
+    monkeypatch.setattr(cl, "pca_transform", boom)
+    got = _rows(q.q_pca_embeddings(SF))
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_link_components_oracle_gated(monkeypatch):
+    want = _rows(q.q_link_components(SF))
+    monkeypatch.setattr(q, "EXACT_ORACLE_MAX_ROWS", -1)
+    import ray.data
+
+    def boom(*a, **k):
+        raise AssertionError("driver union-find ran despite the gate")
+
+    # the union-find oracle is the only to_pandas in this query; the size
+    # distribution itself flows through two count exchanges
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", boom)
+    got = _rows(q.q_link_components(SF))
+    assert got == want and len(got) > 0
+
+
+def test_gate_threshold_semantics():
+    assert q.exact_oracle_enabled(q.EXACT_ORACLE_MAX_ROWS)
+    assert not q.exact_oracle_enabled(q.EXACT_ORACLE_MAX_ROWS + 1)
