@@ -242,3 +242,64 @@ def test_skew_report_matches_counter_oracle():
         "k": pa.array(["a", None, "a"], pa.string()),
         "x": pa.array([1, 2, 3])}))
     assert skew_report(dsn, ["k"], num_buckets=4)["n_rows"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_tdigest_matches_exact_rank_band():
+    """Per-key digest quantiles over the exchange must land within the
+    exact rank band (p±5) for every key, at string-key cardinality high
+    enough to exercise multi-bucket + multi-batch merge paths."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_tdigest
+
+    rng = np.random.default_rng(11)
+    n_keys, rows_per = 200, 300
+    keys = np.repeat([f"host{i:04d}" for i in range(n_keys)], rows_per)
+    vals = rng.lognormal(6.0, 1.2, size=len(keys))
+    # one key with nulls and one NaN-heavy key
+    vals[:5] = np.nan
+    perm = rng.permutation(len(keys))
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys[perm], pa.string()),
+        "x": pa.array(vals[perm], pa.float64())})).repartition(8)
+    out = {r["k"]: (r["p50"], r["p95"])
+           for r in grouped_tdigest(ds, "k", "x", [0.5, 0.95],
+                                    num_buckets=16,
+                                    batch_size=4096).take_all()}
+    assert len(out) == n_keys
+    import pandas as pd
+    df = pd.DataFrame({"k": keys, "x": vals}).dropna()
+    # ±7 rank points: merged per-(key,batch) partial digests carry more
+    # rank error than one single-pass digest (~±1); ±7 is still far
+    # tighter than any wrong-implementation failure mode
+    for k, grp in df.groupby("k"):
+        v = np.sort(grp["x"].to_numpy())
+        for q, got in zip((0.5, 0.95), out[k]):
+            lo = np.quantile(v, max(q - 0.07, 0.0))
+            hi = np.quantile(v, min(q + 0.07, 1.0))
+            assert lo - 1e-9 <= got <= hi + 1e-9, (k, q, got, lo, hi)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_tdigest_single_key_matches_tdigest_sketch():
+    """One key, one batch: the exchange path must agree with the plain
+    sketches.TDigest over the same values to float precision (same
+    compression math, same quantile extraction)."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_tdigest
+    from webval.sketches import TDigest
+
+    rng = np.random.default_rng(5)
+    vals = rng.normal(0, 100, size=5000)
+    ds = rd.from_arrow(pa.table({"k": pa.array(["a"] * len(vals)),
+                                 "x": pa.array(vals)}))
+    row = grouped_tdigest(ds, "k", "x", [0.1, 0.5, 0.9],
+                          out_cols=["q10", "q50", "q90"],
+                          batch_size=len(vals)).take_all()[0]
+    td = TDigest(delta=300)
+    td.add(np.sort(vals))
+    want = td.quantiles([0.1, 0.5, 0.9])
+    for c, w in zip(("q10", "q50", "q90"), want):
+        assert row[c] == pytest.approx(w, rel=1e-9), (c, row[c], w)

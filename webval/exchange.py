@@ -348,6 +348,148 @@ def grouped_approx_distinct(ds, key: str, val: str, *, p: int = 12,
                                 partial_fn=partial, batch_size=batch_size)
 
 
+def _compress_centroid_groups(seg_starts: np.ndarray, means: np.ndarray,
+                              weights: np.ndarray, delta: int
+                              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized MULTI-GROUP t-digest compression: ``means``/``weights``
+    sorted by (group, mean) with group boundaries at ``seg_starts`` →
+    one k1-bucketed ``np.add.reduceat`` merge across ALL groups at once
+    (same math as sketches.TDigest._compress, no per-group Python loop).
+    Returns (group_index_per_centroid, merged_means, merged_weights)."""
+    import math
+
+    from webval.sketches import _k1
+
+    n = len(means)
+    sizes = np.diff(np.r_[seg_starts, n])
+    grp = np.repeat(np.arange(len(seg_starts), dtype=np.int64), sizes)
+    cw = np.cumsum(weights)
+    base = np.r_[0.0, cw][seg_starts]
+    totals = np.add.reduceat(weights, seg_starts)
+    qmid = (cw - np.repeat(base, sizes) - weights / 2.0) \
+        / np.repeat(totals, sizes)
+    buckets = np.floor(_k1(qmid, float(delta))).astype(np.int64)
+    new = np.r_[True, (grp[1:] != grp[:-1]) | (buckets[1:] != buckets[:-1])]
+    starts = np.flatnonzero(new)
+    wm = np.add.reduceat(weights, starts)
+    mm = np.add.reduceat(weights * means, starts) / wm
+    return grp[starts], mm, wm
+
+
+def grouped_tdigest(ds, key: str, val: str, qs: list[float], *,
+                    delta: int = 300, num_buckets: int | None = None,
+                    batch_size: int | None = 65536,
+                    out_cols: list[str] | None = None):
+    """Approximate per-key quantiles at ANY key cardinality: per-(key,
+    batch) t-digest blobs ride the exchange the way grouped_approx_distinct
+    ships HLL registers (VERDICT r4 next-2) — the shuffle carries ≤ ~2·delta
+    float64 centroids per key per batch instead of every value, and the
+    finalize is a vectorized multi-group merge-compress, so 1M+ keys never
+    touch Ray's sort-based groupby or a driver concat.
+
+    Blob layout (all float64): [min, max, means…, weights…].  Quantile
+    extraction reuses sketches.TDigest.quantiles (the rank-error-tested
+    implementation) on the merged centroids.  Null keys/values drop.
+    Returns Dataset[{key, <out_cols>}] with one row per key.
+    """
+    from webval.sketches import TDigest
+
+    qs = [float(q) for q in qs]
+    if out_cols is None:
+        out_cols = [f"p{int(round(q * 100)):02d}" for q in qs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, val])
+        t = t.filter(pc.and_(pc.is_valid(t.column(key).combine_chunks()),
+                             pc.is_valid(t.column(val).combine_chunks())))
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], t.schema.field(key).type),
+                             "__tdg__": pa.array([], pa.large_binary())})
+        t = t.sort_by([(key, "ascending"), (val, "ascending")])
+        kk = t.column(key).to_numpy(zero_copy_only=False)
+        vv = t.column(val).to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(vv)
+        if not ok.all():
+            kk, vv = kk[ok], vv[ok]
+        if len(kk) == 0:
+            return pa.table({key: pa.array([], t.schema.field(key).type),
+                             "__tdg__": pa.array([], pa.large_binary())})
+        seg_starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        seg_ends = np.r_[seg_starts[1:], len(kk)]
+        g_of, mm, wm = _compress_centroid_groups(
+            seg_starts, vv, np.ones(len(vv)), delta)
+        c_starts = np.flatnonzero(np.r_[True, g_of[1:] != g_of[:-1]])
+        c_sizes = np.diff(np.r_[c_starts, len(g_of)])
+        blobs = []
+        for gi in range(len(seg_starts)):
+            s, c = c_starts[gi], c_sizes[gi]
+            blobs.append(np.concatenate((
+                [vv[seg_starts[gi]], vv[seg_ends[gi] - 1]],
+                mm[s:s + c], wm[s:s + c])).tobytes())
+        return pa.table({
+            key: t.column(key).take(pa.array(seg_starts, pa.int64())),
+            "__tdg__": pa.array(blobs, pa.large_binary())})
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({key: pa.array([], g.schema.field(key).type),
+                             **{c: pa.array([], pa.float64())
+                                for c in out_cols}})
+        kk = g.column(key).to_numpy(zero_copy_only=False)
+        col = g.column("__tdg__").combine_chunks()
+        # zero-copy blob parse: one float64 view over the whole data buffer,
+        # per-blob extents from the arrow offsets buffer
+        off_b, data_b = col.buffers()[1], col.buffers()[2]
+        off = (np.frombuffer(off_b, dtype=np.int64)[col.offset:
+                                                    col.offset + len(col) + 1]
+               // 8)
+        data = np.frombuffer(data_b, dtype=np.float64)
+        n_cent = (np.diff(off) - 2) // 2
+        # order blobs by key so each key's centroids are contiguous
+        order = np.argsort(kk, kind="stable")
+        kk_s = kk[order]
+        key_starts = np.flatnonzero(np.r_[True, kk_s[1:] != kk_s[:-1]])
+        key_blob_cnt = np.diff(np.r_[key_starts, len(kk_s)])
+        # gather all (mean, weight) pairs, tagged by key index
+        cnt = n_cent[order]
+        tot = int(cnt.sum())
+        # flat indices of each blob's means segment: off[i]+2 .. +2+cnt
+        rep = np.repeat(np.arange(len(order), dtype=np.int64), cnt)
+        pos_in = np.arange(tot, dtype=np.int64) - \
+            np.repeat(np.r_[0, np.cumsum(cnt)][:-1], cnt)
+        base = off[order] + 2
+        means = data[np.repeat(base, cnt) + pos_in]
+        weights = data[np.repeat(base + cnt, cnt) + pos_in]
+        key_of = np.repeat(
+            np.repeat(np.arange(len(key_starts), dtype=np.int64),
+                      key_blob_cnt), cnt)
+        mins = np.minimum.reduceat(data[off[order]], key_starts)
+        maxs = np.maximum.reduceat(data[off[order] + 1], key_starts)
+        so = np.lexsort((means, key_of))
+        means, weights, key_of = means[so], weights[so], key_of[so]
+        seg_starts = np.flatnonzero(np.r_[True, key_of[1:] != key_of[:-1]])
+        g_of, mm, wm = _compress_centroid_groups(seg_starts, means, weights,
+                                                 delta)
+        c_starts = np.flatnonzero(np.r_[True, g_of[1:] != g_of[:-1]])
+        c_ends = np.r_[c_starts[1:], len(g_of)]
+        out_vals: list[list[float]] = [[] for _ in qs]
+        for ki in range(len(key_starts)):
+            td = TDigest(delta=delta)
+            td.means = mm[c_starts[ki]:c_ends[ki]]
+            td.weights = wm[c_starts[ki]:c_ends[ki]]
+            td.min, td.max = float(mins[ki]), float(maxs[ki])
+            for qi, v in enumerate(td.quantiles(qs)):
+                out_vals[qi].append(v)
+        return pa.table({
+            key: g.column(key).take(pa.array(order[key_starts], pa.int64())),
+            **{c: pa.array(out_vals[qi], pa.float64())
+               for qi, c in enumerate(out_cols)}})
+
+    return bucketed_group_apply(ds.select_columns([key, val]), [key], final,
+                                num_buckets=num_buckets, partial_fn=partial,
+                                batch_size=batch_size)
+
+
 def skew_report(ds, key_cols: list[str], *, num_buckets: int | None = None,
                 top_k: int = 10) -> dict:
     """Pre-shuffle skew diagnosis: how evenly would ``key_cols`` hash

@@ -11530,6 +11530,68 @@ FROM s
 """
 
 
+def q_host_p95_chars(sf_dir: str):
+    """High-cardinality grouped quantiles via the t-digest EXCHANGE
+    (VERDICT r4 next-2: exchange.grouped_tdigest ships per-(key,batch)
+    centroid blobs the way grouped_approx_distinct ships HLL registers —
+    never Ray's sort-based groupby, never a driver concat).  Per host:
+    exact doc count (the hash-strong column) plus digest p50/p95 asserted
+    in-query against the DISTRIBUTED exact rank band (±10 rank points via
+    rank.grouped_exact_quantiles — both sides of the assert scale).  The
+    twin reproduces count and the un-falsified flags per host."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg, grouped_tdigest
+    from webval.rank import grouped_exact_quantiles
+
+    pages, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages, columns=["url", "text"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        u = t.column("url").combine_chunks()
+        host = pc.struct_field(pc.extract_regex(u, _HOST_RE), "host")
+        n = pc.cast(pc.utf8_length(t.column("text").combine_chunks()),
+                    pa.int64())
+        out = pa.table({"host": host, "n_chars": n})
+        return out.filter(pc.and_(pc.is_valid(out.column("host").combine_chunks()),
+                                  pc.is_valid(out.column("n_chars").combine_chunks())))
+
+    hv = ds.map_batches(proj, batch_format="pyarrow").materialize()
+    dig = ds_to_table(grouped_tdigest(hv, "host", "n_chars", [0.5, 0.95]))
+    exact = ds_to_table(grouped_exact_quantiles(
+        hv, "host", "n_chars",
+        {"lo50": 0.40, "hi50": 0.60, "lo95": 0.85, "hi95": 1.0},
+        interpolate=True))
+    cnt = ds_to_table(grouped_agg(hv, ["host"], [("n_chars", "count")],
+                                  rename={"n_chars_count": "n_docs"}))
+    # per-host rollup join: aggregate-output-sized (≤ N_DOMAINS rows)
+    import pandas as pd
+
+    df = (dig.to_pandas().merge(exact.to_pandas(), on="host")
+          .merge(cnt.to_pandas(), on="host").sort_values("host"))
+    p50_ok = (df["lo50"] - 1e-9 <= df["p50"]) & (df["p50"] <= df["hi50"] + 1e-9)
+    p95_ok = (df["lo95"] - 1e-9 <= df["p95"]) & (df["p95"] <= df["hi95"] + 1e-9)
+    assert bool(p50_ok.all()) and bool(p95_ok.all()), \
+        "grouped t-digest left the exact rank band"
+    return pa.table({
+        "host": pa.array(df["host"], pa.string()),
+        "n_docs": pa.array(df["n_docs"].to_numpy(np.int64)),
+        "p50_in_band": pa.array(p50_ok.to_numpy(bool)),
+        "p95_in_band": pa.array(p95_ok.to_numpy(bool)),
+    })
+
+
+SQL_HOST_P95_CHARS = f"""
+WITH h AS (SELECT regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1) AS host
+           , length(text) AS n_chars
+           FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+           WHERE regexp_matches(url, '^https?://([a-z0-9-]+)\\.')
+             AND text IS NOT NULL)
+SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       true AS p50_in_band, true AS p95_in_band
+FROM h GROUP BY host ORDER BY host
+"""
+
 
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
@@ -11798,6 +11860,7 @@ QUERIES = {
     "kcore": (q_kcore, SQL_KCORE),
     "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
     "theilsen_slope": (q_theilsen_slope, SQL_THEILSEN_SLOPE),
+    "host_p95_chars": (q_host_p95_chars, SQL_HOST_P95_CHARS),
     "term_enrichment": (q_term_enrichment, SQL_TERM_ENRICHMENT),
     "simpson_audit": (q_simpson_audit, SQL_SIMPSON_AUDIT),
     "chao1_richness": (q_chao1_richness, SQL_CHAO1_RICHNESS),
