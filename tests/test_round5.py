@@ -65,3 +65,24 @@ def test_link_components_oracle_gated(monkeypatch):
 def test_gate_threshold_semantics():
     assert q.exact_oracle_enabled(q.EXACT_ORACLE_MAX_ROWS)
     assert not q.exact_oracle_enabled(q.EXACT_ORACLE_MAX_ROWS + 1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partition_pruned_read_query():
+    """VERDICT r4 next-5: the hive-partitioned read must (a) admit only the
+    selected partitions' files, (b) agree with an unpartitioned scan of the
+    same fixture on counts, and (c) report file counts matching the
+    partition directories' real content (the query self-asserts b/c; this
+    exercises them plus the output shape)."""
+    import pyarrow.parquet as pq
+
+    t = q.q_partition_pruned_read(SF)
+    assert t.column_names == ["lang", "n_docs", "sum_chars", "n_files"]
+    assert t.column("lang").to_pylist() == ["de", "fr"]
+    pages, _ = q.ensure_synth(SF)
+    full = pq.read_table(pages, columns=["lang"])
+    import pyarrow.compute as pc
+    for i, lang in enumerate(("de", "fr")):
+        want = pc.sum(pc.equal(full.column("lang"), lang)).as_py()
+        assert t.column("n_docs")[i].as_py() == want
+    assert all(v > 0 for v in t.column("n_files").to_pylist())
