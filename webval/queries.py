@@ -11676,6 +11676,72 @@ def q_partition_pruned_read(sf_dir: str):
     })
 
 
+def q_bloom_blocklist(sf_dir: str):
+    """URL-blocklist curation at the broadcast-cost frontier: at 10^9
+    blocked URLs an exact key set is tens of GB per executor; a Bloom
+    filter at ~1.2 B/key (1% fp) broadcasts ONCE and has NO false
+    negatives, so the exact confirm (a semi-join against the blocklist)
+    touches only the candidate stream — blocked rows + ~fp% of the
+    corpus — never the whole corpus.  Blocklist = link dst_urls;
+    corpus = webpages.  The twin computes the exact IN-blocklist counts:
+    hash parity itself proves zero false negatives (a dropped blocked URL
+    would shrink n_blocked), and the fp self-assert bounds the candidate
+    overshoot at 5x the configured rate."""
+    import ray
+    import ray.data as rd
+
+    from webval.broadcast import bloom_from_dataset
+    from webval.joins import equi_join
+    from webval.sketches import hash64
+
+    pages, links = ensure_synth(sf_dir)
+    block = rd.read_parquet(links, columns=["dst_url"])
+    cap = max(1024, block.count())
+    bloom = bloom_from_dataset(block, "dst_url", cap, fp_rate=0.01)
+    bloom_ref = ray.put(bloom)
+
+    ds = rd.read_parquet(pages, columns=["url"])
+    n_pages = ds.count()
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        urls = t.column("url").combine_chunks().drop_null()
+        if len(urls) == 0:
+            return pa.table({"url": pa.array([], pa.string())})
+        hit = bf.contains_hashes(hash64(urls.to_numpy(zero_copy_only=False)))
+        return pa.table({"url": urls.filter(pa.array(hit))})
+
+    cands = ds.map_batches(prefilter, batch_format="pyarrow").materialize()
+    n_cand = cands.count()
+    n_blocked = equi_join(cands, block, on="url", right_on="dst_url",
+                          how="semi").count()
+    assert n_blocked <= n_cand, "bloom candidate set lost a blocked row"
+    fp = n_cand - n_blocked
+    fp_ok = fp <= max(16, 0.05 * (n_pages - n_blocked))
+    assert fp_ok, f"bloom fp overshoot: {fp} of {n_pages - n_blocked}"
+    return pa.table({
+        "n_pages": pa.array([n_pages], pa.int64()),
+        "n_blocked": pa.array([n_blocked], pa.int64()),
+        "n_kept": pa.array([n_pages - n_blocked], pa.int64()),
+        "fp_within_bound": pa.array([True]),
+    })
+
+
+SQL_BLOOM_BLOCKLIST = f"""
+WITH b AS (SELECT DISTINCT dst_url
+           FROM read_parquet('{SYNTH_ROOT}/sf0.01/links.parquet')
+           WHERE dst_url IS NOT NULL),
+p AS (SELECT url FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet'))
+SELECT CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN url IN (SELECT dst_url FROM b)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       CAST(sum(CASE WHEN url IN (SELECT dst_url FROM b)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       true AS fp_within_bound
+FROM p
+"""
+
+
 SQL_PARTITION_PRUNED_READ = f"""
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS sum_chars,
@@ -11956,6 +12022,7 @@ QUERIES = {
     "theilsen_slope": (q_theilsen_slope, SQL_THEILSEN_SLOPE),
     "host_p95_chars": (q_host_p95_chars, SQL_HOST_P95_CHARS),
     "partition_pruned_read": (q_partition_pruned_read, SQL_PARTITION_PRUNED_READ),
+    "bloom_blocklist": (q_bloom_blocklist, SQL_BLOOM_BLOCKLIST),
     "term_enrichment": (q_term_enrichment, SQL_TERM_ENRICHMENT),
     "simpson_audit": (q_simpson_audit, SQL_SIMPSON_AUDIT),
     "chao1_richness": (q_chao1_richness, SQL_CHAO1_RICHNESS),
