@@ -384,3 +384,37 @@ def test_pyarrow_utf8_normalize_kernel_still_broken():
     out = pc.utf8_normalize(pa.array([composed]), form="NFC")[0].as_py()
     assert out == decomposed                   # kernel: no composition
     assert unicodedata.normalize("NFC", decomposed) == composed
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_prefix_rule_match_longest_wins():
+    """Longest matching prefix wins; ties break to the LOWER rule_id;
+    unmatched and null rows get (-1, default_action); row-oracle parity
+    with a per-row Python reference."""
+    import ray.data as rd
+
+    from webval.textclean import prefix_rule_match
+
+    rules = [("ab", "deny", 5), ("abc", "allow", 2), ("a", "deny", 9),
+             ("abcd", "deny", 1), ("zz", "allow", 3), ("abX", "allow", 4)]
+    vals = ["abcde", "abc", "ab", "a", "zzz", "q", None, "", "abX", "abcd"]
+    out = prefix_rule_match(
+        rd.from_arrow(pa.table({"v": pa.array(vals, pa.string())})),
+        "v", rules, default_action="keep").take_all()
+    got = {(r["v"], r["rule_id"], r["action"]) for r in out}
+
+    def ref(v):
+        if v is None:
+            return (-1, "keep")
+        m = [(p, a, i) for p, a, i in rules if v.startswith(p)]
+        if not m:
+            return (-1, "keep")
+        p, a, i = sorted(m, key=lambda r: (-len(r[0]), r[2]))[0]
+        return (i, a)
+
+    want = {(v, *ref(v)) for v in vals}
+    assert got == want
+
+    with pytest.raises(ValueError, match="duplicate"):
+        prefix_rule_match(rd.from_arrow(pa.table({"v": ["x"]})), "v",
+                          [("a", "deny", 0), ("a", "allow", 1)])

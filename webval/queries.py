@@ -11727,6 +11727,68 @@ def q_bloom_blocklist(sf_dir: str):
     })
 
 
+_URL_RULES = [
+    ("https://d0.example.com/", "deny", 0),
+    ("https://d1.example.com/", "allow", 1),
+    ("https://d2.example.com/", "deny", 2),
+    ("https://d3.example.com/", "deny", 3),
+    ("https://d3.example.com/p/1", "allow", 10),   # longest-match override
+    ("https://d1.example.com/p/7", "deny", 11),
+]
+
+
+def q_url_rule_match(sf_dir: str):
+    """Crawl-policy filtering (robots/blocklist semantics): every page URL
+    against a prefix rule set, LONGEST matching prefix wins, unmatched rows
+    fall to the default — textclean.prefix_rule_match, one vectorized
+    starts_with kernel per rule + a numpy argmax, rules shipped once in the
+    closure.  Rollup: pages per winning (rule_id, action); the twin
+    reproduces longest-match via row_number over (length DESC, rule_id)."""
+    import ray.data as rd
+
+    from webval.textclean import prefix_rule_match
+
+    pages, _ = ensure_synth(sf_dir)
+    tagged = prefix_rule_match(
+        rd.read_parquet(pages, columns=["page_id", "url"]), "url",
+        _URL_RULES, default_action="allow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(t.select(["rule_id", "action"]),
+                              ["rule_id", "action"]).aggregate([([], "count_all")])
+        return out.rename_columns(["rule_id", "action", "n"])
+
+    parts = ds_to_table(tagged.map_batches(partial, batch_format="pyarrow"))
+    df = (parts.to_pandas().groupby(["rule_id", "action"], as_index=False)
+          .sum().sort_values("rule_id"))
+    return pa.table({
+        "rule_id": pa.array(df["rule_id"].to_numpy(np.int64)),
+        "action": pa.array(df["action"], pa.string()),
+        "n_pages": pa.array(df["n"].to_numpy(np.int64)),
+    })
+
+
+_SQL_RULE_VALUES = ", ".join(f"('{p}', '{a}', {i})" for p, a, i in _URL_RULES)
+
+SQL_URL_RULE_MATCH = f"""
+WITH rules(prefix, action, rule_id) AS (VALUES {_SQL_RULE_VALUES}),
+p AS (SELECT page_id, url
+      FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')),
+m AS (SELECT p.page_id, r.rule_id, r.action,
+             row_number() OVER (PARTITION BY p.page_id
+                                ORDER BY length(r.prefix) DESC, r.rule_id)
+                 AS rn
+      FROM p JOIN rules r ON starts_with(p.url, r.prefix)),
+w AS (SELECT page_id, rule_id, action FROM m WHERE rn = 1
+      UNION ALL
+      SELECT page_id, -1 AS rule_id, 'allow' AS action FROM p
+      WHERE page_id NOT IN (SELECT page_id FROM m))
+SELECT CAST(rule_id AS BIGINT) AS rule_id, action,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM w GROUP BY rule_id, action ORDER BY rule_id
+"""
+
+
 SQL_BLOOM_BLOCKLIST = f"""
 WITH b AS (SELECT DISTINCT dst_url
            FROM read_parquet('{SYNTH_ROOT}/sf0.01/links.parquet')
@@ -12023,6 +12085,7 @@ QUERIES = {
     "host_p95_chars": (q_host_p95_chars, SQL_HOST_P95_CHARS),
     "partition_pruned_read": (q_partition_pruned_read, SQL_PARTITION_PRUNED_READ),
     "bloom_blocklist": (q_bloom_blocklist, SQL_BLOOM_BLOCKLIST),
+    "url_rule_match": (q_url_rule_match, SQL_URL_RULE_MATCH),
     "term_enrichment": (q_term_enrichment, SQL_TERM_ENRICHMENT),
     "simpson_audit": (q_simpson_audit, SQL_SIMPSON_AUDIT),
     "chao1_richness": (q_chao1_richness, SQL_CHAO1_RICHNESS),

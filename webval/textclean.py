@@ -626,3 +626,50 @@ def blocklist_counts(ds, text_col: str, phrases: list[str], *,
 
     return agg.map_batches(finalize, batch_format="pyarrow") \
         .sort("phrase")
+
+
+def prefix_rule_match(ds, col: str, rules: list[tuple[str, str, int]], *,
+                      default_action: str = "allow",
+                      batch_size: int | None = 65536):
+    """Longest-prefix rule matching (robots.txt / URL-blocklist semantics):
+    each row's ``col`` is matched against every rule prefix and the LONGEST
+    matching prefix wins (ties broken by rule_id for determinism); rows no
+    rule matches get rule_id −1 and ``default_action``.
+
+    ``rules``: list of (prefix, action, rule_id).  The rule set is a
+    closure-shipped constant (rule tables are KBs even for real crawl
+    policies — 100k-rule sets should move to a broadcast trie, same
+    interface); matching is one vectorized ``pc.starts_with`` kernel per
+    rule + one numpy argmax over the (rules × rows) mask — no Python loop
+    over rows.  Appends ``rule_id`` (int64) and ``action`` (string).
+    """
+    prefixes = [r[0] for r in rules]
+    actions = np.asarray([r[1] for r in rules] + [default_action])
+    ids = np.asarray([int(r[2]) for r in rules] + [-1], dtype=np.int64)
+    # longest prefix wins; ties by LOWER rule_id: sort ranks accordingly
+    order = sorted(range(len(prefixes)),
+                   key=lambda i: (-len(prefixes[i]), ids[i]))
+    rank = np.empty(len(prefixes), dtype=np.int64)
+    for pos, i in enumerate(order):
+        rank[i] = len(prefixes) - pos  # higher rank = wins argmax
+    if len(set(prefixes)) != len(prefixes):
+        raise ValueError("prefix_rule_match: duplicate rule prefixes")
+
+    def tag(t: pa.Table) -> pa.Table:
+        vals = t.column(col).combine_chunks()
+        n = len(vals)
+        if n == 0 or not prefixes:
+            idx = np.full(n, len(ids) - 1, dtype=np.int64)
+        else:
+            score = np.zeros((len(prefixes), n), dtype=np.int64)
+            for i, p in enumerate(prefixes):
+                m = pc.fill_null(pc.starts_with(vals, p), False) \
+                      .to_numpy(zero_copy_only=False)
+                score[i][m] = rank[i]
+            best = score.argmax(axis=0)
+            hit = score[best, np.arange(n)] > 0
+            idx = np.where(hit, best, len(ids) - 1)
+        return (t.append_column("rule_id", pa.array(ids[idx]))
+                 .append_column("action", pa.array(actions[idx])))
+
+    return ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
