@@ -303,3 +303,23 @@ def test_grouped_tdigest_single_key_matches_tdigest_sketch():
     want = td.quantiles([0.1, 0.5, 0.9])
     for c, w in zip(("q10", "q50", "q90"), want):
         assert row[c] == pytest.approx(w, rel=1e-9), (c, row[c], w)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_from_dataset_bounds_partial_volume():
+    """r5 rehearsal OOD fix: at large capacity (a multi-MB bit array) the
+    partial count must be bounded by repartition, not one-per-input-block —
+    and membership must stay exact for every inserted key."""
+    import ray.data as rd
+
+    from webval.broadcast import bloom_from_dataset
+    from webval.sketches import hash64
+
+    ids = np.arange(50_000, dtype=np.int64) * 7919
+    ds = rd.from_arrow(pa.table({"id": pa.array(ids)})).repartition(200)
+    # capacity 10M -> ~17 MB bit array: the guard must kick in (200 input
+    # blocks x 17 MB = 3.4 GB of partials without it)
+    bf = bloom_from_dataset(ds, "id", 10_000_000, fp_rate=0.001)
+    assert bf.contains_hashes(hash64(ids)).all()  # no false negatives
+    miss = np.arange(50_000, dtype=np.int64) * 7919 + 1
+    assert bf.contains_hashes(hash64(miss)).mean() < 0.01

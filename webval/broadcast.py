@@ -42,12 +42,26 @@ def _tree_collapse(mat, merge_fn, fan: int):
 
 
 def bloom_from_dataset(ds, col: str, capacity: int, *, fp_rate: float = 0.01,
-                       fan: int = 8, batch_size: int | None = None) -> BloomFilter:
+                       fan: int = 8, batch_size: int | None = None,
+                       max_partial_bytes: int = 4 * 2**30) -> BloomFilter:
     """Bloom filter of all non-null values of ``col``, built distributed:
     one partial filter per block (map_batches) → tree OR-merge of the packed
     bit arrays → driver unpickles only the FINAL filter.  Same params
     everywhere (capacity/fp_rate fix n_bits and k), so merge is bitwise OR.
-    """
+
+    Every partial is a FULL bit array, so the materialized partial volume is
+    ``n_blocks × n_bits/8`` — at large capacity over a many-block input that
+    silently multiplies into tens of GB of store/spill (the r5 160M-doc
+    rehearsal OOD'd exactly here: a ~28 MB array per block × 512+ pair-
+    exchange blocks).  When one partial exceeds 4 MB the input is therefore
+    repartitioned so all inflight partials fit ``max_partial_bytes`` (one
+    extra exchange of just the key column — cheap next to the blowup)."""
+    n_bits = max(64, int(-capacity * math.log(fp_rate) / (math.log(2) ** 2)))
+    bit_bytes = ((n_bits + 63) // 64) * 8
+    ds = ds.select_columns([col])
+    if bit_bytes > 4 * 2**20:
+        n_parts = int(max(8, min(64, max_partial_bytes // bit_bytes)))
+        ds = ds.repartition(n_parts)
 
     def partial(batch: pa.Table) -> pa.Table:
         bf = BloomFilter(capacity, fp_rate)
@@ -68,8 +82,7 @@ def bloom_from_dataset(ds, col: str, capacity: int, *, fp_rate: float = 0.01,
         blob = acc.tobytes() if acc is not None else b""
         return pa.table({"blob": pa.array([blob], pa.large_binary())})
 
-    partials = (ds.select_columns([col])
-                  .map_batches(partial, batch_format="pyarrow",
+    partials = (ds.map_batches(partial, batch_format="pyarrow",
                                batch_size=batch_size)
                   .materialize())
     final = _tree_collapse(partials, merge, fan)

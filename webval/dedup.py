@@ -444,9 +444,15 @@ def verify_pairs_by_values(ds, id_col: str, pairs_ds, make_blob, score, *,
     n_pairs = pairs.count()
     if n_pairs == 0:
         return _empty_pairs(score_col)
-    bloom = bloom_from_dataset(pairs.map_batches(endpoints,
-                                                 batch_format="pyarrow"),
-                               "id", max(1024, 2 * n_pairs), fp_rate=bloom_fp)
+    # size the bloom by EXACT distinct endpoints, not 2×pairs: in clustered
+    # corpora a k-cluster contributes O(k²) pairs but only k endpoints, so
+    # 2×pairs over-allocates the bit array quadratically — at the r5 160M
+    # rehearsal that (together with per-block partials) OOD'd the disk.
+    # One distinct exchange over 8-byte ids buys the exact capacity.
+    eps = distinct_rows(pairs.map_batches(endpoints, batch_format="pyarrow"),
+                        ["id"], num_buckets=num_buckets).materialize()
+    bloom = bloom_from_dataset(eps, "id", max(1024, eps.count()),
+                               fp_rate=bloom_fp)
     bloom_ref = ray.put(bloom)
     in_cols = [id_col] + list(aux_cols or [])
 
@@ -796,10 +802,13 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
         pairs_ds = chunk_pairs[0]
         if len(chunk_pairs) > 1:
             pairs_ds = pairs_ds.union(*chunk_pairs[1:])
-            # the same pair can surface in several chunks; dedupe once here
+            # the same pair can surface in several chunks; dedupe once here,
+            # materialize, and DROP the per-chunk refs so their blocks (and
+            # any spill backing them) free before the verify stage runs
             pairs_ds = distinct_rows(pairs_ds, ["id_a", "id_b"],
-                                     num_buckets=num_buckets)
+                                     num_buckets=num_buckets).materialize()
             pairs_deduped = True
+        del chunk_pairs
     if components == "auto":
         # dedupe once here (verify_pairs_by_values skips its own pass) and
         # count — candidate pairs stay distributed either way
