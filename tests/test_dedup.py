@@ -475,3 +475,42 @@ def test_ngram_overlap_detects_containment(docs_table):
     sb = np.unique(rolling_hashes(long, 8))
     inter = len(np.intersect1d(sa, sb, assume_unique=True))
     assert inter / min(len(sa), len(sb)) == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dense_cap_chain_pairs_same_components():
+    """r5 scale fix: a dense bucket (many signature-identical docs) must
+    emit a LINEAR spanning chain, not C(k,2) pairs, and minhash clusters
+    must come out identical to the all-pairs path."""
+    import ray.data as rd
+
+    from webval.dedup import _within_group_pairs, minhash_dedup
+
+    # unit: one 40-doc group, dense_cap=16 -> 39 chain pairs, all-pairs -> 780
+    keys = (np.zeros(40, np.int64),)
+    ids = np.arange(40, dtype=np.int64)
+    a, b = _within_group_pairs(keys, ids, 256, dense_cap=16)
+    assert len(a) == 39 and (b == a + 1).all()
+    a2, b2 = _within_group_pairs(keys, ids, 256, dense_cap=None)
+    assert len(a2) == 780
+
+    # end-to-end: 30 identical docs + 2 planted near-dup pairs; chain and
+    # all-pairs paths must produce the same cluster assignment
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text) for i in range(30)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta iota"),
+             (101, "alpha beta gamma delta epsilon zeta eta theta iotaX"),
+             (200, "one two three four five six seven eight nine ten"),
+             (300, "completely unrelated words nothing shared here at all")]
+    t = pa.table({"page_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows])})
+    ds = rd.from_arrow(t).repartition(4)
+
+    def clusters(dense_cap):
+        out = minhash_dedup(ds, "page_id", jaccard_threshold=0.7,
+                            components="driver", dense_cap=dense_cap)
+        return {(r["page_id"], r["cluster_id"]) for r in out.take_all()}
+
+    got_chain, got_all = clusters(16), clusters(None)
+    assert got_chain == got_all
+    assert {p for p, _ in got_chain} >= set(range(30))

@@ -230,7 +230,9 @@ class MinHasher:
 
 
 def _within_group_pairs(keys: tuple, ids: np.ndarray,
-                        max_bucket: int) -> tuple[np.ndarray, np.ndarray]:
+                        max_bucket: int,
+                        dense_cap: int | None = None
+                        ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized within-bucket pair enumeration (replaces the r1 pandas
     nested loops, VERDICT r1 wrong-5).
 
@@ -239,7 +241,18 @@ def _within_group_pairs(keys: tuple, ids: np.ndarray,
     ascending within each pair, and each group is truncated to
     ``max_bucket`` rows (hot-bucket guard).  One lexsort + boundary masks;
     the only Python loop is over groups of size ≥ 3 (rare — near-dup
-    buckets are overwhelmingly size 2)."""
+    buckets are overwhelmingly size 2).
+
+    ``dense_cap`` (None = off): groups LARGER than this emit a spanning
+    CHAIN over the ascending-id members (k−1 consecutive pairs) instead of
+    all C(k,2) pairs — the r5 160M-doc rehearsal finding: short-doc
+    collision buckets make the all-pairs stream QUADRATIC in bucket
+    occupancy (billions of pairs, ~50 GB pinned, verify infeasible), while
+    for connected-components dedup a spanning set reaches the identical
+    clusters.  Docs with identical signatures chain-verify exactly like
+    all-pairs; only borderline near-dups inside a dense bucket can lose an
+    edge the chain's neighbor fails to verify — the standard
+    pair-generation cap in production LSH dedup."""
     n = len(ids)
     if n == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
@@ -279,6 +292,10 @@ def _within_group_pairs(keys: tuple, ids: np.ndarray,
         res_b.append(order[s2 + 1])
     for g in np.flatnonzero(sizes >= 3):
         st, sz = int(starts[g]), int(sizes[g])
+        if dense_cap is not None and sz > dense_cap:
+            res_a.append(order[st:st + sz - 1])
+            res_b.append(order[st + 1:st + sz])
+            continue
         ii, jj = np.triu_indices(sz, 1)
         res_a.append(order[st + ii])
         res_b.append(order[st + jj])
@@ -288,18 +305,22 @@ def _within_group_pairs(keys: tuple, ids: np.ndarray,
             np.concatenate(res_b).astype(np.int64))
 
 
-def _pairs_from_buckets(bucket_ds, id_col: str, max_bucket: int = 256):
+def _pairs_from_buckets(bucket_ds, id_col: str, max_bucket: int = 256,
+                        dense_cap: int | None = 16):
     """band_hash LSH buckets → unordered candidate pairs, via the
     hash-bucket exchange (band hashes are high-cardinality).  Buckets larger
     than ``max_bucket`` are truncated (hot-bucket guard: a degenerate shingle
-    — boilerplate — would otherwise produce O(n²) pairs); truncation only
-    weakens recall inside one band, other bands still cover the docs."""
+    — boilerplate — would otherwise produce O(n²) pairs); buckets larger
+    than ``dense_cap`` emit a spanning chain instead of all pairs (see
+    _within_group_pairs — pair volume linear in occupancy, components
+    unchanged for signature-identical members)."""
     from webval.exchange import bucketed_group_apply
 
     def pairs(g: pa.Table) -> pa.Table:
         bh = g.column("band_hash").to_numpy(zero_copy_only=False).astype(np.int64)
         ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        pa_, pb_ = _within_group_pairs((bh,), ids, max_bucket)
+        pa_, pb_ = _within_group_pairs((bh,), ids, max_bucket,
+                                       dense_cap=dense_cap)
         return pa.table({"id_a": pa.array(ids[pa_], type=pa.int64()),
                          "id_b": pa.array(ids[pb_], type=pa.int64())})
 
@@ -725,7 +746,8 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
                   components: str = "auto",
                   driver_max_pairs: int = DRIVER_MAX_PAIRS,
                   num_buckets: int | None = None,
-                  bands_per_pass: int | None = None):
+                  bands_per_pass: int | None = None,
+                  dense_cap: int | None = 16):
     """Near-duplicate clusters via MinHash-LSH.
 
     Returns a Dataset[{id, cluster_id}] for every doc in a near-dup cluster
@@ -769,6 +791,13 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
     is order-deterministic within one band either way).  This is the 100-TB
     shape: the r4 160M-doc rehearsal blew the 56 GB spill budget on the
     single-pass band stream; 4 bands/pass fits it.
+
+    ``dense_cap`` (default 16): buckets with more than this many docs emit
+    a spanning CHAIN (k−1 pairs) instead of all C(k,2) pairs — the OTHER r5
+    160M finding: collision-dense buckets make the all-pairs candidate set
+    quadratic in occupancy (measured ~50 GB of pairs pinned at 160M docs,
+    stalling the verify exchange), while components over a spanning set are
+    identical for signature-identical members.  None restores all-pairs.
     """
     from webval.exchange import distinct_rows
 
@@ -789,7 +818,8 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
     pairs_deduped = False
     if bands_per_pass is None or bands_per_pass >= bands:
         pairs_ds = _pairs_from_buckets(bucket_stream(bands, 0), id_col,
-                                       max_bucket=max_bucket)
+                                       max_bucket=max_bucket,
+                                       dense_cap=dense_cap)
     else:
         # sequential band-group passes: .materialize() per chunk is the
         # point — it bounds inflight shuffle data to ONE chunk's band stream
@@ -797,7 +827,7 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
         for off in range(0, bands, bands_per_pass):
             chunk = _pairs_from_buckets(
                 bucket_stream(min(bands_per_pass, bands - off), off), id_col,
-                max_bucket=max_bucket).materialize()
+                max_bucket=max_bucket, dense_cap=dense_cap).materialize()
             chunk_pairs.append(chunk)
         pairs_ds = chunk_pairs[0]
         if len(chunk_pairs) > 1:
