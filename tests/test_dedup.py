@@ -514,3 +514,84 @@ def test_dense_cap_chain_pairs_same_components():
     got_chain, got_all = clusters(16), clusters(None)
     assert got_chain == got_all
     assert {p for p, _ in got_chain} >= set(range(30))
+
+
+def test_bottomk_scorer_exact_when_sets_complete():
+    """Both sketches below k ⇒ the bottom-k scorer IS exact Jaccard."""
+    from webval.dedup import _jaccard_bottomk, _jaccard_of_blobs
+
+    rng = np.random.default_rng(7)
+    score = _jaccard_bottomk(4096)
+    for _ in range(20):
+        sa = np.unique(rng.integers(0, 1 << 62, 300).astype(np.uint64))
+        sb = np.unique(np.concatenate(
+            [sa[: rng.integers(0, len(sa))],
+             rng.integers(0, 1 << 62, 200).astype(np.uint64)]))
+        sb.sort()
+        assert score(sa.tobytes(), sb.tobytes()) == \
+            _jaccard_of_blobs(sa.tobytes(), sb.tobytes())
+
+
+def test_bottomk_estimator_accuracy_and_exact_dups():
+    """Truncated sketches: exact duplicates score exactly 1.0 at any k;
+    known-overlap large sets estimate within ~4σ of true Jaccard."""
+    from webval.dedup import _jaccard_bottomk
+
+    k = 64
+    score = _jaccard_bottomk(k)
+    rng = np.random.default_rng(11)
+    big = np.unique(rng.integers(0, 1 << 62, 5000).astype(np.uint64))
+    assert score(big[:k].tobytes(), big[:k].tobytes()) == 1.0
+    # two sets sharing 80% of a 5000-element universe: J = .8/(2-.8)... build
+    # explicitly: |A|=|B|=4000, |A∩B|=3000 -> J = 3000/5000 = 0.6
+    big = rng.permutation(big)  # shared/only must interleave in hash order
+    shared, only = big[:3000], big[3000:5000]
+    a = np.sort(np.concatenate([shared, only[:1000]]))
+    b = np.sort(np.concatenate([shared, only[1000:2000]]))
+    est = score(a[:k].tobytes(), b[:k].tobytes())
+    true_j = 3000 / 5000
+    sigma = (true_j * (1 - true_j) / k) ** 0.5
+    assert abs(est - true_j) <= 4 * sigma, (est, true_j, sigma)
+
+
+def test_shingle_blobs_bottomk_is_per_row_prefix(docs_table):
+    """The k-truncated blob builder must emit exactly the first k hashes of
+    each row's full sorted-unique blob (pure slice, nulls preserved)."""
+    from webval.dedup import shingle_blobs_batch
+
+    k = 16
+    full = shingle_blobs_batch("text", 8)(docs_table)
+    trim = shingle_blobs_batch("text", 8, k)(docs_table)
+    assert len(full) == len(trim) == docs_table.num_rows
+    for fb, tb in zip(full.to_pylist(), trim.to_pylist()):
+        if fb is None:
+            assert tb is None
+            continue
+        fa = np.frombuffer(fb, np.uint64)
+        assert np.array_equal(np.frombuffer(tb, np.uint64), fa[:k])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_verify_k_matches_exact_verify(docs_table):
+    """verify_k large enough to hold every doc's shingle set must reproduce
+    the exact-verify clusters bit-for-bit on BOTH components paths, and a
+    truncated k=64 sketch still recovers every planted exact/near dup on
+    this fixture (J >= 0.88 vs threshold 0.6 — 4 sigma of margin)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(docs_table).repartition(4)
+
+    def run(**kw):
+        return sorted((r["doc_id"], r["cluster_id"]) for r in minhash_dedup(
+            ds, "doc_id", jaccard_threshold=0.6, concurrency=2,
+            **kw).take_all())
+
+    want = run(components="driver")
+    assert run(components="driver", verify_k=4096) == want
+    assert run(components="distributed", verify_k=4096) == want
+    for got in (run(components="driver", verify_k=64),
+                run(components="distributed", verify_k=64)):
+        by_id = dict(got)
+        for j in range(5):
+            assert by_id.get(100 + j) == j
+            assert by_id.get(200 + j) == j

@@ -142,6 +142,12 @@ def main() -> int:
                     "four sequential band-group passes, cutting inflight "
                     "shuffle volume 4x (the fix for the r4 56 GB spill-budget "
                     "overrun at 160M docs)")
+    ap.add_argument("--verify-k", type=int, default=0,
+                    help="0 = exact full-shingle-set verify; e.g. 64 caps "
+                    "the verify payload at 512 B/doc via bottom-k minwise "
+                    "sketches (the fix for the r5 verify-leg disk overrun "
+                    "at 160M docs: full blobs attached per pair side "
+                    "spilled past the 56 GB budget)")
     ap.add_argument("--skip-headline", action="store_true")
     ap.add_argument("--skip-minhash", action="store_true")
     args = ap.parse_args()
@@ -189,11 +195,13 @@ def main() -> int:
         ds = rd.read_parquet(mh_pages, columns=["page_id", "text"])
         n = (minhash_dedup(ds, "page_id", components="distributed",
                            num_buckets=args.num_buckets or None,
-                           bands_per_pass=args.bands_per_pass or None)
+                           bands_per_pass=args.bands_per_pass or None,
+                           verify_k=args.verify_k or None)
              .map_batches(lambda t: pa.table({"n": [t.num_rows]}),
                           batch_format="pyarrow").sum("n"))
         result["minhash"] = {
             "rows": mh_rows, "bands_per_pass": args.bands_per_pass or 16,
+            "verify_k": args.verify_k or None,
             "wall_sec": round(time.perf_counter() - t0, 1),
             "docs_per_sec": round(mh_rows / (time.perf_counter() - t0), 0),
             "dup_cluster_rows": int(n), **poll.stop()}

@@ -36,18 +36,26 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=16_000_000)
     ap.add_argument("--cpus-per-node", type=int, default=16)
+    ap.add_argument("--store-gib-per-node", type=float, default=12.0,
+                    help="plasma store per raylet; two default-sized stores "
+                    "would each claim ~30%% of RAM and exhaust /dev/shm")
     args = ap.parse_args()
 
     # ray start must not inherit RAY_ADDRESS=local
     env = {k: v for k, v in os.environ.items() if k != "RAY_ADDRESS"}
     addr = f"127.0.0.1:{HEAD_PORT}"
+    store = str(int(args.store_gib_per_node * 2**30))
+    # NOTE: `ray stop --force` kills EVERY local raylet, including any
+    # unrelated in-flight `ray.init(address="local")` job — run this tool
+    # only when the box is otherwise idle.
     sh(["ray", "stop", "--force"], env)
     sh(["ray", "start", "--head", f"--port={HEAD_PORT}",
         f"--num-cpus={args.cpus_per_node}", "--include-dashboard=false",
-        "--disable-usage-stats"], env)
+        f"--object-store-memory={store}", "--disable-usage-stats"], env)
     try:
         sh(["ray", "start", f"--address={addr}",
-            f"--num-cpus={args.cpus_per_node}", "--disable-usage-stats"],
+            f"--num-cpus={args.cpus_per_node}",
+            f"--object-store-memory={store}", "--disable-usage-stats"],
            env)
 
         import ray
@@ -79,14 +87,32 @@ def main() -> int:
         rd.read_parquet(pages).count()  # warm page cache, untimed
         t0 = time.perf_counter()
         h = run_headline(pages, total_cpus)
+        wall = round(time.perf_counter() - t0, 1)
+
+        # Per-node split of actual Ray DATA tasks: map over the corpus
+        # recording which raylet executed each batch.  Blocks produced by
+        # the read on one node and consumed on the other cross the object
+        # manager — the transfer path a real cluster exercises.
+        import pyarrow as pa
+
+        def tag_node(t: pa.Table) -> pa.Table:
+            nid = ray.get_runtime_context().get_node_id()
+            return pa.table({"node": [nid], "rows": [t.num_rows]})
+
+        split = (rd.read_parquet(pages, columns=["page_id"])
+                 .map_batches(tag_node, batch_format="pyarrow")
+                 .to_pandas().groupby("node")["rows"].sum())
+        node_split = {k[:8]: int(v) for k, v in split.items()}
+
         result = {
             "metric": "two_raylet_headline",
             "rows": args.rows,
             "nodes": 2,
             "cpus_per_node": args.cpus_per_node,
-            "wall_sec": round(time.perf_counter() - t0, 1),
+            "wall_sec": wall,
             "docs_per_sec": round(args.rows / h["wall"], 0),
             "violations": h["violations"],
+            "data_task_rows_per_node": node_split,
             "host_gflops_probe": host_speed_probe(),
         }
         print(json.dumps(result, sort_keys=True))

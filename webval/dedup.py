@@ -354,13 +354,20 @@ def _blobs_from_sizes(n: int, kept: np.ndarray, sizes_kept: np.ndarray,
          pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)])
 
 
-def shingle_blobs_batch(text_col: str, window: int):
+def shingle_blobs_batch(text_col: str, window: int, k: int | None = None):
     """Vectorized blob builder for ``verify_pairs_by_values``: per-row
     sorted-unique ``window``-byte rolling-hash sets as uint64 buffers —
     byte-identical to ``np.unique(rolling_hashes(t, window)).tobytes()``
     per row (``rolling_hashes_arrow`` computes the same polynomial hash
     over the Arrow string buffer; asserted in tests), rows with null/short
-    text null (VERDICT r3 wrong-3)."""
+    text null (VERDICT r3 wrong-3).
+
+    ``k`` (None = full set) keeps only each row's k SMALLEST hashes — a
+    bottom-k minwise sketch, bounding the verify payload at 8k bytes/doc
+    regardless of text length (the r5 160M-doc finding: full shingle blobs
+    through the pair exchange spilled past the 56 GB disk budget).  The
+    per-row hash runs from rolling_hashes_arrow are already ascending, so
+    the sketch is a pure slice: first min(count, k) of each run."""
     from webval.textstats import rolling_hashes_arrow
 
     def build(sub: pa.Table) -> pa.Array:
@@ -368,6 +375,13 @@ def shingle_blobs_batch(text_col: str, window: int):
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         kept, counts, hashes = rolling_hashes_arrow(col, window)
+        if k is not None and len(counts) and counts.max() > k:
+            kc = np.minimum(counts, k)
+            starts = np.cumsum(counts) - counts
+            out_starts = np.cumsum(kc) - kc
+            idx = (np.repeat(starts - out_starts, kc)
+                   + np.arange(int(kc.sum())))
+            counts, hashes = kc, hashes[idx]
         return _blobs_from_sizes(len(col), kept, counts * 8,
                                  hashes.tobytes())
 
@@ -602,26 +616,66 @@ def _jaccard_of_blobs(ba: bytes, bb: bytes) -> float | None:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def _jaccard_bottomk(k: int):
+    """Scorer for bottom-k minwise sketches (ascending unique uint64
+    buffers, each its set's k smallest shingle hashes).
+
+    Both sketches complete (|·| < k) → the sets ARE the sketches → exact
+    Jaccard, bit-identical to ``_jaccard_of_blobs``.  Otherwise the
+    standard bottom-k estimator: the k smallest of the sketch union are
+    the k smallest of the TRUE union (each side contributed its own k
+    smallest), and membership in both sketches there ⇔ membership in the
+    true intersection, so |bottom_k(A∪B) ∩ A ∩ B| / k is an unbiased
+    Jaccard estimate (σ ≈ √(J(1−J)/k)); exact duplicates score exactly
+    1.0 at any k (identical sketches)."""
+
+    def score(ba: bytes, bb: bytes) -> float | None:
+        sa = np.frombuffer(ba, dtype=np.uint64)
+        sb = np.frombuffer(bb, dtype=np.uint64)
+        if len(sa) == 0 or len(sb) == 0:
+            return None
+        if len(sa) < k and len(sb) < k:
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            return inter / (len(sa) + len(sb) - inter)
+        uk = np.union1d(sa, sb)[:k]  # k smallest of the true union
+        both = np.intersect1d(np.intersect1d(uk, sa, assume_unique=True),
+                              sb, assume_unique=True)
+        return len(both) / len(uk)
+
+    return score
+
+
 def verify_pairs_distributed(ds, id_col: str, text_col: str, pairs_ds, *,
                              window: int = 8, threshold: float = 0.8,
                              num_buckets: int | None = None, bloom_fp: float = 0.001,
-                             pairs_deduped: bool = False):
+                             pairs_deduped: bool = False,
+                             sketch_k: int | None = None):
     """Exact-Jaccard verification of MinHash-LSH candidates — the shingle
     specialization of verify_pairs_by_values.  Blobs come from the
     vectorized ``shingle_blobs_batch`` (``make_blob`` kept as the per-row
-    oracle the tests compare against)."""
+    oracle the tests compare against).
+
+    ``sketch_k`` (None = exact, full shingle sets) switches the payload to
+    a bottom-k minwise sketch and the scorer to the bottom-k estimator —
+    bounded 8k bytes/doc through the pair exchange, exact whenever both
+    docs have < k shingles and for exact duplicates at any k."""
 
     def make_blob(row: dict) -> bytes | None:
         t = row.get(text_col)
         if t is None or len(t) < window:
             return None
-        return np.unique(rolling_hashes(t, window)).tobytes()
+        sh = np.unique(rolling_hashes(t, window))
+        if sketch_k is not None:
+            sh = sh[:sketch_k]
+        return sh.tobytes()
 
+    score = (_jaccard_of_blobs if sketch_k is None
+             else _jaccard_bottomk(sketch_k))
     return verify_pairs_by_values(
-        ds, id_col, pairs_ds, make_blob, _jaccard_of_blobs,
+        ds, id_col, pairs_ds, make_blob, score,
         threshold=threshold, num_buckets=num_buckets, bloom_fp=bloom_fp,
         aux_cols=[text_col], pairs_deduped=pairs_deduped,
-        make_blobs_batch=shingle_blobs_batch(text_col, window))
+        make_blobs_batch=shingle_blobs_batch(text_col, window, sketch_k))
 
 
 def connected_components_distributed(pairs, *, id_a: str = "id_a",
@@ -747,7 +801,8 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
                   driver_max_pairs: int = DRIVER_MAX_PAIRS,
                   num_buckets: int | None = None,
                   bands_per_pass: int | None = None,
-                  dense_cap: int | None = 16):
+                  dense_cap: int | None = 16,
+                  verify_k: int | None = None):
     """Near-duplicate clusters via MinHash-LSH.
 
     Returns a Dataset[{id, cluster_id}] for every doc in a near-dup cluster
@@ -798,6 +853,15 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
     quadratic in occupancy (measured ~50 GB of pairs pinned at 160M docs,
     stalling the verify exchange), while components over a spanning set are
     identical for signature-identical members.  None restores all-pairs.
+
+    ``verify_k`` (None = exact full-shingle-set Jaccard): verify with
+    bottom-k minwise sketches instead — payload bounded at 8·k bytes/doc
+    through the verify exchange (THIRD r5 160M finding: full shingle blobs
+    attached per pair side spilled past the 56 GB disk budget even after
+    band chunking and chain pairing).  Exact when both docs hold < k
+    shingles and for exact duplicates at any k; borderline pairs estimate
+    Jaccard with σ ≈ √(J(1−J)/k).  Applies to both the distributed and the
+    driver verify path, so components mode doesn't change the answer.
     """
     from webval.exchange import distinct_rows
 
@@ -858,7 +922,7 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
             pairs_ds = verify_pairs_distributed(
                 ds, id_col, text_col, pairs_ds, window=shingle_window,
                 threshold=jaccard_threshold, pairs_deduped=pairs_deduped,
-                num_buckets=num_buckets)
+                num_buckets=num_buckets, sketch_k=verify_k)
         pairs_ds = pairs_ds.materialize()
         if pairs_ds.count() == 0:
             return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
@@ -871,7 +935,7 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
     pairs = {(r["id_a"], r["id_b"]) for r in pair_rows}
     if verify and pairs:
         pairs = _verify_jaccard(ds, id_col, text_col, pairs, shingle_window,
-                                jaccard_threshold)
+                                jaccard_threshold, k=verify_k)
     uf = _UnionFind()
     for a, b in pairs:
         uf.union(a, b)
@@ -886,10 +950,12 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
 
 
 def _verify_jaccard(ds, id_col, text_col, pairs: set, window: int,
-                    threshold: float) -> set:
-    """Exact shingle-set Jaccard for candidate pairs.  The candidate id set
-    is broadcast (ray.put) and each map task emits shingle sets only for its
-    own candidate rows; sets are gathered driver-side (bounded by the
+                    threshold: float, k: int | None = None) -> set:
+    """Shingle-set Jaccard for candidate pairs (exact, or bottom-k sketch
+    when ``k`` is given — same scorer as the distributed path, so the
+    components mode never changes the verified pair set).  The candidate id
+    set is broadcast (ray.put) and each map task emits shingle sets only for
+    its own candidate rows; sets are gathered driver-side (bounded by the
     candidate count, not the corpus)."""
     import ray
 
@@ -905,21 +971,24 @@ def _verify_jaccard(ds, id_col, text_col, pairs: set, window: int,
         for doc_id, text in zip(batch.column(id_col).to_pylist(),
                                 batch.column(text_col).to_pylist()):
             if doc_id in wanted and text is not None:
+                sh = np.unique(rolling_hashes(text, window))
+                if k is not None:
+                    sh = sh[:k]
                 ids.append(doc_id)
-                blobs.append(np.unique(rolling_hashes(text, window)).tobytes())
+                blobs.append(sh.tobytes())
         return pa.table({"id": pa.array(ids, pa.int64()),
                          "sh": pa.array(blobs, pa.large_binary())})
 
-    sh = {r["id"]: np.frombuffer(r["sh"], dtype=np.uint64)
+    sh = {r["id"]: r["sh"]
           for r in ds.map_batches(shingle_rows, batch_format="pyarrow").take_all()}
+    score = _jaccard_of_blobs if k is None else _jaccard_bottomk(k)
     out = set()
     for a, b in pairs:
         sa, sb = sh.get(a), sh.get(b)
-        if sa is None or sb is None or len(sa) == 0 or len(sb) == 0:
+        if sa is None or sb is None:
             continue
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        jac = inter / (len(sa) + len(sb) - inter)
-        if jac >= threshold:
+        jac = score(sa, sb)
+        if jac is not None and jac >= threshold:
             out.add((a, b))
     return out
 
