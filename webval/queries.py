@@ -437,6 +437,28 @@ SELECT page_id, cluster_id FROM (
 """
 
 
+def q_minhash_clusters_sketch(sf_dir: str):
+    """The 100-TB minhash shape end-to-end: band-chunked LSH passes
+    (bands_per_pass=4), chain pairing for dense buckets, distributed
+    components, and bottom-k sketch verify (verify_k=64 — payload bounded
+    at 512 B/doc through the pair exchange).  Planted dups are EXACT
+    copies, which score exactly 1.0 under the bottom-k estimator at any k
+    (identical sketches), so the same same-text window oracle stays
+    hash-strong; unrelated pages share ~no shingles and estimate ~0."""
+    import ray.data as rd
+
+    from webval.dedup import minhash_dedup
+
+    pages_p, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages_p, columns=["page_id", "text"])
+    return minhash_dedup(ds, "page_id", "text", jaccard_threshold=0.95,
+                         components="distributed", bands_per_pass=4,
+                         verify_k=64)
+
+
+SQL_MINHASH_CLUSTERS_SKETCH = SQL_MINHASH_CLUSTERS
+
+
 def q_top_langs(sf_dir: str):
     """F2: top-k by grouped count (sort + limit)."""
     import ray.data as rd
@@ -11830,6 +11852,8 @@ QUERIES = {
     "webpage_dup_urls": (q_webpage_dup_urls, SQL_WEBPAGE_DUP_URLS),
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "minhash_clusters": (q_minhash_clusters, SQL_MINHASH_CLUSTERS),
+    "minhash_clusters_sketch": (q_minhash_clusters_sketch,
+                                SQL_MINHASH_CLUSTERS_SKETCH),
     "top_langs": (q_top_langs, SQL_TOP_LANGS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "token_totals": (q_token_totals, SQL_TOKEN_TOTALS),
