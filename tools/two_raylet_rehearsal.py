@@ -1,15 +1,20 @@
 """Two-raylet rehearsal (VERDICT r4 next-8): the closest this sandbox gets
-to a real multi-node run.  Starts a GCS head raylet (16 cpus) plus a SECOND
-raylet process joined via ``ray start --address`` (16 cpus) — each node has
-its OWN plasma object store, so blocks produced on one node and consumed on
-the other travel through the object manager's transfer path (loopback TCP),
-exactly the cross-node hop a 256-node cluster takes — then drives the 16M-doc
-headline extract+check through ``ray.init(address=...)`` and records wall,
-per-node task split and the host probe.
+to a real multi-node run.  Starts a head node (16 cpus) plus a SECOND
+raylet (16 cpus) via ``ray.cluster_utils.Cluster`` — each node has its OWN
+plasma object store, so blocks produced on one node and consumed on the
+other travel through the object manager's transfer path (loopback TCP),
+exactly the cross-node hop a 256-node cluster takes — then drives the
+16M-doc headline extract+check against the cluster address and records
+wall, per-node data-task split and the host probe.
 
     python tools/two_raylet_rehearsal.py [--rows 16000000]
 
-Stops both raylets (``ray stop``) on exit.  Results go to BENCH/BASELINE.md.
+Why cluster_utils and not ``ray start``: daemonized raylets (``ray start
+--head`` + ``ray start --address``) are SIGKILLed by this sandbox within
+seconds of a driver connecting (measured twice, r5 — both raylets die
+simultaneously, no OOM, no fatal in their logs); cluster_utils raylets are
+ordinary child processes of the driver, the process shape every local run
+here uses, and survive.  Results go to BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -17,19 +22,10 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-HEAD_PORT = 6380  # off the 6379 default: never collide with a stray session
-
-
-def sh(cmd: list[str], env: dict) -> None:
-    r = subprocess.run(cmd, env=env, capture_output=True, text=True)
-    if r.returncode != 0:
-        raise RuntimeError(f"{' '.join(cmd)} failed:\n{r.stdout}\n{r.stderr}")
 
 
 def main() -> int:
@@ -41,26 +37,23 @@ def main() -> int:
                     "would each claim ~30%% of RAM and exhaust /dev/shm")
     args = ap.parse_args()
 
-    # ray start must not inherit RAY_ADDRESS=local
-    env = {k: v for k, v in os.environ.items() if k != "RAY_ADDRESS"}
-    addr = f"127.0.0.1:{HEAD_PORT}"
-    store = str(int(args.store_gib_per_node * 2**30))
-    # NOTE: `ray stop --force` kills EVERY local raylet, including any
-    # unrelated in-flight `ray.init(address="local")` job — run this tool
-    # only when the box is otherwise idle.
-    sh(["ray", "stop", "--force"], env)
-    sh(["ray", "start", "--head", f"--port={HEAD_PORT}",
-        f"--num-cpus={args.cpus_per_node}", "--include-dashboard=false",
-        f"--object-store-memory={store}", "--disable-usage-stats"], env)
+    # cluster_utils must not inherit RAY_ADDRESS=local
+    os.environ.pop("RAY_ADDRESS", None)
+    store = int(args.store_gib_per_node * 2**30)
+
+    import ray
+    from ray.cluster_utils import Cluster
+
+    cluster = Cluster(
+        initialize_head=True,
+        head_node_args={"num_cpus": args.cpus_per_node,
+                        "object_store_memory": store,
+                        "include_dashboard": False})
     try:
-        sh(["ray", "start", f"--address={addr}",
-            f"--num-cpus={args.cpus_per_node}",
-            f"--object-store-memory={store}", "--disable-usage-stats"],
-           env)
+        cluster.add_node(num_cpus=args.cpus_per_node,
+                         object_store_memory=store)
 
-        import ray
-
-        ray.init(address=addr, include_dashboard=False,
+        ray.init(address=cluster.address, include_dashboard=False,
                  logging_level="ERROR")
         from ray.data import DataContext
 
@@ -71,12 +64,17 @@ def main() -> int:
         assert len(nodes) == 2, f"expected 2 raylets, got {len(nodes)}"
         assert total_cpus == 2 * args.cpus_per_node, total_cpus
 
-        # prove tasks actually land on BOTH raylets (one node-id per task)
+        # prove tasks actually land on BOTH raylets: each probe HOLDS its
+        # cpu for 2 s, so 2×cpus concurrent probes cannot fit one node
+        # (instant tasks all finish on the driver's raylet before the
+        # scheduler ever spills — measured: 64 quick probes, one node)
         @ray.remote(num_cpus=1)
         def node_id() -> str:
+            time.sleep(2)
             return ray.get_runtime_context().get_node_id()
 
-        seen = set(ray.get([node_id.remote() for _ in range(64)]))
+        seen = set(ray.get([node_id.remote()
+                            for _ in range(2 * args.cpus_per_node)]))
         assert len(seen) == 2, "scheduler never used the second raylet"
 
         from bench import ensure_bench_pages, host_speed_probe, run_headline
@@ -116,10 +114,9 @@ def main() -> int:
             "host_gflops_probe": host_speed_probe(),
         }
         print(json.dumps(result, sort_keys=True))
-        ray.shutdown()
     finally:
-        subprocess.run(["ray", "stop", "--force"], env=env,
-                       capture_output=True)
+        ray.shutdown()  # disconnect BEFORE removing nodes
+        cluster.shutdown()
     return 0
 
 
