@@ -595,3 +595,39 @@ def test_minhash_verify_k_matches_exact_verify(docs_table):
         for j in range(5):
             assert by_id.get(100 + j) == j
             assert by_id.get(200 + j) == j
+
+
+def test_fold_sig_rows_separates_signatures():
+    """Equal signature rows fold to equal fingerprints; differing rows
+    (even in one position) fold apart."""
+    from webval.dedup import _fold_sig_rows
+
+    rng = np.random.default_rng(5)
+    sigs = rng.integers(0, 1 << 62, (50, 128)).astype(np.uint64)
+    fp = _fold_sig_rows(sigs)
+    assert (_fold_sig_rows(sigs.copy()) == fp).all()
+    tweaked = sigs.copy()
+    tweaked[:, 77] += np.uint64(1)
+    assert (_fold_sig_rows(tweaked) != fp).all()
+    assert len(np.unique(fp)) == 50  # no accidental fold collisions here
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_fp_accept_matches_exact_verify(docs_table):
+    """Two-tier verify (fingerprint accept + residual shingle verify) must
+    reproduce the single-tier clusters: exact dups accept in tier 1
+    (identical signatures), near dups differ in some permutation and take
+    the residual shingle path."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(docs_table).repartition(4)
+
+    def run(**kw):
+        return sorted((r["doc_id"], r["cluster_id"]) for r in minhash_dedup(
+            ds, "doc_id", jaccard_threshold=0.6, concurrency=2,
+            components="distributed", **kw).take_all())
+
+    want = run()
+    assert run(fp_accept=True) == want
+    assert run(fp_accept=True, verify_k=4096) == want
+    assert run(fp_accept=True, bands_per_pass=4, verify_k=64) == want

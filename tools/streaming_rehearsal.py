@@ -148,6 +148,12 @@ def main() -> int:
                     "sketches (the fix for the r5 verify-leg disk overrun "
                     "at 160M docs: full blobs attached per pair side "
                     "spilled past the 56 GB budget)")
+    ap.add_argument("--fp-accept", action="store_true",
+                    help="two-tier verify: 8-byte full-signature "
+                    "fingerprint auto-accept + shingle verify on the "
+                    "anti-joined residual only (the fix for the r5 "
+                    "dense-bucket endpoint volume: even 512 B bottom-k "
+                    "sketches spilled past the disk budget at 160M)")
     ap.add_argument("--skip-headline", action="store_true")
     ap.add_argument("--skip-minhash", action="store_true")
     args = ap.parse_args()
@@ -196,12 +202,14 @@ def main() -> int:
         n = (minhash_dedup(ds, "page_id", components="distributed",
                            num_buckets=args.num_buckets or None,
                            bands_per_pass=args.bands_per_pass or None,
-                           verify_k=args.verify_k or None)
+                           verify_k=args.verify_k or None,
+                           fp_accept=args.fp_accept)
              .map_batches(lambda t: pa.table({"n": [t.num_rows]}),
                           batch_format="pyarrow").sum("n"))
         result["minhash"] = {
             "rows": mh_rows, "bands_per_pass": args.bands_per_pass or 16,
             "verify_k": args.verify_k or None,
+            "fp_accept": args.fp_accept,
             "wall_sec": round(time.perf_counter() - t0, 1),
             "docs_per_sec": round(mh_rows / (time.perf_counter() - t0), 0),
             "dup_cluster_rows": int(n), **poll.stop()}

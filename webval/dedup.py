@@ -616,6 +616,42 @@ def _jaccard_of_blobs(ba: bytes, bb: bytes) -> float | None:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def _fold_sig_rows(sigs: np.ndarray) -> np.ndarray:
+    """One uint64 fingerprint per row of an (n, k) minhash-signature matrix
+    (polynomial fold, FNV prime).  Equal signatures ⇔ equal fingerprints up
+    to a ~2⁻⁶⁴-per-pair fold collision — and the pairs compared already
+    share an LSH band, so a collision can only wrongly ACCEPT a pair whose
+    true Jaccard the S-curve already put near threshold; negligible."""
+    fp = np.zeros(len(sigs), dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for j in range(sigs.shape[1] if sigs.ndim == 2 else 0):
+            fp = fp * prime + sigs[:, j]
+    return fp
+
+
+def signature_fp_blobs_batch(hasher):
+    """Vectorized blob builder for the fingerprint-accept verify tier:
+    per-row 8-byte fold of the FULL minhash signature (all bands), built
+    with the same permutation params as the banding stage."""
+
+    def build(sub: pa.Table) -> pa.Array:
+        col = sub.column(hasher.text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keep, sigs = hasher._signatures_batch(col)
+        fp = _fold_sig_rows(sigs)
+        return _blobs_from_sizes(len(col), keep,
+                                 np.full(len(keep), 8, np.int64),
+                                 fp.tobytes())
+
+    return build
+
+
+def _fp_equal_score(ba: bytes, bb: bytes) -> float:
+    return 1.0 if ba == bb else 0.0
+
+
 def _jaccard_bottomk(k: int):
     """Scorer for bottom-k minwise sketches (ascending unique uint64
     buffers, each its set's k smallest shingle hashes).
@@ -802,7 +838,8 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
                   num_buckets: int | None = None,
                   bands_per_pass: int | None = None,
                   dense_cap: int | None = 16,
-                  verify_k: int | None = None):
+                  verify_k: int | None = None,
+                  fp_accept: bool = False):
     """Near-duplicate clusters via MinHash-LSH.
 
     Returns a Dataset[{id, cluster_id}] for every doc in a near-dup cluster
@@ -862,6 +899,19 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
     shingles and for exact duplicates at any k; borderline pairs estimate
     Jaccard with σ ≈ √(J(1−J)/k).  Applies to both the distributed and the
     driver verify path, so components mode doesn't change the answer.
+
+    ``fp_accept`` (distributed verify only): two-tier verification — tier
+    1 attaches an 8-BYTE fold of each endpoint's FULL minhash signature
+    (same permutation params as banding) and auto-accepts pairs whose
+    fingerprints match; tier 2 runs the shingle verify on the anti-joined
+    RESIDUAL only.  Rationale: a pair agreeing on all bands·r minhash
+    values has P(true J < t) ≈ t^(bands·r) (~4e-13 at t=0.8, 128 perms) —
+    signature-identical populations (exact dups, collision-dense buckets)
+    are precisely the verify-volume drivers at scale (FOURTH r5 160M
+    finding: even 512-byte bottom-k sketches × tens of millions of dense-
+    bucket endpoints spilled past the disk budget; 8-byte fingerprints cut
+    that 64×, and the residual shingle leg shrinks to the borderline
+    pairs).
     """
     from webval.exchange import distinct_rows
 
@@ -918,7 +968,38 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
         # and component labels never concentrate on the driver — the only
         # driver-side object is the endpoint-id bloom sketch
         import ray.data as rd
-        if verify:
+        if verify and fp_accept:
+            from webval.joins import equi_join
+
+            full_hasher = MinHasher(
+                id_col=id_col, text_col=text_col, bands=bands,
+                rows_per_band=rows_per_band, shingle_window=shingle_window)
+
+            def fp_make_blob(row: dict) -> bytes | None:
+                t = row.get(text_col)
+                if t is None or len(t) < shingle_window:
+                    return None
+                sig = full_hasher.signature(t)
+                return _fold_sig_rows(sig[None, :]).tobytes()
+
+            accepted = verify_pairs_by_values(
+                ds, id_col, pairs_ds, fp_make_blob, _fp_equal_score,
+                threshold=0.5, num_buckets=num_buckets,
+                aux_cols=[text_col], pairs_deduped=pairs_deduped,
+                make_blobs_batch=signature_fp_blobs_batch(
+                    full_hasher)).materialize()
+            residual = equi_join(pairs_ds, accepted, on=["id_a", "id_b"],
+                                 how="anti",
+                                 num_buckets=num_buckets).materialize()
+            if residual.count():
+                verified_rest = verify_pairs_distributed(
+                    ds, id_col, text_col, residual, window=shingle_window,
+                    threshold=jaccard_threshold, pairs_deduped=True,
+                    num_buckets=num_buckets, sketch_k=verify_k)
+                pairs_ds = accepted.union(verified_rest)
+            else:
+                pairs_ds = accepted
+        elif verify:
             pairs_ds = verify_pairs_distributed(
                 ds, id_col, text_col, pairs_ds, window=shingle_window,
                 threshold=jaccard_threshold, pairs_deduped=pairs_deduped,

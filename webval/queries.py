@@ -440,10 +440,11 @@ SELECT page_id, cluster_id FROM (
 def q_minhash_clusters_sketch(sf_dir: str):
     """The 100-TB minhash shape end-to-end: band-chunked LSH passes
     (bands_per_pass=4), chain pairing for dense buckets, distributed
-    components, and bottom-k sketch verify (verify_k=64 — payload bounded
-    at 512 B/doc through the pair exchange).  Planted dups are EXACT
-    copies, which score exactly 1.0 under the bottom-k estimator at any k
-    (identical sketches), so the same same-text window oracle stays
+    components, fingerprint auto-accept (8-byte full-signature fold; exact
+    copies have identical signatures, so every planted dup pair accepts in
+    tier 1) and bottom-k sketch verify (verify_k=64, ≤512 B/doc) on the
+    anti-joined residual.  Planted dups are EXACT copies, which both tiers
+    score exactly 1.0 at any k, so the same same-text window oracle stays
     hash-strong; unrelated pages share ~no shingles and estimate ~0."""
     import ray.data as rd
 
@@ -453,7 +454,7 @@ def q_minhash_clusters_sketch(sf_dir: str):
     ds = rd.read_parquet(pages_p, columns=["page_id", "text"])
     return minhash_dedup(ds, "page_id", "text", jaccard_threshold=0.95,
                          components="distributed", bands_per_pass=4,
-                         verify_k=64)
+                         verify_k=64, fp_accept=True)
 
 
 SQL_MINHASH_CLUSTERS_SKETCH = SQL_MINHASH_CLUSTERS
