@@ -631,3 +631,48 @@ def test_minhash_fp_accept_matches_exact_verify(docs_table):
     assert run(fp_accept=True) == want
     assert run(fp_accept=True, verify_k=4096) == want
     assert run(fp_accept=True, bands_per_pass=4, verify_k=64) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_verify_chunks_matches_single_pass(docs_table):
+    """Chunked verify (sequential hash-chunk passes over the pair set,
+    the r5 inflight-volume bound) must reproduce the one-pass clusters —
+    verification is per-pair, so the union of chunk outputs is exactly
+    the single-pass verified set.  Covers both the plain-verify path and
+    the fp_accept residual leg, with and without sketches."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(docs_table).repartition(4)
+
+    def run(**kw):
+        return sorted((r["doc_id"], r["cluster_id"]) for r in minhash_dedup(
+            ds, "doc_id", jaccard_threshold=0.6, concurrency=2,
+            components="distributed", **kw).take_all())
+
+    want = run()
+    assert run(verify_chunks=3) == want
+    assert run(verify_chunks=3, verify_k=64) == run(verify_k=64)
+    assert run(fp_accept=True, verify_chunks=3) == want
+    assert run(fp_accept=True, bands_per_pass=4, verify_k=64,
+               verify_chunks=3) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_stage_counts(docs_table):
+    """stage_counts receives consistent distributed-path evidence:
+    accepted + residual = candidates, verified ≤ candidates, and the
+    verified count matches the verified pair set the clusters are built
+    from."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(docs_table).repartition(4)
+    counts: dict = {}
+    minhash_dedup(ds, "doc_id", jaccard_threshold=0.6, concurrency=2,
+                  components="distributed", fp_accept=True,
+                  bands_per_pass=4, stage_counts=counts).take_all()
+    assert set(counts) >= {"candidate_pairs", "accepted_pairs",
+                           "residual_pairs", "verified_pairs"}
+    assert (counts["accepted_pairs"] + counts["residual_pairs"]
+            == counts["candidate_pairs"])
+    assert counts["verified_pairs"] <= counts["candidate_pairs"]
+    assert counts["verified_pairs"] >= counts["accepted_pairs"]

@@ -86,3 +86,49 @@ def test_partition_pruned_read_query():
         want = pc.sum(pc.equal(full.column("lang"), lang)).as_py()
         assert t.column("n_docs")[i].as_py() == want
     assert all(v > 0 for v in t.column("n_files").to_pylist())
+
+
+def test_no_module_level_definition_shadowing():
+    """r4s9 / r5s recurrence guard: a same-named def appended to a module
+    silently SHADOWS the original (q_fd_violations lost the multi-lang-host
+    audit for a round).  Pin: no module in webval/ (nor bench/__ray_entry__)
+    defines the same top-level function/class twice, and the query registry
+    holds no duplicate keys (a dup key makes the dict literal drop the
+    first entry with no diagnostic)."""
+    import ast
+    import collections
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "webval", "*.py")))
+    files += [os.path.join(root, "bench.py"),
+              os.path.join(root, "__ray_entry__.py")]
+    dups = []
+    for f in files:
+        with open(f) as fh:
+            tree = ast.parse(fh.read())
+        names = collections.Counter(
+            n.name for n in tree.body
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef,
+                              ast.ClassDef)))
+        dups += [f"{os.path.basename(f)}:{n}" for n, c in names.items()
+                 if c > 1]
+    assert dups == [], f"shadowed top-level definitions: {dups}"
+
+    with open(os.path.join(root, "webval", "queries.py")) as fh:
+        src = fh.read()
+    keys = re.findall(r'^\s{4}"([a-z0-9_]+)":\s*\(', src, re.M)
+    dup_keys = [k for k, c in collections.Counter(keys).items() if c > 1]
+    assert dup_keys == [], f"duplicate registry keys: {dup_keys}"
+
+
+def test_fd_multi_lang_hosts_registered_and_distinct():
+    """Both FD surfaces stay live after the rename: the host-level audit
+    (n_langs counts) and the row-level repair list (expected_rhs)."""
+    reg = q.QUERIES
+    assert "fd_multi_lang_hosts" in reg and "fd_violations" in reg
+    assert reg["fd_multi_lang_hosts"][0] is not reg["fd_violations"][0]
+    assert "n_langs" in reg["fd_multi_lang_hosts"][1]
+    assert "expected_rhs" in reg["fd_violations"][1]

@@ -148,6 +148,13 @@ def main() -> int:
                     "sketches (the fix for the r5 verify-leg disk overrun "
                     "at 160M docs: full blobs attached per pair side "
                     "spilled past the 56 GB budget)")
+    ap.add_argument("--verify-chunks", type=int, default=0,
+                    help="0 = one verify pass; e.g. 8 splits the verify "
+                    "pair set into 8 sequential hash-chunk passes, "
+                    "bounding inflight blob volume 8x (the fix for the "
+                    "r5 residual-verify disk overrun at 160M: borderline "
+                    "template-similar pairs x 2x512B sketches through two "
+                    "exchanges at once)")
     ap.add_argument("--fp-accept", action="store_true",
                     help="two-tier verify: 8-byte full-signature "
                     "fingerprint auto-accept + shingle verify on the "
@@ -199,17 +206,22 @@ def main() -> int:
         poll.start()
         t0 = time.perf_counter()
         ds = rd.read_parquet(mh_pages, columns=["page_id", "text"])
+        stage_counts: dict = {}
         n = (minhash_dedup(ds, "page_id", components="distributed",
                            num_buckets=args.num_buckets or None,
                            bands_per_pass=args.bands_per_pass or None,
                            verify_k=args.verify_k or None,
-                           fp_accept=args.fp_accept)
+                           fp_accept=args.fp_accept,
+                           verify_chunks=args.verify_chunks or None,
+                           stage_counts=stage_counts)
              .map_batches(lambda t: pa.table({"n": [t.num_rows]}),
                           batch_format="pyarrow").sum("n"))
         result["minhash"] = {
             "rows": mh_rows, "bands_per_pass": args.bands_per_pass or 16,
             "verify_k": args.verify_k or None,
             "fp_accept": args.fp_accept,
+            "verify_chunks": args.verify_chunks or None,
+            "stage_counts": stage_counts,
             "wall_sec": round(time.perf_counter() - t0, 1),
             "docs_per_sec": round(mh_rows / (time.perf_counter() - t0), 0),
             "dup_cluster_rows": int(n), **poll.stop()}

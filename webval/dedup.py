@@ -432,7 +432,8 @@ def verify_pairs_by_values(ds, id_col: str, pairs_ds, make_blob, score, *,
                            num_buckets: int | None = None, bloom_fp: float = 0.001,
                            aux_cols: list[str] | None = None,
                            pairs_deduped: bool = False,
-                           make_blobs_batch=None):
+                           make_blobs_batch=None,
+                           pair_chunks: int | None = None):
     """Distributed verification of candidate pairs against per-doc values,
     with ZERO driver materialization (VERDICT r1 top fix) — the pair
     stream, the per-doc blobs, and the verified output stay distributed.
@@ -459,17 +460,62 @@ def verify_pairs_by_values(ds, id_col: str, pairs_ds, make_blob, score, *,
     4. co-bucket (union) doc rows and pair-endpoint rows by doc id →
        attach each endpoint's blob to its pair rows;
     5. re-bucket by (id_a, id_b) → both blobs per pair → score → filter.
+
+    ``pair_chunks`` (None = one pass) bounds INFLIGHT volume the way
+    ``bands_per_pass`` bounds the LSH shuffle: the deduped pair set is
+    split into hash chunks, each chunk verified in its own sequential
+    pass (own endpoint bloom, own corpus blob scan, own attach/score
+    exchanges) and its small verified output materialized before the next
+    starts.  Inflight blob volume drops ``pair_chunks``×; the union of
+    per-chunk outputs is exactly the one-pass output (verification is
+    per-pair — no cross-pair state).  Cost: the corpus is re-scanned per
+    chunk (the blob compute itself shrinks with the chunk's bloom).  This
+    is the FIFTH r5 160M finding: with exact dups fp-accepted, the
+    residual borderline pairs of a template-similar corpus still carried
+    2×~512 B sketch payloads through two exchanges at once — ~100 GB+
+    inflight past a ~56 GB spill budget; 8 chunks bound it.
     """
     import ray
 
     from webval.broadcast import bloom_from_dataset
     from webval.exchange import bucketed_group_apply, distinct_rows
+    from webval.sketches import hash64
 
     if pairs_deduped:  # caller already ran distinct_rows (minhash auto path)
         pairs = pairs_ds.materialize()
     else:
         pairs = distinct_rows(pairs_ds, ["id_a", "id_b"],
                               num_buckets=num_buckets).materialize()
+
+    if pair_chunks is not None and pair_chunks > 1:
+        nchunks = int(pair_chunks)
+
+        def chunk_filter(c: int):
+            def f(batch: pa.Table) -> pa.Table:
+                a = pc.cast(batch.column("id_a"), pa.int64()) \
+                    .to_numpy(zero_copy_only=False)
+                b = pc.cast(batch.column("id_b"), pa.int64()) \
+                    .to_numpy(zero_copy_only=False)
+                h = (hash64(a) ^ (hash64(b) >> np.uint64(1))) % nchunks
+                return batch.take(pa.array(np.flatnonzero(h == c),
+                                           pa.int64()))
+            return f
+
+        outs = []
+        for c in range(nchunks):
+            sub = pairs.map_batches(chunk_filter(c),
+                                    batch_format="pyarrow").materialize()
+            if sub.count() == 0:
+                continue
+            outs.append(verify_pairs_by_values(
+                ds, id_col, sub, make_blob, score, threshold=threshold,
+                score_col=score_col, num_buckets=num_buckets,
+                bloom_fp=bloom_fp, aux_cols=aux_cols, pairs_deduped=True,
+                make_blobs_batch=make_blobs_batch,
+                pair_chunks=None).materialize())
+        if not outs:
+            return _empty_pairs(score_col)
+        return outs[0] if len(outs) == 1 else outs[0].union(*outs[1:])
 
     def endpoints(batch: pa.Table) -> pa.Table:
         a = pc.cast(batch.column("id_a"), pa.int64()).combine_chunks()
@@ -685,7 +731,8 @@ def verify_pairs_distributed(ds, id_col: str, text_col: str, pairs_ds, *,
                              window: int = 8, threshold: float = 0.8,
                              num_buckets: int | None = None, bloom_fp: float = 0.001,
                              pairs_deduped: bool = False,
-                             sketch_k: int | None = None):
+                             sketch_k: int | None = None,
+                             pair_chunks: int | None = None):
     """Exact-Jaccard verification of MinHash-LSH candidates — the shingle
     specialization of verify_pairs_by_values.  Blobs come from the
     vectorized ``shingle_blobs_batch`` (``make_blob`` kept as the per-row
@@ -711,7 +758,8 @@ def verify_pairs_distributed(ds, id_col: str, text_col: str, pairs_ds, *,
         ds, id_col, pairs_ds, make_blob, score,
         threshold=threshold, num_buckets=num_buckets, bloom_fp=bloom_fp,
         aux_cols=[text_col], pairs_deduped=pairs_deduped,
-        make_blobs_batch=shingle_blobs_batch(text_col, window, sketch_k))
+        make_blobs_batch=shingle_blobs_batch(text_col, window, sketch_k),
+        pair_chunks=pair_chunks)
 
 
 def connected_components_distributed(pairs, *, id_a: str = "id_a",
@@ -839,7 +887,9 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
                   bands_per_pass: int | None = None,
                   dense_cap: int | None = 16,
                   verify_k: int | None = None,
-                  fp_accept: bool = False):
+                  fp_accept: bool = False,
+                  verify_chunks: int | None = None,
+                  stage_counts: dict | None = None):
     """Near-duplicate clusters via MinHash-LSH.
 
     Returns a Dataset[{id, cluster_id}] for every doc in a near-dup cluster
@@ -912,6 +962,21 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
     bucket endpoints spilled past the disk budget; 8-byte fingerprints cut
     that 64×, and the residual shingle leg shrinks to the borderline
     pairs).
+
+    ``verify_chunks`` (None = one pass) splits the verify-stage pair set
+    into hash chunks processed sequentially (verify_pairs_by_values
+    ``pair_chunks``) — inflight blob volume per pass drops chunks×, and
+    the union of chunk outputs is exactly the one-pass verified set.
+    With ``fp_accept`` the chunking applies to the residual leg (tier 1's
+    8-byte payloads don't need it); otherwise to the whole verify.  The
+    FIFTH r5 160M finding: a template-similar corpus's borderline
+    candidate pairs (LSH-colliding but not signature-identical) still
+    overran the spill budget with 512 B sketches in one pass.
+
+    ``stage_counts`` (optional dict) receives per-stage pair counts on the
+    distributed path — candidate_pairs / accepted_pairs / residual_pairs /
+    verified_pairs — all read off already-materialized sets (no extra
+    passes); the streaming-rehearsal evidence logger.
     """
     from webval.exchange import distinct_rows
 
@@ -991,11 +1056,17 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
             residual = equi_join(pairs_ds, accepted, on=["id_a", "id_b"],
                                  how="anti",
                                  num_buckets=num_buckets).materialize()
+            if stage_counts is not None:
+                if pairs_deduped:
+                    stage_counts["candidate_pairs"] = pairs_ds.count()
+                stage_counts["accepted_pairs"] = accepted.count()
+                stage_counts["residual_pairs"] = residual.count()
             if residual.count():
                 verified_rest = verify_pairs_distributed(
                     ds, id_col, text_col, residual, window=shingle_window,
                     threshold=jaccard_threshold, pairs_deduped=True,
-                    num_buckets=num_buckets, sketch_k=verify_k)
+                    num_buckets=num_buckets, sketch_k=verify_k,
+                    pair_chunks=verify_chunks)
                 pairs_ds = accepted.union(verified_rest)
             else:
                 pairs_ds = accepted
@@ -1003,8 +1074,11 @@ def minhash_dedup(ds, id_col: str, text_col: str = "text", *, bands: int = 16,
             pairs_ds = verify_pairs_distributed(
                 ds, id_col, text_col, pairs_ds, window=shingle_window,
                 threshold=jaccard_threshold, pairs_deduped=pairs_deduped,
-                num_buckets=num_buckets, sketch_k=verify_k)
+                num_buckets=num_buckets, sketch_k=verify_k,
+                pair_chunks=verify_chunks)
         pairs_ds = pairs_ds.materialize()
+        if stage_counts is not None:
+            stage_counts["verified_pairs"] = pairs_ds.count()
         if pairs_ds.count() == 0:
             return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
                                            "cluster_id": pa.array([], pa.int64())}))

@@ -5987,13 +5987,17 @@ GROUP BY d.lang, t.thr ORDER BY d.lang
 """
 
 
-def q_fd_violations(sf_dir: str):
+def q_fd_multi_lang_hosts(sf_dir: str):
     """Functional-dependency audit (data-quality classic): does the URL's
     first host label determine the page language?  Hosts carrying >1
     distinct lang are FD violations — distinct (host, lang) pairs through
     the exchange, per-host distinct counts, filtered.  The scale variant
     fingerprints wide determinant/dependent columns first (dedup.py); here
-    both sides are short strings so the twin is value-exact."""
+    both sides are short strings so the twin is value-exact.  (r5s: was
+    named q_fd_violations and silently SHADOWED by the later row-level
+    repair query of the same name — the r4s9 lesson recurring at module
+    scope; renamed so both surfaces stay live, and an AST test now pins
+    module-level definition uniqueness.)"""
     import ray.data as rd
 
     from webval.exchange import distinct_rows, grouped_agg
@@ -6021,7 +6025,7 @@ def q_fd_violations(sf_dir: str):
     return ds_to_table(viol).sort_by([("host", "ascending")])
 
 
-SQL_FD_VIOLATIONS = f"""
+SQL_FD_MULTI_LANG_HOSTS = f"""
 WITH p AS (SELECT regexp_extract(url, '^https?://([a-z0-9-]+)\\.', 1)
                       AS host, lang
            FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
@@ -12000,15 +12004,8 @@ QUERIES = {
     "dup_cluster_sizes": (q_dup_cluster_sizes, SQL_DUP_CLUSTER_SIZES),
     "quality_top_fraction": (q_quality_top_fraction,
                              SQL_QUALITY_TOP_FRACTION),
-    "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
-    "sliced_drift": (q_sliced_drift, SQL_SLICED_DRIFT),
-    "order_reconciliation": (q_order_reconciliation,
-                             SQL_ORDER_RECONCILIATION),
-    "revenue_by_segment": (q_revenue_by_segment,
-                           SQL_REVENUE_BY_SEGMENT),
-    "id_continuity": (q_id_continuity, SQL_ID_CONTINUITY),
-    "truncation_audit": (q_truncation_audit, SQL_TRUNCATION_AUDIT),
-    "null_blocks": (q_null_blocks, SQL_NULL_BLOCKS),
+    "fd_multi_lang_hosts": (q_fd_multi_lang_hosts,
+                            SQL_FD_MULTI_LANG_HOSTS),
     "category_codes": (q_category_codes, SQL_CATEGORY_CODES),
     "grouped_skew_kurt": (q_grouped_skew_kurt, SQL_GROUPED_SKEW_KURT),
     "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
