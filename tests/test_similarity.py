@@ -181,3 +181,26 @@ def test_ivf_index_build_and_query(emb, tmp_path):
     assert len(one) >= 1  # the vector's own bucket always contains it
     assert one[0]["vec_id"] == ids[5]
     assert len(all_files) > 16 // 4  # sanity: multiple buckets materialized
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_build_deterministic_across_block_orders(emb, tmp_path):
+    """r5s pin: the coarse-quantizer sample is a pure function of the id
+    column (hash-selected, id-sorted), NOT of block completion order — a
+    bare .take(n) sample made centroids (and recall at fixed n_probe)
+    vary build to build on identical data.  Two builds at different
+    partitionings must produce identical centroids and bucket counts."""
+    import ray.data as rd
+
+    from webval.similarity import build_ivf_index
+
+    m1 = build_ivf_index(rd.read_parquet(f"{SF}/embeddings.parquet")
+                         .repartition(2),
+                         str(tmp_path / "a"), n_centroids=16,
+                         sample_size=400)
+    m2 = build_ivf_index(rd.read_parquet(f"{SF}/embeddings.parquet")
+                         .repartition(7),
+                         str(tmp_path / "b"), n_centroids=16,
+                         sample_size=400)
+    assert m1["centroids"] == m2["centroids"]
+    assert m1["buckets"] == m2["buckets"]

@@ -501,14 +501,45 @@ def build_ivf_index(ds, index_dir: str, *, id_col: str = "vec_id",
 
     from webval.exchange import bucketed_group_apply
 
-    sample_rows = ds.select_columns([emb_col]).take(sample_size)
-    sample_rows = [r for r in sample_rows if r[emb_col] is not None]
-    if not sample_rows:
+    # Deterministic quantizer sample (r5s finding): a bare .take(n) returns
+    # whichever blocks COMPLETE first, so the k-means sample — and with it
+    # the centroids and the recall at a fixed n_probe — varied build to
+    # build on identical data (0.956 vs 0.872 recall@10 on the 1M bench
+    # fixture).  Hash-select ~sample_size ids instead (pure function of
+    # the id column, any parallelism/block order) and sort by id so the
+    # seeded init picks the same rows every build.
+    from webval.sketches import hash64
+
+    n_rows = ds.count()
+    if n_rows == 0:
         raise ValueError(
             "build_ivf_index: no non-null embedding rows to sample — "
             "cannot fit a coarse quantizer on an empty dataset")
-    sample = _normalize(np.asarray([r[emb_col] for r in sample_rows],
-                                   dtype=np.float32))
+    frac = min(1.0, sample_size / n_rows)
+    thresh = np.uint64(min(int(frac * 2.0**64), 2**64 - 1))
+
+    def pick_sample(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(batch.column(id_col).combine_chunks(), pa.int64())
+        valid = pc.is_valid(batch.column(emb_col)) \
+            .to_numpy(zero_copy_only=False)
+        keep = valid & (hash64(ids.to_numpy(zero_copy_only=False))
+                        <= thresh)
+        return batch.select([id_col, emb_col]) \
+                    .take(pa.array(np.flatnonzero(keep), pa.int64()))
+
+    picked = ds.map_batches(pick_sample, batch_format="pyarrow").take_all()
+    if not picked:  # degenerate: every sampled id hashed above threshold
+        picked = [r for r in ds.take(sample_size)
+                  if r[emb_col] is not None]
+    if not picked:
+        raise ValueError(
+            "build_ivf_index: no non-null embedding rows to sample — "
+            "cannot fit a coarse quantizer on an empty dataset")
+    picked.sort(key=lambda r: r[id_col])
+    sample = _normalize(np.asarray(
+        [r[emb_col] for r in picked[:2 * sample_size]], dtype=np.float32))
     centroids = _kmeans(sample, n_centroids, seed=seed)
     shutil.rmtree(index_dir, ignore_errors=True)
     os.makedirs(index_dir)
