@@ -1996,3 +1996,161 @@ def cluster_pair_quality(ds, pred_col: str, truth_col: str, *,
           (0.0 if precision is not None and recall is not None else None))
     return {"pred_pairs": p, "true_pairs": t, "common_pairs": c,
             "precision": precision, "recall": recall, "f1": f1}
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: within-cluster embedding-cosine pruning (Abbas et al. 2023,
+# public) — clusters bound the quadratic, the exchange co-locates them
+# ---------------------------------------------------------------------------
+
+
+def semdedup_prune(ds, id_col: str, emb_col: str, centroids: np.ndarray, *,
+                   eps: float = 0.85, num_buckets: int | None = None,
+                   max_group_rows: int = 100_000,
+                   margin: float | None = None):
+    """SemDeDup semantic pruning: assign each vector to its nearest
+    centroid (k-means clusters broadcast via ``ray.put``), co-locate each
+    cluster through the hash exchange, and inside each cluster PRUNE every
+    vector whose cosine similarity to ANY lower-id member is ≥ ``eps``
+    (keep-min-id — deterministic, order-free, ANSI-SQL-expressible as an
+    EXISTS self-join, unlike the paper's greedy sweep).
+
+    The pairwise matrix is CLUSTER-bounded — that is the whole point of
+    clustering first — and ``max_group_rows`` turns a degenerate cluster
+    into a named error instead of a task OOM (re-fit with larger k, or
+    sub-shard the cluster, exactly as the paper does at scale).
+
+    ``margin``: if set, raise unless every within-cluster prior-max cosine
+    is at least this far from ``eps`` — the loud precondition that makes a
+    float threshold comparison transferable across engines (the SQL-twin
+    path).  Returns Dataset[id, cluster, pruned(bool)]."""
+    from webval.clustering import kmeans_assign
+    from webval.exchange import bucketed_group_apply
+
+    assigned = kmeans_assign(ds.select_columns([id_col, emb_col]),
+                             emb_col, centroids)
+
+    def prune_clusters(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "pruned": pa.array([], pa.bool_())})
+        g = g.sort_by([("cluster", "ascending"), (id_col, "ascending")])
+        cl = g.column("cluster").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        emb = g.column(emb_col)
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        mat = np.asarray(emb.values.to_numpy(zero_copy_only=False),
+                         dtype=np.float64).reshape(len(cl), -1)
+        norms = np.linalg.norm(mat, axis=1)
+        if np.any(norms == 0):
+            raise ValueError("semdedup_prune: zero-norm embedding — cosine "
+                             "is undefined; filter or impute first")
+        mat = mat / norms[:, None]
+        bounds = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1], True])
+        pruned = np.zeros(len(cl), bool)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = mat[s:e]
+            sims = m @ m.T
+            prior = np.where(np.tri(e - s, k=-1, dtype=bool), sims,
+                             -np.inf)
+            mx = prior.max(axis=1)
+            if margin is not None:
+                close = np.abs(mx[np.isfinite(mx)] - eps)
+                if close.size and close.min() < margin:
+                    raise ValueError(
+                        f"semdedup_prune: a within-cluster cosine sits "
+                        f"within {margin} of eps={eps} — the threshold "
+                        f"comparison is not engine-transferable; nudge eps")
+            pruned[s:e] = mx >= eps
+        return pa.table({id_col: pa.array(ids),
+                         "cluster": pa.array(cl, pa.int64()),
+                         "pruned": pa.array(pruned, pa.bool_())})
+
+    return bucketed_group_apply(assigned, ["cluster"], prune_clusters,
+                                num_buckets=num_buckets,
+                                max_group_rows=max_group_rows)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (Rabin/gear-style boundary rule, public) —
+# storage-level dedup diagnostics over a text/binary column
+# ---------------------------------------------------------------------------
+
+
+def cdc_chunk_stats(ds, group_col: str, text_col: str, *,
+                    window: int = 8, mod: int = 64,
+                    num_buckets: int | None = None):
+    """Content-defined chunking dedup ratio per group: cut each document
+    AFTER every position i ≥ ``window`` where the sum of the trailing
+    ``window`` ASCII codes ≡ 0 (mod ``mod``) — boundaries move WITH the
+    content, so an insertion only re-chunks its neighborhood (the rsync /
+    LBFS rolling-boundary idea) — then count total vs distinct chunks per
+    ``group_col``.  Returns Dataset[group, n_chunks, n_distinct_chunks,
+    dup_chunk_ratio].
+
+    Chunk extraction is ZERO-COPY: chunks of a doc are contiguous and
+    cover it, so the output StringArray reuses the batch's own data
+    buffer with new offsets.  The distinct count rides the exchange on
+    the chunk TEXT (exact, SQL-twin-comparable); at 100 TB you would
+    fingerprint chunks to 64-bit first and accept the collision odds.
+    ASCII-only is enforced (byte position == char position, the SQL
+    contract)."""
+    from webval.exchange import grouped_agg, grouped_distinct_count
+
+    def chunks_of(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n = len(txt)
+        if n == 0:
+            return pa.table({group_col: t.column(group_col),
+                             "chunk": pa.array([], pa.string())})
+        if txt.null_count:
+            raise ValueError("cdc_chunk_stats: null text rows")
+        off_dtype = (np.int64 if pa.types.is_large_string(txt.type)
+                     else np.int32)
+        bufs = txt.buffers()
+        offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+            txt.offset: txt.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0]: offs[-1]]
+        offs = offs - offs[0]
+        if data.size and int(data.max()) > 127:
+            raise ValueError("cdc_chunk_stats: non-ASCII text — the "
+                             "char-position SQL contract needs ASCII")
+        lens = np.diff(offs)
+        if np.any(lens == 0):
+            raise ValueError("cdc_chunk_stats: empty text rows")
+        codes = data.astype(np.int64)
+        # windowed sums over the whole flat buffer; windows that straddle
+        # a doc boundary are masked out below
+        csum = np.concatenate([[0], np.cumsum(codes)])
+        win = csum[window:] - csum[:-window]          # sum ending at flat
+        ends = np.arange(window - 1, len(codes))      # index e (0-based)
+        doc_of = np.repeat(np.arange(n), lens)
+        pos_in = np.arange(len(codes)) - np.repeat(offs[:-1], lens) + 1
+        inside = pos_in[ends] >= window               # window fits in doc
+        is_cut = np.zeros(len(codes), bool)
+        sel = ends[inside & (win % mod == 0)]
+        is_cut[sel] = True
+        is_cut[offs[1:] - 1] = True                   # end of doc always
+        cut_flat = np.flatnonzero(is_cut)             # flat END indices
+        new_offs = np.concatenate([[0], cut_flat + 1])
+        chunk_arr = pa.StringArray.from_buffers(
+            len(cut_flat),
+            pa.py_buffer(new_offs.astype(np.int32).tobytes()),
+            pa.py_buffer(np.ascontiguousarray(data)))
+        grp = t.column(group_col).take(
+            pa.array(doc_of[cut_flat], pa.int64()))
+        return pa.table({group_col: grp, "chunk": chunk_arr})
+
+    ch = ds.select_columns([group_col, text_col]).map_batches(
+        chunks_of, batch_format="pyarrow")
+    total = grouped_agg(ch, [group_col], [("chunk", "count")],
+                        rename={"chunk_count": "n_chunks"},
+                        num_buckets=num_buckets)
+    distinct = grouped_distinct_count(ch, group_col, "chunk",
+                                      num_buckets=num_buckets)
+    return total, distinct

@@ -595,6 +595,41 @@ def assign_split(ds, id_col: str, *,
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+def assign_split_grouped(ds, id_col: str, key_col: str, *,
+                         canon_col: str = "canon_id",
+                         num_buckets: int | None = None,
+                         max_group_rows: int | None = 1_000_000,
+                         **split_kwargs):
+    """Leakage-safe train/val/test split: the assignment UNIT is the
+    ``key_col`` GROUP (e.g. normalized text — an exact-dup cluster), not
+    the row, so duplicate documents can never straddle the train/test
+    boundary (the split-contamination failure mode the C4/Pile dedup
+    papers fix).  Each group's rows are co-located through ONE hash
+    exchange, the minimum ``id_col`` becomes the group's canonical id,
+    and :func:`assign_split`'s Knuth-hash CASE predicate runs on that
+    canonical id — split membership stays a pure, engine-portable
+    function of (group min-id, fractions).
+
+    Appends ``canon_col`` and the split column; no second shuffle (the
+    split tag is a stateless map over the exchanged output)."""
+    from webval.exchange import bucketed_group_apply
+
+    def canon_of(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column(canon_col, pa.array([], pa.int64()))
+        m = g.group_by([key_col]).aggregate([(id_col, "min")])
+        canon = m.column(f"{id_col}_min").combine_chunks().take(
+            pc.index_in(g.column(key_col),
+                        value_set=m.column(key_col).combine_chunks()))
+        return g.append_column(canon_col,
+                               pc.cast(canon, pa.int64()))
+
+    keyed = bucketed_group_apply(ds, [key_col], canon_of,
+                                 num_buckets=num_buckets,
+                                 max_group_rows=max_group_rows)
+    return assign_split(keyed, canon_col, **split_kwargs)
+
+
 def stratified_sample(ds, id_col: str, group_col: str,
                       fractions: dict, *, default: float = 0.0,
                       modulus: int = 2**32, multiplier: int = 2654435761):

@@ -11842,6 +11842,314 @@ GROUP BY lang ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# round-5 additions: DSIR, SemDeDup, leakage-safe split, CDC chunk dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023): score every document
+    by ln(p_target/p_raw) of its hashed unigram+bigram features, target =
+    the 'en' slice.  Two streaming passes, a 256-long broadcast table,
+    no shuffle.  The SQL twin recomputes the identical position-weighted
+    ASCII hash (unicode(substr)*i), the identical Laplace log-ratio
+    (same operation order), and the same per-doc mean; selected = w > 0
+    is guarded by a loud 1e-9 margin assert so the boolean transfers
+    across engines."""
+    import ray.data as rd
+
+    from webval.textstats import dsir_importance
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+
+    def en_mask(t: pa.Table):
+        return np.asarray(
+            pc.equal(t.column("lang").combine_chunks(), "en")
+            .to_numpy(zero_copy_only=False), dtype=bool)
+
+    out = dsir_importance(ds, "doc_id", "text", en_mask, n_buckets=256)
+    t = ds_to_table(out).sort_by([("doc_id", "ascending")])
+    w = t.column("dsir_w").to_numpy(zero_copy_only=False)
+    if len(w) and float(np.abs(w).min()) < 1e-9:
+        raise AssertionError(
+            "dsir_weights: a weight sits within 1e-9 of the selected=w>0 "
+            "boundary — the boolean is not engine-transferable")
+    t = t.append_column("selected", pa.array(w > 0))
+    t = _round_cols(t, {"dsir_w": 6})
+    return t.select(["doc_id", "dsir_w", "n_feats", "selected"])
+
+
+SQL_DSIR_WEIGHTS = """
+WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+           FROM documents),
+grams AS (SELECT doc_id, lang,
+                 unnest(list_concat(
+                     ws,
+                     list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i + 1]))) AS g
+          FROM s),
+hashed AS (SELECT doc_id, lang,
+                  list_sum(list_transform(range(1, length(g) + 1),
+                      j -> unicode(g[CAST(j AS INT)]) * j)) % 256 AS f
+           FROM grams),
+counts AS (SELECT f, count(*) AS c_raw,
+                  count(*) FILTER (WHERE lang = 'en') AS c_tgt
+           FROM hashed GROUP BY f),
+tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM counts),
+ll AS (SELECT f, ln(((c_tgt + 1.0) / (t_tgt + 256.0))
+                    / ((c_raw + 1.0) / (t_raw + 256.0))) AS v
+       FROM counts, tot),
+w AS (SELECT h.doc_id, sum(l.v) AS sw, count(*) AS nf
+      FROM hashed h JOIN ll l USING (f) GROUP BY h.doc_id)
+SELECT doc_id, round(sw / nf, 6) AS dsir_w, CAST(nf AS BIGINT) AS n_feats,
+       (sw / nf) > 0 AS selected
+FROM w ORDER BY doc_id
+"""
+
+
+def _kmeans_det_init(sf_dir: str):
+    """Deterministic per-label min-vec_id init + 3-iteration fit — the
+    engine-reproducible k-means setup shared with q_kmeans_sql."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from webval.clustering import kmeans_fit
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label", "embedding"])
+    labels = full.column("label").to_numpy(zero_copy_only=False)
+    vids = full.column("vec_id").to_numpy(zero_copy_only=False)
+    emb = full.column("embedding")
+    init_rows = []
+    for lab in sorted(set(labels.tolist())):
+        sel = np.flatnonzero(labels == lab)
+        init_rows.append(int(sel[np.argmin(vids[sel])]))
+    init = np.asarray([emb[i].as_py() for i in init_rows], dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cents = kmeans_fit(ds, "embedding", len(init_rows), n_iter=3, tol=0.0,
+                       init_centroids=init)
+    return ds, cents
+
+
+def q_semdedup_prune(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) as a first-class operator: k-means
+    clusters (deterministic init, 3 iterations — the kmeans_sql
+    precondition) bound the pairwise cosine work; within each cluster
+    every vector whose cosine to a LOWER-id member is >= eps is pruned
+    (keep-min-id — the deterministic, SQL-expressible variant of the
+    paper's greedy sweep).  eps=0.469 sits >= 9e-4 from every
+    within-cluster cosine at all three SFs (measured), and the engine
+    raises if the fixture ever drifts within 5e-4 — the float threshold
+    is loudly transferable.  The SQL twin unrolls the same 3 Lloyd
+    iterations and replays the pruning rule as an EXISTS self-join."""
+    ds, cents = _kmeans_det_init(sf_dir)
+    from webval.dedup import semdedup_prune
+
+    out = semdedup_prune(ds, "vec_id", "embedding", cents,
+                         eps=0.469, margin=5e-4)
+    t = ds_to_table(out).sort_by([("vec_id", "ascending")])
+    # same precondition as kmeans_sql: the twin's c{t+1} unroll drops
+    # empty clusters while the engine keeps them
+    got = set(pc.unique(t.column("cluster")).to_pylist())
+    if got != set(range(len(cents))):
+        raise AssertionError(
+            f"semdedup_prune: empty cluster(s) {set(range(len(cents))) - got}"
+            " — the SQL twin's k-means unroll diverges on empty clusters")
+    if not pc.any(t.column("pruned")).as_py():
+        raise AssertionError("semdedup_prune: zero pruned rows — the "
+                             "threshold test is vacuous on this fixture")
+    return t.select(["vec_id", "cluster", "pruned"])
+
+
+def _sql_semdedup(n_iter: int = 3, dim: int = 64, eps: float = 0.469) -> str:
+    """The q_kmeans_sql unroll (same score rule, same layers) with a
+    SemDeDup pruning tail: pruned = EXISTS a lower-id same-cluster vector
+    at cosine >= eps."""
+    score = ("sum(CAST(e.embedding[CAST(c.i AS INT)] AS DOUBLE) * c.v) "
+             "- 0.5 * sum(c.v * c.v)")
+    layers = [f"""
+m AS (SELECT label, min(vec_id) AS vid FROM embeddings GROUP BY label),
+c0 AS (SELECT CAST(dense_rank() OVER (ORDER BY m.label) - 1 AS BIGINT)
+              AS cid, CAST(r.i AS BIGINT) AS i,
+              CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE) AS v
+       FROM m JOIN embeddings e ON e.vec_id = m.vid
+       CROSS JOIN range(1, {dim + 1}) r(i))"""]
+    for t in range(n_iter):
+        layers.append(f"""
+s{t} AS (SELECT e.vec_id, c.cid, {score} AS sc
+         FROM embeddings e JOIN c{t} c ON true
+         GROUP BY e.vec_id, c.cid),
+a{t} AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sc DESC, cid) AS rn
+           FROM s{t}) WHERE rn = 1),
+c{t + 1} AS (SELECT a.cid, CAST(r.i AS BIGINT) AS i,
+                    avg(CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE)) AS v
+             FROM a{t} a JOIN embeddings e USING (vec_id)
+             CROSS JOIN range(1, {dim + 1}) r(i)
+             GROUP BY a.cid, r.i)""")
+    last = n_iter
+    return ("WITH " + ",".join(layers) + f"""
+, sf AS (SELECT e.vec_id, c.cid, {score} AS sc
+         FROM embeddings e JOIN c{last} c ON true
+         GROUP BY e.vec_id, c.cid),
+av AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sc DESC, cid) AS rn
+         FROM sf) WHERE rn = 1)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+       EXISTS (SELECT 1 FROM av b JOIN embeddings eb ON eb.vec_id = b.vec_id
+               WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+                 AND list_cosine_similarity(e.embedding, eb.embedding)
+                     >= {eps}) AS pruned
+FROM av a JOIN embeddings e ON e.vec_id = a.vec_id
+ORDER BY a.vec_id
+""")
+
+
+SQL_SEMDEDUP_PRUNE = _sql_semdedup()
+
+
+def q_leakage_safe_split(sf_dir: str):
+    """Leakage-safe train/val/test split: the split unit is the exact-dup
+    TEXT group (canonical id = group min page_id), so planted duplicate
+    pages can never straddle the train/test boundary — the
+    split-contamination failure the C4/Pile dedup papers fix.  ONE hash
+    exchange co-locates groups; the split tag is the same Knuth-hash CASE
+    predicate as split_assign, applied to the canonical id.  In-query
+    asserts pin BOTH non-vacuity (dups exist) and the leakage invariant
+    (Σ per-split distinct groups == global distinct groups — a group in
+    two splits would count twice)."""
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg, grouped_distinct_count
+    from webval.pipelines import assign_split_grouped
+
+    pages_p, _ = ensure_synth(sf_dir)
+    ds = rd.read_parquet(pages_p, columns=["page_id", "text"]).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("text"))),
+        batch_format="pyarrow")
+    keyed = assign_split_grouped(ds, "page_id", "text")
+    keyed = keyed.map_batches(lambda t: t.select(["page_id", "canon_id",
+                                                  "split"]),
+                              batch_format="pyarrow").materialize()
+    per_split = ds_to_table(grouped_agg(
+        keyed, ["split"], [("page_id", "count")],
+        rename={"page_id_count": "n_pages"}))
+    per_groups = ds_to_table(grouped_distinct_count(
+        keyed, "split", "canon_id", out_col="n_groups"))
+    t = per_split.join(per_groups, keys=["split"]).sort_by(
+        [("split", "ascending")])
+    n_pages = pc.sum(t.column("n_pages")).as_py()
+    n_groups = pc.sum(t.column("n_groups")).as_py()
+    global_groups = ds_to_table(grouped_distinct_count(
+        keyed.map_batches(lambda b: b.append_column(
+            "one", pa.array(np.zeros(b.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        "one", "canon_id", out_col="g"))
+    gg = int(global_groups.column("g")[0].as_py())
+    if n_groups != gg:
+        raise AssertionError(
+            f"leakage_safe_split: {n_groups - gg} dup groups straddle a "
+            "split boundary — leakage")
+    if gg >= n_pages:
+        raise AssertionError("leakage_safe_split: no duplicate texts in "
+                             "the fixture — the grouped split is vacuous")
+    return t.set_column(
+        t.column_names.index("n_pages"), "n_pages",
+        pc.cast(t.column("n_pages"), pa.int64())).set_column(
+        t.column_names.index("n_groups"), "n_groups",
+        pc.cast(t.column("n_groups"), pa.int64()))
+
+
+SQL_LEAKAGE_SAFE_SPLIT = f"""
+WITH p AS (SELECT page_id, text
+           FROM read_parquet('{SYNTH_ROOT}/sf0.01/webpages.parquet')
+           WHERE text IS NOT NULL),
+c AS (SELECT page_id, min(page_id) OVER (PARTITION BY text) AS canon
+      FROM p),
+s AS (SELECT page_id, canon,
+             CASE WHEN (canon * 2654435761) % 4294967296 < 3865470566
+                      THEN 'train'
+                  WHEN (canon * 2654435761) % 4294967296 < 4080218931
+                      THEN 'val'
+                  ELSE 'test' END AS split
+      FROM c)
+SELECT split, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT canon) AS BIGINT) AS n_groups
+FROM s GROUP BY split ORDER BY split
+"""
+
+
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking dedup ratio per source (the rsync/LBFS
+    rolling-boundary idea over the documents corpus): cut after every
+    position whose trailing-8 ASCII-code sum is 0 mod 64, count total vs
+    distinct chunks per source.  Chunk extraction is an offsets-only
+    rewrite of the batch's own string buffer; counts ride two exchanges.
+    The SQL twin rebuilds the identical boundaries from character prefix
+    sums (sum OVER minus lag) and substr's the same chunks; the ratio is
+    one exact int/int division on both engines — emitted UNROUNDED."""
+    import ray.data as rd
+
+    from webval.dedup import cdc_chunk_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    total, distinct = cdc_chunk_stats(ds, "source", "text",
+                                      window=8, mod=64)
+    tt = ds_to_table(total)
+    td = ds_to_table(distinct)
+    t = tt.join(td, keys=["source"]).sort_by([("source", "ascending")])
+    nc = t.column("n_chunks").to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    nd = t.column("n_distinct").to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    t = t.append_column("dup_chunk_ratio", pa.array(1.0 - nd / nc))
+    t = t.set_column(t.column_names.index("n_chunks"), "n_chunks",
+                     pc.cast(t.column("n_chunks"), pa.int64()))
+    return t.rename_columns(
+        ["source", "n_chunks", "n_distinct_chunks", "dup_chunk_ratio"])
+
+
+SQL_CDC_CHUNKS = """
+WITH ch AS (SELECT doc_id, source, length(text) AS L,
+                   unnest(range(1, length(text) + 1)) AS i,
+                   unnest(list_transform(range(1, length(text) + 1),
+                          k -> unicode(text[CAST(k AS INT)]))) AS c
+            FROM documents),
+ps AS (SELECT doc_id, source, i, L,
+              sum(c) OVER (PARTITION BY doc_id ORDER BY i) AS p
+       FROM ch),
+wins AS (SELECT doc_id, source, i, L,
+                p - lag(p, 8, 0) OVER (PARTITION BY doc_id
+                                       ORDER BY i) AS wsum
+         FROM ps),
+cuts AS (SELECT DISTINCT doc_id, source, i FROM (
+           SELECT doc_id, source, i FROM wins
+           WHERE i >= 8 AND wsum % 64 = 0
+           UNION ALL
+           SELECT doc_id, source, length(text) AS i FROM documents)),
+spans AS (SELECT doc_id, source, i,
+                 lag(i, 1, 0) OVER (PARTITION BY doc_id
+                                    ORDER BY i) AS prev
+          FROM cuts),
+chunks AS (SELECT s.source,
+                  substr(d.text, CAST(s.prev + 1 AS INT),
+                         CAST(s.i - s.prev AS INT)) AS chunk
+           FROM spans s JOIN documents d USING (doc_id))
+SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct_chunks,
+       1 - (CAST(count(DISTINCT chunk) AS DOUBLE) / count(*))
+           AS dup_chunk_ratio
+FROM chunks GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -11949,6 +12257,11 @@ QUERIES = {
                                 SQL_GROUPED_APPROX_DISTINCT),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "kmeans_sql": (q_kmeans_sql, SQL_KMEANS_SQL),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP_PRUNE),
+    "leakage_safe_split": (q_leakage_safe_split,
+                           SQL_LEAKAGE_SAFE_SPLIT),
+    "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "fetch_gaps": (q_fetch_gaps, SQL_FETCH_GAPS),
     "normalize_unicode": (q_normalize_unicode, SQL_NORMALIZE_UNICODE),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),

@@ -1498,3 +1498,157 @@ def group_vocab_cosine(ds, group_col: str, text_col: str, *,
         "g1": pa.array([r[0] for r in rows], pa.string()),
         "g2": pa.array([r[1] for r in rows], pa.string()),
         "cosine": pa.array([r[2] for r in rows], pa.float64())}))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance resampling (Xie et al. 2023, public)
+# ---------------------------------------------------------------------------
+
+
+def _ascii_token_sums(tokens: pa.Array) -> tuple[np.ndarray, np.ndarray,
+                                                 np.ndarray]:
+    """Per-token (weighted_sum, plain_sum, length) over ASCII codes, fully
+    vectorized off the Arrow string buffers: weighted_sum(s) = Σ_i i·code(s_i)
+    with 1-based i — the position-weighted hash an ANSI-SQL twin can
+    reproduce with unicode(substr(s, i, 1)) * i.  ASCII-only is ENFORCED
+    (multibyte utf-8 would make byte positions diverge from SQL's character
+    positions); extend with a codepoint decode before lifting the gate."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    n = len(tokens)
+    if n == 0:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), z.copy()
+    off_dtype = (np.int64 if pa.types.is_large_string(tokens.type)
+                 else np.int32)
+    bufs = tokens.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        tokens.offset: tokens.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0]: offs[-1]]
+    offs = offs - offs[0]
+    if data.size and int(data.max()) > 127:
+        raise ValueError(
+            "dsir: non-ASCII text — the SQL-reproducible position hash is "
+            "defined over ASCII codes (byte position == char position)")
+    lens = np.diff(offs)
+    if np.any(lens == 0):
+        raise ValueError(
+            "dsir: empty token (consecutive/leading/trailing spaces) — "
+            "tokenization is a plain single-space split on BOTH engines; "
+            "whitespace-normalize the text first")
+    codes = data.astype(np.int64)
+    pos = np.arange(len(codes), dtype=np.int64) \
+        - np.repeat(offs[:-1], lens) + 1
+    wsum = np.add.reduceat(codes * pos, offs[:-1])
+    csum = np.add.reduceat(codes, offs[:-1])
+    return wsum, csum, lens
+
+
+def _dsir_doc_features(txt: pa.Array, n_buckets: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Hashed unigram+bigram feature OCCURRENCES per doc.  Returns
+    (features, doc_idx) flat arrays: unigram feature = wsum(w) % B; bigram
+    feature = hash of the joined string "w1 w2" computed COMPOSITIONALLY —
+    wsum(w1) + 32·(L1+1) + wsum(w2) + (L1+1)·csum(w2), identical to
+    hashing the concatenation (the space sits at position L1+1 and every
+    w2 char shifts by L1+1) — no joined strings are materialized."""
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    if txt.null_count or pc.any(pc.equal(txt, "")).as_py():
+        raise ValueError("dsir: null/empty text rows — the twin's "
+                         "string_split semantics need non-empty text")
+    toks = pc.split_pattern(txt, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    list_offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values
+    wsum, csum, lens = _ascii_token_sums(flat)
+    n_tok = np.diff(list_offs)
+    doc_of = np.repeat(np.arange(len(txt), dtype=np.int64), n_tok)
+    uni = wsum % n_buckets
+    # bigram pairs: consecutive flat slots within the same doc
+    same = doc_of[:-1] == doc_of[1:] if len(flat) > 1 \
+        else np.empty(0, bool)
+    a = np.flatnonzero(same)
+    big = (wsum[a] + 32 * (lens[a] + 1) + wsum[a + 1]
+           + (lens[a] + 1) * csum[a + 1]) % n_buckets
+    feats = np.concatenate([uni, big])
+    docs = np.concatenate([doc_of, doc_of[a]])
+    return feats, docs
+
+
+def dsir_feature_counts(ds, text_col: str, target_mask_fn, *,
+                        n_buckets: int = 256,
+                        batch_size: int | None = 65536
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """ONE streaming pass → (raw_counts, target_counts), each a B-vector of
+    hashed-feature occurrence counts (raw = whole corpus, target = rows
+    where ``target_mask_fn(batch)`` is True).  Per-batch partials are two
+    B-long bincounts — mergeable by addition, B bytes through the object
+    store per block, nothing shuffles."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        feats, docs = _dsir_doc_features(t.column(text_col), n_buckets)
+        raw = np.bincount(feats, minlength=n_buckets)
+        m = np.asarray(target_mask_fn(t), dtype=bool)
+        tgt = np.bincount(feats[m[docs]], minlength=n_buckets)
+        return pa.table({
+            "raw": pa.array([raw], pa.list_(pa.int64())),
+            "tgt": pa.array([tgt], pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size).materialize()
+    raw = np.zeros(n_buckets, np.int64)
+    tgt = np.zeros(n_buckets, np.int64)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for r in b.column("raw").to_pylist():
+            raw += np.asarray(r, np.int64)
+        for r in b.column("tgt").to_pylist():
+            tgt += np.asarray(r, np.int64)
+    return raw, tgt
+
+
+def dsir_importance(ds, id_col: str, text_col: str, target_mask_fn, *,
+                    n_buckets: int = 256, smoothing: float = 1.0,
+                    keep_cols: tuple = (),
+                    batch_size: int | None = 65536):
+    """DSIR importance weights (data selection via importance resampling,
+    Xie et al. 2023): score every document by how much its hashed-ngram
+    distribution looks like the TARGET slice vs the RAW corpus —
+    w(doc) = mean over feature occurrences f of ln(p_target(f)/p_raw(f)),
+    with add-``smoothing`` Laplace estimates over ``n_buckets`` hashed
+    unigram+bigram buckets.
+
+    Two streaming passes (the DSIR shape at any scale): pass 1 reduces the
+    corpus to two B-long count vectors; pass 2 broadcasts the B-long
+    log-ratio table via ``ray.put`` and scores each batch vectorized —
+    no shuffle anywhere.  Returns Dataset[id, *keep_cols, dsir_w, n_feats].
+    """
+    import ray
+
+    raw, tgt = dsir_feature_counts(ds, text_col, target_mask_fn,
+                                   n_buckets=n_buckets,
+                                   batch_size=batch_size)
+    B = n_buckets
+    p_raw = (raw + smoothing) / (raw.sum() + smoothing * B)
+    p_tgt = (tgt + smoothing) / (tgt.sum() + smoothing * B)
+    loglift_ref = ray.put(np.log(p_tgt / p_raw))
+
+    def score(t: pa.Table) -> pa.Table:
+        ll = ray.get(loglift_ref)
+        feats, docs = _dsir_doc_features(t.column(text_col), B)
+        n = t.num_rows
+        sums = np.zeros(n, np.float64)
+        np.add.at(sums, docs, ll[feats])
+        cnt = np.bincount(docs, minlength=n)
+        if np.any(cnt == 0):
+            raise ValueError("dsir: document with zero features")
+        cols = {id_col: t.column(id_col)}
+        for c in keep_cols:
+            cols[c] = t.column(c)
+        cols["dsir_w"] = pa.array(sums / cnt, pa.float64())
+        cols["n_feats"] = pa.array(cnt.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=batch_size)
