@@ -301,3 +301,60 @@ def test_cdc_non_ascii_raises():
     with pytest.raises(Exception, match="non-ASCII"):
         pa.concat_tables(total.iter_batches(batch_format="pyarrow",
                                             batch_size=None))
+
+
+# ---------------------------------------------------------------------------
+# hashed logistic regression
+# ---------------------------------------------------------------------------
+
+
+def test_logreg_fit_matches_brute_force_and_separates():
+    import ray.data as rd
+
+    from webval.textstats import logreg_fit_hashed
+
+    rng = np.random.default_rng(13)
+    pos_vocab = ["excellent", "clear", "thorough"]
+    neg_vocab = ["spam", "click", "winx"]
+    texts, labels = [], []
+    for _ in range(120):
+        y = bool(rng.random() < 0.5)
+        vocab = pos_vocab if y else neg_vocab
+        texts.append(" ".join(rng.choice(vocab,
+                                         size=rng.integers(2, 8))))
+        labels.append(y)
+    # B=64: the six vocab unigrams land in six DISTINCT buckets (at 32,
+    # "thorough" and "winx" collide and the separation claim is false)
+    B, lr, it = 64, 0.5, 2
+
+    # brute force (same feature hash as the engine)
+    occ = _ref_features(texts, B)
+    n = len(texts)
+    w = np.zeros(B)
+    for _ in range(it):
+        s = np.zeros(n)
+        for d, f in occ:
+            s[d] += w[f]
+        p = 1.0 / (1.0 + np.exp(-s))
+        g = np.zeros(B)
+        for d, f in occ:
+            g[f] += (1.0 if labels[d] else 0.0) - p[d]
+        w = w + lr * (g / n)
+
+    tab = pa.table({"text": pa.array(texts),
+                    "y": pa.array(labels)})
+
+    def mask(b):
+        return np.asarray(b.column("y").combine_chunks()
+                          .to_numpy(zero_copy_only=False), bool)
+
+    for nb in (1, 5):
+        ds = rd.from_arrow(tab).repartition(nb)
+        got = logreg_fit_hashed(ds, "text", mask, n_buckets=B,
+                                n_iter=it, lr=lr, batch_size=17)
+        assert np.allclose(got, w, atol=1e-12)
+    # the learned weights actually separate: every pos-vocab unigram
+    # bucket outweighs every neg-vocab unigram bucket
+    pos_f = {_href(t, B) for t in pos_vocab}
+    neg_f = {_href(t, B) for t in neg_vocab}
+    assert min(w[list(pos_f)]) > max(w[list(neg_f)])

@@ -12150,6 +12150,75 @@ FROM chunks GROUP BY source ORDER BY source
 """
 
 
+def q_quality_logreg(sf_dir: str):
+    """FastText-style quality classifier trained IN the engine: 2
+    full-batch logistic-regression GD steps over hashed unigram+bigram
+    counts (B=64, the DSIR feature space), label = lang 'en'.  One
+    streaming pass per step, B-long partial gradients, driver-side
+    update — textbook distributed GD.  The SQL twin unrolls both steps
+    (step 0 closed-form via p=0.5, step 1 via exp) with the identical
+    operation order, so the learned weights hash-match after round(6).
+    Output restricted to OBSERVED feature buckets (w=0 elsewhere on both
+    engines by construction)."""
+    import ray.data as rd
+
+    from webval.textstats import dsir_feature_counts, logreg_fit_hashed
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+
+    def en_mask(t: pa.Table):
+        return np.asarray(
+            pc.equal(t.column("lang").combine_chunks(), "en")
+            .to_numpy(zero_copy_only=False), dtype=bool)
+
+    B = 64
+    w = logreg_fit_hashed(ds, "text", en_mask, n_buckets=B, n_iter=2,
+                          lr=0.5)
+    raw, _ = dsir_feature_counts(ds, "text", en_mask, n_buckets=B)
+    obs = np.flatnonzero(raw > 0)
+    t = pa.table({"feature": pa.array(obs.astype(np.int64), pa.int64()),
+                  "n_occurrences": pa.array(raw[obs], pa.int64()),
+                  "weight": pa.array(w[obs], pa.float64())})
+    return _round_cols(t, {"weight": 6})
+
+
+SQL_QUALITY_LOGREG = """
+WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+           FROM documents),
+grams AS (SELECT doc_id, lang,
+                 unnest(list_concat(
+                     ws,
+                     list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i + 1]))) AS g
+          FROM s),
+hashed AS (SELECT doc_id, lang,
+                  list_sum(list_transform(range(1, length(g) + 1),
+                      j -> unicode(g[CAST(j AS INT)]) * j)) % 64 AS f
+           FROM grams),
+nn AS (SELECT count(*) AS n FROM documents),
+w1 AS (SELECT f,
+              0.5 * (sum(CASE WHEN lang = 'en' THEN 0.5 ELSE -0.5 END)
+                     / (SELECT n FROM nn)) AS w
+       FROM hashed GROUP BY f),
+s1 AS (SELECT h.doc_id, sum(w1.w) AS sc
+       FROM hashed h JOIN w1 USING (f) GROUP BY h.doc_id),
+p1 AS (SELECT doc_id, 1 / (1 + exp(-sc)) AS p FROM s1),
+g1 AS (SELECT h.f,
+              sum((CASE WHEN h.lang = 'en' THEN 1.0 ELSE 0.0 END) - p1.p)
+              AS g
+       FROM hashed h JOIN p1 USING (doc_id) GROUP BY h.f),
+w2 AS (SELECT w1.f, w1.w + 0.5 * (g1.g / (SELECT n FROM nn)) AS w
+       FROM w1 JOIN g1 USING (f))
+SELECT CAST(w2.f AS BIGINT) AS feature,
+       CAST(cnt.c AS BIGINT) AS n_occurrences,
+       round(w2.w, 6) AS weight
+FROM w2 JOIN (SELECT f, count(*) AS c FROM hashed GROUP BY f) cnt
+     USING (f)
+ORDER BY w2.f
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -12262,6 +12331,7 @@ QUERIES = {
     "leakage_safe_split": (q_leakage_safe_split,
                            SQL_LEAKAGE_SAFE_SPLIT),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
+    "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
     "fetch_gaps": (q_fetch_gaps, SQL_FETCH_GAPS),
     "normalize_unicode": (q_normalize_unicode, SQL_NORMALIZE_UNICODE),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),

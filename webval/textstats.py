@@ -1652,3 +1652,60 @@ def dsir_importance(ds, id_col: str, text_col: str, target_mask_fn, *,
 
     return ds.map_batches(score, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def logreg_fit_hashed(ds, text_col: str, label_mask_fn, *,
+                      n_buckets: int = 64, n_iter: int = 2,
+                      lr: float = 0.5,
+                      batch_size: int | None = 65536) -> np.ndarray:
+    """FastText-style quality-classifier training: full-batch logistic
+    regression over hashed unigram+bigram COUNT features (the same
+    SQL-reproducible feature space as :func:`dsir_importance`), label =
+    ``label_mask_fn(batch)``.  One streaming pass per gradient step, the
+    textbook distributed-GD shape: the current weight vector broadcasts
+    via ``ray.put``, every batch emits a B-long partial gradient
+    X^T(y - sigmoid(Xw)) (mergeable by addition), the driver applies
+    w += lr * grad / n.  Iteration 0 exploits w=0 ⇒ p=0.5 to also count n,
+    so ``n_iter`` steps cost exactly ``n_iter`` passes.
+
+    The update uses the same operation ORDER an ANSI-SQL unroll produces
+    (p = 1/(1+exp(-s)); grad summed then divided by n; w + lr*(grad/n)) so
+    a CTE-unrolled twin agrees to float ulps.  Returns the (B,) float64
+    weight vector."""
+    import ray
+
+    B = n_buckets
+    w = np.zeros(B, np.float64)
+    n_total = 0
+
+    for it in range(n_iter):
+        w_ref = ray.put(w)
+
+        def partial(t: pa.Table) -> pa.Table:
+            feats, docs = _dsir_doc_features(t.column(text_col), B)
+            y = np.asarray(label_mask_fn(t), dtype=np.float64)
+            cur = ray.get(w_ref)
+            s = np.zeros(t.num_rows, np.float64)
+            np.add.at(s, docs, cur[feats])
+            p = 1.0 / (1.0 + np.exp(-s))
+            g = np.zeros(B, np.float64)
+            np.add.at(g, feats, (y - p)[docs])
+            return pa.table({
+                "g": pa.array([g], pa.list_(pa.float64())),
+                "n": pa.array([t.num_rows], pa.int64())})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=batch_size).materialize()
+        grad = np.zeros(B, np.float64)
+        n_pass = 0
+        for b in parts.iter_batches(batch_format="pyarrow",
+                                    batch_size=None):
+            for r in b.column("g").to_pylist():
+                grad += np.asarray(r, np.float64)
+            n_pass += int(pc.sum(b.column("n")).as_py() or 0)
+        if it == 0:
+            n_total = n_pass
+        if n_total == 0:
+            raise ValueError("logreg_fit_hashed: empty dataset")
+        w = w + lr * (grad / n_total)
+    return w
