@@ -592,6 +592,93 @@ def run_ops(sf_dir: str, ncpu: int, pages_dir: str) -> dict[str, float]:
         assert len(pairs) == 20
         assert all(p["n"] >= 1000 for p in pairs)
 
+    # ----- r5 session: curation-operator family at bench scale ------------
+    # DSIR / logreg / CDC run on the ASCII slice of the pages fixture
+    # (their SQL-portable position hash is defined on ASCII; the slice is
+    # ~56% of rows and each lang has its own synth vocabulary — the
+    # asserts below are properties of THIS fixture, not of sf-testdata).
+    from webval.dedup import cdc_chunk_stats, semdedup_prune
+    from webval.textstats import dsir_importance, logreg_fit_hashed
+
+    def ascii_slice(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        m = pc.and_(pc.is_valid(txt),
+                    pc.equal(pc.binary_length(txt), pc.utf8_length(txt)))
+        m = pc.and_(m, pc.not_equal(pc.fill_null(txt, ""), ""))
+        t = t.filter(m)
+        return t.set_column(t.column_names.index("lang"), "lang",
+                            pc.fill_null(t.column("lang"), "unk"))
+
+    def en_mask(t: pa.Table):
+        import numpy as np
+        return np.asarray(
+            pc.equal(t.column("lang").combine_chunks(), "en")
+            .to_numpy(zero_copy_only=False), bool)
+
+    asc = rd.read_parquet(pages_dir,
+                          columns=["page_id", "lang", "text"]) \
+        .map_batches(ascii_slice, batch_format="pyarrow")
+
+    with timed("dsir_400k"):
+        import numpy as np
+        out = dsir_importance(asc, "page_id", "text", en_mask,
+                              n_buckets=4096,
+                              keep_cols=("lang",)).materialize()
+        s_en = s_fr = 0.0
+        n_en = n_fr = 0
+        for b in out.iter_batches(batch_format="pyarrow",
+                                  batch_size=None):
+            lg = b.column("lang").to_numpy(zero_copy_only=False)
+            w = b.column("dsir_w").to_numpy(zero_copy_only=False)
+            men, mfr = lg == "en", lg == "fr"
+            s_en += float(w[men].sum())
+            n_en += int(men.sum())
+            s_fr += float(w[mfr].sum())
+            n_fr += int(mfr.sum())
+        # en is the TARGET slice and fr has a disjoint synth function
+        # vocabulary, so the mean importance weight must separate
+        assert n_en > 0 and n_fr > 0
+        assert s_en / n_en > s_fr / n_fr, (s_en / n_en, s_fr / n_fr)
+
+    with timed("logreg_400k"):
+        import numpy as np
+        w = logreg_fit_hashed(asc, "text", en_mask, n_buckets=4096,
+                              n_iter=2, lr=0.5)
+        assert np.isfinite(w).all() and float(np.abs(w).max()) > 0.0
+
+    with timed("cdc_chunks_400k"):
+        st = pa.concat_tables(
+            cdc_chunk_stats(asc, "lang", "text",
+                            num_buckets=2 * ncpu)
+            .iter_batches(batch_format="pyarrow", batch_size=None))
+        tot = int(pc.sum(st.column("n_chunks")).as_py())
+        dis = int(pc.sum(st.column("n_distinct")).as_py())
+        # the pages fixture plants exact-copy dup pages, and every copy
+        # shares ALL its chunks -> distinct strictly below total
+        assert tot > dis > 0, (tot, dis)
+
+    with timed("semdedup_1m"):
+        import numpy as np
+        from webval.clustering import kmeans_fit
+
+        vds = rd.read_parquet(vec_dir)
+        cents = kmeans_fit(vds, "embedding", 512, n_iter=2, seed=0,
+                           init_sample=8192)
+        n_rows = n_pruned = 0
+        for b in semdedup_prune(vds, "vec_id", "embedding", cents,
+                                eps=0.6, num_buckets=2 * ncpu) \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            n_rows += b.num_rows
+            n_pruned += int(pc.sum(pc.cast(b.column("pruned"),
+                                           pa.int64())).as_py() or 0)
+        assert n_rows == n_vec
+        # 1024 planted centers at noise 0.15: ~1.5% of same-center pair
+        # cosines clear 0.6 (measured on the generator), and each point
+        # has ~1000 same-center peers -> a nonzero but partial prune
+        frac = n_pruned / n_rows
+        timings["semdedup_1m_pruned_frac"] = round(frac, 4)
+        assert 0.01 < frac < 0.995, frac
+
     return timings
 
 

@@ -267,15 +267,13 @@ def test_cdc_chunks_match_reference_and_cover():
     tab = pa.table({"g": pa.array(grp), "text": pa.array(texts)})
     for nb in (1, 4):
         ds = rd.from_arrow(tab).repartition(nb)
-        total, distinct = cdc_chunk_stats(ds, "g", "text")
-        tt = pa.concat_tables(total.iter_batches(batch_format="pyarrow",
-                                                 batch_size=None))
-        td = pa.concat_tables(distinct.iter_batches(batch_format="pyarrow",
-                                                    batch_size=None))
+        out = cdc_chunk_stats(ds, "g", "text")
+        tt = pa.concat_tables(out.iter_batches(batch_format="pyarrow",
+                                               batch_size=None))
         got_t = dict(zip(tt.column("g").to_pylist(),
                          tt.column("n_chunks").to_pylist()))
-        got_d = dict(zip(td.column("g").to_pylist(),
-                         td.column("n_distinct").to_pylist()))
+        got_d = dict(zip(tt.column("g").to_pylist(),
+                         tt.column("n_distinct").to_pylist()))
         assert got_t == ref_total
         assert got_d == {g: len(s) for g, s in ref_distinct.items()}
 
@@ -297,10 +295,10 @@ def test_cdc_non_ascii_raises():
     from webval.dedup import cdc_chunk_stats
 
     tab = pa.table({"g": pa.array(["a"]), "text": pa.array(["café"])})
-    total, _ = cdc_chunk_stats(rd.from_arrow(tab), "g", "text")
+    out = cdc_chunk_stats(rd.from_arrow(tab), "g", "text")
     with pytest.raises(Exception, match="non-ASCII"):
-        pa.concat_tables(total.iter_batches(batch_format="pyarrow",
-                                            batch_size=None))
+        pa.concat_tables(out.iter_batches(batch_format="pyarrow",
+                                          batch_size=None))
 
 
 # ---------------------------------------------------------------------------

@@ -31,6 +31,10 @@ def _matrix_of(col: pa.ChunkedArray) -> np.ndarray:
     arr = col.combine_chunks()
     if isinstance(arr, pa.ChunkedArray):  # zero chunks edge
         arr = arr.chunk(0) if arr.num_chunks else pa.array([], arr.type)
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64, copy=False).reshape(-1, d)
     offsets = arr.offsets.to_numpy(zero_copy_only=False)
     widths = np.diff(offsets)
     if len(widths) and (widths != widths[0]).any():

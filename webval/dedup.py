@@ -2042,7 +2042,9 @@ def semdedup_prune(ds, id_col: str, emb_col: str, centroids: np.ndarray, *,
         emb = g.column(emb_col)
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
-        mat = np.asarray(emb.values.to_numpy(zero_copy_only=False),
+        # list_flatten (NOT .values) — map_groups hands out SLICED tables,
+        # and a sliced ListArray's .values is the whole parent buffer
+        mat = np.asarray(pc.list_flatten(emb).to_numpy(zero_copy_only=False),
                          dtype=np.float64).reshape(len(cl), -1)
         norms = np.linalg.norm(mat, axis=1)
         if np.any(norms == 0):
@@ -2093,12 +2095,15 @@ def cdc_chunk_stats(ds, group_col: str, text_col: str, *,
 
     Chunk extraction is ZERO-COPY: chunks of a doc are contiguous and
     cover it, so the output StringArray reuses the batch's own data
-    buffer with new offsets.  The distinct count rides the exchange on
-    the chunk TEXT (exact, SQL-twin-comparable); at 100 TB you would
-    fingerprint chunks to 64-bit first and accept the collision odds.
-    ASCII-only is enforced (byte position == char position, the SQL
-    contract)."""
-    from webval.exchange import grouped_agg, grouped_distinct_count
+    buffer with new offsets.  Both counts come from ONE exchange on
+    (group, chunk) — per-pair counts roll up to Σn (total) and row-count
+    (distinct) in a second, group-cardinality-sized exchange.  The
+    exchange keys on the chunk TEXT (exact, SQL-twin-comparable); at
+    100 TB you would fingerprint chunks to 64-bit first and accept the
+    collision odds.  ASCII-only is enforced (byte position == char
+    position, the SQL contract).  Returns Dataset[group, n_chunks,
+    n_distinct]."""
+    from webval.exchange import grouped_agg
 
     def chunks_of(t: pa.Table) -> pa.Table:
         txt = t.column(text_col)
@@ -2148,9 +2153,12 @@ def cdc_chunk_stats(ds, group_col: str, text_col: str, *,
 
     ch = ds.select_columns([group_col, text_col]).map_batches(
         chunks_of, batch_format="pyarrow")
-    total = grouped_agg(ch, [group_col], [("chunk", "count")],
-                        rename={"chunk_count": "n_chunks"},
-                        num_buckets=num_buckets)
-    distinct = grouped_distinct_count(ch, group_col, "chunk",
-                                      num_buckets=num_buckets)
-    return total, distinct
+    pair_counts = grouped_agg(ch, [group_col, "chunk"],
+                              [("chunk", "count")],
+                              rename={"chunk_count": "n"},
+                              num_buckets=num_buckets)
+    return grouped_agg(pair_counts, [group_col],
+                       [("n", "sum"), ("n", "count")],
+                       rename={"n_sum": "n_chunks",
+                               "n_count": "n_distinct"},
+                       num_buckets=num_buckets)

@@ -12100,11 +12100,8 @@ def q_cdc_chunks(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["source", "text"])
-    total, distinct = cdc_chunk_stats(ds, "source", "text",
-                                      window=8, mod=64)
-    tt = ds_to_table(total)
-    td = ds_to_table(distinct)
-    t = tt.join(td, keys=["source"]).sort_by([("source", "ascending")])
+    out = cdc_chunk_stats(ds, "source", "text", window=8, mod=64)
+    t = ds_to_table(out).sort_by([("source", "ascending")])
     nc = t.column("n_chunks").to_numpy(zero_copy_only=False) \
         .astype(np.float64)
     nd = t.column("n_distinct").to_numpy(zero_copy_only=False) \
