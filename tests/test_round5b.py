@@ -356,3 +356,74 @@ def test_logreg_fit_matches_brute_force_and_separates():
     pos_f = {_href(t, B) for t in pos_vocab}
     neg_f = {_href(t, B) for t in neg_vocab}
     assert min(w[list(pos_f)]) > max(w[list(neg_f)])
+
+
+# ---------------------------------------------------------------------------
+# Gumbel-top-k resampling / global top-k
+# ---------------------------------------------------------------------------
+
+
+def test_global_top_k_matches_sort():
+    import ray.data as rd
+
+    from webval.rank import global_top_k
+
+    rng = np.random.default_rng(21)
+    v = rng.standard_normal(5000)
+    tab = pa.table({"id": pa.array(range(5000), pa.int64()),
+                    "v": pa.array(v, pa.float64())})
+    want = set(np.argsort(v)[-50:].tolist())
+    for nb in (1, 8):
+        ds = rd.from_arrow(tab).repartition(nb)
+        got = global_top_k(ds, "v", 50, batch_size=333)
+        assert set(got.column("id").to_pylist()) == want
+    with pytest.raises(Exception, match="nulls"):
+        global_top_k(rd.from_arrow(pa.table({
+            "id": pa.array([1], pa.int64()),
+            "v": pa.array([None], pa.float64())})), "v", 5)
+
+
+def test_gumbel_topk_sample_matches_brute_force():
+    import ray.data as rd
+
+    from webval.pipelines import gumbel_topk_sample
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    logit = rng.standard_normal(n) * 2
+    ids = np.arange(n, dtype=np.int64)
+    u = (((ids.astype(np.uint64) * np.uint64(2654435761))
+          % np.uint64(2**32)).astype(np.float64) + 0.5) / 2**32
+    g = logit - np.log(-np.log(u))
+    want = set(ids[np.argsort(g)[-64:]].tolist())
+
+    tab = pa.table({"id": pa.array(ids), "lg": pa.array(logit)})
+    for nb in (1, 6):
+        got = gumbel_topk_sample(
+            rd.from_arrow(tab).repartition(nb), "id", "lg", 64,
+            min_gap=1e-12)
+        assert set(got.column("id").to_pylist()) == want
+    # a tie inside min_gap is rejected loudly, not silently broken
+    tab2 = pa.table({"id": pa.array([0, 1, 2], pa.int64()),
+                     "lg": pa.array([0.0, 0.0, 0.0])})
+    # force identical keys: same logit AND same hash-uniform is impossible
+    # with distinct ids, so use an absurdly large min_gap instead
+    with pytest.raises(Exception, match="k-boundary gap"):
+        gumbel_topk_sample(rd.from_arrow(tab2), "id", "lg", 2,
+                           min_gap=1e9)
+
+
+def test_gumbel_sample_is_biased_toward_high_logits():
+    import ray.data as rd
+
+    from webval.pipelines import gumbel_topk_sample
+
+    # two populations with logit gap 4: the high-logit half must dominate
+    # the sample (deterministic — this pins the SIGN convention of the key)
+    n = 1000
+    logit = np.where(np.arange(n) < n // 2, 2.0, -2.0)
+    tab = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                    "lg": pa.array(logit)})
+    got = gumbel_topk_sample(rd.from_arrow(tab), "id", "lg", 100)
+    n_high = sum(1 for i in got.column("id").to_pylist() if i < n // 2)
+    assert n_high >= 90

@@ -1366,3 +1366,45 @@ def cap_per_group(ds, key_col: str, id_col: str, cap: int, *,
         num_buckets=num_buckets)
     return capped.map_batches(lambda t: t.drop_columns(["__h__"]),
                               batch_format="pyarrow")
+
+
+def gumbel_topk_sample(ds, id_col: str, logit_col: str, k: int, *,
+                       modulus: int = 2**32, multiplier: int = 2654435761,
+                       min_gap: float | None = None) -> "pa.Table":
+    """Deterministic Gumbel-top-k sampling WITHOUT replacement,
+    P(select) ∝ exp(logit) — the selection step of importance resampling
+    (DSIR) made engine-portable: the uniform is the Knuth multiplicative
+    hash of ``id_col`` (u = ((id·2654435761) mod 2³²  + 0.5) / 2³²), the
+    key is g = logit − ln(−ln u), and the sample is the global top-k by
+    g (per-batch argpartition combiner + driver merge — no sort shuffle,
+    see rank.global_top_k).  The same arithmetic is one ANSI-SQL
+    expression, so membership is reproducible across engines and runs.
+
+    ``min_gap``: loud precondition for cross-engine membership — raise
+    unless the gap between the k-th and (k+1)-th key exceeds it (a tie
+    within float noise would make the boundary engine-dependent)."""
+    from webval.rank import global_top_k
+
+    mult, mod = np.uint64(multiplier), np.uint64(modulus)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) and (ids < 0).any():
+            raise ValueError("gumbel_topk_sample: negative ids")
+        u = (((ids.astype(np.uint64) * mult) % mod).astype(np.float64)
+             + 0.5) / float(mod)
+        g = batch.column(logit_col).to_numpy(zero_copy_only=False) \
+            - np.log(-np.log(u))
+        return batch.append_column("__gumbel__", pa.array(g, pa.float64()))
+
+    top = global_top_k(ds.map_batches(add_key, batch_format="pyarrow"),
+                       "__gumbel__", k + 1)
+    top = top.sort_by([("__gumbel__", "descending")])
+    if min_gap is not None and top.num_rows > k:
+        gap = (top.column("__gumbel__")[k - 1].as_py()
+               - top.column("__gumbel__")[k].as_py())
+        if gap < min_gap:
+            raise ValueError(
+                f"gumbel_topk_sample: k-boundary gap {gap} < {min_gap} — "
+                "membership would be engine/float-order dependent")
+    return top.slice(0, k).drop_columns(["__gumbel__"])

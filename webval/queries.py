@@ -11880,7 +11880,9 @@ def q_dsir_weights(sf_dir: str):
     return t.select(["doc_id", "dsir_w", "n_feats", "selected"])
 
 
-SQL_DSIR_WEIGHTS = """
+# shared CTE prefix: hashed-gram features -> Laplace log-ratio -> per-doc
+# (sum, count) — ends at CTE ``w(doc_id, sw, nf)``
+_DSIR_CTE = """
 WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
            FROM documents),
 grams AS (SELECT doc_id, lang,
@@ -11902,6 +11904,9 @@ ll AS (SELECT f, ln(((c_tgt + 1.0) / (t_tgt + 256.0))
        FROM counts, tot),
 w AS (SELECT h.doc_id, sum(l.v) AS sw, count(*) AS nf
       FROM hashed h JOIN ll l USING (f) GROUP BY h.doc_id)
+"""
+
+SQL_DSIR_WEIGHTS = _DSIR_CTE + """
 SELECT doc_id, round(sw / nf, 6) AS dsir_w, CAST(nf AS BIGINT) AS n_feats,
        (sw / nf) > 0 AS selected
 FROM w ORDER BY doc_id
@@ -12216,6 +12221,48 @@ ORDER BY w2.f
 """
 
 
+def q_dsir_resample(sf_dir: str):
+    """The DSIR SELECTION step: deterministic Gumbel-top-k sampling
+    without replacement, P ∝ exp(dsir_w / τ) at τ=0.05 — uniform = Knuth
+    hash of doc_id, key = logit − ln(−ln u), winners = shuffle-free
+    distributed top-k (per-batch argpartition combiner + driver merge).
+    Membership transfers across engines because the arithmetic is one
+    ANSI-SQL expression and a loud 1e-9 k-boundary-gap precondition
+    rejects float-order-dependent ties."""
+    import ray.data as rd
+
+    from webval.pipelines import gumbel_topk_sample
+    from webval.textstats import dsir_importance
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+
+    def en_mask(t: pa.Table):
+        return np.asarray(
+            pc.equal(t.column("lang").combine_chunks(), "en")
+            .to_numpy(zero_copy_only=False), dtype=bool)
+
+    scored = dsir_importance(ds, "doc_id", "text", en_mask, n_buckets=256)
+    keyed = scored.map_batches(
+        lambda t: t.append_column(
+            "logit", pc.divide(t.column("dsir_w"), 0.05)),
+        batch_format="pyarrow")
+    top = gumbel_topk_sample(keyed, "doc_id", "logit", 100, min_gap=1e-9)
+    return top.select(["doc_id"]).sort_by([("doc_id", "ascending")])
+
+
+SQL_DSIR_RESAMPLE = _DSIR_CTE + """
+, g AS (SELECT doc_id,
+               (sw / nf) / 0.05
+               - ln(-ln(((doc_id * 2654435761) % 4294967296 + 0.5)
+                        / 4294967296.0)) AS gk
+        FROM w)
+SELECT doc_id
+FROM (SELECT doc_id FROM g ORDER BY gk DESC LIMIT 100)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -12329,6 +12376,7 @@ QUERIES = {
                            SQL_LEAKAGE_SAFE_SPLIT),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
+    "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
     "fetch_gaps": (q_fetch_gaps, SQL_FETCH_GAPS),
     "normalize_unicode": (q_normalize_unicode, SQL_NORMALIZE_UNICODE),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),

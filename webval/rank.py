@@ -1087,3 +1087,34 @@ def winsorized_mean(ds, key: str, value_col: str, *, lo: float = 0.05,
             "winsorized_mean": pc.divide(
                 t.column("s"), pc.cast(t.column("n"), pa.float64()))}),
         batch_format="pyarrow")
+
+
+def global_top_k(ds, order_col: str, k: int, *,
+                 batch_size: int | None = 65536) -> pa.Table:
+    """Global top-k rows by ``order_col`` WITHOUT a sort shuffle: every
+    batch pre-reduces to its own top-k via argpartition (the combiner that
+    makes this k·n_blocks, not n), the k-sized partials land on the driver,
+    one final argpartition picks the winners.  Nulls in ``order_col`` are
+    the caller's bug — argpartition on NaN would sort them last silently,
+    so they are rejected loudly.  Returns a pa.Table (driver-sized: ≤ k
+    rows)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.column(order_col).null_count:
+            raise ValueError(f"global_top_k: {order_col} contains nulls")
+        if t.num_rows > k:
+            v = t.column(order_col).to_numpy(zero_copy_only=False)
+            idx = np.argpartition(v, len(v) - k)[len(v) - k:]
+            t = t.take(pa.array(np.sort(idx)))
+        return t
+
+    parts = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=batch_size)
+          .iter_batches(batch_format="pyarrow", batch_size=None),
+        promote_options="permissive")
+    if parts.num_rows > k:
+        v = parts.column(order_col).to_numpy(zero_copy_only=False)
+        idx = np.argpartition(v, len(v) - k)[len(v) - k:]
+        parts = parts.take(pa.array(np.sort(idx)))
+    return parts
