@@ -662,6 +662,10 @@ def run_ops(sf_dir: str, ncpu: int, pages_dir: str) -> dict[str, float]:
         from webval.clustering import kmeans_fit
 
         vds = rd.read_parquet(vec_dir)
+        # 4096-row batches BEAT 64k here (A/B'd): the 512-col score
+        # matrix stays cache-sized (16 MB vs 268 MB) — the fit cost was
+        # never the matmul but the driver's to_pylist partial reduce,
+        # now flatten()-based in kmeans_fit
         cents = kmeans_fit(vds, "embedding", 512, n_iter=2, seed=0,
                            init_sample=8192)
         n_rows = n_pruned = 0

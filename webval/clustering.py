@@ -115,10 +115,14 @@ def kmeans_fit(ds, col: str, k: int, *, n_iter: int = 20, seed: int = 0,
                              batch_size=batch_size)
                 .iter_batches(batch_format="pyarrow", batch_size=None),
             promote_options="permissive")
-        sums = np.asarray(parts.column("sums").to_pylist(),
-                          dtype=np.float64).sum(axis=0).reshape(k, -1)
-        counts = np.asarray(parts.column("counts").to_pylist(),
-                            dtype=np.int64).sum(axis=0)
+        # flatten→numpy, NOT to_pylist (value-identical, no Python floats)
+        sc = parts.column("sums").combine_chunks()
+        sums = pc.list_flatten(sc).to_numpy(zero_copy_only=False) \
+            .astype(np.float64, copy=False).reshape(len(sc), -1) \
+            .sum(axis=0).reshape(k, -1)
+        cc = parts.column("counts").combine_chunks()
+        counts = pc.list_flatten(cc).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False).reshape(len(cc), -1).sum(axis=0)
         new = cents.copy()
         nz = counts > 0
         new[nz] = sums[nz] / counts[nz, None]

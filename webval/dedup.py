@@ -2007,7 +2007,8 @@ def cluster_pair_quality(ds, pred_col: str, truth_col: str, *,
 def semdedup_prune(ds, id_col: str, emb_col: str, centroids: np.ndarray, *,
                    eps: float = 0.85, num_buckets: int | None = None,
                    max_group_rows: int = 100_000,
-                   margin: float | None = None):
+                   margin: float | None = None,
+                   assign_batch_size: int | None = 4096):
     """SemDeDup semantic pruning: assign each vector to its nearest
     centroid (k-means clusters broadcast via ``ray.put``), co-locate each
     cluster through the hash exchange, and inside each cluster PRUNE every
@@ -2028,7 +2029,8 @@ def semdedup_prune(ds, id_col: str, emb_col: str, centroids: np.ndarray, *,
     from webval.exchange import bucketed_group_apply
 
     assigned = kmeans_assign(ds.select_columns([id_col, emb_col]),
-                             emb_col, centroids)
+                             emb_col, centroids,
+                             batch_size=assign_batch_size)
 
     def prune_clusters(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
