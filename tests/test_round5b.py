@@ -427,3 +427,37 @@ def test_gumbel_sample_is_biased_toward_high_logits():
     got = gumbel_topk_sample(rd.from_arrow(tab), "id", "lg", 100)
     n_high = sum(1 for i in got.column("id").to_pylist() if i < n // 2)
     assert n_high >= 90
+
+
+# ---------------------------------------------------------------------------
+# directional containment
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_containment_direction():
+    import ray.data as rd
+
+    from webval.dedup import ngram_all_pairs
+
+    long = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet forest until the morning light")
+    quote = "jumps over the lazy dog and keeps running"
+    other = "completely unrelated text about database engines and rays"
+    tab = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array([long, quote, other])})
+    out = pa.concat_tables(
+        ngram_all_pairs(rd.from_arrow(tab), "doc_id", "text",
+                        threshold=0.5, metric="containment",
+                        score_col="overlap")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    rows = {(a, b): (o, ca, cb)
+            for a, b, o, ca, cb in zip(out.column("id_a").to_pylist(),
+                                       out.column("id_b").to_pylist(),
+                                       out.column("overlap").to_pylist(),
+                                       out.column("cont_a").to_pylist(),
+                                       out.column("cont_b").to_pylist())}
+    assert set(rows) == {(1, 2)}
+    o, ca, cb = rows[(1, 2)]
+    # the quote (doc 2, the B side) is FULLY contained in doc 1; doc 1 is
+    # only partially contained in the quote — direction must show
+    assert cb == 1.0 and ca < 1.0 and o == 1.0

@@ -1328,15 +1328,19 @@ def ngram_all_pairs(ds, id_col: str, text_col: str = "text", *,
     per-pair Python.  Each unordered pair is emitted by its smaller id's
     task: Dataset[{id_a, id_b, <score_col>}] with score ≥ threshold.
 
-    ``metric``: "jaccard" = |∩|/|∪|, or "overlap" = the
-    Szymkiewicz–Simpson overlap coefficient |∩|/min(|A|,|B|) — the
-    symmetric containment detector (a doc fully embedded in a larger one
-    scores 1.0 where its jaccard can be arbitrarily small), the
-    subset-duplication audit near-dedup misses.
+    ``metric``: "jaccard" = |∩|/|∪|; "overlap" = the Szymkiewicz–Simpson
+    overlap coefficient |∩|/min(|A|,|B|) — the symmetric containment
+    detector (a doc fully embedded in a larger one scores 1.0 where its
+    jaccard can be arbitrarily small), the subset-duplication audit
+    near-dedup misses; "containment" = overlap selection PLUS the two
+    DIRECTIONAL scores as extra columns ``cont_a`` = |∩|/|A| and
+    ``cont_b`` = |∩|/|B| (which side is the quote and which the
+    container — the test-set-contamination / quote-detection direction
+    the symmetric scores erase).
     """
     import ray
 
-    if metric not in ("jaccard", "overlap"):
+    if metric not in ("jaccard", "overlap", "containment"):
         raise ValueError(f"ngram_all_pairs: unknown metric {metric!r}")
 
     from webval.textstats import rolling_hashes_batch
@@ -1389,6 +1393,7 @@ def ngram_all_pairs(ds, id_col: str, text_col: str = "text", *,
             found = np.zeros(len(ids), dtype=bool)
         keep = np.flatnonzero(found)
         out_a, out_b, out_j = [], [], []
+        out_ca, out_cb = [], []
         for i in keep:
             k = int(id_ord[pos_c[i]])  # index-side doc position
             mine = flat_h[d_ends[k] - d_sz[k]:d_ends[k]]
@@ -1406,7 +1411,7 @@ def ngram_all_pairs(ds, id_col: str, text_col: str = "text", *,
             else:
                 hits = np.empty(0, np.int64)
             inter = np.bincount(hits, minlength=len(d_ids))
-            if metric == "overlap":
+            if metric in ("overlap", "containment"):
                 den = np.minimum(d_sz, d_sz[k])
             else:
                 den = d_sz + d_sz[k] - inter
@@ -1416,9 +1421,16 @@ def ngram_all_pairs(ds, id_col: str, text_col: str = "text", *,
             out_a.extend([int(ids[i])] * len(sel))
             out_b.extend(d_ids[sel].tolist())
             out_j.extend(j[sel].tolist())
-        return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                         "id_b": pa.array(out_b, pa.int64()),
-                         score_col: pa.array(out_j, pa.float64())})
+            if metric == "containment":
+                out_ca.extend((inter[sel] / d_sz[k]).tolist())
+                out_cb.extend((inter[sel] / d_sz[sel]).tolist())
+        cols = {"id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                score_col: pa.array(out_j, pa.float64())}
+        if metric == "containment":
+            cols["cont_a"] = pa.array(out_ca, pa.float64())
+            cols["cont_b"] = pa.array(out_cb, pa.float64())
+        return pa.table(cols)
 
     return ds.select_columns([id_col]).map_batches(
         score_batch, batch_format="pyarrow", batch_size=batch_size)

@@ -12263,6 +12263,66 @@ ORDER BY doc_id
 """
 
 
+def q_containment_pairs(sf_dir: str):
+    """Directional containment audit (quote / test-set-contamination
+    detection): the same distinct-8-gram machinery as overlap_dup_pairs,
+    but each qualifying pair also reports WHICH side is contained —
+    cont_a = |∩|/|A|, cont_b = |∩|/|B| (metric="containment").  A short
+    doc quoted inside a long one shows cont_short ≈ 1 with cont_long
+    small; the symmetric scores erase that direction."""
+    import ray.data as rd
+
+    from webval.dedup import ngram_all_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def assert_ascii(b: pa.Table) -> pa.Table:
+        col = b.column("text")
+        mism = pc.sum(pc.cast(pc.not_equal(
+            pc.utf8_length(col), pc.binary_length(col)),
+            pa.int64())).as_py()
+        if mism:
+            raise AssertionError(
+                f"{mism} non-ASCII docs: byte-window shingles no longer "
+                "match the SQL twin's character windows")
+        return b
+
+    ds = ds.map_batches(assert_ascii, batch_format="pyarrow")
+    t = ds_to_table(
+        ngram_all_pairs(ds, "doc_id", "text", window=8, threshold=0.5,
+                        metric="containment", score_col="overlap"),
+        empty_schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                                ("overlap", pa.float64()),
+                                ("cont_a", pa.float64()),
+                                ("cont_b", pa.float64())]))
+    return _round_cols(t, {"overlap": 4, "cont_a": 4, "cont_b": 4})
+
+
+SQL_CONTAINMENT_PAIRS = """
+WITH pos AS (SELECT CAST(i AS INT) AS i FROM range(1, 8192) t(i)),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS g
+  FROM documents, pos
+  WHERE text IS NOT NULL AND length(text) >= 8 AND i <= length(text) - 7
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / least(sa.n, sb.n), 4) AS overlap,
+       round(i * 1.0 / sa.n, 4) AS cont_a,
+       round(i * 1.0 / sb.n, 4) AS cont_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / least(sa.n, sb.n) >= 0.5
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -12377,6 +12437,8 @@ QUERIES = {
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
     "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
+    "containment_pairs": (q_containment_pairs,
+                          SQL_CONTAINMENT_PAIRS),
     "fetch_gaps": (q_fetch_gaps, SQL_FETCH_GAPS),
     "normalize_unicode": (q_normalize_unicode, SQL_NORMALIZE_UNICODE),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
