@@ -45,7 +45,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="training sequence length in tokens")
     ap.add_argument("--val-frac", type=float, default=0.05)
     ap.add_argument("--test-frac", type=float, default=0.05)
+    ap.add_argument("--dsir-target-lang", default=None,
+                    help="enable DSIR selection: target slice = rows "
+                         "whose --lang-col equals this value")
+    ap.add_argument("--lang-col", default="lang")
+    ap.add_argument("--dsir-keep", type=int, default=0,
+                    help="docs to keep via Gumbel-top-k ∝ exp(w/τ) "
+                         "(required with --dsir-target-lang)")
+    ap.add_argument("--dsir-tau", type=float, default=0.05)
     args = ap.parse_args(argv)
+    if bool(args.dsir_target_lang) != bool(args.dsir_keep):
+        ap.error("--dsir-target-lang and --dsir-keep go together")
 
     import ray
 
@@ -66,7 +76,10 @@ def main(argv: list[str] | None = None) -> int:
             "non-empty; delete it (or point at a fresh directory) to "
             "re-run")
 
-    ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    cols = [args.id_col, args.text_col]
+    if args.dsir_target_lang:
+        cols.append(args.lang_col)
+    ds = rd.read_parquet(args.input, columns=cols)
     n_in = ds.count()
 
     if args.block:
@@ -99,6 +112,44 @@ def main(argv: list[str] | None = None) -> int:
                             batch_format="pyarrow")
     n_kept = kept.count()
 
+    # optional DSIR selection over the DEDUPED corpus: score vs the
+    # target-lang slice, keep --dsir-keep docs by deterministic
+    # Gumbel-top-k ∝ exp(w/τ) (engine-portable membership; the Knuth
+    # hash of the id is the uniform) — the data-mixing step between
+    # dedup and split
+    n_selected = None
+    if args.dsir_target_lang:
+        import numpy as np
+
+        from webval.pipelines import gumbel_topk_sample
+        from webval.textstats import dsir_importance
+
+        tgt = args.dsir_target_lang
+        lang_col = args.lang_col
+
+        def tgt_mask(t: pa.Table):
+            return np.asarray(
+                pc.fill_null(pc.equal(
+                    t.column(lang_col).combine_chunks(), tgt),
+                    False).to_numpy(zero_copy_only=False), bool)
+
+        scored_w = dsir_importance(kept, args.id_col, args.text_col,
+                                   tgt_mask, n_buckets=4096)
+        keyed = scored_w.map_batches(
+            lambda t: t.append_column(
+                "logit", pc.divide(t.column("dsir_w"), args.dsir_tau)),
+            batch_format="pyarrow")
+        top = gumbel_topk_sample(keyed, args.id_col, "logit",
+                                 args.dsir_keep)
+        winner_ref = ray.put(top.column(args.id_col).combine_chunks())
+
+        def keep_winners(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column(args.id_col),
+                                     value_set=ray.get(winner_ref)))
+
+        kept = kept.map_batches(keep_winners, batch_format="pyarrow")
+        n_selected = top.num_rows
+
     split = assign_split(
         kept.select_columns([args.id_col]), args.id_col,
         fractions=(1.0 - args.val_frac - args.test_frac,
@@ -120,7 +171,8 @@ def main(argv: list[str] | None = None) -> int:
 
     print(json.dumps({"job": "run_training_prep", "out": args.out,
                       "rows_in": n_in, "rows_clean": n_clean,
-                      "rows_kept": n_kept, "splits": counts,
+                      "rows_kept": n_kept, "rows_selected": n_selected,
+                      "splits": counts,
                       "context_len": args.context_len}, sort_keys=True))
     return 0
 

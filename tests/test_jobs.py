@@ -262,3 +262,52 @@ def test_run_training_prep_job(tmp_path, capsys):
     # dirty --out fails fast
     with pytest.raises(SystemExit, match="non-empty"):
         main(["--input", str(inp), "--out", str(out)])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_run_training_prep_dsir_selection(tmp_path, capsys):
+    import numpy as np
+    import pyarrow as pa
+
+    from run_training_prep import main
+
+    inp = tmp_path / "docs_dsir"
+    inp.mkdir()
+    rng = np.random.default_rng(5)
+    en_vocab = ["clean", "clear", "useful", "prose", "body"]
+    xx_vocab = ["zz1", "zz2", "zz3", "zz4", "zz5"]
+    ids, texts, langs = [], [], []
+    for i in range(200):
+        lang = "en" if i % 2 == 0 else "xx"
+        vocab = en_vocab if lang == "en" else xx_vocab
+        ids.append(i)
+        langs.append(lang)
+        texts.append(" ".join(rng.choice(vocab, size=8)))
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts),
+                             "lang": pa.array(langs)}),
+                   inp / "d.parquet")
+    out = tmp_path / "prep_dsir"
+
+    rc = main(["--input", str(inp), "--out", str(out),
+               "--context-len", "64", "--jaccard", "0.99",
+               "--dsir-target-lang", "en", "--dsir-keep", "40"])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["rows_selected"] == 40
+    assert sum(s["splits"].values()) == 40
+    # the selection is biased hard toward the target slice: en docs use a
+    # disjoint vocabulary, so nearly every winner is an en doc (even ids)
+    import ray.data as rd
+    won = []
+    for name in ("train", "val", "test"):
+        d = out / f"split={name}"
+        if d.is_dir():
+            won += rd.read_parquet(str(d)).to_pandas()["doc_id"].tolist()
+    n_en = sum(1 for i in won if i % 2 == 0)
+    assert n_en >= 36, n_en
+
+    # flag pairing is enforced
+    with pytest.raises(SystemExit):
+        main(["--input", str(inp), "--out", str(tmp_path / "x"),
+              "--dsir-target-lang", "en"])

@@ -392,7 +392,7 @@ def test_gumbel_topk_sample_matches_brute_force():
     n = 2000
     logit = rng.standard_normal(n) * 2
     ids = np.arange(n, dtype=np.int64)
-    u = (((ids.astype(np.uint64) * np.uint64(2654435761))
+    u = (((ids.astype(np.uint64) * np.uint64(2246822519))
           % np.uint64(2**32)).astype(np.float64) + 0.5) / 2**32
     g = logit - np.log(-np.log(u))
     want = set(ids[np.argsort(g)[-64:]].tolist())

@@ -93,7 +93,7 @@ def test_gumbel_key_monotone_in_logit(doc_id, logit, delta):
     # for a FIXED id (fixed uniform), a higher logit always gives a
     # higher key — the sampler can never prefer a lower-scoring doc with
     # the same hash draw
-    u = ((np.uint64(doc_id) * np.uint64(2654435761)) % np.uint64(2**32)
+    u = ((np.uint64(doc_id) * np.uint64(2246822519)) % np.uint64(2**32)
          ).astype(np.float64)
     u = (u + 0.5) / 2**32
     g1 = logit - np.log(-np.log(u))

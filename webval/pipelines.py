@@ -1369,16 +1369,24 @@ def cap_per_group(ds, key_col: str, id_col: str, cap: int, *,
 
 
 def gumbel_topk_sample(ds, id_col: str, logit_col: str, k: int, *,
-                       modulus: int = 2**32, multiplier: int = 2654435761,
+                       modulus: int = 2**32, multiplier: int = 2246822519,
                        min_gap: float | None = None) -> "pa.Table":
     """Deterministic Gumbel-top-k sampling WITHOUT replacement,
     P(select) ∝ exp(logit) — the selection step of importance resampling
-    (DSIR) made engine-portable: the uniform is the Knuth multiplicative
-    hash of ``id_col`` (u = ((id·2654435761) mod 2³²  + 0.5) / 2³²), the
-    key is g = logit − ln(−ln u), and the sample is the global top-k by
-    g (per-batch argpartition combiner + driver merge — no sort shuffle,
+    (DSIR) made engine-portable: the uniform is a multiplicative hash of
+    ``id_col`` (u = ((id·2246822519) mod 2³² + 0.5) / 2³²), the key is
+    g = logit − ln(−ln u), and the sample is the global top-k by g
+    (per-batch argpartition combiner + driver merge — no sort shuffle,
     see rank.global_top_k).  The same arithmetic is one ANSI-SQL
     expression, so membership is reproducible across engines and runs.
+
+    The multiplier deliberately DIFFERS from ``assign_split``'s
+    2654435761: with the same hash, u ≥ 0.9 ⟺ the id lands in val/test,
+    and −ln(−ln u) is increasing in u — the sampler would systematically
+    prefer exactly the ids the splitter routes to val/test (measured:
+    44/100 winners in val+test at 5%+5% fractions before the salt
+    changed).  Two multiplicative hashes with different odd multipliers
+    decorrelate the draws.
 
     ``min_gap``: loud precondition for cross-engine membership — raise
     unless the gap between the k-th and (k+1)-th key exceeds it (a tie

@@ -12254,7 +12254,7 @@ def q_dsir_resample(sf_dir: str):
 SQL_DSIR_RESAMPLE = _DSIR_CTE + """
 , g AS (SELECT doc_id,
                (sw / nf) / 0.05
-               - ln(-ln(((doc_id * 2654435761) % 4294967296 + 0.5)
+               - ln(-ln(((doc_id * 2246822519) % 4294967296 + 0.5)
                         / 4294967296.0)) AS gk
         FROM w)
 SELECT doc_id
