@@ -461,3 +461,48 @@ def test_ngram_containment_direction():
     # the quote (doc 2, the B side) is FULLY contained in doc 1; doc 1 is
     # only partially contained in the quote — direction must show
     assert cb == 1.0 and ca < 1.0 and o == 1.0
+
+
+# ---------------------------------------------------------------------------
+# zero-row inputs (empty datasets yield ZERO blocks — r3s4 finding)
+# ---------------------------------------------------------------------------
+
+
+def test_new_operators_on_empty_inputs():
+    import ray.data as rd
+
+    from webval.dedup import cdc_chunk_stats, semdedup_prune
+    from webval.pipelines import assign_split_grouped, gumbel_topk_sample
+    from webval.textstats import dsir_importance, logreg_fit_hashed
+
+    empty_docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string())}))
+    empty_vecs = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "emb": pa.array([], pa.list_(pa.float32()))}))
+
+    def mask(t):
+        import pyarrow.compute as pc
+        return np.asarray(pc.equal(t.column("lang").combine_chunks(),
+                                   "en").to_numpy(zero_copy_only=False),
+                          bool)
+
+    def rows(ds):
+        return sum(b.num_rows for b in
+                   ds.iter_batches(batch_format="pyarrow"))
+
+    assert rows(dsir_importance(empty_docs, "doc_id", "text", mask)) == 0
+    assert rows(cdc_chunk_stats(empty_docs, "lang", "text")) == 0
+    assert rows(semdedup_prune(empty_vecs, "vec_id", "emb",
+                               np.eye(2, 4))) == 0
+    assert rows(assign_split_grouped(rd.from_arrow(pa.table({
+        "id": pa.array([], pa.int64()),
+        "k": pa.array([], pa.string())})), "id", "k")) == 0
+    top = gumbel_topk_sample(rd.from_arrow(pa.table({
+        "id": pa.array([], pa.int64()),
+        "lg": pa.array([], pa.float64())})), "id", "lg", 5)
+    assert top.num_rows == 0 and "id" in top.column_names
+    with pytest.raises(ValueError, match="empty dataset"):
+        logreg_fit_hashed(empty_docs, "text", mask)

@@ -1407,6 +1407,14 @@ def gumbel_topk_sample(ds, id_col: str, logit_col: str, k: int, *,
 
     top = global_top_k(ds.map_batches(add_key, batch_format="pyarrow"),
                        "__gumbel__", k + 1)
+    if "__gumbel__" not in top.column_names:
+        # entirely-empty input: zero blocks reach the driver and even the
+        # post-map schema is unknown — rebuild from the INPUT schema
+        sch = ds.schema()
+        if sch is None or sch.names is None:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        return pa.table({n: pa.array([], type=t)
+                         for n, t in zip(sch.names, sch.types)})
     top = top.sort_by([("__gumbel__", "descending")])
     if min_gap is not None and top.num_rows > k:
         gap = (top.column("__gumbel__")[k - 1].as_py()

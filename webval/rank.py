@@ -1108,11 +1108,19 @@ def global_top_k(ds, order_col: str, k: int, *,
             t = t.take(pa.array(np.sort(idx)))
         return t
 
-    parts = pa.concat_tables(
+    batches = list(
         ds.map_batches(partial, batch_format="pyarrow",
                        batch_size=batch_size)
-          .iter_batches(batch_format="pyarrow", batch_size=None),
-        promote_options="permissive")
+          .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:
+        # an entirely-empty Dataset yields ZERO blocks (r3s4 finding);
+        # rebuild the schema so callers see named columns, not an error
+        sch = ds.schema()
+        if sch is None or sch.names is None:
+            return pa.table({})
+        return pa.table({n: pa.array([], type=t)
+                         for n, t in zip(sch.names, sch.types)})
+    parts = pa.concat_tables(batches, promote_options="permissive")
     if parts.num_rows > k:
         v = parts.column(order_col).to_numpy(zero_copy_only=False)
         idx = np.argpartition(v, len(v) - k)[len(v) - k:]
