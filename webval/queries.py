@@ -12185,7 +12185,9 @@ def q_quality_logreg(sf_dir: str):
     return _round_cols(t, {"weight": 6})
 
 
-SQL_QUALITY_LOGREG = """
+# shared CTE prefix for the logreg twins — ends at w2(f, w) (the trained
+# weights after both GD steps) over B=64 hashed-gram features
+_LOGREG_CTE = """
 WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
            FROM documents),
 grams AS (SELECT doc_id, lang,
@@ -12212,6 +12214,9 @@ g1 AS (SELECT h.f,
        FROM hashed h JOIN p1 USING (doc_id) GROUP BY h.f),
 w2 AS (SELECT w1.f, w1.w + 0.5 * (g1.g / (SELECT n FROM nn)) AS w
        FROM w1 JOIN g1 USING (f))
+"""
+
+SQL_QUALITY_LOGREG = _LOGREG_CTE + """
 SELECT CAST(w2.f AS BIGINT) AS feature,
        CAST(cnt.c AS BIGINT) AS n_occurrences,
        round(w2.w, 6) AS weight
@@ -12320,6 +12325,85 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE i * 1.0 / least(sa.n, sb.n) >= 0.5
+"""
+
+
+def q_logreg_scores(sf_dir: str):
+    """Classifier INFERENCE at query level: train the 2-step hashed
+    logreg (same recipe as quality_logreg), score EVERY doc in one
+    broadcast pass — p = sigmoid(mean w[f] over its feature occurrences,
+    the length-normalized logit; the raw sum saturates with doc size) —
+    and report the per-lang document count and mean probability (the
+    score-lift-by-slice view).  The documents fixture shares ONE
+    vocabulary across langs (measured: per-lang means differ only at
+    1e-4), so no ranking claim is made — the in-query assert pins that
+    the probabilities are non-degenerate (all in (0,1), not all equal
+    at 6 decimals).  No thresholds or histogram floors, so the twin
+    needs no boundary-margin precondition — only the round(6)."""
+    import ray
+
+    import ray.data as rd
+
+    from webval.textstats import _dsir_doc_features, logreg_fit_hashed
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+
+    def en_mask(t: pa.Table):
+        return np.asarray(
+            pc.equal(t.column("lang").combine_chunks(), "en")
+            .to_numpy(zero_copy_only=False), dtype=bool)
+
+    B = 64
+    w = logreg_fit_hashed(ds, "text", en_mask, n_buckets=B, n_iter=2,
+                          lr=0.5)
+    w_ref = ray.put(w)
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        cur = ray.get(w_ref)
+        feats, docs = _dsir_doc_features(t.column("text"), B)
+        s = np.zeros(t.num_rows, np.float64)
+        np.add.at(s, docs, cur[feats])
+        nf = np.bincount(docs, minlength=t.num_rows)
+        p = 1.0 / (1.0 + np.exp(-(s / nf)))
+        tab = pa.table({"lang": t.column("lang"),
+                        "p": pa.array(p, pa.float64())})
+        agg = tab.group_by(["lang"]).aggregate([("p", "sum"),
+                                                ("p", "count")])
+        return agg.rename_columns(["lang", "p_sum", "n"])
+
+    parts = ds.map_batches(lang_partial,
+                           batch_format="pyarrow").materialize()
+    sums: dict = {}
+    ns: dict = {}
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for lg, psum, cnt in zip(b.column("lang").to_pylist(),
+                                 b.column("p_sum").to_pylist(),
+                                 b.column("n").to_pylist()):
+            sums[lg] = sums.get(lg, 0.0) + psum
+            ns[lg] = ns.get(lg, 0) + int(cnt)
+    langs = sorted(ns)
+    mean_p = {lg: sums[lg] / ns[lg] for lg in langs}
+    vals = [round(v, 6) for v in mean_p.values()]
+    if not all(0.0 < v < 1.0 for v in vals) or len(set(vals)) < 2:
+        raise AssertionError(
+            "logreg_scores: degenerate per-lang probabilities "
+            f"{mean_p} — the inference pass lost its signal")
+    t = pa.table({"lang": pa.array(langs, pa.string()),
+                  "n_docs": pa.array([ns[lg] for lg in langs], pa.int64()),
+                  "mean_p": pa.array([mean_p[lg] for lg in langs],
+                                     pa.float64())})
+    return _round_cols(t, {"mean_p": 6})
+
+
+SQL_LOGREG_SCORES = _LOGREG_CTE + """
+, s2 AS (SELECT h.doc_id, sum(w2.w) / count(*) AS sc
+         FROM hashed h JOIN w2 USING (f) GROUP BY h.doc_id),
+p2 AS (SELECT doc_id, 1 / (1 + exp(-sc)) AS p FROM s2)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(p.p) / count(*), 6) AS mean_p
+FROM p2 p JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
 """
 
 
@@ -12436,6 +12520,7 @@ QUERIES = {
                            SQL_LEAKAGE_SAFE_SPLIT),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
+    "logreg_scores": (q_logreg_scores, SQL_LOGREG_SCORES),
     "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
     "containment_pairs": (q_containment_pairs,
                           SQL_CONTAINMENT_PAIRS),
