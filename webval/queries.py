@@ -12407,6 +12407,105 @@ GROUP BY d.lang ORDER BY d.lang
 """
 
 
+def q_selection_coverage(sf_dir: str):
+    """Selection-quality EVALUATION: what fraction of the target slice's
+    vocabulary does the DSIR-selected subset cover?  Selected = the same
+    100-doc Gumbel-top-k as dsir_resample; target vocab = distinct
+    tokens of 'en' docs.  One tokenizing pass tags each token occurrence
+    with (in_target_doc, in_selected_doc), one exchange ORs the flags
+    per distinct token, and the driver sums three block-local counters —
+    nothing token-set-sized concentrates.  Coverage is one exact int/int
+    division (emitted unrounded, same IEEE op both engines)."""
+    import ray
+
+    import ray.data as rd
+
+    from webval.exchange import grouped_agg, sum_block_scalars
+    from webval.pipelines import gumbel_topk_sample
+    from webval.textstats import dsir_importance
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+
+    def en_mask(t: pa.Table):
+        return np.asarray(
+            pc.equal(t.column("lang").combine_chunks(), "en")
+            .to_numpy(zero_copy_only=False), dtype=bool)
+
+    scored = dsir_importance(ds, "doc_id", "text", en_mask, n_buckets=256)
+    keyed = scored.map_batches(
+        lambda t: t.append_column(
+            "logit", pc.divide(t.column("dsir_w"), 0.05)),
+        batch_format="pyarrow")
+    top = gumbel_topk_sample(keyed, "doc_id", "logit", 100, min_gap=1e-9)
+    sel_ref = ray.put(top.column("doc_id").combine_chunks())
+
+    def token_flags(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tok = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        doc_of = np.repeat(np.arange(t.num_rows), n_tok)
+        is_en = en_mask(t)[doc_of]
+        is_sel = np.asarray(
+            pc.is_in(t.column("doc_id").combine_chunks(),
+                     value_set=ray.get(sel_ref))
+            .to_numpy(zero_copy_only=False), bool)[doc_of]
+        tab = pa.table({"tok": toks.values,
+                        "in_tgt": pa.array(is_en),
+                        "in_sel": pa.array(is_sel)})
+        # per-batch combiner: OR the flags per distinct token
+        agg = tab.group_by(["tok"]).aggregate([("in_tgt", "max"),
+                                               ("in_sel", "max")])
+        return agg.rename_columns(["tok", "in_tgt", "in_sel"])
+
+    flags = grouped_agg(
+        ds.map_batches(token_flags, batch_format="pyarrow"),
+        ["tok"], [("in_tgt", "max"), ("in_sel", "max")],
+        rename={"in_tgt_max": "in_tgt", "in_sel_max": "in_sel"})
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        tgt = t.column("in_tgt").to_numpy(zero_copy_only=False)
+        sel = t.column("in_sel").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_tgt": pa.array([int(tgt.sum())], pa.int64()),
+            "n_cov": pa.array([int((tgt & sel).sum())], pa.int64())})
+
+    mat = flags.map_batches(count_partial,
+                            batch_format="pyarrow").materialize()
+    tot = sum_block_scalars(mat, ["n_tgt", "n_cov"])
+    n_tgt, n_cov = tot["n_tgt"], tot["n_cov"]
+    if not 0 < n_cov <= n_tgt:
+        raise AssertionError(
+            f"selection_coverage: degenerate counts {tot}")
+    return pa.table({
+        "n_target_vocab": pa.array([n_tgt], pa.int64()),
+        "n_covered": pa.array([n_cov], pa.int64()),
+        "coverage": pa.array([n_cov / n_tgt], pa.float64())})
+
+
+SQL_SELECTION_COVERAGE = _DSIR_CTE + """
+, g AS (SELECT doc_id,
+               (sw / nf) / 0.05
+               - ln(-ln(((doc_id * 2246822519) % 4294967296 + 0.5)
+                        / 4294967296.0)) AS gk
+        FROM w),
+sel AS (SELECT doc_id FROM g ORDER BY gk DESC LIMIT 100),
+tok AS (SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+flags AS (SELECT tok,
+                 max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS in_tgt,
+                 max(CASE WHEN doc_id IN (SELECT doc_id FROM sel)
+                          THEN 1 ELSE 0 END) AS in_sel
+          FROM tok GROUP BY tok)
+SELECT CAST(sum(in_tgt) AS BIGINT) AS n_target_vocab,
+       CAST(sum(in_tgt * in_sel) AS BIGINT) AS n_covered,
+       CAST(sum(in_tgt * in_sel) AS DOUBLE) / sum(in_tgt) AS coverage
+FROM flags
+"""
+
+
 QUERIES = {
     "column_stats": (q_column_stats, SQL_COLUMN_STATS),
     "grouped_stats": (q_grouped_stats, SQL_GROUPED_STATS),
@@ -12522,6 +12621,8 @@ QUERIES = {
     "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
     "logreg_scores": (q_logreg_scores, SQL_LOGREG_SCORES),
     "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
+    "selection_coverage": (q_selection_coverage,
+                           SQL_SELECTION_COVERAGE),
     "containment_pairs": (q_containment_pairs,
                           SQL_CONTAINMENT_PAIRS),
     "fetch_gaps": (q_fetch_gaps, SQL_FETCH_GAPS),
